@@ -1,0 +1,97 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate: run Verify's parquet
+dumps against DuckDB executing oracle_sql.json over the same sf dir.
+
+Usage: python3 scripts/oracle_check.py <sfDir> <verifyOutDir>
+
+Compares: column names (sorted), row counts, and values (rows sorted by all
+columns). Reports exact mismatches plus near-miss float diagnostics.
+"""
+import sys, os, json, glob
+import duckdb
+import pandas as pd
+import numpy as np
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+def normalize(df):
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif df[c].dtype == object:
+            df[c] = df[c].apply(
+                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
+    df = df.sort_values(by=list(df.columns), kind="mergesort",
+                        na_position="last").reset_index(drop=True)
+    return df
+
+def main(sfdir, outdir):
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_ok = n_bad = 0
+    for name in sorted(oracle):
+        spark_dir = f"{outdir}/{name}"
+        files = glob.glob(f"{spark_dir}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output at {spark_dir}")
+            n_bad += 1
+            continue
+        try:
+            got = con.execute(
+                f"SELECT * FROM read_parquet({files!r})").fetchdf()
+            want = con.execute(oracle[name]).fetchdf()
+        except Exception as e:
+            print(f"FAIL {name}: exec error: {e}")
+            n_bad += 1
+            continue
+        g, w = normalize(got), normalize(want)
+        if list(g.columns) != list(w.columns):
+            print(f"FAIL {name}: columns {list(g.columns)} != {list(w.columns)}")
+            n_bad += 1
+            continue
+        if len(g) != len(w):
+            print(f"FAIL {name}: rows {len(g)} != {len(w)}")
+            n_bad += 1
+            continue
+        diffs = []
+        for c in g.columns:
+            a, b = g[c], w[c]
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                af = a.astype(float).to_numpy()
+                bf = b.astype(float).to_numpy()
+                eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
+                if not eq.all():
+                    close = np.isclose(af, bf, rtol=1e-9, equal_nan=True)
+                    tag = "NEAR" if close.all() else "DIFF"
+                    i = int(np.argmin(eq))
+                    diffs.append(f"{c}[{tag}] e.g. row{i}: {af[i]!r} vs {bf[i]!r} "
+                                 f"({(~eq).sum()}/{len(eq)} differ)")
+            else:
+                eq = (a.astype(str).fillna("\x00") == b.astype(str).fillna("\x00"))
+                if not eq.all():
+                    i = int(np.argmin(eq.to_numpy()))
+                    diffs.append(f"{c} e.g. row{i}: {a.iloc[i]!r} vs {b.iloc[i]!r} "
+                                 f"({(~eq).sum()}/{len(eq)} differ)")
+        if diffs:
+            print(f"FAIL {name}: " + "; ".join(diffs[:4]))
+            n_bad += 1
+        else:
+            # also flag dtype drift (driver checks schema)
+            dt = [(c, str(got[c].dtype), str(want[c].dtype))
+                  for c in sorted(got.columns)
+                  if str(got[sorted(got.columns)].dtypes[c]) !=
+                     str(want[sorted(want.columns)].dtypes[c])]
+            note = f"  [dtype drift: {dt}]" if dt else ""
+            print(f"ok   {name} ({len(g)} rows){note}")
+            n_ok += 1
+    print(f"== {n_ok} ok, {n_bad} fail ==")
+    return 1 if n_bad else 0
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1], sys.argv[2]))

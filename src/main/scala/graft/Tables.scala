@@ -1,0 +1,26 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Parquet source resolution for the driver-generated TPC-H-ish test data
+  * (TESTDATA.md). This is the degenerate, static-schema case of the
+  * reference's `:scan` source (reference: core/src/main/clojure/xtdb/operator/
+  * scan.clj:201-216): the catalog is the parquet footer, and Catalyst provides
+  * predicate pushdown / column pruning / page skipping that the reference
+  * implements by hand (scan.clj:297-306).
+  *
+  * Scale note: `spark.read.parquet` on a directory of many files partitions by
+  * `spark.sql.files.maxPartitionBytes`; nothing here assumes a single file.
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Register every test table as a temp view (for spark.sql entry points). */
+  def registerAll(spark: SparkSession, dir: String): Unit =
+    all.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Join variants the reference exposes that Spark does not ship as a single
+  * join type: mark-join and single-join
+  * (reference: core/src/main/clojure/xtdb/operator/join.clj:71-75, 516-524;
+  * core/src/main/kotlin/xtdb/operator/join/JoinType.kt).
+  *
+  * Both are composed from stock Spark joins so Catalyst keeps full freedom to
+  * broadcast / shuffle / reorder — no custom physical operator needed.
+  */
+object Joins {
+
+  /** Mark join: every left row, plus a boolean `markName` column answering
+    * "does a right row with matching keys exist?" — the plan shape the
+    * reference uses for `x IN (subquery)` (join.clj:228-271).
+    *
+    * Three-valued logic: a null left key yields a null mark (unknown), as in
+    * SQL `IN`. (The right-side-contains-null refinement of full NOT IN
+    * semantics is handled by the caller negating against `markName IS NULL`.)
+    *
+    * Scale: the right side is reduced to distinct keys *before* the join, so
+    * it is typically broadcastable; AQE picks the strategy.
+    */
+  def markJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String],
+      markName: String): DataFrame = {
+    val flag = "__mark_flag"
+    val rk = right
+      .select(rightKeys.map(col): _*)
+      .distinct()
+      .withColumn(flag, lit(true))
+    val cond = leftKeys.zip(rightKeys)
+      .map { case (l, r) => left(l) === rk(r) }
+      .reduce(_ && _)
+    val anyLeftKeyNull = leftKeys.map(k => left(k).isNull).reduce(_ || _)
+    left.join(rk, cond, "left")
+      .withColumn(markName,
+        when(anyLeftKeyNull, lit(null).cast("boolean"))
+          .otherwise(coalesce(col(flag), lit(false))))
+      .drop((flag +: rightKeys.filter(!leftKeys.contains(_))): _*)
+  }
+
+  /** Single join: left outer join that *errors* if any left row matches more
+    * than one right row — scalar-subquery semantics
+    * (reference: join.clj:516-524, JoinType.kt SINGLE).
+    *
+    * Implemented scale-friendly for the equi case: the right side is
+    * aggregated by its join keys first (map-side combinable, no window over
+    * the whole join output), carrying a per-key match count whose violation
+    * triggers `raise_error` at evaluation time.
+    */
+  def singleJoinEqui(
+      left: DataFrame,
+      right: DataFrame,
+      leftKeys: Seq[String],
+      rightKeys: Seq[String]): DataFrame = {
+    val payload = right.columns.filterNot(rightKeys.contains)
+    val n = "__single_n"
+    val rAgg = right.groupBy(rightKeys.map(col): _*)
+      .agg(count(lit(1)).as(n),
+        payload.map(c => first(col(c)).as(c)): _*)
+    val cond = leftKeys.zip(rightKeys)
+      .map { case (l, r) => left(l) === rAgg(r) }
+      .reduce(_ && _)
+    val joined = left.join(rAgg, cond, "left")
+    val guarded = payload.foldLeft(joined) { (df, c) =>
+      df.withColumn(c,
+        when(col(n) > 1,
+          raise_error(concat(lit("single-join: more than one match for key "),
+            concat_ws(",", leftKeys.map(col): _*))))
+          .otherwise(col(c)))
+    }
+    guarded.drop((n +: rightKeys.filter(!leftKeys.contains(_))): _*)
+  }
+
+  /** Null-aware anti join — SQL `NOT IN (subquery)` semantics: if the right
+    * side contains any null key, no left row qualifies; left rows with null
+    * keys never qualify. (Plain `left_anti` is EXISTS-negation, not NOT IN.)
+    */
+  def notInJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftKey: String,
+      rightKey: String): DataFrame = {
+    val marked = markJoin(left, right.filter(col(rightKey).isNotNull),
+      Seq(leftKey), Seq(rightKey), "__m")
+    // 0-or-1-row broadcast relation: present iff the right side has a null key
+    val rnull = right.filter(col(rightKey).isNull)
+      .select(lit(true).as("__rnull")).limit(1)
+    marked.join(broadcast(rnull), lit(true), "left")
+      .filter(col("__m") === false && col("__rnull").isNull)
+      .drop("__m", "__rnull")
+  }
+}
