@@ -17,8 +17,17 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    if (name == "events") {
+      // events.ts is nanosecond-precision INT64, which Spark's parquet
+      // reader rejects as a timestamp. Read nanos as long and convert to a
+      // microsecond timestamp (truncation — matches Spark temporal range).
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$dir/$name.parquet")
+        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    } else spark.read.parquet(s"$dir/$name.parquet")
+  }
 
   /** Register every test table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =

@@ -1,0 +1,130 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregate coverage (SURVEY.md §2.4): count/count-distinct, sum/avg +
+  * distinct variants, min/max, var/stddev family, bool_and/bool_or,
+  * array_agg (ordered, as a deterministic string), percentile_cont/disc
+  * (WITHIN GROUP), and SQL zero-row global-aggregate semantics
+  * (reference: core/src/main/clojure/xtdb/operator/group_by.clj).
+  *
+  * Spark's hash aggregate is partial/final split with map-side combine —
+  * strictly better than the reference's single-pass blocking agg at scale.
+  */
+object Aggregates {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  val defs: Seq[QueryDef] = Seq(
+
+    QueryDef("q20_agg_counts", (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          count(lit(1)).as("n"),
+          count(col("o_custkey")).as("n_cust"),
+          countDistinct(col("o_custkey")).as("nd_cust"),
+          round(sum("o_totalprice"), 2).as("sum_price"),
+          min("o_totalprice").as("min_price"),
+          max("o_totalprice").as("max_price"),
+          min("o_orderdate").as("min_date"),
+          max("o_orderdate").as("max_date"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS n, count(o_custkey) AS n_cust,
+             count(DISTINCT o_custkey) AS nd_cust,
+             round(sum(o_totalprice), 2) AS sum_price,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+             min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    QueryDef("q21_agg_stats", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(var_pop(col("l_quantity")), 3).as("vp"),
+          round(var_samp(col("l_quantity")), 3).as("vs"),
+          round(stddev_pop(col("l_quantity")), 3).as("sp"),
+          round(stddev_samp(col("l_quantity")), 3).as("ss"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, round(var_pop(l_quantity), 3) AS vp,
+             round(var_samp(l_quantity), 3) AS vs,
+             round(stddev_pop(l_quantity), 3) AS sp,
+             round(stddev_samp(l_quantity), 3) AS ss
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    QueryDef("q22_agg_bool", (s, dir) => {
+      t(s, dir, "orders")
+        .groupBy("o_orderstatus")
+        .agg(
+          expr("bool_and(o_totalprice > 2000)").as("all_over_2k"),
+          expr("bool_or(o_totalprice > 400000)").as("any_over_400k"),
+          expr("every(o_totalprice > 0)").as("every_pos"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, bool_and(o_totalprice > 2000) AS all_over_2k,
+             bool_or(o_totalprice > 400000) AS any_over_400k,
+             bool_and(o_totalprice > 0) AS every_pos
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // array_agg with deterministic order, emitted as a joined string so the
+    // hash compare is representation-independent
+    QueryDef("q23_agg_array", (s, dir) => {
+      t(s, dir, "supplier")
+        .groupBy("s_nationkey")
+        .agg(
+          concat_ws("|", sort_array(collect_list(col("s_name")))).as("names"),
+          size(collect_set(col("s_name"))).cast("long").as("n_distinct"))
+        .orderBy("s_nationkey")
+    }, Some("""
+      SELECT s_nationkey,
+             string_agg(s_name, '|' ORDER BY s_name) AS names,
+             count(DISTINCT s_name) AS n_distinct
+      FROM supplier GROUP BY s_nationkey ORDER BY s_nationkey""")),
+
+    QueryDef("q24_agg_distinct", (s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+          round(sum_distinct(col("l_quantity")), 2).as("sum_dq"),
+          countDistinct(col("l_suppkey")).as("nd_supp"),
+          round(avg(col("l_quantity")), 3).as("avg_q"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, round(sum(DISTINCT l_quantity), 2) AS sum_dq,
+             count(DISTINCT l_suppkey) AS nd_supp,
+             round(avg(l_quantity), 3) AS avg_q
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // percentile_cont / percentile_disc WITHIN GROUP (reference
+    // group_by.clj:353-465) — via the SQL facade (Spark >= 3.4 syntax)
+    QueryDef("q25_agg_percentile", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderstatus,
+               round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
+               round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90,
+               round(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p25d
+        FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+    }, Some("""
+      SELECT o_orderstatus,
+             round(percentile_cont(0.5) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p50,
+             round(percentile_cont(0.9) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p90,
+             round(percentile_disc(0.25) WITHIN GROUP (ORDER BY o_totalprice), 2) AS p25d
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // zero-row input => one row of (0, null) — SQL global-aggregate
+    // semantics (reference group_by.clj:80-84 `zero-row?`)
+    QueryDef("q26_agg_zero_rows", (s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_quantity") < 0)
+        .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
+    }, Some("""
+      SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS total
+      FROM lineitem WHERE l_quantity < 0"""))
+  )
+}
