@@ -13,7 +13,8 @@ object SparkEntry {
   val all: Seq[QueryDef] =
     _root_.graft.queries.Relational.defs ++
     _root_.graft.queries.Aggregates.defs ++
-    _root_.graft.queries.WindowSortSet.defs
+    _root_.graft.queries.WindowSortSet.defs ++
+    _root_.graft.queries.Expressions.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
