@@ -1,0 +1,132 @@
+package graft.bitemporal
+
+import org.apache.spark.sql.{Column, DataFrame, Encoders, Row}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** DataFrame-level bitemporal visibility resolution (SURVEY §7.1-7.2).
+  *
+  * Tables are **append-only event logs**: every DML produces event rows with
+  * `(_iid, _id, _valid_from, _valid_to, _system_from, _seq, _op, payload…)`;
+  * `_valid_to` null = unbounded; `_system_to` is *derived at read time*,
+  * mirroring the reference's scan-time PolygonCalculator rather than
+  * rewriting history in place (reference:
+  * core/src/main/kotlin/xtdb/bitemporal/PolygonCalculator.kt:22-48).
+  *
+  * Two read paths:
+  *  - `asOf` (point-in-time, the overwhelmingly common case): pure
+  *    window-function plan — one shuffle by `_iid`, no custom operator,
+  *    fully codegen'd; scales to any data size Spark's window can sort.
+  *  - `history` (FOR ALL VALID_TIME / FOR ALL SYSTEM_TIME): exact
+  *    rectangle reconstruction via the pure `EventAlgebra` ceiling scan,
+  *    distributed with `flatMapGroups` keyed by `_iid`.
+  */
+object Bitemporal {
+
+  val IID = "_iid"
+  val ID = "_id"
+  val VF = "_valid_from"
+  val VT = "_valid_to"
+  val SF = "_system_from"
+  val ST = "_system_to"
+  val SEQ = "_seq"
+  val OP = "_op"
+
+  val metaCols: Seq[String] = Seq(IID, ID, VF, VT, SF, SEQ, OP)
+
+  /** Point-in-time snapshot: the document versions visible at
+    * (validAt, systemAt). Window fast path:
+    * filter events to the system snapshot, drop erased iids, keep events
+    * whose valid interval contains validAt, take the newest per iid, and
+    * keep it only if it is a `put`. */
+  def asOf(events: DataFrame, validAt: Column, systemAt: Column): DataFrame = {
+    val visible = events.filter(col(SF) <= systemAt)
+    val erased = visible.filter(col(OP) === "erase").select(IID).distinct()
+    val candidate = visible
+      .join(erased, Seq(IID), "left_anti")
+      .filter(col(VF) <= validAt &&
+        (col(VT).isNull || col(VT) > validAt))
+    val w = Window.partitionBy(IID).orderBy(col(SF).desc, col(SEQ).desc)
+    candidate
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col(OP) === "put")
+      .drop("__rn", OP, SEQ)
+  }
+
+  /** Current state (valid-time and system-time = now). */
+  def current(events: DataFrame): DataFrame = {
+    val now = current_timestamp()
+    asOf(events, now, now)
+  }
+
+  private val MaxMicros = Long.MaxValue
+
+  private def tsToMicros(r: Row, idx: Int): Long =
+    if (r.isNullAt(idx)) MaxMicros
+    else {
+      val i = r.getTimestamp(idx).toInstant
+      i.getEpochSecond * 1000000L + i.getNano / 1000L
+    }
+
+  private def microsToTs(us: Long): java.sql.Timestamp =
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      Math.floorDiv(us, 1000000L), Math.floorMod(us, 1000000L) * 1000L))
+
+  /** Exact bitemporal history: every visible rectangle of every put event,
+    * with derived `_valid_to` / `_system_to` (null = unbounded). Runs the
+    * EventAlgebra ceiling scan per `_iid` via flatMapGroups — the per-iid
+    * event count is small (bounded by that document's update count), so the
+    * group fits in memory regardless of total table size. */
+  def history(events: DataFrame): DataFrame = {
+    val schema = events.schema
+    val payloadFields = schema.fields.filter(f =>
+      f.name != VT && f.name != SF && f.name != OP && f.name != SEQ &&
+        f.name != VF)
+    val outSchema = StructType(
+      payloadFields ++ Seq(
+        StructField(VF, TimestampType), StructField(VT, TimestampType),
+        StructField(SF, TimestampType), StructField(ST, TimestampType)))
+    val vfIdx = schema.fieldIndex(VF)
+    val vtIdx = schema.fieldIndex(VT)
+    val sfIdx = schema.fieldIndex(SF)
+    val seqIdx = schema.fieldIndex(SEQ)
+    val opIdx = schema.fieldIndex(OP)
+    val payloadIdxs = payloadFields.map(f => schema.fieldIndex(f.name))
+    val iidIdx = schema.fieldIndex(IID)
+
+    events
+      .groupByKey(r => r.getAs[String](IID))(Encoders.STRING)
+      .flatMapGroups { (_: String, rows: Iterator[Row]) =>
+        val buf = rows.toIndexedSeq
+        val evs = buf.zipWithIndex.map { case (r, i) =>
+          EventAlgebra.Event(
+            systemFrom = tsToMicros(r, sfIdx),
+            validFrom = if (r.isNullAt(vfIdx)) Long.MinValue else tsToMicros(r, vfIdx),
+            validTo = tsToMicros(r, vtIdx),
+            op = r.getString(opIdx),
+            payloadIdx = i,
+            seq = r.getLong(seqIdx))
+        }
+        EventAlgebra.resolve(evs)
+          .map { rect =>
+            val src = buf(rect.payloadIdx)
+            Row.fromSeq(
+              payloadIdxs.map(src.get).toSeq ++ Seq(
+                if (rect.validFrom == Long.MinValue) null else microsToTs(rect.validFrom),
+                if (rect.validTo == MaxMicros) null else microsToTs(rect.validTo),
+                microsToTs(rect.systemFrom),
+                if (rect.systemTo == MaxMicros) null else microsToTs(rect.systemTo)))
+          }
+          .iterator
+      }(Encoders.row(outSchema))
+  }
+
+  /** Valid-time-range query: rectangles overlapping [from, to) at the given
+    * system snapshot. */
+  def validTimeBetween(events: DataFrame, from: Column, to: Column,
+      systemAt: Column): DataFrame = {
+    history(events.filter(col(SF) <= systemAt))
+      .filter((col(VT).isNull || col(VT) > from) && col(VF) < to)
+  }
+}

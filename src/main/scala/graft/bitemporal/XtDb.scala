@@ -1,0 +1,119 @@
+package graft.bitemporal
+
+import graft.functions.Ids
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Append-only bitemporal table store + the DML surface
+  * (reference tx ops: api/src/main/clojure/xtdb/api.clj:258-299,
+  * core/src/main/kotlin/xtdb/tx/TxOp.kt — put/patch/delete/erase docs).
+  *
+  * Storage model (SURVEY §7.1): one parquet event-log directory per table
+  * under `root/<table>`; each transaction appends one parquet part with a
+  * monotonically-assigned `_system_from`. Nothing is ever rewritten —
+  * `_system_to`/`_valid_to` closure is derived at read (Bitemporal.asOf /
+  * history), like the reference's scan-time polygon resolution. On a real
+  * cluster the same layout works on object storage; the log-append is the
+  * single-writer coordination point (mirroring the reference's tx log,
+  * core/src/main/clojure/xtdb/log.clj) and compaction = file consolidation.
+  *
+  * Scale note: appends are O(tx size); reads shuffle once by `_iid`.
+  * Partition/bucket by iid-prefix (Trie.kt analogue) is a planned
+  * optimisation — correctness does not depend on it.
+  */
+class XtDb(spark: SparkSession, root: String) {
+
+  import Bitemporal._
+
+  private def tableDir(table: String) = s"$root/$table"
+
+  @volatile private var lastSystemMicros = 0L
+
+  /** Monotonic system-time assignment (single-writer, reference
+    * log-append-time semantics). */
+  private def nextSystemTime(): java.sql.Timestamp = synchronized {
+    val now = java.time.Instant.now()
+    val nowUs = now.getEpochSecond * 1000000L + now.getNano / 1000L
+    lastSystemMicros = math.max(nowUs, lastSystemMicros + 1000L)
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      lastSystemMicros / 1000000L, (lastSystemMicros % 1000000L) * 1000L))
+  }
+
+  /** Raw event log for a table (empty DataFrame problems surface as
+    * AnalysisException if the table was never written). */
+  def events(table: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(tableDir(table))
+
+  private def appendEvents(table: String, docs: DataFrame, op: String,
+      validFrom: Option[Column], validTo: Option[Column]): java.sql.Timestamp = {
+    val sysTime = nextSystemTime()
+    val vf = validFrom.getOrElse(lit(sysTime)).cast("timestamp")
+    val vt = validTo.map(_.cast("timestamp")).getOrElse(lit(null).cast("timestamp"))
+    val withMeta = docs
+      .withColumn(IID, Ids.iidHex(col(ID)))
+      .withColumn(VF, vf)
+      .withColumn(VT, vt)
+      .withColumn(SF, lit(sysTime))
+      .withColumn(SEQ, monotonically_increasing_id())
+      .withColumn(OP, lit(op))
+    withMeta.write.mode("append").parquet(tableDir(table))
+    sysTime
+  }
+
+  /** `:put-docs` — docs must carry `_id` + payload columns. */
+  def putDocs(table: String, docs: DataFrame,
+      validFrom: Option[Column] = None,
+      validTo: Option[Column] = None): java.sql.Timestamp =
+    appendEvents(table, docs, "put", validFrom, validTo)
+
+  /** `:delete-docs` — logical delete over a valid-time range (defaults to
+    * [now, unbounded)). */
+  def deleteDocs(table: String, ids: DataFrame,
+      validFrom: Option[Column] = None,
+      validTo: Option[Column] = None): java.sql.Timestamp =
+    appendEvents(table, ids.select(col(ID)), "delete", validFrom, validTo)
+
+  /** `:erase-docs` — physical erasure of the document's entire history
+    * (reference PolygonCalculator.kt:43-46: post-erase, no events resolve). */
+  def eraseDocs(table: String, ids: DataFrame): java.sql.Timestamp =
+    appendEvents(table, ids.select(col(ID)), "erase",
+      Some(lit("0001-01-01 00:00:00")), None)
+
+  /** `:patch-docs` — field-wise merge onto the current version (missing
+    * fields keep their current values; reference `_patch` expression.clj:2095
+    * + static expansion sql.clj:3503-3601). Patches are expanded to put
+    * events at submit time. */
+  def patchDocs(table: String, patches: DataFrame): java.sql.Timestamp = {
+    val cur = Bitemporal.current(events(table))
+    val curPayload = cur.columns.filterNot(c => metaCols.contains(c) || c == ST)
+    val patchPayload = patches.columns.filter(_ != ID)
+    val allPayload = (curPayload ++ patchPayload).distinct.filter(_ != ID)
+    val curRenamed = curPayload.foldLeft(cur.select((ID +: curPayload).map(col): _*)) {
+      (df, c) => df.withColumnRenamed(c, s"__cur_$c")
+    }
+    val merged = patches
+      .join(curRenamed, Seq(ID), "left")
+      .select(col(ID) +: allPayload.map { c =>
+        val hasCur = curPayload.contains(c)
+        val hasPatch = patchPayload.contains(c)
+        (if (hasCur && hasPatch) coalesce(col(c), col(s"__cur_$c"))
+         else if (hasPatch) col(c)
+         else col(s"__cur_$c")).as(c)
+      }: _*)
+    putDocs(table, merged)
+  }
+
+  /** Snapshot read — FOR VALID_TIME AS OF / FOR SYSTEM_TIME AS OF
+    * (defaults: now/now — reference scan.clj:307-310 default when no
+    * temporal filter). */
+  def asOf(table: String,
+      validAt: Option[Column] = None,
+      systemAt: Option[Column] = None): DataFrame =
+    Bitemporal.asOf(events(table),
+      validAt.getOrElse(current_timestamp()).cast("timestamp"),
+      systemAt.getOrElse(current_timestamp()).cast("timestamp"))
+
+  /** FOR ALL VALID_TIME + ALL SYSTEM_TIME — full rectangle history. */
+  def history(table: String): DataFrame =
+    Bitemporal.history(events(table))
+}
