@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale text corpora — exact,
+  * MinHash+LSH, SimHash, and n-gram Jaccard verification.
+  *
+  * Scale design (100 TB target):
+  *  - signature computation (shingles → minhash / simhash) is purely per-row
+  *    projection work: no shuffle, fully codegen'd, embarrassingly parallel;
+  *  - LSH banding reduces the candidate space to one shuffle keyed by
+  *    (band index, band hash) — quadratic blowup is confined to per-bucket
+  *    candidate generation, and bucket sizes are bounded by tuning
+  *    bands/rows, never by corpus size;
+  *  - exact Jaccard runs only on LSH candidates, not all pairs.
+  *
+  * All hashes are md5-hex (lexicographic min == min-hash) so every stage is
+  * reproducible by any SQL engine for oracle checking.
+  */
+object Dedup {
+
+  /** Word n-gram shingles of a text column as an array column. Rows with
+    * fewer than `n` words produce no shingles (filter upstream). */
+  def shingles(text: Column, n: Int): Column = {
+    val words = split(text, " ")
+    transform(
+      sequence(lit(1), size(words) - (n - 1)),
+      j => concat_ws(" ", slice(words, j, lit(n))))
+  }
+
+  /** Exact dedup by content hash: one row per distinct key with the kept
+    * (minimum) id and the duplicate count. Group key is md5(text) so the
+    * shuffle carries 16 bytes per row, not the document body. */
+  def exactGroups(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("content_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
+
+  /** MinHash signatures: `numHashes` lexicographic-min md5 values over
+    * 3-word shingles, as columns h1..hN. */
+  def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
+      numHashes: Int): DataFrame = {
+    val sh = shingles(col(textCol), 3)
+    val hashes = (1 to numHashes).map(i =>
+      array_min(transform(sh, s => md5(concat(lit(s"$i|"), s)))).as(s"h$i"))
+    docs.filter(size(split(col(textCol), " ")) >= 3)
+      .select(col(idCol) +: hashes: _*)
+  }
+
+  /** LSH banding over a signature frame (h1..hN in `bands` bands of
+    * `rowsPerBand`): one row per (id, band, bandHash). */
+  def lshBands(sigs: DataFrame, idCol: String, bands: Int,
+      rowsPerBand: Int): DataFrame = {
+    val bandRows = (0 until bands).map { b =>
+      val cols = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      sigs.select(col(idCol), lit(b).as("band"),
+        md5(concat_ws("|", cols: _*)).as("band_hash"))
+    }
+    bandRows.reduce(_ unionAll _)
+  }
+
+  /** Candidate near-duplicate pairs: ids sharing any band bucket.
+    * One shuffle on (band, band_hash); output is distinct (id1 < id2). */
+  def lshCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+    val a = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("id1"))
+    val b = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("id2"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** 16-bit SimHash over whitespace tokens: per bit, majority vote of
+    * (2*bit-1) across tokens, bits taken from the first 4 hex chars of each
+    * token's md5. Single shuffle (groupBy id with 16 compact sums). */
+  def simHash16(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val tok = docs.select(col(idCol), explode(split(col(textCol), " ")).as("w"))
+      .withColumn("h", md5(col("w")))
+    val withBits = (0 until 16).foldLeft(tok) { (df, k) =>
+      val hexVal = instr(lit("0123456789abcdef"),
+        substring(col("h"), 1 + k / 4, 1)) - 1
+      val shift = math.pow(2, 3 - k % 4).toInt
+      df.withColumn(s"b$k",
+        pmod(floor(hexVal / lit(shift)).cast("long"), lit(2L)) * 2 - 1)
+    }
+    val sums = (0 until 16).map(k => sum(col(s"b$k")).as(s"s$k"))
+    val agg = tokDrop(withBits).groupBy(col(idCol)).agg(sums.head, sums.tail: _*)
+    val simhash = (0 until 16).map(k =>
+      when(col(s"s$k") >= 0, lit(1L << k)).otherwise(0L)).reduce(_ + _)
+    agg.select(col(idCol), simhash.as("simhash"))
+  }
+
+  private def tokDrop(df: DataFrame): DataFrame = df.drop("w", "h")
+
+  /** Exact n-gram Jaccard similarity for given candidate id pairs (or all
+    * pairs of a small frame): |A ∩ B| / |A ∪ B| over distinct n-gram sets. */
+  def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
+      n: Int): DataFrame = {
+    val sh = docs.filter(size(split(col(textCol), " ")) >= n)
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+      .distinct()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
+    val inter = sh.select(col("id").as("id1"), col("s"))
+      .join(sh.select(col("id").as("id2"), col("s")), Seq("s"))
+      .filter(col("id1") < col("id2"))
+      .groupBy("id1", "id2").agg(count(lit(1)).as("i"))
+    inter
+      .join(sizes.select(col("id").as("id1"), col("sz").as("sz1")), Seq("id1"))
+      .join(sizes.select(col("id").as("id2"), col("sz").as("sz2")), Seq("id2"))
+      .select(col("id1"), col("id2"),
+        round(col("i") / (col("sz1") + col("sz2") - col("i")), 4).as("jaccard"))
+  }
+}

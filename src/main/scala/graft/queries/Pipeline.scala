@@ -1,0 +1,322 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators over `documents` / `embeddings`:
+  * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search
+  * (brute-force + LSH ANN), text analysis, multimodal feature plumbing.
+  * Every query has a DuckDB oracle (md5-based hashing keeps all signature
+  * math engine-portable).
+  */
+object Pipeline {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** documents ∪ copies of doc_id<50 shifted by +100000 — guarantees exact
+    * duplicates exist (the synthetic corpus has none naturally). */
+  private def docsWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+    d.select("doc_id", "text").unionAll(
+      d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+  }
+
+  private val dupCte = """
+      WITH docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 50)"""
+
+  // shared oracle fragment: word-3-shingles + 8 minhash columns per doc
+  private val sigCte = dupCte + """,
+      sh AS (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, len(words) - 1)]) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM docs2
+              WHERE len(string_split(text, ' ')) >= 3)),
+      sig AS (
+        SELECT doc_id, """ +
+    (1 to 8).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ") + """
+        FROM sh GROUP BY doc_id)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- exact dedup (hash-groupBy; duplicate groups only)
+    QueryDef("q80_dedup_exact", (s, dir) => {
+      Dedup.exactGroups(docsWithDups(s, dir), "text", "doc_id")
+        .filter(col("n") > 1)
+        .orderBy("keep_id")
+    }, Some(dupCte + """
+      SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+             count(*) AS n
+      FROM docs2 GROUP BY md5(text) HAVING count(*) > 1
+      ORDER BY keep_id"""), bench = true),
+
+    // ---- MinHash signatures (8 hashes over word-3-shingles)
+    QueryDef("q81_dedup_minhash", (s, dir) => {
+      Dedup.minHashSignatures(
+          t(s, dir, "documents").filter(col("doc_id") < 100)
+            .select("doc_id", "text"),
+          "text", "doc_id", 8)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH sh AS (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, len(words) - 1)]) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+              WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3))
+      SELECT doc_id, """ +
+      (1 to 8).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ") + """
+      FROM sh GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- LSH banding -> candidate near-duplicate pairs (2 bands x 4 rows)
+    QueryDef("q82_dedup_minhash_pairs", (s, dir) => {
+      val sigs = Dedup.minHashSignatures(docsWithDups(s, dir), "text", "doc_id", 8)
+      Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 2, 4), "doc_id")
+        .orderBy("id1", "id2")
+    }, Some(sigCte + """,
+      bands AS (
+        SELECT doc_id, 0 AS band,
+               md5(h1 || '|' || h2 || '|' || h3 || '|' || h4) AS band_hash
+        FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band,
+               md5(h5 || '|' || h6 || '|' || h7 || '|' || h8) AS band_hash
+        FROM sig)
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      ORDER BY id1, id2"""), bench = true),
+
+    // ---- 16-bit SimHash (majority vote over token-hash bits)
+    QueryDef("q83_dedup_simhash", (s, dir) => {
+      Dedup.simHash16(
+          t(s, dir, "documents").filter(col("doc_id") < 100)
+            .select("doc_id", "text"),
+          "text", "doc_id")
+        .orderBy("doc_id")
+    }, Some {
+      val sums = (0 until 16).map { k =>
+        val pos = 1 + k / 4
+        val shift = math.pow(2, 3 - k % 4).toInt
+        s"sum((((instr('0123456789abcdef', substr(md5(w), $pos, 1)) - 1) // $shift) % 2) * 2 - 1) AS s$k"
+      }.mkString(", ")
+      val bits = (0 until 16)
+        .map(k => s"CASE WHEN s$k >= 0 THEN ${1L << k} ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        FROM documents WHERE doc_id < 100),
+      bits AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id)
+      SELECT doc_id, CAST($bits AS BIGINT) AS simhash
+      FROM bits ORDER BY doc_id"""
+    }),
+
+    // ---- exact n-gram Jaccard over candidate universe
+    QueryDef("q84_ngram_jaccard", (s, dir) => {
+      val d = t(s, dir, "documents")
+      val universe = d.filter(col("doc_id") < 150).select("doc_id", "text")
+        .unionAll(d.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      Dedup.ngramJaccard(universe, "text", "doc_id", 3)
+        .filter(col("jaccard") >= 0.01)
+        .orderBy("id1", "id2")
+    }, Some("""
+      WITH docs2 AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 30),
+      sh AS (
+        SELECT DISTINCT doc_id AS id, s FROM (
+          SELECT doc_id,
+                 unnest([array_to_string(words[i:i+2], ' ')
+                         FOR i IN range(1, len(words) - 1)]) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM docs2
+                WHERE len(string_split(text, ' ')) >= 3))),
+      sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+      inter AS (
+        SELECT a.id AS id1, b.id AS id2, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2)
+      SELECT id1, id2, round(i / (sz1 + sz2 - i), 4) AS jaccard
+      FROM (SELECT id1, id2, i,
+                   (SELECT sz FROM sizes WHERE id = id1) AS sz1,
+                   (SELECT sz FROM sizes WHERE id = id2) AS sz2
+            FROM inter)
+      WHERE round(i / (sz1 + sz2 - i), 4) >= 0.01
+      ORDER BY id1, id2""")),
+
+    // ---- brute-force cosine top-k (the exact ANN baseline)
+    QueryDef("q85_similarity_topk", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
+          "vec_id", "embedding", 5)
+        .orderBy("query_id", "rank")
+    }, Some("""
+      WITH p AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings),
+      s AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum([CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]
+                         FOR i IN range(1, 65)]) / (q.nrm * c.nrm) AS sim
+        FROM p q, p c
+        WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id)
+      SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+      WHERE rank <= 5 ORDER BY query_id, rank"""), bench = true),
+
+    // ---- LSH ANN (random-hyperplane buckets; the 100TB scale path)
+    QueryDef("q91_similarity_lsh", (s, dir) => {
+      Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dims = 64, planes = 6, k = 3)
+        .filter(col("query_id") < 20)
+        .orderBy("query_id", "rank")
+    }, Some {
+      val hexval = (c: Int) =>
+        s"(instr('0123456789abcdef', substr(h, $c, 1)) - 1)"
+      val coefExpr = (1 to 6)
+        .map(c => s"${hexval(c)} * ${math.pow(16, 6 - c).toLong}.0")
+        .mkString(" + ")
+      s"""
+      WITH pd AS (
+        SELECT p, d, md5(p || '|' || d) AS h
+        FROM range(0, 6) t1(p), range(0, 64) t2(d)),
+      coef AS (
+        SELECT p, d, ($coefExpr) / 16777216.0 - 0.5 AS c FROM pd),
+      prepared AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings),
+      proj AS (
+        SELECT e.vec_id, c.p,
+               sum(CAST(e.embedding[CAST(c.d AS INT) + 1] AS DOUBLE) * c.c) AS pr
+        FROM prepared e, coef c GROUP BY 1, 2),
+      bucket AS (
+        SELECT vec_id,
+               sum(CASE WHEN pr >= 0 THEN CAST(1 << CAST(p AS INT) AS BIGINT)
+                   ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id),
+      s AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum([CAST(qe.embedding[i] AS DOUBLE) * ce.embedding[i]
+                         FOR i IN range(1, 65)]) / (qe.nrm * ce.nrm) AS sim
+        FROM bucket q JOIN bucket c
+          ON q.bucket = c.bucket AND q.vec_id <> c.vec_id
+        JOIN prepared qe ON qe.vec_id = q.vec_id
+        JOIN prepared ce ON ce.vec_id = c.vec_id)
+      SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+      WHERE rank <= 3 AND query_id < 20
+      ORDER BY query_id, rank"""
+    }),
+
+    // ---- multimodal: binary columns + partition-batched feature extraction
+    QueryDef("q86_multimodal_features", (s, dir) => {
+      Multimodal.extractFeatures(
+          Multimodal.asMedia(
+            t(s, dir, "documents").filter(col("doc_id") < 200),
+            "doc_id", "text"))
+        .orderBy("media_id")
+    }, Some("""
+      SELECT doc_id AS media_id, CAST(length(text) AS BIGINT) AS n_bytes,
+             md5(text) AS sha,
+             CAST(length(text) % 640 AS BIGINT) AS width,
+             CAST((length(text) * 7) % 480 AS BIGINT) AS height
+      FROM documents WHERE doc_id < 200 ORDER BY media_id""")),
+
+    // ---- language ID (stopword-count heuristic with fixed tie-break)
+    QueryDef("q87_text_langid", (s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), col("lang"),
+          TextAnalysis.langId(col("text")).as("pred"))
+        .orderBy("doc_id")
+    }, Some {
+      val countExprs = TextAnalysis.stopwords.map { case (lang, list) =>
+        val lits = list.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), w -> list_contains([$lits], w))) AS c_$lang"
+      }.mkString(", ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val caseChain = langs.map { l =>
+        val conds = langs.map(o => s"c_$l >= c_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      s"""
+      SELECT doc_id, lang,
+             CASE $caseChain ELSE 'en' END AS pred
+      FROM (SELECT doc_id, lang, $countExprs FROM documents WHERE doc_id < 300)
+      ORDER BY doc_id"""
+    }),
+
+    // ---- quality scoring (length/diversity/stopword blend)
+    QueryDef("q88_text_quality", (s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"),
+          TextAnalysis.qualityScore4(col("text")).as("score4"))
+        .orderBy("doc_id")
+    }, Some {
+      val en = TextAnalysis.stopwords.head._2.map(w => s"'$w'").mkString(", ")
+      s"""
+      SELECT doc_id,
+             CAST(floor(least(1.0,
+               least(n_words / 100.0, 1.0) * 0.3 +
+               least(((n_chars - n_words + 1) / n_words) / 8.0, 1.0) * 0.2 +
+               (n_uniq / n_words) * 0.3 +
+               least((n_stop / n_words) * 5.0, 1.0) * 0.2) * 10000.0 + 0.5)
+               AS BIGINT) AS score4
+      FROM (SELECT doc_id,
+                   CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+                   CAST(length(text) AS DOUBLE) AS n_chars,
+                   CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq,
+                   CAST(len(list_filter(string_split(text, ' '),
+                        w -> list_contains([$en], w))) AS DOUBLE) AS n_stop
+            FROM documents WHERE doc_id < 300)
+      ORDER BY doc_id"""
+    }),
+
+    // ---- token counting (whitespace / alpha-runs / BPE budget)
+    QueryDef("q89_text_tokens", (s, dir) => {
+      val (ws, alpha, bpe) = TextAnalysis.tokenCounts(col("text"))
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .select(col("doc_id"), ws.as("n_ws"), alpha.as("n_alpha"),
+          bpe.as("n_bpe"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+             CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_alpha,
+             CAST(ceil(length(text) / 4.0) AS BIGINT) AS n_bpe
+      FROM documents WHERE doc_id < 300 ORDER BY doc_id""")),
+
+    // ---- document fingerprints (rolling 5-gram min-hash + sorted bag)
+    QueryDef("q90_text_fingerprint", (s, dir) => {
+      t(s, dir, "documents").filter(col("doc_id") < 300)
+        .filter(size(split(col("text"), " ")) >= 5)
+        .select(col("doc_id"),
+          TextAnalysis.rollingFingerprint(col("text")).as("roll_fp"),
+          TextAnalysis.bagFingerprint(col("text")).as("bag_fp"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             list_aggregate([md5(array_to_string(words[i:i+4], ' '))
+                             FOR i IN range(1, len(words) - 3)], 'min') AS roll_fp,
+             md5(array_to_string(list_sort(list_distinct(words)), ' ')) AS bag_fp
+      FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+            WHERE doc_id < 300)
+      WHERE len(words) >= 5
+      ORDER BY doc_id"""))
+  )
+}
