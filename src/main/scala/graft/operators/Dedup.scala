@@ -36,34 +36,51 @@ object Dedup {
     docs.groupBy(md5(col(textCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n"))
 
-  /** MinHash signatures: `numHashes` lexicographic-min md5 values over
-    * 3-word shingles, as columns h1..hN. */
+  /** MinHash signatures as columns h1..hN (N <= 8): one md5 per 3-word
+    * shingle, with the digest's N disjoint 4-hex-char windows serving as N
+    * independent 16-bit hash functions (one-permutation-hashing style) —
+    * lexicographic min per window. One digest per shingle instead of N cuts
+    * the dominant cost N-fold; the shingle and digest arrays are
+    * materialised once per row, then the N mins are cheap substring scans. */
   def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int): DataFrame = {
-    val sh = shingles(col(textCol), 3)
+    require(numHashes <= 8, "md5 provides 8 disjoint 4-hex windows")
     val hashes = (1 to numHashes).map(i =>
-      array_min(transform(sh, s => md5(concat(lit(s"$i|"), s)))).as(s"h$i"))
+      array_min(transform(col("__md5"), m =>
+        substring(m, 4 * (i - 1) + 1, 4))).as(s"h$i"))
     docs.filter(size(split(col(textCol), " ")) >= 3)
+      .withColumn("__sh", shingles(col(textCol), 3))
+      .withColumn("__md5", transform(col("__sh"), s => md5(s)))
       .select(col(idCol) +: hashes: _*)
   }
 
   /** LSH banding over a signature frame (h1..hN in `bands` bands of
-    * `rowsPerBand`): one row per (id, band, bandHash). */
+    * `rowsPerBand`): one row per (id, band, bandHash). A single
+    * explode-projection (not a union of selects) so the signature
+    * computation runs once and the downstream self-join's shuffle exchange
+    * is reusable. */
   def lshBands(sigs: DataFrame, idCol: String, bands: Int,
       rowsPerBand: Int): DataFrame = {
-    val bandRows = (0 until bands).map { b =>
+    val bandStructs = (0 until bands).map { b =>
       val cols = (1 to rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      sigs.select(col(idCol), lit(b).as("band"),
-        md5(concat_ws("|", cols: _*)).as("band_hash"))
+      struct(lit(b).as("band"), md5(concat_ws("|", cols: _*)).as("band_hash"))
     }
-    bandRows.reduce(_ unionAll _)
+    sigs.select(col(idCol), explode(array(bandStructs: _*)).as("__bb"))
+      .select(col(idCol), col("__bb.band").as("band"),
+        col("__bb.band_hash").as("band_hash"))
   }
 
   /** Candidate near-duplicate pairs: ids sharing any band bucket.
-    * One shuffle on (band, band_hash); output is distinct (id1 < id2). */
+    * One shuffle on (band, band_hash); output is distinct (id1 < id2).
+    * The band frame is persisted so the signature computation feeding both
+    * sides of the self-join runs once — the Spark analogue of the
+    * reference's `:let` bound-relation materialization
+    * (reference: core/src/main/clojure/xtdb/operator/let.clj:12-62). */
   def lshCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
-    val a = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("id1"))
-    val b = bandsDf.select(col("band"), col("band_hash"), col(idCol).as("id2"))
+    val cached = bandsDf.persist(
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cached.select(col("band"), col("band_hash"), col(idCol).as("id1"))
+    val b = cached.select(col("band"), col("band_hash"), col(idCol).as("id2"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()

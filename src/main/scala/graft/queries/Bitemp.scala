@@ -61,7 +61,7 @@ object Bitemp {
       FROM (SELECT _id, version, vf,
                    row_number() OVER (PARTITION BY _id ORDER BY vf DESC) AS rn
             FROM ev2 WHERE vf <= TIMESTAMP '1999-01-01')
-      WHERE rn = 1 ORDER BY _id""")),
+      WHERE rn = 1 ORDER BY _id"""), bench = true),
 
     QueryDef("q71_bitemp_history", (s, dir) => {
       Bitemporal.history(syntheticEvents(s, dir))

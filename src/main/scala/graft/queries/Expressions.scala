@@ -226,7 +226,7 @@ object Expressions {
              round(sum(value), 2) AS total
       FROM (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ep, event_type, value
             FROM events)
-      GROUP BY 1, 2 ORDER BY bin, event_type""")),
+      GROUP BY 1, 2 ORDER BY bin, event_type"""), bench = true),
 
     // ---- range_bins: weekly epoch-aligned bins covering each order's
     // 30-day period (temporal.clj:2055-2230), exploded

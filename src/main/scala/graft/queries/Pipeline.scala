@@ -41,7 +41,8 @@ object Pipeline {
               WHERE len(string_split(text, ' ')) >= 3)),
       sig AS (
         SELECT doc_id, """ +
-    (1 to 8).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ") + """
+    (1 to 8).map(i => s"min(substr(md5(s), ${4 * (i - 1) + 1}, 4)) AS h$i")
+      .mkString(", ") + """
         FROM sh GROUP BY doc_id)"""
 
   val defs: Seq[QueryDef] = Seq(
@@ -72,7 +73,8 @@ object Pipeline {
         FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
               WHERE doc_id < 100 AND len(string_split(text, ' ')) >= 3))
       SELECT doc_id, """ +
-      (1 to 8).map(i => s"min(md5('$i|' || s)) AS h$i").mkString(", ") + """
+      (1 to 8).map(i => s"min(substr(md5(s), ${4 * (i - 1) + 1}, 4)) AS h$i")
+        .mkString(", ") + """
       FROM sh GROUP BY doc_id ORDER BY doc_id""")),
 
     // ---- LSH banding -> candidate near-duplicate pairs (2 bands x 4 rows)
@@ -222,7 +224,7 @@ object Pipeline {
                         ORDER BY sim DESC, neighbor_id) AS rank FROM s)
       WHERE rank <= 3 AND query_id < 20
       ORDER BY query_id, rank"""
-    }),
+    }, bench = true),
 
     // ---- multimodal: binary columns + partition-batched feature extraction
     QueryDef("q86_multimodal_features", (s, dir) => {

@@ -52,7 +52,7 @@ object WindowSortSet {
              lag(value) OVER w AS prev, lead(value) OVER w AS next
       FROM events WHERE user_id < 20
       WINDOW w AS (PARTITION BY user_id ORDER BY event_id)
-      ORDER BY user_id, event_id""")),
+      ORDER BY user_id, event_id"""), bench = true),
 
     // ---- rank/dense_rank + running-sum frame (beyond-reference windows)
     QueryDef("q32_window_rank_running", (s, dir) => {
