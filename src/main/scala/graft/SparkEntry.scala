@@ -12,6 +12,7 @@ object SparkEntry {
 
   val all: Seq[QueryDef] =
     _root_.graft.queries.Relational.defs ++
+    _root_.graft.queries.Tpch.defs ++
     _root_.graft.queries.Aggregates.defs ++
     _root_.graft.queries.WindowSortSet.defs ++
     _root_.graft.queries.Expressions.defs ++

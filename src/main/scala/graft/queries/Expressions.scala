@@ -56,14 +56,14 @@ object Expressions {
       t(s, dir, "part").filter(col("p_partkey") < 200)
         .select(
           col("p_partkey"),
-          col("p_type").like("%a%").as("has_a"),
-          col("p_type").rlike("^[a-z]+ [a-z]+$").as("two_words"),
+          col("p_name").like("%a%").as("has_a"),
+          col("p_name").rlike("^[a-z]+ [a-z]+$").as("two_words"),
           col("p_name").like("s_all%").as("like_us"),
           regexp_replace(col("p_type"), "[aeiou]", "_").as("novowel"))
         .orderBy("p_partkey")
     }, Some("""
-      SELECT p_partkey, p_type LIKE '%a%' AS has_a,
-             regexp_matches(p_type, '^[a-z]+ [a-z]+$') AS two_words,
+      SELECT p_partkey, p_name LIKE '%a%' AS has_a,
+             regexp_matches(p_name, '^[a-z]+ [a-z]+$') AS two_words,
              p_name LIKE 's_all%' AS like_us,
              regexp_replace(p_type, '[aeiou]', '_', 'g') AS novowel
       FROM part WHERE p_partkey < 200 ORDER BY p_partkey""")),
