@@ -4,6 +4,11 @@ import graft.functions.Ids
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+/** ASSERT failure — aborts the transaction (reference: ASSERT tx op,
+  * core/src/main/clojure/xtdb/query.clj:492). */
+final case class TxAbortedException(message: String)
+  extends RuntimeException(message)
+
 /** Append-only bitemporal table store + the DML surface
   * (reference tx ops: api/src/main/clojure/xtdb/api.clj:258-299,
   * core/src/main/kotlin/xtdb/tx/TxOp.kt — put/patch/delete/erase docs).
@@ -57,7 +62,51 @@ class XtDb(spark: SparkSession, root: String) {
       .withColumn(SEQ, monotonically_increasing_id())
       .withColumn(OP, lit(op))
     withMeta.write.mode("append").parquet(tableDir(table))
+    logTx(sysTime, table, op, committed = true, error = None)
     sysTime
+  }
+
+  // ---- xt.txs system table (reference: `xt.txs`, information_schema.clj)
+  private def logTx(sysTime: java.sql.Timestamp, table: String, op: String,
+      committed: Boolean, error: Option[String]): Unit = {
+    import spark.implicits._
+    Seq((sysTime.toInstant.toEpochMilli, sysTime, table, op, committed,
+        error.orNull))
+      .toDF("tx_id", "system_time", "tx_table", "tx_op", "committed", "error")
+      .write.mode("append").parquet(s"$root/_txs")
+  }
+
+  /** The `xt.txs` transaction-log table: one row per DML op, including
+    * aborted ASSERTs. */
+  def txs: DataFrame =
+    spark.read.parquet(s"$root/_txs").orderBy("tx_id")
+
+  /** SQL UPDATE — plan = query producing new row versions, appended as puts
+    * (reference prepareTxSql, query.clj:478-495): read the current
+    * snapshot, filter, apply SET expressions, put. */
+  def update(table: String, where: Column,
+      sets: Seq[(String, Column)]): java.sql.Timestamp = {
+    val cur = Bitemporal.current(events(table))
+    val payload = cur.columns
+      .filterNot(c => Bitemporal.metaCols.contains(c) || c == Bitemporal.ST)
+    val updated = sets.foldLeft(
+        cur.filter(where).select((ID +: payload).map(col): _*)) {
+      case (df, (c, e)) => df.withColumn(c, e)
+    }
+    putDocs(table, updated)
+  }
+
+  /** ASSERT — `cond` must evaluate to a single true row or the transaction
+    * aborts (recorded in xt.txs with committed = false). */
+  def assertTx(cond: DataFrame, label: String = "ASSERT"): Unit = {
+    val rows = cond.limit(2).collect()
+    val ok = rows.length == 1 && !rows(0).isNullAt(0) && rows(0).getBoolean(0)
+    if (!ok) {
+      val sysTime = nextSystemTime()
+      logTx(sysTime, "", "assert", committed = false,
+        error = Some(s"$label failed"))
+      throw TxAbortedException(s"$label failed")
+    }
   }
 
   /** `:put-docs` — docs must carry `_id` + payload columns. */

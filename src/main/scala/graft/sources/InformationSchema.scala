@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.Tables
+import graft.bitemporal.XtDb
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Derived system tables — `information_schema.tables` / `.columns`
+  * (reference: core/src/main/clojure/xtdb/information_schema.clj:167-214):
+  * in-memory DataFrames built from the engine's own catalog, which here is
+  * the parquet footers of the registered tables (plus XtDb event stores).
+  */
+object InformationSchema {
+
+  /** Spark type → SQL-ish type name (postgres/duckdb flavoured). */
+  def sqlTypeName(dt: DataType): String = dt match {
+    case LongType => "BIGINT"
+    case IntegerType => "INTEGER"
+    case ShortType => "SMALLINT"
+    case ByteType => "TINYINT"
+    case DoubleType => "DOUBLE"
+    case FloatType => "FLOAT"
+    case StringType => "VARCHAR"
+    case BooleanType => "BOOLEAN"
+    case BinaryType => "BLOB"
+    case DateType => "DATE"
+    case _: TimestampType => "TIMESTAMP"
+    case _: TimestampNTZType => "TIMESTAMP"
+    case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+    case a: ArrayType => sqlTypeName(a.elementType) + "[]"
+    case _: MapType => "MAP"
+    case _: StructType => "STRUCT"
+    case other => other.simpleString.toUpperCase
+  }
+
+  /** information_schema.tables over the static test-data catalog. */
+  def tables(spark: SparkSession, dir: String,
+      names: Seq[String] = Tables.all): DataFrame = {
+    import spark.implicits._
+    names.map(n => ("graft", "public", n, "BASE TABLE"))
+      .toDF("table_catalog", "table_schema", "table_name", "table_type")
+  }
+
+  /** information_schema.columns over the static test-data catalog. */
+  def columns(spark: SparkSession, dir: String,
+      names: Seq[String] = Tables.all): DataFrame = {
+    import spark.implicits._
+    names.flatMap { n =>
+      Tables.load(spark, dir, n).schema.fields.zipWithIndex.map {
+        case (f, i) =>
+          (n, f.name, (i + 1).toLong, sqlTypeName(f.dataType),
+            if (f.nullable) "YES" else "NO")
+      }
+    }.toDF("table_name", "column_name", "ordinal_position", "data_type",
+      "is_nullable")
+  }
+
+  /** information_schema.columns for an XtDb instance's event-sourced tables
+    * (merged schema incl. the bitemporal meta columns). */
+  def columnsFor(db: XtDb, spark: SparkSession,
+      tableNames: Seq[String]): DataFrame = {
+    import spark.implicits._
+    tableNames.flatMap { n =>
+      db.events(n).schema.fields.zipWithIndex.map { case (f, i) =>
+        (n, f.name, (i + 1).toLong, sqlTypeName(f.dataType))
+      }
+    }.toDF("table_name", "column_name", "ordinal_position", "data_type")
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import graft.bitemporal.{TxAbortedException, XtDb}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** DML surface beyond put/delete: UPDATE-as-query, ASSERT abort semantics,
+  * and the xt.txs transaction log (reference tx ops api.clj:258-299,
+  * ASSERT query.clj:492, xt.txs information_schema.clj). */
+class XtDbDmlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshDb(): XtDb = {
+    val dir = java.nio.file.Files.createTempDirectory("xtdb-dml").toString
+    new XtDb(spark, dir)
+  }
+
+  test("update rewrites matching rows as new versions") {
+    val db = freshDb()
+    import spark.implicits._
+    db.putDocs("accounts",
+      Seq((1L, 100L, "open"), (2L, 200L, "open"), (3L, 300L, "frozen"))
+        .toDF("_id", "balance", "status"))
+    db.update("accounts", col("status") === "open",
+      Seq("balance" -> (col("balance") + 10L)))
+
+    val cur = db.asOf("accounts").select("_id", "balance")
+      .as[(Long, Long)].collect().toMap
+    assert(cur == Map(1L -> 110L, 2L -> 210L, 3L -> 300L))
+    // history: updated docs have 2 versions, untouched doc has 1
+    assert(db.history("accounts").filter(col("_id") === 1L).count() >= 2)
+  }
+
+  test("assert aborts and is recorded in xt.txs") {
+    val db = freshDb()
+    import spark.implicits._
+    db.putDocs("docs", Seq((1L, 5L)).toDF("_id", "n"))
+
+    // passing assert: exactly one row, true
+    db.assertTx(db.asOf("docs").agg(expr("count(*) = 1 AS ok")))
+
+    // failing assert
+    val ex = intercept[TxAbortedException] {
+      db.assertTx(db.asOf("docs").agg(expr("count(*) > 5 AS ok")), "too few docs")
+    }
+    assert(ex.getMessage.contains("too few docs"))
+
+    val txs = db.txs.select("tx_op", "committed").collect()
+      .map(r => (r.getString(0), r.getBoolean(1))).toSeq
+    assert(txs.contains(("put", true)))
+    assert(txs.contains(("assert", false)))
+  }
+
+  test("information_schema reflects XtDb event tables") {
+    val db = freshDb()
+    import spark.implicits._
+    db.putDocs("widgets", Seq((1L, "w1", 2.5)).toDF("_id", "name", "weight"))
+    val cols = graft.sources.InformationSchema
+      .columnsFor(db, spark, Seq("widgets"))
+      .select("column_name", "data_type")
+      .as[(String, String)].collect().toMap
+    assert(cols("name") == "VARCHAR" && cols("weight") == "DOUBLE")
+    assert(cols.contains("_iid") && cols.contains("_valid_from") &&
+      cols.contains("_system_from"))
+  }
+}
