@@ -1,0 +1,87 @@
+package graft
+
+import graft.bitemporal.{Bitemporal, XtDb}
+import graft.functions.{Ids, Periods, Temporal}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import scala.util.matching.Regex
+
+/** Temporal SQL front door (SURVEY §3.1 / §7.1.3): a thin layer over Spark
+  * SQL that handles the XT-specific surface — `FOR VALID_TIME AS OF …`,
+  * `FOR SYSTEM_TIME AS OF …`, `FOR ALL VALID_TIME` table suffixes
+  * (reference grammar Sql.g4:557-573) — by resolving each temporal table
+  * reference to a snapshot view and delegating everything else to Catalyst.
+  * We deliberately wrap rather than fork Spark's parser.
+  *
+  * Also registers the graft function catalog for SQL use (`date_bin`,
+  * `iid_hex`, `period`, period predicates) via the session function
+  * registry — the Column compositions are exposed as expression builders,
+  * so they stay codegen'd in SQL exactly as in the DataFrame API.
+  */
+object XtSql {
+
+  private val forClause: Regex =
+    """(?is)(\w+)\s+FOR\s+(VALID_TIME|SYSTEM_TIME)\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'([^']+)'""".r
+  private val forAllClause: Regex =
+    """(?is)(\w+)\s+FOR\s+ALL\s+(VALID_TIME|SYSTEM_TIME)""".r
+
+  /** Execute a query with XT temporal clauses against an XtDb instance.
+    * Tables referenced with no temporal clause default to the current
+    * snapshot (reference scan.clj:307-310). */
+  def sql(spark: SparkSession, db: XtDb, query: String,
+      tables: Seq[String]): DataFrame = {
+    registerFunctions(spark)
+    var q = query
+    var viewId = 0
+
+    q = forClause.replaceAllIn(q, m => {
+      val (table, dim, ts) = (m.group(1), m.group(2).toUpperCase, m.group(3))
+      val at = lit(ts).cast("timestamp")
+      val snap =
+        if (dim == "VALID_TIME") db.asOf(table, validAt = Some(at))
+        else db.asOf(table, systemAt = Some(at))
+      viewId += 1
+      val view = s"__xt_${table}_$viewId"
+      snap.createOrReplaceTempView(view)
+      view
+    })
+    q = forAllClause.replaceAllIn(q, m => {
+      val table = m.group(1)
+      viewId += 1
+      val view = s"__xt_${table}_$viewId"
+      db.history(table).createOrReplaceTempView(view)
+      view
+    })
+    // bare table refs resolve to the current snapshot (views are lazy, so
+    // registering every known table costs nothing)
+    tables.foreach(t => db.asOf(t).createOrReplaceTempView(t))
+    spark.sql(q)
+  }
+
+  /** Register the graft expression catalog for SQL texts. */
+  def registerFunctions(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    val reg = spark.sessionState.functionRegistry
+    def register(name: String, arity: Int)(f: Seq[Column] => Column): Unit =
+      reg.createOrReplaceTempFunction(name, exprs => {
+        require(exprs.length == arity, s"$name expects $arity args")
+        toExpression(f(exprs.map(toColumn)))
+      }, "scala_udf")
+
+    register("iid_hex", 1)(a => Ids.iidHex(a.head))
+    register("date_bin_secs", 2)(a =>
+      Temporal.dateBin(toExpression(a.head).asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.Literal]
+        .value.toString.toLong, a(1)))
+    register("period", 2)(a => Periods.period(a.head, a(1)))
+    register("p_lower", 1)(a => Periods.lower(a.head))
+    register("p_upper", 1)(a => Periods.upper(a.head))
+    register("p_contains", 2)(a => Periods.containsPeriod(a.head, a(1)))
+    register("p_contains_ts", 2)(a => Periods.containsPoint(a.head, a(1)))
+    register("p_overlaps", 2)(a => Periods.overlaps(a.head, a(1)))
+    register("p_precedes", 2)(a => Periods.precedes(a.head, a(1)))
+    register("p_succeeds", 2)(a => Periods.succeeds(a.head, a(1)))
+    register("p_equals", 2)(a => Periods.equalsPeriod(a.head, a(1)))
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.bitemporal.XtDb
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Temporal SQL front door: FOR VALID_TIME / SYSTEM_TIME AS OF and FOR ALL
+  * VALID_TIME rewriting (reference Sql.g4:557-573), plus the SQL-registered
+  * graft function catalog. */
+class XtSqlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("temporal clauses resolve to the right snapshots") {
+    import spark.implicits._
+    val db = new XtDb(spark,
+      java.nio.file.Files.createTempDirectory("xtsql").toString)
+    val t0 = db.putDocs("docs", Seq((1L, 0L)).toDF("_id", "version"))
+    db.putDocs("docs", Seq((1L, 1L)).toDF("_id", "version"))
+
+    // current snapshot (bare ref)
+    val cur = XtSql.sql(spark, db,
+      "SELECT version FROM docs", Seq("docs")).as[Long].collect()
+    assert(cur.toSeq == Seq(1L))
+
+    // system-time as-of t0
+    val past = XtSql.sql(spark, db,
+      s"SELECT version FROM docs FOR SYSTEM_TIME AS OF '$t0'",
+      Seq("docs")).as[Long].collect()
+    assert(past.toSeq == Seq(0L))
+
+    // all valid time: both versions' rectangles
+    val all = XtSql.sql(spark, db,
+      "SELECT version FROM docs FOR ALL VALID_TIME ORDER BY version",
+      Seq("docs")).as[Long].collect()
+    assert(all.length >= 2 && all.contains(0L) && all.contains(1L))
+  }
+
+  test("registered functions usable from SQL") {
+    XtSql.registerFunctions(spark)
+    val r = spark.sql("""
+      SELECT iid_hex(42) AS iid,
+             date_bin_secs(900, TIMESTAMP '2024-01-01 00:22:33') AS bin,
+             p_overlaps(period(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01'),
+                        period(TIMESTAMP '2024-01-15', TIMESTAMP '2024-03-01')) AS ovl,
+             p_contains_ts(period(TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01'),
+                           TIMESTAMP '2024-01-15') AS cts
+    """).collect().head
+    assert(r.getString(0).length == 32)
+    assert(r.getTimestamp(1).toString == "2024-01-01 00:15:00.0")
+    assert(r.getBoolean(2) && r.getBoolean(3))
+  }
+}

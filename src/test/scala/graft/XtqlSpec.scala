@@ -1,0 +1,73 @@
+package graft
+
+import graft.xtql.Xtql
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** XTQL pipeline surface tests (reference xtql.clj tails; patterns from the
+  * reference's XTQL docs/tests). */
+class XtqlSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("from -> where -> with -> return -> order-by -> limit") {
+    val out = Xtql.from(Tables.load(spark, dir, "orders"),
+        "o_orderkey", "o_totalprice")
+      .where(col("o_totalprice") > 400000)
+      .withCols("price_k" -> round(col("o_totalprice") / 1000, 0))
+      .returning(col("o_orderkey"), col("price_k"))
+      .orderBy(col("price_k").desc, col("o_orderkey"))
+      .limit(3)
+      .toDF.collect()
+    assert(out.length == 3)
+    assert(out.map(_.getDouble(1)).toSeq.sorted.reverse ==
+      out.map(_.getDouble(1)).toSeq)
+  }
+
+  test("aggregate + join tails") {
+    val orders = Xtql.from(Tables.load(spark, dir, "orders"))
+    val cust = Xtql.from(Tables.load(spark, dir, "customer"))
+    val out = orders.join(cust, col("o_custkey") === col("c_custkey"))
+      .aggregate(Seq(col("c_mktsegment")),
+        Seq(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("total")))
+      .orderBy(col("c_mktsegment"))
+      .toDF.collect()
+    assert(out.length == 5 && out.map(_.getLong(1)).sum > 0)
+  }
+
+  test("unify joins on shared logic vars") {
+    // (unify (from orders [{:o_custkey c} o_orderkey])
+    //        (from customer [{:c_custkey c} c_mktsegment]))
+    val out = Xtql.unify(
+      Tables.load(spark, dir, "orders") ->
+        Seq("o_custkey" -> "c", "o_orderkey" -> "ok"),
+      Tables.load(spark, dir, "customer") ->
+        Seq("c_custkey" -> "c", "c_mktsegment" -> "seg"))
+      .toDF
+    assert(out.columns.sorted.toSeq == Seq("c", "ok", "seg"))
+    // unification = inner equi-join on c
+    val expected = Tables.load(spark, dir, "orders")
+      .join(Tables.load(spark, dir, "customer"),
+        col("o_custkey") === col("c_custkey")).count()
+    assert(out.count() == expected)
+  }
+
+  test("unnest + without") {
+    val docs = Tables.load(spark, dir, "documents").limit(5)
+      .withColumn("words", split(col("text"), " "))
+    val out = Xtql.from(docs, "doc_id", "words")
+      .unnest("words", "word")
+      .without("words")
+      .toDF
+    assert(out.columns.toSeq == Seq("doc_id", "word"))
+    assert(out.count() > 5)
+  }
+}
