@@ -32,8 +32,11 @@ object Bitemporal {
   val ST = "_system_to"
   val SEQ = "_seq"
   val OP = "_op"
+  /** iid-prefix storage bucket (partition column; Trie.kt iid-trie
+    * partitioning analogue). */
+  val BUCKET = "_bucket"
 
-  val metaCols: Seq[String] = Seq(IID, ID, VF, VT, SF, SEQ, OP)
+  val metaCols: Seq[String] = Seq(IID, ID, VF, VT, SF, SEQ, OP, BUCKET)
 
   /** Point-in-time snapshot: the document versions visible at
     * (validAt, systemAt). Window fast path:
@@ -51,7 +54,7 @@ object Bitemporal {
     candidate
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(OP) === "put")
-      .drop("__rn", OP, SEQ)
+      .drop("__rn", OP, SEQ, BUCKET)
   }
 
   /** Current state (valid-time and system-time = now). */
@@ -82,7 +85,7 @@ object Bitemporal {
     val schema = events.schema
     val payloadFields = schema.fields.filter(f =>
       f.name != VT && f.name != SF && f.name != OP && f.name != SEQ &&
-        f.name != VF)
+        f.name != VF && f.name != BUCKET)
     val outSchema = StructType(
       payloadFields ++ Seq(
         StructField(VF, TimestampType), StructField(VT, TimestampType),

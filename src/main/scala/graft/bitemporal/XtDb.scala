@@ -61,9 +61,45 @@ class XtDb(spark: SparkSession, root: String) {
       .withColumn(SF, lit(sysTime))
       .withColumn(SEQ, monotonically_increasing_id())
       .withColumn(OP, lit(op))
-    withMeta.write.mode("append").parquet(tableDir(table))
+      .withColumn(BUCKET, substring(col(IID), 1, 1))
+    withMeta.write.partitionBy(BUCKET).mode("append").parquet(tableDir(table))
     logTx(sysTime, table, op, committed = true, error = None)
     sysTime
+  }
+
+  /** Point lookup by `_id`: the iid-prefix bucket predicate prunes storage
+    * partitions before any file is opened (the reference's iid-trie path
+    * pruning, scan.clj:161-199 / Trie.kt:34-60). */
+  def pointLookup(table: String, id: Any,
+      validAt: Option[Column] = None,
+      systemAt: Option[Column] = None): DataFrame = {
+    val iidHex = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(String.valueOf(id).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    }
+    val pruned = events(table)
+      .filter(col(BUCKET) === iidHex.substring(0, 1) && col(IID) === iidHex)
+    Bitemporal.asOf(pruned,
+      validAt.getOrElse(current_timestamp()).cast("timestamp"),
+      systemAt.getOrElse(current_timestamp()).cast("timestamp"))
+  }
+
+  /** Compaction — consolidate the many small per-transaction files into one
+    * file per storage bucket (reference compactor/Compactor.kt; OPTIMIZE
+    * analogue). Single-writer: do not run concurrently with appends. */
+  def compact(table: String): Unit = {
+    val dir = tableDir(table)
+    val tmp = dir + "__compacting"
+    events(table)
+      .repartition(16, col(BUCKET))
+      .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val oldPath = new org.apache.hadoop.fs.Path(dir)
+    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
+    fs.delete(oldPath, true)
+    fs.rename(tmpPath, oldPath)
   }
 
   // ---- xt.txs system table (reference: `xt.txs`, information_schema.clj)

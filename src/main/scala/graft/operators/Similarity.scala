@@ -53,13 +53,17 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane coefficient for (plane, dim):
     * uniform in [-0.5, 0.5), derived from the first 6 hex chars of
-    * md5("plane|dim"). Engine-portable by construction. */
-  private def planeCoef(plane: Int, dim: Int): Column = {
-    val h = md5(lit(s"$plane|$dim"))
-    val v = (1 to 6).map(p =>
-      (instr(lit("0123456789abcdef"), substring(h, p, 1)) - 1) *
-        lit(math.pow(16, 6 - p))).reduce(_ + _)
-    (v / lit(16777216.0d)) - lit(0.5d)
+    * md5("plane|dim"). Engine-portable by construction (any SQL engine
+    * reproduces it from md5 — see q91's oracle); computed here in plain
+    * Scala and emitted as a literal so Catalyst plans a 1-node constant
+    * instead of folding a 6-function subtree per (plane, dim). */
+  private[operators] def planeCoefValue(plane: Int, dim: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val h = md.digest(s"$plane|$dim".getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val v = (0 until 6)
+      .map(c => Character.digit(h(c), 16).toDouble * math.pow(16, 5 - c)).sum
+    v / 16777216.0d - 0.5d
   }
 
   /** Random-hyperplane LSH bucket key: `planes` sign bits packed into a
@@ -67,26 +71,84 @@ object Similarity {
   def lshBucket(vecCol: Column, dims: Int, planes: Int): Column =
     (0 until planes).map { p =>
       val proj = (0 until dims).map(d =>
-        element_at(vecCol, d + 1).cast("double") * planeCoef(p, d))
+        element_at(vecCol, d + 1).cast("double") * lit(planeCoefValue(p, d)))
         .reduce(_ + _)
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** ANN top-k restricted to same-bucket candidates (the scale path).
-    * Recall depends on `planes`; verify against bruteForceTopK on samples. */
+    * Recall depends on `planes`; verify against bruteForceTopK on samples.
+    *
+    * The candidate-pair scoring runs in `mapPartitions` over primitive
+    * arrays rather than SQL higher-order functions: HOFs evaluate outside
+    * whole-stage codegen with per-row array allocation, which dominates at
+    * candidate-pair cardinality (same reason the reference drops its hash
+    * and scan inner loops from Clojure to Kotlin). Fold order is
+    * left-to-right, bit-identical to the SQL formulation. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
       planes: Int, k: Int): DataFrame = {
-    val withBucket = prepared(emb, vecCol)
-      .withColumn("bucket", lshBucket(col(vecCol), dims, planes))
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    // prepare + bucket in one mapPartitions pass: the declarative form is a
+    // planes*dims-node expression whose Janino compile dominates small-batch
+    // latency; here the coefficient matrix is a plain Scala array.
+    val coefs: Array[Array[Double]] =
+      Array.tabulate(planes, dims)((p, d) => planeCoefValue(p, d))
+    val inSchema = emb.select(col(idCol), col(vecCol)).schema
+    val prepSchema = StructType(Seq(
+      StructField(idCol, inSchema(idCol).dataType),
+      StructField("__vecd", ArrayType(DoubleType)),
+      StructField("__nrm", DoubleType),
+      StructField("bucket", LongType)))
+    val withBucket = emb.select(col(idCol), col(vecCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val vf = r.getSeq[Float](1)
+          val vecd = new Array[Double](vf.length)
+          var i = 0
+          var nrm = 0.0d
+          while (i < vf.length) {
+            vecd(i) = vf(i).toDouble; nrm += vecd(i) * vecd(i); i += 1
+          }
+          var bucket = 0L
+          var p = 0
+          while (p < planes) {
+            val cp = coefs(p)
+            var proj = 0.0d
+            var d = 0
+            val n = math.min(dims, vecd.length)
+            while (d < n) { proj += vecd(d) * cp(d); d += 1 }
+            if (proj >= 0) bucket |= (1L << p)
+            p += 1
+          }
+          Row(r.get(0), vecd.toSeq, math.sqrt(nrm), bucket)
+        }
+      }(Encoders.row(prepSchema))
     val a = withBucket.select(col("bucket"), col(idCol).as("query_id"),
       col("__vecd").as("qv"), col("__nrm").as("qn"))
     val b = withBucket.select(col("bucket"), col(idCol).as("neighbor_id"),
       col("__vecd").as("cv"), col("__nrm").as("cn"))
+    val joined = a.join(b, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
+    val scoreSchema = StructType(Seq(
+      StructField("query_id", joined.schema("query_id").dataType),
+      StructField("neighbor_id", joined.schema("neighbor_id").dataType),
+      StructField("sim", DoubleType)))
+    val scored = joined.mapPartitions { rows =>
+      rows.map { r =>
+        val qv = r.getSeq[Double](1)
+        val cv = r.getSeq[Double](4)
+        var dotAcc = 0.0d
+        var i = 0
+        val n = qv.length
+        while (i < n) { dotAcc += qv(i) * cv(i); i += 1 }
+        Row(r.get(0), r.get(3), dotAcc / (r.getDouble(2) * r.getDouble(5)))
+      }
+    }(Encoders.row(scoreSchema))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
-    a.join(b, Seq("bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    scored
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),

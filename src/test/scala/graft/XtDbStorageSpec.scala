@@ -1,0 +1,65 @@
+package graft
+
+import graft.bitemporal.XtDb
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Storage layout: iid-prefix bucketed writes, point-lookup partition
+  * pruning, compaction file consolidation with unchanged query results
+  * (reference Trie.kt partitioning + Compactor.kt). */
+class XtDbStorageSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def parquetFiles(dir: String): Int = {
+    val d = new java.io.File(dir)
+    if (!d.exists) 0
+    else d.listFiles.flatMap(f =>
+      if (f.isDirectory) f.listFiles.filter(_.getName.endsWith(".parquet"))
+      else if (f.getName.endsWith(".parquet")) Array(f) else Array.empty[java.io.File]
+    ).length
+  }
+
+  test("bucketed storage, pruned point lookup, compaction") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("xtstore").toString
+    val db = new XtDb(spark, root)
+
+    // 8 separate transactions -> many small files
+    (1 to 8).foreach(i =>
+      db.putDocs("items", Seq((i.toLong, s"item$i", i * 10L))
+        .toDF("_id", "name", "qty")))
+    val before = parquetFiles(s"$root/items")
+    assert(before >= 8)
+
+    // point lookup: correct row + bucket partition filter in the plan
+    val hit = db.pointLookup("items", 5L)
+    assert(hit.select("name").as[String].collect().toSeq == Seq("item5"))
+    val plan = hit.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("_bucket"))
+
+    // full snapshot before compaction
+    val beforeRows = db.asOf("items").select("_id", "name", "qty")
+      .as[(Long, String, Long)].collect().toSet
+
+    db.compact("items")
+    val after = parquetFiles(s"$root/items")
+    assert(after < before)
+
+    val afterRows = db.asOf("items").select("_id", "name", "qty")
+      .as[(Long, String, Long)].collect().toSet
+    assert(afterRows == beforeRows && afterRows.size == 8)
+
+    // history still resolves after compaction (SEQ/SF preserved)
+    db.putDocs("items", Seq((5L, "item5b", 55L)).toDF("_id", "name", "qty"))
+    assert(db.pointLookup("items", 5L).select("name")
+      .as[String].collect().toSeq == Seq("item5b"))
+    assert(db.history("items").filter(col("_id") === 5L).count() >= 2)
+  }
+}
