@@ -1,0 +1,35 @@
+package graft.slt
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI: run SLT files against the engine.
+  * Usage: runMain graft.slt.SltMain <file-or-dir> [maxQueriesPerFile] */
+object SltMain {
+  def main(args: Array[String]): Unit = {
+    val target = args.headOption
+      .getOrElse("/root/reference/sqlite-test/select1.test")
+    val maxQ = args.lift(1).map(_.toInt).getOrElse(Int.MaxValue)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val f = new java.io.File(target)
+    val files =
+      if (f.isDirectory) f.listFiles.filter(_.getName.endsWith(".test"))
+        .map(_.getPath).sorted.toSeq
+      else Seq(target)
+    var totPass = 0; var totFail = 0
+    files.foreach { path =>
+      val r = SltRunner.runFile(spark, path, maxQ)
+      totPass += r.passed; totFail += r.failed
+      println(s"SLT ${r.file}: ${r.passed}/${r.total} passed" +
+        (if (r.skipped > 0) s" (${r.skipped} skipped)" else ""))
+      r.failures.take(5).foreach(f => println(s"  FAIL: $f"))
+    }
+    println(s"SLT TOTAL: $totPass passed, $totFail failed")
+    spark.stop()
+  }
+}

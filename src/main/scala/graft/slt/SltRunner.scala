@@ -1,0 +1,298 @@
+package graft.slt
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+import scala.collection.mutable
+
+/** sqllogictest (SLT) golden runner over the reference's `sqlite-test/`
+  * corpus (reference runner:
+  * src/test/clojure/xtdb/sql/logic_test/runner.clj; corpus sqlite-test/).
+  *
+  * Implements the SLT protocol: `statement ok` DDL/DML builds in-memory
+  * tables (registered as temp views), `query <types> <sort-mode>` records
+  * execute through Spark SQL and compare against literal values or the
+  * "N values hashing to <md5>" digest, with nosort/rowsort/valuesort modes
+  * and the I/R/T value-formatting rules.
+  *
+  * SQLite semantics shims: `/` on integers is integer division (rewritten
+  * to `DIV`), booleans render as 1/0, NULL as "NULL", empty text as
+  * "(empty)".
+  */
+object SltRunner {
+
+  final case class SltResult(file: String, passed: Int, failed: Int,
+      skipped: Int, failures: Seq[String]) {
+    def total: Int = passed + failed
+  }
+
+  private final class TableState(val schema: StructType) {
+    val rows = mutable.ArrayBuffer[Row]()
+    var dirty = true
+  }
+
+  def runFile(spark: SparkSession, path: String,
+      maxQueries: Int = Int.MaxValue): SltResult = {
+    val lines = scala.io.Source.fromFile(path).getLines().toVector
+    val tables = mutable.LinkedHashMap[String, TableState]()
+    var passed = 0; var failed = 0; var skipped = 0
+    val failures = mutable.ArrayBuffer[String]()
+    var i = 0
+    var queriesRun = 0
+
+    def refreshViews(): Unit = tables.foreach { case (name, st) =>
+      if (st.dirty) {
+        spark.createDataFrame(
+          new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+            .SeqHasAsJava(st.rows.toSeq).asJava), st.schema)
+          .createOrReplaceTempView(name)
+        st.dirty = false
+      }
+    }
+
+    while (i < lines.length && queriesRun < maxQueries) {
+      val line = lines(i).trim
+      if (line.isEmpty || line.startsWith("#") ||
+          line.startsWith("hash-threshold")) {
+        i += 1
+      } else if (line == "halt") {
+        i = lines.length
+      } else if (line.startsWith("skipif") || line.startsWith("onlyif")) {
+        // corpus targets sqlite, which we emulate: honor `skipif sqlite`
+        // by skipping the following record; `onlyif sqlite` records run.
+        val skip = line.startsWith("skipif") && line.contains("sqlite")
+        i += 1
+        if (skip) { // consume the record
+          while (i < lines.length && lines(i).trim.nonEmpty) i += 1
+          skipped += 1
+        }
+      } else if (line.startsWith("statement")) {
+        val expectError = line.contains("error")
+        i += 1
+        val sqlLines = mutable.ArrayBuffer[String]()
+        while (i < lines.length && lines(i).trim.nonEmpty) {
+          sqlLines += lines(i); i += 1
+        }
+        val sql = sqlLines.mkString(" ").trim
+        try {
+          execStatement(spark, sql, tables, refreshViews _)
+          if (expectError) { failed += 1; failures += s"expected error: $sql" }
+        } catch {
+          case e: Exception if !expectError =>
+            failed += 1
+            failures += s"statement failed: $sql -- ${e.getMessage.take(100)}"
+          case _: Exception => // expected
+        }
+      } else if (line.startsWith("query")) {
+        val head = line.split("\\s+")
+        val types = head(1)
+        val sortMode = if (head.length > 2) head(2) else "nosort"
+        i += 1
+        val sqlLines = mutable.ArrayBuffer[String]()
+        while (i < lines.length && lines(i).trim != "----" &&
+            lines(i).trim.nonEmpty) {
+          sqlLines += lines(i); i += 1
+        }
+        val expected = mutable.ArrayBuffer[String]()
+        if (i < lines.length && lines(i).trim == "----") {
+          i += 1
+          while (i < lines.length && lines(i).trim.nonEmpty) {
+            expected += lines(i); i += 1
+          }
+        }
+        val sql = sqlLines.mkString(" ").trim
+        queriesRun += 1
+        runQuery(spark, sql, types, sortMode, expected.toSeq,
+            tables, refreshViews _) match {
+          case None => passed += 1
+          case Some(err) =>
+            failed += 1
+            if (failures.length < 50) failures += s"$sql -- $err"
+        }
+      } else i += 1
+    }
+    SltResult(path, passed, failed, skipped, failures.toSeq)
+  }
+
+  // ---- statements ----------------------------------------------------
+
+  private val createRe =
+    """(?is)CREATE\s+TABLE\s+(\w+)\s*\((.*)\)\s*""".r
+  private val insertRe =
+    """(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*VALUES\s*\((.*)\)\s*""".r
+  private val insertSelRe =
+    """(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*(SELECT.*)""".r
+
+  private def sqlType(t: String): DataType = {
+    val u = t.trim.toUpperCase
+    if (u.startsWith("INT")) LongType
+    else if (u.startsWith("REAL") || u.startsWith("FLOAT") ||
+      u.startsWith("DOUBLE") || u.startsWith("NUMERIC")) DoubleType
+    else StringType
+  }
+
+  private def execStatement(spark: SparkSession, sql: String,
+      tables: mutable.LinkedHashMap[String, TableState],
+      refreshViews: () => Unit): Unit = sql match {
+    case createRe(name, colSpec) =>
+      val fields = colSpec.split(",").map { c =>
+        val parts = c.trim.split("\\s+", 2)
+        StructField(parts(0), if (parts.length > 1) sqlType(parts(1))
+          else LongType)
+      }
+      tables(name.toLowerCase) = new TableState(StructType(fields))
+    case insertRe(name, colList, values) =>
+      val st = tables(name.toLowerCase)
+      val cols = Option(colList).filter(_ != null)
+        .map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(st.schema.fieldNames.toSeq)
+      val vals = splitTopLevel(values)
+      val byName = cols.zip(vals).toMap
+      val row = Row.fromSeq(st.schema.fields.map { f =>
+        byName.get(f.name).map(parseValue(_, f.dataType)).orNull
+      }.toSeq)
+      st.rows += row
+      st.dirty = true
+    case insertSelRe(name, colList, select) =>
+      refreshViews()
+      val st = tables(name.toLowerCase)
+      val result = spark.sql(rewriteSql(select)).collect()
+      val cols = Option(colList).filter(_ != null)
+        .map(_.split(",").map(_.trim).toSeq)
+        .getOrElse(st.schema.fieldNames.toSeq)
+      result.foreach { r =>
+        val byName = cols.zipWithIndex
+          .map { case (c, idx) => c -> r.get(idx) }.toMap
+        st.rows += Row.fromSeq(st.schema.fields.map { f =>
+          byName.get(f.name).map(coerce(_, f.dataType)).orNull
+        }.toSeq)
+      }
+      st.dirty = true
+    case s if s.toUpperCase.startsWith("CREATE INDEX") ||
+      s.toUpperCase.startsWith("CREATE UNIQUE INDEX") => // no-op
+    case s if s.toUpperCase.startsWith("CREATE VIEW") =>
+      refreshViews()
+      spark.sql(rewriteSql(s.replaceAll("(?i)CREATE\\s+VIEW",
+        "CREATE OR REPLACE TEMP VIEW")))
+    case other =>
+      refreshViews()
+      spark.sql(rewriteSql(other))
+  }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer[String]()
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false
+    s.foreach {
+      case '\'' => inStr = !inStr; cur += '\''
+      case '(' if !inStr => depth += 1; cur += '('
+      case ')' if !inStr => depth -= 1; cur += ')'
+      case ',' if !inStr && depth == 0 => out += cur.toString; cur.clear()
+      case c => cur += c
+    }
+    if (cur.nonEmpty) out += cur.toString
+    out.toSeq.map(_.trim)
+  }
+
+  private def parseValue(tok: String, dt: DataType): Any = {
+    val t = tok.trim
+    if (t.equalsIgnoreCase("NULL")) null
+    else if (t.startsWith("'")) {
+      val s = t.stripPrefix("'").stripSuffix("'").replace("''", "'")
+      coerce(s, dt)
+    } else dt match {
+      case LongType => t.toDouble.toLong
+      case DoubleType => t.toDouble
+      case _ => t
+    }
+  }
+
+  private def coerce(v: Any, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (x: java.lang.Number, LongType) => x.longValue()
+    case (x: java.lang.Number, DoubleType) => x.doubleValue()
+    case (x, StringType) => x.toString
+    case (x: String, LongType) => try x.toDouble.toLong
+      catch { case _: Exception => 0L }
+    case (x: String, DoubleType) => try x.toDouble
+      catch { case _: Exception => 0.0d }
+    case (x, _) => x
+  }
+
+  // ---- queries -------------------------------------------------------
+
+  /** SQLite `/` on integers is integer division; Spark's is true division.
+    * The corpus tables are all-integer, so rewrite `/` to `DIV` (Spark's
+    * integral divide truncates toward zero, same as SQLite). String
+    * literals are protected. */
+  private[slt] def rewriteSql(sql: String): String = {
+    val out = new StringBuilder
+    var inStr = false
+    sql.foreach {
+      case '\'' => inStr = !inStr; out += '\''
+      case '/' if !inStr => out ++= " DIV "
+      case c => out += c
+    }
+    out.toString
+  }
+
+  private def fmt(v: Any, t: Char): String = v match {
+    case null => "NULL"
+    case b: Boolean => if (b) "1" else "0"
+    case _ => t match {
+      case 'I' => v match {
+        case d: java.lang.Double => d.toLong.toString
+        case f: java.lang.Float => f.toLong.toString
+        case x: java.lang.Number => x.longValue().toString
+        case x => x.toString
+      }
+      case 'R' => "%.3f".formatLocal(java.util.Locale.US, v match {
+        case x: java.lang.Number => x.doubleValue()
+        case x => x.toString.toDouble
+      })
+      case _ =>
+        val s = v.toString
+        if (s.isEmpty) "(empty)" else s
+    }
+  }
+
+  private val hashRe = """(\d+) values hashing to ([0-9a-f]{32})""".r
+
+  private def runQuery(spark: SparkSession, sql: String, types: String,
+      sortMode: String, expected: Seq[String],
+      tables: mutable.LinkedHashMap[String, TableState],
+      refreshViews: () => Unit): Option[String] = {
+    try {
+      refreshViews()
+      val rows = spark.sql(rewriteSql(sql)).collect()
+      val formatted: Seq[Seq[String]] = rows.toSeq.map(r =>
+        types.zipWithIndex.map { case (t, c) => fmt(r.get(c), t) }.toSeq)
+      val values: Seq[String] = sortMode match {
+        case "rowsort" =>
+          formatted.sortWith { (a, b) =>
+            val cmp = a.zip(b).find { case (x, y) => x != y }
+            cmp.exists { case (x, y) => x < y }
+          }.flatten
+        case "valuesort" => formatted.flatten.sorted
+        case _ => formatted.flatten
+      }
+      expected match {
+        case Seq(hashRe(n, md5hex)) =>
+          if (values.length != n.toInt)
+            Some(s"value count ${values.length} != $n")
+          else {
+            val digest = java.security.MessageDigest.getInstance("MD5")
+              .digest(values.map(_ + "\n").mkString.getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            if (digest == md5hex) None
+            else Some(s"hash $digest != $md5hex")
+          }
+        case exp =>
+          if (values == exp.map(_.trim)) None
+          else Some(s"values ${values.take(6)}... != ${exp.take(6)}...")
+      }
+    } catch {
+      case e: Exception => Some(s"exec error: ${e.getMessage.take(120)}")
+    }
+  }
+}
