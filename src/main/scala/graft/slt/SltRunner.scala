@@ -15,9 +15,9 @@ import scala.collection.mutable
   * "N values hashing to <md5>" digest, with nosort/rowsort/valuesort modes
   * and the I/R/T value-formatting rules.
   *
-  * SQLite semantics shims: `/` on integers is integer division (rewritten
-  * to `DIV`), booleans render as 1/0, NULL as "NULL", empty text as
-  * "(empty)".
+  * SQLite semantics shims: division goes through [[SqliteDiv]] (type-
+  * directed int-vs-float semantics, null on divide-by-zero), booleans
+  * render as 1/0, NULL as "NULL", empty text as "(empty)".
   */
 object SltRunner {
 
@@ -33,6 +33,9 @@ object SltRunner {
 
   def runFile(spark: SparkSession, path: String,
       maxQueries: Int = Int.MaxValue): SltResult = {
+    // SQLite never raises on malformed casts/arithmetic — match with
+    // non-ANSI evaluation (bad casts -> null, div-by-zero -> null)
+    spark.conf.set("spark.sql.ansi.enabled", "false")
     val lines = scala.io.Source.fromFile(path).getLines().toVector
     val tables = mutable.LinkedHashMap[String, TableState]()
     var passed = 0; var failed = 0; var skipped = 0
@@ -58,11 +61,18 @@ object SltRunner {
       } else if (line == "halt") {
         i = lines.length
       } else if (line.startsWith("skipif") || line.startsWith("onlyif")) {
-        // corpus targets sqlite, which we emulate: honor `skipif sqlite`
-        // by skipping the following record; `onlyif sqlite` records run.
-        val skip = line.startsWith("skipif") && line.contains("sqlite")
-        i += 1
-        if (skip) { // consume the record
+        // we emulate sqlite: skip records guarded `skipif sqlite` or
+        // `onlyif <other-db>`; run `onlyif sqlite` / `skipif <other-db>`.
+        var skip = false
+        while (i < lines.length && (lines(i).trim.startsWith("skipif") ||
+            lines(i).trim.startsWith("onlyif"))) {
+          val l = lines(i).trim
+          val db = l.split("\\s+").lift(1).getOrElse("").takeWhile(_ != '#')
+          if (l.startsWith("skipif") && db.startsWith("sqlite")) skip = true
+          if (l.startsWith("onlyif") && !db.startsWith("sqlite")) skip = true
+          i += 1
+        }
+        if (skip) { // consume the record (no internal blank lines)
           while (i < lines.length && lines(i).trim.nonEmpty) i += 1
           skipped += 1
         }
@@ -122,6 +132,10 @@ object SltRunner {
     """(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*VALUES\s*\((.*)\)\s*""".r
   private val insertSelRe =
     """(?is)INSERT\s+INTO\s+(\w+)\s*(?:\(([^)]*)\))?\s*(SELECT.*)""".r
+  private val deleteRe =
+    """(?is)DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.*)""".r
+  private val updateRe =
+    """(?is)UPDATE\s+(\w+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?""".r
 
   private def sqlType(t: String): DataType = {
     val u = t.trim.toUpperCase
@@ -156,7 +170,7 @@ object SltRunner {
     case insertSelRe(name, colList, select) =>
       refreshViews()
       val st = tables(name.toLowerCase)
-      val result = spark.sql(rewriteSql(select)).collect()
+      val result = runSql(spark, select).collect()
       val cols = Option(colList).filter(_ != null)
         .map(_.split(",").map(_.trim).toSeq)
         .getOrElse(st.schema.fieldNames.toSeq)
@@ -170,13 +184,45 @@ object SltRunner {
       st.dirty = true
     case s if s.toUpperCase.startsWith("CREATE INDEX") ||
       s.toUpperCase.startsWith("CREATE UNIQUE INDEX") => // no-op
+    case deleteRe(name, cond) =>
+      refreshViews()
+      val st = tables(name.toLowerCase)
+      // rows surviving the delete = WHERE NOT coalesce(cond, false)
+      val kept = runSql(spark,
+        s"SELECT * FROM ${name.toLowerCase} WHERE NOT coalesce($cond, false)")
+        .collect()
+      st.rows.clear()
+      st.rows ++= kept
+      st.dirty = true
+    case updateRe(name, sets, cond) =>
+      refreshViews()
+      val st = tables(name.toLowerCase)
+      val assignments = splitTopLevel(sets).map { a =>
+        val Array(c, e) = a.split("=", 2)
+        c.trim.toLowerCase -> e.trim
+      }.toMap
+      val whereCond = Option(cond).getOrElse("true")
+      val projected = st.schema.fieldNames.map { f =>
+        assignments.get(f.toLowerCase)
+          .map(e => s"CASE WHEN coalesce($whereCond, false) THEN ($e) ELSE $f END AS $f")
+          .getOrElse(f)
+      }.mkString(", ")
+      val updated = runSql(spark,
+        s"SELECT $projected FROM ${name.toLowerCase}").collect()
+      st.rows.clear()
+      updated.foreach { r =>
+        st.rows += Row.fromSeq(st.schema.fields.zipWithIndex.map {
+          case (f, idx) => coerce(r.get(idx), f.dataType)
+        }.toSeq)
+      }
+      st.dirty = true
     case s if s.toUpperCase.startsWith("CREATE VIEW") =>
       refreshViews()
-      spark.sql(rewriteSql(s.replaceAll("(?i)CREATE\\s+VIEW",
-        "CREATE OR REPLACE TEMP VIEW")))
+      runSql(spark, s.replaceAll("(?i)CREATE\\s+VIEW",
+        "CREATE OR REPLACE TEMP VIEW"))
     case other =>
       refreshViews()
-      spark.sql(rewriteSql(other))
+      runSql(spark, other)
   }
 
   private def splitTopLevel(s: String): Seq[String] = {
@@ -221,19 +267,29 @@ object SltRunner {
 
   // ---- queries -------------------------------------------------------
 
-  /** SQLite `/` on integers is integer division; Spark's is true division.
-    * The corpus tables are all-integer, so rewrite `/` to `DIV` (Spark's
-    * integral divide truncates toward zero, same as SQLite). String
-    * literals are protected. */
-  private[slt] def rewriteSql(sql: String): String = {
-    val out = new StringBuilder
-    var inStr = false
-    sql.foreach {
-      case '\'' => inStr = !inStr; out += '\''
-      case '/' if !inStr => out ++= " DIV "
-      case c => out += c
+  /** Execute SQL with SQLite division semantics: parse, substitute
+    * `Divide` with [[SqliteDiv]] (type-directed int-vs-float division,
+    * null on divide-by-zero) including inside subqueries, then analyze. */
+  private[slt] def runSql(spark: SparkSession, sql: String): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Divide, SubqueryExpression, UnaryPositive}
+    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+    def fix(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+      case d: Divide => SqliteDiv(d.left, d.right)
+      // SQLite unary `+` is the identity on ANY value (text included);
+      // Spark's casts its operand numeric, which throws under ANSI
+      case UnaryPositive(child) => child
+      case sq: SubqueryExpression => sq.withNewPlan(fix(sq.plan))
     }
-    out.toString
+    GraftColumnBridge.ofRows(spark, fix(GraftColumnBridge.parsePlan(spark, sql)))
+  }
+
+  /** SQLite text->number coercion: parse the leading numeric prefix, else
+    * 0 (CAST('12abc' AS INTEGER) = 12, CAST('apdbu' AS INTEGER) = 0). */
+  private def sqliteNumPrefix(s: String): Double = {
+    val m = """^\s*[-+]?\d*\.?\d+([eE][-+]?\d+)?""".r.findFirstIn(s)
+    m.flatMap(x => try Some(x.trim.toDouble)
+      catch { case _: Exception => None }).getOrElse(0.0)
   }
 
   private def fmt(v: Any, t: Char): String = v match {
@@ -244,10 +300,12 @@ object SltRunner {
         case d: java.lang.Double => d.toLong.toString
         case f: java.lang.Float => f.toLong.toString
         case x: java.lang.Number => x.longValue().toString
+        case s: String => sqliteNumPrefix(s).toLong.toString
         case x => x.toString
       }
       case 'R' => "%.3f".formatLocal(java.util.Locale.US, v match {
         case x: java.lang.Number => x.doubleValue()
+        case s: String => sqliteNumPrefix(s)
         case x => x.toString.toDouble
       })
       case _ =>
@@ -264,7 +322,7 @@ object SltRunner {
       refreshViews: () => Unit): Option[String] = {
     try {
       refreshViews()
-      val rows = spark.sql(rewriteSql(sql)).collect()
+      val rows = runSql(spark, sql).collect()
       val formatted: Seq[Seq[String]] = rows.toSeq.map(r =>
         types.zipWithIndex.map { case (t, c) => fmt(r.get(c), t) }.toSeq)
       val values: Seq[String] = sortMode match {
