@@ -1,8 +1,9 @@
 package graft.bitemporal
 
-import graft.functions.Ids
+import graft.functions.{DynamicSchema, Ids}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** ASSERT failure — aborts the transaction (reference: ASSERT tx op,
   * core/src/main/clojure/xtdb/query.clj:492). */
@@ -62,9 +63,42 @@ class XtDb(spark: SparkSession, root: String) {
       .withColumn(SEQ, monotonically_increasing_id())
       .withColumn(OP, lit(op))
       .withColumn(BUCKET, substring(col(IID), 1, 1))
-    withMeta.write.partitionBy(BUCKET).mode("append").parquet(tableDir(table))
+    val conformed = evolveSchema(table, withMeta)
+    conformed.write.partitionBy(BUCKET).mode("append").parquet(tableDir(table))
     logTx(sysTime, table, op, committed = true, error = None)
     sysTime
+  }
+
+  private def sameTypes(a: StructType, b: StructType): Boolean =
+    a.fields.map(f => f.name -> f.dataType).toMap ==
+      b.fields.map(f => f.name -> f.dataType).toMap
+
+  /** Dynamic-schema write path (reference merge-types, types.clj:142-146):
+    * LUB-merge the incoming batch schema with the table's; numeric
+    * conflicts widen, mixed scalars become tagged union structs
+    * (DynamicSchema). If existing storage needs the wider type, it is
+    * migrated once (rewrite-with-cast, like a compaction run). */
+  private def evolveSchema(table: String, incoming: DataFrame): DataFrame = {
+    if (!new java.io.File(tableDir(table)).exists) incoming
+    else {
+      val existing = events(table)
+      val merged = DynamicSchema.mergeSchemas(existing.schema, incoming.schema)
+      if (!sameTypes(merged, existing.schema))
+        rewriteTable(table, DynamicSchema.conform(existing, merged))
+      DynamicSchema.conform(incoming, merged)
+    }
+  }
+
+  private def rewriteTable(table: String, df: DataFrame): Unit = {
+    val dir = tableDir(table)
+    val tmp = dir + "__migrating"
+    df.repartition(16, col(BUCKET))
+      .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
+    fs.rename(new org.apache.hadoop.fs.Path(tmp),
+      new org.apache.hadoop.fs.Path(dir))
   }
 
   /** Point lookup by `_id`: the iid-prefix bucket predicate prunes storage
