@@ -79,6 +79,62 @@ object Joins {
     guarded.drop((n +: rightKeys.filter(!leftKeys.contains(_))): _*)
   }
 
+  /** As-of (event-time) join: for each left row, the payload of the latest
+    * right row with `rightTs <= leftTs` for the same key. The reference
+    * expresses temporal correlation as period predicates in join conditions
+    * (SURVEY §2.3 note); this is the dedicated operator a Spark engine
+    * wants for it at scale.
+    *
+    * Implementation: union both sides tagged, one window over
+    * (key, ts, side-tag, tiebreak) carrying the right payload forward with
+    * `last(_, ignoreNulls)`, keep left rows. ONE shuffle by key + a sort —
+    * no range-join cartesian blowup; skew-safe under AQE. Right rows order
+    * before left rows at equal ts, giving inclusive `<=` semantics;
+    * `tieBreak` resolves equal-timestamp ordering deterministically.
+    */
+  def asOfJoin(
+      left: DataFrame,
+      right: DataFrame,
+      key: String,
+      leftTs: String,
+      rightTs: String,
+      payloadCols: Seq[String],
+      tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+      .withColumn("__tb", col(tieBreak))
+    val lAligned = payloadCols.foldLeft(l) { (df, c) =>
+      df.withColumn(s"__p_$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val r0 = right
+      .withColumn("__ts", col(rightTs))
+      .withColumn("__side", lit(0))
+      .withColumn("__tb", col(tieBreak))
+    val rAligned = leftCols.filterNot(_ == key).foldLeft(
+        payloadCols.foldLeft(r0) { (df, c) =>
+          df.withColumn(s"__p_$c", col(c))
+        }) { (df, c) =>
+      if (df.columns.contains(c)) df
+      else df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val outCols = Seq(col(key), col("__ts"), col("__side"), col("__tb")) ++
+      leftCols.filterNot(c => c == key).map(col) ++
+      payloadCols.map(c => col(s"__p_$c"))
+    val unioned = lAligned.select(outCols: _*)
+      .unionByName(rAligned.select(outCols: _*))
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts"), col("__side"), col("__tb"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payloadCols.foldLeft(unioned) { (df, c) =>
+      df.withColumn(c, last(col(s"__p_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((leftCols ++ payloadCols).distinct.map(col): _*)
+  }
+
   /** Null-aware anti join — SQL `NOT IN (subquery)` semantics: if the right
     * side contains any null key, no left row qualifies; left rows with null
     * keys never qualify. (Plain `left_anti` is EXISTS-negation, not NOT IN.)

@@ -85,6 +85,39 @@ object Bitemp {
              CAST(NULL AS BIGINT) AS vt_ep,
              vf_ep AS sf_ep, CAST(epoch(nvf) AS BIGINT) AS st_ep
       FROM nxt WHERE nvf IS NOT NULL
-      ORDER BY _id, version, vf_ep"""))
+      ORDER BY _id, version, vf_ep""")),
+
+    // ---- as-of (event-time) join: each click matched to the user's latest
+    // purchase at-or-before it (temporal correlation — SURVEY §2.3 note;
+    // operators/Joins.asOfJoin: union+window, one shuffle, no range blowup)
+    QueryDef("q72_asof_join", (s, dir) => {
+      val base = Tables.load(s, dir, "events")
+        .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+      val purchases = base.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ms"), col("event_id"),
+          col("value").as("last_purchase"))
+      val clicks = base.filter(col("event_type") === "click")
+        .select("user_id", "ts_ms", "event_id")
+      _root_.graft.operators.Joins.asOfJoin(clicks, purchases,
+          key = "user_id", leftTs = "ts_ms", rightTs = "ts_ms",
+          payloadCols = Seq("last_purchase"), tieBreak = "event_id")
+        .select(col("user_id"), col("event_id"), col("last_purchase"))
+        .orderBy("user_id", "event_id")
+    }, Some("""
+      WITH base AS (SELECT user_id, event_id, event_type, value,
+                    epoch_ms(ts) AS ts_ms FROM events),
+      u AS (
+        SELECT user_id, ts_ms, 0 AS side, event_id, value AS pv
+        FROM base WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT user_id, ts_ms, 1 AS side, event_id, NULL
+        FROM base WHERE event_type = 'click')
+      SELECT user_id, event_id,
+             last_value(pv IGNORE NULLS) OVER (PARTITION BY user_id
+               ORDER BY ts_ms, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS last_purchase
+      FROM u QUALIFY side = 1 ORDER BY user_id, event_id"""),
+      bench = true)
   )
 }
