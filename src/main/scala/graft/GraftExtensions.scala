@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** Session extension entry point: installs the graft SQL function catalog
+  * at session build time —
+  * `SparkSession.builder().withExtensions(new GraftExtensions)` — the
+  * idiomatic deployment for clusters where sessions are created by a
+  * launcher (`spark.sql.extensions=graft.GraftExtensions` works too, via
+  * the no-arg constructor). Functions are injected with the same eager
+  * Column->Expression bridge used by XtSql.registerFunctions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(extensions: SparkSessionExtensions): Unit = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    import org.apache.spark.sql.catalyst.FunctionIdentifier
+    import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+    import org.apache.spark.sql.Column
+    import graft.functions.{Ids, Periods, Temporal}
+
+    def inject(name: String, arity: Int)(f: Seq[Column] => Column): Unit =
+      extensions.injectFunction((
+        FunctionIdentifier(name),
+        new ExpressionInfo("graft", name),
+        (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+          require(exprs.length == arity, s"$name expects $arity args")
+          toExpression(f(exprs.map(toColumn)))
+        }))
+
+    inject("iid_hex", 1)(a => Ids.iidHex(a.head))
+    inject("date_bin_secs", 2)(a =>
+      Temporal.dateBin(toExpression(a.head).asInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.Literal]
+        .value.toString.toLong, a(1)))
+    inject("period", 2)(a => Periods.period(a.head, a(1)))
+    inject("p_lower", 1)(a => Periods.lower(a.head))
+    inject("p_upper", 1)(a => Periods.upper(a.head))
+    inject("p_contains", 2)(a => Periods.containsPeriod(a.head, a(1)))
+    inject("p_contains_ts", 2)(a => Periods.containsPoint(a.head, a(1)))
+    inject("p_overlaps", 2)(a => Periods.overlaps(a.head, a(1)))
+    inject("p_precedes", 2)(a => Periods.precedes(a.head, a(1)))
+    inject("p_succeeds", 2)(a => Periods.succeeds(a.head, a(1)))
+    inject("p_equals", 2)(a => Periods.equalsPeriod(a.head, a(1)))
+  }
+}
