@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Lateral (correlated table subquery — the decorrelated `:apply` shape,
+  * SURVEY §2.8) and interval arithmetic coverage (temporal.clj:527-1100). */
+object Extra {
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- lateral top-n per group: Catalyst plans the correlated subquery
+    // (reference would route this through :apply + decorrelation rules)
+    QueryDef("q46_lateral_topn", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_name, c.c_name, c.c_acctbal
+        FROM nation JOIN LATERAL (
+          SELECT c_name, c_acctbal FROM customer
+          WHERE c_nationkey = n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+        ORDER BY n_name, c.c_acctbal DESC, c.c_name""")
+    }, Some("""
+      SELECT n_name, c.c_name, c.c_acctbal
+      FROM nation, LATERAL (
+        SELECT c_name, c_acctbal FROM customer
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2) c
+      ORDER BY n_name, c.c_acctbal DESC, c.c_name""")),
+
+    // ---- interval/duration arithmetic: ts ± INTERVAL, day diffs, and
+    // month-boundary diffs (component formula — Spark's timestampdiff
+    // counts complete months while DuckDB counts boundary crossings)
+    QueryDef("q66_interval_arith", (s, dir) => {
+      val asOf = lit("2001-09-15").cast("date")
+      val od = col("o_orderdate")
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          datediff(asOf, od.cast("date")).cast("long").as("dd"),
+          (od + expr("INTERVAL 3 MONTH")).as("plus3m"),
+          (od - expr("INTERVAL 45 DAY")).as("minus45d"),
+          ((year(asOf) - year(od)) * 12 + (month(asOf) - month(od)))
+            .cast("long").as("mm"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+             CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                            DATE '2001-09-15') AS BIGINT) AS dd,
+             o_orderdate + INTERVAL 3 MONTH AS plus3m,
+             o_orderdate - INTERVAL 45 DAY AS minus45d,
+             CAST(date_diff('month', CAST(o_orderdate AS DATE),
+                            DATE '2001-09-15') AS BIGINT) AS mm
+      FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"""))
+  )
+}
