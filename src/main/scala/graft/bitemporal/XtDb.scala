@@ -121,11 +121,24 @@ class XtDb(spark: SparkSession, root: String) {
 
   /** Compaction — consolidate the many small per-transaction files into one
     * file per storage bucket (reference compactor/Compactor.kt; OPTIMIZE
-    * analogue). Single-writer: do not run concurrently with appends. */
+    * analogue), and **physically remove erased history**: events at or
+    * before an iid's latest erase are dropped from storage, along with the
+    * now-purposeless erase markers (the reference's GDPR guarantee —
+    * compaction drops post-erase events, PolygonCalculator.kt:43-46 +
+    * SegmentMerge). Events written after an erase (re-insert) survive.
+    * Single-writer: do not run concurrently with appends. */
   def compact(table: String): Unit = {
     val dir = tableDir(table)
     val tmp = dir + "__compacting"
-    events(table)
+    val ev = events(table)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(IID)
+    val purged = ev
+      .withColumn("__erase_sf",
+        max(when(col(OP) === "erase", col(SF))).over(w))
+      .filter(col(OP) =!= "erase" &&
+        (col("__erase_sf").isNull || col(SF) > col("__erase_sf")))
+      .drop("__erase_sf")
+    purged
       .repartition(16, col(BUCKET))
       .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp)
     val fs = org.apache.hadoop.fs.FileSystem.get(

@@ -18,9 +18,11 @@ object SltMain {
     spark.sparkContext.setLogLevel("ERROR")
     val f = new java.io.File(target)
     val files =
-      if (f.isDirectory) f.listFiles.filter(_.getName.endsWith(".test"))
-        .map(_.getPath).sorted.toSeq
-      else Seq(target)
+      if (f.isDirectory) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(f.toPath).iterator().asScala
+          .map(_.toString).filter(_.endsWith(".test")).toSeq.sorted
+      } else Seq(target)
     var totPass = 0; var totFail = 0
     files.foreach { path =>
       val r = SltRunner.runFile(spark, path, maxQ)

@@ -62,4 +62,29 @@ class XtDbStorageSpec extends AnyFunSuite {
       .as[String].collect().toSeq == Seq("item5b"))
     assert(db.history("items").filter(col("_id") === 5L).count() >= 2)
   }
+
+  test("compaction physically removes erased history; re-inserts survive") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("xterase").toString
+    val db = new XtDb(spark, root)
+
+    db.putDocs("p", Seq((1L, "secret"), (2L, "keep")).toDF("_id", "data"))
+    db.putDocs("p", Seq((1L, "secret-v2")).toDF("_id", "data"))
+    db.eraseDocs("p", Seq(Tuple1(1L)).toDF("_id"))
+    // doc 3 inserted AFTER the erase of doc 1 (and doc 1 re-inserted)
+    db.putDocs("p", Seq((1L, "reborn"), (3L, "new")).toDF("_id", "data"))
+
+    db.compact("p")
+
+    // physical check: the raw event log contains no trace of the erased
+    // versions (GDPR guarantee) and no erase markers
+    val raw = db.events("p")
+    assert(raw.filter(col("data").isin("secret", "secret-v2")).count() == 0)
+    assert(raw.filter(col("_op") === "erase").count() == 0)
+
+    // logical state unchanged by compaction
+    val cur = db.asOf("p").select("_id", "data")
+      .as[(Long, String)].collect().toMap
+    assert(cur == Map(1L -> "reborn", 2L -> "keep", 3L -> "new"))
+  }
 }
