@@ -248,4 +248,29 @@ class XtDb(spark: SparkSession, root: String) {
   /** FOR ALL VALID_TIME + ALL SYSTEM_TIME — full rectangle history. */
   def history(table: String): DataFrame =
     Bitemporal.history(events(table))
+
+  /** Collect table statistics — row counts and HLL distinct-value
+    * estimates per payload column — into the engine's stats catalog
+    * (reference: per-table HLL/ndv metadata for join ordering,
+    * indexer/HllCalculator.kt + trie metadata; Spark analogue of ANALYZE
+    * TABLE feeding CBO). One pass over the current snapshot. */
+  def analyzeTable(table: String): Unit = {
+    import spark.implicits._
+    val cur = Bitemporal.current(events(table))
+    val payload = cur.columns
+      .filterNot(c => Bitemporal.metaCols.contains(c) || c == Bitemporal.ST)
+    val aggs = count(lit(1)).as("__n") +:
+      payload.map(c => approx_count_distinct(col(c)).as(s"__ndv_$c"))
+    val row = cur.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = row.getLong(0)
+    val stats = payload.zipWithIndex.map { case (c, i) =>
+      (table, c, n, row.getLong(i + 1))
+    }.toSeq.toDF("table_name", "column_name", "row_count", "ndv")
+    stats.write.mode("overwrite").parquet(s"$root/_stats/$table")
+  }
+
+  /** Read back collected statistics for a table (empty if never analyzed).
+    */
+  def tableStats(table: String): DataFrame =
+    spark.read.parquet(s"$root/_stats/$table")
 }

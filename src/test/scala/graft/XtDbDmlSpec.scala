@@ -58,6 +58,21 @@ class XtDbDmlSpec extends AnyFunSuite {
     assert(txs.contains(("assert", false)))
   }
 
+  test("analyzeTable collects row counts and ndv into the stats catalog") {
+    val db = freshDb()
+    import spark.implicits._
+    db.putDocs("s", (1L to 100L).map(i => (i, i % 10, s"g${i % 3}"))
+      .toDF("_id", "mod10", "grp"))
+    db.analyzeTable("s")
+    val stats = db.tableStats("s")
+      .select("column_name", "row_count", "ndv")
+      .as[(String, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(stats("mod10")._1 == 100L)
+    // HLL estimates: exact at this cardinality
+    assert(stats("mod10")._2 == 10L && stats("grp")._2 == 3L)
+  }
+
   test("information_schema reflects XtDb event tables") {
     val db = freshDb()
     import spark.implicits._
