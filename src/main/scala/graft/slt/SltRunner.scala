@@ -272,9 +272,43 @@ object SltRunner {
     * null on divide-by-zero) including inside subqueries, then analyze. */
   private[slt] def runSql(spark: SparkSession, sql: String): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
-    import org.apache.spark.sql.catalyst.expressions.{Divide, SubqueryExpression, UnaryPositive}
-    import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
-    def fix(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Divide, Expression, NamedExpression, SubqueryExpression, UnaryPositive}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
+
+    // SQLite "bare column" semantics: a non-grouped, non-aggregated column
+    // in a GROUP BY query takes a value from an arbitrary row of the group
+    // — Spark's `any_value`. Wrap such references (outside existing
+    // aggregate calls) so MISSING_AGGREGATION never fires.
+    val aggFnNames = Set("count", "sum", "min", "max", "avg", "total",
+      "group_concat", "first", "last", "any_value")
+    def wrapBare(groupNames: Set[String])(e: Expression,
+        inAgg: Boolean): Expression = e match {
+      case u: UnresolvedAttribute
+          if !inAgg && !groupNames.contains(u.nameParts.last.toLowerCase) =>
+        UnresolvedFunction("any_value", Seq(u), isDistinct = false)
+      case f: UnresolvedFunction =>
+        val inner = inAgg || aggFnNames.contains(f.nameParts.last.toLowerCase)
+        f.mapChildren(c => wrapBare(groupNames)(c, inner))
+      case other => other.mapChildren(c => wrapBare(groupNames)(c, inAgg))
+    }
+
+    def fix(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+      case a: Aggregate if a.groupingExpressions.nonEmpty =>
+        val groupNames = a.groupingExpressions.collect {
+          case u: UnresolvedAttribute => u.nameParts.last.toLowerCase
+        }.toSet
+        val newAggs = a.aggregateExpressions.map {
+          case u: UnresolvedAttribute
+              if !groupNames.contains(u.nameParts.last.toLowerCase) =>
+            Alias(UnresolvedFunction("any_value", Seq(u), isDistinct = false),
+              u.nameParts.last)()
+          case ne => // Alias, UnresolvedAlias, grouped attrs, stars, ...
+            ne.withNewChildren(ne.children.map(c =>
+              wrapBare(groupNames)(c, false))).asInstanceOf[NamedExpression]
+        }
+        a.copy(aggregateExpressions = newAggs)
+    }.transformAllExpressions {
       case d: Divide => SqliteDiv(d.left, d.right)
       // SQLite unary `+` is the identity on ANY value (text included);
       // Spark's casts its operand numeric, which throws under ANSI
