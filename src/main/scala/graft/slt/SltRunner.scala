@@ -311,8 +311,14 @@ object SltRunner {
     }.transformAllExpressions {
       case d: Divide => SqliteDiv(d.left, d.right)
       // SQLite unary `+` is the identity on ANY value (text included);
-      // Spark's casts its operand numeric, which throws under ANSI
-      case UnaryPositive(child) => child
+      // Spark's casts its operand numeric (null/throw). Unwrap recursively:
+      // transformDown does NOT re-match the replacement node, so `+ + x`
+      // (nested UnaryPositive) needs the inner layers stripped here.
+      case UnaryPositive(child) =>
+        var c = child
+        while (c.isInstanceOf[UnaryPositive])
+          c = c.asInstanceOf[UnaryPositive].child
+        c
       case sq: SubqueryExpression => sq.withNewPlan(fix(sq.plan))
     }
     GraftColumnBridge.ofRows(spark, fix(GraftColumnBridge.parsePlan(spark, sql)))
