@@ -40,21 +40,30 @@ object Bitemporal {
 
   /** Point-in-time snapshot: the document versions visible at
     * (validAt, systemAt). Window fast path:
-    * filter events to the system snapshot, drop erased iids, keep events
+    * filter events to the system snapshot, drop events at-or-before each
+    * iid's latest erase (events written *after* an erase — re-inserts —
+    * stay visible, matching the reference's descending polygon scan,
+    * PolygonCalculator.kt:43-46, and `EventAlgebra.resolve`), keep events
     * whose valid interval contains validAt, take the newest per iid, and
-    * keep it only if it is a `put`. */
+    * keep it only if it is a `put`.
+    *
+    * One shuffle: the erase ceiling rides the same `partitionBy(_iid)`
+    * exchange as the recency rank — no distinct/anti-join side plan. */
   def asOf(events: DataFrame, validAt: Column, systemAt: Column): DataFrame = {
-    val visible = events.filter(col(SF) <= systemAt)
-    val erased = visible.filter(col(OP) === "erase").select(IID).distinct()
+    val wIid = Window.partitionBy(IID)
+    val visible = events
+      .filter(col(SF) <= systemAt)
+      .withColumn("__erase_sf",
+        max(when(col(OP) === "erase", col(SF))).over(wIid))
+      .filter(col("__erase_sf").isNull || col(SF) > col("__erase_sf"))
     val candidate = visible
-      .join(erased, Seq(IID), "left_anti")
       .filter(col(VF) <= validAt &&
         (col(VT).isNull || col(VT) > validAt))
     val w = Window.partitionBy(IID).orderBy(col(SF).desc, col(SEQ).desc)
     candidate
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col(OP) === "put")
-      .drop("__rn", OP, SEQ, BUCKET)
+      .drop("__rn", "__erase_sf", OP, SEQ, BUCKET)
   }
 
   /** Current state (valid-time and system-time = now). */

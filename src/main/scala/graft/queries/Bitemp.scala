@@ -3,7 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.bitemporal.Bitemporal
 import graft.functions.Ids
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Bitemporal resolution exposed to the driver's DuckDB oracle (SURVEY §7.1
@@ -86,6 +86,142 @@ object Bitemp {
              vf_ep AS sf_ep, CAST(epoch(nvf) AS BIGINT) AS st_ep
       FROM nxt WHERE nvf IS NOT NULL
       ORDER BY _id, version, vf_ep""")),
+
+    // ---- erase + re-insert through the asOf window fast path (round-1 bug:
+    // the anti-join erased ALL of an iid's events, hiding post-erase
+    // re-inserts until compaction; reference PolygonCalculator.kt:43-46 keeps
+    // puts newer than the erase). Fixture per order key k: always put v0 at
+    // d; k%4 in (1,2): erase at d+1; k%4==2: re-insert v2 at d+2; k%4==3:
+    // plain update v1 at d+1. Expected at 1999-06-01: 0→v0, 1→gone, 2→v2,
+    // 3→v1.
+    QueryDef("q73_bitemp_erase_reinsert", (s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("_id"),
+          pmod(col("o_orderkey"), lit(4L)).as("m"),
+          col("o_orderdate").cast("timestamp").as("d"))
+      def ev(df: DataFrame, version: Long, sfOff: Int, op: String,
+          vfCol: Column): DataFrame =
+        df.select(col("_id"), lit(version).as("version"),
+          Ids.iidHex(col("_id")).as(Bitemporal.IID),
+          vfCol.cast("timestamp").as(Bitemporal.VF),
+          lit(null).cast("timestamp").as(Bitemporal.VT),
+          expr(s"timestampadd(DAY, $sfOff, d)").as(Bitemporal.SF),
+          lit(0L).as(Bitemporal.SEQ),
+          lit(op).as(Bitemporal.OP))
+      val events = ev(base, 0L, 0, "put", col("d"))
+        .unionByName(ev(base.filter(col("m").isin(1L, 2L)), -1L, 1, "erase",
+          lit("0001-01-01 00:00:00")))
+        .unionByName(ev(base.filter(col("m") === 2L), 2L, 2, "put",
+          expr("timestampadd(DAY, 2, d)")))
+        .unionByName(ev(base.filter(col("m") === 3L), 1L, 1, "put",
+          expr("timestampadd(DAY, 1, d)")))
+      val asof = lit("1999-06-01 00:00:00").cast("timestamp")
+      Bitemporal.asOf(events, asof, asof)
+        .select(col("_id"), col("version"))
+        .orderBy("_id")
+    }, Some("""
+      WITH base AS (SELECT o_orderkey AS _id, o_orderkey % 4 AS m,
+                    CAST(o_orderdate AS TIMESTAMP) AS d
+                    FROM orders WHERE o_orderkey < 2000),
+      ev AS (
+        SELECT _id, CAST(0 AS BIGINT) AS version, d AS vf, d AS sf, 'put' AS op FROM base
+        UNION ALL
+        SELECT _id, -1, TIMESTAMP '0001-01-01', d + INTERVAL 1 DAY, 'erase' FROM base WHERE m IN (1,2)
+        UNION ALL
+        SELECT _id, 2, d + INTERVAL 2 DAY, d + INTERVAL 2 DAY, 'put' FROM base WHERE m = 2
+        UNION ALL
+        SELECT _id, 1, d + INTERVAL 1 DAY, d + INTERVAL 1 DAY, 'put' FROM base WHERE m = 3),
+      vis AS (
+        SELECT *, max(CASE WHEN op = 'erase' THEN sf END)
+                    OVER (PARTITION BY _id) AS esf
+        FROM ev WHERE sf <= TIMESTAMP '1999-06-01'),
+      cand AS (
+        SELECT *, row_number() OVER (PARTITION BY _id ORDER BY sf DESC) AS rn
+        FROM vis WHERE (esf IS NULL OR sf > esf)
+          AND vf <= TIMESTAMP '1999-06-01')
+      SELECT _id, version FROM cand WHERE rn = 1 AND op = 'put'
+      ORDER BY _id""")),
+
+    // ---- hard bitemporal shapes through the exact rectangle path: bounded
+    // valid ranges, an overlapping mid-range rewrite, valid-range deletes,
+    // and a post-delete put. `history()` rectangles are probed at a 4×6
+    // grid of (system, valid) points per document and must agree with the
+    // naive newest-containing-event snapshot the oracle computes directly
+    // (reference as_of_test.clj scenarios; EventAlgebra ceiling scan).
+    QueryDef("q74_bitemp_hard_shapes", (s, dir) => {
+      val base = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 800)
+        .select(col("o_orderkey").as("_id"),
+          col("o_orderdate").cast("timestamp").as("d"))
+      def ev(df: DataFrame, version: Long, vfOff: Int, vtOff: Option[Int],
+          sfOff: Int, op: String): DataFrame =
+        df.select(col("_id"), lit(version).as("version"),
+          Ids.iidHex(col("_id")).as(Bitemporal.IID),
+          expr(s"timestampadd(DAY, $vfOff, d)").as(Bitemporal.VF),
+          vtOff.map(o => expr(s"timestampadd(DAY, $o, d)"))
+            .getOrElse(lit(null).cast("timestamp")).as(Bitemporal.VT),
+          expr(s"timestampadd(DAY, $sfOff, d)").as(Bitemporal.SF),
+          lit(0L).as(Bitemporal.SEQ),
+          lit(op).as(Bitemporal.OP))
+      val events = ev(base, 0L, 0, Some(30), 0, "put")
+        .unionByName(ev(base.filter(pmod(col("_id"), lit(3L)) =!= 0L),
+          1L, 10, Some(20), 2, "put"))
+        .unionByName(ev(base.filter(pmod(col("_id"), lit(2L)) === 0L),
+          -1L, 15, None, 4, "delete"))
+        .unionByName(ev(base.filter(pmod(col("_id"), lit(5L)) === 0L),
+          2L, 18, Some(40), 6, "put"))
+      val hist = Bitemporal.history(events)
+      val points = base
+        .withColumn("s_off", explode(array(Seq(1, 3, 5, 7).map(lit): _*)))
+        .withColumn("v_off",
+          explode(array(Seq(5, 12, 16, 19, 25, 35).map(lit): _*)))
+        .withColumn("vp", expr("timestampadd(DAY, v_off, d)"))
+        .withColumn("sp", expr("timestampadd(DAY, s_off, d)"))
+        .select(col("_id").as("pid"), col("s_off"), col("v_off"),
+          col("vp"), col("sp"))
+      points.join(hist,
+          points("pid") === hist("_id") &&
+          col(Bitemporal.VF) <= col("vp") &&
+          (col(Bitemporal.VT).isNull || col("vp") < col(Bitemporal.VT)) &&
+          col(Bitemporal.SF) <= col("sp") &&
+          (col(Bitemporal.ST).isNull || col("sp") < col(Bitemporal.ST)))
+        .select(col("pid").as("_id"), col("s_off").cast("long").as("s_off"),
+          col("v_off").cast("long").as("v_off"), col("version"))
+        .orderBy("_id", "s_off", "v_off")
+    }, Some("""
+      WITH base AS (SELECT o_orderkey AS _id, CAST(o_orderdate AS TIMESTAMP) AS d
+                    FROM orders WHERE o_orderkey < 800),
+      ev AS (
+        SELECT _id, CAST(0 AS BIGINT) AS version, d AS vf,
+               d + INTERVAL 30 DAY AS vt, d AS sf, 'put' AS op FROM base
+        UNION ALL
+        SELECT _id, 1, d + INTERVAL 10 DAY, d + INTERVAL 20 DAY,
+               d + INTERVAL 2 DAY, 'put' FROM base WHERE _id % 3 <> 0
+        UNION ALL
+        SELECT _id, -1, d + INTERVAL 15 DAY, NULL,
+               d + INTERVAL 4 DAY, 'delete' FROM base WHERE _id % 2 = 0
+        UNION ALL
+        SELECT _id, 2, d + INTERVAL 18 DAY, d + INTERVAL 40 DAY,
+               d + INTERVAL 6 DAY, 'put' FROM base WHERE _id % 5 = 0),
+      grid AS (
+        SELECT b._id, b.d, s.s_off, v.v_off,
+               b.d + v.v_off * INTERVAL 1 DAY AS vp,
+               b.d + s.s_off * INTERVAL 1 DAY AS sp
+        FROM base b,
+             (VALUES (1),(3),(5),(7)) AS s(s_off),
+             (VALUES (5),(12),(16),(19),(25),(35)) AS v(v_off)),
+      cand AS (
+        SELECT g._id, g.s_off, g.v_off, e.version, e.op,
+               row_number() OVER (PARTITION BY g._id, g.s_off, g.v_off
+                                  ORDER BY e.sf DESC) AS rn
+        FROM grid g JOIN ev e ON e._id = g._id
+         AND e.sf <= g.sp AND e.vf <= g.vp
+         AND (e.vt IS NULL OR g.vp < e.vt))
+      SELECT _id, CAST(s_off AS BIGINT) AS s_off,
+             CAST(v_off AS BIGINT) AS v_off, version
+      FROM cand WHERE rn = 1 AND op = 'put'
+      ORDER BY _id, s_off, v_off""")),
 
     // ---- as-of (event-time) join: each click matched to the user's latest
     // purchase at-or-before it (temporal correlation — SURVEY §2.3 note;

@@ -74,6 +74,15 @@ class XtDbStorageSpec extends AnyFunSuite {
     // doc 3 inserted AFTER the erase of doc 1 (and doc 1 re-inserted)
     db.putDocs("p", Seq((1L, "reborn"), (3L, "new")).toDF("_id", "data"))
 
+    // BEFORE compaction: the read path must already hide erased history and
+    // show the re-insert (round-1 bug: window fast path dropped post-erase
+    // re-inserts until compact() ran)
+    val preCompact = db.asOf("p").select("_id", "data")
+      .as[(Long, String)].collect().toMap
+    assert(preCompact == Map(1L -> "reborn", 2L -> "keep", 3L -> "new"))
+    assert(db.pointLookup("p", 1L).select("data")
+      .as[String].collect().toSeq == Seq("reborn"))
+
     db.compact("p")
 
     // physical check: the raw event log contains no trace of the erased
