@@ -10,6 +10,35 @@ import org.apache.spark.sql.types.StructType
 final case class TxAbortedException(message: String)
   extends RuntimeException(message)
 
+/** One operation of a multi-op transaction (reference: `submit-tx` takes a
+  * vector of tx-ops applied atomically at one system-time,
+  * api/src/main/clojure/xtdb/api.clj:258-339; TxOp.kt). */
+sealed trait TxOp
+object TxOp {
+  final case class Put(table: String, docs: DataFrame,
+      validFrom: Option[Column] = None, validTo: Option[Column] = None)
+    extends TxOp
+  final case class Delete(table: String, ids: DataFrame,
+      validFrom: Option[Column] = None, validTo: Option[Column] = None)
+    extends TxOp
+  final case class Erase(table: String, ids: DataFrame) extends TxOp
+  final case class Patch(table: String, patches: DataFrame) extends TxOp
+  final case class Update(table: String, where: Column,
+      sets: Seq[(String, Column)]) extends TxOp
+  /** cond sees committed state PLUS the earlier ops of this transaction;
+    * must yield exactly one true row or the whole tx aborts. */
+  final case class Assert(label: String, cond: TxSnapshot => DataFrame)
+    extends TxOp
+}
+
+/** Read view handed to in-transaction operations (ASSERT conditions):
+  * committed events unioned with the event batches staged so far by this
+  * transaction, resolved as-of the transaction's system time. */
+trait TxSnapshot {
+  def events(table: String): DataFrame
+  def current(table: String): DataFrame
+}
+
 /** Append-only bitemporal table store + the DML surface
   * (reference tx ops: api/src/main/clojure/xtdb/api.clj:258-299,
   * core/src/main/kotlin/xtdb/tx/TxOp.kt — put/patch/delete/erase docs).
@@ -50,23 +79,113 @@ class XtDb(spark: SparkSession, root: String) {
   def events(table: String): DataFrame =
     spark.read.option("mergeSchema", "true").parquet(tableDir(table))
 
-  private def appendEvents(table: String, docs: DataFrame, op: String,
-      validFrom: Option[Column], validTo: Option[Column]): java.sql.Timestamp = {
-    val sysTime = nextSystemTime()
+  private def hadoopFs: org.apache.hadoop.fs.FileSystem =
+    org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+
+  private def tableExists(table: String): Boolean =
+    hadoopFs.exists(new org.apache.hadoop.fs.Path(tableDir(table)))
+
+  /** Stamp the bitemporal event-meta columns onto a doc batch. */
+  private def buildEvents(docs: DataFrame, op: String,
+      validFrom: Option[Column], validTo: Option[Column],
+      sysTime: java.sql.Timestamp, seqCol: Column): DataFrame = {
     val vf = validFrom.getOrElse(lit(sysTime)).cast("timestamp")
     val vt = validTo.map(_.cast("timestamp")).getOrElse(lit(null).cast("timestamp"))
-    val withMeta = docs
+    docs
       .withColumn(IID, Ids.iidHex(col(ID)))
       .withColumn(VF, vf)
       .withColumn(VT, vt)
       .withColumn(SF, lit(sysTime))
-      .withColumn(SEQ, monotonically_increasing_id())
+      .withColumn(SEQ, seqCol)
       .withColumn(OP, lit(op))
       .withColumn(BUCKET, substring(col(IID), 1, 1))
+  }
+
+  private def appendEvents(table: String, docs: DataFrame, op: String,
+      validFrom: Option[Column], validTo: Option[Column]): java.sql.Timestamp = {
+    val sysTime = nextSystemTime()
+    val withMeta = buildEvents(docs, op, validFrom, validTo, sysTime,
+      monotonically_increasing_id())
     val conformed = evolveSchema(table, withMeta)
     conformed.write.partitionBy(BUCKET).mode("append").parquet(tableDir(table))
     logTx(sysTime, table, op, committed = true, error = None)
     sysTime
+  }
+
+  /** Multi-op atomic transaction: every op shares ONE system time; ops are
+    * staged (materialised under `_staging/`) and only moved into the table
+    * logs after the whole vector succeeds, so a failing ASSERT — or any
+    * error — aborts the batch with nothing visible (reference submit-tx
+    * semantics, api.clj:258-339). Later ops (UPDATE sources, PATCH merges,
+    * ASSERT conditions) see the staged effects of earlier ops, resolved
+    * as-of the transaction time. Within the tx, `_seq` = op index, so a
+    * later op supersedes an earlier one at the shared system time (the
+    * same tie-break EventAlgebra uses). Single-writer, like the
+    * reference's log-append. */
+  def submitTx(ops: Seq[TxOp]): java.sql.Timestamp = synchronized {
+    val sysTime = nextSystemTime()
+    val txStage = s"$root/_staging/tx_${sysTime.toInstant.toEpochMilli}"
+    val staged =
+      scala.collection.mutable.LinkedHashMap[String,
+        scala.collection.mutable.Buffer[String]]()
+    def viewEvents(table: String): DataFrame = {
+      val committed = if (tableExists(table)) Seq(events(table)) else Nil
+      val all = committed ++
+        staged.getOrElse(table, Nil).toSeq.map(d => spark.read.parquet(d))
+      require(all.nonEmpty, s"submitTx: unknown table $table")
+      all.reduce(_.unionByName(_, allowMissingColumns = true))
+    }
+    val snapshot: TxSnapshot = new TxSnapshot {
+      def events(table: String): DataFrame = viewEvents(table)
+      def current(table: String): DataFrame =
+        Bitemporal.asOf(viewEvents(table), lit(sysTime), lit(sysTime))
+    }
+    def stage(table: String, docs: DataFrame, op: String,
+        validFrom: Option[Column], validTo: Option[Column], i: Int): Unit = {
+      val dir = s"$txStage/op$i"
+      buildEvents(docs, op, validFrom, validTo, sysTime, lit(i.toLong))
+        .write.mode("overwrite").parquet(dir)
+      staged.getOrElseUpdate(table,
+        scala.collection.mutable.Buffer[String]()) += dir
+    }
+    try {
+      ops.zipWithIndex.foreach {
+        case (TxOp.Put(t, docs, vf, vt), i) => stage(t, docs, "put", vf, vt, i)
+        case (TxOp.Delete(t, ids, vf, vt), i) =>
+          stage(t, ids.select(col(ID)), "delete", vf, vt, i)
+        case (TxOp.Erase(t, ids), i) =>
+          stage(t, ids.select(col(ID)), "erase",
+            Some(lit("0001-01-01 00:00:00")), None, i)
+        case (TxOp.Patch(t, patches), i) =>
+          stage(t, mergePatches(snapshot.current(t), patches), "put",
+            None, None, i)
+        case (TxOp.Update(t, where, sets), i) =>
+          stage(t, applyUpdate(snapshot.current(t), where, sets), "put",
+            None, None, i)
+        case (TxOp.Assert(label, cond), _) =>
+          val rows = cond(snapshot).limit(2).collect()
+          val ok = rows.length == 1 && !rows(0).isNullAt(0) &&
+            rows(0).getBoolean(0)
+          if (!ok) throw TxAbortedException(s"$label failed")
+      }
+      staged.foreach { case (table, dirs) =>
+        val df = dirs.map(spark.read.parquet(_))
+          .reduce(_.unionByName(_, allowMissingColumns = true))
+        val conformed = evolveSchema(table, df)
+        conformed.write.partitionBy(BUCKET).mode("append")
+          .parquet(tableDir(table))
+      }
+      logTx(sysTime, staged.keys.mkString(","), s"tx[${ops.length}]",
+        committed = true, error = None)
+      sysTime
+    } catch {
+      case e: TxAbortedException =>
+        logTx(sysTime, "", "tx-abort", committed = false, Some(e.message))
+        throw e
+    } finally {
+      hadoopFs.delete(new org.apache.hadoop.fs.Path(txStage), true)
+    }
   }
 
   private def sameTypes(a: StructType, b: StructType): Boolean =
@@ -79,7 +198,7 @@ class XtDb(spark: SparkSession, root: String) {
     * (DynamicSchema). If existing storage needs the wider type, it is
     * migrated once (rewrite-with-cast, like a compaction run). */
   private def evolveSchema(table: String, incoming: DataFrame): DataFrame = {
-    if (!new java.io.File(tableDir(table)).exists) incoming
+    if (!tableExists(table)) incoming
     else {
       val existing = events(table)
       val merged = DynamicSchema.mergeSchemas(existing.schema, incoming.schema)
@@ -167,17 +286,19 @@ class XtDb(spark: SparkSession, root: String) {
   /** SQL UPDATE — plan = query producing new row versions, appended as puts
     * (reference prepareTxSql, query.clj:478-495): read the current
     * snapshot, filter, apply SET expressions, put. */
-  def update(table: String, where: Column,
-      sets: Seq[(String, Column)]): java.sql.Timestamp = {
-    val cur = Bitemporal.current(events(table))
+  private def applyUpdate(cur: DataFrame, where: Column,
+      sets: Seq[(String, Column)]): DataFrame = {
     val payload = cur.columns
       .filterNot(c => Bitemporal.metaCols.contains(c) || c == Bitemporal.ST)
-    val updated = sets.foldLeft(
+    sets.foldLeft(
         cur.filter(where).select((ID +: payload).map(col): _*)) {
       case (df, (c, e)) => df.withColumn(c, e)
     }
-    putDocs(table, updated)
   }
+
+  def update(table: String, where: Column,
+      sets: Seq[(String, Column)]): java.sql.Timestamp =
+    putDocs(table, applyUpdate(Bitemporal.current(events(table)), where, sets))
 
   /** ASSERT — `cond` must evaluate to a single true row or the transaction
     * aborts (recorded in xt.txs with committed = false). */
@@ -215,8 +336,10 @@ class XtDb(spark: SparkSession, root: String) {
     * fields keep their current values; reference `_patch` expression.clj:2095
     * + static expansion sql.clj:3503-3601). Patches are expanded to put
     * events at submit time. */
-  def patchDocs(table: String, patches: DataFrame): java.sql.Timestamp = {
-    val cur = Bitemporal.current(events(table))
+  def patchDocs(table: String, patches: DataFrame): java.sql.Timestamp =
+    putDocs(table, mergePatches(Bitemporal.current(events(table)), patches))
+
+  private def mergePatches(cur: DataFrame, patches: DataFrame): DataFrame = {
     val curPayload = cur.columns.filterNot(c => metaCols.contains(c) || c == ST)
     val patchPayload = patches.columns.filter(_ != ID)
     val allPayload = (curPayload ++ patchPayload).distinct.filter(_ != ID)
@@ -232,7 +355,7 @@ class XtDb(spark: SparkSession, root: String) {
          else if (hasPatch) col(c)
          else col(s"__cur_$c")).as(c)
       }: _*)
-    putDocs(table, merged)
+    merged
   }
 
   /** Snapshot read — FOR VALID_TIME AS OF / FOR SYSTEM_TIME AS OF

@@ -69,13 +69,17 @@ object Joins {
       .map { case (l, r) => left(l) === rAgg(r) }
       .reduce(_ && _)
     val joined = left.join(rAgg, cond, "left")
-    val guarded = payload.foldLeft(joined) { (df, c) =>
-      df.withColumn(c,
-        when(col(n) > 1,
-          raise_error(concat(lit("single-join: more than one match for key "),
-            concat_ws(",", leftKeys.map(col): _*))))
-          .otherwise(col(c)))
-    }
+    // Guard as a FILTER, not a payload-column rewrite: a downstream
+    // projection that dropped every payload column would never evaluate a
+    // column-attached guard, silently eliding the >1-match error (the
+    // reference's :single-join always errors, join.clj:516-524). The filter
+    // must be evaluated to decide row membership, so it cannot be pruned;
+    // unmatched rows (null count) fall through to `true`.
+    val guarded = joined.filter(
+      when(col(n) > 1,
+        raise_error(concat(lit("single-join: more than one match for key "),
+          concat_ws(",", leftKeys.map(col): _*))).cast("boolean"))
+        .otherwise(lit(true)))
     guarded.drop((n +: rightKeys.filter(!leftKeys.contains(_))): _*)
   }
 

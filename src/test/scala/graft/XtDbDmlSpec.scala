@@ -58,6 +58,54 @@ class XtDbDmlSpec extends AnyFunSuite {
     assert(txs.contains(("assert", false)))
   }
 
+  test("submitTx: multi-op atomic commit at one system time") {
+    val db = freshDb()
+    import spark.implicits._
+    import graft.bitemporal.TxOp
+    db.submitTx(Seq(
+      TxOp.Put("users", Seq((1L, "ada")).toDF("_id", "name")),
+      TxOp.Put("teams", Seq((10L, "eng")).toDF("_id", "team")),
+      // assert sees the staged puts of THIS tx
+      TxOp.Assert("both staged", snap =>
+        snap.current("users").crossJoin(snap.current("teams"))
+          .agg(expr("count(*) = 1 AS ok"))),
+      TxOp.Update("users", col("_id") === 1L,
+        Seq("name" -> lit("ada lovelace")))))
+
+    assert(db.asOf("users").select("name").as[String].collect().toSeq ==
+      Seq("ada lovelace"))
+    assert(db.asOf("teams").count() == 1)
+    // every event of the tx shares ONE _system_from across both tables
+    val sfs = (db.events("users").select("_system_from")
+        .unionAll(db.events("teams").select("_system_from")))
+      .distinct().collect()
+    assert(sfs.length == 1)
+  }
+
+  test("submitTx: mid-tx ASSERT failure rolls back the whole batch") {
+    val db = freshDb()
+    import spark.implicits._
+    import graft.bitemporal.TxOp
+    db.putDocs("inv", Seq((1L, 5L)).toDF("_id", "qty"))
+
+    val ex = intercept[TxAbortedException] {
+      db.submitTx(Seq(
+        TxOp.Update("inv", col("_id") === 1L,
+          Seq("qty" -> (col("qty") - 10L))),
+        TxOp.Put("audit", Seq((100L, "withdrawal")).toDF("_id", "what")),
+        TxOp.Assert("non-negative stock", snap =>
+          snap.current("inv").agg(expr("min(qty) >= 0 AS ok")))))
+    }
+    assert(ex.getMessage.contains("non-negative stock"))
+
+    // nothing from the aborted tx is visible: qty unchanged, no audit table
+    assert(db.asOf("inv").select("qty").as[Long].collect().toSeq == Seq(5L))
+    assert(intercept[Exception](db.events("audit").count()) != null)
+    // the abort is recorded in xt.txs
+    assert(db.txs.filter(col("tx_op") === "tx-abort" && !col("committed"))
+      .count() == 1)
+  }
+
   test("analyzeTable collects row counts and ndv into the stats catalog") {
     val db = freshDb()
     import spark.implicits._
