@@ -17,6 +17,7 @@ object SparkEntry {
     _root_.graft.queries.WindowSortSet.defs ++
     _root_.graft.queries.Expressions.defs ++
     _root_.graft.queries.Bitemp.defs ++
+    _root_.graft.queries.SqlDialect.defs ++
     _root_.graft.queries.Pipeline.defs ++
     _root_.graft.queries.Meta.defs ++
     _root_.graft.queries.Extra.defs

@@ -21,43 +21,15 @@ import scala.util.matching.Regex
   */
 object XtSql {
 
-  private val forClause: Regex =
-    """(?is)(\w+)\s+FOR\s+(VALID_TIME|SYSTEM_TIME)\s+AS\s+OF\s+(?:TIMESTAMP\s+)?'([^']+)'""".r
-  private val forAllClause: Regex =
-    """(?is)(\w+)\s+FOR\s+ALL\s+(VALID_TIME|SYSTEM_TIME)""".r
-
-  /** Execute a query with XT temporal clauses against an XtDb instance.
-    * Tables referenced with no temporal clause default to the current
-    * snapshot (reference scan.clj:307-310). */
+  /** Execute a query in the XT dialect against an XtDb instance — real
+    * lexer/parser in `graft.sql.XtSqlParser` (temporal clauses, SETTING
+    * DEFAULT, NEST_ONE/NEST_MANY, SQL-text DML), executed by
+    * `graft.sql.XtSqlEngine`. The `tables` arg is retained for source
+    * compatibility but ignored: the engine resolves the store's own table
+    * listing. */
   def sql(spark: SparkSession, db: XtDb, query: String,
-      tables: Seq[String]): DataFrame = {
-    registerFunctions(spark)
-    var q = query
-    var viewId = 0
-
-    q = forClause.replaceAllIn(q, m => {
-      val (table, dim, ts) = (m.group(1), m.group(2).toUpperCase, m.group(3))
-      val at = lit(ts).cast("timestamp")
-      val snap =
-        if (dim == "VALID_TIME") db.asOf(table, validAt = Some(at))
-        else db.asOf(table, systemAt = Some(at))
-      viewId += 1
-      val view = s"__xt_${table}_$viewId"
-      snap.createOrReplaceTempView(view)
-      view
-    })
-    q = forAllClause.replaceAllIn(q, m => {
-      val table = m.group(1)
-      viewId += 1
-      val view = s"__xt_${table}_$viewId"
-      db.history(table).createOrReplaceTempView(view)
-      view
-    })
-    // bare table refs resolve to the current snapshot (views are lazy, so
-    // registering every known table costs nothing)
-    tables.foreach(t => db.asOf(t).createOrReplaceTempView(t))
-    spark.sql(q)
-  }
+      tables: Seq[String] = Nil): DataFrame =
+    new _root_.graft.sql.XtSqlEngine(spark, db).sql(query)
 
   /** Register the graft expression catalog for SQL texts. */
   def registerFunctions(spark: SparkSession): Unit = {

@@ -141,4 +141,58 @@ object Bitemporal {
     history(events.filter(col(SF) <= systemAt))
       .filter((col(VT).isNull || col(VT) > from) && col(VF) < to)
   }
+
+  /** One dimension of a table-ref's temporal filter (reference grammar
+    * Sql.g4:557-573: `FOR (VALID_TIME|SYSTEM_TIME)
+    * (AS OF t | ALL | FROM a TO b | BETWEEN a AND b)`). */
+  sealed trait TemporalSpec
+  object TemporalSpec {
+    /** No clause — the current point (scan.clj:307-310 default). */
+    case object Current extends TemporalSpec
+    final case class AsOf(at: Column) extends TemporalSpec
+    case object All extends TemporalSpec
+    /** Versions overlapping [from, to); `inclusiveEnd` = SQL BETWEEN's
+      * closed upper bound [from, to]. */
+    final case class Range(from: Column, to: Column,
+        inclusiveEnd: Boolean = false) extends TemporalSpec
+  }
+
+  /** Resolve a table's events under a (valid-time, system-time) spec pair.
+    *
+    * Point×point uses the single-shuffle `asOf` window fast path (the
+    * overwhelmingly common shape); anything involving ALL or a range runs
+    * the exact rectangle reconstruction and post-filters rectangles —
+    * correct for every combination because rectangles are absolute facts
+    * of the full event history. Output always carries
+    * `_valid_from/_valid_to/_system_from/_system_to` (fast path: bounds as
+    * stored; `_system_to` null since the version is current at the point).
+    */
+  def resolve(events: DataFrame, valid: TemporalSpec,
+      system: TemporalSpec): DataFrame = {
+    import TemporalSpec._
+    def point(s: TemporalSpec): Option[Column] = s match {
+      case Current => Some(current_timestamp())
+      case AsOf(t) => Some(t)
+      case _ => None
+    }
+    (point(valid), point(system)) match {
+      case (Some(v), Some(s)) =>
+        asOf(events, v, s).withColumn(ST, lit(null).cast("timestamp"))
+      case _ =>
+        def dimFilter(spec: TemporalSpec, from: String, to: String): Column =
+          spec match {
+            case Current =>
+              col(from) <= current_timestamp() &&
+                (col(to).isNull || col(to) > current_timestamp())
+            case AsOf(t) =>
+              col(from) <= t && (col(to).isNull || col(to) > t)
+            case All => lit(true)
+            case Range(a, b, incl) =>
+              (col(to).isNull || col(to) > a) &&
+                (if (incl) col(from) <= b else col(from) < b)
+          }
+        history(events)
+          .filter(dimFilter(valid, VF, VT) && dimFilter(system, SF, ST))
+    }
+  }
 }

@@ -22,9 +22,22 @@ object TxOp {
       validFrom: Option[Column] = None, validTo: Option[Column] = None)
     extends TxOp
   final case class Erase(table: String, ids: DataFrame) extends TxOp
-  final case class Patch(table: String, patches: DataFrame) extends TxOp
+  /** PATCH; with `valid` bounds set, runs valid-time gap-filling against
+    * the versioned timeline (reference operator/patch.clj:28-57,
+    * PatchGapsCursor.kt:85) instead of a current-version merge. */
+  final case class Patch(table: String, patches: DataFrame,
+      valid: Option[(Column, Option[Column])] = None) extends TxOp
   final case class Update(table: String, where: Column,
-      sets: Seq[(String, Column)]) extends TxOp
+      sets: Seq[(String, Column)],
+      validFrom: Option[Column] = None, validTo: Option[Column] = None)
+    extends TxOp
+  /** DELETE … WHERE — ids resolved against the in-tx snapshot. */
+  final case class DeleteWhere(table: String, where: Column,
+      validFrom: Option[Column] = None, validTo: Option[Column] = None)
+    extends TxOp
+  /** ERASE … WHERE — ids resolved against the full event log (also
+    * reaches docs with no current version). */
+  final case class EraseWhere(table: String, where: Column) extends TxOp
   /** cond sees committed state PLUS the earlier ops of this transaction;
     * must yield exactly one true row or the whole tx aborts. */
   final case class Assert(label: String, cond: TxSnapshot => DataFrame)
@@ -37,6 +50,8 @@ object TxOp {
 trait TxSnapshot {
   def events(table: String): DataFrame
   def current(table: String): DataFrame
+  /** Committed tables plus tables first created by this transaction. */
+  def tables: Seq[String]
 }
 
 /** Append-only bitemporal table store + the DML surface
@@ -59,6 +74,12 @@ trait TxSnapshot {
 class XtDb(spark: SparkSession, root: String) {
 
   import Bitemporal._
+
+  // `_bucket` partition dirs hold hex chars; without this, a table whose
+  // buckets happen to all be digits reads back as int and LUB-unions with
+  // string on the next append
+  spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
+    "false")
 
   private def tableDir(table: String) = s"$root/$table"
 
@@ -92,7 +113,9 @@ class XtDb(spark: SparkSession, root: String) {
       sysTime: java.sql.Timestamp, seqCol: Column): DataFrame = {
     val vf = validFrom.getOrElse(lit(sysTime)).cast("timestamp")
     val vt = validTo.map(_.cast("timestamp")).getOrElse(lit(null).cast("timestamp"))
-    docs
+    // _system_to is always derived at read — never a stored payload column
+    // (an INSERT … SELECT from a snapshot view would otherwise carry it in)
+    docs.drop(ST)
       .withColumn(IID, Ids.iidHex(col(ID)))
       .withColumn(VF, vf)
       .withColumn(VT, vt)
@@ -123,8 +146,21 @@ class XtDb(spark: SparkSession, root: String) {
     * later op supersedes an earlier one at the shared system time (the
     * same tie-break EventAlgebra uses). Single-writer, like the
     * reference's log-append. */
-  def submitTx(ops: Seq[TxOp]): java.sql.Timestamp = synchronized {
-    val sysTime = nextSystemTime()
+  def submitTx(ops: Seq[TxOp],
+      systemTime: Option[java.sql.Timestamp] = None): java.sql.Timestamp =
+    synchronized {
+    // explicit system time = the reference's import/backfill override
+    // (`:system-time` on submit-tx); must stay monotonic vs the log
+    val sysTime = systemTime match {
+      case Some(t) =>
+        val us = t.toInstant.getEpochSecond * 1000000L +
+          t.toInstant.getNano / 1000L
+        require(us > lastSystemMicros,
+          s"system-time override $t is not after the log head")
+        lastSystemMicros = us
+        t
+      case None => nextSystemTime()
+    }
     val txStage = s"$root/_staging/tx_${sysTime.toInstant.toEpochMilli}"
     val staged =
       scala.collection.mutable.LinkedHashMap[String,
@@ -140,6 +176,8 @@ class XtDb(spark: SparkSession, root: String) {
       def events(table: String): DataFrame = viewEvents(table)
       def current(table: String): DataFrame =
         Bitemporal.asOf(viewEvents(table), lit(sysTime), lit(sysTime))
+      def tables: Seq[String] =
+        (XtDb.this.tables ++ staged.keys).distinct.sorted
     }
     def stage(table: String, docs: DataFrame, op: String,
         validFrom: Option[Column], validTo: Option[Column], i: Int): Unit = {
@@ -154,15 +192,28 @@ class XtDb(spark: SparkSession, root: String) {
         case (TxOp.Put(t, docs, vf, vt), i) => stage(t, docs, "put", vf, vt, i)
         case (TxOp.Delete(t, ids, vf, vt), i) =>
           stage(t, ids.select(col(ID)), "delete", vf, vt, i)
+        case (TxOp.DeleteWhere(t, where, vf, vt), i) =>
+          stage(t, snapshot.current(t).filter(where).select(col(ID)),
+            "delete", vf, vt, i)
         case (TxOp.Erase(t, ids), i) =>
           stage(t, ids.select(col(ID)), "erase",
             Some(lit("0001-01-01 00:00:00")), None, i)
-        case (TxOp.Patch(t, patches), i) =>
+        case (TxOp.EraseWhere(t, where), i) =>
+          stage(t,
+            viewEvents(t).filter(where).select(col(ID)).distinct(),
+            "erase", Some(lit("0001-01-01 00:00:00")), None, i)
+        case (TxOp.Patch(t, patches, None), i) =>
           stage(t, mergePatches(snapshot.current(t), patches), "put",
             None, None, i)
-        case (TxOp.Update(t, where, sets), i) =>
+        case (TxOp.Patch(t, patches, Some((pvf, pvt))), i) =>
+          val rects = Bitemporal.resolve(viewEvents(t),
+            Bitemporal.TemporalSpec.All,
+            Bitemporal.TemporalSpec.AsOf(lit(sysTime)))
+          val segs = patchGapSegments(rects, patches, pvf, pvt)
+          stage(t, segs, "put", Some(col(VF)), Some(col(VT)), i)
+        case (TxOp.Update(t, where, sets, vf, vt), i) =>
           stage(t, applyUpdate(snapshot.current(t), where, sets), "put",
-            None, None, i)
+            vf, vt, i)
         case (TxOp.Assert(label, cond), _) =>
           val rows = cond(snapshot).limit(2).collect()
           val ok = rows.length == 1 && !rows(0).isNullAt(0) &&
@@ -297,8 +348,20 @@ class XtDb(spark: SparkSession, root: String) {
   }
 
   def update(table: String, where: Column,
-      sets: Seq[(String, Column)]): java.sql.Timestamp =
-    putDocs(table, applyUpdate(Bitemporal.current(events(table)), where, sets))
+      sets: Seq[(String, Column)],
+      validFrom: Option[Column] = None,
+      validTo: Option[Column] = None): java.sql.Timestamp =
+    putDocs(table, applyUpdate(Bitemporal.current(events(table)), where, sets),
+      validFrom, validTo)
+
+  /** Tables materialised under this store's root (excluding `_`-prefixed
+    * system dirs: _txs, _stats, _staging). */
+  def tables: Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    if (!hadoopFs.exists(p)) Nil
+    else hadoopFs.listStatus(p).filter(_.isDirectory)
+      .map(_.getPath.getName).filterNot(_.startsWith("_")).toSeq.sorted
+  }
 
   /** ASSERT — `cond` must evaluate to a single true row or the transaction
     * aborts (recorded in xt.txs with committed = false). */
@@ -356,6 +419,89 @@ class XtDb(spark: SparkSession, root: String) {
          else col(s"__cur_$c")).as(c)
       }: _*)
     merged
+  }
+
+  /** PATCH with explicit valid-time bounds: gap-filling against the
+    * versioned timeline (reference `:patch-gaps`, operator/patch.clj:28-57,
+    * PatchGapsCursor.kt:85). Within [validFrom, validTo):
+    *  - wherever a version already exists, a merged doc (existing fields,
+    *    patch fields override) is put over the clipped overlap;
+    *  - wherever NO version exists (gaps between/before/after rectangles),
+    *    the patch fields alone become the document.
+    * Versions outside the range are untouched (the new puts only supersede
+    * within their own valid intervals). */
+  def patchGaps(table: String, patches: DataFrame, validFrom: Column,
+      validTo: Option[Column]): java.sql.Timestamp = {
+    val rects = Bitemporal.resolve(events(table),
+      Bitemporal.TemporalSpec.All, Bitemporal.TemporalSpec.Current)
+    val segs = patchGapSegments(rects, patches, validFrom, validTo)
+    putDocs(table, segs, Some(col(VF)), Some(col(VT)))
+  }
+
+  /** Build the put batch for a gap-filling PATCH: merged segments over
+    * existing rectangles + patch-only rows over the gaps, all clipped to
+    * [pvf, pvt). One window over `_id` (ordered by rectangle start) finds
+    * the gaps; current-system rectangles are valid-time disjoint per id, so
+    * lag(valid_to) vs valid_from bounds each gap exactly. */
+  private def patchGapSegments(rects: DataFrame, patches: DataFrame,
+      pvf0: Column, pvt0: Option[Column]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pvf = pvf0.cast("timestamp")
+    val pvt = pvt0.getOrElse(lit(null)).cast("timestamp")
+    val curPayload = rects.columns
+      .filterNot(c => metaCols.contains(c) || c == ST || c == ID)
+    val patchPayload = patches.columns.filter(_ != ID)
+    val allPayload = (curPayload ++ patchPayload).distinct
+    val curTypes = rects.schema.fields.map(f => f.name -> f.dataType).toMap
+    // rectangles overlapping the patch range, for patched ids only
+    val overlapping = rects
+      .filter((col(VT).isNull || col(VT) > pvf) &&
+        (pvt.isNull || col(VF) < pvt))
+      .select(col(ID) +: col(VF).as("__cvf") +: col(VT).as("__cvt") +:
+        curPayload.map(c => col(c).as(s"__cur_$c")): _*)
+    val j = patches.join(overlapping, Seq(ID), "left")
+    val w = Window.partitionBy(ID).orderBy(col("__cvf"))
+    val wDesc = Window.partitionBy(ID).orderBy(col("__cvf").desc)
+    val ranked = j
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__prev_vt", lag(col("__cvt"), 1).over(w))
+      .withColumn("__is_last", row_number().over(wDesc) === 1)
+    def mergedField(c: String): Column = {
+      val hasCur = curPayload.contains(c)
+      val hasPatch = patchPayload.contains(c)
+      (if (hasCur && hasPatch) coalesce(col(c), col(s"__cur_$c"))
+       else if (hasPatch) col(c)
+       else col(s"__cur_$c")).as(c)
+    }
+    def patchOnlyField(c: String): Column =
+      (if (patchPayload.contains(c)) col(c)
+       else lit(null).cast(curTypes(c))).as(c)
+    def out(df: DataFrame, fields: String => Column, vf: Column,
+        vt: Column): DataFrame =
+      df.select(col(ID) +: allPayload.map(fields) :+
+        vf.cast("timestamp").as(VF) :+ vt.cast("timestamp").as(VT): _*)
+    // merged segment per overlapped rectangle, clipped to the range
+    val segs = out(ranked.filter(col("__cvf").isNotNull), mergedField,
+      greatest(col("__cvf"), pvf),
+      when(col("__cvt").isNull, pvt)
+        .otherwise(when(pvt.isNull, col("__cvt"))
+          .otherwise(least(col("__cvt"), pvt))))
+    // gap before each rectangle: [max(prev_vt | range-start, pvf), cvf)
+    val gapStart = greatest(
+      when(col("__rn") === 1, pvf).otherwise(col("__prev_vt")), pvf)
+    val gapsBefore = out(
+      ranked.filter(col("__cvf").isNotNull && gapStart < col("__cvf")),
+      patchOnlyField, gapStart, col("__cvf"))
+    // tail gap after the last rectangle (only if it is valid-bounded)
+    val tailStart = greatest(col("__cvt"), pvf)
+    val gapsTail = out(
+      ranked.filter(col("__is_last") && col("__cvt").isNotNull &&
+        (pvt.isNull || tailStart < pvt)),
+      patchOnlyField, tailStart, pvt)
+    // ids with no overlapping rectangle at all: the whole range is a gap
+    val gapsEmpty = out(ranked.filter(col("__cvf").isNull && col("__rn") === 1),
+      patchOnlyField, pvf, pvt)
+    segs.unionByName(gapsBefore).unionByName(gapsTail).unionByName(gapsEmpty)
   }
 
   /** Snapshot read — FOR VALID_TIME AS OF / FOR SYSTEM_TIME AS OF

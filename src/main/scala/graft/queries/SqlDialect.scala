@@ -1,0 +1,146 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.bitemporal.{TxOp, XtDb}
+import graft.sql.XtSqlEngine
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The XT SQL dialect front door, oracle-checked end-to-end: statements go
+  * through the real lexer/parser (`graft.sql.XtSqlParser`) and engine into
+  * an XtDb store seeded deterministically from `orders` with PINNED system
+  * times (the reference's import-system-time override), so DuckDB can
+  * recompute the expected result from the same parquet.
+  *
+  * Reference surfaces covered: temporal table-ref clauses + SETTING
+  * (Sql.g4:557-573), system-time travel semantics (as_of_test.clj), and
+  * SQL-text DML routed through atomic transactions (Sql.g4:19-35,
+  * query.clj:478-495).
+  */
+object SqlDialect {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def fresh(s: SparkSession): (XtDb, XtSqlEngine) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_sqldialect")
+      .toString
+    val db = new XtDb(s, root)
+    (db, new XtSqlEngine(s, db))
+  }
+
+  /** Seed `docs`: order key k < 500 gets versions v = 0..(k mod 3), one tx
+    * per version at pinned system times 2025-06-01/02/03, each valid from
+    * `2024-01-01 + (k mod 20) + 10*v` days (absolute, so global range
+    * probes are meaningful). Sequential unbounded puts → the current
+    * timeline is v's rectangle [vf_v, vf_{v+1}). */
+  private def seedVersioned(s: SparkSession, dir: String): XtSqlEngine = {
+    val (db, eng) = fresh(s)
+    val base = Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") < 500)
+      .select(col("o_orderkey").as("_id"),
+        pmod(col("o_orderkey"), lit(3L)).as("mx"),
+        expr("CAST(date_add(DATE '2024-01-01', CAST(o_orderkey % 20 AS INT)) AS TIMESTAMP)")
+          .as("bd"))
+    (0 to 2).foreach { v =>
+      val docs = base.filter(col("mx") >= v)
+        .select(col("_id"), lit(v.toLong).as("version"),
+          expr(s"timestampadd(DAY, ${v * 10}, bd)").as("_valid_from"))
+      db.submitTx(Seq(TxOp.Put("docs", docs,
+        validFrom = Some(col("_valid_from")))),
+        Some(ts(s"2025-06-0${v + 1} 00:00:00")))
+    }
+    eng
+  }
+
+  private val oracleBase = """
+      WITH base AS (
+        SELECT o_orderkey AS _id, o_orderkey % 3 AS mx,
+               CAST(DATE '2024-01-01' +
+                    CAST(o_orderkey % 20 AS INT) * INTERVAL 1 DAY AS TIMESTAMP) AS bd
+        FROM orders WHERE o_orderkey < 500),
+      ev AS (
+        SELECT _id, CAST(v AS BIGINT) AS version,
+               bd + v * 10 * INTERVAL 1 DAY AS vf
+        FROM base, (VALUES (0),(1),(2)) AS vv(v) WHERE mx >= v),
+      rect AS (
+        SELECT _id, version, vf,
+               lead(vf) OVER (PARTITION BY _id ORDER BY version) AS vt
+        FROM ev)"""
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // valid-time range read through the SQL text: rectangles overlapping
+    // [2024-01-15, 2024-01-22) at current system time
+    QueryDef("q75_sql_valid_range", (s, dir) => {
+      val eng = seedVersioned(s, dir)
+      eng.sql("""
+        SELECT _id, version,
+               CAST(unix_timestamp(_valid_from) AS BIGINT) AS vf_ep,
+               CAST(unix_timestamp(_valid_to) AS BIGINT) AS vt_ep
+        FROM docs FOR VALID_TIME FROM TIMESTAMP '2024-01-15 00:00:00'
+                                  TO TIMESTAMP '2024-01-22 00:00:00'
+        ORDER BY _id, version""")
+    }, Some(oracleBase + """
+      SELECT _id, version, CAST(epoch(vf) AS BIGINT) AS vf_ep,
+             CAST(epoch(vt) AS BIGINT) AS vt_ep
+      FROM rect
+      WHERE (vt IS NULL OR vt > TIMESTAMP '2024-01-15')
+        AND vf < TIMESTAMP '2024-01-22'
+      ORDER BY _id, version""")),
+
+    // system-time travel: AS OF point, FROM..TO range, ALL — one UNION ALL
+    // query exercising three temporal refs in a single statement
+    QueryDef("q76_sql_system_travel", (s, dir) => {
+      val eng = seedVersioned(s, dir)
+      eng.sql("""
+        SELECT 'asof2' AS probe, _id, version
+        FROM docs FOR SYSTEM_TIME AS OF TIMESTAMP '2025-06-02 12:00:00'
+        UNION ALL
+        SELECT 'range12' AS probe, _id, version
+        FROM docs FOR SYSTEM_TIME FROM TIMESTAMP '2025-06-01 12:00:00'
+                                   TO TIMESTAMP '2025-06-02 12:00:00'
+        UNION ALL
+        SELECT 'all' AS probe, _id, version FROM docs FOR ALL SYSTEM_TIME
+        ORDER BY probe, _id, version""")
+    }, Some("""
+      WITH base AS (
+        SELECT o_orderkey AS _id, o_orderkey % 3 AS mx
+        FROM orders WHERE o_orderkey < 500)
+      SELECT * FROM (
+        SELECT 'asof2' AS probe, _id, CAST(LEAST(mx, 1) AS BIGINT) AS version
+        FROM base
+        UNION ALL
+        SELECT 'range12', _id, CAST(0 AS BIGINT) FROM base
+        UNION ALL
+        SELECT 'range12', _id, 1 FROM base WHERE mx >= 1
+        UNION ALL
+        SELECT 'all', _id, CAST(v AS BIGINT)
+        FROM base, (VALUES (0),(1),(2)) AS vv(v) WHERE mx >= v)
+      ORDER BY probe, _id, version""")),
+
+    // SQL-text DML lifecycle: INSERT (API seed) → UPDATE → DELETE → PATCH →
+    // final snapshot; DuckDB recomputes the end state from orders directly
+    QueryDef("q77_sql_dml_lifecycle", (s, dir) => {
+      val (db, eng) = fresh(s)
+      val docs = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey").as("_id"),
+          col("o_totalprice").as("price"),
+          col("o_orderstatus").as("status"))
+      db.submitTx(Seq(TxOp.Put("accts", docs)))
+      eng.sql("UPDATE accts SET price = price * 2 WHERE _id % 5 = 0")
+      eng.sql("DELETE FROM accts WHERE _id % 7 = 0")
+      eng.sql("PATCH INTO accts RECORDS {_id: 2, note: 'a'}, {_id: 3, note: 'b'}")
+      eng.sql("SELECT _id, price, status, note FROM accts ORDER BY _id")
+    }, Some("""
+      SELECT o_orderkey AS _id,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price,
+             o_orderstatus AS status,
+             CASE WHEN o_orderkey = 2 THEN 'a'
+                  WHEN o_orderkey = 3 THEN 'b' END AS note
+      FROM orders
+      WHERE o_orderkey < 300 AND o_orderkey % 7 <> 0
+      ORDER BY _id"""))
+  )
+}

@@ -1,0 +1,134 @@
+package graft.sql
+
+import graft.XtSql
+import graft.bitemporal.{Bitemporal, TxOp, TxSnapshot, XtDb}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Executes parsed XT-dialect statements against an XtDb store
+  * (reference: the SQL planner core/src/main/clojure/xtdb/sql.clj routes
+  * query texts to the RA engine and DML texts to tx-ops,
+  * query.clj:478-495).
+  *
+  * Queries: temporal table refs become temp views over
+  * `Bitemporal.resolve` snapshots and the rest of the text is handed to
+  * Spark's parser/Catalyst verbatim — predicate pushdown, join planning,
+  * AQE all apply to the resolved views.
+  *
+  * DML: every statement maps to a `TxOp` and runs through `submitTx`, so
+  * a multi-statement transaction (`submitTxSql`) is atomic with one
+  * system time, and later statements see earlier staged effects.
+  */
+class XtSqlEngine(spark: SparkSession, db: XtDb) {
+
+  import XtSqlParser._
+  import XtSqlParser.XtStatement._
+
+  /** Execute one statement. SELECT/temporal queries return their result;
+    * DML executes (its own single-op transaction) and returns a one-row
+    * DataFrame with the assigned system time. */
+  def sql(text: String): DataFrame = parse(text) match {
+    case Query(pq) => runQuery(pq)
+    case dml =>
+      val ts = db.submitTx(Seq(toTxOp(dml)))
+      txInfo(ts)
+  }
+
+  /** Atomic multi-statement transaction (reference submit-tx with SQL op
+    * vector, api.clj:258-339). */
+  def submitTxSql(stmts: Seq[String],
+      systemTime: Option[java.sql.Timestamp] = None): java.sql.Timestamp =
+    db.submitTx(stmts.map(s => toTxOp(parse(s))), systemTime)
+
+  private def txInfo(ts: java.sql.Timestamp): DataFrame = {
+    import spark.implicits._
+    Seq(ts).toDF("system_time")
+  }
+
+  // ---- queries ------------------------------------------------------------
+
+  private def toSpec(ast: SpecAst): Bitemporal.TemporalSpec = ast match {
+    case SpecAst.Current => Bitemporal.TemporalSpec.Current
+    case SpecAst.All => Bitemporal.TemporalSpec.All
+    case SpecAst.AsOf(ts) =>
+      Bitemporal.TemporalSpec.AsOf(expr(ts).cast("timestamp"))
+    case SpecAst.Range(f, t, incl) =>
+      Bitemporal.TemporalSpec.Range(expr(f).cast("timestamp"),
+        expr(t).cast("timestamp"), incl)
+  }
+
+  def runQuery(pq: ParsedQuery): DataFrame = {
+    XtSql.registerFunctions(spark)
+    // bare table refs resolve under the query's default specs (views are
+    // lazy — registering every store table costs nothing)
+    db.tables.foreach { t =>
+      Bitemporal.resolve(db.events(t),
+        toSpec(pq.defaultValid), toSpec(pq.defaultSystem))
+        .createOrReplaceTempView(t)
+    }
+    val reps = pq.refs.zipWithIndex.map { case (r, i) =>
+      val view = s"__xt_${r.table}_$i"
+      Bitemporal.resolve(db.events(r.table), toSpec(r.valid), toSpec(r.system))
+        .createOrReplaceTempView(view)
+      (r.start, r.end, view)
+    }
+    spark.sql(SqlLexer.splice(pq.text, reps))
+  }
+
+  private def runQueryText(text: String): DataFrame =
+    runQuery(parseQuery(text))
+
+  // ---- DML → TxOp ---------------------------------------------------------
+
+  private def recordsDf(records: Seq[Record]): DataFrame =
+    records.map { rec =>
+      val items = rec.map { case (name, e) => s"($e) AS `$name`" }
+      spark.sql(s"SELECT ${items.mkString(", ")}")
+    }.reduce(_.unionByName(_, allowMissingColumns = true))
+
+  private def validCols(df: DataFrame): (Option[Column], Option[Column]) = (
+    if (df.columns.contains(Bitemporal.VF)) Some(col(Bitemporal.VF)) else None,
+    if (df.columns.contains(Bitemporal.VT)) Some(col(Bitemporal.VT)) else None)
+
+  private def rangeCols(valid: Option[ValidRange])
+      : (Option[Column], Option[Column]) = valid match {
+    case None => (None, None)
+    case Some((from, to)) =>
+      (Some(expr(from).cast("timestamp")),
+        to.map(t => expr(t).cast("timestamp")))
+  }
+
+  def toTxOp(stmt: XtStatement): TxOp = stmt match {
+    case Query(_) =>
+      throw SqlParseException("a SELECT is not a transaction operation")
+    case Insert(table, FromQuery(q)) =>
+      val docs = runQueryText(q)
+      val (vf, vt) = validCols(docs)
+      TxOp.Put(table, docs, vf, vt)
+    case Insert(table, FromRecords(recs)) =>
+      val docs = recordsDf(recs)
+      val (vf, vt) = validCols(docs)
+      TxOp.Put(table, docs, vf, vt)
+    case Update(table, valid, sets, where) =>
+      val (vf, vt) = rangeCols(valid)
+      TxOp.Update(table, where.map(expr).getOrElse(lit(true)),
+        sets.map { case (c, e) => c -> expr(e) }, vf, vt)
+    case Delete(table, valid, where) =>
+      val (vf, vt) = rangeCols(valid)
+      TxOp.DeleteWhere(table, where.map(expr).getOrElse(lit(true)), vf, vt)
+    case Erase(table, where) => TxOp.EraseWhere(table, expr(where))
+    case Patch(table, valid, recs) =>
+      val (vf, vt) = rangeCols(valid)
+      TxOp.Patch(table, recordsDf(recs), vf.map(f => (f, vt)))
+    case Assert(cond, label) =>
+      TxOp.Assert(label.getOrElse("ASSERT"), snap => assertDf(snap, cond))
+  }
+
+  /** ASSERT condition: tables resolve to the in-tx current snapshot, so a
+    * multi-op tx can assert over its own staged effects. */
+  private def assertDf(snap: TxSnapshot, cond: String): DataFrame = {
+    XtSql.registerFunctions(spark)
+    snap.tables.foreach(t => snap.current(t).createOrReplaceTempView(t))
+    spark.sql(s"SELECT ($cond) AS ok")
+  }
+}

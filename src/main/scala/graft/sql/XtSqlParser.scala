@@ -1,0 +1,501 @@
+package graft.sql
+
+/** Parser for the XT SQL dialect surface that Spark's parser does not know
+  * (reference grammar core/src/main/antlr/xtdb/antlr/Sql.g4):
+  *
+  *  - per-table-ref temporal clauses `FOR (VALID_TIME|SYSTEM_TIME)
+  *    (AS OF t | ALL | FROM a TO b | BETWEEN a AND b)` and
+  *    `FOR ALL (VALID_TIME|SYSTEM_TIME)` (Sql.g4:557-573)
+  *  - query-level `SETTING DEFAULT VALID_TIME …[, DEFAULT SYSTEM_TIME …]`
+  *  - SQL-text DML: INSERT / UPDATE / DELETE / ERASE / PATCH / ASSERT
+  *    (Sql.g4:19-35, routed to XtDb by XtSqlEngine)
+  *  - `RECORDS {k: v, …}` object-literal rows (Sql.g4:388-393)
+  *  - `NEST_ONE(SELECT …)` / `NEST_MANY(SELECT …)` (Sql.g4:283-284),
+  *    rewritten to Spark scalar subqueries over named_struct /
+  *    collect_list(named_struct)
+  *
+  * Everything inside expressions and query bodies is delegated verbatim to
+  * Spark's parser — this layer only lifts the XT-specific surface.
+  */
+object XtSqlParser {
+
+  // ---- AST ----------------------------------------------------------------
+
+  /** Textual temporal spec for one dimension; expression texts are resolved
+    * to Columns by the engine. */
+  sealed trait SpecAst
+  object SpecAst {
+    case object Current extends SpecAst
+    final case class AsOf(ts: String) extends SpecAst
+    case object All extends SpecAst
+    final case class Range(from: String, to: String, inclusiveEnd: Boolean)
+      extends SpecAst
+  }
+
+  /** A `table FOR …` occurrence: [start, end) span in the (nest-rewritten)
+    * query text to replace with a resolved snapshot view. */
+  final case class TemporalRef(table: String, valid: SpecAst,
+      system: SpecAst, start: Int, end: Int)
+
+  final case class ParsedQuery(text: String,
+      defaultValid: SpecAst, defaultSystem: SpecAst,
+      refs: Seq[TemporalRef])
+
+  /** One RECORDS literal: ordered (field → expression-text) pairs. */
+  type Record = Seq[(String, String)]
+
+  /** Valid-time bound pair for DML: (from, Option(to)). */
+  type ValidRange = (String, Option[String])
+
+  sealed trait XtStatement
+  object XtStatement {
+    final case class Query(parsed: ParsedQuery) extends XtStatement
+    final case class Insert(table: String, source: InsertSource)
+      extends XtStatement
+    sealed trait InsertSource
+    /** SQL text (SELECT/WITH, or the VALUES clause wrapped for Spark). */
+    final case class FromQuery(sql: String) extends InsertSource
+    final case class FromRecords(records: Seq[Record]) extends InsertSource
+    final case class Update(table: String, valid: Option[ValidRange],
+        sets: Seq[(String, String)], where: Option[String]) extends XtStatement
+    final case class Delete(table: String, valid: Option[ValidRange],
+        where: Option[String]) extends XtStatement
+    final case class Erase(table: String, where: String) extends XtStatement
+    final case class Patch(table: String, valid: Option[ValidRange],
+        records: Seq[Record]) extends XtStatement
+    final case class Assert(cond: String, label: Option[String])
+      extends XtStatement
+  }
+
+  final case class SqlParseException(msg: String)
+    extends RuntimeException(msg)
+
+  // ---- entry --------------------------------------------------------------
+
+  def parse(sql: String): XtStatement = {
+    val toks = SqlLexer.tokenize(sql)
+    if (toks.isEmpty) throw SqlParseException("empty statement")
+    toks.head.upper match {
+      case "INSERT" => parseInsert(sql, toks)
+      case "UPDATE" => parseUpdate(sql, toks)
+      case "DELETE" => parseDelete(sql, toks)
+      case "ERASE" => parseErase(sql, toks)
+      case "PATCH" => parsePatch(sql, toks)
+      case "ASSERT" => parseAssert(sql, toks)
+      case _ => XtStatement.Query(parseQuery(sql))
+    }
+  }
+
+  // ---- query path ---------------------------------------------------------
+
+  def parseQuery(sql: String): ParsedQuery = {
+    var toks = SqlLexer.tokenize(sql)
+    // 1. SETTING DEFAULT … prefix
+    var defaultValid: SpecAst = SpecAst.Current
+    var defaultSystem: SpecAst = SpecAst.Current
+    var body = sql
+    if (toks.nonEmpty && toks.head.is("SETTING")) {
+      var i = 1
+      var done = false
+      while (!done) {
+        expect(toks, i, "DEFAULT"); i += 1
+        val dim = dimAt(toks, i); i += 1
+        val (spec, next) = parseSpecTail(sql, toks, i)
+        if (dim == "VALID_TIME") defaultValid = spec else defaultSystem = spec
+        i = next
+        if (i < toks.length && toks(i).isPunct(",")) i += 1 else done = true
+      }
+      body = sql.substring(if (i < toks.length) toks(i).start else sql.length)
+    }
+    // 2. NEST_ONE / NEST_MANY → scalar subqueries (loop: outermost first,
+    //    re-tokenize so nested occurrences and inner temporal refs are seen)
+    var guard = 0
+    var rewritten = rewriteOneNest(body)
+    while (rewritten.isDefined && guard < 64) {
+      body = rewritten.get
+      rewritten = rewriteOneNest(body)
+      guard += 1
+    }
+    // 3. temporal table refs
+    toks = SqlLexer.tokenize(body)
+    val refs = Vector.newBuilder[TemporalRef]
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val isIdent = t.kind == Tok.Ident || t.kind == Tok.QIdent
+      if (isIdent && i + 2 < toks.length && toks(i + 1).is("FOR") &&
+          startsTemporalSpec(toks, i + 2)) {
+        var j = i + 1
+        var valid: Option[SpecAst] = None
+        var system: Option[SpecAst] = None
+        while (j < toks.length && toks(j).is("FOR") &&
+            startsTemporalSpec(toks, j + 1)) {
+          val (dim, spec, next) = parseForClause(body, toks, j)
+          if (dim == "VALID_TIME") valid = Some(spec) else system = Some(spec)
+          j = next
+        }
+        val tableName =
+          if (t.kind == Tok.QIdent) t.text.substring(1, t.text.length - 1)
+          else t.text
+        refs += TemporalRef(tableName,
+          valid.getOrElse(SpecAst.Current), system.getOrElse(SpecAst.Current),
+          t.start, toks(j - 1).end)
+        i = j
+      } else i += 1
+    }
+    ParsedQuery(body, defaultValid, defaultSystem, refs.result())
+  }
+
+  private def dimAt(toks: Vector[Tok], i: Int): String = {
+    if (i >= toks.length ||
+      (!toks(i).is("VALID_TIME") && !toks(i).is("SYSTEM_TIME")))
+      throw SqlParseException(
+        s"expected VALID_TIME or SYSTEM_TIME at ${pos(toks, i)}")
+    toks(i).upper
+  }
+
+  private def pos(toks: Vector[Tok], i: Int): String =
+    if (i < toks.length) s"offset ${toks(i).start} ('${toks(i).text}')"
+    else "end of input"
+
+  private def expect(toks: Vector[Tok], i: Int, kw: String): Unit =
+    if (i >= toks.length || !toks(i).is(kw))
+      throw SqlParseException(s"expected $kw at ${pos(toks, i)}")
+
+  /** Does `FOR <here>` open a temporal clause? (Guards against
+    * `substring(x FROM 1 FOR 3)` and similar.) */
+  private def startsTemporalSpec(toks: Vector[Tok], i: Int): Boolean =
+    i < toks.length && (toks(i).is("VALID_TIME") || toks(i).is("SYSTEM_TIME") ||
+      (toks(i).is("ALL") && i + 1 < toks.length &&
+        (toks(i + 1).is("VALID_TIME") || toks(i + 1).is("SYSTEM_TIME"))))
+
+  /** Parse `FOR …` at token i (which must be FOR); returns (dim, spec,
+    * next-token-index). */
+  private def parseForClause(sql: String, toks: Vector[Tok],
+      i: Int): (String, SpecAst, Int) = {
+    var j = i + 1
+    if (toks(j).is("ALL")) { // FOR ALL <dim>
+      val dim = dimAt(toks, j + 1)
+      (dim, SpecAst.All, j + 2)
+    } else {
+      val dim = dimAt(toks, j)
+      j += 1
+      val (spec, next) = parseSpecTail(sql, toks, j)
+      (dim, spec, next)
+    }
+  }
+
+  /** Parse the spec after the dimension keyword:
+    * `AS OF e | ALL | FROM a TO b | BETWEEN a AND b`. */
+  private def parseSpecTail(sql: String, toks: Vector[Tok],
+      i0: Int): (SpecAst, Int) = {
+    var i = i0
+    if (i >= toks.length)
+      throw SqlParseException("dangling temporal clause at end of input")
+    if (toks(i).is("ALL")) (SpecAst.All, i + 1)
+    else if (toks(i).is("AS")) {
+      expect(toks, i + 1, "OF")
+      val (ts, next) = parseTsExpr(sql, toks, i + 2)
+      (SpecAst.AsOf(ts), next)
+    } else if (toks(i).is("FROM")) {
+      val (from, n1) = parseTsExpr(sql, toks, i + 1)
+      expect(toks, n1, "TO")
+      val (to, n2) = parseTsExpr(sql, toks, n1 + 1)
+      (SpecAst.Range(from, to, inclusiveEnd = false), n2)
+    } else if (toks(i).is("BETWEEN")) {
+      val (from, n1) = parseTsExpr(sql, toks, i + 1)
+      expect(toks, n1, "AND")
+      val (to, n2) = parseTsExpr(sql, toks, n1 + 1)
+      (SpecAst.Range(from, to, inclusiveEnd = true), n2)
+    } else throw SqlParseException(
+      s"malformed temporal clause at ${pos(toks, i)}: " +
+        "expected AS OF | ALL | FROM … TO … | BETWEEN … AND …")
+  }
+
+  /** A timestamp-valued primary: `[TIMESTAMP|DATE] 'lit'`,
+    * `CURRENT_TIMESTAMP/CURRENT_DATE/LOCALTIMESTAMP`, `NOW()`, or a
+    * parenthesized expression. Returns its source text. */
+  private def parseTsExpr(sql: String, toks: Vector[Tok],
+      i: Int): (String, Int) = {
+    if (i >= toks.length)
+      throw SqlParseException("expected timestamp expression at end of input")
+    val t = toks(i)
+    if ((t.is("TIMESTAMP") || t.is("DATE")) && i + 1 < toks.length &&
+        toks(i + 1).kind == Tok.Str)
+      (sql.substring(t.start, toks(i + 1).end), i + 2)
+    else if (t.kind == Tok.Str) (t.text, i + 1)
+    else if (t.is("CURRENT_TIMESTAMP") || t.is("CURRENT_DATE") ||
+        t.is("LOCALTIMESTAMP")) (t.text, i + 1)
+    else if (t.is("NOW") && i + 2 < toks.length && toks(i + 1).isPunct("(") &&
+        toks(i + 2).isPunct(")")) ("current_timestamp", i + 3)
+    else if (t.isPunct("(")) {
+      val close = matchParen(toks, i)
+      (sql.substring(t.start, toks(close).end), close + 1)
+    } else throw SqlParseException(
+      s"expected timestamp literal/expression at ${pos(toks, i)}")
+  }
+
+  /** Index of the ')' matching the '(' at `open`. */
+  private def matchParen(toks: Vector[Tok], open: Int): Int = {
+    var depth = 0
+    var i = open
+    while (i < toks.length) {
+      if (toks(i).isPunct("(")) depth += 1
+      else if (toks(i).isPunct(")")) {
+        depth -= 1
+        if (depth == 0) return i
+      }
+      i += 1
+    }
+    throw SqlParseException(s"unbalanced parentheses from ${pos(toks, open)}")
+  }
+
+  // ---- NEST_ONE / NEST_MANY ----------------------------------------------
+
+  /** Rewrite the first NEST_ONE/NEST_MANY call found; None if none left. */
+  private def rewriteOneNest(sql: String): Option[String] = {
+    val toks = SqlLexer.tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if ((t.is("NEST_ONE") || t.is("NEST_MANY")) && i + 1 < toks.length &&
+          toks(i + 1).isPunct("(")) {
+        val close = matchParen(toks, i + 1)
+        val inner = rewriteNestBody(sql, toks, i + 2, close, t.is("NEST_MANY"))
+        return Some(SqlLexer.splice(sql,
+          Seq((t.start, toks(close).end, inner))))
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** `(SELECT items FROM rest)` → scalar subquery text. */
+  private def rewriteNestBody(sql: String, toks: Vector[Tok], start: Int,
+      close: Int, many: Boolean): String = {
+    expect(toks, start, "SELECT")
+    // find top-level FROM
+    var depth = 0
+    var fromIdx = -1
+    var i = start + 1
+    while (i < close && fromIdx < 0) {
+      if (toks(i).isPunct("(")) depth += 1
+      else if (toks(i).isPunct(")")) depth -= 1
+      else if (depth == 0 && toks(i).is("FROM")) fromIdx = i
+      i += 1
+    }
+    if (fromIdx < 0)
+      throw SqlParseException("NEST_* subquery must have a FROM clause")
+    // split select items at top-level commas
+    val items = Vector.newBuilder[(Int, Int)] // token index ranges
+    var d = 0
+    var s = start + 1
+    i = start + 1
+    while (i < fromIdx) {
+      if (toks(i).isPunct("(")) d += 1
+      else if (toks(i).isPunct(")")) d -= 1
+      else if (d == 0 && toks(i).isPunct(",")) { items += ((s, i)); s = i + 1 }
+      i += 1
+    }
+    items += ((s, fromIdx))
+    val itemList = items.result()
+    val fields = itemList.zipWithIndex.map { case ((a, b), idx) =>
+      val (exprEnd, name) =
+        if (b - a >= 2 && toks(b - 2).is("AS") &&
+            (toks(b - 1).kind == Tok.Ident || toks(b - 1).kind == Tok.QIdent))
+          (b - 2, identName(toks(b - 1)))
+        else if (toks(b - 1).kind == Tok.Ident &&
+            (b - a == 1 || (b - a >= 2 && toks(b - 2).isPunct("."))))
+          (b, identName(toks(b - 1))) // bare column / dotted path
+        else (b, s"col${idx + 1}")
+      val exprText = sql.substring(toks(a).start, toks(exprEnd - 1).end)
+      s"'$name', ($exprText)"
+    }
+    val struct = s"named_struct(${fields.mkString(", ")})"
+    val rest = sql.substring(toks(fromIdx).start, toks(close - 1).end)
+    if (many) s"(SELECT collect_list($struct) $rest)"
+    else s"(SELECT $struct $rest)"
+  }
+
+  private def identName(t: Tok): String =
+    if (t.kind == Tok.QIdent) t.text.substring(1, t.text.length - 1)
+    else t.text
+
+  // ---- DML ----------------------------------------------------------------
+
+  private def tableNameAt(toks: Vector[Tok], i: Int): String = {
+    if (i >= toks.length ||
+      (toks(i).kind != Tok.Ident && toks(i).kind != Tok.QIdent))
+      throw SqlParseException(s"expected table name at ${pos(toks, i)}")
+    identName(toks(i))
+  }
+
+  /** Optional `FOR [PORTION OF] VALID_TIME FROM a [TO b]`; returns (range,
+    * next index). */
+  private def parseDmlValid(sql: String, toks: Vector[Tok],
+      i0: Int): (Option[ValidRange], Int) = {
+    var i = i0
+    if (i < toks.length && toks(i).is("FOR")) {
+      i += 1
+      if (i + 1 < toks.length && toks(i).is("PORTION") && toks(i + 1).is("OF"))
+        i += 2
+      expect(toks, i, "VALID_TIME"); i += 1
+      expect(toks, i, "FROM"); i += 1
+      val (from, n1) = parseTsExpr(sql, toks, i)
+      i = n1
+      if (i < toks.length && toks(i).is("TO")) {
+        val (to, n2) = parseTsExpr(sql, toks, i + 1)
+        (Some((from, Some(to))), n2)
+      } else (Some((from, None)), i)
+    } else (None, i)
+  }
+
+  private def restText(sql: String, toks: Vector[Tok], i: Int): String =
+    if (i < toks.length) sql.substring(toks(i).start) else ""
+
+  private def parseInsert(sql: String, toks: Vector[Tok]): XtStatement = {
+    expect(toks, 1, "INTO")
+    val table = tableNameAt(toks, 2)
+    var i = 3
+    // optional (col, col, …) list
+    var cols: Option[Seq[String]] = None
+    if (i < toks.length && toks(i).isPunct("(")) {
+      val close = matchParen(toks, i)
+      cols = Some((i + 1 until close).filter(k =>
+        toks(k).kind == Tok.Ident || toks(k).kind == Tok.QIdent)
+        .map(k => identName(toks(k))))
+      i = close + 1
+    }
+    if (i < toks.length && toks(i).is("RECORDS"))
+      XtStatement.Insert(table,
+        XtStatement.FromRecords(parseRecords(sql, toks, i + 1)._1))
+    else if (i < toks.length && toks(i).is("VALUES")) {
+      val colList = cols.getOrElse(throw SqlParseException(
+        "INSERT … VALUES requires an explicit column list"))
+      val valuesText = restText(sql, toks, i + 1)
+      XtStatement.Insert(table, XtStatement.FromQuery(
+        s"SELECT * FROM (VALUES $valuesText) AS __ins(${colList.mkString(", ")})"))
+    } else {
+      val q = restText(sql, toks, i)
+      if (q.isEmpty) throw SqlParseException("INSERT without a source")
+      XtStatement.Insert(table, XtStatement.FromQuery(q))
+    }
+  }
+
+  private def parseUpdate(sql: String, toks: Vector[Tok]): XtStatement = {
+    val table = tableNameAt(toks, 1)
+    val (valid, afterValid) = parseDmlValid(sql, toks, 2)
+    expect(toks, afterValid, "SET")
+    var i = afterValid + 1
+    val sets = Vector.newBuilder[(String, String)]
+    var whereIdx = -1
+    var done = false
+    while (!done) {
+      val name = identName(toks(i))
+      if (!toks(i + 1).isPunct("="))
+        throw SqlParseException(s"expected = at ${pos(toks, i + 1)}")
+      var j = i + 2
+      var d = 0
+      // expression runs to top-level ',' or WHERE or end
+      while (j < toks.length && !(d == 0 && (toks(j).isPunct(",") ||
+          toks(j).is("WHERE")))) {
+        if (toks(j).isPunct("(")) d += 1
+        else if (toks(j).isPunct(")")) d -= 1
+        j += 1
+      }
+      sets += ((name, sql.substring(toks(i + 2).start, toks(j - 1).end)))
+      if (j >= toks.length) done = true
+      else if (toks(j).is("WHERE")) { whereIdx = j; done = true }
+      else i = j + 1 // skip ','
+    }
+    val where =
+      if (whereIdx >= 0) Some(restText(sql, toks, whereIdx + 1)) else None
+    XtStatement.Update(table, valid, sets.result(), where)
+  }
+
+  private def parseDelete(sql: String, toks: Vector[Tok]): XtStatement = {
+    expect(toks, 1, "FROM")
+    val table = tableNameAt(toks, 2)
+    val (valid, i) = parseDmlValid(sql, toks, 3)
+    val where =
+      if (i < toks.length && toks(i).is("WHERE"))
+        Some(restText(sql, toks, i + 1))
+      else if (i < toks.length)
+        throw SqlParseException(s"unexpected tokens at ${pos(toks, i)}")
+      else None
+    XtStatement.Delete(table, valid, where)
+  }
+
+  private def parseErase(sql: String, toks: Vector[Tok]): XtStatement = {
+    expect(toks, 1, "FROM")
+    val table = tableNameAt(toks, 2)
+    expect(toks, 3, "WHERE")
+    XtStatement.Erase(table, restText(sql, toks, 4))
+  }
+
+  private def parsePatch(sql: String, toks: Vector[Tok]): XtStatement = {
+    expect(toks, 1, "INTO")
+    val table = tableNameAt(toks, 2)
+    val (valid, i) = parseDmlValid(sql, toks, 3)
+    expect(toks, i, "RECORDS")
+    XtStatement.Patch(table, valid, parseRecords(sql, toks, i + 1)._1)
+  }
+
+  private def parseAssert(sql: String, toks: Vector[Tok]): XtStatement = {
+    // ASSERT <cond> [, 'message']  — message must be a trailing string lit
+    val last = toks.last
+    if (toks.length >= 3 && last.kind == Tok.Str &&
+        toks(toks.length - 2).isPunct(",")) {
+      val cond = sql.substring(toks(1).start, toks(toks.length - 3).end)
+      XtStatement.Assert(cond,
+        Some(last.text.substring(1, last.text.length - 1)))
+    } else XtStatement.Assert(restText(sql, toks, 1), None)
+  }
+
+  /** `{k: expr, …}, {…}, …` — returns records + next index. */
+  private def parseRecords(sql: String, toks: Vector[Tok],
+      i0: Int): (Seq[Record], Int) = {
+    val records = Vector.newBuilder[Record]
+    var i = i0
+    var more = true
+    while (more) {
+      if (i >= toks.length || !toks(i).isPunct("{"))
+        throw SqlParseException(s"expected {{ at ${pos(toks, i)}")
+      val (rec, next) = parseRecord(sql, toks, i)
+      records += rec
+      i = next
+      if (i < toks.length && toks(i).isPunct(",")) i += 1 else more = false
+    }
+    (records.result(), i)
+  }
+
+  private def parseRecord(sql: String, toks: Vector[Tok],
+      open: Int): (Record, Int) = {
+    val fields = Vector.newBuilder[(String, String)]
+    var i = open + 1
+    while (!toks(i).isPunct("}")) {
+      val name = toks(i).kind match {
+        case Tok.Ident | Tok.QIdent => identName(toks(i))
+        case Tok.Str => toks(i).text.substring(1, toks(i).text.length - 1)
+        case _ =>
+          throw SqlParseException(s"expected field name at ${pos(toks, i)}")
+      }
+      if (!toks(i + 1).isPunct(":"))
+        throw SqlParseException(s"expected : at ${pos(toks, i + 1)}")
+      var j = i + 2
+      var d = 0
+      while (!(d == 0 && (toks(j).isPunct(",") || toks(j).isPunct("}")))) {
+        if (toks(j).isPunct("(") || toks(j).isPunct("[") ||
+          toks(j).isPunct("{")) d += 1
+        else if (toks(j).isPunct(")") || toks(j).isPunct("]") ||
+          toks(j).isPunct("}")) d -= 1
+        j += 1
+        if (j >= toks.length)
+          throw SqlParseException("unterminated record literal")
+      }
+      fields += ((name, sql.substring(toks(i + 2).start, toks(j - 1).end)))
+      i = if (toks(j).isPunct(",")) j + 1 else j
+    }
+    (fields.result(), i + 1)
+  }
+}

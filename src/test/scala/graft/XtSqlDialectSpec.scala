@@ -1,0 +1,213 @@
+package graft
+
+import graft.bitemporal.{TxAbortedException, XtDb}
+import graft.sql.XtSqlEngine
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The XT SQL dialect surface end-to-end: temporal table-ref clauses,
+  * SETTING DEFAULT, SQL-text DML (INSERT/UPDATE/DELETE/ERASE/PATCH/ASSERT),
+  * RECORDS literals, NEST_ONE/NEST_MANY, multi-statement transactions.
+  * Scenarios mirror reference src/test/clojure/xtdb/as_of_test.clj,
+  * sql/temporal_test.clj and sql/patch_test.clj. */
+class XtSqlDialectSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def fresh(): (XtDb, XtSqlEngine) = {
+    val db = new XtDb(spark,
+      java.nio.file.Files.createTempDirectory("xtsqldialect").toString)
+    (db, new XtSqlEngine(spark, db))
+  }
+
+  test("system-time travel: AS OF, BETWEEN, FROM..TO, ALL") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    import graft.bitemporal.TxOp
+    db.submitTx(Seq(TxOp.Put("d", Seq((1L, 0L)).toDF("_id", "v"))),
+      Some(ts("2024-01-01 00:00:00")))
+    db.submitTx(Seq(TxOp.Put("d", Seq((1L, 1L)).toDF("_id", "v"))),
+      Some(ts("2024-02-01 00:00:00")))
+    db.submitTx(Seq(TxOp.Put("d", Seq((1L, 2L)).toDF("_id", "v"))),
+      Some(ts("2024-03-01 00:00:00")))
+
+    def vs(q: String): Seq[Long] =
+      eng.sql(q).select("v").as[Long].collect().toSeq.sorted
+
+    assert(vs("SELECT v FROM d") == Seq(2L))
+    assert(vs("SELECT v FROM d FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-15 00:00:00'")
+      == Seq(0L))
+    assert(vs("SELECT v FROM d FOR SYSTEM_TIME AS OF TIMESTAMP '2024-02-15 00:00:00'")
+      == Seq(1L))
+    // range: versions whose system interval overlaps [from, to)
+    assert(vs("SELECT v FROM d FOR SYSTEM_TIME FROM TIMESTAMP '2024-01-15 00:00:00' TO TIMESTAMP '2024-02-15 00:00:00'")
+      == Seq(0L, 1L))
+    // BETWEEN is end-inclusive: system_from == upper bound is included
+    assert(vs("SELECT v FROM d FOR SYSTEM_TIME BETWEEN TIMESTAMP '2024-01-15 00:00:00' AND TIMESTAMP '2024-03-01 00:00:00'")
+      == Seq(0L, 1L, 2L))
+    assert(vs("SELECT v FROM d FOR ALL SYSTEM_TIME") == Seq(0L, 1L, 2L))
+    // valid-time travel: v=1 superseded v=0 in valid time from its put
+    assert(vs("SELECT v FROM d FOR VALID_TIME AS OF TIMESTAMP '2024-01-15 00:00:00'")
+      == Seq(0L))
+  }
+
+  test("SETTING DEFAULT applies to bare refs; explicit clause wins") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    import graft.bitemporal.TxOp
+    db.submitTx(Seq(TxOp.Put("s", Seq((1L, 10L)).toDF("_id", "v"))),
+      Some(ts("2024-01-01 00:00:00")))
+    db.submitTx(Seq(TxOp.Put("s", Seq((1L, 20L)).toDF("_id", "v"))),
+      Some(ts("2024-02-01 00:00:00")))
+    import spark.implicits._
+    val r = eng.sql("""SETTING DEFAULT SYSTEM_TIME AS OF TIMESTAMP '2024-01-15 00:00:00'
+      SELECT a.v AS old_v, b.v AS new_v
+      FROM s a, s FOR SYSTEM_TIME AS OF TIMESTAMP '2024-02-15 00:00:00' b""")
+      .as[(Long, Long)].collect().toSeq
+    assert(r == Seq((10L, 20L)))
+  }
+
+  test("both temporal dims on one table ref") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    import graft.bitemporal.TxOp
+    // v0 valid from 2024-01-01; later rewritten retroactively at sys 02-01
+    db.submitTx(Seq(TxOp.Put("b", Seq((1L, 0L)).toDF("_id", "v"),
+      validFrom = Some(lit("2024-01-01 00:00:00")))),
+      Some(ts("2024-01-01 00:00:00")))
+    db.submitTx(Seq(TxOp.Put("b", Seq((1L, 1L)).toDF("_id", "v"),
+      validFrom = Some(lit("2024-01-01 00:00:00")))),
+      Some(ts("2024-02-01 00:00:00")))
+    import spark.implicits._
+    def one(q: String): Long = eng.sql(q).select("v").as[Long].collect().head
+    // valid 01-15 at system 01-15: the original
+    assert(one("""SELECT v FROM b FOR VALID_TIME AS OF TIMESTAMP '2024-01-15 00:00:00'
+      FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-15 00:00:00'""") == 0L)
+    // same valid point, later system time: the retroactive correction
+    assert(one("""SELECT v FROM b FOR VALID_TIME AS OF TIMESTAMP '2024-01-15 00:00:00'
+      FOR SYSTEM_TIME AS OF TIMESTAMP '2024-02-15 00:00:00'""") == 1L)
+  }
+
+  test("SQL DML: INSERT VALUES / RECORDS / SELECT, UPDATE, DELETE, ERASE") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    eng.sql("INSERT INTO people (_id, name, age) VALUES (1, 'ada', 36), (2, 'alan', 41)")
+    eng.sql("INSERT INTO people RECORDS {_id: 3, name: 'grace', age: 45, team: 'navy'}")
+    assert(eng.sql("SELECT name FROM people ORDER BY _id")
+      .as[String].collect().toSeq == Seq("ada", "alan", "grace"))
+    // dynamic column: team only on grace
+    assert(eng.sql("SELECT count(*) AS n FROM people WHERE team IS NULL")
+      .as[Long].collect().head == 2L)
+
+    eng.sql("UPDATE people SET age = age + 1 WHERE name = 'ada'")
+    assert(eng.sql("SELECT age FROM people WHERE _id = 1")
+      .as[Long].collect().toSeq == Seq(37L))
+
+    // INSERT … SELECT (with a temporal ref on the source)
+    eng.sql("INSERT INTO seniors SELECT _id, name FROM people WHERE age > 40")
+    assert(eng.sql("SELECT count(*) AS n FROM seniors").as[Long].collect().head == 2L)
+
+    eng.sql("DELETE FROM people WHERE name = 'alan'")
+    assert(eng.sql("SELECT count(*) AS n FROM people").as[Long].collect().head == 2L)
+    // deleted rows remain in history
+    assert(eng.sql("SELECT count(*) AS n FROM people FOR ALL SYSTEM_TIME WHERE name = 'alan'")
+      .as[Long].collect().head >= 1L)
+
+    eng.sql("ERASE FROM people WHERE _id = 1")
+    assert(eng.sql("SELECT count(*) AS n FROM people FOR ALL SYSTEM_TIME FOR ALL VALID_TIME WHERE _id = 1")
+      .as[Long].collect().head == 0L)
+  }
+
+  test("PATCH: current-version merge and valid-time gap filling") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    eng.sql("INSERT INTO cfg RECORDS {_id: 1, a: 'x', b: 'y'}")
+    eng.sql("PATCH INTO cfg RECORDS {_id: 1, b: 'y2', c: 'z'}")
+    val r = eng.sql("SELECT a, b, c FROM cfg WHERE _id = 1")
+      .as[(String, String, String)].collect().head
+    assert(r == (("x", "y2", "z")))
+
+    // gap filling (reference patch_test.clj): doc exists over
+    // [03-01, 03-10); patch over [02-20, 03-20) must fill the gaps
+    // [02-20,03-01) and [03-10,03-20) with patch-only docs and merge over
+    // the overlap
+    eng.sql("""INSERT INTO gap (_id, v, _valid_from, _valid_to)
+      VALUES (7, 'orig', TIMESTAMP '2024-03-01 00:00:00', TIMESTAMP '2024-03-10 00:00:00')""")
+    eng.sql("""PATCH INTO gap FOR VALID_TIME FROM TIMESTAMP '2024-02-20 00:00:00'
+      TO TIMESTAMP '2024-03-20 00:00:00' RECORDS {_id: 7, p: 'patched'}""")
+    def at(t: String): Option[(Option[String], Option[String])] =
+      eng.sql(s"SELECT v, p FROM gap FOR VALID_TIME AS OF TIMESTAMP '$t' WHERE _id = 7")
+        .as[(Option[String], Option[String])].collect().headOption
+    assert(at("2024-02-15 00:00:00").isEmpty) // before patch range
+    assert(at("2024-02-25 00:00:00").contains((None, Some("patched")))) // head gap
+    assert(at("2024-03-05 00:00:00").contains((Some("orig"), Some("patched")))) // merged
+    assert(at("2024-03-15 00:00:00").contains((None, Some("patched")))) // tail gap
+    assert(at("2024-03-25 00:00:00").isEmpty) // after patch range
+  }
+
+  test("ASSERT and atomic multi-statement transactions") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    eng.sql("INSERT INTO acct RECORDS {_id: 1, bal: 100}")
+
+    // passing multi-statement tx: transfer with invariant
+    eng.submitTxSql(Seq(
+      "INSERT INTO acct RECORDS {_id: 2, bal: 50}",
+      "UPDATE acct SET bal = bal - 30 WHERE _id = 1",
+      "ASSERT (SELECT min(bal) FROM acct) >= 0, 'no overdraft'"))
+    assert(eng.sql("SELECT sum(bal) AS s FROM acct").as[Long].collect().head == 120L)
+
+    // failing tx rolls everything back
+    intercept[TxAbortedException] {
+      eng.submitTxSql(Seq(
+        "UPDATE acct SET bal = bal - 1000 WHERE _id = 1",
+        "ASSERT (SELECT min(bal) FROM acct) >= 0, 'no overdraft'"))
+    }
+    assert(eng.sql("SELECT sum(bal) AS s FROM acct").as[Long].collect().head == 120L)
+  }
+
+  test("NEST_MANY / NEST_ONE build nested results") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    eng.sql("INSERT INTO authors (_id, aname) VALUES (1, 'knuth'), (2, 'dijkstra')")
+    eng.sql("""INSERT INTO books (_id, author_id, title) VALUES
+      (10, 1, 'taocp1'), (11, 1, 'taocp2'), (12, 2, 'ewd')""")
+    val r = eng.sql("""
+      SELECT a.aname AS aname,
+             NEST_MANY(SELECT b.title AS title FROM books b
+                       WHERE b.author_id = a._id) AS bs
+      FROM authors a ORDER BY a.aname""")
+    val rows = r.collect()
+    assert(rows.length == 2)
+    val byName = rows.map(x => x.getString(0) ->
+      x.getSeq[org.apache.spark.sql.Row](1).map(_.getString(0)).sorted).toMap
+    assert(byName("knuth") == Seq("taocp1", "taocp2"))
+    assert(byName("dijkstra") == Seq("ewd"))
+
+    val one = eng.sql("""
+      SELECT b.title AS title,
+             NEST_ONE(SELECT a.aname AS aname FROM authors a
+                      WHERE a._id = b.author_id) AS author
+      FROM books b WHERE b._id = 12""").collect().head
+    assert(one.getStruct(1).getString(0) == "dijkstra")
+  }
+
+  test("lexer safety: FOR/table words inside string literals are untouched") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    eng.sql("INSERT INTO notes RECORDS {_id: 1, txt: 'orders FOR SYSTEM_TIME AS OF tomorrow'}")
+    assert(eng.sql("SELECT txt FROM notes").as[String].collect().head
+      .contains("FOR SYSTEM_TIME"))
+    // substring(x FROM 1 FOR 3) must not parse as a temporal clause
+    assert(eng.sql("SELECT substring(txt FROM 1 FOR 6) AS s FROM notes")
+      .as[String].collect().head == "orders")
+  }
+}
