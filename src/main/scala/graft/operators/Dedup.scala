@@ -44,14 +44,21 @@ object Dedup {
     * materialised once per row, then the N mins are cheap substring scans. */
   def minHashSignatures(docs: DataFrame, textCol: String, idCol: String,
       numHashes: Int): DataFrame = {
-    require(numHashes <= 8, "md5 provides 8 disjoint 4-hex windows")
-    val hashes = (1 to numHashes).map(i =>
-      array_min(transform(col("__md5"), m =>
-        substring(m, 4 * (i - 1) + 1, 4))).as(s"h$i"))
-    docs.filter(size(split(col(textCol), " ")) >= 3)
+    require(numHashes <= 16,
+      "two salted md5 digests provide 16 disjoint 4-hex windows")
+    val hashes = (1 to numHashes).map { i =>
+      val (src, w) = if (i <= 8) ("__md5", i) else ("__md5b", i - 8)
+      array_min(transform(col(src), m =>
+        substring(m, 4 * (w - 1) + 1, 4))).as(s"h$i")
+    }
+    val base = docs.filter(size(split(col(textCol), " ")) >= 3)
       .withColumn("__sh", shingles(col(textCol), 3))
       .withColumn("__md5", transform(col("__sh"), s => md5(s)))
-      .select(col(idCol) +: hashes: _*)
+    val withB =
+      if (numHashes <= 8) base
+      else base.withColumn("__md5b",
+        transform(col("__sh"), s => md5(concat(s, lit("#2")))))
+    withB.select(col(idCol) +: hashes: _*)
   }
 
   /** LSH banding over a signature frame (h1..hN in `bands` bands of
@@ -76,15 +83,53 @@ object Dedup {
     * sides of the self-join runs once — the Spark analogue of the
     * reference's `:let` bound-relation materialization
     * (reference: core/src/main/clojure/xtdb/operator/let.clj:12-62). */
-  def lshCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame = {
+  def lshCandidatePairs(bandsDf: DataFrame, idCol: String): DataFrame =
+    lshCandidatePairs(bandsDf, idCol, maxBucketSize = 0)
+
+  /** Candidate pairs with a per-bucket size cap: buckets holding more than
+    * `maxBucketSize` members are excluded from the self-join. Without a
+    * cap, a degenerate corpus (N identical boilerplate docs) lands all N in
+    * one bucket and the join task is O(N²); with it, worst-case work per
+    * bucket is bounded at cap² regardless of corpus size. A dropped mega-
+    * bucket is almost pure boilerplate — catch those with `exactGroups`
+    * first (identical texts hash identically), and report what was skipped
+    * via `lshBucketStats` (no silent truncation). `maxBucketSize <= 0`
+    * disables the cap. */
+  def lshCandidatePairs(bandsDf: DataFrame, idCol: String,
+      maxBucketSize: Int): DataFrame = {
     val cached = bandsDf.persist(
       org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val a = cached.select(col("band"), col("band_hash"), col(idCol).as("id1"))
-    val b = cached.select(col("band"), col("band_hash"), col(idCol).as("id2"))
+    val eligible =
+      if (maxBucketSize <= 0) cached
+      else {
+        // same (band, band_hash) shuffle key as the join itself, so AQE
+        // reuses the exchange; the kept-buckets side is tiny
+        val ok = cached.groupBy("band", "band_hash")
+          .agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize)
+          .select("band", "band_hash")
+        cached.join(ok, Seq("band", "band_hash"))
+      }
+    val a = eligible.select(col("band"), col("band_hash"), col(idCol).as("id1"))
+    val b = eligible.select(col("band"), col("band_hash"), col(idCol).as("id2"))
     a.join(b, Seq("band", "band_hash"))
       .filter(col("id1") < col("id2"))
       .select("id1", "id2").distinct()
   }
+
+  /** Bucket-size accounting for capped LSH runs: one row per band with
+    * bucket count, max bucket size, and how many buckets/members exceed
+    * `maxBucketSize` — callers surface this next to the pair output so a
+    * cap is never silent. */
+  def lshBucketStats(bandsDf: DataFrame, maxBucketSize: Int): DataFrame =
+    bandsDf.groupBy("band", "band_hash").agg(count(lit(1)).as("n"))
+      .groupBy("band").agg(
+        count(lit(1)).as("buckets"),
+        max(col("n")).as("max_bucket"),
+        sum(when(col("n") > maxBucketSize, 1L).otherwise(0L))
+          .as("dropped_buckets"),
+        sum(when(col("n") > maxBucketSize, col("n")).otherwise(0L))
+          .as("dropped_members"))
 
   /** 16-bit SimHash over whitespace tokens: per bit, majority vote of
     * (2*bit-1) across tokens, bits taken from the first 4 hex chars of each
@@ -109,12 +154,24 @@ object Dedup {
   private def tokDrop(df: DataFrame): DataFrame = df.drop("w", "h")
 
   /** Exact n-gram Jaccard similarity for given candidate id pairs (or all
-    * pairs of a small frame): |A ∩ B| / |A ∪ B| over distinct n-gram sets. */
+    * pairs of a small frame): |A ∩ B| / |A ∪ B| over distinct n-gram sets.
+    *
+    * `dfCap` > 0 drops shingles whose document frequency exceeds it BEFORE
+    * the inverted-index self-join — a stop-phrase shingle shared by
+    * millions of docs is otherwise quadratic in its posting list. Set sizes
+    * are computed after the drop, so the score is Jaccard over the
+    * *informative* shingle sets (the standard df-capped estimate). */
   def ngramJaccard(docs: DataFrame, textCol: String, idCol: String,
-      n: Int): DataFrame = {
-    val sh = docs.filter(size(split(col(textCol), " ")) >= n)
+      n: Int, dfCap: Int = 0): DataFrame = {
+    val sh0 = docs.filter(size(split(col(textCol), " ")) >= n)
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
       .distinct()
+    val sh =
+      if (dfCap <= 0) sh0
+      else sh0.join(
+        sh0.groupBy("s").agg(count(lit(1)).as("__df"))
+          .filter(col("__df") <= dfCap).select("s"),
+        Seq("s"))
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("sz"))
     val inter = sh.select(col("id").as("id1"), col("s"))
       .join(sh.select(col("id").as("id2"), col("s")), Seq("s"))

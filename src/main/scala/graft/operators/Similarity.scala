@@ -77,7 +77,15 @@ object Similarity {
     }.reduce(_ + _)
 
   /** ANN top-k restricted to same-bucket candidates (the scale path).
-    * Recall depends on `planes`; verify against bruteForceTopK on samples.
+    *
+    * Recall story at 100 TB: one `planes`-bit table partitions the corpus
+    * into 2^planes buckets — raise `planes` with corpus size (≥16 at
+    * scale → 65k+ buckets) so per-bucket populations stay bounded, and
+    * compensate the per-table recall loss with `tables` independent hash
+    * tables (multi-table LSH): a true neighbor is found if ANY table
+    * co-buckets it, so recall ≈ 1-(1-r)^L. `maxBucketSize` excludes
+    * degenerate buckets (near-duplicate floods, zero vectors) from the
+    * quadratic join; report exclusions — don't cap silently.
     *
     * The candidate-pair scoring runs in `mapPartitions` over primitive
     * arrays rather than SQL higher-order functions: HOFs evaluate outside
@@ -86,23 +94,27 @@ object Similarity {
     * and scan inner loops from Clojure to Kotlin). Fold order is
     * left-to-right, bit-identical to the SQL formulation. */
   def lshTopK(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
-      planes: Int, k: Int): DataFrame = {
+      planes: Int, k: Int, tables: Int = 1, maxBucketSize: Int = 0)
+      : DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     // prepare + bucket in one mapPartitions pass: the declarative form is a
     // planes*dims-node expression whose Janino compile dominates small-batch
-    // latency; here the coefficient matrix is a plain Scala array.
+    // latency; here the coefficient matrix is a plain Scala array. Table t's
+    // planes continue the (plane, dim) coefficient sequence, so tables=1 is
+    // bit-identical to the original single-table formulation.
     val coefs: Array[Array[Double]] =
-      Array.tabulate(planes, dims)((p, d) => planeCoefValue(p, d))
+      Array.tabulate(tables * planes, dims)((p, d) => planeCoefValue(p, d))
     val inSchema = emb.select(col(idCol), col(vecCol)).schema
     val prepSchema = StructType(Seq(
       StructField(idCol, inSchema(idCol).dataType),
       StructField("__vecd", ArrayType(DoubleType)),
       StructField("__nrm", DoubleType),
+      StructField("htable", IntegerType),
       StructField("bucket", LongType)))
     val withBucket = emb.select(col(idCol), col(vecCol))
       .mapPartitions { rows =>
-        rows.map { r =>
+        rows.flatMap { r =>
           val vf = r.getSeq[Float](1)
           val vecd = new Array[Double](vf.length)
           var i = 0
@@ -110,27 +122,46 @@ object Similarity {
           while (i < vf.length) {
             vecd(i) = vf(i).toDouble; nrm += vecd(i) * vecd(i); i += 1
           }
-          var bucket = 0L
-          var p = 0
-          while (p < planes) {
-            val cp = coefs(p)
-            var proj = 0.0d
-            var d = 0
-            val n = math.min(dims, vecd.length)
-            while (d < n) { proj += vecd(d) * cp(d); d += 1 }
-            if (proj >= 0) bucket |= (1L << p)
-            p += 1
+          val vseq = vecd.toSeq
+          val norm = math.sqrt(nrm)
+          (0 until tables).map { t =>
+            var bucket = 0L
+            var p = 0
+            while (p < planes) {
+              val cp = coefs(t * planes + p)
+              var proj = 0.0d
+              var d = 0
+              val n = math.min(dims, vecd.length)
+              while (d < n) { proj += vecd(d) * cp(d); d += 1 }
+              if (proj >= 0) bucket |= (1L << p)
+              p += 1
+            }
+            Row(r.get(0), vseq, norm, t, bucket)
           }
-          Row(r.get(0), vecd.toSeq, math.sqrt(nrm), bucket)
         }
       }(Encoders.row(prepSchema))
-    val a = withBucket.select(col("bucket"), col(idCol).as("query_id"),
-      col("__vecd").as("qv"), col("__nrm").as("qn"))
-    val b = withBucket.select(col("bucket"), col(idCol).as("neighbor_id"),
-      col("__vecd").as("cv"), col("__nrm").as("cn"))
-    val joined = a.join(b, Seq("bucket"))
+    val eligible =
+      if (maxBucketSize <= 0) withBucket
+      else withBucket.join(
+        withBucket.groupBy("htable", "bucket").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize).select("htable", "bucket"),
+        Seq("htable", "bucket"))
+    val a = eligible.select(col("htable"), col("bucket"),
+      col(idCol).as("query_id"), col("__vecd").as("qv"), col("__nrm").as("qn"))
+    val b = eligible.select(col("htable"), col("bucket"),
+      col(idCol).as("neighbor_id"), col("__vecd").as("cv"),
+      col("__nrm").as("cn"))
+    val joined0 = a.join(b, Seq("htable", "bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
+    // multi-table: the same pair can co-bucket in several tables — dedup on
+    // the compact key (ids only), carrying one vector copy through first()
+    val joined =
+      if (tables <= 1) joined0
+      else joined0.groupBy("query_id", "neighbor_id")
+        .agg(first(col("qv")).as("qv"), first(col("qn")).as("qn"),
+          first(col("cv")).as("cv"), first(col("cn")).as("cn"))
+        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
     val scoreSchema = StructType(Seq(
       StructField("query_id", joined.schema("query_id").dataType),
       StructField("neighbor_id", joined.schema("neighbor_id").dataType),

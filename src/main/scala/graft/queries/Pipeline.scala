@@ -97,6 +97,108 @@ object Pipeline {
        AND a.doc_id < b.doc_id
       ORDER BY id1, id2"""), bench = true),
 
+    // ---- degenerate corpus + per-bucket cap: 3 of every 4 docs are the
+    // same boilerplate text, flooding one LSH bucket per band; the cap
+    // drops those buckets (bounded task size at any corpus scale) while
+    // genuine duplicate pairs among the remaining docs still surface
+    QueryDef("q92_dedup_lsh_capped", (s, dir) => {
+      val boiler = "the quick brown fox jumps over the lazy dog again and again"
+      val d = t(s, dir, "documents").filter(col("doc_id") < 300)
+      val degen = d.select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(4L)) =!= 0L, lit(boiler))
+            .otherwise(col("text")).as("text"))
+        .unionAll(d
+          .filter(col("doc_id") < 40 && pmod(col("doc_id"), lit(4L)) === 0L)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val sigs = Dedup.minHashSignatures(degen, "text", "doc_id", 8)
+      Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 2, 4),
+          "doc_id", maxBucketSize = 50)
+        .orderBy("id1", "id2")
+    }, Some("""
+      WITH docs2 AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 4 <> 0
+                    THEN 'the quick brown fox jumps over the lazy dog again and again'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id < 300
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        WHERE doc_id < 40 AND doc_id % 4 = 0),
+      sh AS (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+2], ' ')
+                       FOR i IN range(1, len(words) - 1)]) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM docs2
+              WHERE len(string_split(text, ' ')) >= 3)),
+      sig AS (
+        SELECT doc_id, """ +
+      (1 to 8).map(i => s"min(substr(md5(s), ${4 * (i - 1) + 1}, 4)) AS h$i")
+        .mkString(", ") + """
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        SELECT doc_id, 0 AS band,
+               md5(h1 || '|' || h2 || '|' || h3 || '|' || h4) AS band_hash
+        FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band,
+               md5(h5 || '|' || h6 || '|' || h7 || '|' || h8) AS band_hash
+        FROM sig),
+      ok AS (
+        SELECT band, band_hash FROM bands
+        GROUP BY band, band_hash HAVING count(*) <= 50),
+      bands2 AS (
+        SELECT b.doc_id, b.band, b.band_hash
+        FROM bands b JOIN ok USING (band, band_hash))
+      SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+      FROM bands2 a JOIN bands2 b
+        ON a.band = b.band AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+      ORDER BY id1, id2""")),
+
+    // ---- df-capped n-gram Jaccard: stop-phrase shingles (df > cap) are
+    // dropped before the inverted-index join, so 100 identical boilerplate
+    // docs contribute zero posting-list work
+    QueryDef("q93_ngram_jaccard_dfcap", (s, dir) => {
+      val boiler = "lorem ipsum dolor sit amet the common header line here"
+      val d = t(s, dir, "documents")
+      val universe = d.filter(col("doc_id") < 150).select("doc_id", "text")
+        .unionAll(d.filter(col("doc_id") < 30)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .unionAll(d.filter(col("doc_id") >= 150 && col("doc_id") < 250)
+          .select(col("doc_id"), lit(boiler).as("text")))
+      Dedup.ngramJaccard(universe, "text", "doc_id", 3, dfCap = 50)
+        .filter(col("jaccard") >= 0.01)
+        .orderBy("id1", "id2")
+    }, Some("""
+      WITH docs2 AS (
+        SELECT doc_id, text FROM documents WHERE doc_id < 150
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id < 30
+        UNION ALL
+        SELECT doc_id, 'lorem ipsum dolor sit amet the common header line here' AS text
+        FROM documents WHERE doc_id >= 150 AND doc_id < 250),
+      sh0 AS (
+        SELECT DISTINCT doc_id AS id, s FROM (
+          SELECT doc_id,
+                 unnest([array_to_string(words[i:i+2], ' ')
+                         FOR i IN range(1, len(words) - 1)]) AS s
+          FROM (SELECT doc_id, string_split(text, ' ') AS words FROM docs2
+                WHERE len(string_split(text, ' ')) >= 3))),
+      kept AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= 50),
+      sh AS (SELECT sh0.id, sh0.s FROM sh0 JOIN kept USING (s)),
+      sizes AS (SELECT id, count(*) AS sz FROM sh GROUP BY id),
+      inter AS (
+        SELECT a.id AS id1, b.id AS id2, count(*) AS i
+        FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        GROUP BY 1, 2)
+      SELECT id1, id2, round(i / (sz1 + sz2 - i), 4) AS jaccard
+      FROM (SELECT id1, id2, i,
+                   (SELECT sz FROM sizes WHERE id = id1) AS sz1,
+                   (SELECT sz FROM sizes WHERE id = id2) AS sz2
+            FROM inter)
+      WHERE round(i / (sz1 + sz2 - i), 4) >= 0.01
+      ORDER BY id1, id2""")),
+
     // ---- 16-bit SimHash (majority vote over token-hash bits)
     QueryDef("q83_dedup_simhash", (s, dir) => {
       Dedup.simHash16(

@@ -1,0 +1,88 @@
+package graft
+
+import graft.operators.{Dedup, Similarity}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-hardening behaviors of the dedup/similarity operators: bucket
+  * caps bound degenerate corpora, bucket stats make caps non-silent, and
+  * multi-table LSH recovers recall lost to finer bucketing. */
+class PipelineHardeningSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  import spark.implicits._
+
+  test("bucket cap drops the boilerplate mega-bucket; stats report it") {
+    val boiler = "one two three four five six seven"
+    val docs = ((1 to 200).map(i => (i.toLong, boiler)) ++
+      Seq((900L, "alpha beta gamma delta epsilon zeta"),
+        (901L, "alpha beta gamma delta epsilon zeta")))
+      .toDF("doc_id", "text")
+    val bands = Dedup.lshBands(
+      Dedup.minHashSignatures(docs, "text", "doc_id", 8), "doc_id", 2, 4)
+
+    val uncapped = Dedup.lshCandidatePairs(bands, "doc_id")
+    assert(uncapped.count() == 200L * 199 / 2 + 1)
+
+    val capped = Dedup.lshCandidatePairs(bands, "doc_id", maxBucketSize = 50)
+    assert(capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((900L, 901L)))
+
+    val stats = Dedup.lshBucketStats(bands, 50)
+      .select("band", "dropped_buckets", "dropped_members")
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(stats.values.forall { case (db, dm) => db == 1L && dm == 200L })
+  }
+
+  test("16-hash minhash signatures: windows 9-16 come from the salted digest") {
+    val docs = Seq((1L, "a b c d e f")).toDF("doc_id", "text")
+    val sig = Dedup.minHashSignatures(docs, "text", "doc_id", 16).collect().head
+    assert(sig.length == 17)
+    // h1..h8 from md5(s), h9..h16 from md5(s || '#2') — saltings differ
+    val h = (1 to 16).map(i => sig.getString(i))
+    assert(h.forall(_.length == 4) && h.take(8) != h.drop(8))
+  }
+
+  test("ngram df-cap removes stop-shingle posting lists") {
+    val boiler = "x y z w v u t"
+    val docs = ((1 to 100).map(i => (i.toLong, boiler)) ++
+      Seq((900L, "p q r s t u p q"), (901L, "p q r s t u p z")))
+      .toDF("doc_id", "text")
+    val capped = Dedup.ngramJaccard(docs, "text", "doc_id", 3, dfCap = 50)
+      .filter(col("jaccard") > 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(capped.toSet == Set((900L, 901L)))
+  }
+
+  test("multi-table LSH recall dominates single-table at equal planes") {
+    val rnd = new scala.util.Random(42)
+    // 30 clusters of 3 near-identical vectors
+    val vecs = (0 until 30).flatMap { c =>
+      val base = Array.fill(16)(rnd.nextGaussian().toFloat)
+      (0 until 3).map { j =>
+        (c * 10L + j,
+          base.map(x => x + 0.01f * rnd.nextGaussian().toFloat).toSeq)
+      }
+    }.toDF("vec_id", "embedding")
+    def recall(tables: Int): Double = {
+      val got = Similarity.lshTopK(vecs, "vec_id", "embedding",
+          dims = 16, planes = 8, k = 2, tables = tables)
+        .select("query_id", "neighbor_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = for (c <- 0 until 30; j <- 0 until 3; o <- 0 until 3
+        if o != j) yield (c * 10L + j, c * 10L + o)
+      want.count(got.contains).toDouble / want.size
+    }
+    val r1 = recall(1)
+    val r4 = recall(4)
+    assert(r4 >= r1)
+    assert(r4 > 0.9) // 4 tables x 8 planes finds nearly all cluster pairs
+  }
+}
