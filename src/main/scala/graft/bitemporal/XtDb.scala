@@ -95,10 +95,45 @@ class XtDb(spark: SparkSession, root: String) {
       lastSystemMicros / 1000000L, (lastSystemMicros % 1000000L) * 1000L))
   }
 
-  /** Raw event log for a table (empty DataFrame problems surface as
-    * AnalysisException if the table was never written). */
-  def events(table: String): DataFrame =
-    spark.read.option("mergeSchema", "true").parquet(tableDir(table))
+  // ---- schema registry: the table's current LUB schema, persisted as a
+  // sidecar so reads don't need parquet footer merging (which cannot widen
+  // int vs long anyway) and appends never rewrite storage (see
+  // evolveSchema)
+  private def schemaPath(table: String) =
+    new org.apache.hadoop.fs.Path(s"$root/_schemas/$table.json")
+
+  private def saveSchema(table: String, st: StructType): Unit = {
+    val fs = hadoopFs
+    val out = fs.create(schemaPath(table), true)
+    try out.write(st.json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def loadSchema(table: String): Option[StructType] = {
+    val fs = hadoopFs
+    val p = schemaPath(table)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(org.apache.spark.sql.types.DataType
+          .fromJson(new String(bytes, "UTF-8")).asInstanceOf[StructType])
+      } finally in.close()
+    }
+  }
+
+  /** Raw event log for a table. Read under the registered LUB schema:
+    * Spark 4's vectorized parquet reader widens narrower stored types
+    * (int→long, float/int→double) at scan time, so a numeric widening
+    * append costs O(batch), never a table rewrite (reference merge-types
+    * read-side conform). Tables written before the registry fall back to
+    * footer merging. */
+  def events(table: String): DataFrame = loadSchema(table) match {
+    case Some(st) => spark.read.schema(st).parquet(tableDir(table))
+    case None =>
+      spark.read.option("mergeSchema", "true").parquet(tableDir(table))
+  }
 
   private def hadoopFs: org.apache.hadoop.fs.FileSystem =
     org.apache.hadoop.fs.FileSystem.get(
@@ -246,15 +281,32 @@ class XtDb(spark: SparkSession, root: String) {
   /** Dynamic-schema write path (reference merge-types, types.clj:142-146):
     * LUB-merge the incoming batch schema with the table's; numeric
     * conflicts widen, mixed scalars become tagged union structs
-    * (DynamicSchema). If existing storage needs the wider type, it is
-    * migrated once (rewrite-with-cast, like a compaction run). */
+    * (DynamicSchema).
+    *
+    * Scale contract: an append is O(batch). Numeric widenings only update
+    * the schema registry — existing files stay narrow and the reader
+    * widens at scan (see `events`); `compact()` folds the physical
+    * migration in whenever it next runs. Only a transition to a tagged
+    * UNION column (genuinely incompatible scalars, rare) still rewrites
+    * synchronously, because no parquet read-side promotion can turn a
+    * stored string into a struct. */
   private def evolveSchema(table: String, incoming: DataFrame): DataFrame = {
-    if (!tableExists(table)) incoming
-    else {
-      val existing = events(table)
-      val merged = DynamicSchema.mergeSchemas(existing.schema, incoming.schema)
-      if (!sameTypes(merged, existing.schema))
-        rewriteTable(table, DynamicSchema.conform(existing, merged))
+    if (!tableExists(table)) {
+      saveSchema(table, incoming.schema)
+      incoming
+    } else {
+      val existingSchema = loadSchema(table).getOrElse(events(table).schema)
+      val merged = DynamicSchema.mergeSchemas(existingSchema, incoming.schema)
+      if (!sameTypes(merged, existingSchema)) {
+        val unionTransition = merged.fields.exists { f =>
+          DynamicSchema.isUnion(f.dataType) &&
+            existingSchema.fields.exists(e => e.name == f.name &&
+              !DynamicSchema.isUnion(e.dataType))
+        }
+        if (unionTransition)
+          rewriteTable(table, DynamicSchema.conform(events(table), merged))
+        saveSchema(table, merged)
+      }
       DynamicSchema.conform(incoming, merged)
     }
   }
@@ -296,7 +348,10 @@ class XtDb(spark: SparkSession, root: String) {
     * now-purposeless erase markers (the reference's GDPR guarantee —
     * compaction drops post-erase events, PolygonCalculator.kt:43-46 +
     * SegmentMerge). Events written after an erase (re-insert) survive.
-    * Single-writer: do not run concurrently with appends. */
+    * Compaction also completes any deferred schema migration: the read
+    * conforms every file to the registered LUB schema, so the rewritten
+    * files are physically wide and later scans stop paying the widening
+    * promotion. Single-writer: do not run concurrently with appends. */
   def compact(table: String): Unit = {
     val dir = tableDir(table)
     val tmp = dir + "__compacting"

@@ -26,12 +26,25 @@ class XtSqlEngine(spark: SparkSession, db: XtDb) {
 
   /** Execute one statement. SELECT/temporal queries return their result;
     * DML executes (its own single-op transaction) and returns a one-row
-    * DataFrame with the assigned system time. */
-  def sql(text: String): DataFrame = parse(text) match {
-    case Query(pq) => runQuery(pq)
-    case dml =>
-      val ts = db.submitTx(Seq(toTxOp(dml)))
-      txInfo(ts)
+    * DataFrame with the assigned system time. `EXPLAIN [ANALYZE] <query>`
+    * returns the plan/metrics report, one line per row (reference
+    * query.clj:230-277). */
+  def sql(text: String): DataFrame = {
+    val toks = SqlLexer.tokenize(text)
+    if (toks.nonEmpty && toks.head.is("EXPLAIN")) {
+      val analyze = toks.length > 1 && toks(1).is("ANALYZE")
+      val rest = text.substring(toks(if (analyze) 2 else 1).start)
+      val df = runQuery(parseQuery(rest))
+      val rep = if (analyze) graft.plans.Explain.analyze(df)
+        else graft.plans.Explain.report(df)
+      import spark.implicits._
+      rep.render.split("\n").toSeq.toDF("plan")
+    } else parse(text) match {
+      case Query(pq) => runQuery(pq)
+      case dml =>
+        val ts = db.submitTx(Seq(toTxOp(dml)))
+        txInfo(ts)
+    }
   }
 
   /** Atomic multi-statement transaction (reference submit-tx with SQL op

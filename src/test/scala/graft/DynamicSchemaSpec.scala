@@ -31,6 +31,35 @@ class DynamicSchemaSpec extends AnyFunSuite {
     assert(cur == Map(1L -> 10.0, 2L -> 2.5))
   }
 
+  test("widening append is O(batch): existing files are not rewritten") {
+    val root = java.nio.file.Files.createTempDirectory("xtdyn").toString
+    val db = new XtDb(spark, root)
+    import spark.implicits._
+    db.putDocs("big", Seq((1L, 10)).toDF("_id", "v")) // v: int
+    def dataFiles() = {
+      val d = new java.io.File(s"$root/big")
+      d.listFiles.flatMap(b =>
+        if (b.isDirectory) b.listFiles.filter(_.getName.endsWith(".parquet"))
+        else Array.empty[java.io.File])
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = dataFiles()
+    db.putDocs("big", Seq((2L, 2.5)).toDF("_id", "v")) // widen to double
+    val after = dataFiles()
+    // original narrow file untouched — widening happened in the schema
+    // registry only, the reader promotes at scan
+    assert(before.forall { case (p, m) => after.get(p).contains(m) })
+    assert(after.size > before.size)
+    val cur = db.asOf("big").select("_id", "v").as[(Long, Double)]
+      .collect().toMap
+    assert(cur == Map(1L -> 10.0, 2L -> 2.5))
+
+    // compaction completes the physical migration; results unchanged
+    db.compact("big")
+    assert(db.asOf("big").select("_id", "v").as[(Long, Double)]
+      .collect().toMap == cur)
+  }
+
   test("mixed scalar types become a tagged union column") {
     val db = freshDb()
     import spark.implicits._
