@@ -55,5 +55,24 @@ object XtSql {
     register("p_precedes", 2)(a => Periods.precedes(a.head, a(1)))
     register("p_succeeds", 2)(a => Periods.succeeds(a.head, a(1)))
     register("p_equals", 2)(a => Periods.equalsPeriod(a.head, a(1)))
+
+    // ---- pg-compat surface (reference expression/pg.clj:31-113 +
+    // pg_catalog fns needed by BI tools / psql \-commands)
+    register("current_user", 0)(_ => lit("graft"))
+    register("session_user", 0)(_ => lit("graft"))
+    register("current_database", 0)(_ => lit("graft"))
+    register("current_schema", 0)(_ => lit("public"))
+    register("current_schemas", 1)(_ =>
+      array(lit("pg_catalog"), lit("public")))
+    register("version", 0)(_ =>
+      lit("PostgreSQL 16 (graft-spark XTDB-compatible engine)"))
+    register("pg_backend_pid", 0)(_ => lit(42))
+    register("pg_get_expr", 2)((a: Seq[Column]) => a.head.cast("string"))
+    register("has_table_privilege", 2)(_ => lit(true))
+    register("has_schema_privilege", 2)(_ => lit(true))
+    if (!spark.catalog.functionExists("pg_sleep"))
+      spark.udf.register("pg_sleep", (secs: Double) => {
+        Thread.sleep(math.max(0L, (secs * 1000).toLong)); ""
+      })
   }
 }

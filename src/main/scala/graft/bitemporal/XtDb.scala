@@ -597,4 +597,127 @@ class XtDb(spark: SparkSession, root: String) {
     */
   def tableStats(table: String): DataFrame =
     spark.read.parquet(s"$root/_stats/$table")
+
+  /** CREATE TABLE — pre-declare a table with an explicit column DDL
+    * ("a BIGINT, b STRING"). Writes an empty event-log part carrying the
+    * full meta schema so the table is immediately queryable; later inserts
+    * LUB-merge onto it as usual. */
+  def createTable(table: String, columnsDdl: String): Unit = {
+    require(!tableExists(table), s"table $table already exists")
+    val userSchema = StructType.fromDDL(columnsDdl)
+    require(userSchema.fieldNames.contains(ID),
+      s"CREATE TABLE $table: an _id column is required")
+    val full = StructType(userSchema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(IID,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(VF,
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField(VT,
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField(SF,
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField(SEQ,
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField(OP,
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField(BUCKET,
+        org.apache.spark.sql.types.StringType)))
+    spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), full)
+      .write.parquet(tableDir(table))
+    saveSchema(table, full)
+  }
+
+  /** COPY IN — bulk ingest a file/directory as one put transaction
+    * (reference COPY … FROM STDIN arrow/csv path). Format inferred from
+    * the extension unless given. Scale note: the read is a distributed
+    * scan, the append is a distributed write — nothing funnels through
+    * the driver. */
+  def copyIn(table: String, path: String,
+      format: Option[String] = None): java.sql.Timestamp = {
+    val fmt = format.getOrElse {
+      val lower = path.toLowerCase
+      if (lower.endsWith(".csv")) "csv"
+      else if (lower.endsWith(".json") || lower.endsWith(".jsonl")) "json"
+      else "parquet"
+    }
+    val reader = spark.read
+    val docs = (fmt match {
+      case "csv" => reader.option("header", "true")
+        .option("inferSchema", "true").format("csv")
+      case other => reader.format(other)
+    }).load(path)
+    putDocs(table, docs)
+  }
+
+  // ---- role catalog (GRANT/REVOKE ROLE; reference Sql.g4 grant stmts +
+  // pg_catalog role views). Records are append-only; the current grant set
+  // is the latest action per (what, grantee).
+  def recordGrant(grant: Boolean, what: String, grantee: String): Unit = {
+    import spark.implicits._
+    Seq((nextSystemTime(), if (grant) "grant" else "revoke", what, grantee))
+      .toDF("at", "action", "what", "grantee")
+      .write.mode("append").parquet(s"$root/_roles")
+  }
+
+  /** Current grants: latest action per (what, grantee) is `grant`. */
+  def roleGrants: DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("what", "grantee").orderBy(col("at").desc)
+    spark.read.parquet(s"$root/_roles")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("action") === "grant")
+      .select("what", "grantee", "at")
+  }
+
+  /** Storage-block debug table (reference block_tables.clj / log_tables
+    * .clj): one row per physical file of a table's event log — bucket,
+    * path, size. Metadata-only FS listing, no data scan. */
+  def blocks(table: String): DataFrame = {
+    import spark.implicits._
+    val fs = hadoopFs
+    val it = fs.listFiles(
+      new org.apache.hadoop.fs.Path(tableDir(table)), true)
+    val rows = scala.collection.mutable.Buffer[(String, String, Long)]()
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val bucket = f.getPath.getParent.getName match {
+          case b if b.startsWith(s"$BUCKET=") => b.substring(BUCKET.length + 1)
+          case _ => ""
+        }
+        rows += ((bucket, f.getPath.toString, f.getLen))
+      }
+    }
+    rows.toSeq.toDF("bucket", "file", "size_bytes")
+  }
+
+  /** Stable snapshot token — the current log head. A query pinned to the
+    * token (`atSnapshot`) sees the identical database state regardless of
+    * concurrent later transactions (reference basis / snapshot-token,
+    * query.clj:142-164, 433-440). */
+  def snapshotToken(): java.sql.Timestamp = synchronized {
+    if (lastSystemMicros == 0L) {
+      // cold start: adopt the persisted log head if any
+      try {
+        val m = txs.agg(max(col("system_time"))).collect().head
+        if (!m.isNullAt(0)) {
+          val t = m.getTimestamp(0)
+          lastSystemMicros = t.toInstant.getEpochSecond * 1000000L +
+            t.toInstant.getNano / 1000L
+        }
+      } catch { case _: Exception => () }
+      if (lastSystemMicros == 0L) {
+        val now = java.time.Instant.now()
+        lastSystemMicros = now.getEpochSecond * 1000000L + now.getNano / 1000L
+      }
+    }
+    java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+      lastSystemMicros / 1000000L, (lastSystemMicros % 1000000L) * 1000L))
+  }
+
+  /** Read a table pinned to a snapshot token (current valid time). */
+  def atSnapshot(table: String,
+      token: java.sql.Timestamp): DataFrame =
+    Bitemporal.asOf(events(table), current_timestamp(), lit(token))
 }

@@ -118,6 +118,44 @@ object SqlDialect {
         FROM base, (VALUES (0),(1),(2)) AS vv(v) WHERE mx >= v)
       ORDER BY probe, _id, version""")),
 
+    // NEST_ONE through the SQL text: correlated single-doc nesting
+    // (Sql.g4:283-284), struct fields projected back out for the oracle
+    QueryDef("q45_nest_one", (s, dir) => {
+      val (db, eng) = fresh(s)
+      db.submitTx(Seq(
+        TxOp.Put("ords", Tables.load(s, dir, "orders")
+          .filter(col("o_orderkey") < 100)
+          .select(col("o_orderkey").as("_id"), col("o_custkey").as("ck"))),
+        TxOp.Put("custs", Tables.load(s, dir, "customer")
+          .select(col("c_custkey").as("_id"), col("c_name").as("cname"),
+            col("c_acctbal").as("bal")))))
+      eng.sql("""
+        SELECT okey, cust.cname AS cname, cust.bal AS bal FROM (
+          SELECT o._id AS okey,
+                 NEST_ONE(SELECT c.cname AS cname, c.bal AS bal
+                          FROM custs c WHERE c._id = o.ck) AS cust
+          FROM ords o)
+        ORDER BY okey""")
+    }, Some("""
+      SELECT o_orderkey AS okey, c_name AS cname, c_acctbal AS bal
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderkey < 100 ORDER BY okey""")),
+
+    // COPY IN bulk ingest: distributed parquet read → one put transaction
+    QueryDef("q78_copy_in", (s, dir) => {
+      val (db, eng) = fresh(s)
+      val src = java.nio.file.Files.createTempDirectory("graft_copy")
+        .toString + "/src"
+      Tables.load(s, dir, "part")
+        .withColumnRenamed("p_partkey", "_id")
+        .write.parquet(src)
+      eng.sql(s"COPY items FROM '$src'")
+      eng.sql("""SELECT _id, p_name, p_retailprice FROM items
+        ORDER BY _id""")
+    }, Some("""
+      SELECT p_partkey AS _id, p_name, p_retailprice
+      FROM part ORDER BY _id""")),
+
     // SQL-text DML lifecycle: INSERT (API seed) → UPDATE → DELETE → PATCH →
     // final snapshot; DuckDB recomputes the end state from orders directly
     QueryDef("q77_sql_dml_lifecycle", (s, dir) => {

@@ -41,6 +41,12 @@ class XtSqlEngine(spark: SparkSession, db: XtDb) {
       rep.render.split("\n").toSeq.toDF("plan")
     } else parse(text) match {
       case Query(pq) => runQuery(pq)
+      case CreateTable(table, ddl) =>
+        db.createTable(table, ddl)
+        txInfo(db.snapshotToken())
+      case GrantRevoke(grant, what, grantee) =>
+        db.recordGrant(grant, what, grantee)
+        txInfo(db.snapshotToken())
       case dml =>
         val ts = db.submitTx(Seq(toTxOp(dml)))
         txInfo(ts)
@@ -130,6 +136,23 @@ class XtSqlEngine(spark: SparkSession, db: XtDb) {
       val (vf, vt) = rangeCols(valid)
       TxOp.DeleteWhere(table, where.map(expr).getOrElse(lit(true)), vf, vt)
     case Erase(table, where) => TxOp.EraseWhere(table, expr(where))
+    case CopyIn(table, path, format) =>
+      val fmt = format.getOrElse {
+        val lower = path.toLowerCase
+        if (lower.endsWith(".csv")) "csv"
+        else if (lower.endsWith(".json") || lower.endsWith(".jsonl")) "json"
+        else "parquet"
+      }
+      val reader = spark.read
+      val docs = (fmt match {
+        case "csv" => reader.option("header", "true")
+          .option("inferSchema", "true").format("csv")
+        case other => reader.format(other)
+      }).load(path)
+      val (vf, vt) = validCols(docs)
+      TxOp.Put(table, docs, vf, vt)
+    case CreateTable(_, _) | GrantRevoke(_, _, _) =>
+      throw SqlParseException("DDL is not valid inside a transaction")
     case Patch(table, valid, recs) =>
       val (vf, vt) = rangeCols(valid)
       TxOp.Patch(table, recordsDf(recs), vf.map(f => (f, vt)))

@@ -65,6 +65,15 @@ object XtSqlParser {
         records: Seq[Record]) extends XtStatement
     final case class Assert(cond: String, label: Option[String])
       extends XtStatement
+    /** COPY <table> FROM '<path>' [WITH (FORMAT <fmt>)] — bulk ingest. */
+    final case class CopyIn(table: String, path: String,
+        format: Option[String]) extends XtStatement
+    /** CREATE TABLE <t> (<col> <type>, …) — schema pre-declaration. */
+    final case class CreateTable(table: String, columnsDdl: String)
+      extends XtStatement
+    /** GRANT/REVOKE <what> TO/FROM <grantee> (role catalog record). */
+    final case class GrantRevoke(grant: Boolean, what: String,
+        grantee: String) extends XtStatement
   }
 
   final case class SqlParseException(msg: String)
@@ -82,6 +91,9 @@ object XtSqlParser {
       case "ERASE" => parseErase(sql, toks)
       case "PATCH" => parsePatch(sql, toks)
       case "ASSERT" => parseAssert(sql, toks)
+      case "COPY" => parseCopy(sql, toks)
+      case "CREATE" => parseCreate(sql, toks)
+      case "GRANT" | "REVOKE" => parseGrantRevoke(sql, toks)
       case _ => XtStatement.Query(parseQuery(sql))
     }
   }
@@ -450,6 +462,44 @@ object XtSqlParser {
       XtStatement.Assert(cond,
         Some(last.text.substring(1, last.text.length - 1)))
     } else XtStatement.Assert(restText(sql, toks, 1), None)
+  }
+
+  private def parseCopy(sql: String, toks: Vector[Tok]): XtStatement = {
+    val table = tableNameAt(toks, 1)
+    expect(toks, 2, "FROM")
+    if (toks.length <= 3 || toks(3).kind != Tok.Str)
+      throw SqlParseException(s"expected source path at ${pos(toks, 3)}")
+    val path = toks(3).text.substring(1, toks(3).text.length - 1)
+    var format: Option[String] = None
+    if (toks.length > 4 && toks(4).is("WITH")) {
+      // WITH (FORMAT <fmt>)
+      val idents = toks.drop(5).filter(t => t.kind == Tok.Ident)
+      idents.zipWithIndex.foreach { case (t, i) =>
+        if (t.upper == "FORMAT" && i + 1 < idents.length)
+          format = Some(idents(i + 1).text.toLowerCase)
+      }
+    }
+    XtStatement.CopyIn(table, path, format)
+  }
+
+  private def parseCreate(sql: String, toks: Vector[Tok]): XtStatement = {
+    expect(toks, 1, "TABLE")
+    val table = tableNameAt(toks, 2)
+    if (toks.length <= 3 || !toks(3).isPunct("("))
+      throw SqlParseException("CREATE TABLE requires a column list")
+    val close = matchParen(toks, 3)
+    XtStatement.CreateTable(table,
+      sql.substring(toks(4).start, toks(close - 1).end))
+  }
+
+  private def parseGrantRevoke(sql: String, toks: Vector[Tok]): XtStatement = {
+    val grant = toks.head.is("GRANT")
+    val sep = if (grant) "TO" else "FROM"
+    val sepIdx = toks.indices.find(i => toks(i).is(sep)).getOrElse(
+      throw SqlParseException(s"expected $sep in ${toks.head.upper}"))
+    XtStatement.GrantRevoke(grant,
+      sql.substring(toks(1).start, toks(sepIdx - 1).end),
+      tableNameAt(toks, sepIdx + 1))
   }
 
   /** `{k: expr, …}, {…}, …` — returns records + next index. */

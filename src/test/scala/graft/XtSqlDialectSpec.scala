@@ -200,6 +200,46 @@ class XtSqlDialectSpec extends AnyFunSuite {
     assert(one.getStruct(1).getString(0) == "dijkstra")
   }
 
+  test("CREATE TABLE, COPY IN (csv), GRANT/REVOKE, snapshot token, blocks") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    eng.sql("CREATE TABLE pets (_id BIGINT, name STRING)")
+    assert(eng.sql("SELECT count(*) AS n FROM pets").as[Long].collect().head == 0L)
+    eng.sql("INSERT INTO pets (_id, name) VALUES (1, 'rex')")
+
+    // stable snapshot token: later writes invisible at the pinned basis
+    val token = db.snapshotToken()
+    eng.sql("INSERT INTO pets (_id, name) VALUES (2, 'bella')")
+    assert(db.atSnapshot("pets", token).count() == 1)
+    assert(db.asOf("pets").count() == 2)
+
+    // COPY IN from csv
+    val csvDir = java.nio.file.Files.createTempDirectory("copycsv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$csvDir/toys.csv"),
+      "_id,toy\n10,ball\n11,bone\n")
+    eng.sql(s"COPY toys FROM '$csvDir/toys.csv' WITH (FORMAT csv)")
+    assert(eng.sql("SELECT count(*) AS n FROM toys").as[Long].collect().head == 2L)
+
+    // role catalog: latest action wins
+    eng.sql("GRANT ROLE admin TO alice")
+    eng.sql("GRANT ROLE admin TO bob")
+    eng.sql("REVOKE ROLE admin FROM bob")
+    assert(db.roleGrants.select("grantee").as[String].collect().toSet ==
+      Set("alice"))
+
+    // block debug table: physical file listing
+    val blocks = db.blocks("pets").collect()
+    assert(blocks.length >= 2 && blocks.forall(_.getLong(2) > 0))
+
+    // pg-compat functions
+    val pg = eng.sql(
+      "SELECT version() AS v, pg_backend_pid() AS p, current_database() AS d")
+      .collect().head
+    assert(pg.getString(0).contains("PostgreSQL") && pg.getInt(1) == 42 &&
+      pg.getString(2) == "graft")
+  }
+
   test("lexer safety: FOR/table words inside string literals are untouched") {
     val (db, eng) = fresh()
     import spark.implicits._
