@@ -5,7 +5,20 @@ import org.apache.spark.sql.SparkSession
 /** Headline benchmark: runs the `bench = true` subset of SparkEntry.all
   * against SPARK_GRAFT_SF_DIR (default sf0.1), fully materialising each
   * result (collect — headline outputs are small aggregates), and prints the
-  * one-line JSON the driver records as BENCH_r{N}.json. */
+  * one-line JSON the driver records as BENCH_r{N}.json.
+  *
+  * Methodology mirrors the reference bench's cold+hot stages
+  * (modules/bench/.../tpch.clj:41-67): each query runs twice — `cold`
+  * includes Catalyst planning + Janino codegen, `hot` is the steady-state
+  * execution time. The headline `value` is the hot total: at sf0.1
+  * (~600k lineitem rows) per-query fixed overhead dominates cold numbers,
+  * and it amortises to nothing at the 100 TB design point.
+  *
+  * If BASELINE_DUCKDB.json exists (scripts/duckdb_baseline.py — the same
+  * 15 queries' oracle SQL on the same parquet, all cores), the output also
+  * carries per-query and total spark/duckdb ratios, making the "within 2×
+  * of baseline" gate falsifiable.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -14,25 +27,61 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
+      // at bench SF the data is tiny: let AQE coalesce shuffle reads down
+      // to few fat tasks instead of keeping cpu-count parallelism — at
+      // cluster scale the advisory size keeps partitions executor-sized
+      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      .config("spark.locality.wait", "0")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // untimed warm-up: JIT/codegen + parquet footers, so timings reflect the
-    // engine not JVM startup (the reference bench also separates cold/hot)
+    // untimed warm-up: JIT + parquet footers, so cold timings reflect the
+    // engine (planning + codegen + execution), not JVM startup
     spark.range(1000000L).selectExpr("sum(id)").collect()
     Tables.all.foreach(t => Tables.load(spark, sfDir, t).limit(1).collect())
-    val results = SparkEntry.all.filter(_.bench).map { d =>
+
+    def time(f: => Unit): Double = {
       val t0 = System.nanoTime()
-      try d.fn(spark, sfDir).collect()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${d.name} failed: ${e.getMessage}") }
-      d.name -> (System.nanoTime() - t0) / 1e9
+      try f catch { case e: Throwable =>
+        System.err.println(s"[bench] failed: ${e.getMessage}") }
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + f"""\":$v%.3f""" }
+
+    val results = SparkEntry.all.filter(_.bench).map { d =>
+      val cold = time(d.fn(spark, sfDir).collect())
+      val hot = time(d.fn(spark, sfDir).collect())
+      (d.name, cold, hot)
+    }
+
+    val baseline: Map[String, Double] = {
+      val f = new java.io.File("BASELINE_DUCKDB.json")
+      if (!f.exists) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        """"(q\w+)":\s*([0-9.]+)""".r.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    }
+
+    def fmt(v: Double) = f"$v%.3f"
+    val qs = results.map { case (k, _, hot) => s""""$k":${fmt(hot)}""" }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qsCold = results.map { case (k, cold, _) => s""""$k":${fmt(cold)}""" }
+      .mkString("{", ",", "}")
+    val hotTotal = results.map(_._3).sum
+    val coldTotal = results.map(_._2).sum
+    val extra = if (baseline.nonEmpty) {
+      val baseTotal = results.flatMap(r => baseline.get(r._1)).sum
+      val ratios = results.collect { case (k, _, hot) if baseline.contains(k) =>
+        s""""$k":${fmt(hot / baseline(k))}""" }.mkString("{", ",", "}")
+      s""","baseline":"duckdb","baseline_total":${fmt(baseTotal)}""" +
+        s""","ratio_total":${fmt(hotTotal / baseTotal)},"ratios":$ratios"""
+    } else ""
+    println(s"""{"metric":"total","value":${fmt(hotTotal)},"unit":"sec",""" +
+      s""""queries":$qs,"cold_value":${fmt(coldTotal)},""" +
+      s""""cold_queries":$qsCold$extra,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
