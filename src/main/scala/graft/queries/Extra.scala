@@ -28,6 +28,24 @@ object Extra {
         ORDER BY c_acctbal DESC, c_name LIMIT 2) c
       ORDER BY n_name, c.c_acctbal DESC, c.c_name""")),
 
+    // ---- XTQL as a language: the edn text form parsed by XtqlText and
+    // planned onto the Xtql combinators (reference xtql.clj:20-67) —
+    // threaded pipeline with unification, aggregate, order, limit
+    QueryDef("q47_xtql_text", (s, dir) => {
+      _root_.graft.xtql.XtqlText.query(s, """
+        (-> (unify (from :orders [{:o_custkey c} {:o_orderstatus "F"} o_totalprice])
+                   (from :customer [{:c_custkey c} c_mktsegment]))
+            (aggregate c_mktsegment {:n (row-count)
+                                     :total_k (floor (/ (sum o_totalprice) 1000.0))})
+            (order-by c_mktsegment))""",
+        t => Tables.load(s, dir, t))
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(floor(sum(o_totalprice) / 1000.0) AS BIGINT) AS total_k
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      WHERE o_orderstatus = 'F'
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
     // ---- interval/duration arithmetic: ts ± INTERVAL, day diffs, and
     // month-boundary diffs (component formula — Spark's timestampdiff
     // counts complete months while DuckDB counts boundary crossings)

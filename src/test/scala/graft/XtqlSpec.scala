@@ -60,6 +60,48 @@ class XtqlSpec extends AnyFunSuite {
     assert(out.count() == expected)
   }
 
+  test("XTQL text: threaded pipeline parses and plans") {
+    import graft.xtql.XtqlText
+    val out = XtqlText.query(spark, """
+      (-> (from :orders [o_orderkey o_orderstatus o_totalprice])
+          (where (> o_totalprice 100000))
+          (aggregate o_orderstatus {:n (row-count)
+                                    :total (round (sum o_totalprice) 2)})
+          (order-by o_orderstatus)
+          (limit 5))""",
+      t => Tables.load(spark, dir, t))
+    val rows = out.collect()
+    assert(out.columns.toSeq == Seq("o_orderstatus", "n", "total"))
+    assert(rows.length == 3 && rows.map(_.getLong(1)).forall(_ > 0))
+  }
+
+  test("XTQL text: unify + with + literal binds") {
+    import graft.xtql.XtqlText
+    val out = XtqlText.query(spark, """
+      (-> (unify (from :orders [{:o_custkey c} {:o_orderstatus "F"} o_totalprice])
+                 (from :customer [{:c_custkey c} c_mktsegment]))
+          (with {:price_k (/ o_totalprice 1000.0)})
+          (return c_mktsegment price_k)
+          (order-by (desc price_k))
+          (limit 3))""",
+      t => Tables.load(spark, dir, t))
+    val rows = out.collect()
+    assert(rows.length == 3)
+    assert(rows.map(_.getDouble(1)).toSeq ==
+      rows.map(_.getDouble(1)).toSeq.sorted.reverse)
+  }
+
+  test("XTQL text: registry fallback reaches Spark functions") {
+    import graft.xtql.XtqlText
+    val out = XtqlText.query(spark, """
+      (-> (from :customer [c_custkey c_name])
+          (with {:uname (upper c_name)})
+          (where (like uname "CUSTOMER%"))
+          (limit 1))""",
+      t => Tables.load(spark, dir, t))
+    assert(out.count() <= 1)
+  }
+
   test("unnest + without") {
     val docs = Tables.load(spark, dir, "documents").limit(5)
       .withColumn("words", split(col("text"), " "))
