@@ -46,6 +46,53 @@ object Extra {
       WHERE o_orderstatus = 'F'
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // ---- bitwise operators (§2.9 arithmetic row: &, |, ^, <<, >>, ~) —
+    // note DuckDB's ^ is POWER, so the oracle spells xor()
+    QueryDef("q67_bitwise", (s, dir) => {
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .selectExpr("o_orderkey",
+          "o_orderkey & 255 AS band",
+          "o_orderkey | 4096 AS bor",
+          "o_orderkey ^ 129 AS bxor",
+          "shiftleft(o_orderkey, 3) AS shl",
+          "shiftright(o_orderkey, 2) AS shr",
+          "~o_orderkey AS bnot")
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+             o_orderkey & 255 AS band,
+             o_orderkey | 4096 AS bor,
+             xor(o_orderkey, 129) AS bxor,
+             o_orderkey << 3 AS shl,
+             o_orderkey >> 2 AS shr,
+             ~o_orderkey AS bnot
+      FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
+
+    // ---- month-day-micro mixed interval arithmetic (reference
+    // IntervalMonthDayNano, types.clj / temporal arithmetic matrix):
+    // one interval carrying month+day+time components, applied in a
+    // single addition — month clamping (Jan 31 + 1 month) must agree
+    QueryDef("q68_interval_mdn", (s, dir) => {
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") < 500)
+        .select(col("o_orderkey"),
+          unix_timestamp(col("o_orderdate") +
+            expr("make_interval(0, 1, 0, 3, 4, 30, 0)")).as("plus_mdn_ep"),
+          unix_timestamp(col("o_orderdate") -
+            expr("make_interval(0, 2, 0, 10, 0, 0, 0)")).as("minus_mdn_ep"),
+          unix_timestamp(expr(
+            "o_orderdate + INTERVAL '1-2' YEAR TO MONTH")).as("plus_ym_ep"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+             CAST(epoch(o_orderdate +
+               INTERVAL '1 month 3 days 4 hours 30 minutes') AS BIGINT)
+               AS plus_mdn_ep,
+             CAST(epoch(o_orderdate -
+               INTERVAL '2 months 10 days') AS BIGINT) AS minus_mdn_ep,
+             CAST(epoch(o_orderdate + INTERVAL '1 year 2 months') AS BIGINT)
+               AS plus_ym_ep
+      FROM orders WHERE o_orderkey < 500 ORDER BY o_orderkey""")),
+
     // ---- interval/duration arithmetic: ts ± INTERVAL, day diffs, and
     // month-boundary diffs (component formula — Spark's timestampdiff
     // counts complete months while DuckDB counts boundary crossings)

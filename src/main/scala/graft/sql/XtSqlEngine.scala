@@ -19,10 +19,17 @@ import org.apache.spark.sql.functions._
   * a multi-statement transaction (`submitTxSql`) is atomic with one
   * system time, and later statements see earlier staged effects.
   */
-class XtSqlEngine(spark: SparkSession, db: XtDb) {
+class XtSqlEngine(spark: SparkSession, db: XtDb,
+    clock: Option[java.sql.Timestamp] = None) {
 
   import XtSqlParser._
   import XtSqlParser.XtStatement._
+
+  /** Engine with a frozen query clock (reference basis `:current-time`,
+    * query.clj:142-164): every unpinned temporal reference resolves
+    * "now" to this instant, so the same query text is reproducible. */
+  def withClock(at: java.sql.Timestamp): XtSqlEngine =
+    new XtSqlEngine(spark, db, Some(at))
 
   /** Execute one statement. SELECT/temporal queries return their result;
     * DML executes (its own single-op transaction) and returns a one-row
@@ -67,7 +74,10 @@ class XtSqlEngine(spark: SparkSession, db: XtDb) {
   // ---- queries ------------------------------------------------------------
 
   private def toSpec(ast: SpecAst): Bitemporal.TemporalSpec = ast match {
-    case SpecAst.Current => Bitemporal.TemporalSpec.Current
+    case SpecAst.Current => clock match {
+      case Some(t) => Bitemporal.TemporalSpec.AsOf(lit(t))
+      case None => Bitemporal.TemporalSpec.Current
+    }
     case SpecAst.All => Bitemporal.TemporalSpec.All
     case SpecAst.AsOf(ts) =>
       Bitemporal.TemporalSpec.AsOf(expr(ts).cast("timestamp"))

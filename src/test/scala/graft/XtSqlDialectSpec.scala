@@ -240,6 +240,31 @@ class XtSqlDialectSpec extends AnyFunSuite {
       pg.getString(2) == "graft")
   }
 
+  test("frozen query clock: unpinned refs resolve at the basis instant") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    import graft.bitemporal.TxOp
+    db.submitTx(Seq(TxOp.Put("c", Seq((1L, 0L)).toDF("_id", "v"))),
+      Some(ts("2024-01-01 00:00:00")))
+    db.submitTx(Seq(TxOp.Put("c", Seq((1L, 1L)).toDF("_id", "v"))),
+      Some(ts("2024-02-01 00:00:00")))
+    // same query text, different clock → different snapshot
+    val early = eng.withClock(ts("2024-01-15 00:00:00"))
+    assert(early.sql("SELECT v FROM c").as[Long].collect().toSeq == Seq(0L))
+    assert(eng.sql("SELECT v FROM c").as[Long].collect().toSeq == Seq(1L))
+    // explicit clause overrides the clock per dimension: with system time
+    // explicit but valid time still at the clock (Jan 15), v1 — valid
+    // from its Feb 1 put — is not yet valid, so v0 shows
+    assert(early.sql(
+      "SELECT v FROM c FOR SYSTEM_TIME AS OF TIMESTAMP '2024-02-15 00:00:00'")
+      .as[Long].collect().toSeq == Seq(0L))
+    // both dims explicit → the clock is fully overridden
+    assert(early.sql("""SELECT v FROM c
+        FOR VALID_TIME AS OF TIMESTAMP '2024-02-15 00:00:00'
+        FOR SYSTEM_TIME AS OF TIMESTAMP '2024-02-15 00:00:00'""")
+      .as[Long].collect().toSeq == Seq(1L))
+  }
+
   test("lexer safety: FOR/table words inside string literals are untouched") {
     val (db, eng) = fresh()
     import spark.implicits._
