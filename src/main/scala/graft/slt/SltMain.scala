@@ -29,7 +29,7 @@ object SltMain {
       totPass += r.passed; totFail += r.failed
       println(s"SLT ${r.file}: ${r.passed}/${r.total} passed" +
         (if (r.skipped > 0) s" (${r.skipped} skipped)" else ""))
-      r.failures.take(5).foreach(f => println(s"  FAIL: $f"))
+      r.failures.take(20).foreach(f => println(s"  FAIL: $f"))
     }
     println(s"SLT TOTAL: $totPass passed, $totFail failed")
     spark.stop()

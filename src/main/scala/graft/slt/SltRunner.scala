@@ -32,7 +32,15 @@ object SltRunner {
   }
 
   def runFile(spark: SparkSession, path: String,
-      maxQueries: Int = Int.MaxValue): SltResult = {
+      maxQueries: Int = Int.MaxValue): SltResult =
+    runFile(spark, path, maxQueries,
+      xtDialect = new java.io.File(path).getName.contains("xtdb"))
+
+  /** `xtDialect` — the corpus file targets the XT dialect, not SQLite:
+    * booleans render true/false and `x IN (<empty subquery>)` is FALSE
+    * (SQL standard; Spark natively yields NULL for a NULL probe). */
+  def runFile(spark: SparkSession, path: String, maxQueries: Int,
+      xtDialect: Boolean): SltResult = {
     // SQLite never raises on malformed casts/arithmetic — match with
     // non-ANSI evaluation (bad casts -> null, div-by-zero -> null)
     spark.conf.set("spark.sql.ansi.enabled", "false")
@@ -113,7 +121,7 @@ object SltRunner {
         val sql = sqlLines.mkString(" ").trim
         queriesRun += 1
         runQuery(spark, sql, types, sortMode, expected.toSeq,
-            tables, refreshViews _) match {
+            tables, refreshViews _, xtDialect) match {
           case None => passed += 1
           case Some(err) =>
             failed += 1
@@ -270,10 +278,11 @@ object SltRunner {
   /** Execute SQL with SQLite division semantics: parse, substitute
     * `Divide` with [[SqliteDiv]] (type-directed int-vs-float division,
     * null on divide-by-zero) including inside subqueries, then analyze. */
-  private[slt] def runSql(spark: SparkSession, sql: String): DataFrame = {
+  private[slt] def runSql(spark: SparkSession, sql: String,
+      xtDialect: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Divide, Expression, NamedExpression, SubqueryExpression, UnaryPositive}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, Divide, Exists, Expression, If, InSubquery, ListQuery, Literal, NamedExpression, SubqueryExpression, UnaryPositive}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 
     // SQLite "bare column" semantics: a non-grouped, non-aggregated column
@@ -321,7 +330,20 @@ object SltRunner {
         c
       case sq: SubqueryExpression => sq.withNewPlan(fix(sq.plan))
     }
-    GraftColumnBridge.ofRows(spark, fix(GraftColumnBridge.parsePlan(spark, sql)))
+    // SQL-standard empty-subquery IN: `x IN (<no rows>)` is FALSE even for
+    // a NULL probe (Spark natively yields NULL). Guard with EXISTS —
+    // bottom-up so the guard's own InSubquery child is not revisited.
+    def wrapEmptyIn(plan: LogicalPlan): LogicalPlan =
+      plan.transformUp { case node =>
+        node.transformExpressionsUp {
+          case in @ InSubquery(_, lq: ListQuery) =>
+            If(Exists(lq.plan), in, Literal.FalseLiteral)
+          case sq: SubqueryExpression => sq.withNewPlan(wrapEmptyIn(sq.plan))
+        }
+      }
+    val fixed = fix(GraftColumnBridge.parsePlan(spark, sql))
+    GraftColumnBridge.ofRows(spark,
+      if (xtDialect) wrapEmptyIn(fixed) else fixed)
   }
 
   /** SQLite text->number coercion: parse the leading numeric prefix, else
@@ -332,9 +354,10 @@ object SltRunner {
       catch { case _: Exception => None }).getOrElse(0.0)
   }
 
-  private def fmt(v: Any, t: Char): String = v match {
+  private def fmt(v: Any, t: Char, xtDialect: Boolean = false): String =
+    v match {
     case null => "NULL"
-    case b: Boolean => if (b) "1" else "0"
+    case b: Boolean => if (xtDialect) b.toString else if (b) "1" else "0"
     case _ => t match {
       case 'I' => v match {
         case d: java.lang.Double => d.toLong.toString
@@ -359,12 +382,14 @@ object SltRunner {
   private def runQuery(spark: SparkSession, sql: String, types: String,
       sortMode: String, expected: Seq[String],
       tables: mutable.LinkedHashMap[String, TableState],
-      refreshViews: () => Unit): Option[String] = {
+      refreshViews: () => Unit, xtDialect: Boolean = false)
+      : Option[String] = {
     try {
       refreshViews()
-      val rows = runSql(spark, sql).collect()
+      val rows = runSql(spark, sql, xtDialect).collect()
       val formatted: Seq[Seq[String]] = rows.toSeq.map(r =>
-        types.zipWithIndex.map { case (t, c) => fmt(r.get(c), t) }.toSeq)
+        types.zipWithIndex.map { case (t, c) =>
+          fmt(r.get(c), t, xtDialect) }.toSeq)
       val values: Seq[String] = sortMode match {
         case "rowsort" =>
           formatted.sortWith { (a, b) =>
