@@ -141,6 +141,32 @@ object SqlDialect {
       FROM orders JOIN customer ON o_custkey = c_custkey
       WHERE o_orderkey < 100 ORDER BY okey""")),
 
+    // quantified comparisons (Sql.g4 quantified predicate): > ALL / > ANY
+    // rewritten to count-guarded extrema subqueries, = ANY → IN; DuckDB
+    // executes the native quantified forms as the oracle
+    QueryDef("q48_quantified", (s, dir) => {
+      val (db, eng) = fresh(s)
+      db.submitTx(Seq(TxOp.Put("custs", Tables.load(s, dir, "customer")
+        .select(col("c_custkey").as("_id"), col("c_acctbal").as("bal")))))
+      eng.sql("""
+        SELECT _id,
+               bal > ALL (SELECT c2.bal FROM custs c2 WHERE c2._id < 50) AS gt_all,
+               bal > ANY (SELECT c2.bal FROM custs c2 WHERE c2._id < 50) AS gt_any,
+               bal > ALL (SELECT c2.bal FROM custs c2 WHERE c2._id < 0) AS all_empty,
+               bal = ANY (SELECT c2.bal FROM custs c2 WHERE c2._id < 50) AS eq_any
+        FROM custs WHERE _id < 200 ORDER BY _id""")
+    }, Some("""
+      SELECT c_custkey AS _id,
+             c_acctbal > ALL (SELECT c_acctbal FROM customer
+                              WHERE c_custkey < 50) AS gt_all,
+             c_acctbal > ANY (SELECT c_acctbal FROM customer
+                              WHERE c_custkey < 50) AS gt_any,
+             c_acctbal > ALL (SELECT c_acctbal FROM customer
+                              WHERE c_custkey < 0) AS all_empty,
+             c_acctbal IN (SELECT c_acctbal FROM customer
+                           WHERE c_custkey < 50) AS eq_any
+      FROM customer WHERE c_custkey < 200 ORDER BY _id""")),
+
     // COPY IN bulk ingest: distributed parquet read → one put transaction
     QueryDef("q78_copy_in", (s, dir) => {
       val (db, eng) = fresh(s)

@@ -128,6 +128,15 @@ object XtSqlParser {
       rewritten = rewriteOneNest(body)
       guard += 1
     }
+    // 2b. quantified comparisons (x > ALL (sub) etc.) — Spark has no native
+    //     support; rewrite to count-guarded min/max scalar subqueries
+    guard = 0
+    rewritten = rewriteOneQuantified(body)
+    while (rewritten.isDefined && guard < 64) {
+      body = rewritten.get
+      rewritten = rewriteOneQuantified(body)
+      guard += 1
+    }
     // 3. temporal table refs
     toks = SqlLexer.tokenize(body)
     val refs = Vector.newBuilder[TemporalRef]
@@ -327,6 +336,78 @@ object XtSqlParser {
     val rest = sql.substring(toks(fromIdx).start, toks(close - 1).end)
     if (many) s"(SELECT collect_list($struct) $rest)"
     else s"(SELECT $struct $rest)"
+  }
+
+  // ---- quantified comparisons (Sql.g4 quantified predicate) --------------
+
+  private val cmpOps = Set(">", ">=", "<", "<=", "=", "<>", "!=")
+
+  /** Rewrite the first `<operand> <cmp> ALL|ANY|SOME (<subquery>)` found.
+    * `= ANY` → `IN`, `<> ALL` → `NOT IN`; the ordered comparators become
+    * count-guarded min/max scalar subqueries (x > ALL S ⇔ S empty OR
+    * x > max(S); empty-set gives true for ALL, false for ANY, matching
+    * the standard). Aggregates ignore NULL elements of S — the unknown
+    * outcome for a null element that would decide the result is
+    * approximated by the non-null extremum. */
+  private def rewriteOneQuantified(sql: String): Option[String] = {
+    val toks = SqlLexer.tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if ((t.is("ALL") || t.is("ANY") || t.is("SOME")) && i >= 2 &&
+          toks(i - 1).kind == Tok.Punct && cmpOps.contains(toks(i - 1).text) &&
+          i + 1 < toks.length && toks(i + 1).isPunct("(")) {
+        val op = toks(i - 1).text
+        val isAll = t.is("ALL")
+        val close = matchParen(toks, i + 1)
+        val sub = sql.substring(toks(i + 1).start + 1, toks(close).start)
+        // operand: dotted-identifier chain / literal / balanced-paren group
+        val opndEnd = i - 2
+        var opndStart = opndEnd
+        if (toks(opndEnd).isPunct(")")) {
+          var depth = 0
+          var k = opndEnd
+          var found = -1
+          while (k >= 0 && found < 0) {
+            if (toks(k).isPunct(")")) depth += 1
+            else if (toks(k).isPunct("(")) {
+              depth -= 1
+              if (depth == 0) found = k
+            }
+            k -= 1
+          }
+          opndStart = if (found >= 0) found else opndEnd
+          // include a function name before the '('
+          if (opndStart > 0 && toks(opndStart - 1).kind == Tok.Ident)
+            opndStart -= 1
+        } else {
+          while (opndStart >= 2 && toks(opndStart - 1).isPunct(".") &&
+            (toks(opndStart - 2).kind == Tok.Ident ||
+              toks(opndStart - 2).kind == Tok.QIdent)) opndStart -= 2
+        }
+        val operand = sql.substring(toks(opndStart).start, toks(opndEnd).end)
+        val replacement = (op, isAll) match {
+          case ("=", false) => s"(($operand) IN ($sub))"
+          case ("<>", true) | ("!=", true) => s"(($operand) NOT IN ($sub))"
+          case (o, all) if Set(">", ">=", "<", "<=").contains(o) =>
+            val agg = (o, all) match {
+              case (">", true) | (">=", true) => "max"
+              case ("<", true) | ("<=", true) => "min"
+              case (">", false) | (">=", false) => "min"
+              case _ => "max"
+            }
+            val empty = if (all) "true" else "false"
+            s"(CASE WHEN (SELECT count(*) FROM ($sub) __qq) = 0 THEN $empty" +
+              s" ELSE ($operand) $o (SELECT $agg(__qv) FROM ($sub) __qq(__qv)) END)"
+          case (o, all) => throw SqlParseException(
+            s"unsupported quantified comparison: $o ${if (all) "ALL" else "ANY"}")
+        }
+        return Some(SqlLexer.splice(sql,
+          Seq((toks(opndStart).start, toks(close).end, replacement))))
+      }
+      i += 1
+    }
+    None
   }
 
   private def identName(t: Tok): String =
