@@ -46,6 +46,26 @@ object Extra {
       WHERE o_orderstatus = 'F'
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
 
+    // ---- `(row-number)` whole-relation projection (ProjectionSpec.kt:75)
+    // + `:map {:sorted?}` MapType construction/access (types.clj:217-218)
+    QueryDef("q49_rownum_map", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val m = map_from_arrays(
+        array(lit("a"), lit("b")),
+        array(col("o_orderkey"), col("o_orderkey") * 2))
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey"),
+          row_number().over(Window.orderBy("o_orderkey")).cast("long").as("rn"),
+          element_at(m, "b").as("mb"),
+          map_keys(m).as("mk"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+             row_number() OVER (ORDER BY o_orderkey) AS rn,
+             MAP(['a','b'], [o_orderkey, o_orderkey * 2])['b'][1] AS mb,
+             map_keys(MAP(['a','b'], [o_orderkey, o_orderkey * 2])) AS mk
+      FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""")),
+
     // ---- bitwise operators (§2.9 arithmetic row: &, |, ^, <<, >>, ~) —
     // note DuckDB's ^ is POWER, so the oracle spells xor()
     QueryDef("q67_bitwise", (s, dir) => {
