@@ -59,4 +59,52 @@ object StreamIngest {
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
       .select(col("window.start").as("win_start"), col(keyCol),
         col("n"), col("total"))
+
+  /** Streaming exact dedup — the streaming face of `Dedup.exactGroups`,
+    * built on `flatMapGroupsWithState` custom state (SURVEY §3.4; the
+    * training-pipeline "drop repeats as they arrive" shape): per key,
+    * state holds the set of content hashes already emitted; only first
+    * occurrences pass. State expires after `stateTimeout` of key
+    * inactivity, bounding memory (a re-arriving duplicate after expiry is
+    * re-emitted — the exact batch dedup downstream remains the backstop).
+    *
+    * Scale: state is partitioned by key across executors (one shuffle),
+    * checkpointed incrementally via the state store — the standard Spark
+    * pattern for billions of keys. */
+  def streamingDedup(events: DataFrame, keyCol: String, hashCol: String,
+      stateTimeout: Option[String] = None): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val schema = events.schema
+    val keyIdx = schema.fieldIndex(keyCol)
+    val hashIdx = schema.fieldIndex(hashCol)
+    // NoTimeout keeps drains deterministic (processAllAvailable
+    // terminates); pass a timeout in long-running production jobs to bound
+    // state — note ProcessingTimeTimeout makes the engine fire batches
+    // continuously to evaluate expirations
+    val timeoutConf = stateTimeout.map(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
+    events
+      .groupByKey(r => String.valueOf(r.get(keyIdx)))(Encoders.STRING)
+      .flatMapGroupsWithState[Set[String], Row](
+        OutputMode.Append, timeoutConf) {
+        (_: String, rows: Iterator[Row],
+            state: org.apache.spark.sql.streaming.GroupState[Set[String]]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var seen = state.getOption.getOrElse(Set.empty[String])
+            val out = rows.filter { r =>
+              val h = String.valueOf(r.get(hashIdx))
+              if (seen.contains(h)) false
+              else { seen += h; true }
+            }.toVector
+            state.update(seen)
+            stateTimeout.foreach(state.setTimeoutDuration)
+            out.iterator
+          }
+      }(Encoders.kryo[Set[String]], Encoders.row(schema))
+  }
 }

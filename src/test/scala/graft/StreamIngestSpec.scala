@@ -51,6 +51,35 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(db.history("docs").filter(col("_id") === 1L).count() >= 2)
   }
 
+  test("streaming dedup: flatMapGroupsWithState drops repeats across batches") {
+    import spark.implicits._
+    val logDir = java.nio.file.Files.createTempDirectory("dedupstream").toString
+    // batch 1: two distinct docs + one in-batch duplicate
+    Seq((1L, "h_a", "a"), (1L, "h_a", "a-dup"), (2L, "h_b", "b"))
+      .toDF("user_id", "content_hash", "payload").coalesce(1)
+      .write.mode("append").parquet(logDir)
+    val schema = spark.read.parquet(logDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(logDir)
+    val deduped = StreamIngest.streamingDedup(stream, "user_id",
+      "content_hash")
+    val q = deduped.writeStream.outputMode("append")
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    // batch 2: cross-batch duplicate + one new doc for an existing key
+    Seq((1L, "h_a", "a-again"), (1L, "h_c", "c"))
+      .toDF("user_id", "content_hash", "payload").coalesce(1)
+      .write.mode("append").parquet(logDir)
+    q.processAllAvailable()
+    q.stop()
+
+    val out = spark.table("dedup_out")
+      .select("user_id", "content_hash", "payload")
+      .as[(Long, String, String)].collect().toSet
+    // first occurrences only: in-batch dup and cross-batch dup dropped
+    assert(out == Set((1L, "h_a", "a"), (2L, "h_b", "b"), (1L, "h_c", "c")))
+  }
+
   test("watermarked windowed aggregation matches batch computation") {
     val dir = "/root/testdata/sf0.001"
     val batchEvents = Tables.load(spark, dir, "events")
