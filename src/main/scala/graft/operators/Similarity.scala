@@ -76,6 +76,49 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells of
+    * `nlist` centroids, search only the `nprobe` nearest cells per query
+    * (classic IVF-Flat, the standard billion-scale layout). Centroids here
+    * are deterministic corpus members (lowest ids) rather than k-means
+    * iterates, so any SQL engine reproduces the assignment for oracle
+    * checking — on a real deployment, swap in trained centroids and
+    * nothing else changes.
+    *
+    * Scale: assignment is one broadcast (nlist × dims doubles) + a per-row
+    * argmin; the search joins each query only with its probed cells — one
+    * shuffle keyed by cell, work bounded by nprobe/nlist of the corpus per
+    * query. */
+  def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
+      nlist: Int, nprobe: Int, k: Int,
+      queryFilter: Column): DataFrame = {
+    val p = prepared(emb, vecCol)
+    val centroids = p.orderBy(col(idCol)).limit(nlist)
+      .select(col(idCol).as("cent_id"), col("__vecd").as("cv"),
+        col("__nrm").as("cn"))
+    // cell assignment: nearest centroid by cosine (argmax similarity)
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__csim").desc, col("cent_id"))
+    val assigned = p.crossJoin(broadcast(centroids))
+      .withColumn("__csim",
+        dot(col("__vecd"), col("cv")) / (col("__nrm") * col("cn")))
+      .withColumn("__crank", row_number().over(wAssign))
+    val corpusCells = assigned.filter(col("__crank") === 1)
+      .select(col("cent_id").as("cell"), col(idCol).as("neighbor_id"),
+        col("__vecd").as("nv"), col("__nrm").as("nn"))
+    val queryCells = assigned.filter(col("__crank") <= nprobe && queryFilter)
+      .select(col("cent_id").as("cell"), col(idCol).as("query_id"),
+        col("__vecd").as("qv"), col("__nrm").as("qn"))
+    val wTop = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    queryCells.join(corpusCells, Seq("cell"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("sim", dot(col("qv"), col("nv")) / (col("qn") * col("nn")))
+      .withColumn("rank", row_number().over(wTop).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** ANN top-k restricted to same-bucket candidates (the scale path).
     *
     * Recall story at 100 TB: one `planes`-bit table partitions the corpus

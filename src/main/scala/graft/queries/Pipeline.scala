@@ -328,6 +328,51 @@ object Pipeline {
       ORDER BY query_id, rank"""
     }, bench = true),
 
+    // ---- IVF-Flat ANN (the other billion-scale layout next to LSH):
+    // Voronoi cells of deterministic centroids, nprobe=2 cell search
+    QueryDef("q94_similarity_ivf", (s, dir) => {
+      Similarity.ivfTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dims = 64, nlist = 16, nprobe = 2, k = 5,
+          queryFilter = col("vec_id") < 10)
+        .orderBy("query_id", "rank")
+    }, Some("""
+      WITH p AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings),
+      cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+        FROM p ORDER BY vec_id LIMIT 16),
+      sims AS (
+        SELECT p.vec_id, c.cent_id,
+               list_sum([CAST(p.embedding[i] AS DOUBLE) * c.ce[i]
+                         FOR i IN range(1, 65)]) / (p.nrm * c.cn) AS csim
+        FROM p, cent c),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY csim DESC, cent_id) AS crank
+        FROM sims),
+      corpus_cells AS (
+        SELECT cent_id AS cell, vec_id AS neighbor_id
+        FROM ranked WHERE crank = 1),
+      query_cells AS (
+        SELECT cent_id AS cell, vec_id AS query_id
+        FROM ranked WHERE crank <= 2 AND vec_id < 10),
+      s AS (
+        SELECT q.query_id, c.neighbor_id,
+               list_sum([CAST(qe.embedding[i] AS DOUBLE) * ce.embedding[i]
+                         FOR i IN range(1, 65)]) / (qe.nrm * ce.nrm) AS sim
+        FROM query_cells q
+        JOIN corpus_cells c ON q.cell = c.cell
+         AND q.query_id <> c.neighbor_id
+        JOIN p qe ON qe.vec_id = q.query_id
+        JOIN p ce ON ce.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+      WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- multimodal: binary columns + partition-batched feature extraction
     QueryDef("q86_multimodal_features", (s, dir) => {
       Multimodal.extractFeatures(

@@ -182,6 +182,32 @@ object SqlDialect {
       SELECT p_partkey AS _id, p_name, p_retailprice
       FROM part ORDER BY _id""")),
 
+    // xt.txs transaction log: pinned system times make the log rows fully
+    // deterministic, including the aborted ASSERT entry
+    QueryDef("q79_txs_log", (s, dir) => {
+      val (db, eng) = fresh(s)
+      db.submitTx(Seq(TxOp.Put("t1",
+        Tables.load(s, dir, "orders").filter(col("o_orderkey") < 10)
+          .select(col("o_orderkey").as("_id")))),
+        Some(ts("2025-01-01 00:00:00")))
+      db.submitTx(Seq(TxOp.Update("t1", col("_id") < 5,
+        Seq("flag" -> lit(1L)))), Some(ts("2025-01-02 00:00:00")))
+      try db.submitTx(Seq(TxOp.Assert("never", snap =>
+          snap.current("t1").agg(expr("count(*) = 0 AS ok")))),
+        Some(ts("2025-01-03 00:00:00")))
+      catch { case _: graft.bitemporal.TxAbortedException => () }
+      db.txs.select(
+        unix_timestamp(col("system_time")).as("st_ep"),
+        col("tx_op"), col("committed"))
+        .orderBy("st_ep")
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(epoch(TIMESTAMP '2025-01-01') AS BIGINT), 'tx[1]', true),
+        (CAST(epoch(TIMESTAMP '2025-01-02') AS BIGINT), 'tx[1]', true),
+        (CAST(epoch(TIMESTAMP '2025-01-03') AS BIGINT), 'tx-abort', false))
+        AS t(st_ep, tx_op, committed)
+      ORDER BY st_ep""")),
+
     // SQL-text DML lifecycle: INSERT (API seed) → UPDATE → DELETE → PATCH →
     // final snapshot; DuckDB recomputes the end state from orders directly
     QueryDef("q77_sql_dml_lifecycle", (s, dir) => {
