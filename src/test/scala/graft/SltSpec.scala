@@ -20,7 +20,8 @@ class SltSpec extends AnyFunSuite {
   private val corpus = "/root/reference/sqlite-test"
 
   for ((file, maxQ) <- Seq("select1.test" -> 120, "select2.test" -> 60,
-      "select3.test" -> 60, "select4.test" -> 60, "select5.test" -> 40)) {
+      "select3.test" -> 60, "select4.test" -> 60, "select5.test" -> 40,
+      "xtdb.test" -> 100)) {
     test(s"$file (first $maxQ queries)") {
       assume(new java.io.File(s"$corpus/$file").exists)
       spark.sparkContext.setLogLevel("ERROR")
