@@ -66,6 +66,26 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
       systemTime: Option[java.sql.Timestamp] = None): java.sql.Timestamp =
     db.submitTx(stmts.map(s => toTxOp(parse(s))), systemTime)
 
+  /** Execute a `;`-separated script (psql-style). Statements run in order,
+    * each as its own transaction; the last statement's result is returned.
+    * Splitting is lexer-based, so `;` inside string literals is safe. */
+  def sqlScript(script: String): DataFrame = {
+    val toks = SqlLexer.tokenize(script)
+    val stmts = scala.collection.mutable.Buffer[String]()
+    var start = 0
+    toks.foreach { t =>
+      if (t.isPunct(";")) {
+        val s = script.substring(start, t.start).trim
+        if (s.nonEmpty) stmts += s
+        start = t.end
+      }
+    }
+    val tail = script.substring(start).trim
+    if (tail.nonEmpty) stmts += tail
+    require(stmts.nonEmpty, "empty script")
+    stmts.map(sql).last
+  }
+
   private def txInfo(ts: java.sql.Timestamp): DataFrame = {
     import spark.implicits._
     Seq(ts).toDF("system_time")

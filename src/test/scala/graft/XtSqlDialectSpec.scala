@@ -240,6 +240,17 @@ class XtSqlDialectSpec extends AnyFunSuite {
       pg.getString(2) == "graft")
   }
 
+  test("sqlScript: ;-separated statements run in order, last result returned") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    val out = eng.sqlScript("""
+      INSERT INTO notes RECORDS {_id: 1, txt: 'a;b'};
+      UPDATE notes SET txt = txt || ';c' WHERE _id = 1;
+      SELECT txt FROM notes WHERE _id = 1
+    """)
+    assert(out.as[String].collect().toSeq == Seq("a;b;c"))
+  }
+
   test("frozen query clock: unpinned refs resolve at the basis instant") {
     val (db, eng) = fresh()
     import spark.implicits._
