@@ -153,6 +153,44 @@ class XtSqlDialectSpec extends AnyFunSuite {
     assert(at("2024-03-25 00:00:00").isEmpty) // after patch range
   }
 
+  test("PATCH edge cases: new id fills whole range; unbounded FROM range") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    eng.sql("INSERT INTO g2 RECORDS {_id: 1, v: 'seed'}")
+    // _id 2 has NO versions: whole range is one gap → patch-only doc
+    eng.sql("""PATCH INTO g2 FOR VALID_TIME FROM TIMESTAMP '2024-01-01 00:00:00'
+      TO TIMESTAMP '2024-02-01 00:00:00' RECORDS {_id: 2, p: 'new'}""")
+    val r = eng.sql("""SELECT p FROM g2
+      FOR VALID_TIME AS OF TIMESTAMP '2024-01-15 00:00:00' WHERE _id = 2""")
+      .as[String].collect().toSeq
+    assert(r == Seq("new"))
+    assert(eng.sql("""SELECT count(*) AS n FROM g2
+      FOR VALID_TIME AS OF TIMESTAMP '2024-02-15 00:00:00' WHERE _id = 2""")
+      .as[Long].collect().head == 0L)
+    // unbounded FROM: patch applies from the bound onward, forever
+    eng.sql("""PATCH INTO g2 FOR VALID_TIME FROM TIMESTAMP '2030-01-01 00:00:00'
+      RECORDS {_id: 3, p: 'forever'}""")
+    assert(eng.sql("""SELECT p FROM g2
+      FOR VALID_TIME AS OF TIMESTAMP '2099-01-01 00:00:00' WHERE _id = 3""")
+      .as[String].collect().toSeq == Seq("forever"))
+  }
+
+  test("UPDATE FOR PORTION OF VALID_TIME: outside the portion survives") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    eng.sql("""INSERT INTO pr (_id, status, _valid_from)
+      VALUES (1, 'active', TIMESTAMP '2024-01-01 00:00:00')""")
+    eng.sql("""UPDATE pr FOR PORTION OF VALID_TIME
+      FROM TIMESTAMP '2024-03-01 00:00:00' TO TIMESTAMP '2024-04-01 00:00:00'
+      SET status = 'paused' WHERE _id = 1""")
+    def statusAt(t: String): String =
+      eng.sql(s"SELECT status FROM pr FOR VALID_TIME AS OF TIMESTAMP '$t' WHERE _id = 1")
+        .as[String].collect().head
+    assert(statusAt("2024-02-01 00:00:00") == "active")  // before portion
+    assert(statusAt("2024-03-15 00:00:00") == "paused")  // inside portion
+    assert(statusAt("2024-05-01 00:00:00") == "active")  // after portion
+  }
+
   test("ASSERT and atomic multi-statement transactions") {
     val (db, eng) = fresh()
     import spark.implicits._
