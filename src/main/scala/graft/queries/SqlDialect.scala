@@ -182,6 +182,54 @@ object SqlDialect {
       SELECT p_partkey AS _id, p_name, p_retailprice
       FROM part ORDER BY _id""")),
 
+    // :arrow source — Arrow IPC files as a relation (logical_plan.clj:
+    // 312-314). The fixture is written with the Arrow file writer from
+    // orders; the read path is the distributed binaryFile+vector decode.
+    QueryDef("q96_arrow_source", (s, dir) => {
+      import org.apache.arrow.memory.RootAllocator
+      import org.apache.arrow.vector._
+      import org.apache.arrow.vector.ipc.ArrowFileWriter
+      import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+      import org.apache.arrow.vector.types.FloatingPointPrecision
+      val rows = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 300)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .orderBy("o_orderkey").collect()
+      val out = java.nio.file.Files.createTempDirectory("graft_arrow")
+      val schema = new Schema(java.util.Arrays.asList(
+        new Field("okey", FieldType.nullable(new ArrowType.Int(64, true)), null),
+        new Field("price", FieldType.nullable(
+          new ArrowType.FloatingPoint(FloatingPointPrecision.DOUBLE)), null),
+        new Field("status", FieldType.nullable(new ArrowType.Utf8()), null)))
+      // two files → two input splits on the read side
+      rows.grouped((rows.length + 1) / 2).zipWithIndex.foreach {
+        case (chunk, idx) =>
+          val alloc = new RootAllocator(Long.MaxValue)
+          val root = VectorSchemaRoot.create(schema, alloc)
+          val ch = java.nio.channels.Channels.newChannel(
+            new java.io.FileOutputStream(s"$out/part$idx.arrow"))
+          val w = new ArrowFileWriter(root, null, ch)
+          w.start()
+          val kv = root.getVector("okey").asInstanceOf[BigIntVector]
+          val pv = root.getVector("price").asInstanceOf[Float8Vector]
+          val sv = root.getVector("status").asInstanceOf[VarCharVector]
+          root.allocateNew()
+          chunk.zipWithIndex.foreach { case (r, i) =>
+            kv.setSafe(i, r.getLong(0))
+            pv.setSafe(i, r.getDouble(1))
+            sv.setSafe(i, r.getString(2).getBytes("UTF-8"))
+          }
+          root.setRowCount(chunk.length)
+          w.writeBatch()
+          w.end(); w.close(); ch.close(); root.close(); alloc.close()
+      }
+      _root_.graft.sources.ArrowSource.read(s, out.toString)
+        .orderBy("okey")
+    }, Some("""
+      SELECT o_orderkey AS okey, o_totalprice AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey < 300 ORDER BY okey""")),
+
     // xt.txs transaction log: pinned system times make the log rows fully
     // deterministic, including the aborted ASSERT entry
     QueryDef("q79_txs_log", (s, dir) => {

@@ -55,6 +55,14 @@ object InformationSchema {
       "is_nullable")
   }
 
+  /** information_schema.tables for an XtDb instance. */
+  def tablesFor(db: XtDb, spark: SparkSession,
+      tableNames: Seq[String]): DataFrame = {
+    import spark.implicits._
+    tableNames.map(n => ("graft", "public", n, "BASE TABLE"))
+      .toDF("table_catalog", "table_schema", "table_name", "table_type")
+  }
+
   /** information_schema.columns for an XtDb instance's event-sourced tables
     * (merged schema incl. the bitemporal meta columns). */
   def columnsFor(db: XtDb, spark: SparkSession,

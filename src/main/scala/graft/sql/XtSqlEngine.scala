@@ -115,6 +115,17 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
         toSpec(pq.defaultValid), toSpec(pq.defaultSystem))
         .createOrReplaceTempView(t)
     }
+    // system tables (reference xt.txs / information_schema; dots are not
+    // legal in Spark temp-view names, so the xt/info schemas flatten to _)
+    try db.txs.createOrReplaceTempView("xt_txs")
+    catch { case _: Exception => () } // no tx yet
+    val infoTables = db.tables
+    if (infoTables.nonEmpty) {
+      graft.sources.InformationSchema.tablesFor(db, spark, infoTables)
+        .createOrReplaceTempView("information_schema_tables")
+      graft.sources.InformationSchema.columnsFor(db, spark, infoTables)
+        .createOrReplaceTempView("information_schema_columns")
+    }
     val reps = pq.refs.zipWithIndex.map { case (r, i) =>
       val view = s"__xt_${r.table}_$i"
       Bitemporal.resolve(db.events(r.table), toSpec(r.valid), toSpec(r.system))

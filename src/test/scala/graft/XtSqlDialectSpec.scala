@@ -278,6 +278,20 @@ class XtSqlDialectSpec extends AnyFunSuite {
       pg.getString(2) == "graft")
   }
 
+  test("system tables queryable through SQL: xt_txs, information_schema") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    eng.sql("INSERT INTO sys1 RECORDS {_id: 1, v: 'x'}")
+    assert(eng.sql("SELECT count(*) AS n FROM xt_txs WHERE committed")
+      .as[Long].collect().head == 1L)
+    assert(eng.sql(
+      "SELECT table_name FROM information_schema_tables ORDER BY 1")
+      .as[String].collect().toSeq == Seq("sys1"))
+    assert(eng.sql("""SELECT count(*) AS n FROM information_schema_columns
+      WHERE table_name = 'sys1' AND column_name = '_valid_from'""")
+      .as[Long].collect().head == 1L)
+  }
+
   test("sqlScript: ;-separated statements run in order, last result returned") {
     val (db, eng) = fresh()
     import spark.implicits._
