@@ -66,6 +66,34 @@ object Extra {
              map_keys(MAP(['a','b'], [o_orderkey, o_orderkey * 2])) AS mk
       FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""")),
 
+    // ---- arbitrary document payloads as VariantType (the Spark 4 face of
+    // the reference's :transit column, types.clj:293): JSON text parsed to
+    // variant, typed field extraction + nested array access
+    QueryDef("q97_variant_payload", (s, dir) => {
+      Tables.load(s, dir, "orders").filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey"),
+          concat(lit("""{"k":"""), col("o_orderkey"),
+            lit(""","tags":["t"""), pmod(col("o_orderkey"), lit(5)),
+            lit(""""],"meta":{"status":""""), col("o_orderstatus"),
+            lit(""""}}""")).as("__j"))
+        .select(col("o_orderkey"),
+          expr("variant_get(parse_json(__j), '$.k', 'long')").as("k"),
+          expr("variant_get(parse_json(__j), '$.meta.status', 'string')")
+            .as(  "status"),
+          expr("variant_get(parse_json(__j), '$.tags[0]', 'string')")
+            .as("tag0"))
+        .orderBy("o_orderkey")
+    }, Some("""
+      SELECT o_orderkey,
+             CAST(json_extract(j, '$.k') AS BIGINT) AS k,
+             json_extract_string(j, '$.meta.status') AS status,
+             json_extract_string(j, '$.tags[0]') AS tag0
+      FROM (SELECT o_orderkey,
+              '{"k":' || o_orderkey || ',"tags":["t' || (o_orderkey % 5) ||
+              '"],"meta":{"status":"' || o_orderstatus || '"}}' AS j
+            FROM orders WHERE o_orderkey < 300)
+      ORDER BY o_orderkey""")),
+
     // ---- bitwise operators (§2.9 arithmetic row: &, |, ^, <<, >>, ~) —
     // note DuckDB's ^ is POWER, so the oracle spells xor()
     QueryDef("q67_bitwise", (s, dir) => {
