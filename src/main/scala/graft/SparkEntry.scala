@@ -27,8 +27,12 @@ object SparkEntry {
     queries("q01_pricing_summary")(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  def queries: Map[String, (SparkSession, String) => DataFrame] = {
+    // a duplicate name would silently shrink the correctness gate
+    val dups = all.groupBy(_.name).filter(_._2.length > 1).keys
+    require(dups.isEmpty, s"duplicate query names: ${dups.mkString(", ")}")
     all.map(d => d.name -> d.fn).toMap
+  }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
