@@ -387,6 +387,30 @@ object Pipeline {
              CAST((length(text) * 7) % 480 AS BIGINT) AS height
       FROM documents WHERE doc_id < 200 ORDER BY media_id""")),
 
+    // ---- frame sampling plumbing: every 64th byte offset yields a
+    // 32-byte "frame" (stands in for video frame extraction; corpus is
+    // ASCII so the DuckDB substring oracle is byte-exact)
+    QueryDef("q98_multimodal_frames", (s, dir) => {
+      val media = Multimodal.asMedia(
+        t(s, dir, "documents").filter(col("doc_id") < 100), "doc_id", "text")
+      Multimodal.sampleFrames(media, everyN = 64, frameBytes = 32)
+        .select(col("media_id"), col("frame_no"),
+          md5(col("frame")).as("fh"),
+          length(col("frame")).cast("long").as("flen"))
+        .orderBy("media_id", "frame_no")
+    }, Some("""
+      WITH d AS (SELECT doc_id AS media_id, text
+                 FROM documents WHERE doc_id < 100),
+      offs AS (
+        SELECT media_id, text,
+               unnest(range(0, CAST(ceil(length(text) / 64.0) AS BIGINT))) AS i
+        FROM d)
+      SELECT media_id, CAST(i AS BIGINT) AS frame_no,
+             md5(substring(text, CAST(i * 64 + 1 AS INT), 32)) AS fh,
+             CAST(length(substring(text, CAST(i * 64 + 1 AS INT), 32))
+                  AS BIGINT) AS flen
+      FROM offs ORDER BY media_id, frame_no""")),
+
     // ---- language ID (stopword-count heuristic with fixed tie-break)
     QueryDef("q87_text_langid", (s, dir) => {
       t(s, dir, "documents").filter(col("doc_id") < 300)
