@@ -1,7 +1,7 @@
 package graft.queries
 
-import graft.QueryDef
-import graft.sources.InformationSchema
+import graft.{QueryDef, Tables}
+import graft.sources.{InformationSchema, PgCatalog}
 import org.apache.spark.sql.functions._
 
 /** information_schema coverage (reference information_schema.clj:167-214).
@@ -50,7 +50,49 @@ object Meta {
     ("embeddings", "embedding", "FLOAT[]"),
     ("embeddings", "label", "INTEGER"))
 
+  /** SQL-ish type name (q95's golden) → pg_type typname (q99's golden).
+    * The TIMESTAMP split: events.ts is tz-adjusted parquet (timestamptz),
+    * orders/lineitem dates are not (timestamp NTZ). */
+  private def pgTypname(table: String, sqlType: String): String =
+    sqlType match {
+      case "INTEGER" => "int4"
+      case "BIGINT" => "int8"
+      case "DOUBLE" => "float8"
+      case "VARCHAR" => "text"
+      case "FLOAT[]" => "_float4"
+      case "TIMESTAMP" => if (table == "events") "timestamptz" else "timestamp"
+      case other => sys.error(s"unmapped golden type $other")
+    }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q99_pg_catalog", (s, dir) => {
+      // BI-tool schema-sync probe: pg_class ⋈ pg_namespace ⋈ pg_attribute ⋈
+      // pg_type (reference information_schema.clj:540-547 materializes the
+      // same four views from its table catalog)
+      val schemas = Tables.all.map(n => n -> Tables.load(s, dir, n).schema)
+      val tables = schemas.map { case (t, _) => ("public", t) }
+      val cls = PgCatalog.pgClass(s, tables)
+      val ns = PgCatalog.pgNamespace(s)
+      val att = PgCatalog.pgAttribute(s, PgCatalog.colRows(schemas))
+      val typ = PgCatalog.pgType(s)
+      cls.join(ns, cls("relnamespace") === ns("oid"))
+        .join(att, att("attrelid") === cls("oid"))
+        .join(typ, att("atttypid") === typ("oid"))
+        .select(ns("nspname"), cls("relname"), att("attname"), att("attnum"),
+          typ("typname"))
+        .orderBy("relname", "attnum")
+    }, Some {
+      val values = expected
+        .map { case (t, c, ty) =>
+          s"('public', '$t', '$c', ${expected.filter(_._1 == t).indexWhere(_._2 == c) + 1}, '${pgTypname(t, ty)}')"
+        }
+        .mkString(",\n        ")
+      s"""
+      SELECT nspname, relname, attname, attnum, typname
+      FROM (VALUES
+        $values) v(nspname, relname, attname, attnum, typname)
+      ORDER BY relname, attnum"""
+    }),
     QueryDef("q95_information_schema", (s, dir) => {
       InformationSchema.columns(s, dir)
         .select("table_name", "column_name", "data_type")

@@ -126,6 +126,11 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
       graft.sources.InformationSchema.columnsFor(db, spark, infoTables)
         .createOrReplaceTempView("information_schema_columns")
     }
+    // pg_catalog views under bare names (reference puts pg_catalog on the
+    // default search path, information_schema.clj:204) — BI tools schema-sync
+    // against these over the JDBC front door
+    graft.sources.PgCatalog.registerAll(spark,
+      infoTables.map(t => t -> db.events(t).schema))
     val reps = pq.refs.zipWithIndex.map { case (r, i) =>
       val view = s"__xt_${r.table}_$i"
       Bitemporal.resolve(db.events(r.table), toSpec(r.valid), toSpec(r.system))
