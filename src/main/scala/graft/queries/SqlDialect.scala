@@ -256,6 +256,28 @@ object SqlDialect {
         AS t(st_ep, tx_op, committed)
       ORDER BY st_ep""")),
 
+    // object constructors ({k: v} → named_struct, Sql.g4:388-393) and
+    // * EXCLUDE / * RENAME (Sql.g4:651-661) through the SQL text; struct
+    // fields projected back out so DuckDB can recompute scalars
+    QueryDef("q100_sql_object_star", (s, dir) => {
+      val (db, eng) = fresh(s)
+      db.submitTx(Seq(TxOp.Put("ords", Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey").as("_id"), col("o_custkey").as("ck"),
+          col("o_totalprice").as("price"), col("o_orderstatus").as("status")))))
+      eng.sql("""
+        SELECT o.okey AS okey, o.pr AS pr, o.ck AS ck,
+               o.info.ck2 AS ck2, o.info.big AS big
+        FROM (
+          SELECT * EXCLUDE status RENAME (_id AS okey, price AS pr),
+                 {ck2: ck, big: price > 1000.0} AS info
+          FROM ords) o
+        ORDER BY okey""")
+    }, Some("""
+      SELECT o_orderkey AS okey, o_totalprice AS pr, o_custkey AS ck,
+             o_custkey AS ck2, o_totalprice > 1000.0 AS big
+      FROM orders WHERE o_orderkey < 300 ORDER BY okey""")),
+
     // SQL-text DML lifecycle: INSERT (API seed) → UPDATE → DELETE → PATCH →
     // final snapshot; DuckDB recomputes the end state from orders directly
     QueryDef("q77_sql_dml_lifecycle", (s, dir) => {

@@ -108,11 +108,24 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
 
   def runQuery(pq: ParsedQuery): DataFrame = {
     XtSql.registerFunctions(spark)
+    // Reference semantics: _iid/_valid_*/_system_* are hidden columns —
+    // `SELECT *` does not expand them, but naming one selects it
+    // (as_of_test.clj scans request temporal columns explicitly). Spark
+    // temp views have no hidden-column notion, so keep exactly the meta
+    // columns the query text references (lexer Ident tokens — names inside
+    // string literals don't count) and drop the rest before registration.
+    val metaCols =
+      Seq(Bitemporal.IID, Bitemporal.VF, Bitemporal.VT, Bitemporal.SF,
+        Bitemporal.ST)
+    val referenced = SqlLexer.tokenize(pq.text)
+      .collect { case t if t.kind == Tok.Ident => t.text.toLowerCase }.toSet
+    val dropMeta = metaCols.filterNot(referenced.contains)
+    def visible(df: DataFrame): DataFrame = df.drop(dropMeta: _*)
     // bare table refs resolve under the query's default specs (views are
     // lazy — registering every store table costs nothing)
     db.tables.foreach { t =>
-      Bitemporal.resolve(db.events(t),
-        toSpec(pq.defaultValid), toSpec(pq.defaultSystem))
+      visible(Bitemporal.resolve(db.events(t),
+        toSpec(pq.defaultValid), toSpec(pq.defaultSystem)))
         .createOrReplaceTempView(t)
     }
     // system tables (reference xt.txs / information_schema; dots are not
@@ -133,7 +146,8 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
       infoTables.map(t => t -> db.events(t).schema))
     val reps = pq.refs.zipWithIndex.map { case (r, i) =>
       val view = s"__xt_${r.table}_$i"
-      Bitemporal.resolve(db.events(r.table), toSpec(r.valid), toSpec(r.system))
+      visible(Bitemporal.resolve(db.events(r.table),
+        toSpec(r.valid), toSpec(r.system)))
         .createOrReplaceTempView(view)
       (r.start, r.end, view)
     }
@@ -147,7 +161,10 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
 
   private def recordsDf(records: Seq[Record]): DataFrame =
     records.map { rec =>
-      val items = rec.map { case (name, e) => s"($e) AS `$name`" }
+      // nested {k: v} objects inside field values become named_struct
+      val items = rec.map { case (name, e) =>
+        s"(${XtSqlParser.rewriteObjects(e)}) AS `$name`"
+      }
       spark.sql(s"SELECT ${items.mkString(", ")}")
     }.reduce(_.unionByName(_, allowMissingColumns = true))
 

@@ -137,6 +137,19 @@ object XtSqlParser {
       rewritten = rewriteOneQuantified(body)
       guard += 1
     }
+    // 2c. object constructors OBJECT(k: v)/RECORD(k: v)/{k: v} →
+    //     named_struct (Sql.g4:388-393); outermost-first, re-tokenized so
+    //     nested objects are picked up on later passes
+    body = rewriteObjects(body)
+    // 2d. * EXCLUDE … / * RENAME … (Sql.g4:651-661) → Spark * EXCEPT +
+    //     explicit aliased re-projections
+    guard = 0
+    rewritten = rewriteOneStarClause(body)
+    while (rewritten.isDefined && guard < 64) {
+      body = rewritten.get
+      rewritten = rewriteOneStarClause(body)
+      guard += 1
+    }
     // 3. temporal table refs
     toks = SqlLexer.tokenize(body)
     val refs = Vector.newBuilder[TemporalRef]
@@ -408,6 +421,169 @@ object XtSqlParser {
       i += 1
     }
     None
+  }
+
+  // ---- object constructors (Sql.g4 objectConstructor) ---------------------
+
+  /** Rewrite every OBJECT(k: v)/RECORD(k: v)/{k: v} constructor in `sql`
+    * to `named_struct('k', (v), …)`. Public: the engine also applies it to
+    * RECORDS field expressions, where nested objects are legal. */
+  def rewriteObjects(sql: String): String = {
+    var body = sql
+    var guard = 0
+    var next = rewriteOneObject(body)
+    while (next.isDefined && guard < 64) {
+      body = next.get
+      next = rewriteOneObject(body)
+      guard += 1
+    }
+    body
+  }
+
+  private def rewriteOneObject(sql: String): Option[String] = {
+    val toks = SqlLexer.tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if ((t.is("OBJECT") || t.is("RECORD")) && i + 1 < toks.length &&
+          toks(i + 1).isPunct("(") && looksLikeObjectBody(toks, i + 2)) {
+        val close = matchParen(toks, i + 1)
+        val fields = parseObjectFields(sql, toks, i + 2, close)
+        return Some(SqlLexer.splice(sql,
+          Seq((t.start, toks(close).end, namedStruct(fields)))))
+      }
+      if (t.isPunct("{") && looksLikeObjectBody(toks, i + 1)) {
+        val (rec, next) = parseRecord(sql, toks, i)
+        return Some(SqlLexer.splice(sql,
+          Seq((t.start, toks(next - 1).end, namedStruct(rec)))))
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** `name :` (or immediate close) — distinguishes an object body from a
+    * function call or block. */
+  private def looksLikeObjectBody(toks: Vector[Tok], i: Int): Boolean =
+    (i < toks.length && (toks(i).isPunct(")") || toks(i).isPunct("}"))) ||
+      (i + 1 < toks.length &&
+        (toks(i).kind == Tok.Ident || toks(i).kind == Tok.QIdent ||
+          toks(i).kind == Tok.Str) && toks(i + 1).isPunct(":"))
+
+  /** Fields of `OBJECT( … )` between token indices [start, close). */
+  private def parseObjectFields(sql: String, toks: Vector[Tok], start: Int,
+      close: Int): Record = {
+    val fields = Vector.newBuilder[(String, String)]
+    var i = start
+    while (i < close) {
+      val name = toks(i).kind match {
+        case Tok.Ident | Tok.QIdent => identName(toks(i))
+        case Tok.Str => toks(i).text.substring(1, toks(i).text.length - 1)
+        case _ =>
+          throw SqlParseException(s"expected field name at ${pos(toks, i)}")
+      }
+      if (!toks(i + 1).isPunct(":"))
+        throw SqlParseException(s"expected : at ${pos(toks, i + 1)}")
+      var j = i + 2
+      var d = 0
+      while (j < close && !(d == 0 && toks(j).isPunct(","))) {
+        if (toks(j).isPunct("(") || toks(j).isPunct("[") ||
+          toks(j).isPunct("{")) d += 1
+        else if (toks(j).isPunct(")") || toks(j).isPunct("]") ||
+          toks(j).isPunct("}")) d -= 1
+        j += 1
+      }
+      fields += ((name, sql.substring(toks(i + 2).start, toks(j - 1).end)))
+      i = j + 1
+    }
+    fields.result()
+  }
+
+  private def namedStruct(fields: Record): String =
+    if (fields.isEmpty) "named_struct()"
+    else "named_struct(" +
+      fields.map { case (n, e) => s"'$n', ($e)" }.mkString(", ") + ")"
+
+  // ---- * EXCLUDE / * RENAME (Sql.g4 excludeClause/qualifiedRenameClause) --
+
+  /** Rewrite the first `* EXCLUDE …` / `* RENAME …` found: EXCLUDE columns
+    * and rename sources drop via Spark's `* EXCEPT (…)`; renamed columns
+    * re-project as trailing `src AS dst` items. */
+  private def rewriteOneStarClause(sql: String): Option[String] = {
+    val toks = SqlLexer.tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).isPunct("*") && i + 1 < toks.length &&
+          (toks(i + 1).is("EXCLUDE") || toks(i + 1).is("RENAME"))) {
+        var j = i + 1
+        var excludes = Vector.empty[String]
+        var renames = Vector.empty[(String, String)]
+        if (toks(j).is("EXCLUDE")) {
+          val (cols, n) = parseIdentList(toks, j + 1)
+          excludes = cols; j = n
+        }
+        if (j < toks.length && toks(j).is("RENAME")) {
+          val (pairs, n) = parseRenameList(toks, j + 1)
+          renames = pairs; j = n
+        }
+        val dropList = excludes ++ renames.map(_._1)
+        val parts =
+          (if (dropList.nonEmpty) Seq(s"EXCEPT (${dropList.mkString(", ")})")
+           else Seq.empty) ++
+            renames.map { case (src, dst) => s", $src AS $dst" }
+        return Some(SqlLexer.splice(sql,
+          Seq((toks(i + 1).start, toks(j - 1).end, parts.mkString(" ")))))
+      }
+      i += 1
+    }
+    None
+  }
+
+  /** `ident` or `(ident, …)` — returns (names, next index). */
+  private def parseIdentList(toks: Vector[Tok],
+      i0: Int): (Vector[String], Int) = {
+    if (i0 < toks.length && toks(i0).isPunct("(")) {
+      val close = matchParen(toks, i0)
+      val names = (i0 + 1 until close).filter(k =>
+        toks(k).kind == Tok.Ident || toks(k).kind == Tok.QIdent)
+        .map(k => identName(toks(k))).toVector
+      (names, close + 1)
+    } else if (i0 < toks.length &&
+        (toks(i0).kind == Tok.Ident || toks(i0).kind == Tok.QIdent))
+      (Vector(identName(toks(i0))), i0 + 1)
+    else throw SqlParseException(s"expected column list at ${pos(toks, i0)}")
+  }
+
+  /** `a AS b` / `(a AS b, c AS d)`; AS is optional per the grammar's
+    * asClause. Returns (pairs, next index). */
+  private def parseRenameList(toks: Vector[Tok],
+      i0: Int): (Vector[(String, String)], Int) = {
+    def pair(i: Int): ((String, String), Int) = {
+      if (i >= toks.length ||
+        (toks(i).kind != Tok.Ident && toks(i).kind != Tok.QIdent))
+        throw SqlParseException(s"expected column name at ${pos(toks, i)}")
+      val src = identName(toks(i))
+      var j = i + 1
+      if (j < toks.length && toks(j).is("AS")) j += 1
+      if (j >= toks.length ||
+        (toks(j).kind != Tok.Ident && toks(j).kind != Tok.QIdent))
+        throw SqlParseException(s"expected new name at ${pos(toks, j)}")
+      ((src, identName(toks(j))), j + 1)
+    }
+    if (i0 < toks.length && toks(i0).isPunct("(")) {
+      val close = matchParen(toks, i0)
+      val pairs = Vector.newBuilder[(String, String)]
+      var i = i0 + 1
+      while (i < close) {
+        val (p, n) = pair(i)
+        pairs += p
+        i = if (n < close && toks(n).isPunct(",")) n + 1 else n
+      }
+      (pairs.result(), close + 1)
+    } else {
+      val (p, n) = pair(i0)
+      (Vector(p), n)
+    }
   }
 
   private def identName(t: Tok): String =

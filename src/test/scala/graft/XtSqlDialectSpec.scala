@@ -338,4 +338,56 @@ class XtSqlDialectSpec extends AnyFunSuite {
     assert(eng.sql("SELECT substring(txt FROM 1 FOR 6) AS s FROM notes")
       .as[String].collect().head == "orders")
   }
+
+  test("object constructors: OBJECT / RECORD / braces → structs") {
+    val (db, eng) = fresh()
+    eng.sql("INSERT INTO cfg RECORDS {_id: 1, a: 10}")
+    // expression-position constructors, incl. nesting and all three spellings
+    val r = eng.sql("""
+      SELECT OBJECT(x: a + 1, y: 'lit') AS o1,
+             RECORD(inner: {p: a, q: a * 2}) AS o2
+      FROM cfg""").collect().head
+    val o1 = r.getStruct(0)
+    assert(o1.getAs[Any]("x") == 11 && o1.getAs[String]("y") == "lit")
+    val inner = r.getStruct(1).getStruct(0)
+    assert(inner.getAs[Any]("p") == 10 && inner.getAs[Any]("q") == 20)
+    // nested object inside a RECORDS field value
+    eng.sql("INSERT INTO cfg RECORDS {_id: 2, a: 7, meta: {tag: 'x', n: 3}}")
+    val m = eng.sql("SELECT meta.tag AS t, meta.n AS n FROM cfg WHERE _id = 2")
+      .collect().head
+    assert(m.getString(0) == "x" && m.getAs[Any](1) == 3)
+  }
+
+  test("SELECT * hides bitemporal meta columns; naming one selects it") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    eng.sql("INSERT INTO t (_id, v) VALUES (1, 10)")
+    // reference: _valid_*/_system_*/_iid are hidden from star expansion
+    assert(eng.sql("SELECT * FROM t").columns.toSet == Set("_id", "v"))
+    // but an explicit reference selects the column
+    val vf = eng.sql("SELECT _id, _valid_from FROM t").collect().head
+    assert(!vf.isNullAt(1))
+    // and once referenced anywhere, it also rides the star
+    assert(eng.sql("SELECT * FROM t WHERE _valid_from < TIMESTAMP '9999-01-01 00:00:00'")
+      .columns.contains("_valid_from"))
+    // temporal-clause refs behave the same
+    assert(eng.sql("SELECT * FROM t FOR ALL SYSTEM_TIME").columns.toSet
+      == Set("_id", "v"))
+  }
+
+  test("* EXCLUDE and * RENAME on the select star") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    eng.sql("INSERT INTO t (_id, a, b, c) VALUES (1, 10, 20, 30)")
+    assert(eng.sql("SELECT * EXCLUDE (a, c) FROM t").columns.toSet
+      == Set("_id", "b"))
+    assert(eng.sql("SELECT * EXCLUDE a FROM t").columns.toSet
+      == Set("_id", "b", "c"))
+    val ren = eng.sql("SELECT * RENAME (a AS alpha, b beta) FROM t")
+    assert(ren.columns.toSet == Set("_id", "c", "alpha", "beta"))
+    assert(ren.select("alpha").as[Int].collect().head == 10)
+    // combined EXCLUDE + RENAME on one star
+    val both = eng.sql("SELECT * EXCLUDE c RENAME a AS alpha FROM t")
+    assert(both.columns.toSet == Set("_id", "b", "alpha"))
+  }
 }
