@@ -9,6 +9,43 @@ object Extra {
 
   val defs: Seq[QueryDef] = Seq(
 
+    // ---- Structured Streaming end-to-end, oracle-checked: events arrive
+    // as three parquet log chunks, drain through a real streaming query
+    // (file source, maxFilesPerTrigger → several micro-batches, watermark +
+    // event-time window, memory sink), and the final aggregate must equal
+    // DuckDB's batch computation over the same rows. `value` is pre-scaled
+    // to integer cents so the cross-batch summation order can't perturb the
+    // hash (IEEE doubles would).
+    QueryDef("q101_streaming_window", (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(col("event_id"), col("ts"), col("event_type"),
+          floor(col("value") * 100 + 0.5).cast("long").as("value"))
+      val logDir = java.nio.file.Files
+        .createTempDirectory("graft_streamlog").toString
+      (0 until 3).foreach { chunk =>
+        ev.filter(pmod(col("event_id"), lit(3)) === chunk)
+          .coalesce(1).write.mode("append").parquet(logDir)
+      }
+      val stream = _root_.graft.streaming.StreamIngest.openLog(
+        s, logDir, ev.schema, maxFilesPerTrigger = 2)
+      val agg = _root_.graft.streaming.StreamIngest.windowedCounts(
+        stream, "ts", "1 day", "1 hour", "event_type")
+      val q = agg.writeStream.outputMode("complete")
+        .format("memory").queryName("q101_mem").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table("q101_mem")
+        .select(unix_timestamp(col("win_start")).as("ws_ep"),
+          col("event_type"), col("n"), col("total"))
+        .orderBy("ws_ep", "event_type")
+    }, Some("""
+      SELECT CAST(epoch(date_trunc('day', ts)) AS BIGINT) AS ws_ep,
+             event_type, count(*) AS n,
+             CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total
+      FROM events WHERE event_id < 2000
+      GROUP BY 1, 2 ORDER BY ws_ep, event_type""")),
+
     // ---- lateral top-n per group: Catalyst plans the correlated subquery
     // (reference would route this through :apply + decorrelation rules)
     QueryDef("q46_lateral_topn", (s, dir) => {
