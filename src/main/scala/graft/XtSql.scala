@@ -56,6 +56,99 @@ object XtSql {
     register("p_succeeds", 2)(a => Periods.succeeds(a.head, a(1)))
     register("p_equals", 2)(a => Periods.equalsPeriod(a.head, a(1)))
 
+    // ---- SQL-standard string/array fns Spark lacks under these names
+    // (reference expression.clj:1228-1311, 1579-1744, 2205-2250)
+    register("character_length", 1)(a => length(a.head))
+    // byte position of needle in haystack (expression.clj:1579-1588);
+    // 0 when absent, like POSITION
+    register("octet_position", 2) { a =>
+      val (needle, hay) = (a.head, a(1))
+      val charPos = instr(hay, needle)
+      when(charPos > 0,
+        octet_length(substring(hay, lit(1), charPos - 1)) + 1)
+        .otherwise(lit(0))
+    }
+    // repeated-single-char trims; trim char is regex-quoted so metachars
+    // are literal (reference sql-trim-leading/-trailing)
+    register("trim_leading", 2)(a => regexp_replace(a.head,
+      concat(lit("^(\\Q"), a(1), lit("\\E)+")), lit("")))
+    register("trim_trailing", 2)(a => regexp_replace(a.head,
+      concat(lit("(\\Q"), a(1), lit("\\E)+$")), lit("")))
+    // PG semantics (expression.clj:1645-1667): '' → []; '' delim → [s];
+    // NULL delim → chars; NULL s → NULL
+    register("string_to_array", 2) { a =>
+      val (s, d) = (a.head, a(1))
+      when(s.isNull, lit(null).cast("array<string>"))
+        .when(s === "", array().cast("array<string>"))
+        .when(d.isNull,
+          transform(sequence(lit(1), length(s)), i => substring(s, i, lit(1))))
+        .when(d === "", array(s))
+        .otherwise(call_function("split", s,
+          concat(lit("\\Q"), d, lit("\\E")), lit(-1)))
+    }
+    // 1-dimensional arrays only, like the reference (throws otherwise)
+    register("array_lower", 2)(a =>
+      when(assert_true(a(1) === 1,
+          lit("array_lower: only dimension 1 supported")).isNull,
+        when(a.head.isNotNull, lit(1))))
+    register("array_upper", 2)(a =>
+      when(assert_true(a(1) === 1,
+          lit("array_upper: only dimension 1 supported")).isNull,
+        size(a.head)))
+    register("array_length", 2)(a =>
+      when(assert_true(a(1) === 1,
+          lit("array_length: only dimension 1 supported")).isNull,
+        size(a.head)))
+    // drop the last n elements; n > size is an error (expression.clj:2241)
+    register("trim_array", 2) { a =>
+      val (arr, n) = (a.head, a(1))
+      when(assert_true(n <= size(arr),
+          lit("trim_array: cannot trim more than array size")).isNull,
+        slice(arr, lit(1), greatest(size(arr) - n, lit(0))))
+    }
+    // quote_ident (expression.clj:1618-1629): already-safe lowercase
+    // identifiers pass through; anything else double-quotes with "" escape
+    register("quote_ident", 1) { a =>
+      val s = a.head
+      val keyword = s.isin("select", "from", "where", "table", "group",
+        "order", "by", "having", "join", "union", "all", "and", "or", "not",
+        "null", "true", "false", "as", "on", "in", "between", "like",
+        "insert", "update", "delete", "values", "set", "user", "case",
+        "when", "then", "else", "end", "cast", "limit", "offset")
+      when(s.rlike("^[a-z_][a-z0-9_]*$") && !keyword, s)
+        .otherwise(concat(lit("\""),
+          regexp_replace(s, lit("\""), lit("\"\"")), lit("\"")))
+    }
+    // parse_ident (expression.clj:1732-1736): dotted possibly-quoted path →
+    // parts; genuinely stateful quote scanning, so a (rarely-hot) UDF
+    if (!spark.catalog.functionExists("parse_ident"))
+      spark.udf.register("parse_ident", (s: String) =>
+        if (s == null) null
+        else {
+          val parts = scala.collection.mutable.Buffer[String]()
+          val cur = new StringBuilder
+          var inQ = false
+          var i = 0
+          while (i < s.length) {
+            val c = s.charAt(i)
+            if (inQ) {
+              if (c == '"')
+                if (i + 1 < s.length && s.charAt(i + 1) == '"') {
+                  cur += '"'; i += 1
+                } else inQ = false
+              else cur += c
+            } else if (c == '"') inQ = true
+            else if (c == '.') { parts += cur.result(); cur.clear() }
+            else cur += c.toLower
+            i += 1
+          }
+          parts += cur.result()
+          if (parts.exists(_.isEmpty))
+            throw new IllegalArgumentException(
+              s"zero-length identifier in: $s")
+          parts.toSeq
+        })
+
     // ---- pg-compat surface (reference expression/pg.clj:31-113 +
     // pg_catalog fns needed by BI tools / psql \-commands)
     register("current_user", 0)(_ => lit("graft"))

@@ -46,6 +46,49 @@ object Extra {
       FROM events WHERE event_id < 2000
       GROUP BY 1, 2 ORDER BY ws_ep, event_type""")),
 
+    // ---- SQL-standard string/array functions from the reference's
+    // expression catalog that Spark lacks under these names
+    // (expression.clj:1228-1311, 1579-1744, 2205-2250), registered via the
+    // function bridge and exercised through SQL text. ASCII fixtures make
+    // octet_position comparable to DuckDB's char-based position.
+    QueryDef("q102_string_array_fns", (s, dir) => {
+      _root_.graft.XtSql.registerFunctions(s)
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT doc_id,
+               character_length(text) AS cl,
+               octet_length(lang) AS ol,
+               octet_position('e', source) AS op,
+               trim_leading(lang, 'e') AS tl,
+               trim_trailing(lang, 'n') AS tt,
+               array_join(string_to_array(source, 'r'), '|') AS sa,
+               array_join(string_to_array(lang, NULL), '|') AS sc,
+               array_join(parse_ident(concat('tbl."', lang, '"')), '|') AS pi,
+               quote_ident(lang) AS qi1,
+               quote_ident(concat(lang, '-x')) AS qi2,
+               array_lower(string_to_array(source, 'r'), 1) AS al,
+               array_upper(string_to_array(source, 'r'), 1) AS au,
+               array_join(trim_array(string_to_array(source, 'r'), 1), '|') AS ta
+        FROM documents WHERE doc_id < 100 ORDER BY doc_id""")
+    }, Some("""
+      SELECT doc_id,
+             CAST(length(text) AS INT) AS cl,
+             CAST(strlen(lang) AS INT) AS ol,
+             CAST(position('e' IN source) AS INT) AS op,
+             ltrim(lang, 'e') AS tl,
+             rtrim(lang, 'n') AS tt,
+             array_to_string(string_split(source, 'r'), '|') AS sa,
+             substring(lang, 1, 1) || '|' || substring(lang, 2, 1) AS sc,
+             'tbl|' || lang AS pi,
+             lang AS qi1,
+             '"' || lang || '-x"' AS qi2,
+             CAST(1 AS INT) AS al,
+             CAST(len(string_split(source, 'r')) AS INT) AS au,
+             array_to_string(
+               list_slice(string_split(source, 'r'), 1,
+                          len(string_split(source, 'r')) - 1), '|') AS ta
+      FROM documents WHERE doc_id < 100 ORDER BY doc_id""")),
+
     // ---- lateral top-n per group: Catalyst plans the correlated subquery
     // (reference would route this through :apply + decorrelation rules)
     QueryDef("q46_lateral_topn", (s, dir) => {
