@@ -14,7 +14,7 @@ import org.apache.spark.sql.functions._
   * `(aggregate g… {:n (sum e)}…)`, `(order-by c (desc c)…)`,
   * `(limit n)`, `(offset n)`, `(unnest as col)`,
   * `(join q [shared…])`, `(left-join q [shared…])`, `(unify src…)`,
-  * `(union-all q…)`. Expressions are s-exprs over a fixed operator table
+  * `(union-all q…)`, `(rel [{:k v}…] [binding…])`. Expressions are s-exprs over a fixed operator table
   * with `call_function` fallback, so anything in the Spark registry is
   * reachable and stays codegen'd.
   */
@@ -113,13 +113,27 @@ object XtqlText {
   /** Parse + plan an XTQL text against a table resolver. */
   def query(spark: SparkSession, text: String,
       resolve: String => DataFrame): DataFrame =
-    plan(readEdn(text), resolve).toDF
+    plan(readEdn(text), resolve)(spark).toDF
 
-  private def plan(e: Edn, resolve: String => DataFrame): Xtql = e match {
+  private def plan(e: Edn, resolve: String => DataFrame)(
+      implicit spark: SparkSession): Xtql = e match {
     case EList(ESym("->") +: src +: tails) =>
       tails.foldLeft(plan(src, resolve))((q, t) => tail(q, t, resolve))
     case EList(Vector(ESym("from"), EKw(tbl), EVec(binds))) =>
       fromBinds(resolve(tbl), binds)
+    // inline relation literal (reference xtql.clj `rel`): rows of maps,
+    // then the usual binding spec
+    case EList(Vector(ESym("rel"), EVec(rows), EVec(binds))) =>
+      val rowDfs = rows.map {
+        case EMap(entries) =>
+          spark.range(1).select(entries.map {
+            case (EKw(n), v) => exprOf(v).as(n)
+            case other => throw XtqlParseException(s"bad rel field: $other")
+          }: _*)
+        case other => throw XtqlParseException(s"rel expects row maps: $other")
+      }
+      fromBinds(rowDfs.reduce(_.unionByName(_, allowMissingColumns = true)),
+        binds)
     case EList(ESym("unify") +: srcs) =>
       val bound = srcs.map {
         case EList(Vector(ESym("from"), EKw(tbl), EVec(binds))) =>
@@ -158,7 +172,8 @@ object XtqlText {
     filters.foldLeft(selected)((q, f) => q.where(f))
   }
 
-  private def tail(q: Xtql, t: Edn, resolve: String => DataFrame): Xtql =
+  private def tail(q: Xtql, t: Edn, resolve: String => DataFrame)(
+      implicit spark: SparkSession): Xtql =
     t match {
       case EList(ESym("where") +: es) =>
         es.foldLeft(q)((acc, e) => acc.where(exprOf(e)))

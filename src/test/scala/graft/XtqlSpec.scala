@@ -102,6 +102,17 @@ class XtqlSpec extends AnyFunSuite {
     assert(out.count() <= 1)
   }
 
+  test("XTQL text: rel inline relation literal") {
+    import graft.xtql.XtqlText
+    val out = XtqlText.query(spark, """
+      (-> (rel [{:a 1 :b "x"} {:a 2 :b "y"} {:a 3}] [a b])
+          (where (> a 1))
+          (order-by a))""",
+      t => Tables.load(spark, dir, t)).collect()
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 3L))
+    assert(out.map(_.getString(1)).toSeq == Seq("y", null))
+  }
+
   test("unnest + without") {
     val docs = Tables.load(spark, dir, "documents").limit(5)
       .withColumn("words", split(col("text"), " "))
