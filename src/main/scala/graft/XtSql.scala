@@ -160,6 +160,8 @@ object XtSql {
     register("version", 0)(_ =>
       lit("PostgreSQL 16 (graft-spark XTDB-compatible engine)"))
     register("pg_backend_pid", 0)(_ => lit(42))
+    register("current_timezone", 0)(_ =>
+      lit(spark.sessionState.conf.sessionLocalTimeZone))
     register("pg_get_expr", 2)((a: Seq[Column]) => a.head.cast("string"))
     register("has_table_privilege", 2)(_ => lit(true))
     register("has_schema_privilege", 2)(_ => lit(true))

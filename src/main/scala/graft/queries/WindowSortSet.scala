@@ -233,6 +233,28 @@ object WindowSortSet {
     }, Some("""
       SELECT o_orderstatus, o_orderkey AS k, o_totalprice AS p
       FROM orders WHERE o_orderkey < 100
-      ORDER BY o_orderstatus, k"""))
+      ORDER BY o_orderstatus, k""")),
+
+    // NEST output verified structurally (not round-tripped): the nested
+    // array-of-structs serializes to canonical JSON and DuckDB constructs
+    // the identical string. Prices pre-scaled to integer cents so number
+    // formatting is engine-independent.
+    QueryDef("q103_nest_json", (s, dir) => {
+      t(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .groupBy("o_orderstatus")
+        .agg(to_json(sort_array(collect_list(struct(
+          col("o_orderkey").as("k"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long").as("p")))))
+          .as("docs_json"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus,
+             '[' || string_agg(
+               '{"k":' || o_orderkey || ',"p":' ||
+                 CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) || '}',
+               ',' ORDER BY o_orderkey) || ']' AS docs_json
+      FROM orders WHERE o_orderkey < 100
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }

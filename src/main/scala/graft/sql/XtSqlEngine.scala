@@ -108,6 +108,15 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
 
   def runQuery(pq: ParsedQuery): DataFrame = {
     XtSql.registerFunctions(spark)
+    // snapshot_token() (reference temporal.clj:1783-1790): the query's
+    // basis token as a string — constant within the query, so it plans as
+    // a literal
+    locally {
+      import org.apache.spark.sql.GraftColumnBridge.toExpression
+      val tok = clock.getOrElse(db.snapshotToken()).toString
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        "snapshot_token", _ => toExpression(lit(tok)), "scala_udf")
+    }
     // Reference semantics: _iid/_valid_*/_system_* are hidden columns —
     // `SELECT *` does not expand them, but naming one selects it
     // (as_of_test.clj scans request temporal columns explicitly). Spark

@@ -339,6 +339,20 @@ class XtSqlDialectSpec extends AnyFunSuite {
       .as[String].collect().head == "orders")
   }
 
+  test("snapshot_token and current_timezone functions") {
+    val (db, eng) = fresh()
+    eng.sql("INSERT INTO t (_id, v) VALUES (1, 1)")
+    val tok = eng.sql("SELECT snapshot_token() AS tok")
+      .collect().head.getString(0)
+    assert(tok.nonEmpty)
+    assert(eng.sql("SELECT current_timezone() AS tz")
+      .collect().head.getString(0) == "UTC")
+    // a frozen-clock engine pins the token to the basis instant
+    val pinned = eng.withClock(ts("2030-01-01 00:00:00"))
+    assert(pinned.sql("SELECT snapshot_token() AS tok")
+      .collect().head.getString(0).startsWith("2030-01-01"))
+  }
+
   test("object constructors: OBJECT / RECORD / braces → structs") {
     val (db, eng) = fresh()
     eng.sql("INSERT INTO cfg RECORDS {_id: 1, a: 10}")
