@@ -42,6 +42,7 @@ object XtSql {
       }, "scala_udf")
 
     register("iid_hex", 1)(a => Ids.iidHex(a.head))
+    register("vec_dot", 2)(a => graft.functions.VecDot(a.head, a(1)))
     register("date_bin_secs", 2)(a =>
       Temporal.dateBin(toExpression(a.head).asInstanceOf[
         org.apache.spark.sql.catalyst.expressions.Literal]

@@ -28,8 +28,12 @@ object Similarity {
       .withColumn("__nrm",
         sqrt(aggregate(col("__vecd"), lit(0.0d), (acc, x) => acc + x * x)))
 
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** Dot product via the native codegen'd `VecDot` expression — one fused
+    * primitive loop inside whole-stage codegen, same left-to-right fold
+    * order as the HOF formulation it replaced (so oracle hashes are
+    * unchanged), without the interpreted-lambda and intermediate-array cost
+    * of `aggregate(zip_with(…))`. */
+  def dot(a: Column, b: Column): Column = graft.functions.VecDot(a, b)
 
   /** Exact cosine top-k of `corpus` vectors for each query vector.
     * Output: (query_id, neighbor_id, rank, sim). */

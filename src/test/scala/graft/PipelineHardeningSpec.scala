@@ -85,4 +85,45 @@ class PipelineHardeningSpec extends AnyFunSuite {
     assert(r4 >= r1)
     assert(r4 > 0.9) // 4 tables x 8 planes finds nearly all cluster pairs
   }
+
+  test("VecDot: native expression matches the HOF formulation bit-exactly") {
+    import org.apache.spark.sql.functions._
+    val vecs = (1 to 50).map { i =>
+      (i.toLong, (1 to 64).map(d => math.sin(i * 64 + d)).toArray)
+    }.toDF("id", "v")
+    val pairs = vecs.as("a").crossJoin(vecs.as("b"))
+      .filter(col("a.id") < col("b.id"))
+    val hof = aggregate(zip_with(col("a.v"), col("b.v"), (x, y) => x * y),
+      lit(0.0d), (acc, x) => acc + x)
+    val diff = pairs
+      .select((graft.functions.VecDot(col("a.v"), col("b.v")) - hof).as("d"))
+      .agg(max(abs(col("d")))).head.getDouble(0)
+    assert(diff == 0.0d) // same fold order → bit-identical, not just close
+
+    // stays inside whole-stage codegen (the HOF form does not) — run the
+    // query first so AQE finalizes the physical plan
+    val planDf = pairs
+      .select(graft.functions.VecDot(col("a.v"), col("b.v")).as("s"))
+    planDf.collect()
+    // AQE's final-plan string renders WholeStageCodegen spans as a `*(n)`
+    // prefix; the vecdot projection must carry one
+    val planStr = planDf.queryExecution.executedPlan.toString
+    assert("""\*\(\d+\) Project \[vecdot""".r.findFirstIn(planStr).isDefined,
+      planStr)
+
+    // interpreted path (eval) agrees with codegen
+    val row = vecs.limit(1)
+      .select(graft.functions.VecDot(col("v"), col("v")).as("s"),
+        aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+          lit(0.0d), (acc, x) => acc + x).as("h"))
+      .head
+    assert(row.getDouble(0) == row.getDouble(1))
+
+    // SQL registration
+    graft.XtSql.registerFunctions(spark)
+    vecs.createOrReplaceTempView("__vd")
+    val sqlv = spark.sql(
+      "SELECT vec_dot(v, v) AS s FROM __vd WHERE id = 1").head.getDouble(0)
+    assert(sqlv == row.getDouble(0))
+  }
 }
