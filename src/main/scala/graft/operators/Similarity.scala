@@ -16,17 +16,21 @@ import org.apache.spark.sql.functions._
   *    vectors. Plane coefficients are pure functions of (plane, dim) so any
   *    engine can reproduce them — no RNG state to ship.
   *
-  * Dot products run in double via fold-left `aggregate` (same associativity
-  * any sequential engine uses), keeping oracle comparison bit-stable.
+  * Dot products run in double via the codegen'd `vec_dot` expression
+  * (left-to-right fold, same associativity any sequential engine uses),
+  * keeping oracle comparison bit-stable.
   */
 object Similarity {
 
-  /** Cast float embedding to double + attach its L2 norm. */
-  def prepared(emb: DataFrame, vecCol: String): DataFrame =
+  /** Cast float embedding to double + attach its L2 norm. The norm is
+    * `sqrt(vec_dot(v, v))` — same left-to-right `acc + x*x` fold as the HOF
+    * `aggregate` it replaced, but codegen'd (see [[dot]]). */
+  def prepared(emb: DataFrame, vecCol: String): DataFrame = {
+    val vecd = transform(col(vecCol), x => x.cast("double"))
     emb
-      .withColumn("__vecd", transform(col(vecCol), x => x.cast("double")))
-      .withColumn("__nrm",
-        sqrt(aggregate(col("__vecd"), lit(0.0d), (acc, x) => acc + x * x)))
+      .withColumn("__vecd", vecd)
+      .withColumn("__nrm", sqrt(dot(col("__vecd"), col("__vecd"))))
+  }
 
   /** Dot product via the native codegen'd `VecDot` expression — one fused
     * primitive loop inside whole-stage codegen, same left-to-right fold
