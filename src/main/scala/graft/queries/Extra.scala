@@ -137,13 +137,15 @@ object Extra {
         .select(col("o_orderkey"),
           row_number().over(Window.orderBy("o_orderkey")).cast("long").as("rn"),
           element_at(m, "b").as("mb"),
-          map_keys(m).as("mk"))
+          // keys joined to a scalar: the driver's oracle comparator sorts
+          // result columns with pandas, which cannot hash/sort array cells
+          array_join(map_keys(m), ",").as("mk"))
         .orderBy("o_orderkey")
     }, Some("""
       SELECT o_orderkey,
              row_number() OVER (ORDER BY o_orderkey) AS rn,
              MAP(['a','b'], [o_orderkey, o_orderkey * 2])['b'][1] AS mb,
-             map_keys(MAP(['a','b'], [o_orderkey, o_orderkey * 2])) AS mk
+             array_to_string(map_keys(MAP(['a','b'], [o_orderkey, o_orderkey * 2])), ',') AS mk
       FROM orders WHERE o_orderkey < 100 ORDER BY o_orderkey""")),
 
     // ---- arbitrary document payloads as VariantType (the Spark 4 face of
