@@ -17,17 +17,26 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    import org.apache.spark.sql.functions.{col, timestamp_micros}
-    if (name == "events") {
-      // events.ts is nanosecond-precision INT64, which Spark's parquet
-      // reader rejects as a timestamp. Read nanos as long and convert to a
-      // microsecond timestamp (truncation — matches Spark temporal range).
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$dir/$name.parquet")
-        .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
-    } else spark.read.parquet(s"$dir/$name.parquet")
-  }
+  // Memoize per (session, dir, table): `spark.read.parquet` re-lists files
+  // and re-parses footers on every call, which at bench SF costs more than
+  // executing the query. The cached value is the analyzed logical plan —
+  // file changes between calls would be missed, but the test parquet is
+  // immutable by contract (TESTDATA.md).
+  private val loaded =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    loaded.getOrElseUpdate((spark, dir, name), {
+      import org.apache.spark.sql.functions.{col, timestamp_micros}
+      if (name == "events") {
+        // events.ts is nanosecond-precision INT64, which Spark's parquet
+        // reader rejects as a timestamp. Read nanos as long and convert to a
+        // microsecond timestamp (truncation — matches Spark temporal range).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        spark.read.parquet(s"$dir/$name.parquet")
+          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      } else spark.read.parquet(s"$dir/$name.parquet")
+    })
 
   /** Register every test table as a temp view (for spark.sql entry points). */
   def registerAll(spark: SparkSession, dir: String): Unit =

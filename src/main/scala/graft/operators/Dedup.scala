@@ -153,6 +153,42 @@ object Dedup {
 
   private def tokDrop(df: DataFrame): DataFrame = df.drop("w", "h")
 
+  /** Embedding-cosine near-duplicate pairs: candidate pairs from
+    * random-hyperplane LSH buckets (the same deterministic md5-derived
+    * planes as [[Similarity.lshBucket]]), verified with the exact cosine
+    * and kept when `sim >= threshold`. Output: (id_a < id_b, sim).
+    *
+    * Scale: bucketing is per-row projection (no shuffle); the self-join
+    * shuffles once on the bucket key, confining the quadratic candidate
+    * step to one bucket's population — raise `planes` with corpus size to
+    * bound it, and set `maxBucketSize` to exclude degenerate floods
+    * (surface exclusions via a bucket-stats query, never silently). Like
+    * every LSH pass this trades recall for scale; boost recall by unioning
+    * several plane sets (multi-table) upstream if needed. */
+  def embeddingNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int, planes: Int, threshold: Double,
+      maxBucketSize: Int = 0): DataFrame = {
+    val p = Similarity.prepared(emb, vecCol)
+      .withColumn("bucket", Similarity.lshBucket(col("__vecd"), dims, planes))
+      .select(col("bucket"), col(idCol), col("__vecd"), col("__nrm"))
+    val eligible =
+      if (maxBucketSize <= 0) p
+      else p.join(
+        p.groupBy("bucket").agg(count(lit(1)).as("__n"))
+          .filter(col("__n") <= maxBucketSize).select("bucket"),
+        Seq("bucket"))
+    val a = eligible.select(col("bucket"), col(idCol).as("id_a"),
+      col("__vecd").as("va"), col("__nrm").as("na"))
+    val b = eligible.select(col("bucket"), col(idCol).as("id_b"),
+      col("__vecd").as("vb"), col("__nrm").as("nb"))
+    a.join(b, Seq("bucket"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("sim",
+        Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 4).as("sim"))
+  }
+
   /** Exact n-gram Jaccard similarity for given candidate id pairs (or all
     * pairs of a small frame): |A ∩ B| / |A ∪ B| over distinct n-gram sets.
     *

@@ -139,6 +139,37 @@ object Joins {
       .select((leftCols ++ payloadCols).distinct.map(col): _*)
   }
 
+  /** Skew-safe equi join via key salting: left rows scatter across `salt`
+    * sub-keys, the right side replicates `salt` ways, and the join runs on
+    * (key, salt) — a hot key's probe rows spread over `salt` tasks instead
+    * of one straggler. This is the deterministic fallback for skew AQE
+    * can't fix (single mega-key inside one shuffle partition): AQE splits
+    * skewed *partitions*, salting splits skewed *keys*.
+    *
+    * Left scatter is `pmod(xxhash64(every left column), salt)` — pure
+    * projection, deterministic re-run to re-run; rows of a hot key spread
+    * as long as their payloads differ (identical full rows co-locate, which
+    * is harmless: they'd produce identical join output anyway). The right
+    * side is replicated with one `explode(sequence)` projection — its
+    * shuffle grows `salt`-fold, so size `salt` to the straggler you're
+    * killing, not bigger. Inner and left joins only: salting must not
+    * invent or drop unmatched-row semantics and these two are unaffected.
+    */
+  def saltedJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      salt: Int,
+      joinType: String = "inner"): DataFrame = {
+    require(joinType == "inner" || joinType == "left",
+      s"saltedJoin supports inner/left, not $joinType")
+    val l = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col): _*), lit(salt)).cast("int"))
+    val r = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(salt - 1))))
+    l.join(r, Seq("__salt") ++ keys, joinType).drop("__salt")
+  }
+
   /** Null-aware anti join — SQL `NOT IN (subquery)` semantics: if the right
     * side contains any null key, no left row qualifies; left rows with null
     * keys never qualify. (Plain `left_anti` is EXISTS-negation, not NOT IN.)

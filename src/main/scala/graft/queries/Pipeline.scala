@@ -490,6 +490,114 @@ object Pipeline {
       FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
             WHERE doc_id < 300)
       WHERE len(words) >= 5
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // ---- embedding-cosine near-duplicate pairs: LSH-bucketed candidates
+    // (4 deterministic md5-derived hyperplanes → 16 buckets) verified with
+    // the exact cosine at threshold 0.3 — the embedding face of dedup next
+    // to the textual MinHash/SimHash modes. The oracle reproduces the
+    // bucketing bit-for-bit from md5, so approximation is shared, not
+    // hidden.
+    QueryDef("q104_dedup_embedding", (s, dir) => {
+      Dedup.embeddingNearDupPairs(t(s, dir, "embeddings"), "vec_id",
+          "embedding", dims = 64, planes = 4, threshold = 0.3)
+        .orderBy("id_a", "id_b")
+    }, Some {
+      val hexval = (c: Int) =>
+        s"(instr('0123456789abcdef', substr(h, $c, 1)) - 1)"
+      val coefExpr = (1 to 6)
+        .map(c => s"${hexval(c)} * ${math.pow(16, 6 - c).toLong}.0")
+        .mkString(" + ")
+      s"""
+      WITH pd AS (
+        SELECT p, d, md5(p || '|' || d) AS h
+        FROM range(0, 4) t1(p), range(0, 64) t2(d)),
+      coef AS (
+        SELECT p, d, ($coefExpr) / 16777216.0 - 0.5 AS c FROM pd),
+      prepared AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings),
+      proj AS (
+        SELECT e.vec_id, c.p,
+               sum(CAST(e.embedding[CAST(c.d AS INT) + 1] AS DOUBLE) * c.c) AS pr
+        FROM prepared e, coef c GROUP BY 1, 2),
+      bucket AS (
+        SELECT vec_id,
+               sum(CASE WHEN pr >= 0 THEN CAST(1 << CAST(p AS INT) AS BIGINT)
+                   ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id)
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             round(list_sum([CAST(ae.embedding[i] AS DOUBLE) * be.embedding[i]
+                             FOR i IN range(1, 65)]) / (ae.nrm * be.nrm), 4)
+               AS sim
+      FROM bucket a JOIN bucket b
+        ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      JOIN prepared ae ON ae.vec_id = a.vec_id
+      JOIN prepared be ON be.vec_id = b.vec_id
+      WHERE list_sum([CAST(ae.embedding[i] AS DOUBLE) * be.embedding[i]
+                      FOR i IN range(1, 65)]) / (ae.nrm * be.nrm) >= 0.3
+      ORDER BY id_a, id_b"""
+    }),
+
+    // ---- flagship composition: the full training-data preparation pass a
+    // 100 TB corpus gets — exact dedup (keep min-id per content group) →
+    // language ID → quality gate → per-language doc/token accounting. One
+    // dedup shuffle + one final aggregation; everything between is per-row
+    // projection. Each stage is individually oracled (q80/q87/q88/q89);
+    // this proves they compose.
+    QueryDef("q106_pipeline_end2end", (s, dir) => {
+      val docs = docsWithDups(s, dir)
+      val keep = Dedup.exactGroups(docs, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"))
+      val (ws, _, _) = TextAnalysis.tokenCounts(col("text"))
+      docs.join(keep, Seq("doc_id"))
+        .withColumn("pred", TextAnalysis.langId(col("text")))
+        .withColumn("score4", TextAnalysis.qualityScore4(col("text")))
+        .withColumn("n_ws", ws)
+        .filter(col("score4") >= 4000)
+        .withColumn("q_bucket", floor(col("score4") / 1000).cast("long"))
+        .groupBy("pred", "q_bucket")
+        .agg(count(lit(1)).as("docs"), sum("n_ws").as("tokens"),
+          floor(avg("score4")).cast("long").as("avg_q4"))
+        .orderBy("pred", "q_bucket")
+    }, Some {
+      val countExprs = TextAnalysis.stopwords.map { case (lang, list) =>
+        val lits = list.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(string_split(text, ' '), w -> list_contains([$lits], w))) AS c_$lang"
+      }.mkString(", ")
+      val langs = TextAnalysis.stopwords.map(_._1)
+      val caseChain = langs.map { l =>
+        val conds = langs.map(o => s"c_$l >= c_$o").mkString(" AND ")
+        s"WHEN $conds THEN '$l'"
+      }.mkString(" ")
+      dupCte + s""",
+      keep AS (SELECT min(doc_id) AS doc_id FROM docs2 GROUP BY md5(text)),
+      kept AS (SELECT d.doc_id, d.text FROM docs2 d JOIN keep USING (doc_id)),
+      feat AS (
+        SELECT doc_id, text,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_words,
+               CAST(length(text) AS DOUBLE) AS n_chars,
+               CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) AS n_uniq,
+               $countExprs
+        FROM kept),
+      scored AS (
+        SELECT doc_id,
+               CASE $caseChain ELSE 'en' END AS pred,
+               CAST(floor(least(1.0,
+                 least(n_words / 100.0, 1.0) * 0.3 +
+                 least(((n_chars - n_words + 1) / n_words) / 8.0, 1.0) * 0.2 +
+                 (n_uniq / n_words) * 0.3 +
+                 least((c_en / n_words) * 5.0, 1.0) * 0.2) * 10000.0 + 0.5)
+                 AS BIGINT) AS score4,
+               CAST(n_words AS BIGINT) AS n_ws
+        FROM feat)
+      SELECT pred, CAST(floor(score4 / 1000.0) AS BIGINT) AS q_bucket,
+             count(*) AS docs, CAST(sum(n_ws) AS BIGINT) AS tokens,
+             CAST(floor(avg(score4)) AS BIGINT) AS avg_q4
+      FROM scored WHERE score4 >= 4000
+      GROUP BY 1, 2 ORDER BY pred, q_bucket"""
+    })
   )
 }

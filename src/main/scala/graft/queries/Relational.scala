@@ -283,6 +283,26 @@ object Relational {
       SELECT count(*) AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key
       FROM customer
       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
-                              WHERE o_orderpriority = '1-URGENT')"""))
+                              WHERE o_orderpriority = '1-URGENT')""")),
+
+    // ---- salted skew-safe join (Joins.saltedJoin): result must be
+    // byte-identical to the plain equi join it replaces — the salt only
+    // changes task-level work placement, never the relation
+    QueryDef("q105_salted_join", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"),
+          col("l_extendedprice"))
+      Joins.saltedJoin(li, t(s, dir, "orders")
+            .select("o_orderkey", "o_orderstatus"),
+          keys = Seq("o_orderkey"), salt = 8)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum("l_quantity").cast("long").as("qty"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(l_quantity) AS BIGINT) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
   )
 }
