@@ -56,6 +56,31 @@ object XtSql {
     register("p_precedes", 2)(a => Periods.precedes(a.head, a(1)))
     register("p_succeeds", 2)(a => Periods.succeeds(a.head, a(1)))
     register("p_equals", 2)(a => Periods.equalsPeriod(a.head, a(1)))
+    // the rest of the 18-predicate family (temporal.clj:1997-2079), so the
+    // parser's infix rewrite (`a STRICTLY OVERLAPS b` → p_strictly_overlaps)
+    // always has a target
+    register("p_strictly_overlaps", 2)(a =>
+      Periods.strictlyOverlaps(a.head, a(1)))
+    register("p_strictly_contains", 2)(a =>
+      Periods.strictlyContains(a.head, a(1)))
+    register("p_strictly_precedes", 2)(a =>
+      Periods.strictlyPrecedes(a.head, a(1)))
+    register("p_immediately_precedes", 2)(a =>
+      Periods.immediatelyPrecedes(a.head, a(1)))
+    register("p_strictly_succeeds", 2)(a =>
+      Periods.strictlySucceeds(a.head, a(1)))
+    register("p_immediately_succeeds", 2)(a =>
+      Periods.immediatelySucceeds(a.head, a(1)))
+    register("p_lags", 2)(a => Periods.lags(a.head, a(1)))
+    register("p_strictly_lags", 2)(a => Periods.strictlyLags(a.head, a(1)))
+    register("p_immediately_lags", 2)(a =>
+      Periods.immediatelyLags(a.head, a(1)))
+    register("p_leads", 2)(a => Periods.leads(a.head, a(1)))
+    register("p_strictly_leads", 2)(a => Periods.strictlyLeads(a.head, a(1)))
+    register("p_immediately_leads", 2)(a =>
+      Periods.immediatelyLeads(a.head, a(1)))
+    register("p_lower_inf", 1)(a => Periods.lowerInf(a.head))
+    register("p_upper_inf", 1)(a => Periods.upperInf(a.head))
 
     // ---- SQL-standard string/array fns Spark lacks under these names
     // (reference expression.clj:1228-1311, 1579-1744, 2205-2250)

@@ -598,6 +598,35 @@ object Pipeline {
              CAST(floor(avg(score4)) AS BIGINT) AS avg_q4
       FROM scored WHERE score4 >= 4000
       GROUP BY 1, 2 ORDER BY pred, q_bucket"""
-    })
+    }),
+
+    // ---- streaming exact dedup end-to-end through the oracle gate (the
+    // streaming face of q80; StreamIngest.streamingDedup's
+    // flatMapGroupsWithState per-hash state). Originals land in microbatch
+    // 1, the +100000 duplicate copies in batch 2, so every duplicate is a
+    // cross-batch repeat the state must drop. The emitted doc_id is made
+    // arrival-order-invariant by projecting `doc_id % 100000` (original
+    // and copy agree on it), so the oracle needs no arrival-order model.
+    QueryDef("q107_streaming_dedup", (s, dir) => {
+      val docs = docsWithDups(s, dir).withColumn("h", md5(col("text")))
+      val logDir = java.nio.file.Files
+        .createTempDirectory("graft_dedup_log").toString
+      docs.filter(col("doc_id") < 100000)
+        .coalesce(1).write.mode("append").parquet(logDir)
+      docs.filter(col("doc_id") >= 100000)
+        .coalesce(1).write.mode("append").parquet(logDir)
+      val stream = _root_.graft.streaming.StreamIngest.openLog(
+        s, logDir, docs.schema, maxFilesPerTrigger = 1)
+      val deduped = _root_.graft.streaming.StreamIngest.streamingDedup(
+        stream, keyCol = "h", hashCol = "h")
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName("q107_mem").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table("q107_mem")
+        .select(col("h"), pmod(col("doc_id"), lit(100000)).as("orig_id"))
+        .orderBy("orig_id")
+    }, Some("""
+      SELECT md5(text) AS h, doc_id AS orig_id
+      FROM documents ORDER BY orig_id"""))
   )
 }

@@ -301,6 +301,52 @@ object SqlDialect {
                   WHEN o_orderkey = 3 THEN 'b' END AS note
       FROM orders
       WHERE o_orderkey < 300 AND o_orderkey % 7 <> 0
-      ORDER BY _id"""))
+      ORDER BY _id""")),
+
+    // infix period predicates through SQL text (Sql.g4:227-243 → the
+    // parser's p_* rewrite → Periods combinators). p1 = [d, d+30) per
+    // order; fixed probes chosen so every predicate takes both truth
+    // values somewhere in the key range. DuckDB recomputes each from raw
+    // endpoint comparisons (half-open [from, to) semantics).
+    QueryDef("q108_sql_period_predicates", (s, dir) => {
+      val (_, eng) = fresh(s)
+      Tables.registerAll(s, dir)
+      eng.sql("""
+        SELECT o_orderkey,
+          p1 OVERLAPS p2 AS ov,
+          period(d, timestampadd(DAY, 60, d)) STRICTLY CONTAINS p2 AS sct,
+          p1 EQUALS p2 AS eq,
+          p1 PRECEDES p2 AS pr,
+          p1 STRICTLY PRECEDES p2 AS spr,
+          p1 IMMEDIATELY PRECEDES p2 AS ipr,
+          p1 SUCCEEDS p2 AS sc,
+          p1 LAGS p2 AS lg,
+          p1 LEADS p2 AS ld
+        FROM (
+          SELECT o_orderkey, d,
+                 period(d, timestampadd(DAY, 30, d)) AS p1,
+                 period(TIMESTAMP '1995-03-01 00:00:00',
+                        TIMESTAMP '1995-04-15 00:00:00') AS p2
+          FROM (SELECT o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS d
+                FROM orders WHERE o_orderkey < 500))
+        ORDER BY o_orderkey""")
+    }, Some("""
+      SELECT o_orderkey,
+             (f1 < t2 AND t1 > f2) AS ov,
+             (f1 < f2 AND f1 + INTERVAL 60 DAY > t2) AS sct,
+             (f1 = f2 AND t1 = t2) AS eq,
+             (t1 <= f2) AS pr,
+             (t1 < f2) AS spr,
+             (t1 = f2) AS ipr,
+             (f1 >= t2) AS sc,
+             (f1 >= f2 AND f2 < t1 AND t1 > t2) AS lg,
+             (f1 < f2 AND f2 < t1 AND t1 <= t2) AS ld
+      FROM (SELECT o_orderkey,
+                   CAST(o_orderdate AS TIMESTAMP) AS f1,
+                   CAST(o_orderdate AS TIMESTAMP) + INTERVAL 30 DAY AS t1,
+                   TIMESTAMP '1995-03-01 00:00:00' AS f2,
+                   TIMESTAMP '1995-04-15 00:00:00' AS t2
+            FROM orders WHERE o_orderkey < 500)
+      ORDER BY o_orderkey"""))
   )
 }

@@ -137,6 +137,15 @@ object XtSqlParser {
       rewritten = rewriteOneQuantified(body)
       guard += 1
     }
+    // 2b'. infix period predicates (Sql.g4:227-243):
+    //      `a [STRICTLY|IMMEDIATELY] OVERLAPS b` → `p_strictly_overlaps(a, b)`
+    guard = 0
+    rewritten = rewriteOnePeriodPredicate(body)
+    while (rewritten.isDefined && guard < 64) {
+      body = rewritten.get
+      rewritten = rewriteOnePeriodPredicate(body)
+      guard += 1
+    }
     // 2c. object constructors OBJECT(k: v)/RECORD(k: v)/{k: v} →
     //     named_struct (Sql.g4:388-393); outermost-first, re-tokenized so
     //     nested objects are picked up on later passes
@@ -417,6 +426,107 @@ object XtSqlParser {
         }
         return Some(SqlLexer.splice(sql,
           Seq((toks(opndStart).start, toks(close).end, replacement))))
+      }
+      i += 1
+    }
+    None
+  }
+
+  // ---- infix period predicates (Sql.g4:227-243) ---------------------------
+
+  private val periodBases =
+    Set("OVERLAPS", "EQUALS", "CONTAINS", "PRECEDES", "SUCCEEDS", "LAGS",
+      "LEADS")
+  // idents that can never END an lhs operand — a base keyword right after
+  // one of these is a function call or a stray word, not an infix predicate
+  private val nonOperandWords =
+    Set("SELECT", "FROM", "WHERE", "AND", "OR", "NOT", "ON", "WHEN", "THEN",
+      "ELSE", "CASE", "END", "BY", "AS", "IN", "IS", "JOIN", "HAVING",
+      "GROUP", "ORDER", "BETWEEN", "LIKE", "SET", "VALUES", "DISTINCT",
+      "ALL", "ANY", "SOME", "EXISTS", "UNION", "INTERSECT", "EXCEPT",
+      "LIMIT", "OFFSET", "STRICTLY", "IMMEDIATELY")
+
+  /** Rewrite the first infix period predicate to its registered p_*
+    * function call. `a OVERLAPS b`, `a STRICTLY CONTAINS b`,
+    * `period(x, y) IMMEDIATELY PRECEDES t.p` … — operands are
+    * dotted-identifier chains, literals, function calls, or balanced-paren
+    * groups, exactly the operand shapes the quantified-comparison rewrite
+    * accepts. (Point-containment stays the explicit `p_contains_ts(p, ts)`
+    * call: infix CONTAINS maps to the period×period predicate.) */
+  private def rewriteOnePeriodPredicate(sql: String): Option[String] = {
+    val toks = SqlLexer.tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      val isBase = t.kind == Tok.Ident && periodBases.contains(
+        t.text.toUpperCase(java.util.Locale.ROOT))
+      if (isBase) {
+        // optional STRICTLY/IMMEDIATELY modifier directly before the base
+        val (modTok, kwStart) =
+          if (i >= 1 && (toks(i - 1).is("STRICTLY") ||
+              toks(i - 1).is("IMMEDIATELY")))
+            (Some(toks(i - 1).text.toLowerCase(java.util.Locale.ROOT)), i - 1)
+          else (None, i)
+        val lhsEnd = kwStart - 1
+        val lhsOk = lhsEnd >= 0 && {
+          val p = toks(lhsEnd)
+          (p.kind == Tok.Ident &&
+            !nonOperandWords.contains(p.text.toUpperCase(java.util.Locale.ROOT))) ||
+            p.kind == Tok.QIdent || p.kind == Tok.Num ||
+            p.kind == Tok.Str || p.isPunct(")")
+        }
+        val rhsStart = i + 1
+        if (lhsOk && rhsStart < toks.length) {
+          // lhs: balanced group (incl. function name) or dotted chain
+          var lhsStart = lhsEnd
+          if (toks(lhsEnd).isPunct(")")) {
+            var depth = 0
+            var k = lhsEnd
+            var found = -1
+            while (k >= 0 && found < 0) {
+              if (toks(k).isPunct(")")) depth += 1
+              else if (toks(k).isPunct("(")) {
+                depth -= 1
+                if (depth == 0) found = k
+              }
+              k -= 1
+            }
+            lhsStart = if (found >= 0) found else lhsEnd
+            // include a function name before '(' — but never a keyword
+            // (`SELECT (a) SUCCEEDS …` must not absorb SELECT)
+            if (lhsStart > 0 && toks(lhsStart - 1).kind == Tok.Ident &&
+                !nonOperandWords.contains(
+                  toks(lhsStart - 1).text.toUpperCase(java.util.Locale.ROOT)))
+              lhsStart -= 1
+          } else {
+            while (lhsStart >= 2 && toks(lhsStart - 1).isPunct(".") &&
+              (toks(lhsStart - 2).kind == Tok.Ident ||
+                toks(lhsStart - 2).kind == Tok.QIdent)) lhsStart -= 2
+          }
+          // rhs: paren group | (dotted chain)(function call)? | literal
+          var rhsEnd = -1
+          val r0 = toks(rhsStart)
+          if (r0.isPunct("(")) rhsEnd = matchParen(toks, rhsStart)
+          else if (r0.kind == Tok.Ident || r0.kind == Tok.QIdent) {
+            var k = rhsStart
+            while (k + 2 < toks.length && toks(k + 1).isPunct(".") &&
+              (toks(k + 2).kind == Tok.Ident ||
+                toks(k + 2).kind == Tok.QIdent)) k += 2
+            rhsEnd =
+              if (k + 1 < toks.length && toks(k + 1).isPunct("("))
+                matchParen(toks, k + 1)
+              else k
+          } else if (r0.kind == Tok.Num || r0.kind == Tok.Str) rhsEnd = rhsStart
+          if (rhsEnd >= 0) {
+            val fn = "p_" + modTok.map(_ + "_").getOrElse("") +
+              t.text.toLowerCase(java.util.Locale.ROOT)
+            val lhs = sql.substring(toks(lhsStart).start, toks(lhsEnd).end)
+            val rhs = sql.substring(toks(rhsStart).start, toks(rhsEnd).end)
+            return Some(SqlLexer.splice(sql,
+              Seq((toks(lhsStart).start, toks(rhsEnd).end,
+                s"$fn(($lhs), ($rhs))"))))
+          }
+        }
       }
       i += 1
     }

@@ -66,6 +66,28 @@ class SqlParserRobustnessSpec extends AnyFunSuite {
     }
   }
 
+  test("infix period predicates rewrite to p_* calls") {
+    def q(sql: String): String =
+      XtSqlParser.parseQuery(sql).text
+    // plain, modifier, dotted + function-call operands, paren groups
+    assert(q("SELECT a OVERLAPS b FROM t")
+      .contains("p_overlaps((a), (b))"))
+    assert(q("SELECT p1 STRICTLY CONTAINS p2 FROM t")
+      .contains("p_strictly_contains((p1), (p2))"))
+    assert(q("SELECT period(x, y) IMMEDIATELY PRECEDES t.p FROM t")
+      .contains("p_immediately_precedes((period(x, y)), (t.p))"))
+    assert(q("SELECT (a) SUCCEEDS period(c, d) FROM t")
+      .contains("p_succeeds(((a)), (period(c, d)))"))
+    // chained predicates all rewrite
+    val multi = q("SELECT a LAGS b, c LEADS d FROM t")
+    assert(multi.contains("p_lags((a), (b)")
+      && multi.contains("p_leads((c), (d))"))
+    // no false positive: contains(...) as a plain function call after a
+    // non-operand token stays untouched
+    assert(!q("SELECT contains(a, b) FROM t").contains("p_contains"))
+    assert(!q("SELECT x FROM t WHERE contains(a, b)").contains("p_contains"))
+  }
+
   test("parser never hangs on arbitrary input: returns or throws cleanly") {
     val frag = Gen.oneOf("SELECT", "FROM", "t", "FOR", "VALID_TIME",
       "SYSTEM_TIME", "AS", "OF", "ALL", "BETWEEN", "AND", "INSERT", "INTO",
