@@ -27,7 +27,8 @@ object Bench {
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE", "true")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val cache = sys.env.getOrElse("SPARK_GRAFT_CACHE", "false").toBoolean
-    val hotRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "2").toInt
+    // best-of-3 hot runs, matching the DuckDB baseline script's best-of-3
+    val hotRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "3").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)

@@ -191,43 +191,78 @@ object Similarity {
           }
         }
       }(Encoders.row(prepSchema))
-    val eligible =
-      if (maxBucketSize <= 0) withBucket
-      else withBucket.join(
-        withBucket.groupBy("htable", "bucket").agg(count(lit(1)).as("__n"))
-          .filter(col("__n") <= maxBucketSize).select("htable", "bucket"),
-        Seq("htable", "bucket"))
-    val a = eligible.select(col("htable"), col("bucket"),
-      col(idCol).as("query_id"), col("__vecd").as("qv"), col("__nrm").as("qn"))
-    val b = eligible.select(col("htable"), col("bucket"),
-      col(idCol).as("neighbor_id"), col("__vecd").as("cv"),
-      col("__nrm").as("cn"))
-    val joined0 = a.join(b, Seq("htable", "bucket"))
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
-    // multi-table: the same pair can co-bucket in several tables — dedup on
-    // the compact key (ids only), carrying one vector copy through first()
-    val joined =
-      if (tables <= 1) joined0
-      else joined0.groupBy("query_id", "neighbor_id")
-        .agg(first(col("qv")).as("qv"), first(col("qn")).as("qn"),
-          first(col("cv")).as("cv"), first(col("cn")).as("cn"))
-        .select("query_id", "qv", "qn", "neighbor_id", "cv", "cn")
+    // Pair + score inside ONE shuffle: group bucket members and emit
+    // scored pairs from the group iterator. The bucket self-join this
+    // replaces shuffled the bucketed corpus twice AND recomputed the
+    // mapPartitions bucketing for each side; here the corpus is bucketed
+    // once, shuffled once, and the per-bucket quadratic runs over an
+    // in-memory array whose size the cap bounds (an oversized bucket is
+    // skipped outright — same semantics as the join-side filter, report
+    // via lshBucketStats so the cap is never silent).
     val scoreSchema = StructType(Seq(
-      StructField("query_id", joined.schema("query_id").dataType),
-      StructField("neighbor_id", joined.schema("neighbor_id").dataType),
+      StructField("query_id", inSchema(idCol).dataType),
+      StructField("neighbor_id", inSchema(idCol).dataType),
       StructField("sim", DoubleType)))
-    val scored = joined.mapPartitions { rows =>
-      rows.map { r =>
-        val qv = r.getSeq[Double](1)
-        val cv = r.getSeq[Double](4)
-        var dotAcc = 0.0d
-        var i = 0
-        val n = qv.length
-        while (i < n) { dotAcc += qv(i) * cv(i); i += 1 }
-        Row(r.get(0), r.get(3), dotAcc / (r.getDouble(2) * r.getDouble(5)))
-      }
-    }(Encoders.row(scoreSchema))
+    // one Tungsten shuffle on the bucket key + in-partition sort, then a
+    // run-scan over equal keys (cheaper than typed groupByKey, whose
+    // object key extraction and kryo grouping cost more than the pairing)
+    val scored0 = withBucket
+      .repartition(col("htable"), col("bucket"))
+      .sortWithinPartitions("htable", "bucket")
+      .mapPartitions { rows =>
+        new Iterator[Row] {
+          private var pending: Iterator[Row] = Iterator.empty
+          private var lookahead: Option[Row] = None
+
+          private def emitBucket(members: Array[Row]): Iterator[Row] =
+            if (maxBucketSize > 0 && members.length > maxBucketSize)
+              Iterator.empty
+            else {
+              val vecs = members.map(_.getSeq[Double](1).toArray)
+              val nrms = members.map(_.getDouble(2))
+              val n = members.length
+              (0 until n).iterator.flatMap { i =>
+                (0 until n).iterator.filter(_ != i).map { j =>
+                  val qv = vecs(i)
+                  val cv = vecs(j)
+                  var dotAcc = 0.0d
+                  var d = 0
+                  val m = qv.length
+                  while (d < m) { dotAcc += qv(d) * cv(d); d += 1 }
+                  Row(members(i).get(0), members(j).get(0),
+                    dotAcc / (nrms(i) * nrms(j)))
+                }
+              }
+            }
+
+          private def fill(): Unit = {
+            while (!pending.hasNext && (lookahead.isDefined || rows.hasNext)) {
+              val first = lookahead.getOrElse(rows.next())
+              lookahead = None
+              val ht = first.getInt(3)
+              val bk = first.getLong(4)
+              val buf = scala.collection.mutable.ArrayBuffer(first)
+              var done = false
+              while (!done && rows.hasNext) {
+                val r = rows.next()
+                if (r.getInt(3) == ht && r.getLong(4) == bk) buf += r
+                else { lookahead = Some(r); done = true }
+              }
+              pending = emitBucket(buf.toArray)
+            }
+          }
+
+          override def hasNext: Boolean = { fill(); pending.hasNext }
+          override def next(): Row = { fill(); pending.next() }
+        }
+      }(Encoders.row(scoreSchema))
+    // multi-table: the same pair can co-bucket in several tables — dedup on
+    // the compact (ids, sim) key; sim is a pure function of the pair, so
+    // first() per key is deterministic
+    val scored =
+      if (tables <= 1) scored0
+      else scored0.groupBy("query_id", "neighbor_id")
+        .agg(first(col("sim")).as("sim"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
     scored

@@ -18,26 +18,36 @@ class BucketingSpec extends AnyFunSuite {
   private val wh = java.nio.file.Files
     .createTempDirectory("graft-warehouse").toString
 
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir", wh)
-    .config("spark.sql.autoBroadcastJoinThreshold", "-1")
-    .config("spark.sql.adaptive.enabled", "false")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  // isolated child session: the shared test JVM reuses one SparkContext
+  // across specs (getOrCreate), so builder configs from whichever spec ran
+  // first would win — newSession gives this spec its own SQLConf
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+      .newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "false")
+    s
+  }
 
   private val sf = "/root/testdata/sf0.001"
 
   test("bucketed tables co-locate the join: zero shuffle exchanges") {
+    // external tables at explicit temp paths — the warehouse dir is a
+    // context-wide setting this child session must not depend on
     Tables.load(spark, sf, "orders")
       .write.mode("overwrite")
+      .option("path", s"$wh/orders_b")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("orders_b")
     Tables.load(spark, sf, "lineitem")
       .withColumnRenamed("l_orderkey", "o_orderkey")
       .write.mode("overwrite")
+      .option("path", s"$wh/lineitem_b")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("lineitem_b")
 
@@ -55,6 +65,8 @@ class BucketingSpec extends AnyFunSuite {
       .select("o_orderkey", "o_orderstatus", "l_quantity")
     assert(joined.count() === plain.count())
     assert(joined.except(plain).isEmpty && plain.except(joined).isEmpty)
+    spark.sql("DROP TABLE IF EXISTS orders_b")
+    spark.sql("DROP TABLE IF EXISTS lineitem_b")
   }
 
   test("salted join equals plain join (inner)") {
