@@ -31,6 +31,18 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
   def withClock(at: java.sql.Timestamp): XtSqlEngine =
     new XtSqlEngine(spark, db, Some(at))
 
+  // ---- session state (Sql.g4:37-54 session statements) --------------------
+  // Interactive transaction: DML between BEGIN and COMMIT stages TxOps and
+  // submits them atomically with one system time at COMMIT (the SQL-text
+  // face of submitTx's op vector, api.clj:258-339). Reads inside an open
+  // transaction see the pre-transaction snapshot — staged writes become
+  // visible atomically at COMMIT, like the reference's log-deferred DML.
+  private var openTx: Option[scala.collection.mutable.Buffer[TxOp]] = None
+  private var txReadOnly: Boolean = false
+  private var txSystemTime: Option[java.sql.Timestamp] = None
+  private val sessionVars = scala.collection.mutable.Map.empty[String, String]
+  private val preparedStmts = scala.collection.mutable.Map.empty[String, String]
+
   /** Execute one statement. SELECT/temporal queries return their result;
     * DML executes (its own single-op transaction) and returns a one-row
     * DataFrame with the assigned system time. `EXPLAIN [ANALYZE] <query>`
@@ -54,10 +66,93 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
       case GrantRevoke(grant, what, grantee) =>
         db.recordGrant(grant, what, grantee)
         txInfo(db.snapshotToken())
+      case Begin(readOnly, sysTime) =>
+        if (openTx.isDefined)
+          throw SqlParseException("transaction already open")
+        openTx = Some(scala.collection.mutable.Buffer.empty)
+        txReadOnly = readOnly
+        txSystemTime = sysTime.map(e =>
+          spark.sql(s"SELECT CAST($e AS TIMESTAMP)").head.getTimestamp(0))
+        statusDf("status", "BEGIN")
+      case Commit =>
+        val ops = openTx.getOrElse(
+          throw SqlParseException("COMMIT without an open transaction"))
+        openTx = None
+        if (ops.isEmpty) statusDf("status", "COMMIT (empty)")
+        else txInfo(db.submitTx(ops.toSeq, txSystemTime))
+      case Rollback =>
+        if (openTx.isEmpty)
+          throw SqlParseException("ROLLBACK without an open transaction")
+        openTx = None
+        statusDf("status", "ROLLBACK")
+      case SetTimeZone(zoneExpr) =>
+        val zone = stripStr(zoneExpr)
+        spark.conf.set("spark.sql.session.timeZone", zone)
+        sessionVars("timezone") = zone
+        statusDf("status", "SET")
+      case SetSessionVar(name, value) =>
+        sessionVars(name) = stripStr(value)
+        statusDf("status", "SET")
+      case ShowVar(name) => name match {
+        case "timezone" => statusDf("timezone",
+          spark.conf.get("spark.sql.session.timeZone"))
+        case "snapshot_token" =>
+          statusDf("snapshot_token",
+            clock.getOrElse(db.snapshotToken()).toString)
+        case "clock_time" =>
+          statusDf("clock_time", clock.getOrElse(
+            new java.sql.Timestamp(System.currentTimeMillis())).toString)
+        case "transaction_isolation" =>
+          // single-writer log: every committed tx is serialized
+          statusDf("transaction_isolation", "serializable")
+        case other => statusDf(other, sessionVars.getOrElse(other,
+          throw SqlParseException(s"unknown session variable: $other")))
+      }
+      case Prepare(name, stmt) =>
+        preparedStmts(name) = stmt
+        statusDf("status", "PREPARE")
+      case ExecuteStmt(name, args) =>
+        val stmt = preparedStmts.getOrElse(name,
+          throw SqlParseException(s"no prepared statement: $name"))
+        sql(bindParams(stmt, args))
       case dml =>
-        val ts = db.submitTx(Seq(toTxOp(dml)))
-        txInfo(ts)
+        openTx match {
+          case Some(buf) =>
+            if (txReadOnly) throw SqlParseException(
+              "DML inside a READ ONLY transaction")
+            buf += toTxOp(dml)
+            statusDf("status", s"staged (${buf.length} ops)")
+          case None =>
+            txInfo(db.submitTx(Seq(toTxOp(dml))))
+        }
     }
+  }
+
+  private def statusDf(colName: String, value: String): DataFrame = {
+    import spark.implicits._
+    Seq(value).toDF(colName)
+  }
+
+  /** A bare string literal drops its quotes ('' unescapes); anything else
+    * is kept verbatim. */
+  private def stripStr(e: String): String = {
+    val t = e.trim
+    if (t.length >= 2 && t.head == '\'' && t.last == '\'')
+      t.substring(1, t.length - 1).replace("''", "'")
+    else t
+  }
+
+  /** Positional binding for EXECUTE: the i-th `?` param token is replaced
+    * with the i-th argument text (lexer-based, so `?` inside literals is
+    * never touched). */
+  private def bindParams(stmt: String, args: Seq[String]): String = {
+    val params = SqlLexer.tokenize(stmt).filter(_.kind == Tok.Param)
+    if (params.length != args.length)
+      throw SqlParseException(
+        s"EXECUTE: ${params.length} parameters, ${args.length} arguments")
+    if (params.isEmpty) stmt
+    else SqlLexer.splice(stmt,
+      params.zip(args).map { case (p, a) => (p.start, p.end, s"($a)") })
   }
 
   /** Atomic multi-statement transaction (reference submit-tx with SQL op

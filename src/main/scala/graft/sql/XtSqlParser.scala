@@ -72,6 +72,28 @@ object XtSqlParser {
     final case class CreateTable(table: String, columnsDdl: String)
       extends XtStatement
     /** GRANT/REVOKE <what> TO/FROM <grantee> (role catalog record). */
+    /** BEGIN / START TRANSACTION [READ ONLY | READ WRITE
+      * [WITH (SYSTEM_TIME = …)]] (Sql.g4:41, 837-859). Isolation levels
+      * parse and are ignored (single-writer serialized log). */
+    final case class Begin(readOnly: Boolean, systemTime: Option[String])
+      extends XtStatement
+    case object Commit extends XtStatement
+    case object Rollback extends XtStatement
+    /** SET [SESSION] TIME ZONE <expr> (Sql.g4:46). */
+    final case class SetTimeZone(zone: String) extends XtStatement
+    /** SET [SESSION] <name> (TO | =) <literal>, and the accepted-but-
+      * recorded SET TRANSACTION / SESSION CHARACTERISTICS forms. */
+    final case class SetSessionVar(name: String, value: String)
+      extends XtStatement
+    /** SHOW <variable>: timezone, snapshot_token, clock_time,
+      * transaction_isolation, await_token, or any session variable. */
+    final case class ShowVar(name: String) extends XtStatement
+    /** PREPARE <name> AS <statement> (Sql.g4:37). */
+    final case class Prepare(name: String, statement: String)
+      extends XtStatement
+    /** EXECUTE <name> [(args…)] — positional `?` params spliced in order. */
+    final case class ExecuteStmt(name: String, args: Seq[String])
+      extends XtStatement
     final case class GrantRevoke(grant: Boolean, what: String,
         grantee: String) extends XtStatement
   }
@@ -94,8 +116,127 @@ object XtSqlParser {
       case "COPY" => parseCopy(sql, toks)
       case "CREATE" => parseCreate(sql, toks)
       case "GRANT" | "REVOKE" => parseGrantRevoke(sql, toks)
+      case "BEGIN" | "START" => parseBegin(sql, toks)
+      case "COMMIT" => XtStatement.Commit
+      case "ROLLBACK" => XtStatement.Rollback
+      case "SET" => parseSet(sql, toks)
+      case "SHOW" => parseShow(sql, toks)
+      case "PREPARE" => parsePrepare(sql, toks)
+      case "EXECUTE" => parseExecute(sql, toks)
       case _ => XtStatement.Query(parseQuery(sql))
     }
+  }
+
+  // ---- session statements (Sql.g4:37-54) ----------------------------------
+
+  private def parseBegin(sql: String, toks: Vector[Tok]): XtStatement = {
+    var i = 1
+    if (i < toks.length && toks(i).is("TRANSACTION")) i += 1
+    var readOnly = false
+    var systemTime: Option[String] = None
+    while (i < toks.length) {
+      if (toks(i).is("READ") && i + 1 < toks.length) {
+        readOnly = toks(i + 1).is("ONLY")
+        if (!readOnly && !toks(i + 1).is("WRITE"))
+          throw SqlParseException(
+            s"expected ONLY or WRITE at ${pos(toks, i + 1)}")
+        i += 2
+      } else if (toks(i).is("ISOLATION")) {
+        // ISOLATION LEVEL <words> — parsed, ignored (serialized writer)
+        i += 2
+        while (i < toks.length && toks(i).kind == Tok.Ident &&
+          !toks(i).is("READ") && !toks(i).is("WITH")) i += 1
+      } else if (toks(i).is("WITH") && i + 1 < toks.length &&
+          toks(i + 1).isPunct("(")) {
+        val close = matchParen(toks, i + 1)
+        var j = i + 2
+        while (j < close) {
+          if (toks(j).is("SYSTEM_TIME")) {
+            var k = j + 1
+            if (k < close && toks(k).isPunct("=")) k += 1
+            var e = k
+            var d = 0
+            while (e < close && !(d == 0 && toks(e).isPunct(","))) {
+              if (toks(e).isPunct("(")) d += 1
+              else if (toks(e).isPunct(")")) d -= 1
+              e += 1
+            }
+            systemTime = Some(sql.substring(toks(k).start, toks(e - 1).end))
+            j = e
+          } else j += 1
+        }
+        i = close + 1
+      } else if (toks(i).isPunct(",")) i += 1
+      else throw SqlParseException(
+        s"unexpected token in BEGIN at ${pos(toks, i)}")
+    }
+    XtStatement.Begin(readOnly, systemTime)
+  }
+
+  private def parseSet(sql: String, toks: Vector[Tok]): XtStatement = {
+    var i = 1
+    if (i < toks.length && toks(i).is("SESSION") &&
+        !(i + 1 < toks.length && toks(i + 1).is("CHARACTERISTICS"))) i += 1
+    if (i >= toks.length) throw SqlParseException("SET of nothing")
+    if (toks(i).is("TIME") && i + 1 < toks.length && toks(i + 1).is("ZONE"))
+      XtStatement.SetTimeZone(restText(sql, toks, i + 2).trim)
+    else if (toks(i).is("TIMEZONE"))
+      XtStatement.SetTimeZone(restText(sql, toks, i + 1).trim)
+    else if (toks(i).is("TRANSACTION") || toks(i).is("SESSION"))
+      // SET TRANSACTION ISOLATION LEVEL … / SET SESSION CHARACTERISTICS … —
+      // accepted and recorded; the single-writer log serializes anyway
+      XtStatement.SetSessionVar("transaction_characteristics",
+        restText(sql, toks, i + 1).trim)
+    else {
+      val name = identName(toks(i)).toLowerCase
+      var j = i + 1
+      if (j < toks.length && (toks(j).is("TO") || toks(j).isPunct("=")))
+        j += 1
+      else throw SqlParseException(s"expected TO or = at ${pos(toks, j)}")
+      XtStatement.SetSessionVar(name, restText(sql, toks, j).trim)
+    }
+  }
+
+  private def parseShow(sql: String, toks: Vector[Tok]): XtStatement = {
+    if (toks.length < 2)
+      throw SqlParseException("SHOW of nothing")
+    if (toks(1).is("TRANSACTION")) XtStatement.ShowVar("transaction_isolation")
+    else if (toks(1).is("TIME") || toks(1).is("TIMEZONE"))
+      XtStatement.ShowVar("timezone")
+    else XtStatement.ShowVar(identName(toks(1)).toLowerCase)
+  }
+
+  private def parsePrepare(sql: String, toks: Vector[Tok]): XtStatement = {
+    val name = tableNameAt(toks, 1)
+    expect(toks, 2, "AS")
+    val stmt = restText(sql, toks, 3).trim
+    if (stmt.isEmpty) throw SqlParseException("PREPARE without a statement")
+    XtStatement.Prepare(name, stmt)
+  }
+
+  private def parseExecute(sql: String, toks: Vector[Tok]): XtStatement = {
+    val name = tableNameAt(toks, 1)
+    val args =
+      if (toks.length > 2 && toks(2).isPunct("(")) {
+        val close = matchParen(toks, 2)
+        val out = Vector.newBuilder[String]
+        var start = 3
+        var d = 0
+        var j = 3
+        while (j < close) {
+          if (toks(j).isPunct("(")) d += 1
+          else if (toks(j).isPunct(")")) d -= 1
+          else if (d == 0 && toks(j).isPunct(",")) {
+            out += sql.substring(toks(start).start, toks(j - 1).end)
+            start = j + 1
+          }
+          j += 1
+        }
+        if (start < close)
+          out += sql.substring(toks(start).start, toks(close - 1).end)
+        out.result()
+      } else Vector.empty
+    XtStatement.ExecuteStmt(name, args)
   }
 
   // ---- query path ---------------------------------------------------------
@@ -159,6 +300,9 @@ object XtSqlParser {
       rewritten = rewriteOneStarClause(body)
       guard += 1
     }
+    // 2e. SQL-standard `OFFSET n ROWS` / `FETCH FIRST|NEXT n ROWS ONLY`
+    //     (Sql.g4:700-707) → Spark's LIMIT/OFFSET clauses
+    body = rewriteFetchOffset(body)
     // 3. temporal table refs
     toks = SqlLexer.tokenize(body)
     val refs = Vector.newBuilder[TemporalRef]
@@ -430,6 +574,55 @@ object XtSqlParser {
       i += 1
     }
     None
+  }
+
+  // ---- OFFSET/FETCH (Sql.g4:700-707) --------------------------------------
+
+  /** `OFFSET n [ROW|ROWS] [FETCH FIRST|NEXT m [ROW|ROWS] ONLY]` and
+    * standalone FETCH → Spark `LIMIT m OFFSET n`. All occurrences
+    * (subqueries included); plain `LIMIT`/`OFFSET n` without ROW noise
+    * passes through untouched. */
+  private def rewriteFetchOffset(sql: String): String = {
+    val toks = SqlLexer.tokenize(sql)
+    val splices = Vector.newBuilder[(Int, Int, String)]
+    var i = 0
+    def rowWord(k: Int): Boolean =
+      k < toks.length && (toks(k).is("ROW") || toks(k).is("ROWS"))
+    // parses `FETCH FIRST|NEXT [m] ROW|ROWS ONLY` at k; returns (m, end)
+    def fetchAt(k: Int): Option[(String, Int)] =
+      if (k < toks.length && toks(k).is("FETCH") && k + 1 < toks.length &&
+          (toks(k + 1).is("FIRST") || toks(k + 1).is("NEXT"))) {
+        var j = k + 2
+        val m =
+          if (j < toks.length && toks(j).kind == Tok.Num) {
+            j += 1; toks(j - 1).text
+          } else "1"
+        if (rowWord(j) && j + 1 < toks.length && toks(j + 1).is("ONLY"))
+          Some((m, j + 2))
+        else None
+      } else None
+    while (i < toks.length) {
+      if (toks(i).is("OFFSET") && i + 1 < toks.length &&
+          toks(i + 1).kind == Tok.Num && rowWord(i + 2)) {
+        val n = toks(i + 1).text
+        fetchAt(i + 3) match {
+          case Some((m, end)) =>
+            splices += ((toks(i).start, toks(end - 1).end,
+              s"LIMIT $m OFFSET $n"))
+            i = end
+          case None =>
+            splices += ((toks(i).start, toks(i + 2).end, s"OFFSET $n"))
+            i += 3
+        }
+      } else fetchAt(i) match {
+        case Some((m, end)) =>
+          splices += ((toks(i).start, toks(end - 1).end, s"LIMIT $m"))
+          i = end
+        case None => i += 1
+      }
+    }
+    val s = splices.result()
+    if (s.isEmpty) sql else SqlLexer.splice(sql, s)
   }
 
   // ---- infix period predicates (Sql.g4:227-243) ---------------------------
