@@ -303,6 +303,45 @@ object SqlDialect {
       WHERE o_orderkey < 300 AND o_orderkey % 7 <> 0
       ORDER BY _id""")),
 
+    // DML RETURNING through SQL text (Sql.g4:19-31): INSERT returns the
+    // inserted docs, UPDATE the new versions, DELETE the removed rows —
+    // all three unioned with a probe tag; DuckDB recomputes each
+    // projection from the orders source directly
+    QueryDef("q109_dml_returning", (s, dir) => {
+      val (db, eng) = fresh(s)
+      val docs = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey").as("_id"),
+          col("o_totalprice").as("price"))
+      db.submitTx(Seq(TxOp.Put("accts", docs)))
+      val ins = eng.sql("""
+        INSERT INTO accts RECORDS {_id: 100003, price: 5.0e0}, {_id: 100006, price: 7.0e0}
+        RETURNING _id, price * 10 AS p10""")
+      val upd = eng.sql("""
+        UPDATE accts SET price = price * 2 WHERE _id % 3 = 0
+        RETURNING _id, price AS p10""")
+      val del = eng.sql("""
+        DELETE FROM accts WHERE _id % 7 = 0 RETURNING _id, price AS p10""")
+      ins.selectExpr("'ins' AS probe", "_id", "CAST(floor(p10 * 100 + 0.5) AS BIGINT) AS p100")
+        .unionByName(upd.selectExpr("'upd' AS probe", "_id",
+          "CAST(floor(p10 * 100 + 0.5) AS BIGINT) AS p100"))
+        .unionByName(del.selectExpr("'del' AS probe", "_id",
+          "CAST(floor(p10 * 100 + 0.5) AS BIGINT) AS p100"))
+        .orderBy("probe", "_id")
+    }, Some("""
+      WITH src AS (SELECT o_orderkey AS _id, o_totalprice AS price
+                   FROM orders WHERE o_orderkey < 200)
+      SELECT 'ins' AS probe, _id, CAST(floor(p10 * 100 + 0.5) AS BIGINT) AS p100
+      FROM (VALUES (100003, 50.0), (100006, 70.0)) AS i(_id, p10)
+      UNION ALL
+      SELECT 'upd', _id, CAST(floor(price * 2 * 100 + 0.5) AS BIGINT)
+      FROM src WHERE _id % 3 = 0
+      UNION ALL
+      SELECT 'del', _id, CAST(floor(CASE WHEN _id % 3 = 0 THEN price * 2
+                                         ELSE price END * 100 + 0.5) AS BIGINT)
+      FROM src WHERE _id % 7 = 0
+      ORDER BY probe, _id""")),
+
     // infix period predicates through SQL text (Sql.g4:227-243 → the
     // parser's p_* rewrite → Periods combinators). p1 = [d, d+30) per
     // order; fixed probes chosen so every predicate takes both truth

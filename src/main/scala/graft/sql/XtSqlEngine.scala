@@ -115,6 +115,45 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
         val stmt = preparedStmts.getOrElse(name,
           throw SqlParseException(s"no prepared statement: $name"))
         sql(bindParams(stmt, args))
+      case WithReturning(dml, selectList) =>
+        if (openTx.isDefined) throw SqlParseException(
+          "RETURNING inside an open transaction is not supported")
+        // Affected rows computed against the pre-commit snapshot and
+        // materialized BEFORE submit (reference returningStatement,
+        // Sql.g4:19-31: INSERT returns the inserted docs, UPDATE the new
+        // versions, DELETE the removed rows)
+        val affected: DataFrame = dml match {
+          case Insert(_, _) | CopyIn(_, _, _) => toTxOp(dml) match {
+            case TxOp.Put(_, docs, _, _) => docs
+            case other => throw SqlParseException(
+              s"RETURNING unsupported for $other")
+          }
+          case Update(table, _, sets, where) =>
+            val base: DataFrame = Bitemporal.current(db.events(table))
+              .filter(where.map(expr).getOrElse(lit(true)))
+            sets.foldLeft(base) {
+              case (df, (c, e)) => df.withColumn(c, expr(e))
+            }
+          case Delete(table, _, where) =>
+            Bitemporal.current(db.events(table))
+              .filter(where.map(expr).getOrElse(lit(true)))
+          case other => throw SqlParseException(
+            s"RETURNING is not valid on ${other.getClass.getSimpleName}")
+        }
+        XtSql.registerFunctions(spark)
+        // hidden-column semantics as in runQuery: meta columns only
+        // survive into RETURNING * if the list names them
+        val retRef = SqlLexer.tokenize(selectList)
+          .collect { case t if t.kind == Tok.Ident => t.text.toLowerCase }
+          .toSet
+        val dropRet = Seq(Bitemporal.IID, Bitemporal.VF, Bitemporal.VT,
+          Bitemporal.SF, Bitemporal.ST).filterNot(retRef.contains)
+        affected.drop(dropRet: _*).createOrReplaceTempView("__returning_src")
+        val out = spark.sql(s"SELECT $selectList FROM __returning_src")
+        val rows = out.collect().toSeq // pin results pre-commit
+        db.submitTx(Seq(toTxOp(dml)))
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), out.schema)
       case dml =>
         openTx match {
           case Some(buf) =>

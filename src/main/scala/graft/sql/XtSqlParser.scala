@@ -72,6 +72,11 @@ object XtSqlParser {
     final case class CreateTable(table: String, columnsDdl: String)
       extends XtStatement
     /** GRANT/REVOKE <what> TO/FROM <grantee> (role catalog record). */
+    /** DML with a trailing `RETURNING <select list>` (Sql.g4:19-31):
+      * the wrapped statement executes and the affected rows, projected by
+      * the list, come back as the result. */
+    final case class WithReturning(stmt: XtStatement, selectList: String)
+      extends XtStatement
     /** BEGIN / START TRANSACTION [READ ONLY | READ WRITE
       * [WITH (SYSTEM_TIME = …)]] (Sql.g4:41, 837-859). Isolation levels
       * parse and are ignored (single-writer serialized log). */
@@ -107,6 +112,13 @@ object XtSqlParser {
     val toks = SqlLexer.tokenize(sql)
     if (toks.isEmpty) throw SqlParseException("empty statement")
     toks.head.upper match {
+      case "INSERT" | "UPDATE" | "DELETE"
+          if depth0Returning(toks) >= 0 =>
+        val r = depth0Returning(toks)
+        val head = sql.substring(0, toks(r).start)
+        val list = sql.substring(toks(r).end).trim
+        if (list.isEmpty) throw SqlParseException("empty RETURNING list")
+        XtStatement.WithReturning(parse(head), list)
       case "INSERT" => parseInsert(sql, toks)
       case "UPDATE" => parseUpdate(sql, toks)
       case "DELETE" => parseDelete(sql, toks)
@@ -125,6 +137,21 @@ object XtSqlParser {
       case "EXECUTE" => parseExecute(sql, toks)
       case _ => XtStatement.Query(parseQuery(sql))
     }
+  }
+
+  /** Index of a depth-0 RETURNING keyword, or -1 (paren-nested and
+    * string-literal occurrences never match — the lexer already skips
+    * literals). */
+  private def depth0Returning(toks: Vector[Tok]): Int = {
+    var d = 0
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).isPunct("(")) d += 1
+      else if (toks(i).isPunct(")")) d -= 1
+      else if (d == 0 && toks(i).is("RETURNING")) return i
+      i += 1
+    }
+    -1
   }
 
   // ---- session statements (Sql.g4:37-54) ----------------------------------

@@ -102,6 +102,31 @@ class SqlSessionSpec extends AnyFunSuite {
     assert(eng.sql("SELECT count(*) AS n FROM c").head.getLong(0) == 3L)
   }
 
+  test("RETURNING on INSERT/UPDATE/DELETE returns the affected rows") {
+    val (_, eng) = fresh()
+    val ins = eng.sql(
+      "INSERT INTO r RECORDS {_id: 1, v: 10}, {_id: 2, v: 20} RETURNING _id, v * 2 AS v2")
+      .collect().map(x => (x.getAs[Number](0).longValue,
+        x.getAs[Number](1).longValue)).toSeq.sorted
+    assert(ins == Seq((1L, 20L), (2L, 40L)))
+    val upd = eng.sql("UPDATE r SET v = v + 5 WHERE _id = 1 RETURNING _id, v")
+      .collect().map(x => (x.getAs[Number](0).longValue,
+        x.getAs[Number](1).longValue)).toSeq
+    assert(upd == Seq((1L, 15L))) // new version's value
+    val del = eng.sql("DELETE FROM r WHERE _id = 2 RETURNING _id, v")
+      .collect().map(x => (x.getAs[Number](0).longValue,
+        x.getAs[Number](1).longValue)).toSeq
+    assert(del == Seq((2L, 20L))) // deleted row's old value
+    // table state reflects all three statements
+    val left = eng.sql("SELECT _id, v FROM r ORDER BY _id")
+      .collect().map(x => (x.getAs[Number](0).longValue,
+        x.getAs[Number](1).longValue)).toSeq
+    assert(left == Seq((1L, 15L)))
+    // meta columns stay hidden unless named
+    assert(!eng.sql("INSERT INTO r RECORDS {_id: 9} RETURNING *")
+      .columns.contains("_iid"))
+  }
+
   test("OFFSET n ROWS / FETCH FIRST n ROWS ONLY rewrite to LIMIT/OFFSET") {
     val (_, eng) = fresh()
     eng.sql("INSERT INTO d RECORDS {_id: 1}, {_id: 2}, {_id: 3}, {_id: 4}, {_id: 5}")
