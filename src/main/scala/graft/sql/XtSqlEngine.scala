@@ -42,6 +42,18 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
   private var txSystemTime: Option[java.sql.Timestamp] = None
   private val sessionVars = scala.collection.mutable.Map.empty[String, String]
   private val preparedStmts = scala.collection.mutable.Map.empty[String, String]
+  // Attached databases (ATTACH DATABASE, Sql.g4:55): read-side multi-db —
+  // qualified refs `name[.public].table` resolve against the attached
+  // store, temporal clauses included; DML targets the primary only
+  // (reference: attach forbidden mid-tx, writes go to the connected db).
+  // "xtdb" is the reference's name for the primary (pgwire.clj:1211-1228).
+  private val attachedDbs = scala.collection.mutable.Map.empty[String, XtDb]
+  private def dbNames: Set[String] = attachedDbs.keySet.toSet + "xtdb"
+  private def dbFor(name: String): XtDb =
+    if (name == "xtdb") db
+    else attachedDbs.getOrElse(name,
+      throw SqlParseException(s"no attached database: $name"))
+  private val QualRef = "__db_([a-z0-9_]+?)__(.+)".r
 
   /** Execute one statement. SELECT/temporal queries return their result;
     * DML executes (its own single-op transaction) and returns a one-row
@@ -53,12 +65,12 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
     if (toks.nonEmpty && toks.head.is("EXPLAIN")) {
       val analyze = toks.length > 1 && toks(1).is("ANALYZE")
       val rest = text.substring(toks(if (analyze) 2 else 1).start)
-      val df = runQuery(parseQuery(rest))
+      val df = runQuery(parseQuery(rest, dbNames))
       val rep = if (analyze) graft.plans.Explain.analyze(df)
         else graft.plans.Explain.report(df)
       import spark.implicits._
       rep.render.split("\n").toSeq.toDF("plan")
-    } else parse(text) match {
+    } else parse(text, dbNames) match {
       case Query(pq) => runQuery(pq)
       case CreateTable(table, ddl) =>
         db.createTable(table, ddl)
@@ -108,6 +120,22 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
         case other => statusDf(other, sessionVars.getOrElse(other,
           throw SqlParseException(s"unknown session variable: $other")))
       }
+      case AttachDb(name, config) =>
+        if (openTx.isDefined) throw SqlParseException(
+          "cannot attach a database in a transaction")
+        if (name == "xtdb" || attachedDbs.contains(name))
+          throw SqlParseException(s"database already attached: $name")
+        val path = config.flatMap { c =>
+          "path\\s*[:=]\\s*(\\S+)".r.findFirstMatchIn(c).map(_.group(1))
+        }.getOrElse(throw SqlParseException(
+          "ATTACH DATABASE requires WITH 'path: <dir>'"))
+        attachedDbs(name) = new XtDb(spark, path)
+        statusDf("status", s"ATTACH $name")
+      case DetachDb(name) =>
+        if (!attachedDbs.contains(name))
+          throw SqlParseException(s"no attached database: $name")
+        attachedDbs.remove(name)
+        statusDf("status", s"DETACH $name")
       case Prepare(name, stmt) =>
         preparedStmts(name) = stmt
         statusDf("status", "PREPARE")
@@ -198,7 +226,7 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
     * vector, api.clj:258-339). */
   def submitTxSql(stmts: Seq[String],
       systemTime: Option[java.sql.Timestamp] = None): java.sql.Timestamp =
-    db.submitTx(stmts.map(s => toTxOp(parse(s))), systemTime)
+    db.submitTx(stmts.map(s => toTxOp(parse(s, dbNames))), systemTime)
 
   /** Execute a `;`-separated script (psql-style). Statements run in order,
     * each as its own transaction; the last statement's result is returned.
@@ -271,6 +299,16 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
         toSpec(pq.defaultValid), toSpec(pq.defaultSystem)))
         .createOrReplaceTempView(t)
     }
+    // attached databases: every qualified ref was folded to
+    // __db_<name>__<table> by the parser — register those views under the
+    // default specs (xtdb.t aliases the primary)
+    (attachedDbs.toSeq :+ ("xtdb" -> db)).foreach { case (name, d) =>
+      d.tables.foreach { t =>
+        visible(Bitemporal.resolve(d.events(t),
+          toSpec(pq.defaultValid), toSpec(pq.defaultSystem)))
+          .createOrReplaceTempView(s"__db_${name}__$t")
+      }
+    }
     // system tables (reference xt.txs / information_schema; dots are not
     // legal in Spark temp-view names, so the xt/info schemas flatten to _)
     try db.txs.createOrReplaceTempView("xt_txs")
@@ -289,8 +327,13 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
       infoTables.map(t => t -> db.events(t).schema))
     val reps = pq.refs.zipWithIndex.map { case (r, i) =>
       val view = s"__xt_${r.table}_$i"
-      visible(Bitemporal.resolve(db.events(r.table),
-        toSpec(r.valid), toSpec(r.system)))
+      // a temporal clause on a qualified ref resolves against the
+      // attached store the parser folded into the name
+      val evs = r.table match {
+        case QualRef(dbName, tbl) => dbFor(dbName).events(tbl)
+        case t => db.events(t)
+      }
+      visible(Bitemporal.resolve(evs, toSpec(r.valid), toSpec(r.system)))
         .createOrReplaceTempView(view)
       (r.start, r.end, view)
     }

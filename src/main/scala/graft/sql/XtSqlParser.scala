@@ -93,6 +93,12 @@ object XtSqlParser {
     /** SHOW <variable>: timezone, snapshot_token, clock_time,
       * transaction_isolation, await_token, or any session variable. */
     final case class ShowVar(name: String) extends XtStatement
+    /** ATTACH DATABASE <name> [WITH '<config>'] / DETACH DATABASE <name>
+      * (Sql.g4:55-56). Config accepts `path: <dir>` (our storage layout's
+      * root for the attached store). */
+    final case class AttachDb(name: String, config: Option[String])
+      extends XtStatement
+    final case class DetachDb(name: String) extends XtStatement
     /** PREPARE <name> AS <statement> (Sql.g4:37). */
     final case class Prepare(name: String, statement: String)
       extends XtStatement
@@ -108,7 +114,9 @@ object XtSqlParser {
 
   // ---- entry --------------------------------------------------------------
 
-  def parse(sql: String): XtStatement = {
+  def parse(sql: String): XtStatement = parse(sql, Set.empty)
+
+  def parse(sql: String, dbNames: Set[String]): XtStatement = {
     val toks = SqlLexer.tokenize(sql)
     if (toks.isEmpty) throw SqlParseException("empty statement")
     toks.head.upper match {
@@ -135,7 +143,19 @@ object XtSqlParser {
       case "SHOW" => parseShow(sql, toks)
       case "PREPARE" => parsePrepare(sql, toks)
       case "EXECUTE" => parseExecute(sql, toks)
-      case _ => XtStatement.Query(parseQuery(sql))
+      case "ATTACH" =>
+        expect(toks, 1, "DATABASE")
+        val name = tableNameAt(toks, 2)
+        val cfg =
+          if (toks.length > 3 && toks(3).is("WITH") && toks.length > 4 &&
+              toks(4).kind == Tok.Str)
+            Some(toks(4).text.substring(1, toks(4).text.length - 1))
+          else None
+        XtStatement.AttachDb(name, cfg)
+      case "DETACH" =>
+        expect(toks, 1, "DATABASE")
+        XtStatement.DetachDb(tableNameAt(toks, 2))
+      case _ => XtStatement.Query(parseQuery(sql, dbNames))
     }
   }
 
@@ -268,7 +288,46 @@ object XtSqlParser {
 
   // ---- query path ---------------------------------------------------------
 
-  def parseQuery(sql: String): ParsedQuery = {
+  def parseQuery(sql: String): ParsedQuery = parseQuery(sql, Set.empty)
+
+  /** `dbNames`: attached-database names (plus the primary's alias) whose
+    * qualified refs `db[.public].table` fold to the internal
+    * `__db_<db>__<table>` ident before temporal-clause parsing, so
+    * `other.t FOR SYSTEM_TIME AS OF …` works like any table ref
+    * (reference: 3-part db.schema.table scans, sql.clj:2944). */
+  def parseQuery(sql0: String, dbNames: Set[String]): ParsedQuery = {
+    // fold qualified refs first so every later pass (and its spans) works
+    // on one consistent text
+    val sql: String = if (dbNames.isEmpty) sql0 else {
+      val ts = SqlLexer.tokenize(sql0)
+      val splices = Vector.newBuilder[(Int, Int, String)]
+      var i = 0
+      while (i < ts.length) {
+        val isDb = ts(i).kind == Tok.Ident &&
+          dbNames.contains(ts(i).text.toLowerCase(java.util.Locale.ROOT)) &&
+          (i == 0 || !ts(i - 1).isPunct("."))
+        if (isDb && i + 2 < ts.length && ts(i + 1).isPunct(".") &&
+            (ts(i + 2).kind == Tok.Ident || ts(i + 2).kind == Tok.QIdent)) {
+          val db = ts(i).text.toLowerCase(java.util.Locale.ROOT)
+          // optional `public` schema part: db.public.t
+          val (tblTok, end) =
+            if (ts(i + 2).is("PUBLIC") && i + 4 < ts.length &&
+                ts(i + 3).isPunct(".") &&
+                (ts(i + 4).kind == Tok.Ident || ts(i + 4).kind == Tok.QIdent))
+              (ts(i + 4), i + 4)
+            else (ts(i + 2), i + 2)
+          // only table position: next token must not be '(' (function call)
+          val isCall = end + 1 < ts.length && ts(end + 1).isPunct("(")
+          if (!isCall) {
+            splices += ((ts(i).start, ts(end).end,
+              s"__db_${db}__${identName(tblTok)}"))
+            i = end + 1
+          } else i += 1
+        } else i += 1
+      }
+      val s = splices.result()
+      if (s.isEmpty) sql0 else SqlLexer.splice(sql0, s)
+    }
     var toks = SqlLexer.tokenize(sql)
     // 1. SETTING DEFAULT … prefix
     var defaultValid: SpecAst = SpecAst.Current

@@ -127,6 +127,39 @@ class SqlSessionSpec extends AnyFunSuite {
       .columns.contains("_iid"))
   }
 
+  test("ATTACH DATABASE: qualified refs, temporal clause, xtdb alias, DETACH") {
+    val (_, eng) = fresh()
+    // second store written through its own engine with a pinned system time
+    val otherRoot = java.nio.file.Files
+      .createTempDirectory("xtsqlother").toString
+    val otherDb = new XtDb(spark, otherRoot)
+    otherDb.submitTx(Seq(graft.bitemporal.TxOp.Put("items",
+        spark.sql("SELECT 1L AS _id, 'a' AS tag UNION ALL SELECT 2L, 'b'"))),
+      Some(ts("2024-01-01 00:00:00")))
+    otherDb.submitTx(Seq(graft.bitemporal.TxOp.Put("items",
+        spark.sql("SELECT 1L AS _id, 'a2' AS tag"))),
+      Some(ts("2024-02-01 00:00:00")))
+
+    eng.sql("INSERT INTO locals RECORDS {_id: 1, name: 'x'}")
+    eng.sql(s"ATTACH DATABASE other WITH 'path: $otherRoot'")
+    // cross-db join, current snapshots
+    val joined = eng.sql("""
+      SELECT l.name, i.tag
+      FROM locals l JOIN other.items i ON l._id = i._id""")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(joined == Seq(("x", "a2")))
+    // temporal clause on the qualified ref + 3-part name + xtdb alias
+    val old = eng.sql("""
+      SELECT i.tag FROM other.public.items
+        FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-15 00:00:00' i
+      WHERE i._id = 1""").collect().map(_.getString(0)).toSeq
+    assert(old == Seq("a"))
+    assert(eng.sql("SELECT count(*) AS n FROM xtdb.locals")
+      .head.getLong(0) == 1L)
+    eng.sql("DETACH DATABASE other")
+    intercept[Exception](eng.sql("SELECT * FROM other.items").collect())
+  }
+
   test("OFFSET n ROWS / FETCH FIRST n ROWS ONLY rewrite to LIMIT/OFFSET") {
     val (_, eng) = fresh()
     eng.sql("INSERT INTO d RECORDS {_id: 1}, {_id: 2}, {_id: 3}, {_id: 4}, {_id: 5}")
