@@ -20,7 +20,8 @@ object SparkEntry {
     _root_.graft.queries.SqlDialect.defs ++
     _root_.graft.queries.Pipeline.defs ++
     _root_.graft.queries.Meta.defs ++
-    _root_.graft.queries.Extra.defs
+    _root_.graft.queries.Extra.defs ++
+    _root_.graft.queries.Infra.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

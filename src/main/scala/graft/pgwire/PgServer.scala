@@ -1,0 +1,435 @@
+package graft.pgwire
+
+import graft.bitemporal.XtDb
+import graft.sql.{SqlLexer, Tok, XtSqlEngine}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream, EOFException}
+import java.net.{ServerSocket, Socket, SocketException}
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Postgres wire-protocol (v3) front door — the reference's primary entry
+  * surface (reference: core/src/main/clojure/xtdb/pgwire.clj; the protocol
+  * itself is public PostgreSQL documentation, "Frontend/Backend Protocol").
+  *
+  * Each connection gets its own [[XtSqlEngine]] session (interactive
+  * transactions, SET/SHOW, PREPARE) over the shared [[XtDb]] store — the
+  * reference's connection/session split (pgwire.clj connection state).
+  * Supported: startup (incl. SSLRequest refusal + optional cleartext
+  * password auth), the simple query protocol ('Q', `;`-scripts included),
+  * and the extended protocol (Parse/Bind/Describe/Execute/Close/Sync) with
+  * `$n` placeholders spliced lexer-safely. All values travel in text
+  * format, typed by OID in RowDescription.
+  *
+  * Scale note: the wire layer only funnels FINAL result rows through the
+  * driver socket — query execution stays distributed in Spark. This is the
+  * same funnel every engine's wire protocol has, not a `.collect()` in an
+  * operator.
+  */
+final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
+    password: Option[String] = None) {
+
+  private val server = new ServerSocket(port)
+  @volatile private var running = true
+  private val threads = java.util.concurrent.ConcurrentHashMap.newKeySet[Thread]()
+
+  /** The actual bound port (useful with port = 0). */
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock), s"pgwire-conn")
+        t.setDaemon(true)
+        threads.add(t)
+        t.start()
+      } catch {
+        case _: SocketException => () // closed during accept
+        case _: Exception if !running => ()
+      }
+    }
+  }, "pgwire-accept")
+
+  def start(): PgServer = { acceptor.setDaemon(true); acceptor.start(); this }
+
+  def stop(): Unit = {
+    running = false
+    try server.close() catch { case _: Exception => () }
+    threads.forEach(t => t.interrupt())
+  }
+
+  // ---- per-connection session ---------------------------------------------
+
+  private def handle(sock: Socket): Unit = {
+    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    val out = new DataOutputStream(
+      new BufferedOutputStream(sock.getOutputStream))
+    try {
+      if (!startup(in, out)) return
+      val eng = new XtSqlEngine(spark, db)
+      // extended-protocol state: statement name -> query text (with $n
+      // placeholder spans), portal name -> fully-bound SQL text
+      val prepared = scala.collection.mutable.Map.empty[String, String]
+      val portals = scala.collection.mutable.Map.empty[String, String]
+      var skipUntilSync = false
+      var open = true
+      while (open) {
+        val msgType = in.read()
+        if (msgType < 0) open = false
+        else {
+          val len = in.readInt()
+          val payload = new Array[Byte](len - 4)
+          in.readFully(payload)
+          val r = new Reader(payload)
+          (msgType.toChar: @unchecked) match {
+            case 'X' => open = false
+            case 'S' => // Sync
+              skipUntilSync = false
+              readyForQuery(out)
+            case 'H' => out.flush()
+            case _ if skipUntilSync => () // discard until Sync after error
+            case 'Q' =>
+              simpleQuery(eng, r.cstr(), out)
+              readyForQuery(out)
+            case 'P' => // Parse
+              val name = r.cstr(); val query = r.cstr()
+              val nOids = r.i16(); (0 until nOids).foreach(_ => r.i32())
+              prepared(name) = query
+              msg(out, '1')(_ => ())
+            case 'B' => // Bind
+              try {
+                val portal = r.cstr(); val stmt = r.cstr()
+                val nFmt = r.i16(); (0 until nFmt).foreach(_ => r.i16())
+                val nParams = r.i16()
+                val params = (0 until nParams).map { _ =>
+                  val l = r.i32()
+                  if (l < 0) null else new String(r.bytes(l), UTF_8)
+                }
+                val nRFmt = r.i16(); (0 until nRFmt).foreach(_ => r.i16())
+                val text = prepared.getOrElse(stmt,
+                  sys.error(s"unknown prepared statement: $stmt"))
+                portals(portal) = bindPlaceholders(text, params)
+                msg(out, '2')(_ => ())
+              } catch { case e: Exception =>
+                error(out, e); skipUntilSync = true
+              }
+            case 'D' => // Describe
+              val kind = r.byte().toChar; val name = r.cstr()
+              val text = if (kind == 'S') prepared.get(name)
+                else portals.get(name)
+              text match {
+                case None => msg(out, 'n')(_ => ())
+                case Some(t) =>
+                  if (kind == 'S') { // ParameterDescription (all unspecified)
+                    val n = placeholderSpans(t).length
+                    msg(out, 't') { w =>
+                      w.writeShort(n); (0 until n).foreach(_ => w.writeInt(0))
+                    }
+                  }
+                  // statements may still hold unbound $n — describe rowdesc
+                  // only for bindable text
+                  try {
+                    if (isResultSet(t))
+                      rowDescription(out, eng.sql(stripBind(t)).schema)
+                    else msg(out, 'n')(_ => ())
+                  } catch { case _: Exception => msg(out, 'n')(_ => ()) }
+              }
+            case 'E' => // Execute
+              try {
+                val portal = r.cstr(); r.i32() // maxRows: portals not suspended
+                val text = portals.getOrElse(portal,
+                  sys.error(s"unknown portal: $portal"))
+                runStatement(eng, text, out, describe = false)
+              } catch { case e: Exception =>
+                error(out, e); skipUntilSync = true
+              }
+            case 'C' => // Close
+              val kind = r.byte().toChar; val name = r.cstr()
+              if (kind == 'S') prepared.remove(name) else portals.remove(name)
+              msg(out, '3')(_ => ())
+            case 'p' => () // stray password message
+            case _ => () // unsupported message: ignore (e.g. COPY subprotocol)
+          }
+          out.flush()
+        }
+      }
+    } catch {
+      case _: EOFException | _: SocketException => ()
+      case e: Exception =>
+        try { error(out, e); out.flush() } catch { case _: Exception => () }
+    } finally {
+      threads.remove(Thread.currentThread())
+      try sock.close() catch { case _: Exception => () }
+    }
+  }
+
+  /** Startup negotiation: refuse SSL/GSS, optional cleartext password,
+    * then parameter statuses + ReadyForQuery. Returns false to drop. */
+  private def startup(in: DataInputStream, out: DataOutputStream): Boolean = {
+    var proto = 0
+    var params = Map.empty[String, String]
+    var negotiating = true
+    while (negotiating) {
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      val r = new Reader(body)
+      proto = r.i32()
+      proto match {
+        case 80877103 | 80877104 => out.write('N'); out.flush() // SSL/GSS: no
+        case 80877102 => return false // CancelRequest: nothing to cancel
+        case _ =>
+          var done = false
+          while (!done && r.remaining > 0) {
+            val k = r.cstr()
+            if (k.isEmpty) done = true else params += (k -> r.cstr())
+          }
+          negotiating = false
+      }
+    }
+    password match {
+      case Some(expect) =>
+        msg(out, 'R')(_.writeInt(3)) // AuthenticationCleartextPassword
+        out.flush()
+        val t = in.read()
+        val len = in.readInt()
+        val body = new Array[Byte](len - 4)
+        in.readFully(body)
+        val given = new Reader(body).cstr()
+        if (t != 'p' || given != expect) {
+          errorMsg(out, "28P01",
+            s"password authentication failed for user \"${params.getOrElse("user", "?")}\"")
+          out.flush()
+          return false
+        }
+      case None => ()
+    }
+    msg(out, 'R')(_.writeInt(0)) // AuthenticationOk
+    Seq("server_version" -> "16.0 (graft)", "server_encoding" -> "UTF8",
+      "client_encoding" -> "UTF8", "DateStyle" -> "ISO",
+      "integer_datetimes" -> "on", "standard_conforming_strings" -> "on",
+      "TimeZone" -> spark.conf.get("spark.sql.session.timeZone", "UTC"))
+      .foreach { case (k, v) =>
+        msg(out, 'S') { w => cstr(w, k); cstr(w, v) }
+      }
+    msg(out, 'K') { w => w.writeInt(42); w.writeInt(0) } // BackendKeyData
+    readyForQuery(out)
+    out.flush()
+    true
+  }
+
+  // ---- query execution ----------------------------------------------------
+
+  /** Simple query: a `;`-script runs statement by statement, each with its
+    * own result/tag (unlike sqlScript, which returns only the last). */
+  private def simpleQuery(eng: XtSqlEngine, text: String,
+      out: DataOutputStream): Unit = {
+    val stmts = splitScript(text)
+    if (stmts.isEmpty) { msg(out, 'I')(_ => ()); return }
+    var failed = false
+    stmts.foreach { stmt =>
+      if (!failed) {
+        try runStatement(eng, stmt, out, describe = true)
+        catch { case e: Exception => error(out, e); failed = true }
+      }
+    }
+  }
+
+  private def runStatement(eng: XtSqlEngine, stmt: String,
+      out: DataOutputStream, describe: Boolean): Unit = {
+    val df = eng.sql(stmt)
+    if (isResultSet(stmt)) {
+      if (describe) rowDescription(out, df.schema)
+      val rows = df.collect()
+      rows.foreach(row => dataRow(out, row, df.schema))
+      msg(out, 'C')(w => cstr(w, s"SELECT ${rows.length}"))
+    } else {
+      // DML/session statements: the engine already executed them eagerly;
+      // emit only the command tag (pg clients expect no result set)
+      msg(out, 'C')(w => cstr(w, commandTag(stmt)))
+    }
+  }
+
+  /** Statements that produce a client-visible result set. */
+  private def isResultSet(stmt: String): Boolean = {
+    val toks = SqlLexer.tokenize(stmt)
+    toks.headOption.map(_.upper) match {
+      case Some("SELECT" | "WITH" | "VALUES" | "TABLE" | "SHOW" |
+                "EXPLAIN" | "EXECUTE" | "FROM") => true
+      case Some("SETTING") => true // SETTING DEFAULT ... SELECT
+      case _ => toks.exists(_.is("RETURNING"))
+    }
+  }
+
+  private def commandTag(stmt: String): String =
+    SqlLexer.tokenize(stmt).headOption.map(_.upper).getOrElse("OK") match {
+      case "INSERT" => "INSERT 0 1"
+      case kw => kw
+    }
+
+  /** Lexer-safe `;` split (same policy as XtSqlEngine.sqlScript). */
+  private def splitScript(text: String): Seq[String] = {
+    val toks = SqlLexer.tokenize(text)
+    val stmts = scala.collection.mutable.Buffer[String]()
+    var start = 0
+    toks.foreach { t =>
+      if (t.isPunct(";")) {
+        val s = text.substring(start, t.start).trim
+        if (s.nonEmpty) stmts += s
+        start = t.end
+      }
+    }
+    val tail = text.substring(start).trim
+    if (tail.nonEmpty) stmts += tail
+    stmts.toSeq
+  }
+
+  /** `$n` placeholder spans — lexer-based (Punct "$" immediately followed
+    * by a Num), so a `$1` inside a string literal is never a parameter. */
+  private def placeholderSpans(text: String): Vector[(Int, Int, Int)] = {
+    val toks = SqlLexer.tokenize(text)
+    toks.zip(toks.drop(1)).collect {
+      case (d, n) if d.isPunct("$") && n.kind == Tok.Num &&
+        n.start == d.end && !n.text.contains('.') =>
+        (d.start, n.end, n.text.toInt)
+    }.toVector
+  }
+
+  /** Splice text-format params into their `$n` spans. Numerics go in bare,
+    * everything else as an escaped string literal — the engine's
+    * expression layer casts from there (matches text-format semantics). */
+  private def bindPlaceholders(text: String, params: Seq[String]): String = {
+    val spans = placeholderSpans(text)
+    if (spans.isEmpty) text
+    else SqlLexer.splice(text, spans.map { case (s, e, idx) =>
+      require(idx >= 1 && idx <= params.length,
+        s"parameter $$$idx out of range (${params.length} bound)")
+      val v = params(idx - 1)
+      val lit =
+        if (v == null) "NULL"
+        else if (v.matches("[+-]?\\d+(\\.\\d+)?([eE][+-]?\\d+)?")) v
+        else "'" + v.replace("'", "''") + "'"
+      (s, e, s"($lit)")
+    })
+  }
+
+  /** For Describe on an unbound statement: neutralize `$n` so the schema
+    * can be derived (NULL has the right shape for a describe). */
+  private def stripBind(text: String): String = {
+    val spans = placeholderSpans(text)
+    if (spans.isEmpty) text
+    else SqlLexer.splice(text, spans.map { case (s, e, _) => (s, e, "NULL") })
+  }
+
+  // ---- wire encoding ------------------------------------------------------
+
+  private final class Reader(buf: Array[Byte]) {
+    private var pos = 0
+    def remaining: Int = buf.length - pos
+    def byte(): Byte = { val b = buf(pos); pos += 1; b }
+    def i16(): Int = { val v = ((buf(pos) & 0xff) << 8) | (buf(pos + 1) & 0xff); pos += 2; v }
+    def i32(): Int = {
+      val v = ((buf(pos) & 0xff) << 24) | ((buf(pos + 1) & 0xff) << 16) |
+        ((buf(pos + 2) & 0xff) << 8) | (buf(pos + 3) & 0xff)
+      pos += 4; v
+    }
+    def bytes(n: Int): Array[Byte] = {
+      val a = java.util.Arrays.copyOfRange(buf, pos, pos + n); pos += n; a
+    }
+    def cstr(): String = {
+      val s = pos
+      while (pos < buf.length && buf(pos) != 0) pos += 1
+      val str = new String(buf, s, pos - s, UTF_8)
+      pos += 1 // NUL
+      str
+    }
+  }
+
+  private def msg(out: DataOutputStream, t: Char)(
+      body: DataOutputStream => Unit): Unit = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val w = new DataOutputStream(bos)
+    body(w); w.flush()
+    out.writeByte(t)
+    out.writeInt(4 + bos.size())
+    bos.writeTo(out)
+  }
+
+  private def cstr(w: DataOutputStream, s: String): Unit = {
+    w.write(s.getBytes(UTF_8)); w.writeByte(0)
+  }
+
+  private def readyForQuery(out: DataOutputStream): Unit =
+    msg(out, 'Z')(_.writeByte('I'))
+
+  private def error(out: DataOutputStream, e: Exception): Unit =
+    errorMsg(out, "XX000",
+      Option(e.getMessage).getOrElse(e.getClass.getSimpleName))
+
+  private def errorMsg(out: DataOutputStream, code: String,
+      message: String): Unit =
+    msg(out, 'E') { w =>
+      w.writeByte('S'); cstr(w, "ERROR")
+      w.writeByte('C'); cstr(w, code)
+      w.writeByte('M'); cstr(w, message)
+      w.writeByte(0)
+    }
+
+  /** Spark type → Postgres type OID (pg_type.dat, public catalog). */
+  private def pgOid(dt: DataType): Int = dt match {
+    case BooleanType => 16
+    case BinaryType => 17
+    case LongType => 20
+    case ShortType | ByteType => 21
+    case IntegerType => 23
+    case StringType => 25
+    case FloatType => 700
+    case DoubleType => 701
+    case DateType => 1082
+    case TimestampNTZType => 1114
+    case TimestampType => 1184
+    case _: DecimalType => 1700
+    case _ => 25 // arrays/structs/maps render as text
+  }
+
+  private def rowDescription(out: DataOutputStream, schema: StructType): Unit =
+    msg(out, 'T') { w =>
+      w.writeShort(schema.fields.length)
+      schema.fields.foreach { f =>
+        cstr(w, f.name)
+        w.writeInt(0); w.writeShort(0) // table oid / attnum: not a base col
+        w.writeInt(pgOid(f.dataType))
+        w.writeShort(-1); w.writeInt(-1) // typlen / typmod
+        w.writeShort(0) // text format
+      }
+    }
+
+  private def dataRow(out: DataOutputStream,
+      row: org.apache.spark.sql.Row, schema: StructType): Unit =
+    msg(out, 'D') { w =>
+      w.writeShort(schema.fields.length)
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
+        if (row.isNullAt(i)) w.writeInt(-1)
+        else {
+          val bytes = render(row.get(i), f.dataType).getBytes(UTF_8)
+          w.writeInt(bytes.length); w.write(bytes)
+        }
+      }
+    }
+
+  /** Text-format rendering (pg output conventions). */
+  private def render(v: Any, dt: DataType): String = (v, dt) match {
+    case (b: Boolean, _) => if (b) "t" else "f"
+    case (t: java.sql.Timestamp, _) =>
+      val s = t.toString // yyyy-mm-dd hh:mm:ss[.f…]
+      if (s.endsWith(".0")) s.dropRight(2) else s
+    case (bytes: Array[Byte], BinaryType) =>
+      "\\x" + bytes.map("%02x".format(_)).mkString
+    case (seq: scala.collection.Seq[_], ArrayType(et, _)) =>
+      seq.map(x => if (x == null) "NULL" else render(x, et))
+        .mkString("{", ",", "}")
+    case (other, _) => String.valueOf(other)
+  }
+}

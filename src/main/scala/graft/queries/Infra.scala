@@ -1,0 +1,219 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.bitemporal.{TxOp, XtDb}
+import graft.plans.Explain
+import graft.sql.XtSqlEngine
+import graft.xtql.Xtql
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Infrastructure surfaces promoted from scalatest-only to the DuckDB
+  * oracle gate: physical-layout joins, DDL/role catalogs, snapshot tokens,
+  * read-side schema evolution, the EXPLAIN report, and the XTQL unify
+  * combinator. Each was previously green only in a spec; the driver's
+  * correctness gate now replays all of them.
+  */
+object Infra {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  private def fresh(s: SparkSession): (XtDb, XtSqlEngine) = {
+    val root = java.nio.file.Files.createTempDirectory("graft_infra").toString
+    val db = new XtDb(s, root)
+    (db, new XtSqlEngine(s, db))
+  }
+
+  /** Deterministic doc batch from `orders`: one doc per key < 300. */
+  private def seedDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.load(s, dir, "orders")
+      .filter(col("o_orderkey") < 300)
+      .select(col("o_orderkey").as("_id"), lit(0L).as("version"))
+
+  val defs: Seq[QueryDef] = Seq(
+
+    // ---- bucketed co-located join through the oracle gate (SURVEY §7:
+    // pre-partitioned repeated joins; reference trie/bucket layout). Both
+    // sides are written bucketBy(8) on the join key, so the sort-merge join
+    // consumes the bucketing and the plan has ZERO shuffle exchanges —
+    // asserted here, not just in BucketingSpec. The oracle replays the
+    // logical join; the physical layout must not change the relation.
+    QueryDef("q110_bucketed_join", (s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_bucketed_q110").toString
+      s.sql("DROP TABLE IF EXISTS q110_orders_b")
+      s.sql("DROP TABLE IF EXISTS q110_lineitem_b")
+      Tables.load(s, dir, "orders")
+        .write.mode("overwrite").option("path", s"$wh/orders_b")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("q110_orders_b")
+      Tables.load(s, dir, "lineitem")
+        .withColumnRenamed("l_orderkey", "o_orderkey")
+        .write.mode("overwrite").option("path", s"$wh/lineitem_b")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable("q110_lineitem_b")
+      val joined = s.table("q110_lineitem_b")
+        .join(s.table("q110_orders_b"), Seq("o_orderkey"))
+        .select(col("o_orderkey"), col("o_orderstatus"), col("l_quantity"))
+      val rep = Explain.report(joined)
+      require(rep.shuffleExchanges == 0,
+        s"bucketed join must not shuffle (got ${rep.shuffleExchanges})")
+      joined.groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- CREATE TABLE DDL → information_schema catalog (reference
+    // Sql.g4 createTable + information_schema.clj:167-214): the declared
+    // user columns plus the stamped bitemporal meta columns, read back
+    // through the SQL engine's information_schema_columns view.
+    QueryDef("q111_ddl_catalog", (s, dir) => {
+      val (_, eng) = fresh(s)
+      eng.sql("CREATE TABLE t_ddl (_id BIGINT, name STRING, score DOUBLE)")
+      eng.sql("SELECT column_name, data_type FROM information_schema_columns " +
+        "WHERE table_name = 't_ddl' ORDER BY column_name")
+    }, Some("""
+      SELECT column_name, data_type FROM (VALUES
+        ('_bucket', 'VARCHAR'), ('_id', 'BIGINT'), ('_iid', 'VARCHAR'),
+        ('_op', 'VARCHAR'), ('_seq', 'BIGINT'),
+        ('_system_from', 'TIMESTAMP'), ('_valid_from', 'TIMESTAMP'),
+        ('_valid_to', 'TIMESTAMP'), ('name', 'VARCHAR'),
+        ('score', 'DOUBLE')) v(column_name, data_type)
+      ORDER BY column_name""")),
+
+    // ---- GRANT/REVOKE ROLE catalog (reference Sql.g4 grant statements +
+    // pg role views): append-only grant log, latest action per
+    // (what, grantee) wins.
+    QueryDef("q112_role_catalog", (s, dir) => {
+      val (db, eng) = fresh(s)
+      eng.sql("GRANT ROLE admin TO alice")
+      eng.sql("GRANT ROLE admin TO bob")
+      eng.sql("GRANT ROLE reader TO bob")
+      eng.sql("REVOKE ROLE admin FROM bob")
+      db.roleGrants.select("what", "grantee").orderBy("what", "grantee")
+    }, Some("""
+      SELECT what, grantee FROM (VALUES
+        ('ROLE admin', 'alice'), ('ROLE reader', 'bob')) v(what, grantee)
+      ORDER BY what, grantee""")),
+
+    // ---- snapshot token / basis pinning (reference query.clj:142-164,
+    // 433-440): a token taken between two transactions pins reads to the
+    // first; the unpinned read sees the second. Both reads join on _id so
+    // one relation witnesses both bases.
+    QueryDef("q113_snapshot_token", (s, dir) => {
+      val (db, _) = fresh(s)
+      db.submitTx(Seq(TxOp.Put("docs", seedDocs(s, dir))),
+        Some(ts("2025-06-01 00:00:00")))
+      val token = db.snapshotToken()
+      val v1 = seedDocs(s, dir).filter(pmod(col("_id"), lit(2)) === 0)
+        .withColumn("version", lit(1L))
+      db.submitTx(Seq(TxOp.Put("docs", v1)),
+        Some(ts("2025-06-02 00:00:00")))
+      val snap = db.atSnapshot("docs", token)
+        .select(col("_id"), col("version").as("v_snap"))
+      val cur = db.asOf("docs")
+        .select(col("_id"), col("version").as("v_cur"))
+      snap.join(cur, Seq("_id")).orderBy("_id")
+    }, Some("""
+      SELECT o_orderkey AS _id, CAST(0 AS BIGINT) AS v_snap,
+             CAST(CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS BIGINT)
+               AS v_cur
+      FROM orders WHERE o_orderkey < 300 ORDER BY _id""")),
+
+    // ---- read-side schema evolution (dynamic schema, SURVEY §7): an int
+    // column widened to double by a later append is promoted at SCAN time
+    // (Spark 4 vectorized reader type promotion under the registered LUB
+    // schema) — O(batch) append, no table rewrite. The read returns every
+    // row at the widened type.
+    QueryDef("q114_schema_evolution", (s, dir) => {
+      val (db, _) = fresh(s)
+      val intDocs = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey").as("_id"),
+          pmod(col("o_orderkey"), lit(100)).cast("int").as("val"))
+      db.submitTx(Seq(TxOp.Put("m", intDocs)),
+        Some(ts("2025-06-01 00:00:00")))
+      val dblDocs = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 300 && pmod(col("o_orderkey"), lit(2)) === 0)
+        .select(col("o_orderkey").as("_id"),
+          (col("o_orderkey") / 10.0).as("val"))
+      db.submitTx(Seq(TxOp.Put("m", dblDocs)),
+        Some(ts("2025-06-02 00:00:00")))
+      db.asOf("m")
+        .select(col("_id"),
+          floor(col("val") * 100 + lit(0.5)).cast("long").as("val_c"))
+        .orderBy("_id")
+    }, Some("""
+      SELECT o_orderkey AS _id,
+             CAST(floor(CASE WHEN o_orderkey % 2 = 0
+                        THEN o_orderkey / 10.0
+                        ELSE CAST(o_orderkey % 100 AS DOUBLE) END
+                  * 100 + 0.5) AS BIGINT) AS val_c
+      FROM orders WHERE o_orderkey < 300 ORDER BY _id""")),
+
+    // ---- EXPLAIN ANALYZE surface (reference query.clj:230-277 /
+    // ExplainAnalyze.kt): the measured report for a pushdown scan, reduced
+    // to its plan-stable facts. `read_schema_cols = 2` is the column
+    // pruning witness; `pushed_filters_nonempty` the predicate pushdown
+    // witness; zero exchanges because filter+project is map-only.
+    QueryDef("q116_explain_surface", (s, dir) => {
+      import s.implicits._
+      val df = Tables.load(s, dir, "orders")
+        .filter(col("o_totalprice") > 100000.0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val rep = Explain.analyze(df)
+      val scan = rep.scans.head
+      val readCols = scan.readSchema.count(_ == ':')
+      Seq(
+        ("codegen_spans_positive",
+          if (rep.wholeStageCodegenSpans > 0) 1L else 0L),
+        ("files_read_positive",
+          if (scan.filesRead.exists(_ > 0)) 1L else 0L),
+        ("pushed_filters_nonempty",
+          if (scan.pushedFilters != "[]") 1L else 0L),
+        ("read_schema_cols", readCols.toLong),
+        ("scans", rep.scans.size.toLong),
+        ("shuffle_exchanges", rep.shuffleExchanges.toLong))
+        .toDF("item", "value").orderBy("item")
+    }, Some("""
+      SELECT item, CAST(value AS BIGINT) AS value FROM (VALUES
+        ('codegen_spans_positive', 1), ('files_read_positive', 1),
+        ('pushed_filters_nonempty', 1), ('read_schema_cols', 2),
+        ('scans', 1), ('shuffle_exchanges', 0)) v(item, value)
+      ORDER BY item""")),
+
+    // ---- XTQL unify through the oracle gate (reference xtql.clj:306):
+    // datalog-style var unification — customer/nation/region bind shared
+    // logic vars nk/rk, the pipeline tail aggregates per region. Account
+    // balances are integerized (cents) so the oracle sum is float-exact.
+    QueryDef("q117_xtql_unify", (s, dir) => {
+      val cust = Tables.load(s, dir, "customer")
+        .withColumn("bal_c", floor(col("c_acctbal") * 100 + lit(0.5)).cast("long"))
+      Xtql.unify(
+          (cust, Seq("c_custkey" -> "cid", "c_nationkey" -> "nk",
+            "bal_c" -> "bal_c")),
+          (Tables.load(s, dir, "nation"),
+            Seq("n_nationkey" -> "nk", "n_regionkey" -> "rk")),
+          (Tables.load(s, dir, "region"),
+            Seq("r_regionkey" -> "rk", "r_name" -> "rname")))
+        .where(col("bal_c") > 0)
+        .aggregate(Seq(col("rname")),
+          Seq(count(lit(1)).as("n"), sum("bal_c").as("total_bal_c")))
+        .orderBy(col("rname"))
+        .toDF
+    }, Some("""
+      SELECT r_name AS rname, count(*) AS n,
+             CAST(sum(CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_bal_c
+      FROM customer
+      JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+      WHERE floor(c_acctbal * 100 + 0.5) > 0
+      GROUP BY r_name ORDER BY rname"""))
+  )
+}

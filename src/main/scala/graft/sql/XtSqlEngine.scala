@@ -313,6 +313,11 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
     // legal in Spark temp-view names, so the xt/info schemas flatten to _)
     try db.txs.createOrReplaceTempView("xt_txs")
     catch { case _: Exception => () } // no tx yet
+    // live engine counters (reference monitoring module): snapshotting
+    // tallies the tx log, so only materialize when the query asks for it
+    if (referenced.contains("xt_metrics"))
+      graft.tools.EngineMetrics.snapshot(spark, Some(db))
+        .createOrReplaceTempView("xt_metrics")
     val infoTables = db.tables
     if (infoTables.nonEmpty) {
       graft.sources.InformationSchema.tablesFor(db, spark, infoTables)

@@ -1,0 +1,77 @@
+package graft.tools
+
+import graft.bitemporal.XtDb
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Engine metrics surface (the reference ships a `monitoring/` module with
+  * Prometheus/Grafana counters over tx + query activity; here the same
+  * counters come from a SparkListener plus the XtDb tx log, queryable as
+  * the `xt_metrics` system table through the SQL engine).
+  *
+  * One listener per SparkContext (shared across engine sessions — the
+  * counters are node-wide, like the reference's registry).
+  */
+object EngineMetrics {
+
+  final class Counters extends SparkListener {
+    val jobs = new java.util.concurrent.atomic.AtomicLong
+    val tasks = new java.util.concurrent.atomic.AtomicLong
+    val shuffleReadBytes = new java.util.concurrent.atomic.AtomicLong
+    val shuffleWriteBytes = new java.util.concurrent.atomic.AtomicLong
+    val inputRecords = new java.util.concurrent.atomic.AtomicLong
+    val executorRunMs = new java.util.concurrent.atomic.AtomicLong
+
+    override def onJobStart(j: SparkListenerJobStart): Unit =
+      jobs.incrementAndGet()
+
+    override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+      tasks.incrementAndGet()
+      val m = t.taskMetrics
+      if (m != null) {
+        shuffleReadBytes.addAndGet(m.shuffleReadMetrics.totalBytesRead)
+        shuffleWriteBytes.addAndGet(m.shuffleWriteMetrics.bytesWritten)
+        inputRecords.addAndGet(m.inputMetrics.recordsRead)
+        executorRunMs.addAndGet(m.executorRunTime)
+      }
+    }
+  }
+
+  private val installed =
+    scala.collection.concurrent.TrieMap.empty[org.apache.spark.SparkContext, Counters]
+
+  /** Install (once per context) and return the shared counters. */
+  def install(spark: SparkSession): Counters =
+    installed.getOrElseUpdate(spark.sparkContext, {
+      val c = new Counters
+      spark.sparkContext.addSparkListener(c)
+      c
+    })
+
+  /** Current metrics as a (metric, value) relation: cluster-side counters
+    * plus the store's tx-log tallies. Built fresh on every call — the
+    * engine re-registers it per query, so `SELECT * FROM xt_metrics` always
+    * reads the live values. */
+  def snapshot(spark: SparkSession, db: Option[XtDb]): DataFrame = {
+    import spark.implicits._
+    val c = install(spark)
+    val txRows: Seq[(String, Long)] = db.map { d =>
+      val (committed, aborted) =
+        try {
+          val rows = d.txs.groupBy("committed").count().collect()
+          def n(flag: Boolean) = rows.find(_.getBoolean(0) == flag)
+            .map(_.getLong(1)).getOrElse(0L)
+          (n(true), n(false))
+        } catch { case _: Exception => (0L, 0L) } // no tx yet
+      Seq("txs_committed" -> committed, "txs_aborted" -> aborted,
+        "tables" -> d.tables.length.toLong)
+    }.getOrElse(Seq.empty)
+    (Seq(
+      "jobs" -> c.jobs.get, "tasks" -> c.tasks.get,
+      "shuffle_read_bytes" -> c.shuffleReadBytes.get,
+      "shuffle_write_bytes" -> c.shuffleWriteBytes.get,
+      "input_records" -> c.inputRecords.get,
+      "executor_run_ms" -> c.executorRunMs.get) ++ txRows)
+      .toDF("metric", "value")
+  }
+}

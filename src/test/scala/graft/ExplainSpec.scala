@@ -75,4 +75,27 @@ class ExplainSpec extends AnyFunSuite {
       .as[String].collect().mkString("\n")
     assert(analyzed.contains("rows scanned"))
   }
+
+  test("self-join reuses the aggregation exchange without explicit persist") {
+    // TPC-H Q15 shape: a grouped subquery joined against its own max —
+    // Catalyst's exchange reuse (spark.sql.exchange.reuse, on by default)
+    // dedups the two identical shuffles into one physical exchange, so the
+    // expensive aggregation is computed once. At 100 TB this halves the
+    // heavy shuffle; no .persist() (and its disk copy) needed.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.adaptive.enabled", "false") // stable plan shape
+    val li = Tables.load(s, sf, "lineitem")
+    val revenue = li.groupBy("l_suppkey")
+      .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .as("total"))
+    val top = revenue.agg(max("total").as("m"))
+    val joined = revenue.join(top, col("total") === col("m"))
+    val plan = joined.queryExecution.executedPlan
+    val reused = plan.collect {
+      case r: org.apache.spark.sql.execution.exchange.ReusedExchangeExec => r
+    }
+    assert(reused.nonEmpty,
+      s"expected ReusedExchangeExec in:\n$plan")
+    assert(joined.count() >= 1)
+  }
 }

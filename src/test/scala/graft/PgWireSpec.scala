@@ -1,0 +1,247 @@
+package graft
+
+import graft.bitemporal.XtDb
+import graft.pgwire.PgServer
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalatest.BeforeAndAfterAll
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.Socket
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Raw-socket protocol-v3 client against [[PgServer]] — the pgwire front
+  * door (reference pgwire.clj). No JDBC driver in the container, so the
+  * client speaks the wire format directly, which also pins the exact bytes.
+  */
+class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]").appName("pgwire-spec")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private var db: XtDb = _
+  private var server: PgServer = _
+
+  override def beforeAll(): Unit = {
+    val root = java.nio.file.Files.createTempDirectory("graft_pgwire").toString
+    db = new XtDb(spark, root)
+    server = new PgServer(spark, db).start()
+  }
+
+  override def afterAll(): Unit = if (server != null) server.stop()
+
+  // ---- tiny wire client ---------------------------------------------------
+
+  private final class Client(port: Int, user: String = "alice") {
+    val sock = new Socket("127.0.0.1", port)
+    val in = new DataInputStream(sock.getInputStream)
+    val out = new DataOutputStream(sock.getOutputStream)
+
+    def startup(params: Map[String, String] =
+        Map("user" -> user, "database" -> "xtdb")): Unit = {
+      val body = new java.io.ByteArrayOutputStream()
+      val w = new DataOutputStream(body)
+      w.writeInt(196608) // protocol 3.0
+      params.foreach { case (k, v) =>
+        w.write(k.getBytes(UTF_8)); w.writeByte(0)
+        w.write(v.getBytes(UTF_8)); w.writeByte(0)
+      }
+      w.writeByte(0)
+      out.writeInt(4 + body.size()); body.writeTo(out); out.flush()
+    }
+
+    def send(t: Char)(body: DataOutputStream => Unit): Unit = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val w = new DataOutputStream(bos)
+      body(w); w.flush()
+      out.writeByte(t); out.writeInt(4 + bos.size()); bos.writeTo(out)
+      out.flush()
+    }
+
+    def cstr(w: DataOutputStream, s: String): Unit = {
+      w.write(s.getBytes(UTF_8)); w.writeByte(0)
+    }
+
+    /** Read one backend message: (type, payload). */
+    def recv(): (Char, Array[Byte]) = {
+      val t = in.read().toChar
+      val len = in.readInt()
+      val b = new Array[Byte](len - 4)
+      in.readFully(b)
+      (t, b)
+    }
+
+    /** Collect messages until ReadyForQuery; returns type → payload list. */
+    def untilReady(): Seq[(Char, Array[Byte])] = {
+      val buf = scala.collection.mutable.Buffer[(Char, Array[Byte])]()
+      var done = false
+      while (!done) {
+        val m = recv()
+        buf += m
+        if (m._1 == 'Z') done = true
+      }
+      buf.toSeq
+    }
+
+    def query(sql: String): Seq[(Char, Array[Byte])] = {
+      send('Q')(w => cstr(w, sql))
+      untilReady()
+    }
+
+    /** Parse a DataRow payload into column strings (null → null). */
+    def row(payload: Array[Byte]): Seq[String] = {
+      val r = java.nio.ByteBuffer.wrap(payload)
+      val n = r.getShort()
+      (0 until n).map { _ =>
+        val len = r.getInt()
+        if (len < 0) null
+        else {
+          val b = new Array[Byte](len); r.get(b); new String(b, UTF_8)
+        }
+      }
+    }
+
+    def close(): Unit = { send('X')(_ => ()); sock.close() }
+  }
+
+  private def dataRows(msgs: Seq[(Char, Array[Byte])]): Seq[Array[Byte]] =
+    msgs.filter(_._1 == 'D').map(_._2)
+
+  private def tag(msgs: Seq[(Char, Array[Byte])]): Seq[String] =
+    msgs.filter(_._1 == 'C').map(m => new String(m._2.dropRight(1), UTF_8))
+
+  // ---- tests --------------------------------------------------------------
+
+  test("startup handshake: auth ok, parameter status, ready") {
+    val c = new Client(server.boundPort)
+    c.startup()
+    val msgs = c.untilReady()
+    assert(msgs.head._1 == 'R') // AuthenticationOk
+    assert(java.nio.ByteBuffer.wrap(msgs.head._2).getInt == 0)
+    val statuses = msgs.filter(_._1 == 'S')
+    assert(statuses.nonEmpty)
+    assert(msgs.exists(_._1 == 'K') && msgs.last._1 == 'Z')
+    c.close()
+  }
+
+  test("simple query: SELECT literal returns typed row") {
+    val c = new Client(server.boundPort)
+    c.startup(); c.untilReady()
+    val msgs = c.query("SELECT 1 AS one, 'hi' AS s, CAST(NULL AS INT) AS n")
+    val rd = msgs.find(_._1 == 'T')
+    assert(rd.isDefined, "RowDescription expected")
+    val rows = dataRows(msgs).map(c.row)
+    assert(rows == Seq(Seq("1", "hi", null)))
+    assert(tag(msgs) == Seq("SELECT 1"))
+    c.close()
+  }
+
+  test("DML + read-back through the wire, multi-statement script") {
+    val c = new Client(server.boundPort)
+    c.startup(); c.untilReady()
+    val ins = c.query(
+      "INSERT INTO wire_pets RECORDS {_id: 1, name: 'rex'}; " +
+      "INSERT INTO wire_pets RECORDS {_id: 2, name: 'bella'}")
+    assert(tag(ins) == Seq("INSERT 0 1", "INSERT 0 1"))
+    val sel = c.query("SELECT _id, name FROM wire_pets ORDER BY _id")
+    assert(dataRows(sel).map(c.row) ==
+      Seq(Seq("1", "rex"), Seq("2", "bella")))
+    c.close()
+  }
+
+  test("extended protocol: Parse/Bind/Describe/Execute with $n params") {
+    val c = new Client(server.boundPort)
+    c.startup(); c.untilReady()
+    c.query("INSERT INTO wire_ext RECORDS {_id: 7, v: 'seven'}")
+
+    c.send('P') { w =>
+      c.cstr(w, "s1")
+      c.cstr(w, "SELECT _id, v FROM wire_ext WHERE _id = $1")
+      w.writeShort(0)
+    }
+    c.send('D') { w => w.writeByte('S'); c.cstr(w, "s1") }
+    c.send('B') { w =>
+      c.cstr(w, "") // unnamed portal
+      c.cstr(w, "s1")
+      w.writeShort(0) // param format codes
+      w.writeShort(1) // one param, text
+      val p = "7".getBytes(UTF_8)
+      w.writeInt(p.length); w.write(p)
+      w.writeShort(0) // result format codes
+    }
+    c.send('E') { w => c.cstr(w, ""); w.writeInt(0) }
+    c.send('S')(_ => ())
+    val msgs = c.untilReady()
+    assert(msgs.exists(_._1 == '1'), "ParseComplete")
+    assert(msgs.exists(_._1 == 't'), "ParameterDescription")
+    assert(msgs.exists(_._1 == 'T'), "RowDescription")
+    assert(msgs.exists(_._1 == '2'), "BindComplete")
+    val rows = dataRows(msgs).map(c.row)
+    assert(rows == Seq(Seq("7", "seven")))
+    assert(msgs.last._1 == 'Z')
+    c.close()
+  }
+
+  test("error surfaces as ErrorResponse and session recovers") {
+    val c = new Client(server.boundPort)
+    c.startup(); c.untilReady()
+    val bad = c.query("SELECT FROM FROM nope")
+    assert(bad.exists(_._1 == 'E'))
+    assert(bad.last._1 == 'Z') // ready again
+    val ok = c.query("SELECT 2 AS two")
+    assert(dataRows(ok).map(c.row) == Seq(Seq("2")))
+    c.close()
+  }
+
+  test("cleartext password auth: wrong rejected, right accepted") {
+    val secured = new PgServer(spark, db, password = Some("sesame")).start()
+    try {
+      val c1 = new Client(secured.boundPort)
+      c1.startup()
+      val (t1, p1) = c1.recv()
+      assert(t1 == 'R' && java.nio.ByteBuffer.wrap(p1).getInt == 3)
+      c1.send('p')(w => c1.cstr(w, "wrong"))
+      val (t2, _) = c1.recv()
+      assert(t2 == 'E')
+      c1.sock.close()
+
+      val c2 = new Client(secured.boundPort)
+      c2.startup()
+      val (t3, p3) = c2.recv()
+      assert(t3 == 'R' && java.nio.ByteBuffer.wrap(p3).getInt == 3)
+      c2.send('p')(w => c2.cstr(w, "sesame"))
+      val msgs = c2.untilReady()
+      assert(msgs.exists(m => m._1 == 'R' &&
+        java.nio.ByteBuffer.wrap(m._2).getInt == 0))
+      val sel = c2.query("SELECT 3 AS three")
+      assert(dataRows(sel).map(c2.row) == Seq(Seq("3")))
+      c2.close()
+    } finally secured.stop()
+  }
+
+  test("session statements over the wire: BEGIN/COMMIT atomicity, SHOW") {
+    val c = new Client(server.boundPort)
+    c.startup(); c.untilReady()
+    assert(tag(c.query("BEGIN")) == Seq("BEGIN"))
+    c.query("INSERT INTO wire_tx RECORDS {_id: 1, v: 'a'}")
+    c.query("INSERT INTO wire_tx RECORDS {_id: 2, v: 'b'}")
+    // staged, not visible pre-commit: a second connection sees nothing
+    val c2 = new Client(server.boundPort)
+    c2.startup(); c2.untilReady()
+    val pre = c2.query("SELECT count(*) AS n FROM wire_tx")
+    // table may not exist yet on the other session → error is acceptable;
+    // if it resolved, it must be empty
+    if (pre.exists(_._1 == 'D'))
+      assert(dataRows(pre).map(c2.row) == Seq(Seq("0")))
+    assert(tag(c.query("COMMIT")) == Seq("COMMIT"))
+    val post = c.query("SELECT count(*) AS n FROM wire_tx")
+    assert(dataRows(post).map(c.row) == Seq(Seq("2")))
+    val tz = c.query("SHOW timezone")
+    assert(dataRows(tz).map(c.row) == Seq(Seq("UTC")))
+    c2.close(); c.close()
+  }
+}
