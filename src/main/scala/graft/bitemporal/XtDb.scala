@@ -661,14 +661,29 @@ class XtDb(spark: SparkSession, root: String) {
   }
 
   /** Current grants: latest action per (what, grantee) is `grant`. */
-  def roleGrants: DataFrame = {
+  def roleGrants: DataFrame = roleGrantsAsOf(None)
+
+  /** Membership as of a system time (reference #5683: REVOKE is a
+    * system-time soft-close, so role history stays queryable as-of any
+    * past system time — the log is append-only, resolution is
+    * latest-action-≤-t per membership). */
+  def roleGrantsAsOf(at: Option[java.sql.Timestamp]): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("what", "grantee").orderBy(col("at").desc)
-    spark.read.parquet(s"$root/_roles")
+    val log = spark.read.parquet(s"$root/_roles")
+    at.map(t => log.filter(col("at") <= lit(t))).getOrElse(log)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1 && col("action") === "grant")
       .select("what", "grantee", "at")
   }
+
+  /** Full membership history (user, role, granted, system_from) — the
+    * audit face of the same log. */
+  def roleMembershipHistory: DataFrame =
+    spark.read.parquet(s"$root/_roles")
+      .select(col("grantee").as("user"), col("what").as("role"),
+        (col("action") === "grant").as("granted"),
+        col("at").as("system_from"))
 
   /** Storage-block debug table (reference block_tables.clj / log_tables
     * .clj): one row per physical file of a table's event log — bucket,

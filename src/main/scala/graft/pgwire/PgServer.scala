@@ -67,8 +67,11 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
     val out = new DataOutputStream(
       new BufferedOutputStream(sock.getOutputStream))
     try {
-      if (!startup(in, out)) return
+      val params = startup(in, out).getOrElse(return)
+      // connection principal = the startup user (reference authn): GRANT/
+      // REVOKE over the wire requires connecting as the xtdb superuser
       val eng = new XtSqlEngine(spark, db)
+        .withPrincipal(params.getOrElse("user", "xtdb"))
       // extended-protocol state: statement name -> query text (with $n
       // placeholder spans), portal name -> fully-bound SQL text
       val prepared = scala.collection.mutable.Map.empty[String, String]
@@ -166,8 +169,10 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
   }
 
   /** Startup negotiation: refuse SSL/GSS, optional cleartext password,
-    * then parameter statuses + ReadyForQuery. Returns false to drop. */
-  private def startup(in: DataInputStream, out: DataOutputStream): Boolean = {
+    * then parameter statuses + ReadyForQuery. Returns the startup
+    * parameters, or None to drop the connection. */
+  private def startup(in: DataInputStream,
+      out: DataOutputStream): Option[Map[String, String]] = {
     var proto = 0
     var params = Map.empty[String, String]
     var negotiating = true
@@ -179,7 +184,7 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
       proto = r.i32()
       proto match {
         case 80877103 | 80877104 => out.write('N'); out.flush() // SSL/GSS: no
-        case 80877102 => return false // CancelRequest: nothing to cancel
+        case 80877102 => return None // CancelRequest: nothing to cancel
         case _ =>
           var done = false
           while (!done && r.remaining > 0) {
@@ -202,7 +207,7 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
           errorMsg(out, "28P01",
             s"password authentication failed for user \"${params.getOrElse("user", "?")}\"")
           out.flush()
-          return false
+          return None
         }
       case None => ()
     }
@@ -217,7 +222,7 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
     msg(out, 'K') { w => w.writeInt(42); w.writeInt(0) } // BackendKeyData
     readyForQuery(out)
     out.flush()
-    true
+    Some(params)
   }
 
   // ---- query execution ----------------------------------------------------

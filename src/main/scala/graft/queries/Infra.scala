@@ -91,14 +91,15 @@ object Infra {
     // (what, grantee) wins.
     QueryDef("q112_role_catalog", (s, dir) => {
       val (db, eng) = fresh(s)
+      // optional ROLE keyword and the reference's bare form both parse
       eng.sql("GRANT ROLE admin TO alice")
-      eng.sql("GRANT ROLE admin TO bob")
-      eng.sql("GRANT ROLE reader TO bob")
-      eng.sql("REVOKE ROLE admin FROM bob")
+      eng.sql("GRANT admin TO bob")
+      eng.sql("GRANT reader TO bob")
+      eng.sql("REVOKE admin FROM bob")
       db.roleGrants.select("what", "grantee").orderBy("what", "grantee")
     }, Some("""
       SELECT what, grantee FROM (VALUES
-        ('ROLE admin', 'alice'), ('ROLE reader', 'bob')) v(what, grantee)
+        ('admin', 'alice'), ('reader', 'bob')) v(what, grantee)
       ORDER BY what, grantee""")),
 
     // ---- snapshot token / basis pinning (reference query.clj:142-164,

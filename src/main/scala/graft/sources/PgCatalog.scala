@@ -186,9 +186,19 @@ object PgCatalog {
       .toDF("usename", "usesuper", "passwd")
   }
 
-  def pgRoles(spark: SparkSession): DataFrame = {
+  /** pg_roles from the membership set (reference pgwire.authz-test
+    * semantics): member users can log in, granted roles cannot, `xtdb` is
+    * the superuser; a name that is both a user and a role appears once,
+    * as a login user. */
+  def pgRoles(spark: SparkSession,
+      membership: Seq[(String, String)] = Nil): DataFrame = {
     import spark.implicits._
-    Seq((nameOid("xtdb"), "xtdb", true, true))
+    val users = membership.map(_._2).toSet
+    val roles = membership.map(_._1).toSet -- users - "xtdb"
+    val rows = Seq(("xtdb", true, true)) ++
+      (users - "xtdb").toSeq.sorted.map(u => (u, false, true)) ++
+      roles.toSeq.sorted.map(r => (r, false, false))
+    rows.map { case (n, sup, login) => (nameOid(n), n, sup, login) }
       .toDF("oid", "rolname", "rolsuper", "rolcanlogin")
   }
 
@@ -255,17 +265,27 @@ object PgCatalog {
     StructField("indnatts", IntegerType),
     StructField("indnkeyatts", IntegerType))))
 
-  def pgAuthMembers(spark: SparkSession): DataFrame = empty(spark,
-    StructType(Seq(StructField("roleid", IntegerType),
-      StructField("member", IntegerType),
-      StructField("grantor", IntegerType),
-      StructField("admin_option", BooleanType))))
+  /** pg_auth_members: one row per (role, member-user), OID-linked into
+    * pg_roles (reference surfaces GRANT membership here). */
+  def pgAuthMembers(spark: SparkSession,
+      membership: Seq[(String, String)] = Nil): DataFrame = {
+    import spark.implicits._
+    if (membership.isEmpty) empty(spark,
+      StructType(Seq(StructField("roleid", IntegerType),
+        StructField("member", IntegerType),
+        StructField("grantor", IntegerType),
+        StructField("admin_option", BooleanType))))
+    else membership.map { case (role, member) =>
+      (nameOid(role), nameOid(member), nameOid("xtdb"), false)
+    }.toDF("roleid", "member", "grantor", "admin_option")
+  }
 
   /** Register every pg_catalog view as a temp view under its bare name —
     * pg_catalog is on the default search path in the reference, so
     * unqualified `pg_tables` resolves (information_schema.clj:204). */
   def registerAll(spark: SparkSession,
-      schemas: Seq[(String, StructType)]): Unit = {
+      schemas: Seq[(String, StructType)],
+      membership: Seq[(String, String)] = Nil): Unit = {
     val tables = schemas.map { case (t, _) => ("public", t) }
     val cols = colRows(schemas)
     pgNamespace(spark).createOrReplaceTempView("pg_namespace")
@@ -278,7 +298,7 @@ object PgCatalog {
     pgDatabase(spark).createOrReplaceTempView("pg_database")
     pgSettings(spark).createOrReplaceTempView("pg_settings")
     pgUser(spark).createOrReplaceTempView("pg_user")
-    pgRoles(spark).createOrReplaceTempView("pg_roles")
+    pgRoles(spark, membership).createOrReplaceTempView("pg_roles")
     pgProc(spark).createOrReplaceTempView("pg_proc")
     pgStatUserTables(spark, tables)
       .createOrReplaceTempView("pg_stat_user_tables")
@@ -290,6 +310,6 @@ object PgCatalog {
     pgExtension(spark).createOrReplaceTempView("pg_extension")
     pgAttrdef(spark).createOrReplaceTempView("pg_attrdef")
     pgIndex(spark).createOrReplaceTempView("pg_index")
-    pgAuthMembers(spark).createOrReplaceTempView("pg_auth_members")
+    pgAuthMembers(spark, membership).createOrReplaceTempView("pg_auth_members")
   }
 }

@@ -20,7 +20,8 @@ import org.apache.spark.sql.functions._
   * system time, and later statements see earlier staged effects.
   */
 class XtSqlEngine(spark: SparkSession, db: XtDb,
-    clock: Option[java.sql.Timestamp] = None) {
+    clock: Option[java.sql.Timestamp] = None,
+    principal: Option[String] = None) {
 
   import XtSqlParser._
   import XtSqlParser.XtStatement._
@@ -29,7 +30,23 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
     * query.clj:142-164): every unpinned temporal reference resolves
     * "now" to this instant, so the same query text is reproducible. */
   def withClock(at: java.sql.Timestamp): XtSqlEngine =
-    new XtSqlEngine(spark, db, Some(at))
+    new XtSqlEngine(spark, db, Some(at), principal)
+
+  /** Engine authenticated as `user` (reference pgwire connection
+    * principal). An embedded engine with no principal is the in-process
+    * superuser, like the reference's in-process connection. */
+  def withPrincipal(user: String): XtSqlEngine =
+    new XtSqlEngine(spark, db, clock, Some(user))
+
+  /** GRANT/REVOKE requires the superuser principal (reference
+    * pgwire.authz: role membership is managed by `xtdb` only). */
+  private def isSuperuser: Boolean = principal.forall(_ == "xtdb")
+
+  /** System schemas are read-only for DML (reference forbidden-schemas
+    * guard: "Cannot write to table xt.role_membership"). */
+  private def forbiddenWrite(table: String): Boolean =
+    table.startsWith("xt_") || table.startsWith("pg_") ||
+      table.startsWith("information_schema")
 
   // ---- session state (Sql.g4:37-54 session statements) --------------------
   // Interactive transaction: DML between BEGIN and COMMIT stages TxOps and
@@ -76,6 +93,9 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
         db.createTable(table, ddl)
         txInfo(db.snapshotToken())
       case GrantRevoke(grant, what, grantee) =>
+        if (!isSuperuser) throw SqlParseException(
+          s"GRANT/REVOKE requires the superuser principal " +
+            s"(connected as ${principal.getOrElse("?")})")
         db.recordGrant(grant, what, grantee)
         txInfo(db.snapshotToken())
       case Begin(readOnly, sysTime) =>
@@ -328,8 +348,26 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
     // pg_catalog views under bare names (reference puts pg_catalog on the
     // default search path, information_schema.clj:204) — BI tools schema-sync
     // against these over the JDBC front door
+    // role membership (reference xt.role_membership + pg_auth_members):
+    // collected only when referenced — it's a tiny driver-side catalog read
+    val wantsRoles = Seq("pg_roles", "pg_auth_members", "xt_role_membership",
+      "xt_role_membership_history").exists(referenced.contains)
+    val membership: Seq[(String, String)] =
+      if (!wantsRoles) Nil
+      else try db.roleGrants.select("what", "grantee").collect().toSeq
+        .map(r => (r.getString(0), r.getString(1)))
+      catch { case _: Exception => Nil } // no grant yet
+    if (wantsRoles) {
+      import spark.implicits._
+      membership.map { case (role, user) => (user, role) }
+        .toDF("user", "role")
+        .createOrReplaceTempView("xt_role_membership")
+      try db.roleMembershipHistory
+        .createOrReplaceTempView("xt_role_membership_history")
+      catch { case _: Exception => () }
+    }
     graft.sources.PgCatalog.registerAll(spark,
-      infoTables.map(t => t -> db.events(t).schema))
+      infoTables.map(t => t -> db.events(t).schema), membership)
     val reps = pq.refs.zipWithIndex.map { case (r, i) =>
       val view = s"__xt_${r.table}_$i"
       // a temporal clause on a qualified ref resolves against the
@@ -371,7 +409,27 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
         to.map(t => expr(t).cast("timestamp")))
   }
 
-  def toTxOp(stmt: XtStatement): TxOp = stmt match {
+  def toTxOp(stmt: XtStatement): TxOp = {
+    // system-schema write guard (reference forbidden-schemas): applies to
+    // every DML route — direct, staged-in-tx, RETURNING, submitTxSql
+    stmt match {
+      case Insert(t, _) => rejectSystemWrite(t)
+      case Update(t, _, _, _) => rejectSystemWrite(t)
+      case Delete(t, _, _) => rejectSystemWrite(t)
+      case Erase(t, _) => rejectSystemWrite(t)
+      case CopyIn(t, _, _) => rejectSystemWrite(t)
+      case Patch(t, _, _) => rejectSystemWrite(t)
+      case _ => ()
+    }
+    toTxOpUnchecked(stmt)
+  }
+
+  private def rejectSystemWrite(table: String): Unit =
+    if (forbiddenWrite(table))
+      throw SqlParseException(
+        s"Cannot write to table $table: system schemas are read-only")
+
+  private def toTxOpUnchecked(stmt: XtStatement): TxOp = stmt match {
     case Query(_) =>
       throw SqlParseException("a SELECT is not a transaction operation")
     case Insert(table, FromQuery(q)) =>

@@ -1143,8 +1143,11 @@ object XtSqlParser {
     val sep = if (grant) "TO" else "FROM"
     val sepIdx = toks.indices.find(i => toks(i).is(sep)).getOrElse(
       throw SqlParseException(s"expected $sep in ${toks.head.upper}"))
+    // `GRANT [ROLE] analyst TO alice` — the reference's grammar takes the
+    // bare role name; the optional ROLE keyword is normalized away
+    val whatFrom = if (sepIdx > 2 && toks(1).is("ROLE")) 2 else 1
     XtStatement.GrantRevoke(grant,
-      sql.substring(toks(1).start, toks(sepIdx - 1).end),
+      sql.substring(toks(whatFrom).start, toks(sepIdx - 1).end),
       tableNameAt(toks, sepIdx + 1))
   }
 
