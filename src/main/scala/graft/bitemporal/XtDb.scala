@@ -707,6 +707,34 @@ class XtDb(spark: SparkSession, root: String) {
     rows.toSeq.toDF("bucket", "file", "size_bytes")
   }
 
+  /** Export a snapshot of the whole database — event logs, schema
+    * registry, tx log, stats and role catalog — into `destRoot`, which a
+    * fresh `new XtDb(spark, destRoot)` opens with identical query results
+    * (reference export/export-snapshot!: a file-level copy of the current
+    * block's objects). `_staging` (in-flight tx scratch) is excluded.
+    * File copies go through the Hadoop FS API, so the same call works on
+    * object storage. Returns (tables, filesCopied). */
+  def exportSnapshot(destRoot: String): (Int, Int) = synchronized {
+    val fs = hadoopFs
+    val src = new org.apache.hadoop.fs.Path(root)
+    val dst = new org.apache.hadoop.fs.Path(destRoot)
+    fs.mkdirs(dst)
+    var files = 0
+    var tableCount = 0
+    val entries = fs.listStatus(src).filterNot(
+      _.getPath.getName == "_staging")
+    entries.foreach { st =>
+      if (st.isDirectory && !st.getPath.getName.startsWith("_"))
+        tableCount += 1
+      org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+        new org.apache.hadoop.fs.Path(dst, st.getPath.getName),
+        false, spark.sparkContext.hadoopConfiguration)
+      val it = fs.listFiles(st.getPath, true)
+      while (it.hasNext) { it.next(); files += 1 }
+    }
+    (tableCount, files)
+  }
+
   /** Stable snapshot token — the current log head. A query pinned to the
     * token (`atSnapshot`) sees the identical database state regardless of
     * concurrent later transactions (reference basis / snapshot-token,

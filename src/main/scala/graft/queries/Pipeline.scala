@@ -626,7 +626,10 @@ object Pipeline {
         .select(col("h"), pmod(col("doc_id"), lit(100000)).as("orig_id"))
         .orderBy("orig_id")
     }, Some("""
-      SELECT md5(text) AS h, doc_id AS orig_id
-      FROM documents ORDER BY orig_id"""))
+      -- first arrival per content hash: duplicate TEXTS inside the corpus
+      -- itself (they exist at sf0.1) dedup to their min doc_id, exactly as
+      -- the in-order stream state does
+      SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS orig_id
+      FROM documents GROUP BY md5(text) ORDER BY orig_id"""))
   )
 }

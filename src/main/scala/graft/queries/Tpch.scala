@@ -428,14 +428,19 @@ object Tpch {
         .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).cast("long").as("o_year"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
-          col("p_retailprice") * col("l_quantity")), 2).as("profit"))
+        // per-row cents then an integer sum: row arithmetic is IEEE
+        // bit-identical across engines, while round(sum(double)) diverges
+        // at .005 boundaries once partial-sum order differs (seen at sf0.1)
+        .agg(sum(floor((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
+          col("p_retailprice") * col("l_quantity")) * 100 + lit(0.5))
+          .cast("long")).as("profit_c"))
         .orderBy(col("nation"), col("o_year").desc)
     }, Some("""
       SELECT n_name AS nation,
              CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,
-             round(sum(l_extendedprice * (1 - l_discount) -
-                       p_retailprice * l_quantity), 2) AS profit
+             CAST(sum(CAST(floor((l_extendedprice * (1 - l_discount) -
+                       p_retailprice * l_quantity) * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS profit_c
       FROM lineitem
       JOIN part ON l_partkey = p_partkey
       JOIN supplier ON l_suppkey = s_suppkey

@@ -98,6 +98,23 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
             s"(connected as ${principal.getOrElse("?")})")
         db.recordGrant(grant, what, grantee)
         txInfo(db.snapshotToken())
+      case CopyOut(table, path, format) =>
+        if (openTx.isDefined) throw SqlParseException(
+          "COPY TO is not valid inside a transaction")
+        // outbound COPY: the table's CURRENT snapshot (visible columns) as
+        // a distributed write — the single-table face of exportSnapshot
+        val fmt = format.getOrElse {
+          if (path.toLowerCase.endsWith(".csv")) "csv" else "parquet"
+        }
+        val snap = Bitemporal.current(db.events(table))
+          .drop(Bitemporal.IID, Bitemporal.VF, Bitemporal.VT, Bitemporal.SF,
+            Bitemporal.ST, Bitemporal.SEQ, Bitemporal.OP, Bitemporal.BUCKET)
+        val writer = snap.write.mode("overwrite")
+        (fmt match {
+          case "csv" => writer.option("header", "true").format("csv")
+          case other => writer.format(other)
+        }).save(path)
+        statusDf("status", s"COPY OUT $table")
       case Begin(readOnly, sysTime) =>
         if (openTx.isDefined)
           throw SqlParseException("transaction already open")
@@ -463,7 +480,7 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
       }).load(path)
       val (vf, vt) = validCols(docs)
       TxOp.Put(table, docs, vf, vt)
-    case CreateTable(_, _) | GrantRevoke(_, _, _) =>
+    case CreateTable(_, _) | GrantRevoke(_, _, _) | CopyOut(_, _, _) =>
       throw SqlParseException("DDL is not valid inside a transaction")
     case Patch(table, valid, recs) =>
       val (vf, vt) = rangeCols(valid)

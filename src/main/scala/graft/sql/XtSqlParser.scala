@@ -65,6 +65,10 @@ object XtSqlParser {
         records: Seq[Record]) extends XtStatement
     final case class Assert(cond: String, label: Option[String])
       extends XtStatement
+    /** COPY <table> TO '<path>' [WITH (FORMAT <fmt>)] — snapshot export. */
+    final case class CopyOut(table: String, path: String,
+        format: Option[String]) extends XtStatement
+
     /** COPY <table> FROM '<path>' [WITH (FORMAT <fmt>)] — bulk ingest. */
     final case class CopyIn(table: String, path: String,
         format: Option[String]) extends XtStatement
@@ -1112,9 +1116,11 @@ object XtSqlParser {
 
   private def parseCopy(sql: String, toks: Vector[Tok]): XtStatement = {
     val table = tableNameAt(toks, 1)
-    expect(toks, 2, "FROM")
+    val outbound =
+      if (toks.length > 2 && toks(2).is("TO")) true
+      else { expect(toks, 2, "FROM"); false }
     if (toks.length <= 3 || toks(3).kind != Tok.Str)
-      throw SqlParseException(s"expected source path at ${pos(toks, 3)}")
+      throw SqlParseException(s"expected path at ${pos(toks, 3)}")
     val path = toks(3).text.substring(1, toks(3).text.length - 1)
     var format: Option[String] = None
     if (toks.length > 4 && toks(4).is("WITH")) {
@@ -1125,7 +1131,8 @@ object XtSqlParser {
           format = Some(idents(i + 1).text.toLowerCase)
       }
     }
-    XtStatement.CopyIn(table, path, format)
+    if (outbound) XtStatement.CopyOut(table, path, format)
+    else XtStatement.CopyIn(table, path, format)
   }
 
   private def parseCreate(sql: String, toks: Vector[Tok]): XtStatement = {
