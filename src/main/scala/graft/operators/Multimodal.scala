@@ -7,12 +7,15 @@ import org.apache.spark.sql.types._
 /** Multimodal column plumbing: media as opaque `binary` columns with typed
   * metadata, decoded/feature-extracted in partition-batched executor code.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic FAKE (see [[fakeDecode]]) — what is real and
-  * tested is the Spark-side shape a production decoder plugs into: binary
-  * column schema, `mapPartitions` batching (one decoder init per partition,
-  * not per row), explicit output schema, and no shuffle in the decode pass.
-  * Swap [[fakeDecode]] for a JNI/codec call and nothing else changes.
+  * Decode is REAL for the formats a JVM parses from first principles —
+  * RIFF/WAVE PCM-16 and 24-bit BMP ([[MediaCodecs]], exercised by
+  * [[audioFeatures]]/[[imageFeatures]] and oracle-checked byte-exactly).
+  * For codec-dependent formats (jpeg/mp3/mp4) the container has no
+  * libraries, so that decode step stays a clearly-marked deterministic
+  * FAKE (see [[fakeDecode]]); the Spark-side shape a production decoder
+  * plugs into is identical either way: binary column schema,
+  * `mapPartitions` batching (one decoder init per partition, not per
+  * row), explicit output schema, and no shuffle in the decode pass.
   */
 object Multimodal {
 
@@ -59,6 +62,76 @@ object Multimodal {
         Row(r.getLong(idIdx), bytes.length.toLong, sha, w, h)
       }
     }(Encoders.row(featureSchema))
+  }
+
+  // ---- real decoders (MediaCodecs): WAV + BMP need no codec libs ---------
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", LongType),
+    StructField("n_samples", LongType),
+    StructField("sum_sq", LongType),
+    StructField("peak", LongType)))
+
+  /** REAL audio decode + feature extraction: parses the RIFF/WAVE
+    * container and PCM-16 payload per row ([[MediaCodecs.decodeWav]]),
+    * emitting integer signal features (energy as Σs², peak amplitude) —
+    * exactly reproducible by an oracle that knows the signal. Same
+    * mapPartitions shape as [[extractFeatures]]: decode never shuffles,
+    * decoder state amortises per partition. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val w = MediaCodecs.decodeWav(r.getAs[Array[Byte]](mIdx))
+        var sumSq = 0L
+        var peak = 0L
+        var i = 0
+        while (i < w.samples.length) {
+          val s = w.samples(i).toLong
+          sumSq += s * s
+          val a = math.abs(s)
+          if (a > peak) peak = a
+          i += 1
+        }
+        Row(r.getLong(idIdx), w.sampleRate.toLong, w.samples.length.toLong,
+          sumSq, peak)
+      }
+    }(Encoders.row(audioFeatureSchema))
+  }
+
+  val imageFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("sum_r", LongType),
+    StructField("sum_g", LongType),
+    StructField("sum_b", LongType)))
+
+  /** REAL image decode + feature extraction: parses 24-bit BMP
+    * ([[MediaCodecs.decodeBmp]], incl. bottom-up row order and 4-byte row
+    * padding) and emits per-channel pixel sums — wrong padding or channel
+    * order would break the oracle match. */
+  def imageFeatures(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bmp = MediaCodecs.decodeBmp(r.getAs[Array[Byte]](mIdx))
+        var sr = 0L; var sg = 0L; var sb = 0L
+        var i = 0
+        while (i < bmp.pixels.length) {
+          val p = bmp.pixels(i)
+          sr += (p >> 16) & 0xff
+          sg += (p >> 8) & 0xff
+          sb += p & 0xff
+          i += 1
+        }
+        Row(r.getLong(idIdx), bmp.width.toLong, bmp.height.toLong,
+          sr, sg, sb)
+      }
+    }(Encoders.row(imageFeatureSchema))
   }
 
   /** Frame sampling stub: every `everyN`-th byte slice stands in for video

@@ -188,6 +188,93 @@ object Infra {
         ('scans', 1), ('shuffle_exchanges', 0)) v(item, value)
       ORDER BY item""")),
 
+    // ---- REAL audio decode through the oracle gate: per order key a WAV
+    // file is synthesized (RIFF/PCM-16, deterministic integer sawtooth),
+    // decoded distributed (MediaCodecs.decodeWav), and reduced to integer
+    // signal features. DuckDB recomputes the identical features from the
+    // generating formula — a wrong header offset, endianness, or sample
+    // width would break the match.
+    QueryDef("q118_multimodal_wav", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val n = 1000 + (k % 5).toInt * 200
+          val samples = Array.tabulate(n)(i =>
+            (((i.toLong * 37 + k) % 2048) - 1024).toShort)
+          Row(k, _root_.graft.operators.MediaCodecs.encodeWav(8000, 1, samples),
+            "audio/wav")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.audioFeatures(media)
+        .orderBy("media_id")
+    }, Some("""
+      WITH k AS (
+        SELECT o_orderkey AS media_id,
+               1000 + CAST(o_orderkey % 5 AS INT) * 200 AS n
+        FROM orders WHERE o_orderkey < 200),
+      v AS (
+        SELECT media_id, n,
+               (unnest(range(0, n)) * 37 + media_id) % 2048 - 1024 AS s
+        FROM k)
+      SELECT media_id, CAST(8000 AS BIGINT) AS sample_rate,
+             CAST(max(n) AS BIGINT) AS n_samples,
+             CAST(sum(s * s) AS BIGINT) AS sum_sq,
+             CAST(max(abs(s)) AS BIGINT) AS peak
+      FROM v GROUP BY media_id ORDER BY media_id""")),
+
+    // ---- REAL image decode through the oracle gate: 24-bit BMPs with a
+    // deterministic per-pixel formula, decoded distributed
+    // (MediaCodecs.decodeBmp — bottom-up rows + 4-byte padding), reduced
+    // to per-channel sums; DuckDB replays the pixel formula.
+    QueryDef("q119_multimodal_bmp", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val w = 8 + (k % 9).toInt
+          val h = 6 + (k % 7).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            val rr = ((x * 7 + y * 13 + k) % 256).toInt
+            val gg = ((x * 3 + y * 5 + 2 * k) % 256).toInt
+            val bb = ((x * 11 + y + 3 * k) % 256).toInt
+            (rr << 16) | (gg << 8) | bb
+          }
+          Row(k, _root_.graft.operators.MediaCodecs.encodeBmp(w, h, px),
+            "image/bmp")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.imageFeatures(media)
+        .orderBy("media_id")
+    }, Some("""
+      WITH k AS (
+        SELECT o_orderkey AS media_id,
+               8 + CAST(o_orderkey % 9 AS INT) AS w,
+               6 + CAST(o_orderkey % 7 AS INT) AS h
+        FROM orders WHERE o_orderkey < 200),
+      xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM k),
+      px AS (
+        SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      ch AS (
+        SELECT media_id, w, h,
+               (x * 7 + y * 13 + media_id) % 256 AS r,
+               (x * 3 + y * 5 + 2 * media_id) % 256 AS g,
+               (x * 11 + y + 3 * media_id) % 256 AS b
+        FROM px)
+      SELECT media_id, CAST(max(w) AS BIGINT) AS width,
+             CAST(max(h) AS BIGINT) AS height,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b
+      FROM ch GROUP BY media_id ORDER BY media_id""")),
+
     // ---- XTQL unify through the oracle gate (reference xtql.clj:306):
     // datalog-style var unification — customer/nation/region bind shared
     // logic vars nk/rk, the pipeline tail aggregates per region. Account
