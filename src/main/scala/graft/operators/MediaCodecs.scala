@@ -185,4 +185,212 @@ object MediaCodecs {
       w.samples(i * factor))
     encodeWav(w.sampleRate / factor, w.channels, out)
   }
+
+  // ---- PNG (8-bit truecolor RGB, non-interlaced) --------------------------
+  //
+  // Real compression round-trip: zlib DEFLATE via java.util.zip, per-chunk
+  // CRC-32 validation, and the full scanline filter set (None/Sub/Up/
+  // Average/Paeth). The encoder picks a filter per row with the standard
+  // minimum-sum-of-absolute-residuals heuristic, so decoding our own
+  // output exercises every reconstruction path, not just filter 0.
+
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  private def pngChunk(out: java.io.ByteArrayOutputStream, typ: String,
+      data: Array[Byte]): Unit = {
+    val len = ByteBuffer.allocate(4).putInt(data.length).array()
+    val typBytes = typ.getBytes("US-ASCII")
+    val crc = new java.util.zip.CRC32
+    crc.update(typBytes)
+    crc.update(data)
+    out.write(len)
+    out.write(typBytes)
+    out.write(data)
+    out.write(ByteBuffer.allocate(4).putInt(crc.getValue.toInt).array())
+  }
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** PNG writer: 8-bit RGB, one zlib-deflated IDAT, per-row adaptive
+    * filtering. `pixels` is row-major top-down packed 0xRRGGBB. */
+  def encodePng(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    require(pixels.length == width * height, "pixel count mismatch")
+    val stride = width * 3
+    val raw = new Array[Byte](stride) // current row, unfiltered
+    val prior = new Array[Byte](stride) // previous row, unfiltered
+    val trial = new Array[Byte](stride)
+    val best = new Array[Byte](stride)
+    val filtered = new java.io.ByteArrayOutputStream(height * (stride + 1))
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val p = pixels(y * width + x)
+        raw(x * 3) = ((p >> 16) & 0xff).toByte
+        raw(x * 3 + 1) = ((p >> 8) & 0xff).toByte
+        raw(x * 3 + 2) = (p & 0xff).toByte
+        x += 1
+      }
+      var bestFilter = 0
+      var bestScore = Long.MaxValue
+      var f = 0
+      while (f <= 4) {
+        var score = 0L
+        var i = 0
+        while (i < stride) {
+          val left = if (i >= 3) raw(i - 3) & 0xff else 0
+          val up = if (y > 0) prior(i) & 0xff else 0
+          val ul = if (y > 0 && i >= 3) prior(i - 3) & 0xff else 0
+          val cur = raw(i) & 0xff
+          val v = f match {
+            case 0 => cur
+            case 1 => (cur - left) & 0xff
+            case 2 => (cur - up) & 0xff
+            case 3 => (cur - (left + up) / 2) & 0xff
+            case 4 => (cur - paeth(left, up, ul)) & 0xff
+          }
+          trial(i) = v.toByte
+          // signed-magnitude heuristic from the PNG spec: rows that
+          // filter to values near 0/256 compress best
+          score += math.min(v, 256 - v)
+          i += 1
+        }
+        if (score < bestScore) {
+          bestScore = score; bestFilter = f
+          System.arraycopy(trial, 0, best, 0, stride)
+        }
+        f += 1
+      }
+      filtered.write(bestFilter)
+      filtered.write(best, 0, stride)
+      System.arraycopy(raw, 0, prior, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater(
+      java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    val src = filtered.toByteArray
+    deflater.setInput(src)
+    deflater.finish()
+    val zOut = new java.io.ByteArrayOutputStream(src.length / 2 + 64)
+    val zBuf = new Array[Byte](8192)
+    while (!deflater.finished()) {
+      val n = deflater.deflate(zBuf)
+      zOut.write(zBuf, 0, n)
+    }
+    deflater.end()
+
+    val out = new java.io.ByteArrayOutputStream(zOut.size + 64)
+    out.write(PngSignature)
+    val ihdr = ByteBuffer.allocate(13)
+      .putInt(width).putInt(height)
+      .put(8.toByte) // bit depth
+      .put(2.toByte) // color type: truecolor RGB
+      .put(0.toByte).put(0.toByte).put(0.toByte) // deflate, adaptive, no interlace
+      .array()
+    pngChunk(out, "IHDR", ihdr)
+    pngChunk(out, "IDAT", zOut.toByteArray)
+    pngChunk(out, "IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Parse an 8-bit truecolor non-interlaced PNG: chunk walk with CRC-32
+    * verification, zlib inflate of concatenated IDATs, and scanline
+    * reconstruction for all five filter types. Returns top-down row-major
+    * packed 0xRRGGBB pixels. */
+  def decodePng(bytes: Array[Byte]): BmpMeta = {
+    require(bytes.length >= 8 + 25, s"truncated PNG (${bytes.length} bytes)")
+    var i = 0
+    while (i < 8) {
+      require(bytes(i) == PngSignature(i), "not a PNG"); i += 1
+    }
+    val buf = ByteBuffer.wrap(bytes) // PNG ints are big-endian (default)
+    buf.position(8)
+    var width = -1; var height = -1
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (!sawEnd && buf.remaining() >= 12) {
+      val len = buf.getInt
+      require(len >= 0 && len <= buf.remaining() - 8, "corrupt chunk length")
+      val typBytes = new Array[Byte](4); buf.get(typBytes)
+      val typ = new String(typBytes, "US-ASCII")
+      val data = new Array[Byte](len); buf.get(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(typBytes); crc.update(data)
+      val stored = buf.getInt
+      require(crc.getValue.toInt == stored, s"CRC mismatch in $typ chunk")
+      typ match {
+        case "IHDR" =>
+          val h = ByteBuffer.wrap(data)
+          width = h.getInt; height = h.getInt
+          val depth = h.get(); val color = h.get()
+          require(depth == 8 && color == 2,
+            s"only 8-bit truecolor supported (depth=$depth color=$color)")
+          h.get() // compression (always 0)
+          h.get() // filter method (always 0)
+          require(h.get() == 0, "interlaced PNG not supported")
+        case "IDAT" => idat.write(data)
+        case "IEND" => sawEnd = true
+        case _ => // ancillary chunk (tEXt, pHYs, …) — skip
+      }
+    }
+    require(width > 0 && sawEnd, "missing IHDR or IEND")
+    val stride = width * 3
+    val raw = new Array[Byte](height * (stride + 1))
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    var off = 0
+    while (!inflater.finished() && off < raw.length) {
+      off += inflater.inflate(raw, off, raw.length - off)
+    }
+    inflater.end()
+    require(off == raw.length, s"short pixel stream ($off of ${raw.length})")
+
+    val pixels = new Array[Int](width * height)
+    val cur = new Array[Int](stride) // reconstructed current row
+    val prior = new Array[Int](stride)
+    var y = 0
+    while (y < height) {
+      val rowOff = y * (stride + 1)
+      val filter = raw(rowOff) & 0xff
+      require(filter <= 4, s"bad filter type $filter")
+      var x = 0
+      while (x < stride) {
+        val v = raw(rowOff + 1 + x) & 0xff
+        val left = if (x >= 3) cur(x - 3) else 0
+        val up = if (y > 0) prior(x) else 0
+        val ul = if (y > 0 && x >= 3) prior(x - 3) else 0
+        cur(x) = filter match {
+          case 0 => v
+          case 1 => (v + left) & 0xff
+          case 2 => (v + up) & 0xff
+          case 3 => (v + (left + up) / 2) & 0xff
+          case 4 => (v + paeth(left, up, ul)) & 0xff
+        }
+        x += 1
+      }
+      var px = 0
+      while (px < width) {
+        pixels(y * width + px) =
+          (cur(px * 3) << 16) | (cur(px * 3 + 1) << 8) | cur(px * 3 + 2)
+        px += 1
+      }
+      System.arraycopy(cur, 0, prior, 0, stride)
+      y += 1
+    }
+    BmpMeta(width, height, pixels)
+  }
+
+  /** Decode an image by container format — the per-row dispatch point a
+    * mixed-format corpus needs (one table, many formats). */
+  def decodeImage(bytes: Array[Byte], format: String): BmpMeta =
+    format match {
+      case "image/bmp" => decodeBmp(bytes)
+      case "image/png" => decodePng(bytes)
+      case f => throw new IllegalArgumentException(s"no codec for $f")
+    }
 }

@@ -109,16 +109,20 @@ object Multimodal {
     StructField("sum_g", LongType),
     StructField("sum_b", LongType)))
 
-  /** REAL image decode + feature extraction: parses 24-bit BMP
-    * ([[MediaCodecs.decodeBmp]], incl. bottom-up row order and 4-byte row
-    * padding) and emits per-channel pixel sums — wrong padding or channel
-    * order would break the oracle match. */
+  /** REAL image decode + feature extraction, dispatched per row on the
+    * `format` column ([[MediaCodecs.decodeImage]]): 24-bit BMP (bottom-up
+    * rows, 4-byte padding) and 8-bit RGB PNG (CRC-checked chunks, zlib
+    * inflate, all five scanline filters). Emits per-channel pixel sums —
+    * wrong padding, filtering, or channel order would break the oracle
+    * match. */
   def imageFeatures(media: DataFrame): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val mIdx = media.schema.fieldIndex("media")
+    val fIdx = media.schema.fieldIndex("format")
     media.mapPartitions { rows =>
       rows.map { r =>
-        val bmp = MediaCodecs.decodeBmp(r.getAs[Array[Byte]](mIdx))
+        val bmp = MediaCodecs.decodeImage(r.getAs[Array[Byte]](mIdx),
+          r.getString(fIdx))
         var sr = 0L; var sg = 0L; var sb = 0L
         var i = 0
         while (i < bmp.pixels.length) {

@@ -275,6 +275,62 @@ object Infra {
              CAST(sum(b) AS BIGINT) AS sum_b
       FROM ch GROUP BY media_id ORDER BY media_id""")),
 
+    // ---- REAL PNG decode through the oracle gate, mixed-format corpus:
+    // even keys encode as 8-bit RGB PNG (adaptive scanline filters +
+    // zlib DEFLATE + CRC-checked chunks — MediaCodecs.encodePng), odd
+    // keys as 24-bit BMP; one imageFeatures pass dispatches the codec
+    // per row on the format column. The oracle replays the pixel formula:
+    // any error in DEFLATE round-trip, filter reconstruction (incl.
+    // Paeth), or channel order breaks the per-channel sums.
+    QueryDef("q120_multimodal_png", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val w = 9 + (k % 8).toInt
+          val h = 7 + (k % 6).toInt
+          val px = Array.tabulate(w * h) { i =>
+            val x = i % w; val y = i / w
+            val rr = ((x * 17 + y * 5 + k) % 256).toInt
+            val gg = ((x + y * 19 + 5 * k) % 256).toInt
+            val bb = ((x * 2 + y * 7 + 11 * k) % 256).toInt
+            (rr << 16) | (gg << 8) | bb
+          }
+          if (k % 2 == 0)
+            Row(k, _root_.graft.operators.MediaCodecs.encodePng(w, h, px),
+              "image/png")
+          else
+            Row(k, _root_.graft.operators.MediaCodecs.encodeBmp(w, h, px),
+              "image/bmp")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.imageFeatures(media)
+        .orderBy("media_id")
+    }, Some("""
+      WITH k AS (
+        SELECT o_orderkey AS media_id,
+               9 + CAST(o_orderkey % 8 AS INT) AS w,
+               7 + CAST(o_orderkey % 6 AS INT) AS h
+        FROM orders WHERE o_orderkey < 300),
+      xs AS (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM k),
+      px AS (
+        SELECT media_id, w, h, x, unnest(range(0, h)) AS y FROM xs),
+      ch AS (
+        SELECT media_id, w, h,
+               (x * 17 + y * 5 + media_id) % 256 AS r,
+               (x + y * 19 + 5 * media_id) % 256 AS g,
+               (x * 2 + y * 7 + 11 * media_id) % 256 AS b
+        FROM px)
+      SELECT media_id, CAST(max(w) AS BIGINT) AS width,
+             CAST(max(h) AS BIGINT) AS height,
+             CAST(sum(r) AS BIGINT) AS sum_r,
+             CAST(sum(g) AS BIGINT) AS sum_g,
+             CAST(sum(b) AS BIGINT) AS sum_b
+      FROM ch GROUP BY media_id ORDER BY media_id""")),
+
     // ---- XTQL unify through the oracle gate (reference xtql.clj:306):
     // datalog-style var unification — customer/nation/region bind shared
     // logic vars nk/rk, the pipeline tail aggregates per region. Account
