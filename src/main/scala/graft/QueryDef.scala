@@ -15,3 +15,20 @@ final case class QueryDef(
     fn: (SparkSession, String) => DataFrame,
     oracle: Option[String],
     bench: Boolean = false)
+
+object QueryDef {
+  /** Deterministic presentation sort for a small final result: one
+    * round-robin exchange to a single partition + local sort. Globally
+    * sorted output like `orderBy`, but skips the range-partitioner's
+    * sampling job — the right physical plan when the result is
+    * client-sized (a range sort is for results too big for one task;
+    * these are the final few-thousand-row projections a client cursor
+    * consumes). Upstream stages keep full parallelism — only the final
+    * sort task is single-threaded. */
+  implicit class PresentOps(private val df: DataFrame) extends AnyVal {
+    def presentSorted(cols: String*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
+    def presentSortedBy(cols: org.apache.spark.sql.Column*): DataFrame =
+      df.repartition(1).sortWithinPartitions(cols: _*)
+  }
+}

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.QueryDef.PresentOps
 import graft.bitemporal.Bitemporal
 import graft.functions.Ids
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
@@ -55,7 +56,7 @@ object Bitemp {
       Bitemporal.asOf(syntheticEvents(s, dir), asof, asof)
         .select(col("_id"), col("version"),
           unix_timestamp(col(Bitemporal.VF)).as("vf_ep"))
-        .orderBy("_id")
+        .presentSorted("_id")
     }, Some(oracleEventCte + """
       SELECT _id, version, CAST(epoch(vf) AS BIGINT) AS vf_ep
       FROM (SELECT _id, version, vf,
@@ -238,7 +239,7 @@ object Bitemp {
           key = "user_id", leftTs = "ts_ms", rightTs = "ts_ms",
           payloadCols = Seq("last_purchase"), tieBreak = "event_id")
         .select(col("user_id"), col("event_id"), col("last_purchase"))
-        .orderBy("user_id", "event_id")
+        .presentSorted("user_id", "event_id")
     }, Some("""
       WITH base AS (SELECT user_id, event_id, event_type, value,
                     epoch_ms(ts) AS ts_ms FROM events),

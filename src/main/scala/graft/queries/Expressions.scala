@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.QueryDef.PresentOps
 import graft.functions.{Ids, Periods, Temporal}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -220,7 +221,7 @@ object Expressions {
         .groupBy(unix_timestamp(Temporal.dateBin(900, col("ts"))).as("bin"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
-        .orderBy("bin", "event_type")
+        .presentSorted("bin", "event_type")
     }, Some("""
       SELECT ep - (ep % 900) AS bin, event_type, count(*) AS n,
              round(sum(value), 2) AS total

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.QueryDef.PresentOps
 import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -51,7 +52,7 @@ object Pipeline {
     QueryDef("q80_dedup_exact", (s, dir) => {
       Dedup.exactGroups(docsWithDups(s, dir), "text", "doc_id")
         .filter(col("n") > 1)
-        .orderBy("keep_id")
+        .presentSorted("keep_id")
     }, Some(dupCte + """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
              count(*) AS n
@@ -81,7 +82,7 @@ object Pipeline {
     QueryDef("q82_dedup_minhash_pairs", (s, dir) => {
       val sigs = Dedup.minHashSignatures(docsWithDups(s, dir), "text", "doc_id", 8)
       Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 2, 4), "doc_id")
-        .orderBy("id1", "id2")
+        .presentSorted("id1", "id2")
     }, Some(sigCte + """,
       bands AS (
         SELECT doc_id, 0 AS band,
@@ -263,7 +264,7 @@ object Pipeline {
       val emb = t(s, dir, "embeddings")
       Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10),
           "vec_id", "embedding", 5)
-        .orderBy("query_id", "rank")
+        .presentSorted("query_id", "rank")
     }, Some("""
       WITH p AS (
         SELECT vec_id, embedding,
@@ -286,7 +287,7 @@ object Pipeline {
       Similarity.lshTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
           dims = 64, planes = 6, k = 3)
         .filter(col("query_id") < 20)
-        .orderBy("query_id", "rank")
+        .presentSorted("query_id", "rank")
     }, Some {
       val hexval = (c: Int) =>
         s"(instr('0123456789abcdef', substr(h, $c, 1)) - 1)"

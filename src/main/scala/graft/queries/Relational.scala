@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.QueryDef.PresentOps
 import graft.operators.Joins
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -35,7 +36,7 @@ object Relational {
           round(avg("l_extendedprice"), 2).as("avg_price"),
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+        .presentSorted("l_returnflag", "l_linestatus")
     }, Some("""
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
@@ -115,7 +116,7 @@ object Relational {
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy("n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-        .orderBy(col("revenue").desc, col("n_name"))
+        .presentSortedBy(col("revenue").desc, col("n_name"))
     }, Some("""
       SELECT n_name,
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

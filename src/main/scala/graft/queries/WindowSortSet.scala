@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.QueryDef.PresentOps
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -46,7 +47,7 @@ object WindowSortSet {
         .select(col("user_id"), col("event_id"), col("value"),
           lag("value", 1).over(w).as("prev"),
           lead("value", 1).over(w).as("next"))
-        .orderBy("user_id", "event_id")
+        .presentSorted("user_id", "event_id")
     }, Some("""
       SELECT user_id, event_id, value,
              lag(value) OVER w AS prev, lead(value) OVER w AS next
