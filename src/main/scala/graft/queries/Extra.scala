@@ -46,6 +46,164 @@ object Extra {
       FROM events WHERE event_id < 2000
       GROUP BY 1, 2 ORDER BY ws_ep, event_type""")),
 
+    // ---- streaming SESSION windows end-to-end: gap-based sessionization
+    // (session_window + 0s watermark, append mode). The log is replayed as
+    // three time-ordered micro-batches — sessions spanning batch
+    // boundaries must merge in the state store — plus two far-future
+    // sentinel batches that push the watermark past every real session
+    // end so append mode finalizes them. The oracle recomputes sessions
+    // as gap-break islands (diff >= gap starts a session — mirrors
+    // session_window's strict next < last+gap merge rule).
+    QueryDef("q121_streaming_session", (s, dir) => {
+      val gapSec = 7L * 24 * 3600 // 7 days
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 30)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 1000000").as("ts_s"),
+          floor(col("value") * 100 + lit(0.5)).cast("long").as("value_c"))
+      // exact terciles of global event time = the batch boundaries; ties
+      // stay in the earlier batch so nothing is ever behind the watermark
+      val cuts = ev.stat.approxQuantile("ts_s", Array(0.33, 0.66), 0.0)
+      val logDir = java.nio.file.Files
+        .createTempDirectory("graft_sesslog").toString
+      val fs = new java.io.File(logDir)
+      def writeChunk(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_sesschunk").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(fs, f"chunk-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        // deterministic batch order: the file source schedules by mtime
+        dst.setLastModified(1000L * (i + 1))
+      }
+      writeChunk(ev.filter(col("ts_s") <= cuts(0)), 0)
+      writeChunk(ev.filter(col("ts_s") > cuts(0) &&
+        col("ts_s") <= cuts(1)), 1)
+      writeChunk(ev.filter(col("ts_s") > cuts(1)), 2)
+      // two sentinel batches: the first advances max event time past all
+      // real sessions, the second triggers the batch in which that
+      // watermark is applied and the finalized sessions are emitted
+      val sentinel = ev.sparkSession.range(1)
+        .select(lit(999999L).as("user_id"), lit(4100000000L).as("ts_s"),
+          lit(0L).as("value_c"))
+      writeChunk(sentinel, 3)
+      writeChunk(sentinel.withColumn("ts_s", lit(4200000000L)), 4)
+      val stream = _root_.graft.streaming.StreamIngest.openLog(
+          s, logDir, ev.schema, maxFilesPerTrigger = 1)
+        .withColumn("ts", timestamp_seconds(col("ts_s")))
+      val agg = _root_.graft.streaming.StreamIngest.sessionizedStats(
+        stream, "ts", s"$gapSec seconds", "user_id", "value_c")
+      val q = agg.writeStream.outputMode("append")
+        .format("memory").queryName("q121_mem").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table("q121_mem")
+        .filter(col("user_id") < 30)
+        .select(col("user_id"), unix_timestamp(col("sess_start")).as("sess_ep"),
+          col("n"), col("total"))
+        .orderBy("user_id", "sess_ep")
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS vc
+        FROM events WHERE user_id < 30),
+      b AS (
+        SELECT user_id, ts_s, vc,
+               CASE WHEN lag(ts_s) OVER w IS NULL
+                      OR ts_s - lag(ts_s) OVER w >= 604800
+                    THEN 1 ELSE 0 END AS brk
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts_s)),
+      sset AS (
+        SELECT user_id, ts_s, vc,
+               sum(brk) OVER (PARTITION BY user_id ORDER BY ts_s
+                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM b)
+      SELECT user_id, min(ts_s) AS sess_ep, count(*) AS n,
+             CAST(sum(vc) AS BIGINT) AS total
+      FROM sset GROUP BY user_id, sid ORDER BY user_id, sess_ep""")),
+
+    // ---- stream-stream interval JOIN end-to-end (left outer): clicks
+    // join purchases by the same user within [click, click + 12h], both
+    // sides unbounded streams over the same replayed log (two independent
+    // file sources in mtime lockstep). Left-outer is the demanding mode:
+    // an unmatched click emits (click, null) only once BOTH watermarks
+    // prove no matching purchase can still arrive — cross-batch join
+    // state, eviction, and null emission all exercised. Two far-future
+    // sentinel batches (one row per side, filtered out at the end) push
+    // the watermark past every real row so append mode finalizes.
+    // The oracle is the plain batch interval left join.
+    QueryDef("q122_streaming_interval_join", (s, dir) => {
+      val ev = Tables.load(s, dir, "events")
+        .filter(col("user_id") < 20 &&
+          col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          expr("unix_micros(ts) div 1000000").as("ts_s"))
+      val cuts = ev.stat.approxQuantile("ts_s", Array(0.33, 0.66), 0.0)
+      val logDir = java.nio.file.Files
+        .createTempDirectory("graft_ssjlog").toString
+      val fsDir = new java.io.File(logDir)
+      def writeChunk(df: org.apache.spark.sql.DataFrame, i: Int): Unit = {
+        val tmp = java.nio.file.Files
+          .createTempDirectory("graft_ssjchunk").toString
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        val part = new java.io.File(tmp).listFiles()
+          .find(_.getName.endsWith(".parquet")).get
+        val dst = new java.io.File(fsDir, f"chunk-$i%02d.parquet")
+        java.nio.file.Files.move(part.toPath, dst.toPath)
+        dst.setLastModified(1000L * (i + 1))
+      }
+      writeChunk(ev.filter(col("ts_s") <= cuts(0)), 0)
+      writeChunk(ev.filter(col("ts_s") > cuts(0) &&
+        col("ts_s") <= cuts(1)), 1)
+      writeChunk(ev.filter(col("ts_s") > cuts(1)), 2)
+      // sentinels must survive BOTH side filters (one click + one
+      // purchase row) so each side's watermark node sees them
+      def sentinel(ts: Long) = ev.sparkSession.range(1).select(
+          lit(999999L).as("user_id"), lit(-1L).as("event_id"),
+          lit("click").as("event_type"), lit(ts).as("ts_s"))
+        .union(ev.sparkSession.range(1).select(
+          lit(999999L).as("user_id"), lit(-2L).as("event_id"),
+          lit("purchase").as("event_type"), lit(ts).as("ts_s")))
+      writeChunk(sentinel(4100000000L), 3)
+      writeChunk(sentinel(4200000000L), 4)
+      def side(tpe: String, idAs: String) =
+        _root_.graft.streaming.StreamIngest.openLog(
+            s, logDir, ev.schema, maxFilesPerTrigger = 1)
+          .filter(col("event_type") === tpe)
+          .select(col("user_id"), col("event_id").as(idAs),
+            timestamp_seconds(col("ts_s")).as("ts"))
+      val joined = _root_.graft.streaming.StreamIngest.intervalJoin(
+        side("click", "click_id"), side("purchase", "purchase_id"),
+        keyCol = "user_id", tsCol = "ts",
+        before = "0 seconds", after = "12 hours",
+        watermarkDelay = "0 seconds", joinType = "leftOuter")
+      val q = joined.writeStream.outputMode("append")
+        .format("memory").queryName("q122_mem").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table("q122_mem")
+        .filter(col("l_key") < 20)
+        .select(col("l_key").as("user_id"), col("click_id"),
+          unix_timestamp(col("l_ts")).as("click_ep"), col("purchase_id"),
+          unix_timestamp(col("r_ts")).as("purchase_ep"))
+        .orderBy("user_id", "click_id", "purchase_id")
+    }, Some("""
+      WITH e AS (
+        SELECT user_id, event_id, event_type,
+               CAST(floor(epoch(ts)) AS BIGINT) AS ts_s
+        FROM events
+        WHERE user_id < 20 AND event_type IN ('click', 'purchase')),
+      c AS (SELECT user_id, event_id AS click_id, ts_s FROM e
+            WHERE event_type = 'click'),
+      p AS (SELECT user_id, event_id AS purchase_id, ts_s FROM e
+            WHERE event_type = 'purchase')
+      SELECT c.user_id, c.click_id, c.ts_s AS click_ep,
+             p.purchase_id, p.ts_s AS purchase_ep
+      FROM c LEFT JOIN p
+        ON p.user_id = c.user_id
+       AND p.ts_s >= c.ts_s AND p.ts_s <= c.ts_s + 43200
+      ORDER BY c.user_id, c.click_id, p.purchase_id""")),
+
     // ---- SQL-standard string/array functions from the reference's
     // expression catalog that Spark lacks under these names
     // (expression.clj:1228-1311, 1579-1744, 2205-2250), registered via the

@@ -60,6 +60,60 @@ object StreamIngest {
       .select(col("window.start").as("win_start"), col(keyCol),
         col("n"), col("total"))
 
+  /** Event-time session windows: gap-based sessionization (a session
+    * absorbs events until none arrives within `gap` of the last one).
+    * Append mode emits each session exactly once — when the watermark
+    * passes its end — so sessions spanning micro-batches exercise real
+    * cross-batch state merging, not a batch re-aggregation.
+    *
+    * Scale: state is one entry per open session, partitioned by session
+    * key across executors; closed sessions leave the store as the
+    * watermark advances — memory is bounded by concurrently-open
+    * sessions, not history. */
+  def sessionizedStats(events: DataFrame, tsCol: String, gap: String,
+      keyCol: String, valCol: String,
+      watermarkDelay: String = "0 seconds"): DataFrame =
+    events
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n"), sum(valCol).as("total"))
+      .select(col("session_window.start").as("sess_start"), col(keyCol),
+        col("n"), col("total"))
+
+  /** Stream-stream join with event-time bounds: each left row joins right
+    * rows whose timestamp falls within `[left.ts - before, left.ts + after]`
+    * for the same key. Watermarks on both sides bound the join state: a
+    * buffered right row is evicted once the left watermark passes
+    * `right.ts + before` (it can no longer match any future left row), and
+    * vice versa — the Spark shape of a windowed interval join over
+    * unbounded inputs.
+    *
+    * `joinType` "inner" emits matches as they meet (result = the batch
+    * interval join, state eviction is pure GC); "leftOuter" additionally
+    * emits (left, null) once the watermark proves no match can arrive —
+    * so outer results need the watermark to advance past the bound.
+    *
+    * Scale: both sides shuffle on the join key once; state is
+    * per-key-partition in the state store and bounded by the time range ×
+    * arrival rate, not by history. */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, before: String, after: String,
+      watermarkDelay: String, joinType: String = "inner"): DataFrame = {
+    val l = left.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
+        col("*"))
+      .drop(keyCol, tsCol)
+    val r = right.withWatermark(tsCol, watermarkDelay)
+      .select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"),
+        col("*"))
+      .drop(keyCol, tsCol)
+    l.join(r,
+      expr(s"""l_key = r_key AND
+               r_ts >= l_ts - interval '$before' AND
+               r_ts <= l_ts + interval '$after'"""),
+      joinType)
+  }
+
   /** Streaming exact dedup — the streaming face of `Dedup.exactGroups`,
     * built on `flatMapGroupsWithState` custom state (SURVEY §3.4; the
     * training-pipeline "drop repeats as they arrive" shape): per key,
