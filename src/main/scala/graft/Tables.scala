@@ -29,12 +29,19 @@ object Tables {
     loaded.getOrElseUpdate((spark, dir, name), {
       import org.apache.spark.sql.functions.{col, timestamp_micros}
       if (name == "events") {
-        // events.ts is nanosecond-precision INT64, which Spark's parquet
-        // reader rejects as a timestamp. Read nanos as long and convert to a
-        // microsecond timestamp (truncation — matches Spark temporal range).
+        // The driver's events.ts is nanosecond-precision INT64, which
+        // Spark's parquet reader rejects as a timestamp. Read nanos as
+        // long and convert to a microsecond timestamp (truncation —
+        // matches Spark temporal range). Derived copies (ScaleData) carry
+        // a real µs timestamp already — pass those through.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        spark.read.parquet(s"$dir/$name.parquet")
-          .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+        val raw = spark.read.parquet(s"$dir/$name.parquet")
+        raw.schema("ts").dataType match {
+          case org.apache.spark.sql.types.LongType =>
+            raw.withColumn("ts",
+              timestamp_micros((col("ts") / 1000L).cast("long")))
+          case _ => raw
+        }
       } else spark.read.parquet(s"$dir/$name.parquet")
     })
 
