@@ -175,6 +175,22 @@ object XtSql {
           parts.toSeq
         })
 
+    // ---- JSON access operator targets (Sql.g4:273-276): the parser
+    // rewrites `x -> 'k'` / `x #> ARRAY[…]` to j_json and `->>`/`#>>` to
+    // j_text with the JSON path compiled to a literal. Inputs are JSON
+    // text or VariantType (the :transit arbitrary-payload column, q97) —
+    // both reach variant via cast-to-string + parse; struct columns use
+    // native `.` access instead, like the reference's static documents.
+    register("j_json", 2) { a =>
+      val v = call_function("try_parse_json", a.head.cast("string"))
+      // `->` returns JSON text: strings keep their quotes, a JSON null at
+      // the path is the text 'null', an absent path is SQL NULL — exactly
+      // what to_json over the variant sub-tree produces
+      call_function("to_json", call_function("variant_get", v, a(1)))
+    }
+    register("j_text", 2)(a =>
+      call_function("get_json_object", a.head.cast("string"), a(1)))
+
     // ---- pg-compat surface (reference expression/pg.clj:31-113 +
     // pg_catalog fns needed by BI tools / psql \-commands)
     register("current_user", 0)(_ => lit("graft"))
@@ -191,6 +207,21 @@ object XtSql {
     register("pg_get_expr", 2)((a: Seq[Column]) => a.head.cast("string"))
     register("has_table_privilege", 2)(_ => lit(true))
     register("has_schema_privilege", 2)(_ => lit(true))
+    // remaining pg.clj catalog: setting lookup + catalog-introspection
+    // stubs BI tools call during schema sync (pg.clj:31-113)
+    register("current_setting", 1) { a =>
+      val name = lower(a.head)
+      when(name === "timezone",
+          lit(spark.sessionState.conf.sessionLocalTimeZone))
+        .when(name === "search_path", lit("public"))
+        .when(name === "server_version", lit("16.0"))
+        .when(name === "server_version_num", lit("160000"))
+        .when(name === "max_index_keys", lit("32"))
+        .otherwise(lit(""))
+    }
+    register("pg_get_userbyid", 1)(_ => lit("graft"))
+    register("pg_table_is_visible", 1)(_ => lit(true))
+    register("col_description", 2)(_ => lit(null).cast("string"))
     if (!spark.catalog.functionExists("pg_sleep"))
       spark.udf.register("pg_sleep", (secs: Double) => {
         Thread.sleep(math.max(0L, (secs * 1000).toLong)); ""

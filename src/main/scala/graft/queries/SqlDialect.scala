@@ -342,6 +342,41 @@ object SqlDialect {
       FROM src WHERE _id % 7 = 0
       ORDER BY probe, _id""")),
 
+    // PG JSON access + regex match operators through SQL text
+    // (Sql.g4:273-276, 743 → parser rewrite → j_json/j_text/regexp_like):
+    // `->`/`#>` keep JSON rendering (scalars verbatim, strings quoted),
+    // `->>`/`#>>` extract text, `~`/`~*`/`!~` are regex matches. The
+    // nested literal probes multi-step #> paths incl. array indexing.
+    QueryDef("q123_sql_json_regex_ops", (s, dir) => {
+      val (_, eng) = fresh(s)
+      Tables.registerAll(s, dir)
+      eng.sql("""
+        SELECT event_id,
+               props -> 'k' AS k_json,
+               props ->> 'k' AS k_text,
+               props -> 'missing' AS k_missing,
+               concat('{"a": {"b": [', CAST(event_id AS STRING), ', 7]}}')
+                 #> ARRAY['a', 'b', 0] AS nested0,
+               concat('{"a": {"b": [', CAST(event_id AS STRING), ', 7]}}')
+                 #>> ARRAY['a', 'b', 1] AS nested1,
+               event_type ~ '^(cl|pu)' AS m,
+               event_type ~* '^CLICK$' AS mi,
+               event_type !~ 'ck$' AS nm
+        FROM events WHERE event_id < 300 ORDER BY event_id""")
+    }, Some("""
+      SELECT event_id,
+             CAST(json_extract(props, '$.k') AS VARCHAR) AS k_json,
+             json_extract_string(props, '$.k') AS k_text,
+             CAST(json_extract(props, '$.missing') AS VARCHAR) AS k_missing,
+             CAST(json_extract('{"a": {"b": [' || CAST(event_id AS VARCHAR)
+               || ', 7]}}', '$.a.b[0]') AS VARCHAR) AS nested0,
+             json_extract_string('{"a": {"b": [' || CAST(event_id AS VARCHAR)
+               || ', 7]}}', '$.a.b[1]') AS nested1,
+             regexp_matches(event_type, '^(cl|pu)') AS m,
+             regexp_matches(event_type, '(?i)^CLICK$') AS mi,
+             NOT regexp_matches(event_type, 'ck$') AS nm
+      FROM events WHERE event_id < 300 ORDER BY event_id""")),
+
     // infix period predicates through SQL text (Sql.g4:227-243 → the
     // parser's p_* rewrite → Periods combinators). p1 = [d, d+30) per
     // order; fixed probes chosen so every predicate takes both truth

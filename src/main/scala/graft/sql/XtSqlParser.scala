@@ -377,6 +377,22 @@ object XtSqlParser {
       rewritten = rewriteOnePeriodPredicate(body)
       guard += 1
     }
+    // 2b''. PG JSON access (`x -> 'k'`, `#>` paths) and regex match
+    //       operators (`a ~ 'pat'`) → j_json/j_text/regexp_like calls
+    guard = 0
+    rewritten = rewriteOneJsonOp(body)
+    while (rewritten.isDefined && guard < 64) {
+      body = rewritten.get
+      rewritten = rewriteOneJsonOp(body)
+      guard += 1
+    }
+    guard = 0
+    rewritten = rewriteOneRegexOp(body)
+    while (rewritten.isDefined && guard < 64) {
+      body = rewritten.get
+      rewritten = rewriteOneRegexOp(body)
+      guard += 1
+    }
     // 2c. object constructors OBJECT(k: v)/RECORD(k: v)/{k: v} →
     //     named_struct (Sql.g4:388-393); outermost-first, re-tokenized so
     //     nested objects are picked up on later passes
@@ -808,6 +824,181 @@ object XtSqlParser {
             return Some(SqlLexer.splice(sql,
               Seq((toks(lhsStart).start, toks(rhsEnd).end,
                 s"$fn(($lhs), ($rhs))"))))
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  // ---- PG JSON access (-> ->> #> #>>, Sql.g4:273-276) and regex match
+  // (~ ~* !~ !~*, Sql.g4:743) infix operators -------------------------------
+
+  /** Start index of the operand that ends at `lhsEnd`: a balanced
+    * paren/bracket group (with optional function name), a dotted
+    * identifier chain, or a literal. -1 when the token at `lhsEnd` cannot
+    * end an operand (keyword, comma, other punct) — which is how a unary
+    * `~` (bit-not) or a lambda-less context is told apart from an infix
+    * operator. */
+  private def operandStartBefore(toks: Vector[Tok], lhsEnd: Int): Int = {
+    if (lhsEnd < 0) return -1
+    val p = toks(lhsEnd)
+    val ok = (p.kind == Tok.Ident &&
+      !nonOperandWords.contains(p.text.toUpperCase(java.util.Locale.ROOT))) ||
+      p.kind == Tok.QIdent || p.kind == Tok.Num || p.kind == Tok.Str ||
+      p.isPunct(")") || p.isPunct("]")
+    if (!ok) return -1
+    var lhsStart = lhsEnd
+    if (p.isPunct(")") || p.isPunct("]")) {
+      val open = if (p.isPunct(")")) "(" else "["
+      var depth = 0
+      var k = lhsEnd
+      var found = -1
+      while (k >= 0 && found < 0) {
+        if (toks(k).isPunct(p.text)) depth += 1
+        else if (toks(k).isPunct(open)) {
+          depth -= 1
+          if (depth == 0) found = k
+        }
+        k -= 1
+      }
+      lhsStart = if (found >= 0) found else lhsEnd
+      if (lhsStart > 0 && toks(lhsStart - 1).kind == Tok.Ident &&
+          !nonOperandWords.contains(
+            toks(lhsStart - 1).text.toUpperCase(java.util.Locale.ROOT)))
+        lhsStart -= 1
+    } else if (p.kind == Tok.Ident || p.kind == Tok.QIdent) {
+      while (lhsStart >= 2 && toks(lhsStart - 1).isPunct(".") &&
+        (toks(lhsStart - 2).kind == Tok.Ident ||
+          toks(lhsStart - 2).kind == Tok.QIdent)) lhsStart -= 2
+    }
+    lhsStart
+  }
+
+  private val jsonOps = Set("->", "->>", "#>", "#>>")
+  private val simpleJsonKey =
+    java.util.regex.Pattern.compile("^[A-Za-z_][A-Za-z0-9_]*$")
+
+  /** One JSON-path element from a literal token: integer → `[n]` (array
+    * index), string → `.key` or bracket-quoted when not a simple word. */
+  private def jsonPathElem(t: Tok): Option[String] = t.kind match {
+    case Tok.Num if !t.text.contains(".") => Some(s"[${t.text}]")
+    case Tok.Str =>
+      val k = t.text.substring(1, t.text.length - 1).replace("''", "'")
+      Some(if (simpleJsonKey.matcher(k).matches) "." + k
+      else "['" + k.replace("'", "\\'") + "']")
+    case _ => None
+  }
+
+  /** Rewrite the first `x -> 'k'` / `x ->> 0` / `x #> ARRAY['a','b']` /
+    * `x #>> ARRAY[…]` to `j_json`/`j_text` calls with the JSON path
+    * compiled at parse time (the path argument of the underlying Spark
+    * expressions must be foldable, so only literal keys/arrays are legal —
+    * exactly the reference grammar's shape). Chains (`x -> 'a' ->> 'b'`)
+    * resolve over successive passes, leftmost first. */
+  private def rewriteOneJsonOp(sql: String): Option[String] = {
+    val toks = SqlLexer.tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == Tok.Punct && jsonOps.contains(t.text)) {
+        val lhsStart = operandStartBefore(toks, i - 1)
+        val rhsStart = i + 1
+        if (lhsStart >= 0 && rhsStart < toks.length) {
+          var rhsEnd = -1
+          var path: String = null
+          if (!t.text.startsWith("#")) { // -> / ->> : one literal elem
+            jsonPathElem(toks(rhsStart)).foreach { e =>
+              path = "$" + e
+              rhsEnd = rhsStart
+            }
+          } else if (toks(rhsStart).is("ARRAY") && rhsStart + 1 < toks.length
+              && toks(rhsStart + 1).isPunct("[")) { // #> / #>> : ARRAY[…]
+            var depth = 0
+            var k = rhsStart + 1
+            var close = -1
+            while (k < toks.length && close < 0) {
+              if (toks(k).isPunct("[")) depth += 1
+              else if (toks(k).isPunct("]")) {
+                depth -= 1
+                if (depth == 0) close = k
+              }
+              k += 1
+            }
+            if (close > 0) {
+              val elems = Vector.newBuilder[String]
+              var ok = true
+              var expectElem = true
+              var j = rhsStart + 2
+              while (j < close && ok) {
+                if (expectElem) jsonPathElem(toks(j)) match {
+                  case Some(e) => elems += e; expectElem = false
+                  case None => ok = false
+                } else if (toks(j).isPunct(",")) expectElem = true
+                else ok = false
+                j += 1
+              }
+              if (ok && (!expectElem || close == rhsStart + 2)) {
+                path = "$" + elems.result().mkString
+                rhsEnd = close
+              }
+            }
+          }
+          if (rhsEnd >= 0) {
+            val fn =
+              if (t.text == "->" || t.text == "#>") "j_json" else "j_text"
+            val lhs = sql.substring(toks(lhsStart).start, toks(i - 1).end)
+            val pathLit = "'" + path.replace("'", "''") + "'"
+            return Some(SqlLexer.splice(sql,
+              Seq((toks(lhsStart).start, toks(rhsEnd).end,
+                s"$fn(($lhs), $pathLit)"))))
+          }
+        }
+      }
+      i += 1
+    }
+    None
+  }
+
+  // op → (negated, case-insensitive)
+  private val regexOps: Map[String, (Boolean, Boolean)] = Map(
+    "~" -> ((false, false)), "~*" -> ((false, true)),
+    "!~" -> ((true, false)), "!~*" -> ((true, true)))
+
+  /** Rewrite the first PG regex-match operator to `regexp_like`. A `~`
+    * with no operand to its left is unary bit-not and is left alone. */
+  private def rewriteOneRegexOp(sql: String): Option[String] = {
+    val toks = SqlLexer.tokenize(sql)
+    var i = 0
+    while (i < toks.length) {
+      val t = toks(i)
+      if (t.kind == Tok.Punct && regexOps.contains(t.text)) {
+        val lhsStart = operandStartBefore(toks, i - 1)
+        val rhsStart = i + 1
+        if (lhsStart >= 0 && rhsStart < toks.length) {
+          var rhsEnd = -1
+          val r0 = toks(rhsStart)
+          if (r0.isPunct("(")) rhsEnd = matchParen(toks, rhsStart)
+          else if (r0.kind == Tok.Ident || r0.kind == Tok.QIdent) {
+            var k = rhsStart
+            while (k + 2 < toks.length && toks(k + 1).isPunct(".") &&
+              (toks(k + 2).kind == Tok.Ident ||
+                toks(k + 2).kind == Tok.QIdent)) k += 2
+            rhsEnd =
+              if (k + 1 < toks.length && toks(k + 1).isPunct("("))
+                matchParen(toks, k + 1)
+              else k
+          } else if (r0.kind == Tok.Str) rhsEnd = rhsStart
+          if (rhsEnd >= 0) {
+            val (neg, ci) = regexOps(t.text)
+            val lhs = sql.substring(toks(lhsStart).start, toks(i - 1).end)
+            val rhs = sql.substring(toks(rhsStart).start, toks(rhsEnd).end)
+            val pat = if (ci) s"concat('(?i)', ($rhs))" else s"($rhs)"
+            val call = s"regexp_like(($lhs), $pat)"
+            return Some(SqlLexer.splice(sql,
+              Seq((toks(lhsStart).start, toks(rhsEnd).end,
+                if (neg) s"(NOT $call)" else s"($call)"))))
           }
         }
       }

@@ -389,6 +389,34 @@ class XtSqlDialectSpec extends AnyFunSuite {
       == Set("_id", "v"))
   }
 
+  test("JSON access + regex operators: chains, precedence, unary ~ intact") {
+    val (db, eng) = fresh()
+    eng.sql("""INSERT INTO j (_id, doc, name)
+               VALUES (1, '{"a": {"b": [5, 6]}, "s": "hi"}', 'Widget')""")
+    // chained -> resolves leftmost-first over successive passes
+    val r = eng.sql("""
+      SELECT doc -> 'a' -> 'b' -> 0 AS five,
+             doc ->> 's' AS s_text,
+             doc -> 's' AS s_json,
+             doc #>> ARRAY['a', 'b', 1] AS six,
+             name ~ '^Wid' AS m1,
+             name ~* '^wid' AS m2,
+             name !~* '^wid' AS m3,
+             5 & ~1 AS bits
+      FROM j WHERE _id = 1""").collect().head
+    assert(r.getString(0) == "5")
+    assert(r.getString(1) == "hi")
+    // `->` keeps JSON rendering: strings stay quoted
+    assert(r.getString(2) == "\"hi\"")
+    assert(r.getString(3) == "6")
+    assert(r.getBoolean(4) && r.getBoolean(5) && !r.getBoolean(6))
+    // unary bit-not must NOT be parsed as a regex operator (lhs is `&`)
+    assert(r.getAs[Any](7) == 4)
+    // missing key: -> gives SQL NULL
+    val miss = eng.sql("SELECT doc -> 'zzz' AS x FROM j").collect().head
+    assert(miss.isNullAt(0))
+  }
+
   test("* EXCLUDE and * RENAME on the select star") {
     val (db, eng) = fresh()
     import spark.implicits._
