@@ -3,11 +3,13 @@ package graft.operators
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** Real, pure-JVM media codecs for the container formats that need no
-  * external library: RIFF/WAVE PCM-16 audio and 24-bit uncompressed BMP
-  * images. These upgrade [[Multimodal]]'s honest FAKE decode to actual
-  * byte-level parsing for the formats a JVM can decode from first
-  * principles — jpeg/mp3/mp4 remain behind the labeled stub until codec
-  * libs exist in the runtime.
+  * external library: RIFF/WAVE PCM-16 audio, 24-bit uncompressed BMP and
+  * 8-bit RGB PNG images (hand-rolled), plus baseline JPEG through the
+  * JDK's own `javax.imageio` codec (shipped in every JRE — the one image
+  * format where a from-first-principles entropy decoder is out of
+  * scope). These upgrade [[Multimodal]]'s honest FAKE decode to actual
+  * byte-level parsing — mp3/mp4 remain behind the labeled stub until
+  * codec libs exist in the runtime.
   *
   * Everything here is per-row executor code: encode for fixtures, decode
   * in `mapPartitions` batches. No Spark imports — the operator layer owns
@@ -385,12 +387,50 @@ object MediaCodecs {
     BmpMeta(width, height, pixels)
   }
 
+  // ---- JPEG (baseline, via the JDK's javax.imageio codec) -----------------
+
+  /** Encode packed 0xRRGGBB pixels as baseline JPEG using the JRE's
+    * built-in writer (default settings — deterministic for a fixed JDK;
+    * lossy, so oracle checks must use tolerance-absorbing features, e.g.
+    * 16-level channel buckets on flat fixtures: round-trip mean error
+    * measured ≤ 2/255). Headless-safe: BufferedImage needs no display. */
+  def encodeJpeg(width: Int, height: Int, pixels: Array[Int]): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var i = 0
+    while (i < pixels.length) {
+      img.setRGB(i % width, i / width, pixels(i))
+      i += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, "jpeg", bos),
+      "no JPEG writer in this JRE")
+    bos.toByteArray
+  }
+
+  /** Decode a JPEG to top-down row-major packed 0xRRGGBB pixels. */
+  def decodeJpeg(bytes: Array[Byte]): BmpMeta = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    require(img != null, "not a decodable JPEG")
+    val w = img.getWidth
+    val h = img.getHeight
+    val px = new Array[Int](w * h)
+    var i = 0
+    while (i < px.length) {
+      px(i) = img.getRGB(i % w, i / w) & 0xffffff
+      i += 1
+    }
+    BmpMeta(w, h, px)
+  }
+
   /** Decode an image by container format — the per-row dispatch point a
     * mixed-format corpus needs (one table, many formats). */
   def decodeImage(bytes: Array[Byte], format: String): BmpMeta =
     format match {
       case "image/bmp" => decodeBmp(bytes)
       case "image/png" => decodePng(bytes)
+      case "image/jpeg" => decodeJpeg(bytes)
       case f => throw new IllegalArgumentException(s"no codec for $f")
     }
 }

@@ -331,6 +331,49 @@ object Infra {
              CAST(sum(b) AS BIGINT) AS sum_b
       FROM ch GROUP BY media_id ORDER BY media_id""")),
 
+    // ---- REAL JPEG decode through the oracle gate: lossy codecs can't
+    // hash-match raw pixels, so the fixtures are flat-color images with
+    // channel values centered in 16-level buckets (8 + 16j) and the
+    // features are the decoded per-channel bucket indices — the measured
+    // JPEG round-trip mean error (≤2/255 on flat blocks: DC-quantization
+    // + YCbCr rounding) cannot cross a bucket edge 8 levels away. Decode
+    // runs distributed through the same decodeImage dispatch as BMP/PNG
+    // (JDK javax.imageio codec); DuckDB predicts the buckets from the
+    // generating formula.
+    QueryDef("q124_multimodal_jpeg", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val w = 16 + (k % 8).toInt
+          val h = 12 + (k % 5).toInt
+          val rr = 8 + 16 * (k % 16).toInt
+          val gg = 8 + 16 * ((3 * k + 5) % 16).toInt
+          val bb = 8 + 16 * ((7 * k + 11) % 16).toInt
+          Row(k, _root_.graft.operators.MediaCodecs.encodeJpeg(
+            w, h, Array.fill(w * h)((rr << 16) | (gg << 8) | bb)),
+            "image/jpeg")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      val area = col("width") * col("height")
+      _root_.graft.operators.Multimodal.imageFeatures(media)
+        .select(col("media_id"), col("width"), col("height"),
+          floor(col("sum_r") / area / 16).cast("long").as("bucket_r"),
+          floor(col("sum_g") / area / 16).cast("long").as("bucket_g"),
+          floor(col("sum_b") / area / 16).cast("long").as("bucket_b"))
+        .orderBy("media_id")
+    }, Some("""
+      SELECT o_orderkey AS media_id,
+             CAST(16 + o_orderkey % 8 AS BIGINT) AS width,
+             CAST(12 + o_orderkey % 5 AS BIGINT) AS height,
+             CAST(o_orderkey % 16 AS BIGINT) AS bucket_r,
+             CAST((3 * o_orderkey + 5) % 16 AS BIGINT) AS bucket_g,
+             CAST((7 * o_orderkey + 11) % 16 AS BIGINT) AS bucket_b
+      FROM orders WHERE o_orderkey < 200 ORDER BY media_id""")),
+
     // ---- XTQL unify through the oracle gate (reference xtql.clj:306):
     // datalog-style var unification — customer/nation/region bind shared
     // logic vars nk/rk, the pipeline tail aggregates per region. Account
