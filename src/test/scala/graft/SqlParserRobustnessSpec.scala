@@ -88,11 +88,37 @@ class SqlParserRobustnessSpec extends AnyFunSuite {
     assert(!q("SELECT x FROM t WHERE contains(a, b)").contains("p_contains"))
   }
 
+  test("JSON access + regex operators rewrite; unary/ambiguous stay put") {
+    def q(sql: String): String =
+      XtSqlParser.parseQuery(sql).text
+    assert(q("SELECT doc -> 'k' FROM t")
+      .contains("j_json((doc), '$.k')"))
+    assert(q("SELECT doc ->> 0 FROM t")
+      .contains("j_text((doc), '$[0]')"))
+    assert(q("SELECT doc #> ARRAY['a', 'odd key', 2] FROM t")
+      .contains("j_json((doc), '$.a[''odd key''][2]')"))
+    assert(q("SELECT f(doc) #>> ARRAY['x'] FROM t")
+      .contains("j_text((f(doc)), '$.x')"))
+    // chains resolve leftmost-first into nested calls
+    assert(q("SELECT doc -> 'a' ->> 'b' FROM t")
+      .contains("j_text((j_json((doc), '$.a')), '$.b')"))
+    // non-literal rhs is NOT a JSON access (could be a lambda/expression)
+    assert(!q("SELECT doc -> other FROM t").contains("j_json"))
+    assert(q("SELECT a ~ '^x' FROM t")
+      .contains("regexp_like((a), ('^x'))"))
+    assert(q("SELECT a !~* b.pat FROM t")
+      .contains("(NOT regexp_like((a), concat('(?i)', (b.pat))))"))
+    // unary bit-not: no operand to the left → untouched
+    assert(!q("SELECT 5 & ~1 FROM t").contains("regexp_like"))
+    assert(!q("SELECT ~x FROM t").contains("regexp_like"))
+  }
+
   test("parser never hangs on arbitrary input: returns or throws cleanly") {
     val frag = Gen.oneOf("SELECT", "FROM", "t", "FOR", "VALID_TIME",
       "SYSTEM_TIME", "AS", "OF", "ALL", "BETWEEN", "AND", "INSERT", "INTO",
       "RECORDS", "{", "}", "(", ")", "'x'", "1", ",", "NEST_ONE",
-      "NEST_MANY", "ANY", ">", "=", "*", "__qq", "SETTING", "DEFAULT")
+      "NEST_MANY", "ANY", ">", "=", "*", "__qq", "SETTING", "DEFAULT",
+      "->", "->>", "#>", "#>>", "~", "~*", "!~", "ARRAY", "[", "]")
     val stmt = Gen.listOfN(12, frag).map(_.mkString(" "))
     samples(stmt, 500).foreach { s =>
       try { XtSqlParser.parse(s); () }
