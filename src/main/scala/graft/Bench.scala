@@ -31,7 +31,7 @@ object Bench {
     // this VM shows transient multi-second hypervisor stalls — the min is
     // the steady-state engine number, the stalls are not)
     val hotRuns = sys.env.getOrElse("SPARK_GRAFT_RUNS", "5").toInt
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.adaptive.enabled", aqe)
@@ -47,6 +47,13 @@ object Bench {
       .config("spark.locality.wait", "0")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+    // free-form config overrides for experiments:
+    // SPARK_GRAFT_CONF="spark.x=1;spark.y=2"
+    val spark = sys.env.get("SPARK_GRAFT_CONF").toSeq
+      .flatMap(_.split(";"))
+      .map(_.split("=", 2))
+      .collect { case Array(k, v) => (k.trim, v.trim) }
+      .foldLeft(builder) { case (b, (k, v)) => b.config(k, v) }
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // untimed warm-up: JIT + parquet footers, so cold timings reflect the

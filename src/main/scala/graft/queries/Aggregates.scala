@@ -125,6 +125,85 @@ object Aggregates {
         .agg(count(lit(1)).as("n"), round(sum("l_extendedprice"), 2).as("total"))
     }, Some("""
       SELECT count(*) AS n, round(sum(l_extendedprice), 2) AS total
-      FROM lineitem WHERE l_quantity < 0"""))
+      FROM lineitem WHERE l_quantity < 0""")),
+
+    // ROLLUP with grouping_id — BEYOND the reference (its grammar allows
+    // only plain grouping elements, Sql.g4:595-600; Spark provides
+    // grouping-set aggregation natively, like the rank/frame window
+    // extensions). Super-aggregate NULLs are coalesced to '(all)' so both
+    // engines sort the presentation identically.
+    QueryDef("q125_rollup", (s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity")).cast("long").as("qty"),
+          grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          col("n"), col("qty"), col("gid"))
+        .orderBy("gid", "rf", "ls")
+    }, Some("""
+      SELECT coalesce(l_returnflag, '(all)') AS rf,
+             coalesce(l_linestatus, '(all)') AS ls,
+             count(*) AS n,
+             CAST(sum(l_quantity) AS BIGINT) AS qty,
+             CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+               AS BIGINT) AS gid
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY gid, rf, ls""")),
+
+    // CUBE + explicit GROUPING SETS through SQL text (same beyond-the-
+    // reference note as q125)
+    QueryDef("q126_grouping_sets", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT coalesce(o_orderstatus, '(all)') AS st,
+               coalesce(o_orderpriority, '(all)') AS pr,
+               count(*) AS n,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+                 AS BIGINT) AS gid
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                                (o_orderstatus), ())
+        ORDER BY gid, st, pr""")
+    }, Some("""
+      SELECT coalesce(o_orderstatus, '(all)') AS st,
+             coalesce(o_orderpriority, '(all)') AS pr,
+             count(*) AS n,
+             CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+               AS BIGINT) AS gid
+      FROM orders
+      GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+                              (o_orderstatus), ())
+      ORDER BY gid, st, pr""")),
+
+    // DECIMAL arithmetic (reference expression.clj:940-957: checked
+    // decimal +|-|*, precision/scale growth): exact money math probed as
+    // scaled BIGINTs — sum of DECIMAL(12,2), a scale-4 product, and
+    // min/max — so engine-specific result precisions can't perturb the
+    // comparison while the underlying arithmetic must be exact.
+    QueryDef("q127_decimal", (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"),
+          col("l_extendedprice").cast("decimal(12,2)").as("p"),
+          col("l_discount").cast("decimal(12,2)").as("d"))
+        .groupBy(pmod(col("l_orderkey"), lit(7L)).cast("long").as("g"))
+        .agg(
+          (sum(col("p")) * 100).cast("long").as("sum_c"),
+          (min(col("p")) * 100).cast("long").as("min_c"),
+          (max(col("p")) * 100).cast("long").as("max_c"),
+          (sum(col("p") * col("d"))  * 10000).cast("long").as("wsum_c4"))
+        .orderBy("g")
+    }, Some("""
+      SELECT CAST(l_orderkey % 7 AS BIGINT) AS g,
+             CAST(sum(p) * 100 AS BIGINT) AS sum_c,
+             CAST(min(p) * 100 AS BIGINT) AS min_c,
+             CAST(max(p) * 100 AS BIGINT) AS max_c,
+             CAST(sum(p * d) * 10000 AS BIGINT) AS wsum_c4
+      FROM (SELECT l_orderkey,
+                   CAST(l_extendedprice AS DECIMAL(12,2)) AS p,
+                   CAST(l_discount AS DECIMAL(12,2)) AS d
+            FROM lineitem)
+      GROUP BY 1 ORDER BY g"""))
   )
 }
