@@ -387,16 +387,30 @@ object Tpch {
 
     // Q7: volume shipping between two nation groups
     QueryDef("q07_volume_shipping", (s, dir) => {
-      val n1 = t(s, dir, "nation")
-        .select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
-      val n2 = t(s, dir, "nation")
-        .select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+      // Selective-first join order (see q05's note): the two-nation filter
+      // reaches suppliers and customers BEFORE the fact joins — the
+      // supplier broadcast alone cuts lineitem to the two nations' 2/25
+      // ahead of the one big lineitem⋈orders shuffle. The cross-side OR
+      // (s=N1∧c=N2 ∨ s=N2∧c=N1) can only apply after both sides meet,
+      // but each side's ∈{N1,N2} superset pushes independently.
+      val n12 = t(s, dir, "nation")
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val sup = t(s, dir, "supplier")
+        .join(broadcast(n12.select(col("n_nationkey").as("sk"),
+          col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cus = t(s, dir, "customer")
+        .join(broadcast(n12.select(col("n_nationkey").as("ck"),
+          col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("ck"))
+        .select(col("c_custkey"), col("cust_nation"))
+      val ord = t(s, dir, "orders")
+        .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("cust_nation"))
       t(s, dir, "lineitem")
-        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
-        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
-        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(n1), col("s_nationkey") === col("sk"))
-        .join(broadcast(n2), col("c_nationkey") === col("ck"))
+        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
