@@ -74,9 +74,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // optional comma-separated name filter for local iteration (driver
+    // runs never set it)
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     // cold = first run (planning + codegen + execution); hot = best of N
     // steady-state repeats — mirrors the DuckDB baseline's best-of-3
-    val results = SparkEntry.all.filter(_.bench).map { d =>
+    val results = SparkEntry.all.filter(_.bench)
+      .filter(d => only.forall(_.contains(d.name))).map { d =>
       val cold = time(d.fn(spark, sfDir).collect())
       val hot = (1 to hotRuns).map(_ => time(d.fn(spark, sfDir).collect())).min
       (d.name, cold, hot)

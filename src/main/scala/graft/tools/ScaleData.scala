@@ -31,23 +31,32 @@ object ScaleData {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def replicated(name: String, keyCols: Seq[String]): DataFrame = {
+    def replicated(name: String, keyCols: Seq[String],
+        perReplica: (DataFrame, Int) => DataFrame = (df, _) => df): DataFrame = {
       val base = Tables.load(spark, src, name)
       (0 until factor).map { i =>
-        keyCols.foldLeft(base)((df, k) =>
-          df.withColumn(k, col(k) + lit(i * KeyOffset)))
+        perReplica(keyCols.foldLeft(base)((df, k) =>
+          df.withColumn(k, col(k) + lit(i * KeyOffset))), i)
       }.reduce(_ unionByName _)
     }
 
+    val grown = Set("lineitem", "orders", "events", "documents", "embeddings")
     val out: Map[String, DataFrame] = Map(
       "lineitem" -> replicated("lineitem", Seq("l_orderkey")),
       "orders" -> replicated("orders", Seq("o_orderkey")),
       "events" -> replicated("events", Seq("event_id")),
-    ) ++ (Tables.all.toSet -- Set("lineitem", "orders", "events")).map(t =>
+      // documents get a per-replica text salt so the dedup/similarity
+      // workload keeps its shape (mostly-unique docs, same dup rate per
+      // replica) instead of becoming factor-sized exact-duplicate groups
+      "documents" -> replicated("documents", Seq("doc_id"),
+        (df, i) => df.withColumn("text",
+          concat(col("text"), lit(s" r$i")))),
+      "embeddings" -> replicated("embeddings", Seq("vec_id")),
+    ) ++ (Tables.all.toSet -- grown).map(t =>
       t -> Tables.load(spark, src, t)).toMap
 
     out.foreach { case (name, df) =>
-      val n = if (Set("lineitem", "orders", "events")(name)) files else 1
+      val n = if (grown(name)) files else 1
       df.repartition(n)
         .write.mode(SaveMode.Overwrite)
         // ~4MB row groups => several splittable units per file
