@@ -13,6 +13,30 @@ import org.apache.spark.sql.functions._
   */
 object Joins {
 
+  /** Stats-greedy broadcast decision (the reference's `:mega-join` orders
+    * relations by stats before picking build sides, join.clj:599-736,
+    * `determine-build-side` 435-441): hint `derived` for broadcast when the
+    * BASE scan it was built from fits the session broadcast threshold.
+    *
+    * Why this exists: without catalog stats, Catalyst's planning-time size
+    * estimate for a join chain is a product over the children, which rules
+    * broadcast out for any derived side — AQE then converts to a broadcast
+    * join at runtime, but only AFTER every map stage (including the fact
+    * table's shuffle write) has already run. The base scan's size is a
+    * sound upper bound for the derived side — filters, projections, and
+    * dimension equi-joins only shrink it — so when the base scan is under
+    * the threshold, a planning-time hint is always safe and removes the
+    * fact-side shuffle entirely. At scale the base outgrows the threshold
+    * and the shuffle plan stands untouched; the decision adapts per
+    * dataset exactly like the reference's stats-greedy ordering.
+    */
+  def broadcastIfBaseSmall(base: DataFrame, derived: DataFrame): DataFrame = {
+    val threshold =
+      base.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    val scanBytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
+    if (threshold > 0 && scanBytes <= threshold) broadcast(derived) else derived
+  }
+
   /** Mark join: every left row, plus a boolean `markName` column answering
     * "does a right row with matching keys exist?" — the plan shape the
     * reference uses for `x IN (subquery)` (join.clj:228-271).

@@ -81,7 +81,8 @@ object Relational {
           col("o_custkey") === col("c_custkey"))
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      li.join(Joins.broadcastIfBaseSmall(t(s, dir, "orders"), ord),
+          col("l_orderkey") === col("o_orderkey"))
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -124,7 +125,11 @@ object Relational {
           col("o_custkey") === col("c_custkey"))
       val li = t(s, dir, "lineitem")
       val supp = t(s, dir, "supplier")
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      // stats-greedy: when the whole orders scan fits the broadcast
+      // threshold the fact side never shuffles; at scale the hint is a
+      // no-op and the shuffle plan stands (Joins.broadcastIfBaseSmall)
+      li.join(Joins.broadcastIfBaseSmall(t(s, dir, "orders"), ord),
+          col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.PresentOps
+import graft.operators.Joins
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -410,7 +411,8 @@ object Tpch {
         .select(col("o_orderkey"), col("cust_nation"))
       t(s, dir, "lineitem")
         .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(Joins.broadcastIfBaseSmall(t(s, dir, "orders"), ord),
+          col("l_orderkey") === col("o_orderkey"))
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),

@@ -64,6 +64,8 @@ object Profile {
         f"build=${(t1 - t0) / 1e6}%.0fms plan=${(t2 - t1) / 1e6}%.0fms " +
         f"exec=${(t3 - t2) / 1e6}%.0fms jobs=$j1 jobTime=${jm1}ms " +
         f"recollect=${(t5 - t4) / 1e6}%.0fms rejobs=${jobs - j1} rejobTime=${jobMs - jm1}ms")
+      if (i == runs && sys.env.contains("SPARK_GRAFT_EXPLAIN"))
+        println(graft.plans.Explain.report(df).render)
     }
     spark.stop()
   }
