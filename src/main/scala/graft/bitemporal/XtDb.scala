@@ -205,7 +205,13 @@ class XtDb(spark: SparkSession, root: String) {
       val all = committed ++
         staged.getOrElse(table, Nil).toSeq.map(d => spark.read.parquet(d))
       require(all.nonEmpty, s"submitTx: unknown table $table")
-      all.reduce(_.unionByName(_, allowMissingColumns = true))
+      // LUB-conform before combining: ops of one tx may carry conflicting
+      // types for a column (duv_promotion within-tx case) and a raw
+      // unionByName would let Spark coerce them (string->long cast error)
+      // instead of promoting to the tagged union
+      val lubbed = all.map(_.schema).reduce(DynamicSchema.mergeSchemas)
+      all.map(DynamicSchema.conform(_, lubbed))
+        .reduce(_.unionByName(_, allowMissingColumns = true))
     }
     val snapshot: TxSnapshot = new TxSnapshot {
       def events(table: String): DataFrame = viewEvents(table)
@@ -256,7 +262,9 @@ class XtDb(spark: SparkSession, root: String) {
           if (!ok) throw TxAbortedException(s"$label failed")
       }
       staged.foreach { case (table, dirs) =>
-        val df = dirs.map(spark.read.parquet(_))
+        val parts = dirs.map(spark.read.parquet(_)).toSeq
+        val lubbed = parts.map(_.schema).reduce(DynamicSchema.mergeSchemas)
+        val df = parts.map(DynamicSchema.conform(_, lubbed))
           .reduce(_.unionByName(_, allowMissingColumns = true))
         val conformed = evolveSchema(table, df)
         conformed.write.partitionBy(BUCKET).mode("append")
@@ -298,12 +306,11 @@ class XtDb(spark: SparkSession, root: String) {
       val existingSchema = loadSchema(table).getOrElse(events(table).schema)
       val merged = DynamicSchema.mergeSchemas(existingSchema, incoming.schema)
       if (!sameTypes(merged, existingSchema)) {
-        val unionTransition = merged.fields.exists { f =>
-          DynamicSchema.isUnion(f.dataType) &&
-            existingSchema.fields.exists(e => e.name == f.name &&
-              !DynamicSchema.isUnion(e.dataType))
-        }
-        if (unionTransition)
+        // A change the parquet reader can promote (numeric widening, added
+        // fields — incl. nested ones) is registry-only; a type flip (union
+        // transition at any depth, scalar->struct) needs the files rewritten
+        // because no read-side promotion can conjure the new shape.
+        if (!DynamicSchema.readPromotable(existingSchema, merged))
           rewriteTable(table, DynamicSchema.conform(events(table), merged))
         saveSchema(table, merged)
       }

@@ -34,13 +34,22 @@ object DynamicSchema {
   }
 
   /** Least-upper-bound of two column types: equal => itself; numeric pair
-    * => the wider; anything else => the tagged union struct. */
+    * => the wider; struct pair => field-wise LUB (the reference promotes
+    * WITHIN nested structs — merge-fields in types.clj:142-146, exercised
+    * by duv_promotion_test.clj: `{data {:utf8 1}}` then `{data {:utf8
+    * "x"}}` keeps `data` a struct and unions `data.utf8`); list pair =>
+    * element LUB; anything else => the tagged union struct. */
   def lub(a: DataType, b: DataType): DataType =
     if (a == b) a
     else if (isUnion(a) || isUnion(b)) unionType
-    else (numericRank.get(a), numericRank.get(b)) match {
-      case (Some(ra), Some(rb)) => if (ra >= rb) a else b
-      case _ => unionType
+    else (a, b) match {
+      case (sa: StructType, sb: StructType) => mergeSchemas(sa, sb)
+      case (ArrayType(ea, na), ArrayType(eb, nb)) =>
+        ArrayType(lub(ea, eb), na || nb)
+      case _ => (numericRank.get(a), numericRank.get(b)) match {
+        case (Some(ra), Some(rb)) => if (ra >= rb) a else b
+        case _ => unionType
+      }
     }
 
   /** Wrap a scalar column as a tagged-union struct value. */
@@ -93,8 +102,33 @@ object DynamicSchema {
         u.getField("f64").cast("string"),
         u.getField("bool").cast("string")))
 
+  /** Conform one value of type `cur` to the (LUB-wider) `target` type:
+    * union-wrap at union targets, recurse through structs (missing
+    * subfields become null) and arrays, plain cast for scalar widening. */
+  def conformColumn(c: Column, cur: DataType, target: DataType): Column =
+    if (cur == target) c
+    else if (isUnion(target)) toUnion(c, cur)
+    else (cur, target) match {
+      case (sc: StructType, st: StructType) =>
+        val fields = st.fields.map { f =>
+          sc.fields.find(_.name == f.name) match {
+            case Some(cf) =>
+              conformColumn(c.getField(f.name), cf.dataType, f.dataType)
+                .as(f.name)
+            case None => lit(null).cast(f.dataType).as(f.name)
+          }
+        }
+        when(c.isNull, lit(null).cast(st))
+          .otherwise(struct(fields.toIndexedSeq: _*))
+      case (ArrayType(ec, _), at @ ArrayType(et, _)) =>
+        when(c.isNull, lit(null).cast(at))
+          .otherwise(transform(c, x => conformColumn(x, ec, et)))
+      case _ => c.cast(target)
+    }
+
   /** Conform `df` to `target` schema: add missing columns as nulls, cast /
-    * union-wrap mismatched ones, preserve target order. */
+    * union-wrap mismatched ones (recursively through structs and arrays),
+    * preserve target order. */
   def conform(df: DataFrame, target: StructType): DataFrame = {
     val cols = target.fields.map { f =>
       if (!df.columns.contains(f.name))
@@ -102,12 +136,32 @@ object DynamicSchema {
       else {
         val cur = df.schema(f.name).dataType
         if (cur == f.dataType) col(f.name)
-        else if (isUnion(f.dataType)) toUnion(col(f.name), cur).as(f.name)
-        else col(f.name).cast(f.dataType).as(f.name)
+        else conformColumn(col(f.name), cur, f.dataType).as(f.name)
       }
     }
     df.select(cols.toIndexedSeq: _*)
   }
+
+  /** Can parquet files written with schema `existing` still be read through
+    * the wider `merged` schema without a physical rewrite? Scalar numeric
+    * widenings are promoted by the parquet reader and fields newly added
+    * to `merged` read as null; a type flip — union transition, scalar vs
+    * struct, string vs number — is not readable and forces a rewrite.
+    * Used by the write path to decide between O(1) registry-only evolution
+    * and a synchronous table rewrite (XtDb.evolveSchema). */
+  def readPromotable(existing: DataType, merged: DataType): Boolean =
+    if (existing == merged) true
+    else (existing, merged) match {
+      case (a, b) if numericRank.contains(a) && numericRank.contains(b) =>
+        numericRank(a) <= numericRank(b)
+      case (sa: StructType, sb: StructType) =>
+        sb.fields.forall { f =>
+          sa.fields.find(_.name == f.name)
+            .forall(ef => readPromotable(ef.dataType, f.dataType))
+        }
+      case (ArrayType(ea, _), ArrayType(eb, _)) => readPromotable(ea, eb)
+      case _ => false
+    }
 
   /** Merged (LUB) schema of two row schemas, keeping `a`'s column order and
     * appending new columns from `b`. */

@@ -86,6 +86,65 @@ class DynamicSchemaSpec extends AnyFunSuite {
     assert(ordered == Seq(3L, 1L, 2L)) // 1.5 < 42 < "hello"
   }
 
+  // reference duv_promotion_test.clj: a struct FIELD holding an int in one
+  // doc and a string in another promotes within the struct — `data` stays
+  // a struct, `data.utf8` becomes the union — both within one tx and
+  // across txs/restarts
+  test("struct-field promotion within one tx (duv_promotion 5714)") {
+    val db = freshDb()
+    import spark.implicits._
+    val a = Seq((0L, 1L)).toDF("_id", "n")
+      .select(col("_id"), struct(col("n").as("utf8")).as("data"))
+    val b = Seq((1L, "x")).toDF("_id", "s")
+      .select(col("_id"), struct(col("s").as("utf8")).as("data"))
+    db.submitTx(Seq(bitemporal.TxOp.Put("t", a), bitemporal.TxOp.Put("t", b)))
+    val cur = db.asOf("t")
+    assert(cur.schema("data").dataType.isInstanceOf[
+      org.apache.spark.sql.types.StructType])
+    val rendered = cur.select(col("_id"),
+        DynamicSchema.unionRender(col("data.utf8")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(rendered == Map(0L -> "1", 1L -> "x"))
+  }
+
+  test("cross-tx struct-field promotion survives reopen (duv_promotion 5714)") {
+    val root = java.nio.file.Files.createTempDirectory("xtdyn").toString
+    import spark.implicits._
+    def doc(id: Long, c: org.apache.spark.sql.Column) =
+      Seq(id).toDF("_id").select(col("_id"), struct(c.as("utf8")).as("data"))
+    locally {
+      val db = new XtDb(spark, root)
+      db.putDocs("t", doc(1L, lit(1L)))
+      db.putDocs("t", doc(2L, lit("x"))) // promotes data.utf8 to union
+      val rendered = db.asOf("t").select(col("_id"),
+          DynamicSchema.unionRender(col("data.utf8")).as("r"))
+        .as[(Long, String)].collect().toMap
+      assert(rendered == Map(1L -> "1", 2L -> "x"))
+    }
+    // a fresh instance over the same storage sees the promoted schema
+    val reopened = new XtDb(spark, root)
+    val rendered = reopened.asOf("t").select(col("_id"),
+        DynamicSchema.unionRender(col("data.utf8")).as("r"))
+      .as[(Long, String)].collect().toMap
+    assert(rendered == Map(1L -> "1", 2L -> "x"))
+  }
+
+  test("nested numeric widening stays registry-only; struct flip rewrites") {
+    import org.apache.spark.sql.types._
+    // parquet-read-promotable: nested int->long, added nested field
+    assert(DynamicSchema.readPromotable(
+      StructType(Seq(StructField("d", StructType(Seq(
+        StructField("n", IntegerType)))))),
+      StructType(Seq(StructField("d", StructType(Seq(
+        StructField("n", LongType), StructField("extra", StringType))))))))
+    // not promotable: nested scalar -> union struct
+    assert(!DynamicSchema.readPromotable(
+      StructType(Seq(StructField("d", StructType(Seq(
+        StructField("n", IntegerType)))))),
+      StructType(Seq(StructField("d", StructType(Seq(
+        StructField("n", DynamicSchema.unionType))))))))
+  }
+
   test("new columns appear with nulls for old rows") {
     val db = freshDb()
     import spark.implicits._
