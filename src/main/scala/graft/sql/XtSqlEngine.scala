@@ -405,11 +405,19 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
 
   // ---- DML → TxOp ---------------------------------------------------------
 
+  /** Scalar expression text from DML positions (SET clauses, RECORDS
+    * fields, WHERE) — applies the dialect's scalar-level rewrites
+    * (standard timestamp type names) before Spark parses it. */
+  private def expr(e: String): Column =
+    org.apache.spark.sql.functions.expr(
+      XtSqlParser.rewriteTimestampTypes(e))
+
   private def recordsDf(records: Seq[Record]): DataFrame =
     records.map { rec =>
       // nested {k: v} objects inside field values become named_struct
       val items = rec.map { case (name, e) =>
-        s"(${XtSqlParser.rewriteObjects(e)}) AS `$name`"
+        s"(${XtSqlParser.rewriteTimestampTypes(
+          XtSqlParser.rewriteObjects(e))}) AS `$name`"
       }
       spark.sql(s"SELECT ${items.mkString(", ")}")
     }.reduce(_.unionByName(_, allowMissingColumns = true))

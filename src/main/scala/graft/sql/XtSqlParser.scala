@@ -406,6 +406,11 @@ object XtSqlParser {
       rewritten = rewriteOneStarClause(body)
       guard += 1
     }
+    // 2d'. SQL-standard timestamp type names (Sql.g4 dateTimeType):
+    //      `TIMESTAMP [(p)] WITH TIME ZONE` → TIMESTAMP_LTZ (an instant,
+    //      rendered in the session zone — SET TIME ZONE governs, mirroring
+    //      default_tz_test.clj), `… WITHOUT TIME ZONE` → TIMESTAMP_NTZ
+    body = rewriteTimestampTypes(body)
     // 2e. SQL-standard `OFFSET n ROWS` / `FETCH FIRST|NEXT n ROWS ONLY`
     //     (Sql.g4:700-707) → Spark's LIMIT/OFFSET clauses
     body = rewriteFetchOffset(body)
@@ -683,6 +688,34 @@ object XtSqlParser {
   }
 
   // ---- OFFSET/FETCH (Sql.g4:700-707) --------------------------------------
+
+  /** SQL-standard timestamp type names → Spark's: `TIMESTAMP [(p)] WITH
+    * TIME ZONE` → `TIMESTAMP_LTZ`, `TIMESTAMP [(p)] WITHOUT TIME ZONE` →
+    * `TIMESTAMP_NTZ` (Sql.g4 dateTimeType; reference types.clj:258-262).
+    * Precision is accepted and dropped — Spark timestamps are fixed
+    * microsecond. Bare `TIMESTAMP` (literals, plain casts) is untouched. */
+  def rewriteTimestampTypes(sql: String): String = {
+    val toks = SqlLexer.tokenize(sql)
+    val splices = Vector.newBuilder[(Int, Int, String)]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).is("TIMESTAMP")) {
+        var j = i + 1
+        if (j + 2 < toks.length && toks(j).isPunct("(") &&
+            toks(j + 1).kind == Tok.Num && toks(j + 2).isPunct(")")) j += 3
+        val tz = j + 2 < toks.length &&
+          (toks(j).is("WITH") || toks(j).is("WITHOUT")) &&
+          toks(j + 1).is("TIME") && toks(j + 2).is("ZONE")
+        if (tz) {
+          splices += ((toks(i).start, toks(j + 2).end,
+            if (toks(j).is("WITH")) "TIMESTAMP_LTZ" else "TIMESTAMP_NTZ"))
+          i = j + 3
+        } else i += 1
+      } else i += 1
+    }
+    val s = splices.result()
+    if (s.isEmpty) sql else SqlLexer.splice(sql, s)
+  }
 
   /** `OFFSET n [ROW|ROWS] [FETCH FIRST|NEXT m [ROW|ROWS] ONLY]` and
     * standalone FETCH → Spark `LIMIT m OFFSET n`. All occurrences

@@ -66,6 +66,35 @@ class SqlSessionSpec extends AnyFunSuite {
     intercept[XtSqlParser.SqlParseException](eng.sql("COMMIT"))
   }
 
+  // reference default_tz_test.clj: the session default zone governs
+  // DATE -> TIMESTAMP WITH TIME ZONE casts; stored tstz values are
+  // instants (re-rendered, never reinterpreted, under a later zone), while
+  // a cast evaluated AT READ takes the query-time zone
+  test("default time zone governs casts (default_tz_test 396)") {
+    val (_, eng) = fresh()
+    val tzBefore = spark.conf.get("spark.sql.session.timeZone")
+    def tstzEpoch(): Long =
+      eng.sql("SELECT CAST(DATE '2020-08-01' AS TIMESTAMP WITH TIME ZONE) AS tstz")
+        .head.getTimestamp(0).getTime
+    try {
+      eng.sql("SET TIME ZONE 'Europe/London'")
+      assert(tstzEpoch() == 1596236400000L) // 2020-08-01T00:00+01:00
+      eng.sql("SET TIME ZONE 'America/Los_Angeles'")
+      assert(tstzEpoch() == 1596265200000L) // 2020-08-01T00:00-07:00
+
+      // write under London: the stored tstz pins the London instant
+      eng.sql("SET TIME ZONE 'Europe/London'")
+      eng.sql("INSERT INTO tzt RECORDS {_id: 'foo', dt: DATE '2020-08-01', " +
+        "tstz: CAST(DATE '2020-08-01' AS TIMESTAMP WITH TIME ZONE)}")
+      // read under LA: stored instant unchanged, read-time cast re-resolves
+      eng.sql("SET TIME ZONE 'America/Los_Angeles'")
+      val r = eng.sql("SELECT _id, tstz, " +
+        "CAST(dt AS TIMESTAMP WITH TIME ZONE) AS cast_tstz FROM tzt").head
+      assert(r.getTimestamp(1).getTime == 1596236400000L) // still +01:00
+      assert(r.getTimestamp(2).getTime == 1596265200000L) // now -07:00
+    } finally spark.conf.set("spark.sql.session.timeZone", tzBefore)
+  }
+
   test("SET/SHOW session variables, TIME ZONE, isolation, snapshot token") {
     val (_, eng) = fresh()
     val tzBefore = spark.conf.get("spark.sql.session.timeZone")
