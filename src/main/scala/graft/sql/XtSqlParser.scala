@@ -120,7 +120,11 @@ object XtSqlParser {
 
   def parse(sql: String): XtStatement = parse(sql, Set.empty)
 
-  def parse(sql: String, dbNames: Set[String]): XtStatement = {
+  def parse(sql0: String, dbNames: Set[String]): XtStatement = {
+    val sql =
+      try SqlLexer.normalizeDollarQuotes(sql0)
+      catch { case e: IllegalArgumentException =>
+        throw SqlParseException(e.getMessage) }
     val toks = SqlLexer.tokenize(sql)
     if (toks.isEmpty) throw SqlParseException("empty statement")
     toks.head.upper match {
@@ -299,9 +303,14 @@ object XtSqlParser {
     * `__db_<db>__<table>` ident before temporal-clause parsing, so
     * `other.t FOR SYSTEM_TIME AS OF …` works like any table ref
     * (reference: 3-part db.schema.table scans, sql.clj:2944). */
-  def parseQuery(sql0: String, dbNames: Set[String]): ParsedQuery = {
-    // fold qualified refs first so every later pass (and its spans) works
+  def parseQuery(sql00: String, dbNames: Set[String]): ParsedQuery = {
+    // dollar-quoted literals first (idempotent if parse() already did it),
+    // then fold qualified refs, so every later pass (and its spans) works
     // on one consistent text
+    val sql0 =
+      try SqlLexer.normalizeDollarQuotes(sql00)
+      catch { case e: IllegalArgumentException =>
+        throw SqlParseException(e.getMessage) }
     val sql: String = if (dbNames.isEmpty) sql0 else {
       val ts = SqlLexer.tokenize(sql0)
       val splices = Vector.newBuilder[(Int, Int, String)]
@@ -414,6 +423,9 @@ object XtSqlParser {
     // 2e. SQL-standard `OFFSET n ROWS` / `FETCH FIRST|NEXT n ROWS ONLY`
     //     (Sql.g4:700-707) → Spark's LIMIT/OFFSET clauses
     body = rewriteFetchOffset(body)
+    // 2f. comma-tolerant WHERE (XT-ism, expr_test test-where-commas):
+    //     `WHERE a = 1, , b = 2 ,` ≡ AND-chain, bare `WHERE` ≡ true
+    body = rewriteWhereCommas(body)
     // 3. temporal table refs
     toks = SqlLexer.tokenize(body)
     val refs = Vector.newBuilder[TemporalRef]
@@ -715,6 +727,73 @@ object XtSqlParser {
     }
     val s = splices.result()
     if (s.isEmpty) sql else SqlLexer.splice(sql, s)
+  }
+
+  /** Comma-tolerant WHERE (an XT-ism — reference expr_test
+    * test-where-commas; sql.clj plans WHERE as an `(and …)` of
+    * comma-separated terms): top-level commas inside a WHERE clause become
+    * ANDs, empty terms (leading/trailing/doubled commas) are dropped, and
+    * a WHERE with no terms at all becomes `WHERE true`. Clause extent is
+    * tracked by paren/bracket depth, so list commas (`IN (…)`, `ARRAY[…]`,
+    * function args) are never touched. */
+  private def rewriteWhereCommas(sql: String): String = {
+    var out = sql
+    var changed = rewriteOneWhereCommas(out)
+    var guard = 0
+    while (changed.isDefined && guard < 64) {
+      out = changed.get
+      changed = rewriteOneWhereCommas(out)
+      guard += 1
+    }
+    out
+  }
+
+  /** Rewrites the first WHERE clause (left-to-right) that has top-level
+    * commas or no terms; nested WHEREs are picked up on later passes. */
+  private def rewriteOneWhereCommas(sql: String): Option[String] = {
+    val toks = SqlLexer.tokenize(sql)
+    val terminators = Set("GROUP", "ORDER", "HAVING", "LIMIT", "OFFSET",
+      "FETCH", "UNION", "INTERSECT", "EXCEPT", "WINDOW", "QUALIFY",
+      "RETURNING")
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).is("WHERE")) {
+        var d = 0
+        var k = i + 1
+        var end = toks.length
+        val commas = Vector.newBuilder[Int]
+        var done = false
+        while (k < toks.length && !done) {
+          val u = toks(k)
+          if (u.isPunct("(") || u.isPunct("[")) { d += 1; k += 1 }
+          else if (u.isPunct(")") || u.isPunct("]")) {
+            if (d == 0) { end = k; done = true } else { d -= 1; k += 1 }
+          } else if (d == 0 && u.kind == Tok.Ident &&
+              terminators(u.upper)) { end = k; done = true }
+          else { if (d == 0 && u.isPunct(",")) commas += k; k += 1 }
+        }
+        val commaIdxs = commas.result()
+        val clauseEmpty = end == i + 1
+        if (commaIdxs.nonEmpty || clauseEmpty) {
+          // token index bounds of each comma-separated term
+          val bounds = (Vector(i) ++ commaIdxs ++ Vector(end))
+            .sliding(2).map { case Vector(a, b) => (a + 1, b) }.toVector
+          val terms = bounds
+            .filter { case (a, b) => b > a }
+            .map { case (a, b) =>
+              sql.substring(toks(a).start, toks(b - 1).end) }
+          val clauseEnd =
+            if (end < toks.length) toks(end).start else sql.length
+          val repl =
+            if (terms.isEmpty) "WHERE true "
+            else s"WHERE ${terms.mkString(" AND ")} "
+          return Some(SqlLexer.splice(sql,
+            Seq((toks(i).start, clauseEnd, repl))))
+        }
+      }
+      i += 1
+    }
+    None
   }
 
   /** `OFFSET n [ROW|ROWS] [FETCH FIRST|NEXT m [ROW|ROWS] ONLY]` and

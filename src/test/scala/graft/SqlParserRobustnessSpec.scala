@@ -20,6 +20,26 @@ class SqlParserRobustnessSpec extends AnyFunSuite {
     (0 until n).flatMap(i =>
       g.apply(Gen.Parameters.default, Seed(i.toLong)))
 
+  // reference sql/expr_test.clj test-dollar-quoted-strings
+  test("dollar-quoted strings normalize to standard literals") {
+    def norm(s: String) = graft.sql.SqlLexer.normalizeDollarQuotes(s)
+    assert(norm("SELECT $$$$") == "SELECT ''")
+    assert(norm("SELECT $tag$$tag$") == "SELECT ''")
+    assert(norm("SELECT $$foo$$ AS x") == "SELECT 'foo' AS x")
+    assert(norm("SELECT $tagged$inner$tagged$") == "SELECT 'inner'")
+    assert(norm("SELECT $$with$ dollars $ $$") == "SELECT 'with$ dollars $ '")
+    assert(norm("SELECT $in$foo $$$in$") == "SELECT 'foo $$'")
+    assert(norm("SELECT $$foo\nbar$$") == "SELECT 'foo\nbar'")
+    // embedded single quotes double; idempotent on the result
+    assert(norm("SELECT $$it's$$") == "SELECT 'it''s'")
+    assert(norm(norm("SELECT $$it's$$")) == "SELECT 'it''s'")
+    // $$ inside a standard literal or comment is untouched
+    assert(norm("SELECT '$$not a tag$$'") == "SELECT '$$not a tag$$'")
+    assert(norm("SELECT 1 -- $$c$$") == "SELECT 1 -- $$c$$")
+    // no matching end tag errors through the parser
+    assert(parseErr("SELECT $in$foo").contains("unterminated"))
+  }
+
   test("malformed temporal clauses raise positioned errors") {
     assert(parseErr("SELECT * FROM t FOR VALID_TIME AS 'x'")
       .contains("expected OF"))

@@ -96,6 +96,35 @@ class XtSqlDialectSpec extends AnyFunSuite {
       FOR SYSTEM_TIME AS OF TIMESTAMP '2024-02-15 00:00:00'""") == 1L)
   }
 
+  test("dollar-quoted strings run end-to-end (expr_test dollar-quotes)") {
+    val (_, eng) = fresh()
+    import spark.implicits._
+    assert(eng.sql("SELECT $$foo$$ AS x").as[String].collect().head == "foo")
+    eng.sql("INSERT INTO dq RECORDS {_id: 1, note: $tag$it's $quoted$$tag$}")
+    assert(eng.sql("SELECT note FROM dq WHERE _id = 1")
+      .as[String].collect().head == "it's $quoted$")
+  }
+
+  test("comma-tolerant WHERE chains terms with AND (expr_test where-commas)") {
+    val (_, eng) = fresh()
+    import spark.implicits._
+    eng.sql("INSERT INTO wc (_id, a, b) VALUES (1, 1, 2), (2, 1, 9), (3, 5, 2)")
+    def ids(q: String): Seq[Long] =
+      eng.sql(q).select("_id").as[Long].collect().toSeq.sorted
+    assert(ids("SELECT _id FROM wc WHERE a = 1, b = 2") == Seq(1L))
+    assert(ids("SELECT _id FROM wc WHERE , a = 1") == Seq(1L, 2L))
+    assert(ids("SELECT _id FROM wc WHERE a = 1, , b = 2 ,") == Seq(1L))
+    // bare WHERE keeps every row; list commas are untouched
+    assert(ids("SELECT _id FROM wc WHERE") == Seq(1L, 2L, 3L))
+    assert(ids("SELECT _id FROM wc WHERE a IN (1, 5), b = 2") == Seq(1L, 3L))
+    // nested subquery WHERE rewrites independently of the outer one
+    assert(ids("SELECT _id FROM wc WHERE a = 5, _id IN " +
+      "(SELECT _id FROM wc WHERE b = 2, a > 0)") == Seq(3L))
+    // terminator keywords end the clause
+    assert(ids("SELECT _id FROM wc WHERE a = 1, b = 2 ORDER BY _id LIMIT 1")
+      == Seq(1L))
+  }
+
   test("SQL DML: INSERT VALUES / RECORDS / SELECT, UPDATE, DELETE, ERASE") {
     val (db, eng) = fresh()
     import spark.implicits._
