@@ -47,7 +47,16 @@ object XtSql {
       Temporal.dateBin(toExpression(a.head).asInstanceOf[
         org.apache.spark.sql.catalyst.expressions.Literal]
         .value.toString.toLong, a(1)))
+    def registerVariadic(name: String, min: Int)(f: Seq[Column] => Column): Unit =
+      reg.createOrReplaceTempFunction(name, exprs => {
+        require(exprs.length >= min, s"$name expects at least $min args")
+        toExpression(f(exprs.map(toColumn)))
+      }, "scala_udf")
+
     register("period", 2)(a => Periods.period(a.head, a(1)))
+    // function-call OVERLAPS(p1, p2, …) — variadic (expr_test 3441); the
+    // infix `a OVERLAPS b` form rewrites to p_overlaps separately
+    registerVariadic("overlaps", 2)(Periods.overlapsAll)
     register("p_lower", 1)(a => Periods.lower(a.head))
     register("p_upper", 1)(a => Periods.upper(a.head))
     register("p_contains", 2)(a => Periods.containsPeriod(a.head, a(1)))

@@ -47,6 +47,12 @@ object Periods {
     f(p1) < f(p2) && t(p1) > t(p2)
   def overlaps(p1: Column, p2: Column): Column =
     f(p1) < t(p2) && t(p1) > f(p2)
+  /** Variadic OVERLAPS(p1, p2, …) (reference expr_test
+    * variadic-overlaps-3441): true iff all periods share a common
+    * instant — max(froms) < min(tos); for two periods this is exactly
+    * `overlaps`. */
+  def overlapsAll(ps: Seq[Column]): Column =
+    greatest(ps.map(f): _*) < least(ps.map(t): _*)
   def strictlyOverlaps(p1: Column, p2: Column): Column =
     f(p1) > f(p2) && t(p1) < t(p2)
   def equalsPeriod(p1: Column, p2: Column): Column =

@@ -328,7 +328,20 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
     val referenced = SqlLexer.tokenize(pq.text)
       .collect { case t if t.kind == Tok.Ident => t.text.toLowerCase }.toSet
     val dropMeta = metaCols.filterNot(referenced.contains)
-    def visible(df: DataFrame): DataFrame = df.drop(dropMeta: _*)
+    // `_valid_time` / `_system_time` are hidden PERIOD columns derived
+    // from the from/to pairs (reference Sql.g4 periodSpecs; expr_test
+    // variadic-overlaps queries them directly) — synthesized only when
+    // the query names them, before the unreferenced endpoints drop
+    val periodCols = Seq(
+      ("_valid_time", Bitemporal.VF, Bitemporal.VT),
+      ("_system_time", Bitemporal.SF, Bitemporal.ST))
+    def visible(df: DataFrame): DataFrame =
+      periodCols.foldLeft(df) { case (d, (name, fc, tc)) =>
+        if (referenced.contains(name))
+          d.withColumn(name,
+            graft.functions.Periods.period(col(fc), col(tc)))
+        else d
+      }.drop(dropMeta: _*)
     // bare table refs resolve under the query's default specs (views are
     // lazy — registering every store table costs nothing)
     db.tables.foreach { t =>

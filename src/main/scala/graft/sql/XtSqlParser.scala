@@ -711,17 +711,33 @@ object XtSqlParser {
     val splices = Vector.newBuilder[(Int, Int, String)]
     var i = 0
     while (i < toks.length) {
-      if (toks(i).is("TIMESTAMP")) {
+      // pg `timestamptz` alias, only in unambiguous type contexts:
+      // after a `::` cast, in `CAST(… AS timestamptz)`, or as a typed
+      // literal `TIMESTAMPTZ '…'` — never as a bare identifier
+      if (toks(i).is("TIMESTAMPTZ") && (
+            (i > 0 && toks(i - 1).isPunct("::")) ||
+            (i > 0 && toks(i - 1).is("AS") && i + 1 < toks.length &&
+              toks(i + 1).isPunct(")")) ||
+            (i + 1 < toks.length && toks(i + 1).kind == Tok.Str))) {
+        splices += ((toks(i).start, toks(i).end, "TIMESTAMP_LTZ"))
+        i += 1
+      } else if (toks(i).is("TIMESTAMP")) {
         var j = i + 1
         if (j + 2 < toks.length && toks(j).isPunct("(") &&
             toks(j + 1).kind == Tok.Num && toks(j + 2).isPunct(")")) j += 3
-        val tz = j + 2 < toks.length &&
+        // two-word `TIME ZONE` or single-word `TIMEZONE` (reference
+        // expr_test test-timezone-single-word-syntax)
+        val twoWord = j + 2 < toks.length &&
           (toks(j).is("WITH") || toks(j).is("WITHOUT")) &&
           toks(j + 1).is("TIME") && toks(j + 2).is("ZONE")
-        if (tz) {
-          splices += ((toks(i).start, toks(j + 2).end,
+        val oneWord = !twoWord && j + 1 < toks.length &&
+          (toks(j).is("WITH") || toks(j).is("WITHOUT")) &&
+          toks(j + 1).is("TIMEZONE")
+        if (twoWord || oneWord) {
+          val endTok = if (twoWord) toks(j + 2) else toks(j + 1)
+          splices += ((toks(i).start, endTok.end,
             if (toks(j).is("WITH")) "TIMESTAMP_LTZ" else "TIMESTAMP_NTZ"))
-          i = j + 3
+          i = (if (twoWord) j + 3 else j + 2)
         } else i += 1
       } else i += 1
     }

@@ -105,6 +105,40 @@ class XtSqlDialectSpec extends AnyFunSuite {
       .as[String].collect().head == "it's $quoted$")
   }
 
+  test("timestamptz spellings, :: casts, variadic OVERLAPS, _valid_time period") {
+    val (_, eng) = fresh()
+    import spark.implicits._
+    // single-word TIMEZONE + typed literal (expr_test 3612 / single-word)
+    assert(eng.sql("SELECT TIMESTAMP WITH TIMEZONE '2021-10-21 12:34:00+01:00' AS v")
+      .head.getTimestamp(0).getTime == 1634816040000L)
+    assert(eng.sql("SELECT CAST('2021-10-21 12:34:00+01:00' AS TIMESTAMP WITH TIMEZONE) AS v")
+      .head.getTimestamp(0).getTime == 1634816040000L)
+    // pg :: cast with the timestamptz alias
+    assert(eng.sql("SELECT '2021-10-21 12:34:00+01:00'::timestamptz AS v")
+      .head.getTimestamp(0).getTime == 1634816040000L)
+    // variadic OVERLAPS over _valid_time periods (expr_test 3441)
+    eng.sql("INSERT INTO vo (_id, _valid_from, _valid_to) VALUES " +
+      "(1, DATE '2020-01-01', DATE '2020-01-03'), " +
+      "(2, DATE '2020-01-03', DATE '2020-01-05')")
+    eng.sql("INSERT INTO vo2 (_id, _valid_from, _valid_to) VALUES " +
+      "(3, DATE '2020-01-01', DATE '2020-01-04'), " +
+      "(4, DATE '2020-01-04', DATE '2020-01-06')")
+    val pairs = eng.sql("""SETTING DEFAULT VALID_TIME ALL
+        SELECT vo._id AS a, vo2._id AS b FROM vo, vo2
+        WHERE OVERLAPS(vo._valid_time, vo2._valid_time)""")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((2L, 4L), (2L, 3L), (1L, 3L)))
+    // 3-ary: all three share an instant only for [01-01,01-03)x[01-01,01-04)
+    // x a probe period [01-02,01-03)
+    val tri = eng.sql("""SETTING DEFAULT VALID_TIME ALL
+        SELECT vo._id AS a, vo2._id AS b FROM vo, vo2
+        WHERE OVERLAPS(vo._valid_time, vo2._valid_time,
+                       period(TIMESTAMP '2020-01-02 00:00:00',
+                              TIMESTAMP '2020-01-03 00:00:00'))""")
+      .as[(Long, Long)].collect().toSet
+    assert(tri == Set((1L, 3L)))
+  }
+
   test("comma-tolerant WHERE chains terms with AND (expr_test where-commas)") {
     val (_, eng) = fresh()
     import spark.implicits._
