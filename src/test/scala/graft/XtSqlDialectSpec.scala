@@ -139,6 +139,31 @@ class XtSqlDialectSpec extends AnyFunSuite {
     assert(tri == Set((1L, 3L)))
   }
 
+  test("implicit string->temporal coercion; PERIOD with null endpoints") {
+    val (_, eng) = fresh()
+    import spark.implicits._
+    eng.sql("INSERT INTO tsc (_id, t, d) VALUES " +
+      "(1, TIMESTAMP '2026-01-15 10:00:00', DATE '2026-03-15')")
+    def ids(q: String): Seq[Long] =
+      eng.sql(q).select("_id").as[Long].collect().toSeq
+    // ISO strings (incl. T separator / Z suffix) coerce in comparisons
+    // (expr_test implicit-string-literal-to-temporal-coercion)
+    assert(ids("SELECT _id FROM tsc WHERE t >= '2026-01-15T09:00:00Z'") == Seq(1L))
+    assert(ids("SELECT _id FROM tsc WHERE '2026-01-15T09:00:00Z' <= t") == Seq(1L))
+    assert(ids("SELECT _id FROM tsc WHERE t BETWEEN '2026-01-15T09:00:00Z' " +
+      "AND '2026-01-15T11:00:00Z'") == Seq(1L))
+    assert(ids("SELECT _id FROM tsc WHERE t >= '2026-01-15T11:00:00Z'").isEmpty)
+    assert(ids("SELECT _id FROM tsc WHERE d >= '2026-03-14'") == Seq(1L))
+    assert(ids("SELECT _id FROM tsc WHERE '2026-03-16' > d") == Seq(1L))
+    // PERIOD(NULL, …) — unbounded endpoints are legal values (4315) and
+    // behave as ±infinity in predicates
+    val p = eng.sql("SELECT PERIOD(NULL, TIMESTAMP '2020-01-01 00:00:00') AS p")
+      .head.getStruct(0)
+    assert(p.isNullAt(0) && p.getTimestamp(1) != null)
+    assert(eng.sql("SELECT p_contains_ts(PERIOD(NULL, TIMESTAMP '2020-01-01 00:00:00'), " +
+      "TIMESTAMP '1900-06-01 00:00:00') AS v").head.getBoolean(0))
+  }
+
   test("comma-tolerant WHERE chains terms with AND (expr_test where-commas)") {
     val (_, eng) = fresh()
     import spark.implicits._
