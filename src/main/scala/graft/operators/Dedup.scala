@@ -219,4 +219,54 @@ object Dedup {
       .select(col("id1"), col("id2"),
         round(col("i") / (col("sz1") + col("sz2") - col("i")), 4).as("jaccard"))
   }
+
+  /** Duplicate-cluster assignment — the last mile of every dedup mode:
+    * candidate PAIRS (from LSH banding / SimHash / n-gram verify) become
+    * per-document cluster labels, each doc labelled with the MINIMUM id of
+    * its connected component, so "keep one doc per cluster" is
+    * `filter(id === label)`. Isolated docs (no pair) are absent — they are
+    * their own canonical.
+    *
+    * Label propagation to fixpoint: every node starts as its own label
+    * and repeatedly takes the min over itself and its neighbours. Rounds
+    * = component diameter, and near-dup clusters are short-diameter
+    * (boilerplate families collapse through their hub pairs in 2-3
+    * rounds); the 32-round guard bounds pathological chains.
+    *
+    * Scale design (100 TB target): each round is ONE shuffle join of the
+    * (small) label frame against the edge list plus a groupBy on the same
+    * key — edges are the dominant side and get persisted once up front;
+    * the convergence check rides the same aggregation (max label delta),
+    * a driver-side scalar, not a collect. This is the standard
+    * Pregel-style CC at fixed fan-in, the same shape GraphX uses, without
+    * dragging in RDDs. */
+  def dupClusters(pairs: DataFrame, id1: String = "id1",
+      id2: String = "id2"): DataFrame = {
+    val edges = pairs
+      .select(col(id1).as("src"), col(id2).as("dst"))
+      .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+    var converged = false
+    var round = 0
+    while (!converged && round < 32) {
+      val neighbourMin = edges
+        .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
+        .groupBy(col("src").as("node"))
+        .agg(min("label").as("nlabel"))
+      val next = labels.join(neighbourMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nlabel"), col("label")))
+            .as("label"),
+          (col("nlabel") < col("label")).as("__improved"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      converged = next.filter(col("__improved")).isEmpty
+      labels = next.select("node", "label")
+      round += 1
+    }
+    edges.unpersist()
+    labels
+  }
 }

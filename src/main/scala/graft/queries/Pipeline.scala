@@ -631,6 +631,43 @@ object Pipeline {
       -- itself (they exist at sf0.1) dedup to their min doc_id, exactly as
       -- the in-order stream state does
       SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS orig_id
-      FROM documents GROUP BY md5(text) ORDER BY orig_id"""))
+      FROM documents GROUP BY md5(text) ORDER BY orig_id""")),
+
+    // ---- duplicate-cluster assignment: LSH candidate pairs → connected
+    // components, every doc labelled with its cluster's min doc_id (the
+    // canonical survivor). Oracle = recursive-CTE reachability closure
+    // over the identical pair set.
+    QueryDef("q128_dedup_clusters", (s, dir) => {
+      val sigs = Dedup.minHashSignatures(docsWithDups(s, dir), "text", "doc_id", 8)
+      val pairs = Dedup.lshCandidatePairs(
+        Dedup.lshBands(sigs, "doc_id", 2, 4), "doc_id")
+      Dedup.dupClusters(pairs)
+        .select(col("node").cast("long").as("doc_id"),
+          col("label").cast("long").as("canonical"))
+        .presentSorted("doc_id")
+    }, Some(sigCte.replaceFirst("WITH", "WITH RECURSIVE") + """,
+      bands AS (
+        SELECT doc_id, 0 AS band,
+               md5(h1 || '|' || h2 || '|' || h3 || '|' || h4) AS band_hash
+        FROM sig
+        UNION ALL
+        SELECT doc_id, 1 AS band,
+               md5(h5 || '|' || h6 || '|' || h7 || '|' || h8) AS band_hash
+        FROM sig),
+      pairs AS (
+        SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2
+        FROM bands a JOIN bands b
+          ON a.band = b.band AND a.band_hash = b.band_hash
+         AND a.doc_id < b.doc_id),
+      edges AS (
+        SELECT id1 AS src, id2 AS dst FROM pairs
+        UNION
+        SELECT id2, id1 FROM pairs),
+      reach(n, l) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.n)
+      SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS canonical
+      FROM reach GROUP BY n ORDER BY doc_id"""))
   )
 }

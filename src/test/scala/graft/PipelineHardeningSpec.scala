@@ -19,6 +19,22 @@ class PipelineHardeningSpec extends AnyFunSuite {
 
   import spark.implicits._
 
+  test("dupClusters: chains, separate components, min-label canonicals") {
+    // component A is a 5-node CHAIN 1-2-3-4-5 (needs multiple propagation
+    // rounds), component B a triangle {10,11,12}, and one isolated pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("id1", "id2")
+    val labels = Dedup.dupClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(labels(_) == 1L))
+    assert(Seq(10L, 11L, 12L).forall(labels(_) == 10L))
+    assert(labels(20L) == 20L && labels(21L) == 20L)
+    assert(labels.size == 10)
+    // "keep one per cluster" = the three canonicals
+    assert(labels.filter { case (n, l) => n == l }.keySet == Set(1L, 10L, 20L))
+  }
+
   test("bucket cap drops the boilerplate mega-bucket; stats report it") {
     val boiler = "one two three four five six seven"
     val docs = ((1 to 200).map(i => (i.toLong, boiler)) ++
