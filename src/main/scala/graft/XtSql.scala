@@ -57,6 +57,26 @@ object XtSql {
     // function-call OVERLAPS(p1, p2, …) — variadic (expr_test 3441); the
     // infix `a OVERLAPS b` form rewrites to p_overlaps separately
     registerVariadic("overlaps", 2)(Periods.overlapsAll)
+    // generate_series / range as SQL functions (reference
+    // generate_series_test 3212/4067): inclusive / exclusive end, ARRAY
+    // result, and — unlike Spark's `sequence` — an EMPTY array (not an
+    // error, not auto-reversed) when the step sign cannot reach the stop.
+    // Works for numerics and date/timestamp × interval: the direction
+    // probe is `start + step <> start`, which types for both.
+    def series(exprs: Seq[Column], inclusive: Boolean): Column = {
+      val start = exprs.head
+      val stop = exprs(1)
+      val step = if (exprs.length > 2) exprs(2) else lit(1)
+      val asc = (start + step) > start
+      val desc = (start + step) < start
+      val empty = slice(array(start), 1, 0)
+      val seq0 = sequence(start, stop, step)
+      val seq = if (inclusive) seq0 else array_remove(seq0, stop)
+      when((asc && start > stop) || (desc && start < stop), empty)
+        .otherwise(seq)
+    }
+    registerVariadic("generate_series", 2)(series(_, inclusive = true))
+    registerVariadic("range", 2)(series(_, inclusive = false))
     register("p_lower", 1)(a => Periods.lower(a.head))
     register("p_upper", 1)(a => Periods.upper(a.head))
     register("p_contains", 2)(a => Periods.containsPeriod(a.head, a(1)))

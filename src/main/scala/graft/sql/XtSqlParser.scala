@@ -426,6 +426,24 @@ object XtSqlParser {
     // 2f. comma-tolerant WHERE (XT-ism, expr_test test-where-commas):
     //     `WHERE a = 1, , b = 2 ,` ≡ AND-chain, bare `WHERE` ≡ true
     body = rewriteWhereCommas(body)
+    // 2g. `WITH MATERIALIZED name AS (…)` (with_test mat-clause): the
+    //     materialization hint is accepted and dropped — Spark CTEs are
+    //     evaluated per Catalyst's own reuse decision; results identical
+    locally {
+      val ts = SqlLexer.tokenize(body)
+      val drops = Vector.newBuilder[(Int, Int, String)]
+      var k = 0
+      while (k < ts.length) {
+        if ((ts(k).is("WITH") || ts(k).isPunct(",")) &&
+            k + 3 < ts.length && ts(k + 1).is("MATERIALIZED") &&
+            (ts(k + 2).kind == Tok.Ident || ts(k + 2).kind == Tok.QIdent) &&
+            ts(k + 3).is("AS"))
+          drops += ((ts(k + 1).start, ts(k + 2).start, ""))
+        k += 1
+      }
+      val d = drops.result()
+      if (d.nonEmpty) body = SqlLexer.splice(body, d)
+    }
     // 3. temporal table refs
     toks = SqlLexer.tokenize(body)
     val refs = Vector.newBuilder[TemporalRef]
@@ -447,6 +465,11 @@ object XtSqlParser {
         val tableName =
           if (t.kind == Tok.QIdent) t.text.substring(1, t.text.length - 1)
           else t.text
+        // reference with_test 3440: temporal clauses are a scan concept;
+        // on a CTE reference they are an error, not silently ignored
+        if (cteNames(toks).contains(tableName.toLowerCase))
+          throw SqlParseException(
+            s"Period specifications not allowed on CTE reference: $tableName")
         refs += TemporalRef(tableName,
           valid.getOrElse(SpecAst.Current), system.getOrElse(SpecAst.Current),
           t.start, toks(j - 1).end)
@@ -454,6 +477,30 @@ object XtSqlParser {
       } else i += 1
     }
     ParsedQuery(body, defaultValid, defaultSystem, refs.result())
+  }
+
+  /** Names declared as CTEs anywhere in the text: `WITH [MATERIALIZED |
+    * RECURSIVE] name AS (` plus subsequent `, name AS (` members. */
+  private def cteNames(toks: Vector[Tok]): Set[String] = {
+    val names = Set.newBuilder[String]
+    var i = 0
+    while (i < toks.length) {
+      if (toks(i).is("WITH") || toks(i).isPunct(",")) {
+        var j = i + 1
+        if (j < toks.length &&
+          (toks(j).is("MATERIALIZED") || toks(j).is("RECURSIVE"))) j += 1
+        if (j + 2 < toks.length &&
+            (toks(j).kind == Tok.Ident || toks(j).kind == Tok.QIdent) &&
+            toks(j + 1).is("AS") && toks(j + 2).isPunct("(")) {
+          val t = toks(j)
+          names += (if (t.kind == Tok.QIdent)
+            t.text.substring(1, t.text.length - 1).toLowerCase
+          else t.text.toLowerCase)
+        }
+      }
+      i += 1
+    }
+    names.result()
   }
 
   private def dimAt(toks: Vector[Tok], i: Int): String = {

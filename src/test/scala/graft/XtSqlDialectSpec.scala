@@ -1,7 +1,7 @@
 package graft
 
 import graft.bitemporal.{TxAbortedException, XtDb}
-import graft.sql.XtSqlEngine
+import graft.sql.{XtSqlEngine, XtSqlParser}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
@@ -137,6 +137,45 @@ class XtSqlDialectSpec extends AnyFunSuite {
                               TIMESTAMP '2020-01-03 00:00:00'))""")
       .as[(Long, Long)].collect().toSet
     assert(tri == Set((1L, 3L)))
+  }
+
+  test("generate_series / range SQL functions (generate_series_test 3212/4067)") {
+    val (_, eng) = fresh()
+    import spark.implicits._
+    def arr(q: String): Seq[Long] =
+      eng.sql(q).head.getSeq[Any](0).map(_.toString.toLong)
+    assert(arr("SELECT generate_series(1, 4) xs") == Seq(1L, 2L, 3L, 4L))
+    assert(arr("SELECT generate_series(1, 8, 3) xs") == Seq(1L, 4L, 7L))
+    assert(arr("SELECT generate_series(10, 3) xs").isEmpty) // not reversed
+    assert(arr("SELECT generate_series(1, 1) xs") == Seq(1L))
+    assert(arr("SELECT generate_series(1, 2, 2) xs") == Seq(1L))
+    assert(arr("SELECT generate_series(5, 1, -1) xs") == Seq(5L, 4L, 3L, 2L, 1L))
+    assert(arr("SELECT range(1, 4) xs") == Seq(1L, 2L, 3L)) // exclusive end
+    // datetimes with interval steps, inclusive end
+    val dates = eng.sql("SELECT generate_series(DATE '2020-01-01', " +
+      "DATE '2020-01-04', INTERVAL '1' DAY) dates").head.getSeq[Any](0)
+    assert(dates.length == 4 && dates.head.toString.startsWith("2020-01-01"))
+    val months = eng.sql("SELECT generate_series(DATE '2020-01-01', " +
+      "DATE '2020-04-01', INTERVAL '1' MONTH) dates").head.getSeq[Any](0)
+    assert(months.length == 4)
+    val hours = eng.sql("SELECT generate_series(TIMESTAMP '2020-01-01 00:00:00', " +
+      "TIMESTAMP '2020-01-01 03:00:00', INTERVAL '1' HOUR) ts").head.getSeq[Any](0)
+    assert(hours.length == 4)
+  }
+
+  test("WITH MATERIALIZED CTEs; period specs on CTE refs error (3440)") {
+    val (_, eng) = fresh()
+    import spark.implicits._
+    eng.sql("INSERT INTO bar (_id) VALUES (3), (5)")
+    val r = eng.sql("""WITH MATERIALIZED foo AS (SELECT _id FROM bar WHERE _id = 5)
+        SELECT foo._id AS foo_id, baz._id AS baz_id FROM foo, foo AS baz""")
+      .as[(Long, Long)].collect().toSeq
+    assert(r == Seq((5L, 5L)))
+    val e = intercept[XtSqlParser.SqlParseException] {
+      eng.sql("WITH my_cte AS (SELECT * FROM bar) SELECT * FROM my_cte " +
+        "FOR SYSTEM_TIME AS OF TIMESTAMP '2024-01-01 00:00:00'")
+    }
+    assert(e.getMessage.contains("not allowed on CTE reference: my_cte"))
   }
 
   test("implicit string->temporal coercion; PERIOD with null endpoints") {
