@@ -179,7 +179,21 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
       case ExecuteStmt(name, args) =>
         val stmt = preparedStmts.getOrElse(name,
           throw SqlParseException(s"no prepared statement: $name"))
-        sql(bindParams(stmt, args))
+        val bound = bindParams(stmt, args)
+        parse(bound, dbNames) match {
+          // Prepared queries reuse their analyzed plan (reference plan
+          // cache, query.clj:305-328; prepared statements re-plan only on
+          // basis change). The key carries everything the plan closes
+          // over — bound text, snapshot token, frozen clock, session
+          // timezone — so any committed transaction rotates the key and
+          // the stale plan ages out of the LRU. Execution is a fresh
+          // QueryExecution each time: the data path re-runs in full.
+          case Query(pq) if openTx.isEmpty =>
+            graft.PlanCache.prepared(spark,
+              ("xtsql", bound, db.snapshotToken().toString, clock,
+                spark.conf.get("spark.sql.session.timeZone")))(runQuery(pq))
+          case _ => sql(bound)
+        }
       case WithReturning(dml, selectList) =>
         if (openTx.isDefined) throw SqlParseException(
           "RETURNING inside an open transaction is not supported")
