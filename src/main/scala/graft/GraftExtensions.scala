@@ -13,6 +13,9 @@ import org.apache.spark.sql.SparkSessionExtensions
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(extensions: SparkSessionExtensions): Unit = {
+    // iid point-lookup file pruning (reference scan.clj:161-199) — derive
+    // _iid/_bucket scan predicates from _id equality filters
+    extensions.injectOptimizerRule(_ => graft.plans.IidBucketPruning)
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo

@@ -30,5 +30,19 @@ object QueryDef {
       df.repartition(1).sortWithinPartitions(cols.head, cols.tail: _*)
     def presentSortedBy(cols: org.apache.spark.sql.Column*): DataFrame =
       df.repartition(1).sortWithinPartitions(cols: _*)
+
+    /** Presentation sort fused into the tail stage via `coalesce(1)` — for
+      * BOUNDED-GROUP aggregate tails only: the final merge of partial
+      * aggregates is O(groups) work, so folding merge + sort into one
+      * single-task stage removes a whole exchange round-trip without
+      * creating a straggler (the task's input is the map-side partials,
+      * k groups each, never the raw data). Do NOT use under a window or a
+      * high-cardinality aggregate — `coalesce` would serialize that
+      * computation; those keep `presentSorted` (own exchange) or a range
+      * `orderBy` (data-proportional results). */
+    def presentSortedK(cols: String*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(cols.head, cols.tail: _*)
+    def presentSortedKBy(cols: org.apache.spark.sql.Column*): DataFrame =
+      df.coalesce(1).sortWithinPartitions(cols: _*)
   }
 }

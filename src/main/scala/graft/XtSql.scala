@@ -34,6 +34,12 @@ object XtSql {
   /** Register the graft expression catalog for SQL texts. */
   def registerFunctions(spark: SparkSession): Unit = {
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    // iid point-lookup pruning rides the same session hook (idempotent):
+    // extension-built sessions get it via GraftExtensions instead
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.IidBucketPruning))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.IidBucketPruning)
     val reg = spark.sessionState.functionRegistry
     def register(name: String, arity: Int)(f: Seq[Column] => Column): Unit =
       reg.createOrReplaceTempFunction(name, exprs => {

@@ -249,6 +249,14 @@ object Dedup {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
+    // Iteration hygiene: `next` is materialized by the convergence check,
+    // after which the superseded round's cached frame is dropped — at most
+    // two label frames are ever pinned. Every few rounds the lineage is
+    // truncated with localCheckpoint (the materialized partitions become
+    // the new root), otherwise the logical plan grows one join per round
+    // and round-k planning cost is O(k) — the classic iterative-algorithm
+    // driver stall.
+    var pinned: Option[DataFrame] = None
     var converged = false
     var round = 0
     while (!converged && round < 32) {
@@ -256,13 +264,18 @@ object Dedup {
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min("label").as("nlabel"))
-      val next = labels.join(neighbourMin, Seq("node"), "left")
+      val joined = labels.join(neighbourMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"),
           (col("nlabel") < col("label")).as("__improved"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val next =
+        if (round % 4 == 3) joined.localCheckpoint(eager = true)
+        else joined.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       converged = next.filter(col("__improved")).isEmpty
+      pinned.foreach(_.unpersist())
+      pinned = Some(next)
       labels = next.select("node", "label")
       round += 1
     }

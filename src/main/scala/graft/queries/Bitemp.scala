@@ -239,7 +239,10 @@ object Bitemp {
           key = "user_id", leftTs = "ts_ms", rightTs = "ts_ms",
           payloadCols = Seq("last_purchase"), tieBreak = "event_id")
         .select(col("user_id"), col("event_id"), col("last_purchase"))
-        .presentSorted("user_id", "event_id")
+        // output is one row per click (data-proportional): a global range
+        // sort, not a single-task presentation sort — at 100x this result
+        // no longer fits one sort task
+        .orderBy("user_id", "event_id")
     }, Some("""
       WITH base AS (SELECT user_id, event_id, event_type, value,
                     epoch_ms(ts) AS ts_ms FROM events),

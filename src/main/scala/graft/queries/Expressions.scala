@@ -221,7 +221,7 @@ object Expressions {
         .groupBy(unix_timestamp(Temporal.dateBin(900, col("ts"))).as("bin"),
           col("event_type"))
         .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
-        .presentSorted("bin", "event_type")
+        .presentSortedK("bin", "event_type")
     }, Some("""
       SELECT ep - (ep % 900) AS bin, event_type, count(*) AS n,
              round(sum(value), 2) AS total

@@ -401,6 +401,255 @@ object Infra {
       JOIN nation ON c_nationkey = n_nationkey
       JOIN region ON n_regionkey = r_regionkey
       WHERE floor(c_acctbal * 100 + 0.5) > 0
-      GROUP BY r_name ORDER BY rname"""))
+      GROUP BY r_name ORDER BY rname""")),
+
+    // ---- PATCH valid-time gap filling through the oracle gate (reference
+    // sql/patch_test.clj): a doc over [03-01,03-10) patched over
+    // [02-20,03-20) yields patch-only docs in the head/tail gaps and a
+    // merged doc over the overlap; a new id fills its whole range; an
+    // unbounded FROM patch runs forever. The oracle is the expected
+    // rectangle set as a VALUES literal (valid times are explicit in the
+    // DML, so the result is fully deterministic).
+    QueryDef("q129_patch_gaps", (s, dir) => {
+      val (_, eng) = fresh(s)
+      eng.sql("""INSERT INTO gap (_id, v, _valid_from, _valid_to) VALUES
+        (7, 'orig', TIMESTAMP '2024-03-01 00:00:00',
+         TIMESTAMP '2024-03-10 00:00:00')""")
+      eng.sql("""PATCH INTO gap
+        FOR VALID_TIME FROM TIMESTAMP '2024-02-20 00:00:00'
+                        TO TIMESTAMP '2024-03-20 00:00:00'
+        RECORDS {_id: 7, p: 'patched'}""")
+      eng.sql("""PATCH INTO gap
+        FOR VALID_TIME FROM TIMESTAMP '2024-01-01 00:00:00'
+                        TO TIMESTAMP '2024-02-01 00:00:00'
+        RECORDS {_id: 2, p: 'new'}""")
+      eng.sql("""PATCH INTO gap
+        FOR VALID_TIME FROM TIMESTAMP '2030-01-01 00:00:00'
+        RECORDS {_id: 3, p: 'forever'}""")
+      eng.sql("""
+        SELECT CAST(_id AS BIGINT) AS id, v, p,
+               CAST(unix_timestamp(_valid_from) AS BIGINT) AS vf_ep,
+               CAST(unix_timestamp(_valid_to) AS BIGINT) AS vt_ep
+        FROM gap FOR ALL VALID_TIME
+        ORDER BY id, vf_ep""")
+    }, Some("""
+      SELECT * FROM (VALUES
+        (CAST(2 AS BIGINT), CAST(NULL AS VARCHAR), 'new',
+         CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT),
+         CAST(epoch(TIMESTAMP '2024-02-01 00:00:00') AS BIGINT)),
+        (3, NULL, 'forever',
+         CAST(epoch(TIMESTAMP '2030-01-01 00:00:00') AS BIGINT),
+         CAST(NULL AS BIGINT)),
+        (7, NULL, 'patched',
+         CAST(epoch(TIMESTAMP '2024-02-20 00:00:00') AS BIGINT),
+         CAST(epoch(TIMESTAMP '2024-03-01 00:00:00') AS BIGINT)),
+        (7, 'orig', 'patched',
+         CAST(epoch(TIMESTAMP '2024-03-01 00:00:00') AS BIGINT),
+         CAST(epoch(TIMESTAMP '2024-03-10 00:00:00') AS BIGINT)),
+        (7, NULL, 'patched',
+         CAST(epoch(TIMESTAMP '2024-03-10 00:00:00') AS BIGINT),
+         CAST(epoch(TIMESTAMP '2024-03-20 00:00:00') AS BIGINT)))
+        AS t(id, v, p, vf_ep, vt_ep)
+      ORDER BY id, vf_ep""")),
+
+    // ---- multi-op atomic transaction through the oracle gate (reference
+    // api.clj:258-339 submit-tx op vectors + ASSERT abort): one tx stages
+    // put -> update -> delete where each later op SEES the earlier staged
+    // effects (in-tx visibility); a second tx is aborted mid-flight by a
+    // failing ASSERT, rolling back its staged put. Output = final table
+    // rows + the xt.txs log (pinned system times make it deterministic).
+    QueryDef("q130_multi_op_tx", (s, dir) => {
+      val (db, eng) = fresh(s)
+      val docs = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey").as("_id"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("val_c"))
+      db.submitTx(Seq(
+          TxOp.Put("acct", docs),
+          TxOp.Update("acct", col("_id") % 2 === 0,
+            Seq("val_c" -> (col("val_c") * 2))),
+          TxOp.DeleteWhere("acct", col("_id") % 9 === 0)),
+        Some(ts("2025-02-01 00:00:00")))
+      try db.submitTx(Seq(
+          TxOp.Put("acct", s.sql("SELECT 500L AS _id, 1L AS val_c")),
+          TxOp.Assert("no-rows", snap =>
+            snap.current("acct").agg(expr("count(*) = 0 AS ok")))),
+        Some(ts("2025-02-02 00:00:00")))
+      catch { case _: _root_.graft.bitemporal.TxAbortedException => () }
+      eng.sql("SELECT CAST(_id AS BIGINT) AS a, val_c AS b FROM acct")
+        .withColumn("probe", lit("row"))
+        .unionByName(db.txs.select(
+          unix_timestamp(col("system_time")).as("a"),
+          when(col("committed"), 1L).otherwise(0L).as("b"),
+          lit("tx").as("probe")))
+        .orderBy("probe", "a")
+    }, Some("""
+      WITH src AS (
+        SELECT o_orderkey AS id,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS vc
+        FROM orders WHERE o_orderkey < 100)
+      SELECT * FROM (
+        SELECT CAST(id AS BIGINT) AS a,
+               CASE WHEN id % 2 = 0 THEN vc * 2 ELSE vc END AS b,
+               'row' AS probe
+        FROM src WHERE id % 9 <> 0
+        UNION ALL
+        SELECT CAST(epoch(TIMESTAMP '2025-02-01 00:00:00') AS BIGINT), 1, 'tx'
+        UNION ALL
+        SELECT CAST(epoch(TIMESTAMP '2025-02-02 00:00:00') AS BIGINT), 0, 'tx')
+      ORDER BY probe, a""")),
+
+    // ---- CBO join reorder on the managed-catalog path through the oracle
+    // gate (reference :mega-join stats ordering, join.clj:599-736): saved
+    // tables + ANALYZE give Catalyst column stats; with CBO on, the
+    // deliberately-bad written order (fact x fact first, selective dim
+    // last) is reordered so the filtered customer joins innermost — the
+    // require() makes the reorder itself part of the gate, and the oracle
+    // replays the relation from the raw tables. Integer cents before the
+    // sum keep the aggregate float-exact.
+    QueryDef("q131_cbo_reorder", (s, dir) => {
+      val wh = java.nio.file.Files
+        .createTempDirectory("graft_cbo_q131").toString
+      val prevCbo = s.conf.get("spark.sql.cbo.enabled", "false")
+      val prevReorder = s.conf.get("spark.sql.cbo.joinReorder.enabled", "false")
+      s.conf.set("spark.sql.cbo.enabled", "true")
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      try {
+        def save(name: String, df: DataFrame): Unit = {
+          s.sql(s"DROP TABLE IF EXISTS $name")
+          df.write.mode("overwrite").option("path", s"$wh/$name")
+            .saveAsTable(name)
+          s.sql(s"ANALYZE TABLE $name COMPUTE STATISTICS FOR ALL COLUMNS")
+        }
+        save("q131_li", Tables.load(s, dir, "lineitem")
+          .select(col("l_orderkey"),
+            floor(col("l_extendedprice") * 100 + lit(0.5)).cast("long")
+              .as("price_c")))
+        save("q131_ord", Tables.load(s, dir, "orders")
+          .select("o_orderkey", "o_custkey"))
+        save("q131_cust", Tables.load(s, dir, "customer")
+          .select("c_custkey", "c_mktsegment"))
+        val q = s.sql("""
+          SELECT c_mktsegment, count(*) AS n,
+                 CAST(sum(price_c) AS BIGINT) AS rev_c
+          FROM q131_li
+          JOIN q131_ord ON l_orderkey = o_orderkey
+          JOIN q131_cust ON o_custkey = c_custkey
+          WHERE c_mktsegment = 'BUILDING' AND c_custkey < 50
+          GROUP BY c_mktsegment""")
+        val joins = q.queryExecution.optimizedPlan.collect {
+          case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+        require(joins.nonEmpty, "no joins in optimized plan")
+        val innermost = joins.last.collectLeaves().map(_.toString)
+        require(innermost.exists(_.contains("q131_cust")),
+          s"CBO did not reorder: innermost join reads ${innermost.mkString(", ")}")
+        q
+      } finally {
+        s.conf.set("spark.sql.cbo.enabled", prevCbo)
+        s.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+      }
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS rev_c
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey < 50
+      GROUP BY c_mktsegment""")),
+
+    // ---- deterministic pg-compat function subset through the oracle gate
+    // (reference pgwire pg.clj:31-113 catalog-introspection surface): the
+    // constants BI tools read during schema sync. The oracle is the
+    // expected literal row.
+    QueryDef("q132_pg_compat", (s, dir) => {
+      val (_, eng) = fresh(s)
+      eng.sql("""
+        SELECT contains(version(), 'PostgreSQL') AS is_pg,
+               pg_backend_pid() AS pid,
+               current_database() AS db,
+               current_schema() AS sch,
+               pg_get_userbyid(10) AS owner,
+               current_setting('server_version') AS sv,
+               current_setting('server_version_num') AS svn,
+               current_setting('search_path') AS sp,
+               current_setting('max_index_keys') AS mik,
+               has_table_privilege('t', 'SELECT') AS htp,
+               pg_table_is_visible(0) AS ptv""")
+    }, Some("""
+      SELECT * FROM (VALUES
+        (true, 42, 'graft', 'public', 'graft', '16.0', '160000',
+         'public', '32', true, true))
+        AS t(is_pg, pid, db, sch, owner, sv, svn, sp, mik, htp, ptv)""")),
+
+    // ---- compaction through the oracle gate (reference Compactor.kt +
+    // PolygonCalculator.kt:43-46 erase semantics): after put -> update ->
+    // erase -> compact(), the current snapshot and the full bitemporal
+    // history must replay exactly as if compaction never happened — except
+    // erased ids, whose events are physically gone even under FOR ALL
+    // SYSTEM_TIME. History is probed as the DISTINCT (id, value) version
+    // set so the check is independent of rectangle-splitting layout
+    // (q74 covers the hard shapes).
+    QueryDef("q133_compact_erase", (s, dir) => {
+      val (db, eng) = fresh(s)
+      val docs = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 120)
+        .select(col("o_orderkey").as("_id"),
+          floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("vc"))
+      db.submitTx(Seq(TxOp.Put("ledger", docs)),
+        Some(ts("2025-03-01 00:00:00")))
+      db.submitTx(Seq(TxOp.Update("ledger", col("_id") % 3 === 0,
+          Seq("vc" -> (col("vc") + lit(7L))))),
+        Some(ts("2025-03-02 00:00:00")))
+      db.submitTx(Seq(TxOp.EraseWhere("ledger", col("_id") % 10 === 0)),
+        Some(ts("2025-03-03 00:00:00")))
+      db.compact("ledger")
+      eng.sql("""
+        SELECT 'cur' AS probe, CAST(_id AS BIGINT) AS id, vc FROM ledger
+        UNION ALL
+        SELECT DISTINCT 'hist', CAST(_id AS BIGINT), vc
+        FROM ledger FOR ALL SYSTEM_TIME FOR ALL VALID_TIME
+        ORDER BY probe, id, vc""")
+    }, Some("""
+      WITH src AS (
+        SELECT o_orderkey AS id,
+               CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS vc0
+        FROM orders WHERE o_orderkey < 120 AND o_orderkey % 10 <> 0)
+      SELECT * FROM (
+        SELECT 'cur' AS probe, CAST(id AS BIGINT) AS id,
+               CASE WHEN id % 3 = 0 THEN vc0 + 7 ELSE vc0 END AS vc
+        FROM src
+        UNION ALL
+        SELECT 'hist', id, vc0 FROM src
+        UNION ALL
+        SELECT 'hist', id, vc0 + 7 FROM src WHERE id % 3 = 0)
+      ORDER BY probe, id, vc""")),
+
+    // ---- iid point-lookup pruning through the oracle gate (reference
+    // operator/scan.clj:161-199 + Trie.kt:34-60): `_id = k` derives
+    // `_iid = md5(k)` + `_bucket = first-hex-char` at the scan via the
+    // IidBucketPruning optimizer rule — the require() makes the pruning
+    // itself part of the gate (the plan must carry the derived _bucket
+    // predicate), and the oracle replays the lookup from orders.
+    QueryDef("q134_point_lookup", (s, dir) => {
+      val (db, eng) = fresh(s)
+      db.submitTx(Seq(TxOp.Put("pts",
+        Tables.load(s, dir, "orders").filter(col("o_orderkey") < 500)
+          .select(col("o_orderkey").as("_id"),
+            floor(col("o_totalprice") * 100 + lit(0.5)).cast("long")
+              .as("price_c")))))
+      val q = eng.sql("SELECT CAST(_id AS BIGINT) AS id, price_c " +
+        "FROM pts WHERE _id = 42")
+      val pruned = q.queryExecution.optimizedPlan.exists {
+        case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) =>
+          c.references.exists(_.name == "_bucket")
+        case _ => false
+      }
+      require(pruned, "iid bucket pruning did not reach the scan")
+      q
+    }, Some("""
+      SELECT CAST(o_orderkey AS BIGINT) AS id,
+             CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
+      FROM orders WHERE o_orderkey = 42"""))
   )
 }

@@ -52,7 +52,8 @@ object Pipeline {
     QueryDef("q80_dedup_exact", (s, dir) => {
       Dedup.exactGroups(docsWithDups(s, dir), "text", "doc_id")
         .filter(col("n") > 1)
-        .presentSorted("keep_id")
+        // duplicate-group count is data-proportional: range sort (see q72)
+        .orderBy("keep_id")
     }, Some(dupCte + """
       SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
              count(*) AS n
@@ -82,7 +83,8 @@ object Pipeline {
     QueryDef("q82_dedup_minhash_pairs", (s, dir) => {
       val sigs = Dedup.minHashSignatures(docsWithDups(s, dir), "text", "doc_id", 8)
       Dedup.lshCandidatePairs(Dedup.lshBands(sigs, "doc_id", 2, 4), "doc_id")
-        .presentSorted("id1", "id2")
+        // candidate-pair count is data-proportional: range sort (see q72)
+        .orderBy("id1", "id2")
     }, Some(sigCte + """,
       bands AS (
         SELECT doc_id, 0 AS band,

@@ -36,7 +36,7 @@ object Relational {
           round(avg("l_extendedprice"), 2).as("avg_price"),
           round(avg("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
-        .presentSorted("l_returnflag", "l_linestatus")
+        .presentSortedK("l_returnflag", "l_linestatus")
     }, Some("""
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
@@ -135,7 +135,7 @@ object Relational {
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
-        .presentSortedBy(col("revenue").desc, col("n_name"))
+        .presentSortedKBy(col("revenue").desc, col("n_name"))
     }, Some("""
       SELECT n_name,
              round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue

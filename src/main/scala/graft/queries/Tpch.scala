@@ -376,7 +376,7 @@ object Tpch {
         .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("order_count"))
-        .presentSorted("o_orderpriority")
+        .presentSortedK("o_orderpriority")
     }, Some("""
       SELECT o_orderpriority, count(*) AS order_count
       FROM orders
@@ -419,7 +419,7 @@ object Tpch {
           year(col("l_shipdate")).cast("long").as("l_year"))
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
           .as("revenue"))
-        .presentSorted("supp_nation", "cust_nation", "l_year")
+        .presentSortedK("supp_nation", "cust_nation", "l_year")
     }, Some("""
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              CAST(extract(year FROM l_shipdate) AS BIGINT) AS l_year,
@@ -451,7 +451,7 @@ object Tpch {
         .agg(sum(floor((col("l_extendedprice") * (lit(1.0) - col("l_discount")) -
           col("p_retailprice") * col("l_quantity")) * 100 + lit(0.5))
           .cast("long")).as("profit_c"))
-        .presentSortedBy(col("nation"), col("o_year").desc)
+        .presentSortedKBy(col("nation"), col("o_year").desc)
     }, Some("""
       SELECT n_name AS nation,
              CAST(extract(year FROM o_orderdate) AS BIGINT) AS o_year,

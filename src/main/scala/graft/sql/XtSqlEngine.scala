@@ -229,10 +229,15 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
           Bitemporal.SF, Bitemporal.ST).filterNot(retRef.contains)
         affected.drop(dropRet: _*).createOrReplaceTempView("__returning_src")
         val out = spark.sql(s"SELECT $selectList FROM __returning_src")
-        val rows = out.collect().toSeq // pin results pre-commit
+        // Pin the RETURNING projection pre-commit WITHOUT driver memory:
+        // stage it to a temp parquet path (the tx-staging pattern) and
+        // return a scan of the staged copy — a 10^9-row UPDATE..RETURNING
+        // streams through executors; the driver never holds the rows.
+        val staged = java.nio.file.Files
+          .createTempDirectory("graft_returning").toString + "/out"
+        out.write.parquet(staged)
         db.submitTx(Seq(toTxOp(dml)))
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows, 1), out.schema)
+        spark.read.parquet(staged)
       case dml =>
         openTx match {
           case Some(buf) =>

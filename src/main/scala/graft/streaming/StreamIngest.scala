@@ -27,6 +27,27 @@ object StreamIngest {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .parquet(logDir)
 
+  /** The same op log read from a Kafka topic — the production source
+    * (reference modules/kafka KafkaCluster.kt). Identical downstream
+    * contract to `openLog`: only the source expression differs, every
+    * transform (indexer, dedup, windows, joins) is source-agnostic —
+    * StreamIngestSpec proves that by driving the same pipeline from a
+    * third source kind (MemoryStream). `format("kafka")` resolves at
+    * runtime from the spark-sql-kafka package (not bundled in this
+    * container, hence unexercised here); op batches arrive as JSON values
+    * parsed against the table schema. */
+  def openKafkaLog(spark: SparkSession, bootstrapServers: String,
+      topic: String, schema: StructType): DataFrame =
+    spark.readStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("subscribe", topic)
+      .option("startingOffsets", "earliest")
+      .load()
+      .select(from_json(col("value").cast("string"),
+        schema).as("op"))
+      .select(col("op.*"))
+
   /** The indexer: drain the op log into an XtDb table. Processes
     * synchronously per micro-batch (availableNow semantics when the caller
     * uses processAllAvailable). */
@@ -142,23 +163,34 @@ object StreamIngest {
     events
       .groupByKey(r => String.valueOf(r.get(keyIdx)))(Encoders.STRING)
       .flatMapGroupsWithState[Set[String], Row](
-        OutputMode.Append, timeoutConf) {
-        (_: String, rows: Iterator[Row],
-            state: org.apache.spark.sql.streaming.GroupState[Set[String]]) =>
-          if (state.hasTimedOut) {
-            state.remove()
-            Iterator.empty
-          } else {
-            var seen = state.getOption.getOrElse(Set.empty[String])
-            val out = rows.filter { r =>
-              val h = String.valueOf(r.get(hashIdx))
-              if (seen.contains(h)) false
-              else { seen += h; true }
-            }.toVector
-            state.update(seen)
-            stateTimeout.foreach(state.setTimeoutDuration)
-            out.iterator
-          }
-      }(Encoders.kryo[Set[String]], Encoders.row(schema))
+        OutputMode.Append, timeoutConf)(
+        dedupGroup(hashIdx, stateTimeout)
+      )(Encoders.kryo[Set[String]], Encoders.row(schema))
+  }
+
+  /** The per-group dedup state function, factored out so eviction semantics
+    * are unit-testable without wall-clock timeout scheduling: a timed-out
+    * invocation removes the key's state (a later re-arrival of the same
+    * hash re-emits — the batch dedup downstream is the exactness backstop);
+    * a live invocation emits first occurrences and re-arms the TTL. */
+  private[graft] def dedupGroup(hashIdx: Int,
+      stateTimeout: Option[String])(key: String,
+      rows: Iterator[org.apache.spark.sql.Row],
+      state: org.apache.spark.sql.streaming.GroupState[Set[String]])
+      : Iterator[org.apache.spark.sql.Row] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var seen = state.getOption.getOrElse(Set.empty[String])
+      val out = rows.filter { r =>
+        val h = String.valueOf(r.get(hashIdx))
+        if (seen.contains(h)) false
+        else { seen += h; true }
+      }.toVector
+      state.update(seen)
+      stateTimeout.foreach(state.setTimeoutDuration)
+      out.iterator
+    }
   }
 }
