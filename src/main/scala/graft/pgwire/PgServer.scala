@@ -94,8 +94,16 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
             case 'H' => out.flush()
             case _ if skipUntilSync => () // discard until Sync after error
             case 'Q' =>
-              simpleQuery(eng, r.cstr(), out)
-              readyForQuery(out)
+              val text = r.cstr()
+              val stmts = splitScript(text)
+              if (stmts.length == 1 && isCopyFromStdin(stmts.head)) {
+                try copyInWire(stmts.head, in, out)
+                catch { case e: Exception => error(out, e) }
+                readyForQuery(out)
+              } else {
+                simpleQuery(eng, text, out)
+                readyForQuery(out)
+              }
             case 'P' => // Parse
               val name = r.cstr(); val query = r.cstr()
               val nOids = r.i16(); (0 until nOids).foreach(_ => r.i32())
@@ -256,6 +264,88 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
       msg(out, 'C')(w => cstr(w, commandTag(stmt)))
     }
   }
+
+  // ---- COPY FROM STDIN subprotocol (reference pgwire.clj:1301-1321:
+  // wire COPY accepts arrow-file / arrow-stream / transit-json encodings;
+  // here json-lines stands in for transit-json — same line-delimited doc
+  // maps, without the transit tag layer — plus csv for pg compatibility).
+
+  private def isCopyFromStdin(stmt: String): Boolean = {
+    val toks = SqlLexer.tokenize(stmt)
+    toks.headOption.exists(_.is("COPY")) && toks.exists(_.is("STDIN"))
+  }
+
+  /** Run the CopyInResponse/CopyData/CopyDone exchange and ingest the
+    * payload. The socket is the driver-side funnel every wire COPY has;
+    * decode hands rows straight to the distributed put path. */
+  private def copyInWire(stmt: String, in: DataInputStream,
+      out: DataOutputStream): Unit = {
+    val toks = SqlLexer.tokenize(stmt)
+    require(toks.length >= 2, "COPY: missing table name")
+    val table = toks(1).text.toLowerCase
+    // WITH (FORMAT 'x') / WITH FORMAT 'x': value is the token after FORMAT
+    val fmt = toks.zipWithIndex.collectFirst {
+      case (t, i) if t.is("FORMAT") && i + 1 < toks.length =>
+        stripQuotes(toks(i + 1).text).toLowerCase
+    }.getOrElse("json")
+    msg(out, 'G') { w => w.writeByte(0); w.writeShort(0) } // CopyInResponse
+    out.flush()
+    val buf = new java.io.ByteArrayOutputStream()
+    var done = false
+    var failed: Option[String] = None
+    while (!done) {
+      val t = in.read()
+      if (t < 0) throw new EOFException("connection closed mid-COPY")
+      val len = in.readInt()
+      val payload = new Array[Byte](len - 4)
+      in.readFully(payload)
+      t.toChar match {
+        case 'd' => buf.write(payload) // CopyData
+        case 'c' => done = true // CopyDone
+        case 'f' => // CopyFail
+          failed = Some(new Reader(payload).cstr()); done = true
+        case 'H' | 'S' => () // Flush/Sync mid-copy: ignore
+        case other => throw new IllegalStateException(
+          s"unexpected message '$other' during COPY")
+      }
+    }
+    failed match {
+      case Some(reason) =>
+        errorMsg(out, "57014", s"COPY cancelled by client: $reason")
+      case None =>
+        val bytes = buf.toByteArray
+        val docs: DataFrame = fmt match {
+          case "json" | "jsonl" | "transit-json" =>
+            import spark.implicits._
+            val lines = new String(bytes, UTF_8).split('\n')
+              .map(_.trim).filter(_.nonEmpty).toSeq
+            spark.read.json(spark.createDataset(lines))
+          case "csv" =>
+            import spark.implicits._
+            val lines = new String(bytes, UTF_8).split('\n')
+              .map(_.stripSuffix("\r")).filter(_.nonEmpty).toSeq
+            spark.read.option("header", "true").option("inferSchema", "true")
+              .csv(spark.createDataset(lines))
+          case "arrow-file" | "arrow" =>
+            graft.sources.ArrowSource.readBytes(spark, bytes,
+              streaming = false)
+          case "arrow-stream" =>
+            graft.sources.ArrowSource.readBytes(spark, bytes,
+              streaming = true)
+          case other => throw new IllegalArgumentException(
+            s"COPY format not supported over the wire: $other " +
+              "(json | csv | arrow-file | arrow-stream)")
+        }
+        val n = docs.count()
+        db.putDocs(table, docs)
+        msg(out, 'C')(w => cstr(w, s"COPY $n"))
+    }
+  }
+
+  private def stripQuotes(s: String): String =
+    if (s.length >= 2 && s.head == '\'' && s.last == '\'')
+      s.substring(1, s.length - 1)
+    else s
 
   /** Statements that produce a client-visible result set. */
   private def isResultSet(stmt: String): Boolean = {

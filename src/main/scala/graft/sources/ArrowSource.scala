@@ -81,6 +81,56 @@ object ArrowSource {
         s"arrow vector not mapped: ${other.getClass.getName}")
     }
 
+  private def rootSchema(
+      root: org.apache.arrow.vector.VectorSchemaRoot): StructType = {
+    val fields = root.getSchema.getFields
+    StructType((0 until fields.size).map { i =>
+      val f = fields.get(i)
+      StructField(f.getName, sparkType(f), nullable = true)
+    })
+  }
+
+  private def drainBatches(
+      reader: org.apache.arrow.vector.ipc.ArrowReader,
+      root: org.apache.arrow.vector.VectorSchemaRoot,
+      schema: StructType): Seq[Row] = {
+    val out = scala.collection.mutable.ArrayBuffer[Row]()
+    while (reader.loadNextBatch()) {
+      val vectors = (0 until schema.length)
+        .map(c => root.getVector(schema(c).name))
+      var i = 0
+      while (i < root.getRowCount) {
+        out += Row.fromSeq(vectors.map(v => cellValue(v, i)))
+        i += 1
+      }
+    }
+    out.toSeq
+  }
+
+  /** Decode Arrow IPC bytes received over a wire protocol (pgwire COPY
+    * payloads; reference pgwire.clj:1301-1321 accepts arrow-file and
+    * arrow-stream encodings). The bytes already traveled through the
+    * driver socket — the decode is driver-side by construction; the
+    * result re-distributes on the subsequent table write. */
+  def readBytes(spark: SparkSession, bytes: Array[Byte],
+      streaming: Boolean): DataFrame = {
+    val alloc = new RootAllocator(Long.MaxValue)
+    val reader: org.apache.arrow.vector.ipc.ArrowReader =
+      if (streaming)
+        new org.apache.arrow.vector.ipc.ArrowStreamReader(
+          new java.io.ByteArrayInputStream(bytes), alloc)
+      else new ArrowFileReader(
+        new ByteArrayReadableSeekableByteChannel(bytes), alloc)
+    try {
+      val root = reader.getVectorSchemaRoot
+      val schema = rootSchema(root)
+      val rows = drainBatches(reader, root, schema)
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows,
+          math.max(1, rows.length / 10000)), schema)
+    } finally { reader.close(); alloc.close() }
+  }
+
   /** Read a file or directory of Arrow IPC files. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val files = spark.read.format("binaryFile")

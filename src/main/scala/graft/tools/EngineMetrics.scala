@@ -74,4 +74,35 @@ object EngineMetrics {
       "executor_run_ms" -> c.executorRunMs.get) ++ txRows)
       .toDF("metric", "value")
   }
+
+  /** HTTP scrape endpoint in the Prometheus text exposition format
+    * (reference monitoring module: modules/kafka/.../prometheus.yml scrapes
+    * an HTTP target; the format spec is public Prometheus documentation).
+    * JDK-built-in httpserver — no extra dependency; counters are gauges
+    * from `snapshot`, rendered per scrape. Returns the server for
+    * `stop()`; port 0 binds an ephemeral port (`getAddress.getPort`). */
+  def serveHttp(spark: SparkSession, db: Option[XtDb], port: Int = 0)
+      : com.sun.net.httpserver.HttpServer = {
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress(port), 0)
+    server.createContext("/metrics",
+      (exchange: com.sun.net.httpserver.HttpExchange) => {
+        val body =
+          try {
+            snapshot(spark, db).collect().map { r =>
+              val name = s"graft_${r.getString(0)}"
+              s"# TYPE $name gauge\n$name ${r.getLong(1)}"
+            }.mkString("", "\n", "\n")
+          } catch { case e: Exception => s"# scrape failed: ${e.getMessage}\n" }
+        val bytes = body.getBytes("UTF-8")
+        exchange.getResponseHeaders.set("Content-Type",
+          "text/plain; version=0.0.4; charset=utf-8")
+        exchange.sendResponseHeaders(200, bytes.length)
+        val os = exchange.getResponseBody
+        os.write(bytes); os.close()
+      })
+    server.setExecutor(null) // serial scrapes — a scrape is a tiny query
+    server.start()
+    server
+  }
 }

@@ -36,4 +36,25 @@ class EngineMetricsSpec extends AnyFunSuite {
     eng.sql("SELECT count(*) AS n FROM mt").collect()
     assert(metric("jobs") >= jobsBefore)
   }
+
+  test("/metrics scrape endpoint serves Prometheus text format") {
+    val db = new graft.bitemporal.XtDb(spark,
+      java.nio.file.Files.createTempDirectory("metrics_http").toString)
+    new graft.sql.XtSqlEngine(spark, db)
+      .sql("INSERT INTO mh RECORDS {_id: 1}")
+    val server = graft.tools.EngineMetrics.serveHttp(spark, Some(db))
+    try {
+      val url = new java.net.URI(
+        s"http://127.0.0.1:${server.getAddress.getPort}/metrics").toURL
+      val conn = url.openConnection()
+        .asInstanceOf[java.net.HttpURLConnection]
+      val body = new String(conn.getInputStream.readAllBytes(), "UTF-8")
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType.startsWith("text/plain"))
+      // exposition format: TYPE comment + `name value` lines
+      assert(body.contains("# TYPE graft_jobs gauge"))
+      assert(body.linesIterator.exists(_.matches("graft_tasks \\d+")))
+      assert(body.linesIterator.exists(_.matches("graft_txs_committed [1-9]\\d*")))
+    } finally server.stop(0)
+  }
 }

@@ -244,4 +244,74 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(dataRows(tz).map(c.row) == Seq(Seq("UTC")))
     c2.close(); c.close()
   }
+
+  test("COPY FROM STDIN over the wire: json, csv and arrow-stream formats") {
+    val c = new Client(server.boundPort)
+    c.startup(); c.untilReady()
+
+    def copyIn(sql: String, chunks: Seq[Array[Byte]]): Seq[String] = {
+      c.send('Q')(w => c.cstr(w, sql))
+      val (t, _) = c.recv()
+      assert(t == 'G', s"expected CopyInResponse, got $t")
+      chunks.foreach(chunk => c.send('d')(_.write(chunk)))
+      c.send('c')(_ => ()) // CopyDone
+      tag(c.untilReady())
+    }
+
+    // json lines (the transit-json stand-in), split across CopyData chunks
+    val t1 = copyIn("COPY wire_j FROM STDIN WITH (FORMAT 'json')", Seq(
+      "{\"_id\": 1, \"v\": \"a\"}\n{\"_id\": 2,".getBytes(UTF_8),
+      " \"v\": \"b\"}\n{\"_id\": 3, \"v\": \"c\"}\n".getBytes(UTF_8)))
+    assert(t1 == Seq("COPY 3"), s"got $t1")
+    assert(dataRows(c.query("SELECT v FROM wire_j ORDER BY _id")).map(c.row)
+      == Seq(Seq("a"), Seq("b"), Seq("c")))
+
+    // csv with header
+    val t2 = copyIn("COPY wire_c FROM STDIN WITH (FORMAT 'csv')",
+      Seq("_id,score\n10,1.5\n11,2.5\n".getBytes(UTF_8)))
+    assert(t2 == Seq("COPY 2"))
+    assert(dataRows(c.query(
+      "SELECT count(*) AS n FROM wire_c")).map(c.row) == Seq(Seq("2")))
+
+    // arrow-stream IPC bytes
+    val bos = new java.io.ByteArrayOutputStream()
+    locally {
+      import org.apache.arrow.memory.RootAllocator
+      import org.apache.arrow.vector._
+      import org.apache.arrow.vector.ipc.ArrowStreamWriter
+      import org.apache.arrow.vector.types.pojo.{ArrowType, Field, FieldType, Schema}
+      val schema = new Schema(java.util.Arrays.asList(
+        new Field("_id", FieldType.nullable(new ArrowType.Int(64, true)), null),
+        new Field("name", FieldType.nullable(new ArrowType.Utf8()), null)))
+      val alloc = new RootAllocator(Long.MaxValue)
+      val root = VectorSchemaRoot.create(schema, alloc)
+      val w = new ArrowStreamWriter(root, null,
+        java.nio.channels.Channels.newChannel(bos))
+      w.start()
+      root.allocateNew()
+      val idv = root.getVector("_id").asInstanceOf[BigIntVector]
+      val nv = root.getVector("name").asInstanceOf[VarCharVector]
+      Seq((100L, "x"), (101L, "y")).zipWithIndex.foreach {
+        case ((id, n), i) =>
+          idv.setSafe(i, id); nv.setSafe(i, n.getBytes(UTF_8))
+      }
+      root.setRowCount(2)
+      w.writeBatch(); w.end(); w.close(); root.close(); alloc.close()
+    }
+    val t3 = copyIn("COPY wire_a FROM STDIN WITH (FORMAT 'arrow-stream')",
+      Seq(bos.toByteArray))
+    assert(t3 == Seq("COPY 2"))
+    assert(dataRows(c.query("SELECT name FROM wire_a ORDER BY _id")).map(c.row)
+      == Seq(Seq("x"), Seq("y")))
+
+    // CopyFail aborts cleanly and the connection stays usable
+    c.send('Q')(w => c.cstr(w, "COPY wire_f FROM STDIN WITH (FORMAT 'json')"))
+    assert(c.recv()._1 == 'G')
+    c.send('d')(_.write("{\"_id\": 9}\n".getBytes(UTF_8)))
+    c.send('f')(w => c.cstr(w, "client changed its mind"))
+    val after = c.untilReady()
+    assert(after.exists(_._1 == 'E'), "expected error after CopyFail")
+    assert(dataRows(c.query("SELECT 1 AS ok")).map(c.row) == Seq(Seq("1")))
+    c.close()
+  }
 }
