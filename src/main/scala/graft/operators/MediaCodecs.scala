@@ -433,4 +433,200 @@ object MediaCodecs {
       case "image/jpeg" => decodeJpeg(bytes)
       case f => throw new IllegalArgumentException(s"no codec for $f")
     }
+
+  // ---- MP3 (MPEG-1 Layer III frame headers) -------------------------------
+  // REAL byte-level container parsing (sync words, bitrate/sample-rate
+  // tables, padding, ID3v2 syncsafe sizes — all public MPEG audio spec);
+  // only the PCM sample decode (huffman + IMDCT) stays out of scope. The
+  // header walk yields exactly the metadata a training pipeline filters
+  // on: duration, bitrate, sample rate, frame count.
+
+  final case class Mp3Meta(sampleRate: Int, bitrateKbps: Int, frames: Int,
+      durationMs: Long)
+
+  private val Mp3Bitrates = // MPEG-1 Layer III, kbps (index 1..14)
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
+  private val Mp3Rates = Array(44100, 48000, 32000, 0)
+
+  /** Fixture writer: `frames` valid MPEG-1 Layer III frames (deterministic
+    * filler payload — real headers, stub audio), optional ID3v2 prefix. */
+  def encodeMp3(frames: Int, bitrateIdx: Int, rateIdx: Int,
+      id3Bytes: Int = 0): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    if (id3Bytes > 0) { // ID3v2 header + syncsafe size
+      out.write('I'); out.write('D'); out.write('3')
+      out.write(3); out.write(0); out.write(0)
+      out.write((id3Bytes >> 21) & 0x7f); out.write((id3Bytes >> 14) & 0x7f)
+      out.write((id3Bytes >> 7) & 0x7f); out.write(id3Bytes & 0x7f)
+      (0 until id3Bytes).foreach(i => out.write(i % 251))
+    }
+    val frameLen = 144 * Mp3Bitrates(bitrateIdx) * 1000 / Mp3Rates(rateIdx)
+    (0 until frames).foreach { f =>
+      out.write(0xff); out.write(0xfb) // sync + MPEG-1 + Layer III + no CRC
+      out.write((bitrateIdx << 4) | (rateIdx << 2)) // no padding
+      out.write(0xc4) // mono, no emphasis
+      (4 until frameLen).foreach(i => out.write((i * 31 + f) % 251))
+    }
+    out.toByteArray
+  }
+
+  /** Walk the frame headers: skip ID3v2 (syncsafe size), then count
+    * 1152-sample frames; duration = frames x 1152 / rate. */
+  def parseMp3(bytes: Array[Byte]): Mp3Meta = {
+    var pos = 0
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3') {
+      val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+      pos = 10 + size
+    }
+    var frames = 0
+    var rate = 0
+    var kbps = 0
+    while (pos + 4 <= bytes.length &&
+        (bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xe0) == 0xe0) {
+      val b1 = bytes(pos + 1) & 0xff
+      require(((b1 >> 3) & 3) == 3 && ((b1 >> 1) & 3) == 1,
+        "only MPEG-1 Layer III supported")
+      val b2 = bytes(pos + 2) & 0xff
+      val bIdx = (b2 >> 4) & 0xf
+      val rIdx = (b2 >> 2) & 3
+      val padding = (b2 >> 1) & 1
+      require(bIdx >= 1 && bIdx <= 14 && rIdx <= 2, "bad mp3 frame header")
+      if (frames == 0) { rate = Mp3Rates(rIdx); kbps = Mp3Bitrates(bIdx) }
+      pos += 144 * Mp3Bitrates(bIdx) * 1000 / Mp3Rates(rIdx) + padding
+      frames += 1
+    }
+    require(frames > 0, "no mp3 frames found")
+    Mp3Meta(rate, kbps, frames, frames.toLong * 1152L * 1000L / rate)
+  }
+
+  // ---- MP4 (ISO BMFF box tree) --------------------------------------------
+  // REAL box-structure parsing (size+type walk, container recursion, mvhd
+  // timescale/duration, tkhd track dimensions in 16.16 fixed point, hdlr
+  // handler types, stsz sample counts — public ISO 14496-12 layout); the
+  // codec payload (avc1/mp4a sample decode) stays out of scope.
+
+  final case class Mp4Meta(timescale: Int, durationMs: Long, nTracks: Int,
+      width: Int, height: Int, nSamples: Long, handlers: Seq[String])
+
+  private def box(typ: String, body: Array[Byte]): Array[Byte] = {
+    val buf = ByteBuffer.allocate(8 + body.length) // big-endian by default
+    buf.putInt(8 + body.length)
+    buf.put(typ.getBytes("US-ASCII")); buf.put(body)
+    buf.array()
+  }
+
+  /** Fixture writer: minimal ftyp + moov(mvhd, trak*) skeleton with real
+    * box sizes, fixed-point dimensions and per-track stsz counts. Tracks:
+    * (handler, width, height, sampleCount). */
+  def encodeMp4(timescale: Int, duration: Long,
+      tracks: Seq[(String, Int, Int, Int)]): Array[Byte] = {
+    val ftyp = box("ftyp", {
+      val b = ByteBuffer.allocate(16)
+      b.put("isom".getBytes); b.putInt(0x200); b.put("isom".getBytes)
+      b.put("iso2".getBytes); b.array()
+    })
+    val mvhd = box("mvhd", {
+      val b = ByteBuffer.allocate(100)
+      b.putInt(0) // version+flags
+      b.putInt(0); b.putInt(0) // creation/modification
+      b.putInt(timescale); b.putInt(duration.toInt)
+      b.putInt(0x00010000); b.putShort(0x0100.toShort) // rate, volume
+      b.position(b.position() + 10) // reserved
+      Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+        .foreach(b.putInt) // identity matrix
+      b.position(b.position() + 24) // pre_defined
+      b.putInt(tracks.length + 1) // next_track_ID
+      b.array()
+    })
+    val traks = tracks.zipWithIndex.map {
+      case ((handler, w, h, nSamples), i) =>
+        val tkhd = box("tkhd", {
+          val b = ByteBuffer.allocate(84)
+          b.putInt(7) // version 0 + enabled flags
+          b.putInt(0); b.putInt(0); b.putInt(i + 1); b.putInt(0)
+          b.putInt(duration.toInt)
+          b.position(b.position() + 8) // reserved
+          b.putShort(0); b.putShort(0); b.putShort(0); b.putShort(0)
+          Seq(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+            .foreach(b.putInt)
+          b.putInt(w << 16); b.putInt(h << 16) // 16.16 fixed point
+          b.array()
+        })
+        val mdhd = box("mdhd", {
+          val b = ByteBuffer.allocate(24)
+          b.putInt(0); b.putInt(0); b.putInt(0)
+          b.putInt(timescale); b.putInt(duration.toInt)
+          b.putShort(0x55c4.toShort); b.putShort(0) // lang "und"
+          b.array()
+        })
+        val hdlr = box("hdlr", {
+          val b = ByteBuffer.allocate(25)
+          b.putInt(0); b.putInt(0)
+          b.put(handler.getBytes("US-ASCII"))
+          b.position(b.position() + 12)
+          b.put(0.toByte)
+          b.array()
+        })
+        val stsz = box("stsz", {
+          val b = ByteBuffer.allocate(12)
+          b.putInt(0); b.putInt(512) // fixed sample size -> no table
+          b.putInt(nSamples)
+          b.array()
+        })
+        val stbl = box("stbl", stsz)
+        val minf = box("minf", stbl)
+        val mdia = box("mdia", mdhd ++ hdlr ++ minf)
+        box("trak", tkhd ++ mdia)
+    }
+    val moov = box("moov", mvhd ++ traks.flatten.toArray)
+    ftyp ++ moov
+  }
+
+  /** Recursive box walk over the container set; unknown boxes skip by
+    * their declared size (the property that makes BMFF forward-
+    * compatible, and the first thing a wrong parser breaks). */
+  def parseMp4(bytes: Array[Byte]): Mp4Meta = {
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    var timescale = 0
+    var duration = 0L
+    var nTracks = 0
+    var width = 0
+    var height = 0
+    var nSamples = 0L
+    val handlers = scala.collection.mutable.ArrayBuffer[String]()
+    def i32(p: Int): Int =
+      ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
+        ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+    def walk(from: Int, to: Int): Unit = {
+      var pos = from
+      while (pos + 8 <= to) {
+        val size = i32(pos)
+        require(size >= 8 && pos + size <= to, s"bad box size $size @ $pos")
+        val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+        typ match {
+          case t if containers.contains(t) =>
+            if (t == "trak") nTracks += 1
+            walk(pos + 8, pos + size)
+          case "mvhd" =>
+            timescale = i32(pos + 8 + 12)
+            duration = i32(pos + 8 + 16).toLong
+          case "tkhd" =>
+            width = math.max(width, i32(pos + 8 + 76) >> 16)
+            height = math.max(height, i32(pos + 8 + 80) >> 16)
+          case "hdlr" =>
+            handlers += new String(bytes, pos + 8 + 8, 4, "US-ASCII")
+          case "stsz" =>
+            nSamples += (i32(pos + 8 + 8) & 0xffffffffL)
+          case _ => () // skip unknown boxes by size
+        }
+        pos += size
+      }
+    }
+    walk(0, bytes.length)
+    require(timescale > 0, "no mvhd box found")
+    Mp4Meta(timescale, duration * 1000L / timescale, nTracks, width, height,
+      nSamples, handlers.toSeq)
+  }
 }

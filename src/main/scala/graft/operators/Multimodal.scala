@@ -8,14 +8,17 @@ import org.apache.spark.sql.types._
   * metadata, decoded/feature-extracted in partition-batched executor code.
   *
   * Decode is REAL for the formats a JVM parses from first principles —
-  * RIFF/WAVE PCM-16 and 24-bit BMP ([[MediaCodecs]], exercised by
-  * [[audioFeatures]]/[[imageFeatures]] and oracle-checked byte-exactly).
-  * For codec-dependent formats (jpeg/mp3/mp4) the container has no
-  * libraries, so that decode step stays a clearly-marked deterministic
-  * FAKE (see [[fakeDecode]]); the Spark-side shape a production decoder
-  * plugs into is identical either way: binary column schema,
-  * `mapPartitions` batching (one decoder init per partition, not per
-  * row), explicit output schema, and no shuffle in the decode pass.
+  * RIFF/WAVE PCM-16, 24-bit BMP, 8-bit RGB PNG, JPEG via javax.imageio,
+  * MP3 frame-header walks and MP4 box trees ([[MediaCodecs]], exercised
+  * by the *Features operators and oracle-checked byte-exactly). For
+  * mp3/mp4 the CONTAINER parse (frames, duration, tracks, dimensions,
+  * sample counts — the metadata a training pipeline filters on) is real;
+  * only the codec-payload sample decode (huffman/IMDCT, avc1) stays
+  * behind [[fakeDecode]]'s clearly-marked stub, pending codec libs in
+  * the runtime. The Spark-side shape a production decoder plugs into is
+  * identical either way: binary column schema, `mapPartitions` batching
+  * (one decoder init per partition, not per row), explicit output
+  * schema, and no shuffle in the decode pass.
   */
 object Multimodal {
 
@@ -154,5 +157,55 @@ object Multimodal {
         Row(id, i.toLong, bytes.slice(off, math.min(off + frameBytes, bytes.length)))
       }
     }(Encoders.row(outSchema))
+  }
+
+  val mp3FeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", LongType),
+    StructField("bitrate_kbps", LongType),
+    StructField("frames", LongType),
+    StructField("duration_ms", LongType)))
+
+  /** REAL MP3 container parse ([[MediaCodecs.parseMp3]]): frame-header
+    * walk through ID3v2 + MPEG-1 Layer III sync words — the duration /
+    * bitrate / frame-count metadata an audio training pipeline filters
+    * on, from the actual bytes. Sample decode stays stubbed (see the
+    * object doc). Same no-shuffle mapPartitions decode shape. */
+  def mp3Features(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = MediaCodecs.parseMp3(r.getAs[Array[Byte]](mIdx))
+        Row(r.getLong(idIdx), m.sampleRate.toLong, m.bitrateKbps.toLong,
+          m.frames.toLong, m.durationMs)
+      }
+    }(Encoders.row(mp3FeatureSchema))
+  }
+
+  val mp4FeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("duration_ms", LongType),
+    StructField("n_tracks", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("n_samples", LongType),
+    StructField("has_video", BooleanType),
+    StructField("has_audio", BooleanType)))
+
+  /** REAL MP4/ISO-BMFF container parse ([[MediaCodecs.parseMp4]]): box
+    * tree walk for duration, track count, dimensions, sample counts and
+    * handler types. avc1/mp4a payload decode stays stubbed. */
+  def mp4Features(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = MediaCodecs.parseMp4(r.getAs[Array[Byte]](mIdx))
+        Row(r.getLong(idIdx), m.durationMs, m.nTracks.toLong,
+          m.width.toLong, m.height.toLong, m.nSamples,
+          m.handlers.contains("vide"), m.handlers.contains("soun"))
+      }
+    }(Encoders.row(mp4FeatureSchema))
   }
 }

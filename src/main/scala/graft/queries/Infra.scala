@@ -650,6 +650,87 @@ object Infra {
     }, Some("""
       SELECT CAST(o_orderkey AS BIGINT) AS id,
              CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS price_c
-      FROM orders WHERE o_orderkey = 42"""))
+      FROM orders WHERE o_orderkey = 42""")),
+
+    // ---- REAL MP3 container parse through the oracle gate: fixtures are
+    // valid MPEG-1 Layer III frame sequences (some behind an ID3v2 tag)
+    // generated from the key; the operator walks the actual sync words /
+    // bitrate / sample-rate / padding fields and DuckDB predicts the
+    // metadata from the generating formula. A wrong frame-length
+    // computation desynchronizes the walk and breaks frame counts.
+    QueryDef("q135_multimodal_mp3", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          Row(k, _root_.graft.operators.MediaCodecs.encodeMp3(
+            frames = 20 + (k % 30).toInt,
+            bitrateIdx = 1 + (k % 14).toInt,
+            rateIdx = (k % 3).toInt,
+            id3Bytes = (k % 2).toInt * 100), "audio/mpeg")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.mp3Features(media)
+        .orderBy("media_id")
+    }, Some("""
+      WITH k AS (
+        SELECT o_orderkey AS media_id,
+               20 + o_orderkey % 30 AS frames,
+               list_extract([32,40,48,56,64,80,96,112,128,160,192,224,256,320],
+                 CAST(1 + o_orderkey % 14 AS INT)) AS kbps,
+               list_extract([44100,48000,32000],
+                 CAST(1 + o_orderkey % 3 AS INT)) AS rate
+        FROM orders WHERE o_orderkey < 200)
+      SELECT media_id, CAST(rate AS BIGINT) AS sample_rate,
+             CAST(kbps AS BIGINT) AS bitrate_kbps,
+             CAST(frames AS BIGINT) AS frames,
+             CAST(frames * 1152 * 1000 // rate AS BIGINT) AS duration_ms
+      FROM k ORDER BY media_id""")),
+
+    // ---- REAL MP4/ISO-BMFF box-tree parse through the oracle gate:
+    // fixtures are minimal ftyp+moov skeletons (real box sizes, 16.16
+    // fixed-point track dimensions, stsz sample counts, hdlr types);
+    // even-keyed media carry a second audio track. Wrong box-size
+    // arithmetic or fixed-point handling breaks the predicted values.
+    QueryDef("q136_multimodal_mp4", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val video = ("vide", 640 + (k % 4).toInt * 16,
+            360 + (k % 3).toInt * 8, 100 + (k % 50).toInt)
+          val tracks =
+            if (k % 2 == 0) Seq(video, ("soun", 0, 0, 200 + (k % 77).toInt))
+            else Seq(video)
+          Row(k, _root_.graft.operators.MediaCodecs.encodeMp4(
+            timescale = 1000 + (k % 5).toInt * 200,
+            duration = 10000 + k * 7, tracks), "video/mp4")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.mp4Features(media)
+        .orderBy("media_id")
+    }, Some("""
+      WITH k AS (
+        SELECT o_orderkey AS media_id,
+               1000 + o_orderkey % 5 * 200 AS ts,
+               10000 + o_orderkey * 7 AS dur,
+               o_orderkey % 2 = 0 AS stereo
+        FROM orders WHERE o_orderkey < 200)
+      SELECT media_id,
+             CAST(dur * 1000 // ts AS BIGINT) AS duration_ms,
+             CAST(CASE WHEN stereo THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
+             CAST(640 + media_id % 4 * 16 AS BIGINT) AS width,
+             CAST(360 + media_id % 3 * 8 AS BIGINT) AS height,
+             CAST(100 + media_id % 50 +
+               CASE WHEN stereo THEN 200 + media_id % 77 ELSE 0 END
+               AS BIGINT) AS n_samples,
+             true AS has_video, stereo AS has_audio
+      FROM k ORDER BY media_id"""))
   )
 }

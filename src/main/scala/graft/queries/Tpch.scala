@@ -121,6 +121,42 @@ object Tpch {
       WHERE p_type = 'PROMO' AND r_name = 'AMERICA'
       GROUP BY 1 ORDER BY o_year""")),
 
+    // Q10: returned-item report (completes the classic 22-query set on
+    // this schema) — revenue lost to returns per customer over a quarter;
+    // per-row integer cents keep the cross-engine sum exact
+    QueryDef("tpch_q10_returned_items", (s, dir) => {
+      val revC = floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+        * 100.0 + lit(0.5)).cast("long")
+      t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= "1995-01-01" &&
+            col("o_orderdate") < "1995-04-01"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum(revC).as("revenue_c"))
+        .select(col("c_custkey"), col("c_name"), col("revenue_c"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue_c").desc, col("c_custkey"))
+        .limit(20)
+    }, Some("""
+      SELECT c_custkey, c_name,
+             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0
+               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_c,
+             c_acctbal, n_name
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1995-01-01'
+        AND o_orderdate < TIMESTAMP '1995-04-01'
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue_c DESC, c_custkey LIMIT 20""")),
+
     // Q11: important stock — group-having vs a global scalar threshold
     QueryDef("tpch_q11_important_stock", (s, dir) => {
       val rps = ps(s, dir)
