@@ -130,14 +130,90 @@ class XtDb(spark: SparkSession, root: String) {
     * read-side conform). Tables written before the registry fall back to
     * footer merging. */
   def events(table: String): DataFrame = loadSchema(table) match {
-    case Some(st) => spark.read.schema(st).parquet(tableDir(table))
+    case Some(st) => spark.read.schema(st).parquet(dataDir(table))
     case None =>
-      spark.read.option("mergeSchema", "true").parquet(tableDir(table))
+      spark.read.option("mergeSchema", "true").parquet(dataDir(table))
   }
 
+  // Resolve the FileSystem FOR THE ROOT PATH, not the default FS — an
+  // object-store root (s3a://…, or the objstore:// contract double in
+  // ObjectStoreSpec) is a different FileSystem than fs.defaultFS
   private def hadoopFs: org.apache.hadoop.fs.FileSystem =
-    org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
+    new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ---- generation-pointer storage layout (object-store-safe commit) ----
+  //
+  // A table rewrite (schema union migration, compaction) must atomically
+  // replace the table's files. delete+rename cannot do that on an object
+  // store (S3-style stores have no rename; readers would see a missing or
+  // half-copied directory). Instead: write the new files into a fresh
+  // generation directory `<table>/g<N+1>`, then commit with ONE small PUT
+  // of the pointer file `<table>/_gen` (object PUTs are atomic — readers
+  // resolve either the old or the new generation, never a mixture). This
+  // is the same commit shape the log-structured table formats use for
+  // their metadata pointer, and the reference's storage modules assume
+  // (modules/aws/src/main/kotlin/xtdb/aws — put/list/delete only).
+  //
+  // Layout: appends accumulate inside the current generation directory
+  // (`<table>/_bucket=<c>/…` before any rewrite — "generation 0" is the
+  // table root for backward compatibility — `<table>/g<N>/_bucket=<c>/…`
+  // after). GC is lazy by one generation: `g<N-1>` is deleted only when
+  // `g<N+1>` commits, so a reader that resolved the pointer just before a
+  // flip can finish scanning (single-writer analogue of a read lease; a
+  // deployment would use a time-based lease instead).
+
+  private def genPath(table: String) =
+    new org.apache.hadoop.fs.Path(s"${tableDir(table)}/_gen")
+
+  /** Current generation number; None = pre-rewrite root layout. */
+  private def currentGen(table: String): Option[Int] = {
+    val fs = hadoopFs
+    val p = genPath(table)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Directory holding the table's live data files (the current
+    * generation after any rewrite; the table root before one). Public so
+    * tooling/tests can inspect the live file set without re-deriving the
+    * generation-pointer resolution. */
+  def dataDir(table: String): String = currentGen(table) match {
+    case Some(n) => s"${tableDir(table)}/g$n"
+    case None => tableDir(table)
+  }
+
+  /** Object-store-safe whole-table replace: new generation dir + atomic
+    * pointer PUT + lazy GC of everything older than the superseded
+    * generation. No rename anywhere (ObjectStoreSpec enforces this). */
+  private def rewriteCommit(table: String, df: DataFrame): Unit = {
+    val fs = hadoopFs
+    val cur = currentGen(table)
+    val next = cur.getOrElse(0) + 1
+    df.repartition(16, col(BUCKET))
+      .write.partitionBy(BUCKET).mode("overwrite")
+      .parquet(s"${tableDir(table)}/g$next")
+    val out = fs.create(genPath(table), true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    // keep the superseded generation for in-flight readers; drop older.
+    // Root-layout legacy data (loose _bucket=* dirs) is "generation 0":
+    // kept on the g1 flip, swept on the g2 flip.
+    val keep = Set(s"g$next") ++ cur.map(c => s"g$c")
+    if (cur.isDefined)
+      fs.listStatus(new org.apache.hadoop.fs.Path(tableDir(table)))
+        .filterNot { st =>
+          val n = st.getPath.getName
+          n == "_gen" || keep.contains(n)
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+  }
 
   private def tableExists(table: String): Boolean =
     hadoopFs.exists(new org.apache.hadoop.fs.Path(tableDir(table)))
@@ -166,7 +242,7 @@ class XtDb(spark: SparkSession, root: String) {
     val withMeta = buildEvents(docs, op, validFrom, validTo, sysTime,
       monotonically_increasing_id())
     val conformed = evolveSchema(table, withMeta)
-    conformed.write.partitionBy(BUCKET).mode("append").parquet(tableDir(table))
+    conformed.write.partitionBy(BUCKET).mode("append").parquet(dataDir(table))
     logTx(sysTime, table, op, committed = true, error = None)
     sysTime
   }
@@ -268,7 +344,7 @@ class XtDb(spark: SparkSession, root: String) {
           .reduce(_.unionByName(_, allowMissingColumns = true))
         val conformed = evolveSchema(table, df)
         conformed.write.partitionBy(BUCKET).mode("append")
-          .parquet(tableDir(table))
+          .parquet(dataDir(table))
       }
       logTx(sysTime, staged.keys.mkString(","), s"tx[${ops.length}]",
         committed = true, error = None)
@@ -318,17 +394,8 @@ class XtDb(spark: SparkSession, root: String) {
     }
   }
 
-  private def rewriteTable(table: String, df: DataFrame): Unit = {
-    val dir = tableDir(table)
-    val tmp = dir + "__migrating"
-    df.repartition(16, col(BUCKET))
-      .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(dir), true)
-    fs.rename(new org.apache.hadoop.fs.Path(tmp),
-      new org.apache.hadoop.fs.Path(dir))
-  }
+  private def rewriteTable(table: String, df: DataFrame): Unit =
+    rewriteCommit(table, df)
 
   /** Point lookup by `_id`: the iid-prefix bucket predicate prunes storage
     * partitions before any file is opened (the reference's iid-trie path
@@ -360,8 +427,6 @@ class XtDb(spark: SparkSession, root: String) {
     * files are physically wide and later scans stop paying the widening
     * promotion. Single-writer: do not run concurrently with appends. */
   def compact(table: String): Unit = {
-    val dir = tableDir(table)
-    val tmp = dir + "__compacting"
     val ev = events(table)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(IID)
     val purged = ev
@@ -370,15 +435,7 @@ class XtDb(spark: SparkSession, root: String) {
       .filter(col(OP) =!= "erase" &&
         (col("__erase_sf").isNull || col(SF) > col("__erase_sf")))
       .drop("__erase_sf")
-    purged
-      .repartition(16, col(BUCKET))
-      .write.partitionBy(BUCKET).mode("overwrite").parquet(tmp)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val oldPath = new org.apache.hadoop.fs.Path(dir)
-    val tmpPath = new org.apache.hadoop.fs.Path(tmp)
-    fs.delete(oldPath, true)
-    fs.rename(tmpPath, oldPath)
+    rewriteCommit(table, purged)
   }
 
   // ---- xt.txs system table (reference: `xt.txs`, information_schema.clj)

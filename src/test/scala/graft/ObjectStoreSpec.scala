@@ -1,0 +1,115 @@
+package graft
+
+import graft.bitemporal.{Bitemporal, TxOp, XtDb}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Object-store storage semantics (reference modules/aws|azure|google-cloud:
+  * put/list/delete only — no rename, no append-to-object): the whole XtDb
+  * lifecycle must run against `objstore://`, a FileSystem that THROWS on
+  * any engine-level rename or append. Proves the generation-pointer commit
+  * (`XtDb.rewriteCommit`) and the rest of the storage layer are
+  * object-store-safe, and that superseded generations are GC'd lazily
+  * (one generation of read-lease). */
+class ObjectStoreSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def freshRoot(): (String, org.apache.hadoop.fs.FileSystem) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.objstore.impl",
+      classOf[graft.storage.ObjectStoreFileSystem].getName)
+    conf.set("fs.objstore.impl.disable.cache", "true")
+    val tmp = java.nio.file.Files.createTempDirectory("objstore").toString
+    val root = s"objstore:$tmp"
+    (root, new org.apache.hadoop.fs.Path(root).getFileSystem(conf))
+  }
+
+  private def ls(fs: org.apache.hadoop.fs.FileSystem, p: String): Set[String] =
+    if (!fs.exists(new org.apache.hadoop.fs.Path(p))) Set.empty
+    else fs.listStatus(new org.apache.hadoop.fs.Path(p))
+      .map(_.getPath.getName).toSet
+
+  test("filesystem double enforces the contract") {
+    val (root, fs) = freshRoot()
+    val p = new org.apache.hadoop.fs.Path(s"$root/a.txt")
+    val out = fs.create(p, true)
+    out.write("x".getBytes("UTF-8")); out.close()
+    intercept[UnsupportedOperationException] {
+      fs.rename(p, new org.apache.hadoop.fs.Path(s"$root/b.txt"))
+    }
+    intercept[UnsupportedOperationException] { fs.append(p) }
+  }
+
+  test("put / query / union-migration / compact lifecycle, rename-free") {
+    import spark.implicits._
+    val (root, fs) = freshRoot()
+    val db = new XtDb(spark, root)
+
+    // ---- appends land under the table root (generation 0)
+    db.putDocs("docs", spark.range(1, 51)
+      .select(col("id").as("_id"), (col("id") * 2).as("v")))
+    assert(Bitemporal.current(db.events("docs")).count() == 50)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$root/docs/_gen")))
+
+    // ---- incompatible scalar (long -> string) forces the union-migration
+    // rewrite: generation g1 + pointer PUT, NO rename; legacy root data is
+    // kept for in-flight readers (lazy GC)
+    db.putDocs("docs", Seq((100L, "tagged")).toDF("_id", "v"))
+    val g1 = ls(fs, s"$root/docs")
+    assert(g1.contains("g1") && g1.contains("_gen"), s"after migration: $g1")
+    assert(g1.exists(_.startsWith("_bucket=")),
+      s"legacy gen-0 data should survive until g2: $g1")
+    val cur = Bitemporal.current(db.events("docs"))
+    assert(cur.count() == 51)
+    // union column: original longs and the tagged string both resolve
+    val vTypes = cur.select(col("v")).schema.head.dataType
+    assert(vTypes.isInstanceOf[org.apache.spark.sql.types.StructType])
+
+    // ---- erase + compact: generation g2, erased history physically gone,
+    // gen-0 legacy swept, g1 kept (one generation of read lease)
+    db.eraseDocs("docs", Seq(7L).toDF("_id"))
+    db.compact("docs")
+    val g2 = ls(fs, s"$root/docs")
+    assert(g2.contains("g2") && g2.contains("g1"), s"after compact: $g2")
+    assert(!g2.exists(_.startsWith("_bucket=")),
+      s"gen-0 legacy data should be swept at g2: $g2")
+    val afterCompact = Bitemporal.current(db.events("docs"))
+    assert(afterCompact.count() == 50)
+    assert(afterCompact.filter(col("_id") === 7L).count() == 0)
+    assert(db.events("docs").filter(col("_id") === 7L).count() == 0,
+      "erased history must be physically absent after compact")
+
+    // ---- appends continue into the live generation; next compact = g3,
+    // g1 swept
+    db.putDocs("docs", Seq((200L, "late")).toDF("_id", "v"))
+    assert(Bitemporal.current(db.events("docs")).count() == 51)
+    db.compact("docs")
+    val g3 = ls(fs, s"$root/docs")
+    assert(g3.contains("g3") && g3.contains("g2") && !g3.contains("g1"),
+      s"after second compact: $g3")
+    assert(Bitemporal.current(db.events("docs")).count() == 51)
+  }
+
+  test("multi-op atomic tx stages and commits on the object store") {
+    import spark.implicits._
+    val (root, _) = freshRoot()
+    val db = new XtDb(spark, root)
+    db.submitTx(Seq(
+      TxOp.Put("t", Seq((1L, 10L), (2L, 20L)).toDF("_id", "n")),
+      TxOp.Update("t", col("_id") === 1L, Seq("n" -> lit(11L)))))
+    val cur = Bitemporal.current(db.events("t"))
+      .select("_id", "n").as[(Long, Long)].collect().sortBy(_._1)
+    assert(cur.toSeq == Seq((1L, 11L), (2L, 20L)))
+    // staging area is cleaned up
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(ls(fs, s"$root/_staging").isEmpty)
+  }
+}

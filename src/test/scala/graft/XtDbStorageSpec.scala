@@ -17,13 +17,16 @@ class XtDbStorageSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
+  // Recursive count of the LIVE file set — after a rewrite the data sits
+  // in a generation subdirectory (`g<N>/_bucket=*/...`) while the
+  // superseded generation is kept for in-flight readers, so counting the
+  // table root would see both.
   private def parquetFiles(dir: String): Int = {
+    def walk(f: java.io.File): Iterator[java.io.File] =
+      if (f.isDirectory) f.listFiles.iterator.flatMap(walk) else Iterator(f)
     val d = new java.io.File(dir)
     if (!d.exists) 0
-    else d.listFiles.flatMap(f =>
-      if (f.isDirectory) f.listFiles.filter(_.getName.endsWith(".parquet"))
-      else if (f.getName.endsWith(".parquet")) Array(f) else Array.empty[java.io.File]
-    ).length
+    else walk(d).count(_.getName.endsWith(".parquet"))
   }
 
   test("bucketed storage, pruned point lookup, compaction") {
@@ -35,7 +38,7 @@ class XtDbStorageSpec extends AnyFunSuite {
     (1 to 8).foreach(i =>
       db.putDocs("items", Seq((i.toLong, s"item$i", i * 10L))
         .toDF("_id", "name", "qty")))
-    val before = parquetFiles(s"$root/items")
+    val before = parquetFiles(db.dataDir("items"))
     assert(before >= 8)
 
     // point lookup: correct row + bucket partition filter in the plan
@@ -49,7 +52,7 @@ class XtDbStorageSpec extends AnyFunSuite {
       .as[(Long, String, Long)].collect().toSet
 
     db.compact("items")
-    val after = parquetFiles(s"$root/items")
+    val after = parquetFiles(db.dataDir("items"))
     assert(after < before)
 
     val afterRows = db.asOf("items").select("_id", "name", "qty")
