@@ -16,6 +16,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // iid point-lookup file pruning (reference scan.clj:161-199) — derive
     // _iid/_bucket scan predicates from _id equality filters
     extensions.injectOptimizerRule(_ => graft.plans.IidBucketPruning)
+    // stats-greedy inner-join ordering for the file path (reference
+    // join.clj:599-736 :mega-join) — defers to CBO when real stats exist
+    extensions.injectOptimizerRule(_ => graft.plans.GraftJoinReorder)
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo

@@ -40,6 +40,13 @@ object XtSql {
         .contains(graft.plans.IidBucketPruning))
       spark.experimental.extraOptimizations ++=
         Seq(graft.plans.IidBucketPruning)
+    // mega-join stats ordering (join.clj:599-736): greedy smallest-first
+    // over parquet-footer sizes × predicate selectivity — the file-path
+    // counterpart of CBO join reorder (which needs ANALYZE'd stats)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.GraftJoinReorder))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.GraftJoinReorder)
     val reg = spark.sessionState.functionRegistry
     def register(name: String, arity: Int)(f: Seq[Column] => Column): Unit =
       reg.createOrReplaceTempFunction(name, exprs => {

@@ -731,6 +731,49 @@ object Infra {
                CASE WHEN stereo THEN 200 + media_id % 77 ELSE 0 END
                AS BIGINT) AS n_samples,
              true AS has_video, stereo AS has_audio
-      FROM k ORDER BY media_id"""))
+      FROM k ORDER BY media_id""")),
+
+    // ---- mega-join stats ordering on the FILE path through the oracle
+    // gate (reference :mega-join, join.clj:599-736 — q131 covers the
+    // CBO/managed-catalog variant; this is the raw-parquet default where
+    // no ANALYZE'd stats exist). The query is written in the WORST order —
+    // fact × fact first, the selectively-filtered customer last — and
+    // GraftJoinReorder must rebuild it smallest-selective-first from
+    // parquet-footer sizes × predicate selectivity: the require() fails
+    // unless the innermost join reads customer (and not lineitem). The
+    // oracle replays the relation, which join order must not change.
+    QueryDef("q137_file_join_reorder", (s, dir) => {
+      if (!s.experimental.extraOptimizations
+          .contains(_root_.graft.plans.GraftJoinReorder))
+        s.experimental.extraOptimizations ++=
+          Seq(_root_.graft.plans.GraftJoinReorder)
+      Tables.registerAll(s, dir)
+      val q = s.sql("""
+        SELECT c_mktsegment AS mkt, count(*) AS n,
+               CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS rev_c
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE c_mktsegment = 'BUILDING' AND c_custkey < 100
+        GROUP BY c_mktsegment""")
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j }
+      require(joins.nonEmpty, "no joins in optimized plan")
+      val innerCols = joins.last.collectLeaves().flatMap(_.output.map(_.name))
+      require(innerCols.contains("c_custkey") &&
+          !innerCols.contains("l_extendedprice"),
+        s"file-path reorder missing: innermost join reads " +
+          innerCols.mkString(", "))
+      q
+    }, Some("""
+      SELECT c_mktsegment AS mkt, count(*) AS n,
+             CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS rev_c
+      FROM lineitem
+      JOIN orders ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING' AND c_custkey < 100
+      GROUP BY c_mktsegment"""))
   )
 }
