@@ -257,6 +257,11 @@ object Dedup {
     // and round-k planning cost is O(k) — the classic iterative-algorithm
     // driver stall.
     var pinned: Option[DataFrame] = None
+    // localCheckpoint pins its RDD in the block manager OUTSIDE the
+    // CacheManager, so Dataset.unpersist() never releases it — the
+    // superseded checkpoint must be freed at the RDD level, once the NEXT
+    // checkpoint has (eagerly) materialized from it.
+    var pinnedCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var converged = false
     var round = 0
     while (!converged && round < 32) {
@@ -269,13 +274,20 @@ object Dedup {
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"),
           (col("nlabel") < col("label")).as("__improved"))
+      val isCkpt = round % 4 == 3
       val next =
-        if (round % 4 == 3) joined.localCheckpoint(eager = true)
+        if (isCkpt) joined.localCheckpoint(eager = true)
         else joined.persist(
           org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       converged = next.filter(col("__improved")).isEmpty
       pinned.foreach(_.unpersist())
-      pinned = Some(next)
+      pinned = if (isCkpt) None else Some(next)
+      if (isCkpt) {
+        pinnedCkpt.foreach(_.unpersist())
+        pinnedCkpt = next.queryExecution.analyzed.collectFirst {
+          case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+        }
+      }
       labels = next.select("node", "label")
       round += 1
     }
