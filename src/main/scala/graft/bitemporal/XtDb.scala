@@ -85,6 +85,11 @@ class XtDb(spark: SparkSession, root: String) {
 
   @volatile private var lastSystemMicros = 0L
 
+  /** Log-head system time in µs — lets external appliers (CDC replay)
+    * pre-check the `submitTx` monotonicity requirement and bump colliding
+    * source commit times instead of aborting. */
+  def logHeadMicros: Long = lastSystemMicros
+
   /** Monotonic system-time assignment (single-writer, reference
     * log-append-time semantics). */
   private def nextSystemTime(): java.sql.Timestamp = synchronized {

@@ -774,6 +774,86 @@ object Infra {
       JOIN orders ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING' AND c_custkey < 100
-      GROUP BY c_mktsegment"""))
+      GROUP BY c_mktsegment""")),
+
+    // ---- postgres-source CDC replay (reference modules/postgres-source:
+    // PgOutputMessage.kt + DirectMirror.kt): a pgoutput logical-replication
+    // changelog synthesized FROM the orders table — tx1 snapshot-inserts,
+    // tx2 updates (%5 doubled) and deletes (%7) — replayed through
+    // transactions→applyTx with source commit times as system time. Keys
+    // divisible by 35 are updated THEN deleted in tx2: the in-tx _seq
+    // tie-break must make the delete win. DuckDB recomputes the end state
+    // from orders directly; text-format values roundtrip exactly
+    // (Double.toString is shortest-roundtrip).
+    QueryDef("q138_cdc_replay", (s, dir) => {
+      import graft.sources.PgOutputCdc
+      import graft.sources.PgOutputCdc._
+      val (db, _) = fresh(s)
+      val src = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 150)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus")
+        .collect()
+        .map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+        .sortBy(_._1)
+      val rel = Relation(1, "public", "accounts", 'd', Seq(
+        RelColumn("id", 20, true), RelColumn("price", 701, false),
+        RelColumn("status", 25, false)))
+      def row(id: Long, p: Double, st: String): Seq[CdcValue] =
+        Seq(CdcText(id.toString), CdcText(p.toString), CdcText(st))
+      val t0 = 4102444800L // 2100-01-01: after the fresh log head
+      def pg(sec: Long) = sec * 1000000L - 946684800000000L
+      val msgs: Seq[Message] =
+        Seq(rel, Begin(1L, pg(t0), 1)) ++
+          src.map { case (id, p, st) => Insert(1, row(id, p, st)) } ++
+          Seq(Commit(1L, 2L, pg(t0)), Begin(3L, pg(t0 + 60), 2)) ++
+          src.filter(_._1 % 5 == 0).map { case (id, p, st) =>
+            Update(1, None, None, row(id, p * 2, st)) } ++
+          src.filter(_._1 % 7 == 0).map { case (id, _, _) =>
+            Delete(1, 'K', Seq(CdcText(id.toString), CdcNull, CdcNull)) } ++
+          Seq(Commit(4L, 5L, pg(t0 + 60)))
+      transactions(msgs.iterator).foreach(tx => applyTx(db, s, tx))
+      val at = java.sql.Timestamp.from(
+        java.time.Instant.ofEpochSecond(t0 + 3600))
+      db.asOf("accounts", Some(lit(at)), Some(lit(at)))
+        .select("_id", "price", "status").orderBy("_id")
+    }, Some("""
+      SELECT o_orderkey AS _id,
+             CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey < 150 AND o_orderkey % 7 <> 0
+      ORDER BY _id""")),
+
+    // ---- kafka-connect sink semantics (reference modules/kafka-connect
+    // README.adoc): id.mode=record_key batches of (key, value-struct)
+    // applied as atomic upsert txs; tombstones (null value) delete. Keys
+    // divisible by 12 are re-put AND tombstoned in batch 2 — the delete
+    // (later op) must win via the in-tx _seq tie-break.
+    QueryDef("q139_connect_sink", (s, dir) => {
+      import graft.sources.ConnectSink
+      import graft.sources.ConnectSink._
+      val (db, _) = fresh(s)
+      val orders = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 150)
+      def rec(price: org.apache.spark.sql.Column) =
+        struct(price.as("price"), col("o_orderstatus").as("status"))
+      ConnectSink.applyBatch(db, SinkConfig("accts", RecordKey),
+        orders.select(col("o_orderkey").as("key"),
+          rec(col("o_totalprice")).as("value")))
+      val b2 = orders.filter(col("o_orderkey") % 3 === 0)
+        .select(col("o_orderkey").as("key"),
+          rec(col("o_totalprice") * 2).as("value"))
+        .unionByName(orders.filter(col("o_orderkey") % 4 === 0)
+          .select(col("o_orderkey").as("key"),
+            when(lit(false), rec(col("o_totalprice"))).as("value")))
+      ConnectSink.applyBatch(db, SinkConfig("accts", RecordKey), b2)
+      db.asOf("accts").select("_id", "price", "status").orderBy("_id")
+    }, Some("""
+      SELECT o_orderkey AS _id,
+             CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice * 2
+                  ELSE o_totalprice END AS price,
+             o_orderstatus AS status
+      FROM orders WHERE o_orderkey < 150 AND o_orderkey % 4 <> 0
+      ORDER BY _id"""))
   )
 }
