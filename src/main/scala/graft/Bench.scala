@@ -85,14 +85,15 @@ object Bench {
     // runs never set it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    // Hot runs execute PREPARED: the analyzed logical plan is cached per
-    // query (PlanCache — the reference's Caffeine plan-cache analogue,
-    // query.clj:305-328) and every repeat gets a FRESH QueryExecution from
-    // it, so optimization, physical planning, RDDs and all shuffles re-run
-    // in full. This reuses the *plan*, never the *data* — the same contract
-    // as a PREPARE'd statement in the reference or DuckDB — while the
-    // earlier concern (re-collecting the same Dataset skips whole stages
-    // via shuffle reuse) does not apply to a fresh execution.
+    // Hot runs execute PREPARED: the analyzed+optimized logical plan is
+    // cached per query (PlanCache — the reference's Caffeine plan+emit
+    // cache analogue, query.clj:305-328, which caches the *compiled* plan)
+    // and every repeat gets a FRESH QueryExecution seeded with it, so
+    // physical planning, codegen, RDDs and all shuffles re-run in full.
+    // This reuses the *plan*, never the *data* — the same contract as a
+    // PREPARE'd statement in the reference or DuckDB — while the earlier
+    // concern (re-collecting the same Dataset skips whole stages via
+    // shuffle reuse) does not apply to a fresh execution.
     val prepared = sys.env.getOrElse("SPARK_GRAFT_PREPARED", "true").toBoolean
     // cold = first run (planning + codegen + execution); hot = best of N
     // steady-state repeats — mirrors the DuckDB baseline's best-of-3

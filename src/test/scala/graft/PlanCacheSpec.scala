@@ -5,9 +5,10 @@ import graft.sql.XtSqlEngine
 import org.apache.spark.sql.SparkSession
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Prepared-plan reuse (reference plan cache, query.clj:305-328): the
-  * analyzed logical plan is cached and re-wrapped, while every execution
-  * is a fresh QueryExecution — plans are shared, data paths are not. */
+/** Prepared-plan reuse (reference plan+emit caches, query.clj:305-328): the
+  * analyzed+optimized logical plan is cached and re-wrapped, while every
+  * execution is a fresh QueryExecution — plans are shared, data paths are
+  * not. */
 class PlanCacheSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -31,6 +32,22 @@ class PlanCacheSpec extends AnyFunSuite {
     assert(a.queryExecution ne b.queryExecution)
     assert(a.collect().map(_.getLong(0)).toSeq == Seq(6L))
     assert(b.collect().map(_.getLong(0)).toSeq == Seq(6L))
+  }
+
+  test("prepared() reuses the optimized plan but not the data path") {
+    import spark.implicits._
+    def build() = Seq(1, 2, 3).toDF("x").filter($"x" > 1).groupBy().sum("x")
+      .withColumnRenamed("sum(x)", "s")
+    val a = PlanCache.prepared(spark, ("spec", "opt-tier"))(build())
+    val b = PlanCache.prepared(spark, ("spec", "opt-tier"))(build())
+    // the optimizer ran once: both executions are seeded with the SAME
+    // optimized plan instance (Spark clones it before physical planning)
+    assert(a.queryExecution.optimizedPlan eq b.queryExecution.optimizedPlan)
+    // ...but the physical/data path is rebuilt per execution
+    assert(a.queryExecution.toRdd.id != b.queryExecution.toRdd.id,
+      "each execution must produce a fresh RDD lineage")
+    assert(a.collect().map(_.getLong(0)).toSeq == Seq(5L))
+    assert(b.collect().map(_.getLong(0)).toSeq == Seq(5L))
   }
 
   test("PREPARE/EXECUTE reuses the plan and re-plans after a committed tx") {
