@@ -229,7 +229,7 @@ object Bitemp {
     // operators/Joins.asOfJoin: union+window, one shuffle, no range blowup)
     QueryDef("q72_asof_join", (s, dir) => {
       val base = Tables.load(s, dir, "events")
-        .withColumn("ts_ms", expr("unix_micros(ts) div 1000"))
+        .withColumn("ts_ms", expr("unix_micros(cast(ts as timestamp)) div 1000"))
       val purchases = base.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("ts_ms"), col("event_id"),
           col("value").as("last_purchase"))

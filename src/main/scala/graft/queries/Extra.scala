@@ -59,7 +59,7 @@ object Extra {
       val ev = Tables.load(s, dir, "events")
         .filter(col("user_id") < 30)
         .select(col("user_id"),
-          expr("unix_micros(ts) div 1000000").as("ts_s"),
+          expr("unix_micros(cast(ts as timestamp)) div 1000000").as("ts_s"),
           floor(col("value") * 100 + lit(0.5)).cast("long").as("value_c"))
       // exact terciles of global event time = the batch boundaries; ties
       // stay in the earlier batch so nothing is ever behind the watermark
@@ -138,7 +138,7 @@ object Extra {
         .filter(col("user_id") < 20 &&
           col("event_type").isin("click", "purchase"))
         .select(col("user_id"), col("event_id"), col("event_type"),
-          expr("unix_micros(ts) div 1000000").as("ts_s"))
+          expr("unix_micros(cast(ts as timestamp)) div 1000000").as("ts_s"))
       val cuts = ev.stat.approxQuantile("ts_s", Array(0.33, 0.66), 0.0)
       val logDir = java.nio.file.Files
         .createTempDirectory("graft_ssjlog").toString

@@ -11,8 +11,9 @@ import org.apache.spark.sql.functions._
 object Meta {
 
   /** Golden catalog for the static test tables (single source of truth for
-    * the oracle literal; the Spark side reads real parquet footers). */
-  private val expected: Seq[(String, String, String)] = Seq(
+    * the oracle literal; the Spark side reads real parquet footers).
+    * Public so TestdataContractSpec can pin loaded schemas against it. */
+  val expected: Seq[(String, String, String)] = Seq(
     ("region", "r_regionkey", "INTEGER"), ("region", "r_name", "VARCHAR"),
     ("nation", "n_nationkey", "INTEGER"), ("nation", "n_name", "VARCHAR"),
     ("nation", "n_regionkey", "INTEGER"),
@@ -51,8 +52,11 @@ object Meta {
     ("embeddings", "label", "INTEGER"))
 
   /** SQL-ish type name (q95's golden) → pg_type typname (q99's golden).
-    * The TIMESTAMP split: events.ts is tz-adjusted parquet (timestamptz),
-    * orders/lineitem dates are not (timestamp NTZ). */
+    * All driver timestamps (events.ts, o_orderdate, l_shipdate) are plain-µs
+    * parquet NTZ (isAdjustedToUTC=false) as of the 2026-08-13 testdata
+    * regeneration, so they all map to pg `timestamp`, not `timestamptz`.
+    * TestdataContractSpec pins the loaded Spark schema to this golden so the
+    * next driver drift fails a named test instead of a distant hash. */
   private def pgTypname(table: String, sqlType: String): String =
     sqlType match {
       case "INTEGER" => "int4"
@@ -60,7 +64,7 @@ object Meta {
       case "DOUBLE" => "float8"
       case "VARCHAR" => "text"
       case "FLOAT[]" => "_float4"
-      case "TIMESTAMP" => if (table == "events") "timestamptz" else "timestamp"
+      case "TIMESTAMP" => "timestamp"
       case other => sys.error(s"unmapped golden type $other")
     }
 

@@ -69,12 +69,25 @@ object StreamIngest {
       }
       .start()
 
+  /** Spark watermarks require an instant (TIMESTAMP, not TIMESTAMP_NTZ).
+    * Driver testdata carries plain-µs NTZ parquet timestamps; interpret
+    * them in the session time zone (UTC everywhere in this engine) so
+    * event-time semantics — and the DuckDB oracles' epoch math — are
+    * unchanged. No-op for already-LTZ columns. */
+  private def asEventTime(df: DataFrame, tsCol: String): DataFrame =
+    df.schema(tsCol).dataType match {
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        df.withColumn(tsCol,
+          col(tsCol).cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+
   /** Event-time windowed aggregation with a watermark — user-facing
     * streaming analytics over the ingested stream (beyond the reference,
     * which has no windowed stream SQL; Spark gives it natively). */
   def windowedCounts(events: DataFrame, tsCol: String, windowDur: String,
       watermark: String, keyCol: String): DataFrame =
-    events
+    asEventTime(events, tsCol)
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowDur), col(keyCol))
       .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("total"))
@@ -94,7 +107,7 @@ object StreamIngest {
   def sessionizedStats(events: DataFrame, tsCol: String, gap: String,
       keyCol: String, valCol: String,
       watermarkDelay: String = "0 seconds"): DataFrame =
-    events
+    asEventTime(events, tsCol)
       .withWatermark(tsCol, watermarkDelay)
       .groupBy(session_window(col(tsCol), gap), col(keyCol))
       .agg(count(lit(1)).as("n"), sum(valCol).as("total"))
@@ -120,11 +133,11 @@ object StreamIngest {
   def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
       tsCol: String, before: String, after: String,
       watermarkDelay: String, joinType: String = "inner"): DataFrame = {
-    val l = left.withWatermark(tsCol, watermarkDelay)
+    val l = asEventTime(left, tsCol).withWatermark(tsCol, watermarkDelay)
       .select(col(keyCol).as("l_key"), col(tsCol).as("l_ts"),
         col("*"))
       .drop(keyCol, tsCol)
-    val r = right.withWatermark(tsCol, watermarkDelay)
+    val r = asEventTime(right, tsCol).withWatermark(tsCol, watermarkDelay)
       .select(col(keyCol).as("r_key"), col(tsCol).as("r_ts"),
         col("*"))
       .drop(keyCol, tsCol)

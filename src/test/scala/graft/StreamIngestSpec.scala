@@ -165,10 +165,16 @@ class StreamIngestSpec extends AnyFunSuite {
       streamDir.resolve("events.parquet"))
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val rawSchema = spark.read.parquet(streamDir.toString).schema
-    val stream = spark.readStream.schema(rawSchema)
+    val raw = spark.readStream.schema(rawSchema)
       .option("maxFilesPerTrigger", 1)
       .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    // Mirror Tables.load: only nanos-INT64 testdata needs the ns→µs cast;
+    // plain parquet timestamps (the 2026-08-13 regeneration) pass through.
+    val stream = rawSchema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      case _ => raw
+    }
 
     val agg = StreamIngest.windowedCounts(stream, "ts", "1 hour",
       "10 minutes", "event_type")
