@@ -16,11 +16,14 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Each connection gets its own [[XtSqlEngine]] session (interactive
   * transactions, SET/SHOW, PREPARE) over the shared [[XtDb]] store — the
   * reference's connection/session split (pgwire.clj connection state).
-  * Supported: startup (incl. SSLRequest refusal + optional cleartext
-  * password auth), the simple query protocol ('Q', `;`-scripts included),
-  * and the extended protocol (Parse/Bind/Describe/Execute/Close/Sync) with
-  * `$n` placeholders spliced lexer-safely. All values travel in text
-  * format, typed by OID in RowDescription.
+  * Supported: startup with pluggable authentication ([[PgAuth]]: trust /
+  * cleartext / md5 / SCRAM-SHA-256, reference authn.clj:18-75) and TLS
+  * (SSLRequest accepted when an SSLContext is supplied, refused 'N'
+  * otherwise — reference pgwire.clj:274-284), the simple query protocol
+  * ('Q', `;`-scripts included), and the extended protocol
+  * (Parse/Bind/Describe/Execute/Close/Sync) with `$n` placeholders spliced
+  * lexer-safely. All values travel in text format, typed by OID in
+  * RowDescription.
   *
   * Scale note: the wire layer only funnels FINAL result rows through the
   * driver socket — query execution stays distributed in Spark. This is the
@@ -28,7 +31,15 @@ import java.nio.charset.StandardCharsets.UTF_8
   * operator.
   */
 final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
-    password: Option[String] = None) {
+    password: Option[String] = None,
+    auth: PgAuth = PgAuth.Trust,
+    sslContext: Option[javax.net.ssl.SSLContext] = None) {
+
+  // back-compat: the single shared cleartext password predates PgAuth
+  private val effectiveAuth: PgAuth = (password, auth) match {
+    case (Some(p), PgAuth.Trust) => PgAuth.Cleartext(_ => Some(p))
+    case _ => auth
+  }
 
   private val server = new ServerSocket(port)
   @volatile private var running = true
@@ -62,12 +73,27 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
 
   // ---- per-connection session ---------------------------------------------
 
-  private def handle(sock: Socket): Unit = {
-    val in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
-    val out = new DataOutputStream(
+  private def handle(sock0: Socket): Unit = {
+    var sock = sock0
+    var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+    var out = new DataOutputStream(
       new BufferedOutputStream(sock.getOutputStream))
     try {
-      val params = startup(in, out).getOrElse(return)
+      val params = startup(in, out, () => {
+        // TLS accepted: wrap the raw socket; all subsequent traffic
+        // (including the re-sent StartupMessage) flows through the
+        // SSLSocket's streams
+        val factory = sslContext.get.getSocketFactory
+        val ssl = factory.createSocket(sock, null, sock.getPort, true)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        ssl.setUseClientMode(false)
+        ssl.startHandshake()
+        sock = ssl
+        in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
+        out = new DataOutputStream(
+          new BufferedOutputStream(sock.getOutputStream))
+        (in, out)
+      }).getOrElse(return)
       // connection principal = the startup user (reference authn): GRANT/
       // REVOKE over the wire requires connecting as the xtdb superuser
       val eng = new XtSqlEngine(spark, db)
@@ -176,12 +202,16 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
     }
   }
 
-  /** Startup negotiation: refuse SSL/GSS, optional cleartext password,
-    * then parameter statuses + ReadyForQuery. Returns the startup
-    * parameters, or None to drop the connection. */
-  private def startup(in: DataInputStream,
-      out: DataOutputStream): Option[Map[String, String]] = {
-    var proto = 0
+  /** Startup negotiation: TLS upgrade (SSLRequest → 'S' + handshake when an
+    * SSLContext is configured, 'N' otherwise), then the configured [[PgAuth]]
+    * exchange, then parameter statuses + ReadyForQuery. Returns the startup
+    * parameters, or None to drop the connection. `upgrade` wraps the raw
+    * socket in TLS and hands back the new streams. */
+  private def startup(in0: DataInputStream, out0: DataOutputStream,
+      upgrade: () => (DataInputStream, DataOutputStream))
+      : Option[Map[String, String]] = {
+    var in = in0
+    var out = out0
     var params = Map.empty[String, String]
     var negotiating = true
     while (negotiating) {
@@ -189,8 +219,11 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
       val body = new Array[Byte](len - 4)
       in.readFully(body)
       val r = new Reader(body)
-      proto = r.i32()
-      proto match {
+      r.i32() match {
+        case 80877103 if sslContext.isDefined => // SSLRequest: accept
+          out.write('S'); out.flush()
+          val (i2, o2) = upgrade()
+          in = i2; out = o2
         case 80877103 | 80877104 => out.write('N'); out.flush() // SSL/GSS: no
         case 80877102 => return None // CancelRequest: nothing to cancel
         case _ =>
@@ -202,22 +235,66 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
           negotiating = false
       }
     }
-    password match {
-      case Some(expect) =>
+    val user = params.getOrElse("user", "?")
+    def passwordMessage(): Option[Array[Byte]] = {
+      val t = in.read()
+      val len = in.readInt()
+      val body = new Array[Byte](len - 4)
+      in.readFully(body)
+      if (t != 'p') None else Some(body)
+    }
+    def reject(): Option[Map[String, String]] = {
+      errorMsg(out, "28P01",
+        s"password authentication failed for user \"$user\"")
+      out.flush()
+      None
+    }
+    effectiveAuth match {
+      case PgAuth.Trust => ()
+      case PgAuth.Cleartext(passwordFor) =>
         msg(out, 'R')(_.writeInt(3)) // AuthenticationCleartextPassword
         out.flush()
-        val t = in.read()
-        val len = in.readInt()
-        val body = new Array[Byte](len - 4)
-        in.readFully(body)
-        val given = new Reader(body).cstr()
-        if (t != 'p' || given != expect) {
-          errorMsg(out, "28P01",
-            s"password authentication failed for user \"${params.getOrElse("user", "?")}\"")
-          out.flush()
-          return None
+        val given = passwordMessage().map(b => new Reader(b).cstr())
+        if (!passwordFor(user).exists(given.contains(_))) return reject()
+      case PgAuth.Md5(passwordFor) =>
+        val salt = new Array[Byte](4)
+        new java.security.SecureRandom().nextBytes(salt)
+        msg(out, 'R') { w => w.writeInt(5); w.write(salt) }
+        out.flush()
+        val given = passwordMessage().map(b => new Reader(b).cstr())
+        val expect = passwordFor(user).map(PgAuth.md5Response(user, _, salt))
+        if (expect.isEmpty || given != expect) return reject()
+      case PgAuth.Scram(passwordFor, iterations) =>
+        // AuthenticationSASL: advertise SCRAM-SHA-256 (list is NUL-terminated)
+        msg(out, 'R') { w =>
+          w.writeInt(10); cstr(w, "SCRAM-SHA-256"); w.writeByte(0)
         }
-      case None => ()
+        out.flush()
+        val pw = passwordFor(user).getOrElse(return reject())
+        val scram = new PgAuth.ScramServer(user, pw, iterations)
+        // SASLInitialResponse: mechanism name + int32-length payload
+        val initial = passwordMessage().getOrElse(return reject())
+        val ir = new Reader(initial)
+        val mech = ir.cstr()
+        if (mech != "SCRAM-SHA-256") return reject()
+        val cfLen = ir.i32()
+        val clientFirst = new String(ir.bytes(cfLen), UTF_8)
+        val serverFirst =
+          try scram.serverFirstMessage(clientFirst)
+          catch { case _: Exception => return reject() }
+        msg(out, 'R') { w =>
+          w.writeInt(11); w.write(serverFirst.getBytes(UTF_8)) // SASLContinue
+        }
+        out.flush()
+        val clientFinal = passwordMessage()
+          .map(b => new String(b, UTF_8)).getOrElse(return reject())
+        scram.verify(clientFinal) match {
+          case None => return reject()
+          case Some(serverFinal) =>
+            msg(out, 'R') { w =>
+              w.writeInt(12); w.write(serverFinal.getBytes(UTF_8)) // SASLFinal
+            }
+        }
     }
     msg(out, 'R')(_.writeInt(0)) // AuthenticationOk
     Seq("server_version" -> "16.0 (graft)", "server_encoding" -> "UTF8",
