@@ -448,10 +448,69 @@ object MediaCodecs {
     Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0)
   private val Mp3Rates = Array(44100, 48000, 32000, 0)
 
-  /** Fixture writer: `frames` valid MPEG-1 Layer III frames (deterministic
-    * filler payload — real headers, stub audio), optional ID3v2 prefix. */
+  // -- Layer III side information (ISO 11172-3 §2.4.1.7, mono: 17 bytes) --
+
+  /** One granule's side info (long-block, non-switching layout). */
+  final case class Mp3Granule(part23Length: Int, bigValues: Int,
+      globalGain: Int, scalefacCompress: Int, tableSelect: Seq[Int],
+      region0Count: Int, region1Count: Int, preflag: Int,
+      scalefacScale: Int, count1TableSelect: Int)
+
+  final case class Mp3SideInfo(mainDataBegin: Int, scfsi: Int,
+      granules: Seq[Mp3Granule])
+
+  /** slen1/slen2 scalefactor bit widths per scalefac_compress
+    * (ISO 11172-3 table B.7 — public). */
+  private val Slen1 = Array(0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
+  private val Slen2 = Array(0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)
+
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nbits = 0
+    def put(v: Int, n: Int): Unit = {
+      var i = n - 1
+      while (i >= 0) {
+        cur = (cur << 1) | ((v >> i) & 1)
+        nbits += 1
+        if (nbits == 8) { buf += cur.toByte; cur = 0; nbits = 0 }
+        i -= 1
+      }
+    }
+    def bytes: Array[Byte] = {
+      val out = buf.clone()
+      if (nbits > 0) out += (cur << (8 - nbits)).toByte
+      out.toArray
+    }
+  }
+
+  private final class BitReader(bytes: Array[Byte], var pos: Int) {
+    var bit = 0
+    def get(n: Int): Int = {
+      var v = 0
+      var i = 0
+      while (i < n) {
+        v = (v << 1) | ((bytes(pos) >> (7 - bit)) & 1)
+        bit += 1
+        if (bit == 8) { bit = 0; pos += 1 }
+        i += 1
+      }
+      v
+    }
+    def bitsRead(from: Int): Int = (pos - from) * 8 + bit
+  }
+
+  /** Fixture writer: `frames` valid MPEG-1 Layer III frames with REAL mono
+    * side info + scalefactors + a count1-region spectrum, optional ID3v2
+    * prefix. Each granule carries big_values=0 and `count1Quads` quadruples
+    * of ±1 spectral values coded with count1 table B (the 4-bit fixed-width
+    * count1 table — its codeword IS the inverted value pattern, so the
+    * region round-trips without the large big_values huffman tables);
+    * global_gain ramps from `globalGain` per frame. Everything after the
+    * coded audio data is deterministic filler. */
   def encodeMp3(frames: Int, bitrateIdx: Int, rateIdx: Int,
-      id3Bytes: Int = 0): Array[Byte] = {
+      id3Bytes: Int = 0, globalGain: Int = 210,
+      count1Quads: Int = 0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     if (id3Bytes > 0) { // ID3v2 header + syncsafe size
       out.write('I'); out.write('D'); out.write('3')
@@ -465,7 +524,40 @@ object MediaCodecs {
       out.write(0xff); out.write(0xfb) // sync + MPEG-1 + Layer III + no CRC
       out.write((bitrateIdx << 4) | (rateIdx << 2)) // no padding
       out.write(0xc4) // mono, no emphasis
-      (4 until frameLen).foreach(i => out.write((i * 31 + f) % 251))
+      val w = new BitWriter
+      // scalefac_compress=2 → (slen1,slen2)=(0,2): 11 bands × 0 bits +
+      // 10 bands × 2 bits = 20 scalefactor bits; count1 region:
+      // 4-bit table-B codeword + one sign bit per nonzero value
+      val sfBits = 11 * Slen1(2) + 10 * Slen2(2)
+      val quadPatterns = (0 until count1Quads).map(q => 1 + (q % 15))
+      val part23 = sfBits +
+        quadPatterns.map(p => 4 + Integer.bitCount(p)).sum
+      val gr = Mp3Granule(part23, 0, math.min(255, globalGain + f), 2,
+        Seq(0, 0, 0), 0, 0, 0, 0, 1)
+      w.put(0, 9); w.put(0, 5); w.put(0, 4) // main_data_begin/private/scfsi
+      Seq(gr, gr).foreach { g =>
+        w.put(g.part23Length, 12); w.put(g.bigValues, 9)
+        w.put(g.globalGain, 8); w.put(g.scalefacCompress, 4)
+        w.put(0, 1) // windows_switching_flag: long blocks
+        g.tableSelect.foreach(t => w.put(t, 5))
+        w.put(g.region0Count, 4); w.put(g.region1Count, 3)
+        w.put(g.preflag, 1); w.put(g.scalefacScale, 1)
+        w.put(g.count1TableSelect, 1)
+      }
+      // main data, both granules: scalefactors then count1 quadruples
+      Seq(0, 1).foreach { gi =>
+        (0 until 10).foreach(b => w.put((b + gi) % 4, 2)) // slen2 bands
+        quadPatterns.foreach { pattern =>
+          // table B: 4-bit codeword = inverted (v,w,x,y); one sign bit
+          // per nonzero value (0 = positive), alternating here
+          w.put(~pattern & 0xf, 4)
+          (0 until Integer.bitCount(pattern)).foreach(s => w.put(s & 1, 1))
+        }
+      }
+      val data = w.bytes
+      require(4 + data.length <= frameLen, "fixture audio data overflows frame")
+      data.foreach(b => out.write(b & 0xff))
+      (4 + data.length until frameLen).foreach(i => out.write((i * 31 + f) % 251))
     }
     out.toByteArray
   }
@@ -499,6 +591,161 @@ object MediaCodecs {
     }
     require(frames > 0, "no mp3 frames found")
     Mp3Meta(rate, kbps, frames, frames.toLong * 1152L * 1000L / rate)
+  }
+
+  private def skipId3(bytes: Array[Byte]): Int =
+    if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
+        bytes(2) == '3')
+      10 + (((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+        ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f))
+    else 0
+
+  private def readSideInfo(r: BitReader): Mp3SideInfo = {
+    val mdb = r.get(9); r.get(5) // main_data_begin, private_bits (mono)
+    val scfsi = r.get(4)
+    val grs = Seq(0, 1).map { _ =>
+      val p23 = r.get(12); val bv = r.get(9); val gg = r.get(8)
+      val sfc = r.get(4)
+      val switching = r.get(1)
+      require(switching == 0,
+        "window-switching granules not supported (fixture family is long-block)")
+      val ts = Seq(r.get(5), r.get(5), r.get(5))
+      val r0 = r.get(4); val r1 = r.get(3)
+      Mp3Granule(p23, bv, gg, sfc, ts, r0, r1,
+        preflag = r.get(1), scalefacScale = r.get(1),
+        count1TableSelect = r.get(1))
+    }
+    Mp3SideInfo(mdb, scfsi, grs)
+  }
+
+  /** Bit-level decode of the first frame's side information (ISO 11172-3
+    * §2.4.1.7: 17 bytes after the mono header). */
+  def parseMp3SideInfo(bytes: Array[Byte]): Mp3SideInfo = {
+    val pos = skipId3(bytes)
+    require(pos + 21 <= bytes.length && (bytes(pos) & 0xff) == 0xff,
+      "no mp3 frame at expected offset")
+    readSideInfo(new BitReader(bytes, pos + 4))
+  }
+
+  /** REAL Layer III audio decode for the count1-spectrum family this
+    * codec's fixtures emit (big_values = 0, main_data_begin = 0, long
+    * blocks): side-info bit parse → scalefactor read (slen1/slen2 per
+    * table B.7, scfsi honored) → count1 huffman decode with table B (its
+    * 4-bit codeword is the inverted (v,w,x,y) pattern) + sign bits →
+    * requantization ±|x|^(4/3) · 2^((global_gain−210)/4) → alias-reduction
+    * butterflies (the 8 public cᵢ coefficients) → 36-point IMDCT per
+    * subband with the sine window and inter-granule overlap-add →
+    * frequency inversion. Scoped out, by name: the big_values huffman
+    * tables (decode errors on big_values > 0), per-band scalefactor gain
+    * (needs the ISO B.8 band-boundary tables; scalefactors are parsed and
+    * surfaced but not applied — fixture spectra sit in band 0), and the
+    * 512-tap polyphase synthesis window D[] (tabulated data; subbands are
+    * summed directly instead). Returns mono samples, 1152 per frame.
+    */
+  def decodeMp3Pcm(bytes: Array[Byte]): Array[Double] = {
+    var pos = skipId3(bytes)
+    val out = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // inter-granule IMDCT overlap: 18 samples per subband
+    val overlap = Array.ofDim[Double](32, 18)
+    val ci = Array(-0.6, -0.535, -0.33, -0.185, -0.095, -0.041, -0.0142,
+      -0.0037)
+    val cs = ci.map(c => 1.0 / math.sqrt(1 + c * c))
+    val ca = ci.indices.map(i => ci(i) * cs(i)).toArray
+    while (pos + 4 <= bytes.length &&
+        (bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xe0) == 0xe0) {
+      val b2 = bytes(pos + 2) & 0xff
+      val frameLen = 144 * Mp3Bitrates((b2 >> 4) & 0xf) * 1000 /
+        Mp3Rates((b2 >> 2) & 3) + ((b2 >> 1) & 1)
+      val r = new BitReader(bytes, pos + 4)
+      val si = readSideInfo(r)
+      require(si.mainDataBegin == 0,
+        "bit-reservoir frames not supported (fixtures write main_data_begin=0)")
+      var sf0: Array[Int] = null
+      si.granules.zipWithIndex.foreach { case (g, gi) =>
+        require(g.bigValues == 0,
+          "big_values huffman tables out of scope (count1-only fixtures)")
+        require(g.count1TableSelect == 1,
+          "count1 table A out of scope (fixtures use table B)")
+        val dataStart = r.pos
+        val startBit = r.bitsRead(dataStart)
+        // scalefactors: bands 0-10 slen1, 11-20 slen2; scfsi shares a
+        // granule-0 group with granule 1 when its bit is set
+        val s1 = Slen1(g.scalefacCompress); val s2 = Slen2(g.scalefacCompress)
+        val sf = Array.ofDim[Int](21)
+        (0 until 21).foreach { b =>
+          val group = if (b < 6) 3 else if (b < 11) 2 else if (b < 16) 1 else 0
+          val share = gi == 1 && ((si.scfsi >> group) & 1) == 1
+          val slen = if (b < 11) s1 else s2
+          if (share) sf(b) = sf0(b)
+          else if (slen > 0) sf(b) = r.get(slen)
+        }
+        if (gi == 0) sf0 = sf
+        // count1 region: quadruples until part2_3_length is exhausted
+        val is = Array.ofDim[Double](576)
+        var sp = g.bigValues * 2
+        while (r.bitsRead(dataStart) - startBit < g.part23Length &&
+            sp + 4 <= 576) {
+          val pattern = ~r.get(4) & 0xf
+          (0 until 4).foreach { k =>
+            if (((pattern >> (3 - k)) & 1) == 1) {
+              val sign = if (r.get(1) == 1) -1.0 else 1.0
+              is(sp + k) = sign
+            }
+          }
+          sp += 4
+        }
+        // requantize: ±|x|^(4/3) scaled by global gain (per-band
+        // scalefactor gain needs the B.8 tables — see scaladoc)
+        val gain = math.pow(2.0, 0.25 * (g.globalGain - 210))
+        val xr = is.map(v => math.signum(v) * math.pow(math.abs(v), 4.0 / 3) *
+          gain)
+        // alias reduction between adjacent subbands
+        (1 until 32).foreach { sb =>
+          (0 until 8).foreach { k =>
+            val lo = sb * 18 - 1 - k
+            val hi = sb * 18 + k
+            val a = xr(lo); val b = xr(hi)
+            xr(lo) = a * cs(k) - b * ca(k)
+            xr(hi) = b * cs(k) + a * ca(k)
+          }
+        }
+        // IMDCT (n=36) per subband, sine window, overlap-add
+        val granulePcm = Array.ofDim[Double](18, 32)
+        (0 until 32).foreach { sb =>
+          val x = Array.ofDim[Double](36)
+          (0 until 36).foreach { n =>
+            var s = 0.0
+            (0 until 18).foreach { k =>
+              s += xr(sb * 18 + k) *
+                math.cos(math.Pi / 72 * (2 * n + 1 + 18) * (2 * k + 1))
+            }
+            x(n) = s * math.sin(math.Pi / 36 * (n + 0.5))
+          }
+          (0 until 18).foreach { n =>
+            granulePcm(n)(sb) = x(n) + overlap(sb)(n)
+            overlap(sb)(n) = x(n + 18)
+          }
+          // frequency inversion: odd subbands flip odd time samples
+          if (sb % 2 == 1)
+            (1 until 18 by 2).foreach(n => granulePcm(n)(sb) = -granulePcm(n)(sb))
+        }
+        // simplified synthesis (see scaladoc): sum subband contributions
+        // into one value per subband-domain time slot
+        (0 until 18).foreach { n =>
+          var s = 0.0
+          (0 until 32).foreach(sb => s += granulePcm(n)(sb))
+          out += s
+        }
+      }
+      pos += frameLen
+    }
+    // 2 granules × 18 slots emitted per frame above; expand to the frame's
+    // 1152-sample timeline by repeating each slot over its 32-sample span
+    val expanded = Array.ofDim[Double](out.length * 32)
+    out.indices.foreach { i =>
+      java.util.Arrays.fill(expanded, i * 32, i * 32 + 32, out(i))
+    }
+    expanded
   }
 
   // ---- MP4 (ISO BMFF box tree) --------------------------------------------

@@ -183,6 +183,32 @@ object Multimodal {
     }(Encoders.row(mp3FeatureSchema))
   }
 
+  val mp3PcmFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("global_gain", LongType),
+    StructField("part23_len", LongType),
+    StructField("pcm_samples", LongType),
+    StructField("silent", BooleanType)))
+
+  /** Audio sample decode features (MediaCodecs.decodeMp3Pcm: side-info →
+    * scalefactors → count1 huffman → requantize → IMDCT): bit-level
+    * side-info fields plus decoded-PCM facts. Same mapPartitions shape as
+    * every other decode — no shuffle, bytes never leave the executor. */
+  def mp3PcmFeatures(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        val si = MediaCodecs.parseMp3SideInfo(bytes)
+        val pcm = MediaCodecs.decodeMp3Pcm(bytes)
+        Row(r.getLong(idIdx), si.granules.head.globalGain.toLong,
+          si.granules.head.part23Length.toLong, pcm.length.toLong,
+          pcm.forall(v => math.abs(v) < 1e-12))
+      }
+    }(Encoders.row(mp3PcmFeatureSchema))
+  }
+
   val mp4FeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("duration_ms", LongType),

@@ -41,7 +41,12 @@ object Explain {
       nestedLoopJoins: Int,
       wholeStageCodegenSpans: Int,
       /** EXPLAIN ANALYZE only: total rows shuffled across all exchanges. */
-      rowsShuffled: Option[Long]) {
+      rowsShuffled: Option[Long],
+      /** EXPLAIN ANALYZE only: measured per-operator wall time — every
+        * timing metric Spark recorded on the executed plan, as
+        * (node, metric, ms) rows (reference reports per-cursor timings,
+        * query.clj:230-277 / ExplainAnalyze.kt). Summed across tasks. */
+      nodeTimes: Seq[(String, String, Long)] = Nil) {
 
     def render: String = {
       val sb = new StringBuilder
@@ -52,6 +57,12 @@ object Explain {
         s"nested-loop=$nestedLoopJoins\n")
       sb.append(s"whole-stage codegen spans: $wholeStageCodegenSpans\n")
       rowsShuffled.foreach(n => sb.append(s"rows shuffled: $n\n"))
+      if (nodeTimes.nonEmpty) {
+        sb.append("operator times (ms, task-summed):\n")
+        nodeTimes.foreach { case (node, metric, ms) =>
+          sb.append(f"  $node%-28s $metric%-24s $ms%6d\n")
+        }
+      }
       scans.zipWithIndex.foreach { case (sc, i) =>
         sb.append(s"scan #$i ${sc.location}\n")
         sb.append(s"  read schema:       ${sc.readSchema}\n")
@@ -111,7 +122,19 @@ object Explain {
       rowsShuffled =
         if (analyzed)
           Some(shuffles.flatMap(longMetric(_, "numOutputRows")).sum)
-        else None)
+        else None,
+      nodeTimes =
+        if (!analyzed) Nil
+        else nodes.flatMap { n =>
+          n.metrics.toSeq.collect {
+            // SQLMetric knows its unit: "timing" accumulates ms,
+            // "nsTiming" ns (e.g. shuffle write) — normalize to ms
+            case (name, m) if m.metricType == "timing" && m.value > 0 =>
+              (n.nodeName, name, m.value)
+            case (name, m) if m.metricType == "nsTiming" && m.value > 0 =>
+              (n.nodeName, name, m.value / 1000000L)
+          }
+        })
   }
 
   /** EXPLAIN — static plan inspection, nothing executes. */

@@ -733,6 +733,42 @@ object Infra {
              true AS has_video, stereo AS has_audio
       FROM k ORDER BY media_id""")),
 
+    // ---- REAL MP3 sample decode through the oracle gate (reference keeps
+    // media opaque; this goes further): MediaCodecs.decodeMp3Pcm runs the
+    // actual Layer III chain — side-info bit parse, scalefactors, count1
+    // huffman (table B), requantization, alias reduction, IMDCT + overlap
+    // — over key-derived fixtures. The oracle predicts the bit-exact
+    // side-info fields (part2_3_length arithmetic: 20 scalefactor bits +
+    // 4 code + popcount sign bits per quadruple), the decoded sample
+    // count, and the silence property (zero quadruples → the whole linear
+    // chain must yield exact zeros). MediaCodecsSpec pins the DSP-side
+    // properties SQL cannot (gain linearity, loud failure on big_values).
+    QueryDef("q140_mp3_pcm", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 150)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          Row(k, _root_.graft.operators.MediaCodecs.encodeMp3(
+            frames = 2 + (k % 5).toInt,
+            bitrateIdx = 9, rateIdx = 0,
+            globalGain = 140 + (k % 40).toInt,
+            count1Quads = (k % 4).toInt), "audio/mpeg")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.mp3PcmFeatures(media)
+        .orderBy("media_id")
+    }, Some("""
+      SELECT o_orderkey AS media_id,
+             CAST(140 + o_orderkey % 40 AS BIGINT) AS global_gain,
+             CAST(CASE o_orderkey % 4 WHEN 0 THEN 20 WHEN 1 THEN 25
+                  WHEN 2 THEN 30 ELSE 36 END AS BIGINT) AS part23_len,
+             CAST((2 + o_orderkey % 5) * 1152 AS BIGINT) AS pcm_samples,
+             o_orderkey % 4 = 0 AS silent
+      FROM orders WHERE o_orderkey < 150 ORDER BY media_id""")),
+
     // ---- mega-join stats ordering on the FILE path through the oracle
     // gate (reference :mega-join, join.clj:599-736 — q131 covers the
     // CBO/managed-catalog variant; this is the raw-parquet default where

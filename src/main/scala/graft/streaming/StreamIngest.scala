@@ -38,14 +38,23 @@ object StreamIngest {
     * parsed against the table schema. */
   def openKafkaLog(spark: SparkSession, bootstrapServers: String,
       topic: String, schema: StructType): DataFrame =
-    spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", "earliest")
-      .load()
-      .select(from_json(col("value").cast("string"),
-        schema).as("op"))
+    decodeOpLog(
+      spark.readStream
+        .format("kafka")
+        .option("kafka.bootstrap.servers", bootstrapServers)
+        .option("subscribe", topic)
+        .option("startingOffsets", "earliest")
+        .load(),
+      schema)
+
+  /** Kafka's downstream half, factored out so its contract is provable
+    * without broker jars: any source exposing Kafka's record shape (a
+    * `value` byte/string column) decodes JSON op batches against the table
+    * schema into the exact openLog column layout. StreamIngestSpec drives
+    * this from a MemoryStream and runs the same indexer over it. */
+  def decodeOpLog(raw: DataFrame, schema: StructType): DataFrame =
+    raw
+      .select(from_json(col("value").cast("string"), schema).as("op"))
       .select(col("op.*"))
 
   /** The indexer: drain the op log into an XtDb table. Processes

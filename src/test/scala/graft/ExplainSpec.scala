@@ -62,6 +62,26 @@ class ExplainSpec extends AnyFunSuite {
     assert(rep.render.contains("pushed filters"))
   }
 
+  test("EXPLAIN ANALYZE reports per-operator wall time") {
+    // a shape with an exchange + aggregate so both codegen pipeline time
+    // and at least one stage-boundary timing metric get recorded
+    val df = Tables.load(spark, sf, "lineitem")
+      .groupBy("l_returnflag").agg(sum("l_quantity").as("q"))
+      .orderBy("l_returnflag")
+    val rep = Explain.analyze(df)
+    assert(rep.nodeTimes.nonEmpty,
+      "executed plan recorded no timing metrics")
+    // metric units are normalized to ms and attributed to a named operator
+    assert(rep.nodeTimes.forall { case (node, metric, ms) =>
+      node.nonEmpty && metric.nonEmpty && ms >= 0 })
+    val nodeNames = rep.nodeTimes.map(_._1).toSet
+    assert(nodeNames.exists(n => n.contains("Aggregate") ||
+      n.contains("WholeStageCodegen")), s"unexpected nodes: $nodeNames")
+    assert(rep.render.contains("operator times"))
+    // static EXPLAIN must stay execution-free: no timings
+    assert(Explain.report(df).nodeTimes.isEmpty)
+  }
+
   test("EXPLAIN through the SQL front door") {
     import spark.implicits._
     val db = new graft.bitemporal.XtDb(spark,

@@ -128,6 +128,42 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(fn(fresh, Seq(row("h_a"))).map(_.getString(1)) == Vector("h_a"))
   }
 
+  test("kafka record shape: decodeOpLog feeds the same indexer contract") {
+    // No kafka-clients jars in this container, so the broker socket itself
+    // stays unexercised — but everything AFTER the socket is provable:
+    // openKafkaLog = format("kafka") source + decodeOpLog, and this drives
+    // decodeOpLog from a MemoryStream exposing Kafka's exact record shape
+    // (a binary `value` column of JSON op bytes) through the same indexer
+    // as the file-source test above, asserting identical XtDb outcomes.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val schema = new org.apache.spark.sql.types.StructType()
+      .add("_id", org.apache.spark.sql.types.LongType)
+      .add("val", org.apache.spark.sql.types.StringType)
+      .add("_op", org.apache.spark.sql.types.StringType)
+    val ms = MemoryStream[String]
+    val kafkaShaped = ms.toDF.select(col("value").cast("binary").as("value"))
+    val decoded = StreamIngest.decodeOpLog(kafkaShaped, schema)
+    assert(decoded.schema.fieldNames.toSeq == Seq("_id", "val", "_op"),
+      "decoded columns must match the openLog layout")
+    val db = new XtDb(spark,
+      java.nio.file.Files.createTempDirectory("xtkafka").toString)
+    val q = StreamIngest.startIndexer(decoded, db, "kdocs")
+    ms.addData("""{"_id":1,"val":"a","_op":"put"}""",
+      """{"_id":2,"val":"b","_op":"put"}""")
+    q.processAllAvailable()
+    ms.addData("""{"_id":1,"val":"a2","_op":"put"}""",
+      """{"_id":2,"val":"b","_op":"delete"}""")
+    q.processAllAvailable()
+    q.stop()
+    // same final state + history as the file-source op-log test
+    val cur = db.asOf("kdocs").select("_id", "val")
+      .as[(Long, String)].collect().toMap
+    assert(cur == Map(1L -> "a2"))
+    assert(db.history("kdocs").filter(col("_id") === 1L).count() >= 2)
+  }
+
   test("source swap is config-only: same dedup pipeline over MemoryStream") {
     // the pipeline code is identical for file / Kafka / memory sources —
     // only the source expression differs (openLog vs openKafkaLog vs this
