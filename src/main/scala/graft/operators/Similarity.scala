@@ -98,11 +98,13 @@ object Similarity {
     * query. */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
       nlist: Int, nprobe: Int, k: Int,
-      queryFilter: Column): DataFrame = {
+      queryFilter: Column,
+      trainedCentroids: Option[DataFrame] = None): DataFrame = {
     val p = prepared(emb, vecCol)
-    val centroids = p.orderBy(col(idCol)).limit(nlist)
-      .select(col(idCol).as("cent_id"), col("__vecd").as("cv"),
-        col("__nrm").as("cn"))
+    val centroids = trainedCentroids.getOrElse(
+      p.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).as("cent_id"), col("__vecd").as("cv"),
+          col("__nrm").as("cn")))
     // cell assignment: nearest centroid by cosine (argmax similarity)
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("__csim").desc, col("cent_id"))
@@ -125,6 +127,76 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("sim"), 4).as("sim"))
+  }
+
+  /** Spherical k-means (Lloyd's) trainer for [[ivfTopK]] centroids —
+    * replaces the deterministic lowest-id seed cells with converged ones.
+    *
+    * Per iteration: (1) broadcast the current nlist×dims centroid matrix
+    * (driver-held, like Spark MLlib's KMeans — the DATA pass stays fully
+    * distributed, only the tiny model round-trips); (2) assign each vector
+    * to its max-cosine centroid in one broadcast-join pass; (3) recompute
+    * each centroid as the renormalized mean of its assignees via
+    * posexplode → groupBy(cell, pos) — the declarative equivalent of
+    * MLlib's treeAggregate, one shuffle of n×dims scalar rows; empty cells
+    * keep their previous centroid. Initialization is the same lowest-id
+    * seed as untrained ivfTopK, so training is deterministic end-to-end.
+    *
+    * Returns (centroids in ivfTopK's (cent_id, cv, cn) shape, mean
+    * within-cluster cosine distance after each iteration — non-increasing,
+    * the Lloyd's convergence contract IvfTrainingSpec pins). */
+  def trainIvfCentroids(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int, nlist: Int, iters: Int): (DataFrame, Seq[Double]) = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = prepared(emb, vecCol)
+      // spherical k-means works on unit vectors
+      .withColumn("__unit", transform(col("__vecd"), x => x / col("__nrm")))
+      .select(col(idCol).as("__vid"), col("__unit"))
+    var cents: Array[Array[Double]] = p.orderBy("__vid").limit(nlist)
+      .select("__unit").as[Seq[Double]].collect().map(_.toArray)
+    val costs = scala.collection.mutable.Buffer.empty[Double]
+    (1 to iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(cents)
+      val assignSim = udf { (v: Seq[Double]) =>
+        val cs = bc.value
+        var best = 0; var bestSim = Double.MinValue
+        var c = 0
+        while (c < cs.length) {
+          var s = 0.0; var d = 0
+          val cv = cs(c)
+          while (d < cv.length) { s += v(d) * cv(d); d += 1 }
+          if (s > bestSim) { bestSim = s; best = c }
+          c += 1
+        }
+        (best, bestSim)
+      }
+      val assigned = p.withColumn("__a", assignSim(col("__unit")))
+        .select(col("__vid"), col("__unit"),
+          col("__a._1").as("__cell"), col("__a._2").as("__sim"))
+      costs += assigned.agg(avg(lit(1.0) - col("__sim"))).as[Double].head()
+      val means = assigned
+        .select(col("__cell"), posexplode(col("__unit")))
+        .groupBy("__cell", "pos").agg(avg("col").as("m"))
+        .groupBy("__cell")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
+          s => s.getField("m")).as("mean"))
+        .as[(Int, Seq[Double])].collect().toMap
+      cents = cents.zipWithIndex.map { case (old, i) =>
+        means.get(i) match {
+          case Some(m) =>
+            val nrm = math.sqrt(m.map(x => x * x).sum)
+            if (nrm == 0) old else m.map(_ / nrm).toArray
+          case None => old // empty cell keeps its centroid
+        }
+      }
+    }
+    val centDf = cents.zipWithIndex.toSeq
+      .map { case (cv, i) => (i, cv.toSeq) }
+      .toDF("cent_id", "cv")
+      .select(col("cent_id"), col("cv"),
+        sqrt(dot(col("cv"), col("cv"))).as("cn"))
+    (centDf, costs.toSeq)
   }
 
   /** ANN top-k restricted to same-bucket candidates (the scale path).

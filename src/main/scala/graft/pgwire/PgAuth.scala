@@ -25,6 +25,11 @@ object PgAuth {
   case object Trust extends PgAuth
   final case class Cleartext(passwordFor: String => Option[String])
       extends PgAuth
+  /** Cleartext wire exchange verified by an arbitrary (user, password)
+    * check — the at-rest-hash shape (reference authn.clj stores bcrypt;
+    * see [[Bcrypt.verify]]): storage never holds the cleartext, the wire
+    * carries it (over TLS in production), the check hashes and compares. */
+  final case class Verify(check: (String, String) => Boolean) extends PgAuth
   final case class Md5(passwordFor: String => Option[String]) extends PgAuth
   final case class Scram(passwordFor: String => Option[String],
       iterations: Int = 4096) extends PgAuth

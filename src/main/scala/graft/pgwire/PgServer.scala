@@ -256,6 +256,11 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
         out.flush()
         val given = passwordMessage().map(b => new Reader(b).cstr())
         if (!passwordFor(user).exists(given.contains(_))) return reject()
+      case PgAuth.Verify(check) =>
+        msg(out, 'R')(_.writeInt(3)) // AuthenticationCleartextPassword
+        out.flush()
+        val given = passwordMessage().map(b => new Reader(b).cstr())
+        if (!given.exists(check(user, _))) return reject()
       case PgAuth.Md5(passwordFor) =>
         val salt = new Array[Byte](4)
         new java.security.SecureRandom().nextBytes(salt)

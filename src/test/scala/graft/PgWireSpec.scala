@@ -371,6 +371,36 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     } finally srv.stop()
   }
 
+  test("bcrypt at rest: cleartext wire auth verified against stored hash") {
+    import graft.pgwire.Bcrypt
+    // the reference's storage shape (authn.clj): bcrypt hash at rest,
+    // cleartext on the wire, PgAuth.Verify hashes-and-compares
+    val stored = Map("alice" -> Bcrypt.hash("wonderland", cost = 4))
+    val srv = new PgServer(spark, db,
+      auth = graft.pgwire.PgAuth.Verify((u, p) =>
+        stored.get(u).exists(h => Bcrypt.verify(p, h)))).start()
+    try {
+      val c1 = new Client(srv.boundPort)
+      c1.startup()
+      val (t1, p1) = c1.recv()
+      assert(t1 == 'R' && authCode(p1) == 3)
+      c1.send('p')(w => c1.cstr(w, "wonderland"))
+      val msgs = c1.untilReady()
+      assert(msgs.exists(m => m._1 == 'R' && authCode(m._2) == 0))
+      assert(dataRows(c1.query("SELECT 8 AS eight")).map(c1.row) ==
+        Seq(Seq("8")))
+      c1.close()
+
+      val c2 = new Client(srv.boundPort)
+      c2.startup()
+      c2.recv()
+      c2.send('p')(w => c2.cstr(w, "rabbit"))
+      val (te, pe) = c2.recv()
+      assert(te == 'E' && new String(pe, UTF_8).contains("28P01"))
+      c2.sock.close()
+    } finally srv.stop()
+  }
+
   /** Client half of RFC 5802 SCRAM-SHA-256 (the server half lives in
     * PgAuth.ScramServer; implementing both ends independently pins the
     * actual math, not just round-tripping one implementation's bugs). */
