@@ -755,7 +755,12 @@ object MediaCodecs {
   // codec payload (avc1/mp4a sample decode) stays out of scope.
 
   final case class Mp4Meta(timescale: Int, durationMs: Long, nTracks: Int,
-      width: Int, height: Int, nSamples: Long, handlers: Seq[String])
+      width: Int, height: Int, nSamples: Long, handlers: Seq[String],
+      /** round-6 depth: media timeline from stts (count×delta sums over
+        * the per-track mdhd timescale), chunk count from stco, ISO-639
+        * language from mdhd's packed 3×5-bit code. */
+      mediaDurationMs: Long = 0L, nChunks: Long = 0L,
+      language: String = "und")
 
   private def box(typ: String, body: Array[Byte]): Array[Byte] = {
     val buf = ByteBuffer.allocate(8 + body.length) // big-endian by default
@@ -822,7 +827,21 @@ object MediaCodecs {
           b.putInt(nSamples)
           b.array()
         })
-        val stbl = box("stbl", stsz)
+        val stts = box("stts", {
+          // one run: every sample lasts 100 timescale ticks
+          val b = ByteBuffer.allocate(16)
+          b.putInt(0); b.putInt(1) // version+flags, entry_count
+          b.putInt(nSamples); b.putInt(100)
+          b.array()
+        })
+        val nChunks = math.max(1, nSamples / 50)
+        val stco = box("stco", {
+          val b = ByteBuffer.allocate(8 + 4 * nChunks)
+          b.putInt(0); b.putInt(nChunks)
+          (0 until nChunks).foreach(c => b.putInt(1024 + c * 512))
+          b.array()
+        })
+        val stbl = box("stbl", stsz ++ stts ++ stco)
         val minf = box("minf", stbl)
         val mdia = box("mdia", mdhd ++ hdlr ++ minf)
         box("trak", tkhd ++ mdia)
@@ -842,6 +861,10 @@ object MediaCodecs {
     var width = 0
     var height = 0
     var nSamples = 0L
+    var sttsTicks = 0L
+    var nChunks = 0L
+    var mdhdTimescale = 0
+    var language = "und"
     val handlers = scala.collection.mutable.ArrayBuffer[String]()
     def i32(p: Int): Int =
       ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
@@ -866,6 +889,26 @@ object MediaCodecs {
             handlers += new String(bytes, pos + 8 + 8, 4, "US-ASCII")
           case "stsz" =>
             nSamples += (i32(pos + 8 + 8) & 0xffffffffL)
+          case "stts" =>
+            // sum of count×delta runs = the track's media timeline length
+            val entries = i32(pos + 8 + 4)
+            (0 until entries).foreach { e =>
+              sttsTicks += i32(pos + 8 + 8 + e * 8).toLong *
+                i32(pos + 8 + 12 + e * 8)
+            }
+          case "stco" =>
+            nChunks += (i32(pos + 8 + 4) & 0xffffffffL)
+          case "co64" =>
+            nChunks += (i32(pos + 8 + 4) & 0xffffffffL)
+          case "mdhd" =>
+            mdhdTimescale = i32(pos + 8 + 12)
+            // packed ISO-639-2/T: three 5-bit letters, each + 0x60
+            val packed = ((bytes(pos + 8 + 20) & 0xff) << 8) |
+              (bytes(pos + 8 + 21) & 0xff)
+            language = new String(Array(
+              (((packed >> 10) & 0x1f) + 0x60).toChar,
+              (((packed >> 5) & 0x1f) + 0x60).toChar,
+              ((packed & 0x1f) + 0x60).toChar))
           case _ => () // skip unknown boxes by size
         }
         pos += size
@@ -874,6 +917,9 @@ object MediaCodecs {
     walk(0, bytes.length)
     require(timescale > 0, "no mvhd box found")
     Mp4Meta(timescale, duration * 1000L / timescale, nTracks, width, height,
-      nSamples, handlers.toSeq)
+      nSamples, handlers.toSeq,
+      mediaDurationMs =
+        if (mdhdTimescale > 0) sttsTicks * 1000L / mdhdTimescale else 0L,
+      nChunks = nChunks, language = language)
   }
 }

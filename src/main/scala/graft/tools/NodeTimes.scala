@@ -17,10 +17,13 @@ object NodeTimes {
     val ingest = args.length < 2 || args(1).toBoolean
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // mirror Bench's size-derived policy (AQE off + shuffle=4 at sf0.1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
+      .config("spark.sql.adaptive.enabled",
+        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
       .config("spark.locality.wait", "0")

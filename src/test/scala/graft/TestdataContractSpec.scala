@@ -55,7 +55,7 @@ class TestdataContractSpec extends AnyFunSuite {
   }
 
   test("every golden table exists on disk at every generated SF") {
-    for (sf <- Seq("sf0.001", "sf0.01"); t <- Tables.all)
+    for (sf <- Seq("sf0.001", "sf0.01", "sf0.1"); t <- Tables.all)
       assert(new java.io.File(s"/root/testdata/$sf/$t.parquet").exists(),
         s"missing /root/testdata/$sf/$t.parquet")
   }
