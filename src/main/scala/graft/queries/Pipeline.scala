@@ -376,6 +376,22 @@ object Pipeline {
                         ORDER BY sim DESC, neighbor_id) AS rank FROM s)
       WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- IVF with TRAINED centroids (round-6): spherical k-means over
+    // the corpus, then the same nprobe search. Lloyd's iterations are not
+    // SQL-replayable, so this entry carries no oracle SQL (driver records
+    // the rows-only check); IvfTrainingSpec pins the semantics — monotone
+    // cost, determinism, recall no worse than q94's seed cells.
+    QueryDef("q141_similarity_ivf_trained", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (cents, _) = Similarity.trainIvfCentroids(
+        emb, "vec_id", "embedding", dims = 64, nlist = 16, iters = 2)
+      Similarity.ivfTopK(emb, "vec_id", "embedding",
+          dims = 64, nlist = 16, nprobe = 2, k = 5,
+          queryFilter = col("vec_id") < 10,
+          trainedCentroids = Some(cents))
+        .orderBy("query_id", "rank")
+    }, None),
+
     // ---- multimodal: binary columns + partition-batched feature extraction
     QueryDef("q86_multimodal_features", (s, dir) => {
       Multimodal.extractFeatures(
