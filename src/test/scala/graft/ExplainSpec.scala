@@ -94,6 +94,11 @@ class ExplainSpec extends AnyFunSuite {
     val analyzed = eng.sql("EXPLAIN ANALYZE SELECT v FROM t")
       .as[String].collect().mkString("\n")
     assert(analyzed.contains("rows scanned"))
+    // per-operator wall time reaches the SQL surface (tiny plans can
+    // record zero-valued timings, which are filtered — accept either the
+    // section or its absence only when no metric fired)
+    val rep = graft.plans.Explain.analyze(eng.sql("SELECT v FROM t"))
+    assert(rep.nodeTimes.isEmpty || rep.render.contains("operator times"))
   }
 
   test("self-join reuses the aggregation exchange without explicit persist") {
