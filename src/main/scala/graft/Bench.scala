@@ -20,17 +20,52 @@ import org.apache.spark.sql.SparkSession
   * of baseline" gate falsifiable.
   */
 object Bench {
+
+  /** Total on-disk size of the driver tables, in MB — the input to the
+    * size-derived execution policy (shared with tools.NodeTimes). */
+  def inputMb(sfDir: String): Long =
+    Tables.all.map(t =>
+      new java.io.File(s"$sfDir/$t.parquet").length()).sum / (1024 * 1024)
+
+  def sizeDerivedAqe(inputMB: Long): Boolean = inputMB >= 1024
+
+  def sizeDerivedShuffle(inputMB: Long, cpus: Int): Int =
+    math.max(4L, math.min(cpus.toLong, inputMB / 4)).toInt
+
+  /** One-time ingest of the driver parquet into a size-proportional
+    * multi-file layout (~1.5 MB/file, small tables stay whole) under a
+    * temp dir that a shutdown hook removes recursively (File.deleteOnExit
+    * is a no-op on non-empty directories). Shared with tools.NodeTimes. */
+  def ingestLayout(spark: SparkSession, sfDir: String, cpus: Int): String = {
+    val dst = java.nio.file.Files.createTempDirectory("graft_bench_store")
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm))
+        f.delete(); ()
+      }
+      rm(dst.toFile)
+    }, "graft-bench-store-cleanup"))
+    Tables.all.foreach { t =>
+      val src = new java.io.File(s"$sfDir/$t.parquet")
+      // file count ∝ bytes (~1.5 MB each, capped at cpu count): big
+      // tables decode in parallel, small tables stay one file — a
+      // 32-way split of a 0.5 MB table is 32 tasks of pure overhead
+      val files = math.max(1L, math.min(cpus.toLong,
+        src.length() / (1500L * 1024))).toInt
+      Tables.load(spark, sfDir, t)
+        .repartition(files)
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    }
+    dst.toString
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     // tuning knobs for local experiments; defaults are the shipped config.
-    // AQE stays ON at every scale: besides the cluster-scale story (runtime
-    // broadcast, skew splitting, coalescing), the global range sorts on
-    // data-proportional results sample from the materialized query stage
-    // under AQE instead of re-executing the child — measured 2026-08-13,
-    // AQE-on beats AQE-off 1.7x-vs-1.95x on the headline ratio once
-    // presentation sorts were fused/ranged (earlier AQE-off wins predated
-    // those plan changes).
+    // (History: rounds 3-5 shipped AQE always-on because the global range
+    // sorts sampled the materialized stage; the round-6 single-row-group
+    // finding and ingest layout changed the calculus — see below.)
     // Size-derived execution policy (measured 2026-08-13 at sf0.1, best of
     // the config sweep; each row = hot total / ratio vs DuckDB on the same
     // session: shipped-r5 3.82/2.80 → ingest layout 3.23/2.37 → +AQE-off
@@ -46,12 +81,11 @@ object Bench {
     //    on a 17 MB shuffle is pure per-task overhead; at sf10+ the cap
     //    engages and the AQE branch owns partition sizing via its 64 MB
     //    advisory.
-    val inputMB = Tables.all.map(t =>
-      new java.io.File(s"$sfDir/$t.parquet").length()).sum / (1024 * 1024)
+    val inputMB = inputMb(sfDir)
     val aqe = sys.env.getOrElse("SPARK_GRAFT_AQE",
-      (inputMB >= 1024).toString)
+      sizeDerivedAqe(inputMB).toString)
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
-      math.max(4L, math.min(cpus.toLong, inputMB / 4)).toString)
+      sizeDerivedShuffle(inputMB, cpus.toInt).toString)
     val cache = sys.env.getOrElse("SPARK_GRAFT_CACHE", "false").toBoolean
     // best-of-N hot runs (DuckDB baseline is best-of-3; N=7 here because
     // this VM shows transient multi-second hypervisor stalls — the min is
@@ -101,22 +135,8 @@ object Bench {
     // reads from it. Disable with SPARK_GRAFT_INGEST=false to measure the
     // raw driver files.
     val ingest = sys.env.getOrElse("SPARK_GRAFT_INGEST", "true").toBoolean
-    val dataDir = if (!ingest) sfDir else {
-      val dst = java.nio.file.Files.createTempDirectory("graft_bench_store")
-      dst.toFile.deleteOnExit()
-      Tables.all.foreach { t =>
-        val src = new java.io.File(s"$sfDir/$t.parquet")
-        // file count ∝ bytes (~1.5 MB each, capped at cpu count): big
-        // tables decode in parallel, small tables stay one file — a
-        // 32-way split of a 0.5 MB table is 32 tasks of pure overhead
-        val files = math.max(1L, math.min(cpus.toLong,
-          src.length() / (1500L * 1024))).toInt
-        Tables.load(spark, sfDir, t)
-          .repartition(files)
-          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      }
-      dst.toString
-    }
+    val dataDir =
+      if (ingest) ingestLayout(spark, sfDir, cpus.toInt) else sfDir
     Tables.all.foreach { t =>
       val df = Tables.load(spark, dataDir, t)
       // cache(): later Tables.load plans canonically match the cached

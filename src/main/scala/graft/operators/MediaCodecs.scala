@@ -861,7 +861,7 @@ object MediaCodecs {
     var width = 0
     var height = 0
     var nSamples = 0L
-    var sttsTicks = 0L
+    var mediaMs = 0L
     var nChunks = 0L
     var mdhdTimescale = 0
     var language = "und"
@@ -890,12 +890,17 @@ object MediaCodecs {
           case "stsz" =>
             nSamples += (i32(pos + 8 + 8) & 0xffffffffL)
           case "stts" =>
-            // sum of count×delta runs = the track's media timeline length
+            // sum of count×delta runs = the track's media timeline length;
+            // convert with the CURRENT track's mdhd timescale (mdhd
+            // precedes stbl inside mdia), so multi-timescale files sum
+            // correctly in milliseconds rather than mixing tick units
+            var ticks = 0L
             val entries = i32(pos + 8 + 4)
             (0 until entries).foreach { e =>
-              sttsTicks += i32(pos + 8 + 8 + e * 8).toLong *
+              ticks += i32(pos + 8 + 8 + e * 8).toLong *
                 i32(pos + 8 + 12 + e * 8)
             }
+            if (mdhdTimescale > 0) mediaMs += ticks * 1000L / mdhdTimescale
           case "stco" =>
             nChunks += (i32(pos + 8 + 4) & 0xffffffffL)
           case "co64" =>
@@ -918,8 +923,6 @@ object MediaCodecs {
     require(timescale > 0, "no mvhd box found")
     Mp4Meta(timescale, duration * 1000L / timescale, nTracks, width, height,
       nSamples, handlers.toSeq,
-      mediaDurationMs =
-        if (mdhdTimescale > 0) sttsTicks * 1000L / mdhdTimescale else 0L,
-      nChunks = nChunks, language = language)
+      mediaDurationMs = mediaMs, nChunks = nChunks, language = language)
   }
 }

@@ -171,9 +171,13 @@ object Similarity {
         }
         (best, bestSim)
       }
+      // persist the assignment: both the cost aggregate and the mean
+      // recompute consume it, and re-running the O(n·nlist·dims) argmin
+      // pass twice per iteration would double Lloyd's cost
       val assigned = p.withColumn("__a", assignSim(col("__unit")))
         .select(col("__vid"), col("__unit"),
           col("__a._1").as("__cell"), col("__a._2").as("__sim"))
+        .persist()
       costs += assigned.agg(avg(lit(1.0) - col("__sim"))).as[Double].head()
       val means = assigned
         .select(col("__cell"), posexplode(col("__unit")))
@@ -182,6 +186,7 @@ object Similarity {
         .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
           s => s.getField("m")).as("mean"))
         .as[(Int, Seq[Double])].collect().toMap
+      assigned.unpersist(blocking = false)
       cents = cents.zipWithIndex.map { case (old, i) =>
         means.get(i) match {
           case Some(m) =>

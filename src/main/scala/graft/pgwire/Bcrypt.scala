@@ -245,14 +245,33 @@ object Bcrypt {
     f"$$2a$$$cost%02d$$" + b64encode(salt, 16) + b64encode(digest, 23)
   }
 
-  /** Constant-shape verification against a `$2a$` hash string. */
-  def verify(password: String, hashed: String): Boolean = {
-    val parts = hashed.split("\\$")
-    if (parts.length != 4 || (parts(1) != "2a" && parts(1) != "2b")) return false
-    val cost = parts(2).toInt
-    val salt = b64decode(parts(3).substring(0, 22), 16)
-    val recomputed = hashWithSalt(password, salt, cost)
-    java.security.MessageDigest.isEqual(
-      recomputed.getBytes(UTF_8), hashed.replace("$2b$", "$2a$").getBytes(UTF_8))
+  /** Constant-shape verification against a `$2a$` hash string. Any
+    * malformed input — non-numeric cost, cost out of [4,31], truncated
+    * salt, bad base64 — is a rejection, never a throw (a corrupt stored
+    * hash must surface as 28P01, not an internal error). */
+  def verify(password: String, hashed: String): Boolean =
+    try {
+      val parts = hashed.split("\\$")
+      if (parts.length != 4 || (parts(1) != "2a" && parts(1) != "2b"))
+        return false
+      if (parts(3).length < 22) return false
+      val cost = parts(2).toInt
+      if (cost < 4 || cost > 31) return false
+      val salt = b64decode(parts(3).substring(0, 22), 16)
+      if (salt.length != 16) return false
+      val recomputed = hashWithSalt(password, salt, cost)
+      java.security.MessageDigest.isEqual(
+        recomputed.getBytes(UTF_8),
+        hashed.replace("$2b$", "$2a$").getBytes(UTF_8))
+    } catch { case _: RuntimeException => false }
+
+  /** Force the π-table computation off the first authentication's path:
+    * call once at server startup (PgServer does) and the multi-second
+    * BigDecimal derivation happens on this daemon thread instead of
+    * stalling the first connection's handshake. Idempotent. */
+  def warmUp(): Unit = {
+    val t = new Thread(() => { val _ = PiDigits.all }, "bcrypt-pi-warmup")
+    t.setDaemon(true)
+    t.start()
   }
 }

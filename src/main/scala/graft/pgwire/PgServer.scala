@@ -63,7 +63,15 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
     }
   }, "pgwire-accept")
 
-  def start(): PgServer = { acceptor.setDaemon(true); acceptor.start(); this }
+  def start(): PgServer = {
+    // bcrypt's π-table derivation takes seconds on first use; move it off
+    // the first connection's handshake path
+    effectiveAuth match {
+      case PgAuth.Verify(_) => Bcrypt.warmUp()
+      case _ => ()
+    }
+    acceptor.setDaemon(true); acceptor.start(); this
+  }
 
   def stop(): Unit = {
     running = false
@@ -275,7 +283,12 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
           w.writeInt(10); cstr(w, "SCRAM-SHA-256"); w.writeByte(0)
         }
         out.flush()
-        val pw = passwordFor(user).getOrElse(return reject())
+        // unknown users run the full mock exchange against a random
+        // password (like real Postgres) so neither message sequence nor
+        // timing can enumerate valid usernames — the proof then fails
+        // at client-final exactly like a wrong password
+        val pw = passwordFor(user)
+          .getOrElse(java.util.UUID.randomUUID().toString)
         val scram = new PgAuth.ScramServer(user, pw, iterations)
         // SASLInitialResponse: mechanism name + int32-length payload
         val initial = passwordMessage().getOrElse(return reject())
@@ -283,6 +296,9 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
         val mech = ir.cstr()
         if (mech != "SCRAM-SHA-256") return reject()
         val cfLen = ir.i32()
+        // length -1 is protocol-legal "no initial response"; without a
+        // client-first there is no proof to verify — clean 28P01
+        if (cfLen < 0 || cfLen > ir.remaining) return reject()
         val clientFirst = new String(ir.bytes(cfLen), UTF_8)
         val serverFirst =
           try scram.serverFirstMessage(clientFirst)

@@ -17,13 +17,16 @@ object NodeTimes {
     val ingest = args.length < 2 || args(1).toBoolean
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    // mirror Bench's size-derived policy (AQE off + shuffle=4 at sf0.1)
+    // mirror Bench's size-derived policy exactly (shared helpers)
+    val inputMB = graft.Bench.inputMb(sfDir)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions",
-        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "4"))
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE",
+          graft.Bench.sizeDerivedShuffle(inputMB, cpus.toInt).toString))
       .config("spark.sql.adaptive.enabled",
-        sys.env.getOrElse("SPARK_GRAFT_AQE", "false"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE",
+          graft.Bench.sizeDerivedAqe(inputMB).toString))
       .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "true")
       .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64MB")
       .config("spark.locality.wait", "0")
@@ -32,17 +35,9 @@ object NodeTimes {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val dataDir = if (!ingest) sfDir else {
-      val dst = java.nio.file.Files.createTempDirectory("graft_nodetimes")
-      Tables.all.foreach { t =>
-        val src = new java.io.File(s"$sfDir/$t.parquet")
-        val files = math.max(1L, math.min(cpus.toLong,
-          src.length() / (1500L * 1024))).toInt
-        Tables.load(spark, sfDir, t).repartition(files)
-          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
-      }
-      dst.toString
-    }
+    val dataDir =
+      if (ingest) graft.Bench.ingestLayout(spark, sfDir, cpus.toInt)
+      else sfDir
     Tables.all.foreach(t => Tables.load(spark, dataDir, t).limit(1).collect())
     @volatile var jobs = 0
     spark.sparkContext.addSparkListener(
@@ -82,7 +77,7 @@ object NodeTimes {
       kids.foreach(walk(_, depth + 1))
       p.subqueries.foreach(walk(_, depth + 1))
     }
-    println(s"== best ${best}%.1f ms ==")
+    println(f"== best $best%.1f ms ==")
     walk(bestPlan, 0)
     spark.stop()
   }

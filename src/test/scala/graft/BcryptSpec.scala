@@ -43,6 +43,12 @@ class BcryptSpec extends AnyFunSuite {
     assert(Bcrypt.verify("pw", h))
     assert(!Bcrypt.verify("pw", "$1$md5$whatever"))
     assert(!Bcrypt.verify("pw", "not a hash"))
+    // $2a$-shaped corruption must also reject, never throw (a corrupt
+    // stored hash surfaces as 28P01, not an internal error)
+    assert(!Bcrypt.verify("pw", "$2a$xx$" + "A" * 53)) // non-numeric cost
+    assert(!Bcrypt.verify("pw", "$2a$04$short"))       // truncated salt
+    assert(!Bcrypt.verify("pw", "$2a$03$" + "A" * 53)) // cost below range
+    assert(!Bcrypt.verify("pw", "$2a$99$" + "A" * 53)) // cost above range
   }
 
   test("PgAuth.Verify closes over a bcrypt store") {
