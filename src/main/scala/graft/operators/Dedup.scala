@@ -220,6 +220,50 @@ object Dedup {
         round(col("i") / (col("sz1") + col("sz2") - col("i")), 4).as("jaccard"))
   }
 
+  /** Cross-document repeated n-gram span profile — the exact-substring
+    * dedup signal ("how much of this document is verbatim-repeated
+    * elsewhere in the corpus?") used to strip boilerplate and leaked
+    * templates from LLM training data. For every document: the number of
+    * word n-gram positions, how many of those positions are covered by an
+    * n-gram that also appears in at least `minDocs` distinct documents,
+    * and the covered fraction in basis points (scaled-floor int, so the
+    * ratio is engine-portable IEEE arithmetic, no float hashing).
+    *
+    * Scale design (100 TB target): the position frame carries
+    * (doc_id, 16-byte md5) — never the n-gram text — so the one
+    * document-frequency shuffle is O(tokens) × 24 bytes; the coverage
+    * join is hash-key to hash-key. `dfCap > 0` drops n-grams whose
+    * document frequency exceeds the cap BEFORE the coverage join (a
+    * stop-phrase shared by millions of docs would otherwise dominate the
+    * posting join, and its signal is "common phrase", not "duplicated
+    * span") — same df-cap policy as [[ngramJaccard]], reported in the
+    * `capped_ngrams` column rather than silently dropped. */
+  def repeatedNgramProfile(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, minDocs: Int, dfCap: Int = 0): DataFrame = {
+    val pos = docs.filter(size(split(col(textCol), " ")) >= n)
+      .select(col(idCol).as("id"),
+        explode(transform(shingles(col(textCol), n), s => md5(s))).as("h"))
+    val freq = pos.groupBy("h")
+      .agg(count_distinct(col("id")).as("nd"))
+    val repeated = freq
+      .filter(col("nd") >= minDocs &&
+        (if (dfCap > 0) col("nd") <= dfCap else lit(true)))
+      .select(col("h"), lit(1L).as("__rep"))
+    val capped =
+      if (dfCap <= 0) freq.filter(lit(false)).select(col("h"), lit(1L).as("__cap"))
+      else freq.filter(col("nd") > dfCap).select(col("h"), lit(1L).as("__cap"))
+    pos
+      .join(repeated, Seq("h"), "left")
+      .join(capped, Seq("h"), "left")
+      .groupBy(col("id").as("doc_id"))
+      .agg(
+        count(lit(1)).as("total_ngrams"),
+        count(col("__rep")).as("dup_ngrams"),
+        count(col("__cap")).as("capped_ngrams"))
+      .withColumn("dup_bp",
+        floor(col("dup_ngrams") * 10000.0 / col("total_ngrams")).cast("long"))
+  }
+
   /** Duplicate-cluster assignment — the last mile of every dedup mode:
     * candidate PAIRS (from LSH banding / SimHash / n-gram verify) become
     * per-document cluster labels, each doc labelled with the MINIMUM id of

@@ -204,6 +204,224 @@ object Similarity {
     (centDf, costs.toSeq)
   }
 
+  /** Product-quantization codebooks (Jégou et al. 2011): the vector space
+    * is split into `m` contiguous subspaces of `dims/m` dimensions; each
+    * subspace gets `ksub` centroids; a vector compresses to `m` small codes
+    * (64 floats → 8 bytes at m=8/ksub≤256) — THE memory lever for
+    * billion-vector ANN: the corpus scan reads codes, not vectors.
+    *
+    * Codebooks are driver-held `[m][ksub][dsub]` (a few KB — broadcast,
+    * like the IVF centroid model). Initialization is deterministic: the
+    * `ksub` lowest-id vectors' subvectors, so `iters = 0` (seed codebooks)
+    * is bit-reproducible by any SQL engine for oracle checking; `iters > 0`
+    * runs per-subspace Lloyd's (all m subspaces trained in the same
+    * distributed pass — assignment is a broadcast-model projection, mean
+    * recompute one explode-groupBy shuffle, same shape as
+    * [[trainIvfCentroids]]). Returns (codebooks, mean quantization error
+    * after each iteration — non-increasing, PqSpec pins it). */
+  def trainPqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+      dims: Int, m: Int, ksub: Int, iters: Int)
+      : (Array[Array[Array[Double]]], Seq[Double]) = {
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
+    val dsub = dims / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = prepared(emb, vecCol).select(col(idCol).as("__vid"), col("__vecd"))
+    val seed: Array[Array[Double]] = p.orderBy("__vid").limit(ksub)
+      .select("__vecd").as[Seq[Double]].collect().map(_.toArray)
+    var books: Array[Array[Array[Double]]] =
+      Array.tabulate(m, seed.length)((s, c) =>
+        java.util.Arrays.copyOfRange(seed(c), s * dsub, (s + 1) * dsub))
+    val costs = scala.collection.mutable.Buffer.empty[Double]
+    (1 to iters).foreach { _ =>
+      val bc = spark.sparkContext.broadcast(books)
+      // per-row: for every subspace, (code, quantization error) of the
+      // nearest centroid — one pass over the vector, model read-only
+      val assign = udf { (v: Seq[Double]) =>
+        val bks = bc.value
+        (0 until bks.length).map { s =>
+          val (code, err) = nearestSub(v, s * dsub, bks(s))
+          (s, code, err)
+        }
+      }
+      val assigned = p.withColumn("__a", explode(assign(col("__vecd"))))
+        .select(col("__vid"), col("__vecd"),
+          col("__a._1").as("__s"), col("__a._2").as("__code"),
+          col("__a._3").as("__err"))
+        .persist()
+      costs += assigned.agg(avg(col("__err"))).as[Double].head()
+      // mean recompute: explode each assigned subvector to scalar rows,
+      // one groupBy (subspace, code, dim) shuffle — treeAggregate's shape
+      val means = assigned
+        .select(col("__s"), col("__code"),
+          posexplode(slice(col("__vecd"), col("__s") * dsub + 1, lit(dsub))))
+        .groupBy("__s", "__code", "pos").agg(avg("col").as("mval"))
+        .groupBy("__s", "__code")
+        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mval")))),
+          x => x.getField("mval")).as("mean"))
+        .as[(Int, Int, Seq[Double])].collect()
+        .map { case (s, c, v) => (s, c) -> v.toArray }.toMap
+      assigned.unpersist(blocking = false)
+      books = Array.tabulate(m, books(0).length)((s, c) =>
+        means.getOrElse((s, c), books(s)(c))) // empty cell keeps its centroid
+    }
+    (books, costs.toSeq)
+  }
+
+  /** Nearest centroid of one subspace: (code, squared L2 error), ties to
+    * the lowest code; the inner loop every PQ stage shares. Accumulation is
+    * ascending-dimension `acc + d*d` — the fold order any sequential SQL
+    * replay uses. */
+  private def nearestSub(v: Seq[Double], off: Int,
+      book: Array[Array[Double]]): (Int, Double) = {
+    var best = 0; var bestD = Double.MaxValue
+    var c = 0
+    while (c < book.length) {
+      val cv = book(c)
+      var d = 0.0; var i = 0
+      while (i < cv.length) {
+        val diff = v(off + i) - cv(i); d += diff * diff; i += 1
+      }
+      if (d < bestD) { bestD = d; best = c }
+      c += 1
+    }
+    (best, bestD)
+  }
+
+  /** PQ-encode a corpus: (id, codes array<int>) — the compressed
+    * representation the ADC scan reads. Pure per-row projection against the
+    * broadcast codebooks; no shuffle. */
+  def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
+      codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val spark = emb.sparkSession
+    val dsub = codebooks(0)(0).length
+    val bc = spark.sparkContext.broadcast(codebooks)
+    val enc = udf { (v: Seq[Double]) =>
+      val bks = bc.value
+      (0 until bks.length).map(s => nearestSub(v, s * dsub, bks(s))._1)
+    }
+    prepared(emb, vecCol)
+      .select(col(idCol), enc(col("__vecd")).as("codes"))
+  }
+
+  /** PQ ANN top-k by asymmetric distance computation (ADC): each query
+    * keeps its raw vector and builds an m×ksub lookup table of partial
+    * squared distances to every codebook centroid; corpus vectors are
+    * scanned as codes only, a distance being m table lookups + adds.
+    *
+    * Distances are fixed-point: each partial is `floor(d * 1e6)` and the
+    * total a BIGINT sum — integer addition is order-free, so the result is
+    * independent of Spark's partitioning AND replayable by a SQL oracle
+    * (real PQ scans quantize LUTs the same way, e.g. FAISS fast-scan int8).
+    *
+    * Scale: queries (with LUTs) broadcast; one corpus-code pass emitting at
+    * most k rows per (query, partition) via bounded local heaps; a final
+    * window takes global top-k. No corpus shuffle at all — the plan is
+    * scan → local top-k → k·P-row exchange. */
+  def pqTopK(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
+      m: Int, ksub: Int, k: Int, queryFilter: Column, iters: Int = 0)
+      : DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val dsub = dims / m
+    val (books, _) = trainPqCodebooks(emb, idCol, vecCol, dims, m, ksub, iters)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    // LUTs for the (small, filtered) query side — nq × m × ksub longs
+    val queries: Array[(Long, Array[Array[Long]])] =
+      prepared(emb.filter(queryFilter), vecCol)
+        .select(col(idCol).cast("long"), col("__vecd"))
+        .as[(Long, Seq[Double])].collect()
+        .map { case (qid, qv) =>
+          val lut = Array.tabulate(m, books(0).length) { (s, c) =>
+            val cv = books(s)(c)
+            var d = 0.0; var i = 0
+            while (i < cv.length) {
+              val diff = qv(s * dsub + i) - cv(i); d += diff * diff; i += 1
+            }
+            math.floor(d * 1e6).toLong
+          }
+          (qid, lut)
+        }
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("neighbor_id", LongType),
+      StructField("adist_fp", LongType)))
+    val codes = pqEncode(emb, idCol, vecCol, books)
+      .select(col(idCol).cast("long"), col("codes"))
+    val localTopK = codes.mapPartitions { rows =>
+      val qs = bcQ.value
+      // per-query bounded heap: natural (adist, id) ordering makes the
+      // PriorityQueue head the WORST of the kept k — the eviction candidate
+      val ord = Ordering.Tuple2[Long, Long]
+      val heaps = qs.map { case (qid, _) =>
+        qid -> scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord)
+      }
+      rows.foreach { r =>
+        val nid = r.getLong(0)
+        val cs = r.getSeq[Int](1)
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, lut) = qs(qi)
+          if (qid != nid) {
+            var d = 0L; var s = 0
+            while (s < lut.length) { d += lut(s)(cs(s)); s += 1 }
+            val h = heaps(qi)._2
+            if (h.size < k) h.enqueue((d, nid))
+            else if (ord.lt((d, nid), h.head)) { h.dequeue(); h.enqueue((d, nid)) }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (d, nid) => Row(qid, nid, d) }
+      }
+    }(Encoders.row(outSchema))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist_fp"), col("neighbor_id"))
+    localTopK
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist_fp"))
+  }
+
+  /** PQ ADC retrieval with exact re-ranking (the standard two-stage scan,
+    * FAISS's refine pattern): ADC retrieves `rerank` candidates per query
+    * from the compressed codes, then the exact L2 distance is computed for
+    * those candidates only and the best `k` kept. At 100 TB the corpus
+    * pass still reads codes only; the refine join touches `rerank` × nq
+    * raw vectors — a point-lookup-sized read, not a scan. Distances are
+    * fixed-point (`floor(d * 1e6)`) like [[pqTopK]], so results are
+    * partition-order-free. */
+  def pqTopKRefined(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
+      m: Int, ksub: Int, k: Int, rerank: Int, queryFilter: Column,
+      iters: Int = 0): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val candidates = pqTopK(emb, idCol, vecCol, dims, m, ksub, rerank,
+      queryFilter, iters)
+    val p = prepared(emb, vecCol)
+    val queries = p.filter(queryFilter)
+      .select(col(idCol).cast("long").as("query_id"), col("__vecd").as("qv"))
+    val corpus = p
+      .select(col(idCol).cast("long").as("neighbor_id"), col("__vecd").as("nv"))
+    val exactFp = udf { (a: Seq[Double], b: Seq[Double]) =>
+      var d = 0.0; var i = 0
+      while (i < a.length) { val x = a(i) - b(i); d += x * x; i += 1 }
+      math.floor(d * 1e6).toLong
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("dist_fp"), col("neighbor_id"))
+    candidates.select("query_id", "neighbor_id")
+      .join(broadcast(queries), Seq("query_id"))
+      .join(corpus, Seq("neighbor_id"))
+      .withColumn("dist_fp", exactFp(col("qv"), col("nv")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("dist_fp"))
+  }
+
   /** ANN top-k restricted to same-bucket candidates (the scale path).
     *
     * Recall story at 100 TB: one `planes`-bit table partitions the corpus

@@ -59,6 +59,65 @@ object TextAnalysis {
     floor(score * 10000.0 + 0.5).cast("long")
   }
 
+  /** Stop words for the Gopher "contains ≥2 distinct stop words" rule
+    * (Rae et al. 2021, Scaling Language Models — the published quality
+    * heuristics, appendix A1.1). */
+  val gopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule document quality flags (Rae et al. 2021 A1.1) — the
+    * standard pre-training quality gate, emitted as named measurements plus
+    * the combined pass verdict so a pipeline can both filter and audit
+    * WHICH rule failed. All ratios are scaled-floor basis points (pure IEEE
+    * double arithmetic — engine-portable, no float hashing):
+    *
+    *  - `n_words` in [minWords, maxWords] (paper: 50..100,000)
+    *  - mean word length in [3, 10] characters
+    *  - symbol-to-word ratio (`#` chars + `...` runs) < 0.1
+    *  - < 90% of lines start with a bullet ("- " / "* " / "• ")
+    *  - < 30% of lines end with an ellipsis
+    *  - ≥ 80% of words contain at least one alphabetic character
+    *  - ≥ 2 distinct stop words present
+    *
+    * Per-row projection — no shuffle, linear at any corpus scale. */
+  def gopherQuality(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Seq[(String, Column)] = {
+    val w = words(text)
+    val nWords = size(w).cast("long")
+    val sumLen = aggregate(w, lit(0L), (acc, x) => acc + length(x))
+    val meanLenBp = floor(sumLen * 10000.0 / nWords).cast("long")
+    val nHash = length(text) - length(replace(text, lit("#"), lit("")))
+    val nEllipsis =
+      floor((length(text) - length(replace(text, lit("..."), lit("")))) / 3.0)
+    val symBp = floor((nHash + nEllipsis) * 10000.0 / nWords).cast("long")
+    val alphaWords =
+      size(filter(w, x => x.rlike("[a-zA-Z]"))).cast("long")
+    val alphaBp = floor(alphaWords * 10000.0 / nWords).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val bulletBp = floor(size(filter(lines, l =>
+      l.startsWith("- ") || l.startsWith("* ") || l.startsWith("• ")))
+      .cast("long") * 10000.0 / nLines).cast("long")
+    val ellipsisLineBp = floor(size(filter(lines, l => l.endsWith("...")))
+      .cast("long") * 10000.0 / nLines).cast("long")
+    val stopHits = gopherStopwords
+      .map(sw => when(array_contains(w, sw), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val pass = nWords >= minWords && nWords <= maxWords &&
+      meanLenBp >= 30000L && meanLenBp <= 100000L &&
+      symBp < 1000L && bulletBp < 9000L && ellipsisLineBp < 3000L &&
+      alphaBp >= 8000L && stopHits >= 2L
+    Seq(
+      "n_words" -> nWords,
+      "mean_word_len_bp" -> meanLenBp,
+      "symbol_ratio_bp" -> symBp,
+      "alpha_word_bp" -> alphaBp,
+      "bullet_line_bp" -> bulletBp,
+      "ellipsis_line_bp" -> ellipsisLineBp,
+      "stop_hits" -> stopHits,
+      "gopher_pass" -> pass)
+  }
+
   /** Token counts: whitespace tokens, alpha-run tokens (BPE-ish regex), and
     * a chars/4 BPE-budget estimate. */
   def tokenCounts(text: Column): (Column, Column, Column) = (

@@ -392,6 +392,64 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }, None),
 
+    // ---- product-quantization ANN (Jégou et al. 2011): 64-dim vectors
+    // compressed to 8 one-of-16 codes, searched by asymmetric distance with
+    // fixed-point LUTs (order-free integer sums — engine-portable). Seed
+    // codebooks (the 16 lowest-id vectors' subvectors, code = vec_id) keep
+    // every stage SQL-replayable; the trained variant is q145.
+    QueryDef("q144_similarity_pq", (s, dir) => {
+      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dims = 64, m = 8, ksub = 16, k = 5,
+          queryFilter = col("vec_id") < 10)
+        .orderBy("query_id", "rank")
+    }, Some("""
+      WITH base AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        FROM embeddings),
+      sgrid AS (SELECT unnest(range(0, 8)) AS s),
+      cb AS (
+        SELECT vec_id AS code, s, v[s*8+1 : s*8+8] AS cv
+        FROM base, sgrid WHERE vec_id < 16),
+      sub AS (
+        SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv
+        FROM base, sgrid),
+      dists AS (
+        SELECT sub.vec_id, sub.s, cb.code,
+               list_sum([(sv[i] - cv[i]) * (sv[i] - cv[i])
+                         FOR i IN range(1, 9)]) AS d
+        FROM sub JOIN cb ON sub.s = cb.s),
+      enc AS (
+        SELECT vec_id, s, code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY d, code) AS rn
+          FROM dists) WHERE rn = 1),
+      lut AS (
+        SELECT vec_id AS query_id, s, code,
+               CAST(floor(d * 1e6) AS BIGINT) AS pd
+        FROM dists WHERE vec_id < 10),
+      adc AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id,
+               CAST(sum(l.pd) AS BIGINT) AS adist_fp
+        FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, rank, adist_fp
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY adist_fp, neighbor_id) AS rank
+            FROM adc)
+      WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- PQ with per-subspace Lloyd-trained codebooks: k-means iterates
+    // are not SQL-replayable, so rows-only here; PqSpec pins monotone
+    // quantization error, determinism, and recall no worse than the seed
+    // codebooks of q144.
+    QueryDef("q145_similarity_pq_trained", (s, dir) => {
+      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dims = 64, m = 8, ksub = 16, k = 5,
+          queryFilter = col("vec_id") < 10, iters = 2)
+        .orderBy("query_id", "rank")
+    }, None),
+
     // ---- multimodal: binary columns + partition-batched feature extraction
     QueryDef("q86_multimodal_features", (s, dir) => {
       Multimodal.extractFeatures(
@@ -510,6 +568,76 @@ object Pipeline {
             WHERE doc_id < 300)
       WHERE len(words) >= 5
       ORDER BY doc_id""")),
+
+    // ---- exact-substring duplication profile (Lee et al. 2021): per doc,
+    // how many 5-gram positions are covered by an n-gram repeated in >=2
+    // distinct docs. dfCap=2 exercises the stop-phrase cap on real data
+    // (74 of this corpus's repeated 5-grams span 3 docs and get capped).
+    QueryDef("q142_substring_dedup", (s, dir) => {
+      Dedup.repeatedNgramProfile(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", n = 5, minDocs = 2, dfCap = 2)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH pos AS (
+        SELECT doc_id,
+               unnest([md5(array_to_string(words[i:i+4], ' '))
+                       FOR i IN range(1, len(words) - 3)]) AS h
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+              WHERE len(string_split(text, ' ')) >= 5)),
+      freq AS (SELECT h, count(DISTINCT doc_id) AS nd FROM pos GROUP BY h),
+      rep AS (SELECT h FROM freq WHERE nd >= 2 AND nd <= 2),
+      cap AS (SELECT h FROM freq WHERE nd > 2)
+      SELECT p.doc_id, count(*) AS total_ngrams,
+             count(r.h) AS dup_ngrams,
+             count(c.h) AS capped_ngrams,
+             CAST(floor(count(r.h) * 10000.0 / count(*)) AS BIGINT) AS dup_bp
+      FROM pos p
+      LEFT JOIN rep r ON p.h = r.h
+      LEFT JOIN cap c ON p.h = c.h
+      GROUP BY p.doc_id
+      ORDER BY doc_id""")),
+
+    // ---- Gopher quality rules (Rae et al. 2021 A1.1): named measurements
+    // + combined verdict, all ratios as scaled-floor basis points
+    QueryDef("q143_quality_rules", (s, dir) => {
+      val flags = TextAnalysis.gopherQuality(col("text"), minWords = 30)
+      t(s, dir, "documents")
+        .select(col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }, Some {
+      val stopSum = TextAnalysis.gopherStopwords
+        .map(sw => s"CASE WHEN list_contains(words, '$sw') THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""
+      SELECT doc_id, n_words, mean_word_len_bp, symbol_ratio_bp,
+             alpha_word_bp, bullet_line_bp, ellipsis_line_bp, stop_hits,
+             (n_words >= 30 AND n_words <= 100000
+              AND mean_word_len_bp >= 30000 AND mean_word_len_bp <= 100000
+              AND symbol_ratio_bp < 1000 AND bullet_line_bp < 9000
+              AND ellipsis_line_bp < 3000 AND alpha_word_bp >= 8000
+              AND stop_hits >= 2) AS gopher_pass
+      FROM (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(floor(list_sum(list_transform(words, x -> len(x)))
+                    * 10000.0 / len(words)) AS BIGINT) AS mean_word_len_bp,
+               CAST(floor((length(text) - length(replace(text, '#', ''))
+                    + floor((length(text) - length(replace(text, '...', ''))) / 3.0))
+                    * 10000.0 / len(words)) AS BIGINT) AS symbol_ratio_bp,
+               CAST(floor(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+                    * 10000.0 / len(words)) AS BIGINT) AS alpha_word_bp,
+               CAST(floor(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'
+                      OR l LIKE '• %'))
+                    * 10000.0 / len(lines)) AS BIGINT) AS bullet_line_bp,
+               CAST(floor(len(list_filter(lines, l -> l LIKE '%...'))
+                    * 10000.0 / len(lines)) AS BIGINT) AS ellipsis_line_bp,
+               CAST($stopSum AS BIGINT) AS stop_hits
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS words,
+                     string_split(text, chr(10)) AS lines
+              FROM documents))
+      ORDER BY doc_id"""
+    }),
 
     // ---- embedding-cosine near-duplicate pairs: LSH-bucketed candidates
     // (4 deterministic md5-derived hyperplanes → 16 buckets) verified with
