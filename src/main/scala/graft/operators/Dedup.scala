@@ -264,6 +264,32 @@ object Dedup {
         floor(col("dup_ngrams") * 10000.0 / col("total_ngrams")).cast("long"))
   }
 
+  /** Benchmark decontamination (the cross-corpus face of substring dedup):
+    * flag training documents sharing word n-grams with an evaluation set,
+    * so test data can be removed from the training corpus before a model
+    * ever sees it. Output: one row per training doc with ≥1 shared n-gram —
+    * (doc_id, overlap n-gram count, contaminated = overlap ≥ minOverlap).
+    *
+    * Scale: an eval benchmark is small (thousands of docs) next to a
+    * 100 TB corpus, so its distinct n-gram hashes BROADCAST — the training
+    * side is one scan + per-row hash probe, and only matching (doc, hash)
+    * pairs reach the final per-doc count. No corpus shuffle of any
+    * non-matching row; hashes are md5 so an oracle replays them. */
+  def contaminationCheck(train: DataFrame, evalSet: DataFrame,
+      textCol: String, idCol: String, n: Int, minOverlap: Int): DataFrame = {
+    def ngrams(df: DataFrame, cols: Column*): DataFrame =
+      df.filter(size(split(col(textCol), " ")) >= n)
+        .select(cols :+
+          explode(transform(shingles(col(textCol), n), s => md5(s))).as("h"): _*)
+        .distinct()
+    val evalNg = ngrams(evalSet).select("h").distinct()
+    ngrams(train, col(idCol).as("doc_id"))
+      .join(broadcast(evalNg), Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("overlap_ngrams"))
+      .withColumn("contaminated", col("overlap_ngrams") >= minOverlap)
+  }
+
   /** Duplicate-cluster assignment — the last mile of every dedup mode:
     * candidate PAIRS (from LSH banding / SimHash / n-gram verify) become
     * per-document cluster labels, each doc labelled with the MINIMUM id of

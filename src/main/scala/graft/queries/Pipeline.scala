@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.PresentOps
-import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -25,6 +25,12 @@ object Pipeline {
       d.filter(col("doc_id") < 50)
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
+
+  /** DuckDB replay of [[Sampling.hash16]]: 4 md5 nibbles to 0..65535. */
+  private def sqlHash16(key: String): String =
+    (0 until 4).map(i =>
+      s"(instr('0123456789abcdef', substr(md5(CAST($key AS VARCHAR)), ${i + 1}, 1)) - 1) * ${1 << (4 * (3 - i))}")
+      .mkString("(", " + ", ")")
 
   private val dupCte = """
       WITH docs2 AS (
@@ -638,6 +644,79 @@ object Pipeline {
               FROM documents))
       ORDER BY doc_id"""
     }),
+
+    // ---- benchmark decontamination: training docs (id < 450) sharing
+    // 5-grams with the held-out eval slice (id >= 450); eval n-gram set
+    // broadcasts, training side is one scan + probe
+    QueryDef("q146_decontamination", (s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      Dedup.contaminationCheck(
+          d.filter(col("doc_id") < 450), d.filter(col("doc_id") >= 450),
+          "text", "doc_id", n = 5, minOverlap = 2)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tr AS (
+        SELECT DISTINCT doc_id,
+               unnest([md5(array_to_string(words[i:i+4], ' '))
+                       FOR i IN range(1, len(words) - 3)]) AS h
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+              WHERE doc_id < 450 AND len(string_split(text, ' ')) >= 5)),
+      ev AS (
+        SELECT DISTINCT
+               unnest([md5(array_to_string(words[i:i+4], ' '))
+                       FOR i IN range(1, len(words) - 3)]) AS h
+        FROM (SELECT string_split(text, ' ') AS words FROM documents
+              WHERE doc_id >= 450 AND len(string_split(text, ' ')) >= 5))
+      SELECT tr.doc_id, count(*) AS overlap_ngrams,
+             count(*) >= 2 AS contaminated
+      FROM tr JOIN ev ON tr.h = ev.h
+      GROUP BY tr.doc_id ORDER BY doc_id""")),
+
+    // ---- deterministic stratified sampling: md5-hash gate with
+    // per-language keep rates (training-mix weights) — reproducible across
+    // engines/reruns/partitionings, unlike rand(); zero shuffle
+    QueryDef("q147_sample_stratified", (s, dir) => {
+      Sampling.stratifiedSample(
+          t(s, dir, "documents").select("doc_id", "lang"),
+          "doc_id", "lang",
+          rates16 = Seq("en" -> 32768, "de" -> 16384), default16 = 8192)
+        .withColumn("h16", Sampling.hash16(col("doc_id")))
+        .select("doc_id", "lang", "h16")
+        .orderBy("doc_id")
+    }, Some(s"""
+      SELECT doc_id, lang, CAST(${sqlHash16("doc_id")} AS BIGINT) AS h16
+      FROM documents
+      WHERE ${sqlHash16("doc_id")} <
+            CASE WHEN lang = 'en' THEN 32768
+                 WHEN lang = 'de' THEN 16384 ELSE 8192 END
+      ORDER BY doc_id""")),
+
+    // ---- token-budget shard packing: greedy streaming bin-fill of
+    // training shards (~2000 BPE-budget tokens each) in 8 hash-scattered
+    // parallel packing streams — the window sorts one bucket, never the
+    // corpus
+    QueryDef("q148_pack_shards", (s, dir) => {
+      Sampling.packShards(
+          t(s, dir, "documents").select("doc_id", "n_chars"),
+          "doc_id", ceil(col("n_chars") / 4.0).cast("long"),
+          buckets = 8, budget = 2000L)
+        .select("doc_id", "bucket", "tokens", "cum_tokens", "shard")
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH b AS (
+        SELECT doc_id,
+               CAST(${sqlHash16("doc_id")} AS BIGINT) AS h16,
+               CAST(${sqlHash16("doc_id")} % 8 AS BIGINT) AS bucket,
+               CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens
+        FROM documents),
+      c AS (
+        SELECT doc_id, bucket, tokens,
+               CAST(sum(tokens) OVER (PARTITION BY bucket
+                      ORDER BY h16, doc_id) AS BIGINT) AS cum_tokens
+        FROM b)
+      SELECT doc_id, bucket, tokens, cum_tokens,
+             CAST(floor((cum_tokens - tokens) / 2000.0) AS BIGINT) AS shard
+      FROM c ORDER BY doc_id""")),
 
     // ---- embedding-cosine near-duplicate pairs: LSH-bucketed candidates
     // (4 deterministic md5-derived hyperplanes → 16 buckets) verified with
