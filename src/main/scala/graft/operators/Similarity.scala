@@ -220,18 +220,20 @@ object Similarity {
     * [[trainIvfCentroids]]). Returns (codebooks, mean quantization error
     * after each iteration — non-increasing, PqSpec pins it). */
   def trainPqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
-      dims: Int, m: Int, ksub: Int, iters: Int)
+      dims: Int, m: Int, ksub: Int, iters: Int,
+      init: Option[Array[Array[Array[Double]]]] = None)
       : (Array[Array[Array[Double]]], Seq[Double]) = {
     require(dims % m == 0, s"dims=$dims not divisible by m=$m subspaces")
     val dsub = dims / m
     val spark = emb.sparkSession
     import spark.implicits._
     val p = prepared(emb, vecCol).select(col(idCol).as("__vid"), col("__vecd"))
-    val seed: Array[Array[Double]] = p.orderBy("__vid").limit(ksub)
-      .select("__vecd").as[Seq[Double]].collect().map(_.toArray)
-    var books: Array[Array[Array[Double]]] =
+    var books: Array[Array[Array[Double]]] = init.getOrElse {
+      val seed: Array[Array[Double]] = p.orderBy("__vid").limit(ksub)
+        .select("__vecd").as[Seq[Double]].collect().map(_.toArray)
       Array.tabulate(m, seed.length)((s, c) =>
         java.util.Arrays.copyOfRange(seed(c), s * dsub, (s + 1) * dsub))
+    }
     val costs = scala.collection.mutable.Buffer.empty[Double]
     (1 to iters).foreach { _ =>
       val bc = spark.sparkContext.broadcast(books)
@@ -288,9 +290,9 @@ object Similarity {
     (best, bestD)
   }
 
-  /** PQ-encode a corpus: (id, codes array<int>) — the compressed
-    * representation the ADC scan reads. Pure per-row projection against the
-    * broadcast codebooks; no shuffle. */
+  /** PQ-encode a corpus: input columns (minus the vector) + `codes
+    * array<int>` — the compressed representation the ADC scan reads. Pure
+    * per-row projection against the broadcast codebooks; no shuffle. */
   def pqEncode(emb: DataFrame, idCol: String, vecCol: String,
       codebooks: Array[Array[Array[Double]]]): DataFrame = {
     val spark = emb.sparkSession
@@ -301,7 +303,8 @@ object Similarity {
       (0 until bks.length).map(s => nearestSub(v, s * dsub, bks(s))._1)
     }
     prepared(emb, vecCol)
-      .select(col(idCol), enc(col("__vecd")).as("codes"))
+      .withColumn("codes", enc(col("__vecd")))
+      .drop("__vecd", "__nrm", vecCol)
   }
 
   /** PQ ANN top-k by asymmetric distance computation (ADC): each query
@@ -372,6 +375,129 @@ object Similarity {
             else if (ord.lt((d, nid), h.head)) { h.dequeue(); h.enqueue((d, nid)) }
           }
           qi += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (d, nid) => Row(qid, nid, d) }
+      }
+    }(Encoders.row(outSchema))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist_fp"), col("neighbor_id"))
+    localTopK
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist_fp"))
+  }
+
+  /** IVF-PQ (IVFADC, Jégou et al. 2011 §IV): the billion-scale composition —
+    * a coarse quantizer partitions the corpus into `nlist` cells; each
+    * vector stores only its cell id + a PQ code of its RESIDUAL (v − cell
+    * centroid); a query probes its `nprobe` nearest cells with a per-cell
+    * LUT over (q − centroid). Geometry is L2 throughout (the classic
+    * IVFADC formulation; [[ivfTopK]] keeps the cosine variant).
+    *
+    * Scale: the corpus pass reads (cell, m codes) — no raw vectors, and
+    * with the probe map broadcast there is NO corpus shuffle at all: scan →
+    * per-partition bounded heaps → k·P-row exchange. Memory per vector is
+    * `m` bytes-ish vs `4·dims` — the reason a billion-vector index fits a
+    * machine. Distances fixed-point like [[pqTopK]] (order-free sums).
+    * Seed centroids/codebooks are deterministic (lowest-id members /
+    * residuals); `ivfIters`/`pqIters` switch on Lloyd refinement. */
+  def ivfPqTopK(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
+      nlist: Int, nprobe: Int, m: Int, ksub: Int, k: Int,
+      queryFilter: Column, pqIters: Int = 0): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    require(dims % m == 0, s"dims=$dims not divisible by m=$m")
+    val dsub = dims / m
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = prepared(emb, vecCol).select(col(idCol).cast("long").as("__vid"),
+      col("__vecd"))
+    // coarse quantizer: seed centroids = the nlist lowest-id vectors
+    val cents: Array[Array[Double]] = p.orderBy("__vid").limit(nlist)
+      .select("__vecd").as[Seq[Double]].collect().map(_.toArray)
+    val bcC = spark.sparkContext.broadcast(cents)
+    def l2(a: Seq[Double], b: Array[Double], off: Int): Double = {
+      var d = 0.0; var i = 0
+      while (i < b.length) { val x = a(off + i) - b(i); d += x * x; i += 1 }
+      d
+    }
+    val assignResidual = udf { (v: Seq[Double]) =>
+      val cs = bcC.value
+      var best = 0; var bestD = Double.MaxValue
+      var c = 0
+      while (c < cs.length) {
+        val d = l2(v, cs(c), 0)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val cv = cs(best)
+      (best, v.indices.map(i => v(i) - cv(i)))
+    }
+    // NOT cached: assignment is a stateless per-row projection, so the
+    // handful of linear passes (codebook seed, encode) just re-run it. A
+    // production deployment materializes the (cell, codes) table once —
+    // that table IS the index — and queries never touch raw vectors.
+    val residuals = p.withColumn("__a", assignResidual(col("__vecd")))
+      .select(col("__vid"), col("__a._1").as("cell"), col("__a._2").as("rvec"))
+    // PQ codebooks over residuals. The seed must skip the centroid members:
+    // vectors 0..nlist-1 ARE the coarse centroids, so their residuals are
+    // zero — seeding from them would collapse every codebook entry to the
+    // zero vector. Seed = residuals of the next ksub ids (deterministic,
+    // SQL-replayable); Lloyd's over ALL residuals when pqIters > 0.
+    val (seedBooks, _) = trainPqCodebooks(
+      residuals.filter(col("__vid") >= nlist), "__vid", "rvec",
+      dims, m, ksub, iters = 0)
+    val books =
+      if (pqIters == 0) seedBooks
+      else trainPqCodebooks(residuals, "__vid", "rvec", dims, m, ksub,
+        pqIters, init = Some(seedBooks))._1
+    val codes = pqEncode(residuals, "__vid", "rvec", books)
+      .select(col("__vid").as("nid"), col("cell"), col("codes"))
+    // query side (small): nprobe nearest cells + one LUT per probed cell
+    // over (q − centroid) — nq × nprobe × m × ksub longs, broadcast
+    val queries: Array[(Long, Array[Double])] =
+      p.filter(queryFilter).as[(Long, Seq[Double])].collect()
+        .map { case (i, v) => (i, v.toArray) }
+    val probeLuts: Map[Int, Array[(Long, Array[Array[Long]])]] = queries
+      .flatMap { case (qid, qv) =>
+        val byCell = cents.indices
+          .map(c => (l2(qv, cents(c), 0), c)).sorted.take(nprobe)
+        byCell.map { case (_, cell) =>
+          val cv = cents(cell)
+          val rq = Array.tabulate(qv.length)(i => qv(i) - cv(i))
+          val lut = Array.tabulate(m, books(0).length) { (s, c) =>
+            math.floor(l2(rq.toSeq, books(s)(c), s * dsub) * 1e6).toLong
+          }
+          (cell, (qid, lut))
+        }
+      }
+      .groupBy(_._1).map { case (cell, xs) => cell -> xs.map(_._2) }
+    val bcP = spark.sparkContext.broadcast(probeLuts)
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("neighbor_id", LongType),
+      StructField("adist_fp", LongType)))
+    val localTopK = codes.mapPartitions { rows =>
+      val probes = bcP.value
+      val ord = Ordering.Tuple2[Long, Long]
+      val heaps = scala.collection.mutable.Map
+        .empty[Long, scala.collection.mutable.PriorityQueue[(Long, Long)]]
+      rows.foreach { r =>
+        val nid = r.getLong(0)
+        probes.get(r.getInt(1)).foreach { qs =>
+          val cs = r.getSeq[Int](2)
+          qs.foreach { case (qid, lut) =>
+            if (qid != nid) {
+              var d = 0L; var s = 0
+              while (s < lut.length) { d += lut(s)(cs(s)); s += 1 }
+              val h = heaps.getOrElseUpdate(qid,
+                scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord))
+              if (h.size < k) h.enqueue((d, nid))
+              else if (ord.lt((d, nid), h.head)) { h.dequeue(); h.enqueue((d, nid)) }
+            }
+          }
         }
       }
       heaps.iterator.flatMap { case (qid, h) =>

@@ -456,6 +456,147 @@ object Pipeline {
         .orderBy("query_id", "rank")
     }, None),
 
+    // ---- IVF-PQ (IVFADC): coarse cells (16 lowest-id centroids, L2) +
+    // PQ over RESIDUALS (codebook seed = residuals of ids 16..31 — the
+    // centroid members' own residuals are zero and can't seed), queries
+    // probe 4 cells with per-cell fixed-point LUTs. Every stage — cell
+    // argmin, residual, residual encode, probe choice, integer ADC — is
+    // replayed by the oracle.
+    QueryDef("q149_similarity_ivfpq", (s, dir) => {
+      Similarity.ivfPqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dims = 64, nlist = 16, nprobe = 4, m = 8, ksub = 16, k = 5,
+          queryFilter = col("vec_id") < 10)
+        .orderBy("query_id", "rank")
+    }, Some("""
+      WITH base AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        FROM embeddings),
+      cent AS (SELECT vec_id AS cell, v AS cv FROM base WHERE vec_id < 16),
+      cdist AS (
+        SELECT b.vec_id, c.cell,
+               list_sum([(b.v[i] - c.cv[i]) * (b.v[i] - c.cv[i])
+                         FOR i IN range(1, 65)]) AS d
+        FROM base b, cent c),
+      assign AS (
+        SELECT vec_id, cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY d, cell) AS rn
+          FROM cdist) WHERE rn = 1),
+      resid AS (
+        SELECT b.vec_id, a.cell,
+               [b.v[i] - c.cv[i] FOR i IN range(1, 65)] AS r
+        FROM base b JOIN assign a ON a.vec_id = b.vec_id
+        JOIN cent c ON c.cell = a.cell),
+      sgrid AS (SELECT unnest(range(0, 8)) AS s),
+      cb AS (
+        SELECT vec_id - 16 AS code, s, r[s*8+1 : s*8+8] AS cv
+        FROM resid, sgrid WHERE vec_id >= 16 AND vec_id < 32),
+      rsub AS (SELECT vec_id, cell, s, r[s*8+1 : s*8+8] AS sv
+               FROM resid, sgrid),
+      edist AS (
+        SELECT rsub.vec_id, rsub.s, cb.code,
+               list_sum([(sv[i] - cv[i]) * (sv[i] - cv[i])
+                         FOR i IN range(1, 9)]) AS d
+        FROM rsub JOIN cb ON rsub.s = cb.s),
+      enc AS (
+        SELECT vec_id, s, code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY d, code) AS rn
+          FROM edist) WHERE rn = 1),
+      qprobe AS (
+        SELECT vec_id AS query_id, cell FROM (
+          SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                   ORDER BY d, cell) AS pr
+          FROM cdist WHERE vec_id < 10) WHERE pr <= 4),
+      qres AS (
+        SELECT q.vec_id AS query_id, c.cell,
+               [q.v[i] - c.cv[i] FOR i IN range(1, 65)] AS rq
+        FROM base q JOIN qprobe p ON p.query_id = q.vec_id
+        JOIN cent c ON c.cell = p.cell),
+      qlut AS (
+        SELECT qr.query_id, qr.cell, cb.s, cb.code,
+               CAST(floor(list_sum([(qr.rq[CAST(cb.s AS INT)*8 + i] - cb.cv[i])
+                                    * (qr.rq[CAST(cb.s AS INT)*8 + i] - cb.cv[i])
+                                    FOR i IN range(1, 9)]) * 1e6)
+                    AS BIGINT) AS pd
+        FROM qres qr, cb),
+      adc AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id,
+               CAST(sum(l.pd) AS BIGINT) AS adist_fp
+        FROM enc e
+        JOIN assign a ON a.vec_id = e.vec_id
+        JOIN qlut l ON l.cell = a.cell AND l.s = e.s AND l.code = e.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, rank, adist_fp
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY adist_fp, neighbor_id) AS rank
+            FROM adc)
+      WHERE rank <= 5 ORDER BY query_id, rank""")),
+
+    // ---- embeddings end-to-end: near-dup removal (LSH-bucketed exact-
+    // cosine pairs, greedy keep-lower-id) → exact top-k ANN among the
+    // survivors — the embedding face of q106's text pipeline. Stage
+    // params match q104/q85 so every piece is independently oracled;
+    // this proves they compose in one plan.
+    QueryDef("q150_pipeline_embeddings", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.embeddingNearDupPairs(emb, "vec_id", "embedding",
+        dims = 64, planes = 4, threshold = 0.3)
+      val dropped = pairs.select(col("id_b").as("vec_id")).distinct()
+      val survivors = emb.join(dropped, Seq("vec_id"), "left_anti")
+      Similarity.bruteForceTopK(survivors,
+          survivors.filter(col("vec_id") < 5), "vec_id", "embedding", 5)
+        .presentSorted("query_id", "rank")
+    }, Some {
+      val hexval = (c: Int) =>
+        s"(instr('0123456789abcdef', substr(h, $c, 1)) - 1)"
+      val coefExpr = (1 to 6)
+        .map(c => s"${hexval(c)} * ${math.pow(16, 6 - c).toLong}.0")
+        .mkString(" + ")
+      s"""
+      WITH pd AS (
+        SELECT p, d, md5(p || '|' || d) AS h
+        FROM range(0, 4) t1(p), range(0, 64) t2(d)),
+      coef AS (
+        SELECT p, d, ($coefExpr) / 16777216.0 - 0.5 AS c FROM pd),
+      prepared AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings),
+      proj AS (
+        SELECT e.vec_id, c.p,
+               sum(CAST(e.embedding[CAST(c.d AS INT) + 1] AS DOUBLE) * c.c) AS pr
+        FROM prepared e, coef c GROUP BY 1, 2),
+      bucket AS (
+        SELECT vec_id,
+               sum(CASE WHEN pr >= 0 THEN CAST(1 << CAST(p AS INT) AS BIGINT)
+                   ELSE 0 END) AS bucket
+        FROM proj GROUP BY vec_id),
+      dropped AS (
+        SELECT DISTINCT b.vec_id
+        FROM bucket a JOIN bucket b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        JOIN prepared ae ON ae.vec_id = a.vec_id
+        JOIN prepared be ON be.vec_id = b.vec_id
+        WHERE list_sum([CAST(ae.embedding[i] AS DOUBLE) * be.embedding[i]
+                        FOR i IN range(1, 65)]) / (ae.nrm * be.nrm) >= 0.3),
+      surv AS (
+        SELECT * FROM prepared
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)),
+      sc AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum([CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]
+                         FOR i IN range(1, 65)]) / (q.nrm * c.nrm) AS sim
+        FROM surv q, surv c
+        WHERE q.vec_id < 5 AND c.vec_id <> q.vec_id)
+      SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank FROM sc)
+      WHERE rank <= 5 ORDER BY query_id, rank"""
+    }),
+
     // ---- multimodal: binary columns + partition-batched feature extraction
     QueryDef("q86_multimodal_features", (s, dir) => {
       Multimodal.extractFeatures(

@@ -113,6 +113,35 @@ class PqSpec extends AnyFunSuite {
     assert(refined > 0.5, s"refined recall unexpectedly low: $refined")
   }
 
+  test("IVF-PQ: partition-independent, probe-monotone, trained path runs") {
+    import spark.implicits._
+    val emb = Tables.load(spark, dir, "embeddings")
+    def run(df: org.apache.spark.sql.DataFrame, nprobe: Int, pqIters: Int = 0) =
+      Similarity.ivfPqTopK(df, "vec_id", "embedding", dims,
+          nlist = 8, nprobe = nprobe, m = m, ksub = ksub, k = 10,
+          queryFilter = col("vec_id") < 10, pqIters = pqIters)
+        .orderBy("query_id", "rank").collect().toSeq
+    assert(run(emb, 2) == run(emb.repartition(7), 2))
+
+    val exact = exactTopK(emb, 10)
+    def recallOf(rows: Seq[org.apache.spark.sql.Row]): Double = {
+      val got = rows.map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.intersect(exact).size.toDouble / exact.size
+    }
+    val narrow = recallOf(run(emb, 1))
+    val full = recallOf(run(emb, 8)) // nprobe = nlist: every cell probed
+    assert(full >= narrow - 1e-9,
+      s"full-probe recall $full below 1-probe recall $narrow")
+    // this synthetic corpus is uniform random — PQ's worst case (no
+    // cluster structure for 32-bit codes to exploit), so the absolute
+    // floor is a sanity bound, not a quality claim; the orderings above
+    // are the real contract
+    assert(full > 0.1, s"full-probe IVF-PQ recall unexpectedly low: $full")
+
+    // residual-trained codebooks: still deterministic end to end
+    assert(run(emb, 2, pqIters = 2) == run(emb, 2, pqIters = 2))
+  }
+
   test("re-ranked distances equal the exact distances for returned rows") {
     import spark.implicits._
     val emb = Tables.load(spark, dir, "embeddings")
