@@ -859,6 +859,107 @@ object Pipeline {
              CAST(floor((cum_tokens - tokens) / 2000.0) AS BIGINT) AS shard
       FROM c ORDER BY doc_id""")),
 
+    // ---- PII scrubbing: deterministic planted emails/IPs (the corpus has
+    // none), redacted with RE2-safe patterns both engines interpret
+    // identically; counts + redacted-text hash prove byte-exact scrub
+    QueryDef("q151_pii_redaction", (s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      val withEmail = when(pmod(col("doc_id"), lit(7)) === 0,
+        concat(col("text"), lit(" contact u"),
+          col("doc_id").cast("string"), lit("@ex.com")))
+        .otherwise(col("text"))
+      val plantedCol = when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(withEmail, lit(" from 10.0."),
+          pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")))
+        .otherwise(withEmail)
+      val (red, nEmails, nIps) = TextAnalysis.redactPii(col("planted"))
+      d.withColumn("planted", plantedCol)
+        .select(col("doc_id"), nEmails.as("n_emails"), nIps.as("n_ips"),
+          md5(red).as("red_hash"),
+          length(red).cast("long").as("red_len"))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH planted AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 11 = 0 THEN
+                 (CASE WHEN doc_id % 7 = 0 THEN
+                    text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com'
+                  ELSE text END)
+                 || ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.7'
+               WHEN doc_id % 7 = 0 THEN
+                 text || ' contact u' || CAST(doc_id AS VARCHAR) || '@ex.com'
+               ELSE text END AS p
+        FROM documents),
+      red AS (
+        SELECT doc_id, p,
+               regexp_replace(regexp_replace(p,
+                 '${TextAnalysis.emailRe}', '<EMAIL>', 'g'),
+                 '${TextAnalysis.ipv4Re}', '<IP>', 'g') AS r
+        FROM planted)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(p, '${TextAnalysis.emailRe}'))
+                  AS BIGINT) AS n_emails,
+             CAST(len(regexp_extract_all(p, '${TextAnalysis.ipv4Re}'))
+                  AS BIGINT) AS n_ips,
+             md5(r) AS red_hash,
+             CAST(length(r) AS BIGINT) AS red_len
+      FROM red ORDER BY doc_id""")),
+
+    // ---- within-doc repetition stats (the Gopher repetition rules)
+    QueryDef("q152_doc_repetition", (s, dir) => {
+      val stats = TextAnalysis.repetitionStats(col("text"))
+      t(s, dir, "documents")
+        .select(col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CAST(floor(top_count * 10000.0 / n) AS BIGINT) AS top_word_bp,
+             CAST(floor((n - n_uniq) * 10000.0 / n) AS BIGINT) AS dup_word_bp,
+             CAST(CASE WHEN n2 > 0
+               THEN floor((n2 - n2_uniq) * 10000.0 / n2) ELSE 0 END
+               AS BIGINT) AS dup_bigram_bp,
+             (floor(top_count * 10000.0 / n) < 2000 AND
+              (CASE WHEN n2 > 0
+                THEN floor((n2 - n2_uniq) * 10000.0 / n2) ELSE 0 END) < 2000)
+               AS repetition_pass
+      FROM (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n,
+               list_max(list_transform(list_distinct(words),
+                 x -> len(list_filter(words, y -> y = x)))) AS top_count,
+               CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq,
+               CAST(len(bigrams) AS BIGINT) AS n2,
+               CAST(len(list_distinct(bigrams)) AS BIGINT) AS n2_uniq
+        FROM (SELECT doc_id, words,
+                     [array_to_string(words[i:i+1], ' ')
+                      FOR i IN range(1, len(words))] AS bigrams
+              FROM (SELECT doc_id, string_split(text, ' ') AS words
+                    FROM documents)))
+      ORDER BY doc_id""")),
+
+    // ---- unigram surprisal (CCNet-perplexity shape, exact-integer bits:
+    // libm ln differs by 1 ulp across engines — measured — so a hash gate
+    // needs bitlen arithmetic; a real deployment swaps in an LM scorer)
+    QueryDef("q153_surprisal", (s, dir) => {
+      TextAnalysis.surprisalBits(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+      freq AS (SELECT w, count(*) AS f FROM tok GROUP BY w),
+      tot AS (SELECT CAST(sum(f) AS BIGINT) AS n_total FROM freq),
+      b AS (
+        SELECT t.doc_id,
+               length(bin(tot.n_total)) - length(bin(CAST(fr.f AS BIGINT)))
+                 AS bits
+        FROM tok t JOIN freq fr ON fr.w = t.w, tot)
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(bits) AS BIGINT) AS sum_bits,
+             CAST(floor(sum(bits) * 100.0 / count(*)) AS BIGINT)
+               AS surprisal_c
+      FROM b GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- embedding-cosine near-duplicate pairs: LSH-bucketed candidates
     // (4 deterministic md5-derived hyperplanes → 16 buckets) verified with
     // the exact cosine at threshold 0.3 — the embedding face of dedup next
