@@ -242,24 +242,28 @@ object Dedup {
       n: Int, minDocs: Int, dfCap: Int = 0): DataFrame = {
     val pos = docs.filter(size(split(col(textCol), " ")) >= n)
       .select(col(idCol).as("id"),
-        explode(transform(shingles(col(textCol), n), s => md5(s))).as("h"))
-    val freq = pos.groupBy("h")
-      .agg(count_distinct(col("id")).as("nd"))
-    val repeated = freq
-      .filter(col("nd") >= minDocs &&
-        (if (dfCap > 0) col("nd") <= dfCap else lit(true)))
-      .select(col("h"), lit(1L).as("__rep"))
-    val capped =
-      if (dfCap <= 0) freq.filter(lit(false)).select(col("h"), lit(1L).as("__cap"))
-      else freq.filter(col("nd") > dfCap).select(col("h"), lit(1L).as("__cap"))
-    pos
-      .join(repeated, Seq("h"), "left")
-      .join(capped, Seq("h"), "left")
+        explode(graft.functions.ShingleMd5(col(textCol), n)).as("h"))
+    // Single-lineage plan: a join of positions against a grouped frequency
+    // frame would evaluate the expensive shingle-md5 expansion ONCE PER
+    // SIDE (the exchanges differ, so Catalyst cannot reuse them — measured
+    // 2× the whole data-path CPU at 25× corpus). Instead: pre-aggregate to
+    // (hash, doc) with the position count, attach the document frequency
+    // as a count over the hash window partition (the partition is the
+    // posting list — exact, no count-distinct needed because rows are
+    // already distinct docs), then fold rep/cap classes into the per-doc
+    // conditional sums. Expansion runs once; three bounded shuffles.
+    val perDocHash = pos.groupBy("h", "id").agg(count(lit(1)).as("c"))
+    val withNd = perDocHash.withColumn("nd", count(lit(1)).over(
+      org.apache.spark.sql.expressions.Window.partitionBy("h")))
+    val isRep = col("nd") >= minDocs &&
+      (if (dfCap > 0) col("nd") <= dfCap else lit(true))
+    val isCap = if (dfCap > 0) col("nd") > dfCap else lit(false)
+    withNd
       .groupBy(col("id").as("doc_id"))
       .agg(
-        count(lit(1)).as("total_ngrams"),
-        count(col("__rep")).as("dup_ngrams"),
-        count(col("__cap")).as("capped_ngrams"))
+        sum(col("c")).as("total_ngrams"),
+        sum(when(isRep, col("c")).otherwise(0L)).as("dup_ngrams"),
+        sum(when(isCap, col("c")).otherwise(0L)).as("capped_ngrams"))
       .withColumn("dup_bp",
         floor(col("dup_ngrams") * 10000.0 / col("total_ngrams")).cast("long"))
   }
@@ -280,11 +284,15 @@ object Dedup {
     def ngrams(df: DataFrame, cols: Column*): DataFrame =
       df.filter(size(split(col(textCol), " ")) >= n)
         .select(cols :+
-          explode(transform(shingles(col(textCol), n), s => md5(s))).as("h"): _*)
-        .distinct()
+          explode(graft.functions.ShingleMd5(col(textCol), n)).as("h"): _*)
     val evalNg = ngrams(evalSet).select("h").distinct()
+    // probe BEFORE dedup: the broadcast hash join filters the corpus-sized
+    // position stream down to eval matches first, so the distinct-(doc,
+    // hash) shuffle carries only the (tiny) contaminated overlap — not
+    // every training n-gram
     ngrams(train, col(idCol).as("doc_id"))
       .join(broadcast(evalNg), Seq("h"))
+      .select("doc_id", "h").distinct()
       .groupBy("doc_id")
       .agg(count(lit(1)).as("overlap_ngrams"))
       .withColumn("contaminated", col("overlap_ngrams") >= minOverlap)

@@ -136,28 +136,52 @@ object TextAnalysis {
   /** Within-document repetition measurements (the other half of the Gopher
     * rules, Rae et al. 2021 A1.1): most-common-word mass, duplicate-word
     * and duplicate-bigram fractions — scaled-floor basis points, plus the
-    * combined pass verdict. Per-row list arithmetic (docs are bounded;
-    * the n² distinct-count loop is over ONE document's words). */
-  def repetitionStats(text: Column): Seq[(String, Column)] = {
-    val w = words(text)
-    val n = size(w).cast("long")
-    val topCount = array_max(transform(array_distinct(w),
-      x => size(filter(w, y => y === x)))).cast("long")
-    val topWordBp = floor(topCount * 10000.0 / n).cast("long")
-    val dupWordBp =
-      floor((n - size(array_distinct(w))) * 10000.0 / n).cast("long")
-    // guarded: shingles' sequence(1, size-1) is only valid for >= 2 words
-    val bi = when(size(w) >= 2, Dedup.shingles(text, 2))
-      .otherwise(array().cast("array<string>"))
-    val n2 = size(bi).cast("long")
-    val dupBigramBp = when(n2 > 0,
-      floor((n2 - size(array_distinct(bi))) * 10000.0 / n2)).otherwise(0L)
-      .cast("long")
-    Seq(
-      "top_word_bp" -> topWordBp,
-      "dup_word_bp" -> dupWordBp,
-      "dup_bigram_bp" -> dupBigramBp,
-      "repetition_pass" -> (topWordBp < 2000L && dupBigramBp < 2000L))
+    * combined pass verdict.
+    *
+    * Runs as one fused primitive pass per document (`mapPartitions`), not
+    * a Column expression tree: list higher-order functions are
+    * CodegenFallback — interpreted per element, and the tree re-evaluates
+    * the `split` per reference (no CSE) — measured 736 s of task CPU over
+    * 125k docs vs 0.7 s for DuckDB's vectorized list ops. Same reasoning
+    * as the [[Similarity.lshTopK]] run-scan; all arithmetic is the exact
+    * scaled-floor IEEE the SQL oracle replays. No shuffle. */
+  def repetitionProfile(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("top_word_bp", LongType),
+      StructField("dup_word_bp", LongType),
+      StructField("dup_bigram_bp", LongType),
+      StructField("repetition_pass", BooleanType)))
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val w = r.getString(1).split(" ", -1)
+          val n = w.length
+          val counts = new java.util.HashMap[String, Int](n * 2)
+          var i = 0
+          var top = 0
+          while (i < n) {
+            val c = counts.merge(w(i), 1, (a, b) => a + b)
+            if (c > top) top = c
+            i += 1
+          }
+          val topBp = math.floor(top * 10000.0 / n).toLong
+          val dupBp = math.floor((n - counts.size) * 10000.0 / n).toLong
+          val n2 = n - 1
+          val biBp =
+            if (n2 <= 0) 0L
+            else {
+              val bis = new java.util.HashSet[String](n2 * 2)
+              var j = 0
+              while (j < n2) { bis.add(w(j) + " " + w(j + 1)); j += 1 }
+              math.floor((n2 - bis.size) * 10000.0 / n2).toLong
+            }
+          Row(r.getLong(0), topBp, dupBp, biBp, topBp < 2000L && biBp < 2000L)
+        }
+      }(Encoders.row(outSchema))
   }
 
   /** Corpus-relative unigram surprisal in whole bits — the shape of

@@ -907,9 +907,8 @@ object Pipeline {
 
     // ---- within-doc repetition stats (the Gopher repetition rules)
     QueryDef("q152_doc_repetition", (s, dir) => {
-      val stats = TextAnalysis.repetitionStats(col("text"))
-      t(s, dir, "documents")
-        .select(col("doc_id") +: stats.map { case (n, c) => c.as(n) }: _*)
+      TextAnalysis.repetitionProfile(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id")
         .orderBy("doc_id")
     }, Some("""
       SELECT doc_id,

@@ -95,6 +95,19 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("fused shingle_md5 equals the composed transform(shingles, md5)") {
+    import spark.implicits._
+    val d = Tables.load(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 5).limit(200)
+    val fused = d.select(col("doc_id"),
+      graft.functions.ShingleMd5(col("text"), 5).as("hs"))
+    val composed = d.select(col("doc_id"),
+      transform(Dedup.shingles(col("text"), 5), s => md5(s)).as("hs"))
+    val f = fused.as[(Long, Seq[String])].collect().sortBy(_._1)
+    val c = composed.as[(Long, Seq[String])].collect().sortBy(_._1)
+    assert(f.length == 200 && f.toSeq == c.toSeq)
+  }
+
   test("decontamination flags planted eval overlap and nothing else") {
     import spark.implicits._
     val d = Tables.load(spark, dir, "documents").select("doc_id", "text")
