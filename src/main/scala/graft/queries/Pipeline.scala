@@ -26,6 +26,41 @@ object Pipeline {
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
+  /** Shared DuckDB CTE `g`: the Gopher measurements + verdict of q143 —
+    * also composed by the q154 mixing pipeline. */
+  private val gopherCteSql: String = {
+    val stopSum = graft.operators.TextAnalysis.gopherStopwords
+      .map(sw => s"CASE WHEN list_contains(words, '$sw') THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""g AS (
+      SELECT doc_id, n_words, mean_word_len_bp, symbol_ratio_bp,
+             alpha_word_bp, bullet_line_bp, ellipsis_line_bp, stop_hits,
+             (n_words >= 30 AND n_words <= 100000
+              AND mean_word_len_bp >= 30000 AND mean_word_len_bp <= 100000
+              AND symbol_ratio_bp < 1000 AND bullet_line_bp < 9000
+              AND ellipsis_line_bp < 3000 AND alpha_word_bp >= 8000
+              AND stop_hits >= 2) AS gopher_pass
+      FROM (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS n_words,
+               CAST(floor(list_sum(list_transform(words, x -> len(x)))
+                    * 10000.0 / len(words)) AS BIGINT) AS mean_word_len_bp,
+               CAST(floor((length(text) - length(replace(text, '#', ''))
+                    + floor((length(text) - length(replace(text, '...', ''))) / 3.0))
+                    * 10000.0 / len(words)) AS BIGINT) AS symbol_ratio_bp,
+               CAST(floor(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
+                    * 10000.0 / len(words)) AS BIGINT) AS alpha_word_bp,
+               CAST(floor(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'
+                      OR l LIKE '\u2022 %'))
+                    * 10000.0 / len(lines)) AS BIGINT) AS bullet_line_bp,
+               CAST(floor(len(list_filter(lines, l -> l LIKE '%...'))
+                    * 10000.0 / len(lines)) AS BIGINT) AS ellipsis_line_bp,
+               CAST($stopSum AS BIGINT) AS stop_hits
+        FROM (SELECT doc_id, text, string_split(text, ' ') AS words,
+                     string_split(text, chr(10)) AS lines
+              FROM documents)))"""
+  }
+
   /** DuckDB replay of [[Sampling.hash16]]: 4 md5 nibbles to 0..65535. */
   private def sqlHash16(key: String): String =
     (0 until 4).map(i =>
@@ -752,39 +787,12 @@ object Pipeline {
       t(s, dir, "documents")
         .select(col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
         .orderBy("doc_id")
-    }, Some {
-      val stopSum = TextAnalysis.gopherStopwords
-        .map(sw => s"CASE WHEN list_contains(words, '$sw') THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      s"""
+    }, Some(s"""
+      WITH $gopherCteSql
       SELECT doc_id, n_words, mean_word_len_bp, symbol_ratio_bp,
              alpha_word_bp, bullet_line_bp, ellipsis_line_bp, stop_hits,
-             (n_words >= 30 AND n_words <= 100000
-              AND mean_word_len_bp >= 30000 AND mean_word_len_bp <= 100000
-              AND symbol_ratio_bp < 1000 AND bullet_line_bp < 9000
-              AND ellipsis_line_bp < 3000 AND alpha_word_bp >= 8000
-              AND stop_hits >= 2) AS gopher_pass
-      FROM (
-        SELECT doc_id,
-               CAST(len(words) AS BIGINT) AS n_words,
-               CAST(floor(list_sum(list_transform(words, x -> len(x)))
-                    * 10000.0 / len(words)) AS BIGINT) AS mean_word_len_bp,
-               CAST(floor((length(text) - length(replace(text, '#', ''))
-                    + floor((length(text) - length(replace(text, '...', ''))) / 3.0))
-                    * 10000.0 / len(words)) AS BIGINT) AS symbol_ratio_bp,
-               CAST(floor(len(list_filter(words, x -> regexp_matches(x, '[a-zA-Z]')))
-                    * 10000.0 / len(words)) AS BIGINT) AS alpha_word_bp,
-               CAST(floor(len(list_filter(lines, l -> l LIKE '- %' OR l LIKE '* %'
-                      OR l LIKE '• %'))
-                    * 10000.0 / len(lines)) AS BIGINT) AS bullet_line_bp,
-               CAST(floor(len(list_filter(lines, l -> l LIKE '%...'))
-                    * 10000.0 / len(lines)) AS BIGINT) AS ellipsis_line_bp,
-               CAST($stopSum AS BIGINT) AS stop_hits
-        FROM (SELECT doc_id, text, string_split(text, ' ') AS words,
-                     string_split(text, chr(10)) AS lines
-              FROM documents))
-      ORDER BY doc_id"""
-    }),
+             gopher_pass
+      FROM g ORDER BY doc_id""")),
 
     // ---- benchmark decontamination: training docs (id < 450) sharing
     // 5-grams with the held-out eval slice (id >= 450); eval n-gram set
@@ -958,6 +966,41 @@ object Pipeline {
              CAST(floor(sum(bits) * 100.0 / count(*)) AS BIGINT)
                AS surprisal_c
       FROM b GROUP BY doc_id ORDER BY doc_id""")),
+
+    // ---- data-mixing pipeline: quality gate → quality-weighted
+    // deterministic sampling (pass 1/2, fail 1/8) → token-budget shard
+    // packing, in ONE plan — composes q143 + q147 + q148, each
+    // independently oracled
+    QueryDef("q154_pipeline_mixing", (s, dir) => {
+      val flags = TextAnalysis.gopherQuality(col("text"), minWords = 30)
+      val pass = flags.collectFirst { case ("gopher_pass", c) => c }.get
+      val kept = t(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"), pass.as("gopher_pass"))
+        .filter(Sampling.hash16(col("doc_id")) <
+          when(col("gopher_pass"), 32768).otherwise(8192))
+      Sampling.packShards(kept, "doc_id",
+          ceil(col("n_chars") / 4.0).cast("long"), buckets = 4, budget = 2000L)
+        .select("doc_id", "gopher_pass", "bucket", "tokens", "cum_tokens",
+          "shard")
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH $gopherCteSql,
+      kept AS (
+        SELECT d.doc_id, g.gopher_pass,
+               CAST(ceil(d.n_chars / 4.0) AS BIGINT) AS tokens,
+               CAST(${sqlHash16("d.doc_id")} AS BIGINT) AS h16,
+               CAST(${sqlHash16("d.doc_id")} % 4 AS BIGINT) AS bucket
+        FROM documents d JOIN g ON g.doc_id = d.doc_id
+        WHERE ${sqlHash16("d.doc_id")} <
+              CASE WHEN g.gopher_pass THEN 32768 ELSE 8192 END),
+      c AS (
+        SELECT doc_id, gopher_pass, bucket, tokens,
+               CAST(sum(tokens) OVER (PARTITION BY bucket
+                      ORDER BY h16, doc_id) AS BIGINT) AS cum_tokens
+        FROM kept)
+      SELECT doc_id, gopher_pass, bucket, tokens, cum_tokens,
+             CAST(floor((cum_tokens - tokens) / 2000.0) AS BIGINT) AS shard
+      FROM c ORDER BY doc_id""")),
 
     // ---- embedding-cosine near-duplicate pairs: LSH-bucketed candidates
     // (4 deterministic md5-derived hyperplanes → 16 buckets) verified with
