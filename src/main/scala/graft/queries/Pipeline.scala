@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.QueryDef.PresentOps
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.operators.{Bpe, Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -1001,6 +1001,50 @@ object Pipeline {
       SELECT doc_id, gopher_pass, bucket, tokens, cum_tokens,
              CAST(floor((cum_tokens - tokens) / 2000.0) AS BIGINT) AS shard
       FROM c ORDER BY doc_id""")),
+
+    // ---- BPE application with a FIXED merge list (the 6 merges train()
+    // learns on this corpus at k=6 — BpeSpec pins that equality): the
+    // sep-bounded literal replacement has identical left-to-right
+    // semantics in the JVM and SQL replace(), so the oracle replays the
+    // whole application byte-exactly (enc_hash)
+    QueryDef("q155_bpe_apply", (s, dir) => {
+      val merges = Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+        "s" -> "t", "m" -> "er")
+      Bpe.tokenize(t(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", merges)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH enc AS (
+        SELECT doc_id, text,
+               '/' || regexp_replace(text, '(.)', '\1/', 'g') AS e0
+        FROM documents),
+      m AS (
+        SELECT doc_id, text,
+               replace(replace(replace(replace(replace(replace(e0,
+                 '/e/r/', '/er/'),
+                 '/i/n/', '/in/'),
+                 '/o/w/', '/ow/'),
+                 '/o/r/', '/or/'),
+                 '/s/t/', '/st/'),
+                 '/m/er/', '/mer/') AS f
+        FROM enc)
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST((length(f) - length(replace(f, '/', '')) - 1)
+                  - (len(string_split(text, ' ')) - 1) AS BIGINT)
+               AS bpe_tokens,
+             md5(f) AS enc_hash
+      FROM m ORDER BY doc_id""")),
+
+    // ---- BPE with corpus-TRAINED merges (k=10): the merge list is
+    // data-derived, so no static SQL exists — rows-only; BpeSpec pins
+    // training determinism, per-merge token-count monotonicity, and the
+    // argmax property
+    QueryDef("q156_bpe_trained", (s, dir) => {
+      val d = t(s, dir, "documents").select("doc_id", "text")
+      Bpe.tokenize(d, "text", "doc_id", Bpe.train(d, "text", 10))
+        .orderBy("doc_id")
+    }, None),
 
     // ---- embedding-cosine near-duplicate pairs: LSH-bucketed candidates
     // (4 deterministic md5-derived hyperplanes → 16 buckets) verified with

@@ -1,0 +1,95 @@
+package graft
+
+import graft.operators.Bpe
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** BPE trainer/tokenizer contract: deterministic training, the argmax
+  * merge property, per-merge token-count monotonicity, and that the fixed
+  * merge list hard-coded in q155 IS what train() learns on the sf0.01
+  * corpus (so the oracle-checked application query can never drift from
+  * the trainer). */
+class BpeSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("encode/apply: sep-bounded replacement merges within words only") {
+    assert(Bpe.encode("ab c") == "/a/b/ /c/")
+    // left-to-right non-overlap on a repeated pair
+    assert(Bpe.applyMerges(Bpe.encode("aaa"), Seq("a" -> "a")) == "/aa/a/")
+    // a merged symbol participates in later merges
+    assert(Bpe.applyMerges(Bpe.encode("mer"),
+      Seq("e" -> "r", "m" -> "er")) == "/mer/")
+    // boundary safety: 'b' at word end never merges with next word's 'c'
+    assert(Bpe.applyMerges(Bpe.encode("ab ca"), Seq("b" -> "c")) ==
+      "/a/b/ /c/a/")
+  }
+
+  test("training picks the frequency argmax with lexicographic ties") {
+    import spark.implicits._
+    val docs = Seq("aab aab ba", "aab zz").toDF("text")
+    val merges = Bpe.train(docs, "text", 2)
+    // (a,a) occurs 3x (aab weighted by freq 3... aab:3? vocab: aab->3? aab
+    // appears 3 times across docs, ba->1, zz->1): pairs (a,a)=3, (a,b)=3,
+    // (b,a)=1, (z,z)=1 — tie (a,a) vs (a,b) → lexicographic picks (a,a)
+    assert(merges.head == ("a", "a"))
+  }
+
+  test("train is deterministic and q155's fixed list is the trained list") {
+    val d = Tables.load(spark, "/root/testdata/sf0.01", "documents")
+      .select("doc_id", "text")
+    val m1 = Bpe.train(d, "text", 6)
+    assert(m1 == Bpe.train(d, "text", 6))
+    assert(m1 == Seq("e" -> "r", "i" -> "n", "o" -> "w", "o" -> "r",
+      "s" -> "t", "m" -> "er"),
+      s"q155's hard-coded merges drifted from the trainer: $m1")
+  }
+
+  test("each merge never increases the corpus token count") {
+    import spark.implicits._
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val merges = Bpe.train(d, "text", 8)
+    val totals = (0 to merges.length).map { k =>
+      Bpe.tokenize(d, "text", "doc_id", merges.take(k))
+        .agg(org.apache.spark.sql.functions.sum("bpe_tokens"))
+        .as[Long].head()
+    }
+    totals.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a, s"token count increased: $totals")
+    }
+    assert(totals.last < totals.head, "merges should compress this corpus")
+  }
+
+  test("tokenize equals a naive per-doc reimplementation") {
+    import spark.implicits._
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").limit(50)
+    val merges = Seq("e" -> "r", "i" -> "n")
+    val got = Bpe.tokenize(d, "text", "doc_id", merges)
+      .select("doc_id", "bpe_tokens").as[(Long, Long)].collect().toMap
+    d.as[(Long, String)].collect().foreach { case (id, text) =>
+      val naive = text.split(" ", -1).map { w =>
+        var toks = w.map(_.toString).toList
+        merges.foreach { case (a, b) =>
+          val out = scala.collection.mutable.ListBuffer.empty[String]
+          var rest = toks
+          while (rest.nonEmpty) rest match {
+            case x :: y :: tail if x == a && y == b =>
+              out += (a + b); rest = tail
+            case x :: tail => out += x; rest = tail
+            case Nil =>
+          }
+          toks = out.toList
+        }
+        toks.length.toLong
+      }.sum
+      assert(got(id) == naive, s"doc $id: ${got(id)} vs $naive")
+    }
+  }
+}
