@@ -1046,6 +1046,35 @@ object Pipeline {
         .orderBy("doc_id")
     }, None),
 
+    // ---- per-source curation report: the corpus dashboard every
+    // training-data build runs — docs, token budget, exact-dup rate,
+    // quality pass rate, language mix per source, one groupBy
+    QueryDef("q157_source_report", (s, dir) => {
+      val flags = TextAnalysis.gopherQuality(col("text"), minWords = 30)
+      val pass = flags.collectFirst { case ("gopher_pass", c) => c }.get
+      t(s, dir, "documents")
+        .select(col("source"), col("lang"), col("n_chars"),
+          md5(col("text")).as("__ch"), pass.as("__pass"))
+        .groupBy("source")
+        .agg(
+          count(lit(1)).as("docs"),
+          sum(ceil(col("n_chars") / 4.0).cast("long")).as("tokens"),
+          (count(lit(1)) - count_distinct(col("__ch"))).as("exact_dups"),
+          sum(when(col("__pass"), 1L).otherwise(0L)).as("quality_pass"),
+          count_distinct(col("lang")).as("languages"))
+        .orderBy("source")
+    }, Some(s"""
+      WITH $gopherCteSql
+      SELECT d.source, count(*) AS docs,
+             CAST(sum(CAST(ceil(d.n_chars / 4.0) AS BIGINT)) AS BIGINT)
+               AS tokens,
+             count(*) - count(DISTINCT md5(d.text)) AS exact_dups,
+             CAST(sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
+               AS quality_pass,
+             count(DISTINCT d.lang) AS languages
+      FROM documents d JOIN g ON g.doc_id = d.doc_id
+      GROUP BY d.source ORDER BY d.source""")),
+
     // ---- embedding-cosine near-duplicate pairs: LSH-bucketed candidates
     // (4 deterministic md5-derived hyperplanes → 16 buckets) verified with
     // the exact cosine at threshold 0.3 — the embedding face of dedup next
