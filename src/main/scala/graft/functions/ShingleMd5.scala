@@ -62,12 +62,27 @@ object ShingleMd5Util {
   private val digests = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
 
+  /** Lowercase md5 hex of raw bytes with a thread-local reused digest —
+    * shared by every operator that must emit oracle-portable md5 text. */
+  def md5Hex(bytes: Array[Byte]): String = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(bytes)
+    val hex = new Array[Char](32)
+    var b = 0
+    while (b < 16) {
+      hex(2 * b) = HEX((d(b) >> 4) & 0xf)
+      hex(2 * b + 1) = HEX(d(b) & 0xf)
+      b += 1
+    }
+    new String(hex)
+  }
+
   def eval(text: UTF8String, n: Int): ArrayData = {
     // Spark split-semantics: trailing empty strings kept (limit -1)
     val words = text.toString.split(" ", -1)
     val count = words.length - n + 1
     if (count <= 0) return new GenericArrayData(Array.empty[Any])
-    val md = digests.get()
     val sb = new java.lang.StringBuilder(64)
     val out = new Array[Any](count)
     var j = 0
@@ -79,16 +94,8 @@ object ShingleMd5Util {
         sb.append(words(j + i))
         i += 1
       }
-      md.reset()
-      val d = md.digest(sb.toString.getBytes(StandardCharsets.UTF_8))
-      val hex = new Array[Char](32)
-      var b = 0
-      while (b < 16) {
-        hex(2 * b) = HEX((d(b) >> 4) & 0xf)
-        hex(2 * b + 1) = HEX(d(b) & 0xf)
-        b += 1
-      }
-      out(j) = UTF8String.fromString(new String(hex))
+      out(j) = UTF8String.fromString(
+        md5Hex(sb.toString.getBytes(StandardCharsets.UTF_8)))
       j += 1
     }
     new GenericArrayData(out)

@@ -1,7 +1,6 @@
 package graft.operators
 
 import java.nio.charset.StandardCharsets
-import java.security.MessageDigest
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -10,45 +9,60 @@ import org.apache.spark.sql.functions._
   * 2016) — the tokenization step of a training-data pipeline, learned from
   * the corpus itself.
   *
-  * Representation: a document is one `/`-separated symbol string with a
-  * leading and trailing separator — `"the c"` → `"/t/h/e/ /c/"`. A merge
-  * (a, b) is the literal replacement `"/a/b/" → "/ab/"`: left-to-right,
-  * non-overlapping — the exact semantics of JVM `String.replace` AND SQL
-  * `replace()` (verified bit-equal, so application is oracle-replayable).
-  * The space symbol sits between words, so merges can never cross a word
-  * boundary; no corpus word may contain the separator character.
+  * Representation: every symbol is wrapped in its OWN separator pair —
+  * `"the c"` → `"/t//h//e// //c/"`. A merge (a, b) is the literal
+  * replacement `"/a//b/" → "/ab/"`: left-to-right, non-overlapping — the
+  * exact semantics of JVM `String.replace` AND SQL `replace()` (verified
+  * bit-equal, so application is oracle-replayable). Because adjacent
+  * symbols do NOT share a separator, a replace pass merges runs exactly
+  * like the classic token walk (`"aaaa"` → `aa aa`; `"training"` with
+  * (i, n) → `t r a in in g`) — a shared-separator encoding would skip
+  * every second back-to-back occurrence and diverge from training. The
+  * space symbol sits between words, so merges never cross a word
+  * boundary; corpus text must not contain the separator character
+  * (trainer and tokenizer both enforce it). Symbols are Unicode code
+  * points (not UTF-16 units), matching RE2's `(?s)(.)` replay.
   *
   * Scale design (100 TB): training runs on the WORD-FREQUENCY VOCABULARY,
   * not the corpus — one distributed groupBy(word) shuffle, then the merge
-  * loop iterates a driver-held Zipf-bounded map (the same
-  * small-model/large-data split as the k-means trainers; truncate to the
-  * top-K words at extreme vocabularies, like the surprisal scorer).
-  * Application is a stateless per-row projection of broadcast merges — no
-  * shuffle. */
+  * loop iterates a driver-held Zipf-bounded map with INCREMENTAL pair
+  * counts (only words containing the merged pair are re-walked per round,
+  * the standard BPE trainer shape — near-linear in k, not quadratic);
+  * truncate to the top-K words at extreme vocabularies, like the
+  * surprisal scorer. Application is a stateless per-row projection of
+  * broadcast merges — no shuffle. */
 object Bpe {
 
   val Sep = '/'
 
-  /** Encode raw text to the bounded symbol string: each character becomes
-    * a symbol. */
+  /** Encode raw text to the symbol string: each code point becomes a
+    * `/`-wrapped symbol. */
   def encode(text: String): String = {
-    val sb = new java.lang.StringBuilder(text.length * 2 + 1)
-    sb.append(Sep)
+    require(text.indexOf(Sep) < 0,
+      s"text must not contain the '$Sep' separator")
+    val sb = new java.lang.StringBuilder(text.length * 3)
     var i = 0
-    while (i < text.length) { sb.append(text.charAt(i)).append(Sep); i += 1 }
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      sb.append(Sep).appendCodePoint(cp).append(Sep)
+      i += Character.charCount(cp)
+    }
     sb.toString
   }
 
-  /** Apply learned merges in training order (literal sep-bounded
-    * replacement, left-to-right non-overlapping). */
+  /** Apply learned merges in training order (literal replacement,
+    * left-to-right non-overlapping — equals the trainer's token walk
+    * under this encoding). */
   def applyMerges(encoded: String, merges: Seq[(String, String)]): String =
     merges.foldLeft(encoded) { case (s, (a, b)) =>
-      s.replace(s"$Sep$a$Sep$b$Sep", s"$Sep$a$b$Sep")
+      s.replace(s"$Sep$a$Sep$Sep$b$Sep", s"$Sep$a$b$Sep")
     }
 
   /** Learn `k` merges from the corpus: repeatedly merge the most frequent
     * adjacent symbol pair (frequency-weighted over the word vocabulary;
-    * ties to the lexicographically smallest pair — fully deterministic). */
+    * ties to the lexicographically smallest pair — fully deterministic).
+    * Pair counts update incrementally: each round re-walks ONLY the words
+    * containing the chosen pair. */
   def train(docs: DataFrame, textCol: String, k: Int): Seq[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
@@ -58,39 +72,54 @@ object Bpe {
       .as[(String, Long)].collect()
     require(vocab.forall(!_._1.contains(Sep)),
       s"corpus words must not contain the '$Sep' separator")
+    val freq = vocab.toMap
     val forms = scala.collection.mutable.Map.empty[String, Array[String]]
-    vocab.foreach { case (w, _) => forms(w) = w.map(_.toString).toArray }
+    vocab.foreach { case (w, _) =>
+      forms(w) = w.codePoints().toArray
+        .map(cp => new String(Character.toChars(cp)))
+    }
+    val counts =
+      scala.collection.mutable.Map.empty[(String, String), Long]
+    val occurs = scala.collection.mutable.Map
+      .empty[(String, String), scala.collection.mutable.Set[String]]
+    def addWord(w: String, sign: Long): Unit = {
+      val t = forms(w)
+      val f = freq(w) * sign
+      var i = 0
+      while (i < t.length - 1) {
+        val p = (t(i), t(i + 1))
+        val c = counts.getOrElse(p, 0L) + f
+        if (c == 0L) counts.remove(p) else counts(p) = c
+        if (sign > 0)
+          occurs.getOrElseUpdate(p,
+            scala.collection.mutable.Set.empty[String]) += w
+        i += 1
+      }
+    }
+    vocab.foreach { case (w, _) => addWord(w, 1L) }
     val merges = scala.collection.mutable.Buffer.empty[(String, String)]
     var round = 0
-    var exhausted = false
-    while (round < k && !exhausted) {
-      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-      vocab.foreach { case (w, f) =>
+    while (round < k && counts.nonEmpty) {
+      val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+      merges += best
+      val merged = best._1 + best._2
+      val affected = occurs.getOrElse(best, Set.empty).toArray.sorted
+      affected.foreach { w =>
+        addWord(w, -1L) // retract old contributions
         val t = forms(w)
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var i = 0
-        while (i < t.length - 1) {
-          val p = (t(i), t(i + 1))
-          counts(p) = counts.getOrElse(p, 0L) + f
-          i += 1
+        while (i < t.length) {
+          if (i + 1 < t.length && t(i) == best._1 && t(i + 1) == best._2) {
+            out += merged; i += 2
+          } else { out += t(i); i += 1 }
         }
+        forms(w) = out.toArray
+        addWord(w, 1L)
       }
-      if (counts.isEmpty) exhausted = true
-      else {
-        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
-        merges += best
-        val merged = best._1 + best._2
-        forms.mapValuesInPlace { (_, t) =>
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < t.length) {
-            if (i + 1 < t.length && t(i) == best._1 && t(i + 1) == best._2) {
-              out += merged; i += 2
-            } else { out += t(i); i += 1 }
-          }
-          out.toArray
-        }
-        round += 1
-      }
+      occurs.remove(best)
+      counts.remove(best)
+      round += 1
     }
     merges.toSeq
   }
@@ -98,7 +127,8 @@ object Bpe {
   /** Distributed application: (doc_id, n_words, bpe_tokens, enc_hash) —
     * token count after the merges plus the md5 of the merged symbol string
     * (byte-exact application proof for the oracle). One fused pass,
-    * broadcast merges, no shuffle. */
+    * broadcast merges, no shuffle; a document containing the separator
+    * fails loudly rather than corrupting counts. */
   def tokenize(docs: DataFrame, textCol: String, idCol: String,
       merges: Seq[(String, String)]): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
@@ -111,8 +141,6 @@ object Bpe {
       StructField("enc_hash", StringType)))
     docs.select(col(idCol).cast("long"), col(textCol))
       .mapPartitions { rows =>
-        val md = MessageDigest.getInstance("MD5")
-        val hexd = "0123456789abcdef".toCharArray
         rows.map { r =>
           val text = r.getString(1)
           val nWords = text.split(" ", -1).length.toLong
@@ -123,18 +151,12 @@ object Bpe {
             if (merged.charAt(i) == Sep) seps += 1
             i += 1
           }
-          // symbols total = seps - 1; of those, n_words - 1 are spaces
-          val bpeTokens = (seps - 1) - (nWords - 1)
-          md.reset()
-          val d = md.digest(merged.getBytes(StandardCharsets.UTF_8))
-          val hex = new Array[Char](32)
-          var b = 0
-          while (b < 16) {
-            hex(2 * b) = hexd((d(b) >> 4) & 0xf)
-            hex(2 * b + 1) = hexd(d(b) & 0xf)
-            b += 1
-          }
-          Row(r.getLong(0), nWords, bpeTokens, new String(hex))
+          // every symbol carries exactly two separators; n_words - 1 of
+          // the symbols are the inter-word spaces
+          val bpeTokens = seps / 2 - (nWords - 1)
+          val hash = graft.functions.ShingleMd5Util.md5Hex(
+            merged.getBytes(StandardCharsets.UTF_8))
+          Row(r.getLong(0), nWords, bpeTokens, hash)
         }
       }(Encoders.row(outSchema))
   }

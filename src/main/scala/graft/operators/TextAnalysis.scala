@@ -79,7 +79,12 @@ object TextAnalysis {
     *  - ≥ 80% of words contain at least one alphabetic character
     *  - ≥ 2 distinct stop words present
     *
-    * Per-row projection — no shuffle, linear at any corpus scale. */
+    * Per-row projection — no shuffle, linear at any corpus scale.
+    * Cost note: this Column tree keeps a few interpreted list HOFs —
+    * measured 0.94 s at the 25× corpus (≈4× DuckDB), acceptable for a
+    * quality gate; if the rule set grows, move to a fused mapPartitions
+    * pass like [[repetitionProfile]] (whose stacked-HOF predecessor
+    * measured 1000× worse). */
   def gopherQuality(text: Column, minWords: Int = 50,
       maxWords: Int = 100000): Seq[(String, Column)] = {
     val w = words(text)
@@ -119,8 +124,12 @@ object TextAnalysis {
   }
 
   /** PII patterns (RE2-safe subset — identical semantics under Java regex
-    * and DuckDB/RE2, so redaction is oracle-replayable). Emails are matched
-    * before IPs: an address like `bob@10.1.2.3` redacts as one EMAIL. */
+    * and DuckDB/RE2, so redaction is oracle-replayable). Emails are
+    * matched before IPs; note the email pattern requires an alphabetic
+    * TLD, so `bob@10.1.2.3` is NOT an email — it redacts as `bob@<IP>`
+    * (n_emails 0, n_ips 1). Counts are taken on the RAW text, so an IP
+    * inside a matched email's domain counts under both patterns even
+    * though the email replacement consumes it. */
   val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
   val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 

@@ -27,15 +27,16 @@ object Pipeline {
   }
 
   /** Shared DuckDB CTE `g`: the Gopher measurements + verdict of q143 —
-    * also composed by the q154 mixing pipeline. */
-  private val gopherCteSql: String = {
+    * also composed by the q154/q157 pipelines. `minWords` is interpolated
+    * so call sites cannot drift from the Spark-side gopherQuality arg. */
+  private def gopherCteSql(minWords: Int): String = {
     val stopSum = graft.operators.TextAnalysis.gopherStopwords
       .map(sw => s"CASE WHEN list_contains(words, '$sw') THEN 1 ELSE 0 END")
       .mkString(" + ")
     s"""g AS (
       SELECT doc_id, n_words, mean_word_len_bp, symbol_ratio_bp,
              alpha_word_bp, bullet_line_bp, ellipsis_line_bp, stop_hits,
-             (n_words >= 30 AND n_words <= 100000
+             (n_words >= $minWords AND n_words <= 100000
               AND mean_word_len_bp >= 30000 AND mean_word_len_bp <= 100000
               AND symbol_ratio_bp < 1000 AND bullet_line_bp < 9000
               AND ellipsis_line_bp < 3000 AND alpha_word_bp >= 8000
@@ -788,7 +789,7 @@ object Pipeline {
         .select(col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
         .orderBy("doc_id")
     }, Some(s"""
-      WITH $gopherCteSql
+      WITH ${gopherCteSql(30)}
       SELECT doc_id, n_words, mean_word_len_bp, symbol_ratio_bp,
              alpha_word_bp, bullet_line_bp, ellipsis_line_bp, stop_hits,
              gopher_pass
@@ -984,7 +985,7 @@ object Pipeline {
           "shard")
         .orderBy("doc_id")
     }, Some(s"""
-      WITH $gopherCteSql,
+      WITH ${gopherCteSql(30)},
       kept AS (
         SELECT d.doc_id, g.gopher_pass,
                CAST(ceil(d.n_chars / 4.0) AS BIGINT) AS tokens,
@@ -1016,21 +1017,21 @@ object Pipeline {
     }, Some("""
       WITH enc AS (
         SELECT doc_id, text,
-               '/' || regexp_replace(text, '(.)', '\1/', 'g') AS e0
+               regexp_replace(text, '(?s)(.)', '/\1/', 'g') AS e0
         FROM documents),
       m AS (
         SELECT doc_id, text,
                replace(replace(replace(replace(replace(replace(e0,
-                 '/e/r/', '/er/'),
-                 '/i/n/', '/in/'),
-                 '/o/w/', '/ow/'),
-                 '/o/r/', '/or/'),
-                 '/s/t/', '/st/'),
-                 '/m/er/', '/mer/') AS f
+                 '/e//r/', '/er/'),
+                 '/i//n/', '/in/'),
+                 '/o//w/', '/ow/'),
+                 '/o//r/', '/or/'),
+                 '/s//t/', '/st/'),
+                 '/m//er/', '/mer/') AS f
         FROM enc)
       SELECT doc_id,
              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
-             CAST((length(f) - length(replace(f, '/', '')) - 1)
+             CAST((length(f) - length(replace(f, '/', ''))) // 2
                   - (len(string_split(text, ' ')) - 1) AS BIGINT)
                AS bpe_tokens,
              md5(f) AS enc_hash
@@ -1064,7 +1065,7 @@ object Pipeline {
           count_distinct(col("lang")).as("languages"))
         .orderBy("source")
     }, Some(s"""
-      WITH $gopherCteSql
+      WITH ${gopherCteSql(30)}
       SELECT d.source, count(*) AS docs,
              CAST(sum(CAST(ceil(d.n_chars / 4.0) AS BIGINT)) AS BIGINT)
                AS tokens,

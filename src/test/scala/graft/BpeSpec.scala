@@ -18,16 +18,24 @@ class BpeSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .getOrCreate()
 
-  test("encode/apply: sep-bounded replacement merges within words only") {
-    assert(Bpe.encode("ab c") == "/a/b/ /c/")
-    // left-to-right non-overlap on a repeated pair
-    assert(Bpe.applyMerges(Bpe.encode("aaa"), Seq("a" -> "a")) == "/aa/a/")
+  test("encode/apply: sep-wrapped replacement merges within words only") {
+    assert(Bpe.encode("ab c") == "/a//b// //c/")
+    // left-to-right greedy on a run: pairs (0,1) and (2,3)
+    assert(Bpe.applyMerges(Bpe.encode("aaaa"), Seq("a" -> "a")) ==
+      "/aa//aa/")
+    assert(Bpe.applyMerges(Bpe.encode("aaa"), Seq("a" -> "a")) == "/aa//a/")
+    // back-to-back occurrences BOTH merge (the shared-separator encoding
+    // this replaced dropped the second one — the review repro)
+    assert(Bpe.applyMerges(Bpe.encode("training"), Seq("i" -> "n")) ==
+      "/t//r//a//in//in//g/")
     // a merged symbol participates in later merges
     assert(Bpe.applyMerges(Bpe.encode("mer"),
       Seq("e" -> "r", "m" -> "er")) == "/mer/")
     // boundary safety: 'b' at word end never merges with next word's 'c'
     assert(Bpe.applyMerges(Bpe.encode("ab ca"), Seq("b" -> "c")) ==
-      "/a/b/ /c/a/")
+      "/a//b// //c//a/")
+    // separator in the text fails loudly instead of corrupting counts
+    intercept[IllegalArgumentException](Bpe.encode("a/b"))
   }
 
   test("training picks the frequency argmax with lexicographic ties") {
