@@ -117,6 +117,32 @@ object Dedup {
       .select("id1", "id2").distinct()
   }
 
+  /** Probability that a pair with Jaccard similarity `s` becomes an LSH
+    * candidate under `bands` bands of `rowsPerBand` rows:
+    * 1 − (1 − s^r)^b — the S-curve every MinHash-LSH tuning decision
+    * reads (Leskovec/Rajaraman/Ullman, MMDS ch. 3). */
+  def lshCandidateProbability(s: Double, bands: Int,
+      rowsPerBand: Int): Double =
+    1.0 - math.pow(1.0 - math.pow(s, rowsPerBand), bands)
+
+  /** Choose (bands, rowsPerBand) for a similarity threshold within a
+    * signature budget: among the factorizations b·r ≤ numHashes, pick the
+    * one whose S-curve midpoint (1/b)^(1/r) is closest to `threshold`
+    * (ties → larger r, i.e. the steeper curve / fewer false candidates).
+    * Pure planning arithmetic — run it before sizing a 100 TB dedup pass;
+    * the chosen r·b feed [[minHashSignatures]]/[[lshBands]] directly. */
+  def lshPlan(numHashes: Int, threshold: Double): (Int, Int) = {
+    require(numHashes >= 1 && threshold > 0 && threshold < 1)
+    val candidates = for {
+      r <- 1 to numHashes
+      b = numHashes / r
+      if b >= 1
+    } yield (b, r)
+    candidates.minBy { case (b, r) =>
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -r)
+    }
+  }
+
   /** Bucket-size accounting for capped LSH runs: one row per band with
     * bucket count, max bucket size, and how many buckets/members exceed
     * `maxBucketSize` — callers surface this next to the pair output so a

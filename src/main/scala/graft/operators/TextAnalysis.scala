@@ -221,6 +221,38 @@ object TextAnalysis {
         floor(col("sum_bits") * 100.0 / col("n_tokens")).cast("long"))
   }
 
+  /** Unicode NFC normalization report — the canonicalization pass a
+    * multilingual corpus gets before any hashing/dedup (decomposed
+    * combining sequences hash differently from their composed forms, so
+    * exact dedup silently misses them without this). JVM
+    * `Normalizer.normalize(NFC)` and DuckDB `nfc_normalize` implement the
+    * same Unicode algorithm — verified byte-identical md5 — so the op is
+    * oracle-replayable. Output: (doc_id, changed, norm_chars [code
+    * points, matching SQL `length`], norm_hash). Per-row pass, no
+    * shuffle. */
+  def nfcNormalize(docs: DataFrame, textCol: String,
+      idCol: String): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("changed", BooleanType),
+      StructField("norm_chars", LongType),
+      StructField("norm_hash", StringType)))
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val text = r.getString(1)
+          val norm = java.text.Normalizer.normalize(text,
+            java.text.Normalizer.Form.NFC)
+          Row(r.getLong(0), norm != text,
+            norm.codePointCount(0, norm.length).toLong,
+            graft.functions.ShingleMd5Util.md5Hex(
+              norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** Token counts: whitespace tokens, alpha-run tokens (BPE-ish regex), and
     * a chars/4 BPE-budget estimate. */
   def tokenCounts(text: Column): (Column, Column, Column) = (

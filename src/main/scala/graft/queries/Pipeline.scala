@@ -1076,6 +1076,30 @@ object Pipeline {
       FROM documents d JOIN g ON g.doc_id = d.doc_id
       GROUP BY d.source ORDER BY d.source""")),
 
+    // ---- Unicode NFC normalization (corpus canonicalization before any
+    // hash-based dedup): planted decomposed combining sequences (e +
+    // U+0301) compose under NFC — JVM Normalizer and DuckDB nfc_normalize
+    // verified byte-identical
+    QueryDef("q158_nfc_normalize", (s, dir) => {
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            // DECOMPOSED e + combining acute (U+0301) - NFC composes it
+            concat(col("text"), lit(" cafe\u0301")))
+            .otherwise(col("text")).as("t"))
+      TextAnalysis.nfcNormalize(planted, "t", "doc_id")
+        .orderBy("doc_id")
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 5 = 0 THEN text || ' cafe' || chr(769)
+                    ELSE text END AS t
+        FROM documents)
+      SELECT doc_id, nfc_normalize(t) <> t AS changed,
+             CAST(length(nfc_normalize(t)) AS BIGINT) AS norm_chars,
+             md5(nfc_normalize(t)) AS norm_hash
+      FROM p ORDER BY doc_id""")),
+
     // ---- embedding-cosine near-duplicate pairs: LSH-bucketed candidates
     // (4 deterministic md5-derived hyperplanes → 16 buckets) verified with
     // the exact cosine at threshold 0.3 — the embedding face of dedup next

@@ -108,6 +108,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(f.length == 200 && f.toSeq == c.toSeq)
   }
 
+  test("LSH planning: S-curve math and threshold-closest factorization") {
+    // probability is monotone in s and hits the exact closed form
+    val p1 = Dedup.lshCandidateProbability(0.3, bands = 4, rowsPerBand = 4)
+    val p2 = Dedup.lshCandidateProbability(0.8, bands = 4, rowsPerBand = 4)
+    assert(p1 < p2)
+    assert(math.abs(p2 - (1 - math.pow(1 - math.pow(0.8, 4), 4))) < 1e-12)
+    // a high threshold wants long rows (steep curve), a low one many bands
+    val (bHi, rHi) = Dedup.lshPlan(16, 0.9)
+    val (bLo, rLo) = Dedup.lshPlan(16, 0.2)
+    assert(rHi > rLo && bLo > bHi)
+    // a ~0.75 target within 8 hashes: 2 bands x 3 rows (midpoint
+    // (1/2)^(1/3) = 0.794 — closer than q82's full-budget 2x4 at 0.841)
+    assert(Dedup.lshPlan(8, 0.75) == ((2, 3)))
+    // chosen midpoint is genuinely the closest achievable
+    val (b, r) = Dedup.lshPlan(16, 0.5)
+    val err = math.abs(math.pow(1.0 / b, 1.0 / r) - 0.5)
+    (1 to 16).foreach { rr =>
+      val bb = 16 / rr
+      if (bb >= 1)
+        assert(err <= math.abs(math.pow(1.0 / bb, 1.0 / rr) - 0.5) + 1e-12)
+    }
+  }
+
   test("decontamination flags planted eval overlap and nothing else") {
     import spark.implicits._
     val d = Tables.load(spark, dir, "documents").select("doc_id", "text")
