@@ -58,6 +58,53 @@ class BpeSpec extends AnyFunSuite {
       s"q155's hard-coded merges drifted from the trainer: $m1")
   }
 
+  test("incremental pair counts equal a naive full-recount trainer") {
+    import spark.implicits._
+    // deterministic pseudo-random corpus with heavy pair structure
+    // (repeats, runs, shared prefixes) to stress retract/re-add paths
+    val words = Seq("aaa", "aab", "abab", "banana", "bandana", "naan",
+      "ana", "aa", "ab", "ba")
+    val rnd = new scala.util.Random(42)
+    val docs = (1 to 40)
+      .map(_ => (1 to 8).map(_ => words(rnd.nextInt(words.length)))
+        .mkString(" "))
+      .toDF("text")
+    val got = Bpe.train(docs, "text", 12)
+    // naive reference: recount every pair from scratch each round
+    val vocab = docs.as[String].collect()
+      .flatMap(_.split(" ")).groupBy(identity)
+      .map { case (w, xs) => w -> xs.length.toLong }
+    val forms = scala.collection.mutable.Map.empty[String, Array[String]]
+    vocab.keys.foreach(w => forms(w) = w.map(_.toString).toArray)
+    val expect = scala.collection.mutable.Buffer.empty[(String, String)]
+    (1 to 12).foreach { _ =>
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (w, f) =>
+        val t = forms(w)
+        (0 until t.length - 1).foreach { i =>
+          val p = (t(i), t(i + 1))
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      if (counts.nonEmpty) {
+        val best = counts.toSeq.minBy { case ((a, b), c) => (-c, a, b) }._1
+        expect += best
+        forms.mapValuesInPlace { (_, t) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < t.length) {
+            if (i + 1 < t.length && t(i) == best._1 && t(i + 1) == best._2) {
+              out += best._1 + best._2; i += 2
+            } else { out += t(i); i += 1 }
+          }
+          out.toArray
+        }
+      }
+    }
+    assert(got == expect.toSeq,
+      s"incremental trainer diverged:\n got=$got\n exp=$expect")
+  }
+
   test("each merge never increases the corpus token count") {
     import spark.implicits._
     val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
