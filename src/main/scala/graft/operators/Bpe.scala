@@ -93,6 +93,7 @@ object Bpe {
         if (sign > 0)
           occurs.getOrElseUpdate(p,
             scala.collection.mutable.Set.empty[String]) += w
+        else occurs.get(p).foreach(_ -= w) // keep affected lists tight
         i += 1
       }
     }

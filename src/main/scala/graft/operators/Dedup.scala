@@ -135,11 +135,10 @@ object Dedup {
     require(numHashes >= 1 && threshold > 0 && threshold < 1)
     val candidates = for {
       r <- 1 to numHashes
-      b = numHashes / r
-      if b >= 1
+      b <- 1 to numHashes / r // every b·r ≤ numHashes, not just the max b
     } yield (b, r)
     candidates.minBy { case (b, r) =>
-      (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -r)
+      (math.abs(math.pow(1.0 / b, 1.0 / r) - threshold), -r, b)
     }
   }
 

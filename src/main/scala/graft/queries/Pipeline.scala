@@ -26,10 +26,14 @@ object Pipeline {
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
+  /** Single source of truth for the Gopher word-count floor — used by
+    * every gopherQuality call AND interpolated into gopherCteSql, so the
+    * Spark side and the oracle cannot drift. */
+  private val GopherMinWords = 30
+
   /** Shared DuckDB CTE `g`: the Gopher measurements + verdict of q143 —
-    * also composed by the q154/q157 pipelines. `minWords` is interpolated
-    * so call sites cannot drift from the Spark-side gopherQuality arg. */
-  private def gopherCteSql(minWords: Int): String = {
+    * also composed by the q154/q157 pipelines. */
+  private def gopherCteSql(minWords: Int = GopherMinWords): String = {
     val stopSum = graft.operators.TextAnalysis.gopherStopwords
       .map(sw => s"CASE WHEN list_contains(words, '$sw') THEN 1 ELSE 0 END")
       .mkString(" + ")
@@ -784,12 +788,12 @@ object Pipeline {
     // ---- Gopher quality rules (Rae et al. 2021 A1.1): named measurements
     // + combined verdict, all ratios as scaled-floor basis points
     QueryDef("q143_quality_rules", (s, dir) => {
-      val flags = TextAnalysis.gopherQuality(col("text"), minWords = 30)
+      val flags = TextAnalysis.gopherQuality(col("text"), minWords = GopherMinWords)
       t(s, dir, "documents")
         .select(col("doc_id") +: flags.map { case (n, c) => c.as(n) }: _*)
         .orderBy("doc_id")
     }, Some(s"""
-      WITH ${gopherCteSql(30)}
+      WITH ${gopherCteSql()}
       SELECT doc_id, n_words, mean_word_len_bp, symbol_ratio_bp,
              alpha_word_bp, bullet_line_bp, ellipsis_line_bp, stop_hits,
              gopher_pass
@@ -973,7 +977,7 @@ object Pipeline {
     // packing, in ONE plan — composes q143 + q147 + q148, each
     // independently oracled
     QueryDef("q154_pipeline_mixing", (s, dir) => {
-      val flags = TextAnalysis.gopherQuality(col("text"), minWords = 30)
+      val flags = TextAnalysis.gopherQuality(col("text"), minWords = GopherMinWords)
       val pass = flags.collectFirst { case ("gopher_pass", c) => c }.get
       val kept = t(s, dir, "documents")
         .select(col("doc_id"), col("n_chars"), pass.as("gopher_pass"))
@@ -985,7 +989,7 @@ object Pipeline {
           "shard")
         .orderBy("doc_id")
     }, Some(s"""
-      WITH ${gopherCteSql(30)},
+      WITH ${gopherCteSql()},
       kept AS (
         SELECT d.doc_id, g.gopher_pass,
                CAST(ceil(d.n_chars / 4.0) AS BIGINT) AS tokens,
@@ -1051,7 +1055,7 @@ object Pipeline {
     // training-data build runs — docs, token budget, exact-dup rate,
     // quality pass rate, language mix per source, one groupBy
     QueryDef("q157_source_report", (s, dir) => {
-      val flags = TextAnalysis.gopherQuality(col("text"), minWords = 30)
+      val flags = TextAnalysis.gopherQuality(col("text"), minWords = GopherMinWords)
       val pass = flags.collectFirst { case ("gopher_pass", c) => c }.get
       t(s, dir, "documents")
         .select(col("source"), col("lang"), col("n_chars"),
@@ -1065,7 +1069,7 @@ object Pipeline {
           count_distinct(col("lang")).as("languages"))
         .orderBy("source")
     }, Some(s"""
-      WITH ${gopherCteSql(30)}
+      WITH ${gopherCteSql()}
       SELECT d.source, count(*) AS docs,
              CAST(sum(CAST(ceil(d.n_chars / 4.0) AS BIGINT)) AS BIGINT)
                AS tokens,

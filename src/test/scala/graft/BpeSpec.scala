@@ -62,8 +62,10 @@ class BpeSpec extends AnyFunSuite {
     import spark.implicits._
     // deterministic pseudo-random corpus with heavy pair structure
     // (repeats, runs, shared prefixes) to stress retract/re-add paths
+    // includes a supplementary (non-BMP) character so the reference and
+    // the trainer must both walk CODE POINTS, not UTF-16 units
     val words = Seq("aaa", "aab", "abab", "banana", "bandana", "naan",
-      "ana", "aa", "ab", "ba")
+      "ana", "aa", "ab", "ba", "na\uD83D\uDE00na", "\uD83D\uDE00a")
     val rnd = new scala.util.Random(42)
     val docs = (1 to 40)
       .map(_ => (1 to 8).map(_ => words(rnd.nextInt(words.length)))
@@ -75,7 +77,8 @@ class BpeSpec extends AnyFunSuite {
       .flatMap(_.split(" ")).groupBy(identity)
       .map { case (w, xs) => w -> xs.length.toLong }
     val forms = scala.collection.mutable.Map.empty[String, Array[String]]
-    vocab.keys.foreach(w => forms(w) = w.map(_.toString).toArray)
+    vocab.keys.foreach(w => forms(w) = w.codePoints().toArray
+      .map(cp => new String(Character.toChars(cp))))
     val expect = scala.collection.mutable.Buffer.empty[(String, String)]
     (1 to 12).foreach { _ =>
       val counts = scala.collection.mutable.Map.empty[(String, String), Long]

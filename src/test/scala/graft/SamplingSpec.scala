@@ -118,16 +118,15 @@ class SamplingSpec extends AnyFunSuite {
     val (bHi, rHi) = Dedup.lshPlan(16, 0.9)
     val (bLo, rLo) = Dedup.lshPlan(16, 0.2)
     assert(rHi > rLo && bLo > bHi)
-    // a ~0.75 target within 8 hashes: 2 bands x 3 rows (midpoint
-    // (1/2)^(1/3) = 0.794 — closer than q82's full-budget 2x4 at 0.841)
-    assert(Dedup.lshPlan(8, 0.75) == ((2, 3)))
-    // chosen midpoint is genuinely the closest achievable
-    val (b, r) = Dedup.lshPlan(16, 0.5)
-    val err = math.abs(math.pow(1.0 / b, 1.0 / r) - 0.5)
-    (1 to 16).foreach { rr =>
-      val bb = 16 / rr
-      if (bb >= 1)
-        assert(err <= math.abs(math.pow(1.0 / bb, 1.0 / rr) - 0.5) + 1e-12)
+    // chosen midpoint is the closest achievable over EVERY b*r <= budget
+    // (not just the maximal-b family) at several thresholds
+    Seq(0.2, 0.5, 0.75, 0.88).foreach { t =>
+      val (b, r) = Dedup.lshPlan(16, t)
+      assert(b * r <= 16)
+      val err = math.abs(math.pow(1.0 / b, 1.0 / r) - t)
+      for (rr <- 1 to 16; bb <- 1 to 16 / rr)
+        assert(err <= math.abs(math.pow(1.0 / bb, 1.0 / rr) - t) + 1e-12,
+          s"(b=$b,r=$r) not closest for t=$t vs (b=$bb,r=$rr)")
     }
   }
 
