@@ -31,6 +31,20 @@ object Pipeline {
     * Spark side and the oracle cannot drift. */
   private val GopherMinWords = 30
 
+  /** Corpus-appropriate quality TIER for the composition queries
+    * (q154/q157/q159): the full Gopher verdict rejects this synthetic
+    * corpus outright (its vocabulary carries at most one stop word), so
+    * gating compositions on it would be all-one-class; the tier keeps a
+    * real split while q143 still reports the honest full verdict. The
+    * SQL string is interpolated against the shared CTE `g`. */
+  private val QualityTierSql = "(g.stop_hits >= 1 AND g.n_words >= 30)"
+  private def qualityTier(
+      flags: Seq[(String, org.apache.spark.sql.Column)])
+      : org.apache.spark.sql.Column = {
+    val m = flags.toMap
+    m("stop_hits") >= 1L && m("n_words") >= 30L
+  }
+
   /** Shared DuckDB CTE `g`: the Gopher measurements + verdict of q143 —
     * also composed by the q154/q157 pipelines. */
   private def gopherCteSql(minWords: Int = GopherMinWords): String = {
@@ -978,32 +992,32 @@ object Pipeline {
     // independently oracled
     QueryDef("q154_pipeline_mixing", (s, dir) => {
       val flags = TextAnalysis.gopherQuality(col("text"), minWords = GopherMinWords)
-      val pass = flags.collectFirst { case ("gopher_pass", c) => c }.get
       val kept = t(s, dir, "documents")
-        .select(col("doc_id"), col("n_chars"), pass.as("gopher_pass"))
+        .select(col("doc_id"), col("n_chars"),
+          qualityTier(flags).as("quality_tier"))
         .filter(Sampling.hash16(col("doc_id")) <
-          when(col("gopher_pass"), 32768).otherwise(8192))
+          when(col("quality_tier"), 32768).otherwise(8192))
       Sampling.packShards(kept, "doc_id",
           ceil(col("n_chars") / 4.0).cast("long"), buckets = 4, budget = 2000L)
-        .select("doc_id", "gopher_pass", "bucket", "tokens", "cum_tokens",
+        .select("doc_id", "quality_tier", "bucket", "tokens", "cum_tokens",
           "shard")
         .orderBy("doc_id")
     }, Some(s"""
       WITH ${gopherCteSql()},
       kept AS (
-        SELECT d.doc_id, g.gopher_pass,
+        SELECT d.doc_id, $QualityTierSql AS quality_tier,
                CAST(ceil(d.n_chars / 4.0) AS BIGINT) AS tokens,
                CAST(${sqlHash16("d.doc_id")} AS BIGINT) AS h16,
                CAST(${sqlHash16("d.doc_id")} % 4 AS BIGINT) AS bucket
         FROM documents d JOIN g ON g.doc_id = d.doc_id
         WHERE ${sqlHash16("d.doc_id")} <
-              CASE WHEN g.gopher_pass THEN 32768 ELSE 8192 END),
+              CASE WHEN $QualityTierSql THEN 32768 ELSE 8192 END),
       c AS (
-        SELECT doc_id, gopher_pass, bucket, tokens,
+        SELECT doc_id, quality_tier, bucket, tokens,
                CAST(sum(tokens) OVER (PARTITION BY bucket
                       ORDER BY h16, doc_id) AS BIGINT) AS cum_tokens
         FROM kept)
-      SELECT doc_id, gopher_pass, bucket, tokens, cum_tokens,
+      SELECT doc_id, quality_tier, bucket, tokens, cum_tokens,
              CAST(floor((cum_tokens - tokens) / 2000.0) AS BIGINT) AS shard
       FROM c ORDER BY doc_id""")),
 
@@ -1056,16 +1070,15 @@ object Pipeline {
     // quality pass rate, language mix per source, one groupBy
     QueryDef("q157_source_report", (s, dir) => {
       val flags = TextAnalysis.gopherQuality(col("text"), minWords = GopherMinWords)
-      val pass = flags.collectFirst { case ("gopher_pass", c) => c }.get
       t(s, dir, "documents")
         .select(col("source"), col("lang"), col("n_chars"),
-          md5(col("text")).as("__ch"), pass.as("__pass"))
+          md5(col("text")).as("__ch"), qualityTier(flags).as("__pass"))
         .groupBy("source")
         .agg(
           count(lit(1)).as("docs"),
           sum(ceil(col("n_chars") / 4.0).cast("long")).as("tokens"),
           (count(lit(1)) - count_distinct(col("__ch"))).as("exact_dups"),
-          sum(when(col("__pass"), 1L).otherwise(0L)).as("quality_pass"),
+          sum(when(col("__pass"), 1L).otherwise(0L)).as("tier_docs"),
           count_distinct(col("lang")).as("languages"))
         .orderBy("source")
     }, Some(s"""
@@ -1074,8 +1087,8 @@ object Pipeline {
              CAST(sum(CAST(ceil(d.n_chars / 4.0) AS BIGINT)) AS BIGINT)
                AS tokens,
              count(*) - count(DISTINCT md5(d.text)) AS exact_dups,
-             CAST(sum(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END) AS BIGINT)
-               AS quality_pass,
+             CAST(sum(CASE WHEN $QualityTierSql THEN 1 ELSE 0 END) AS BIGINT)
+               AS tier_docs,
              count(DISTINCT d.lang) AS languages
       FROM documents d JOIN g ON g.doc_id = d.doc_id
       GROUP BY d.source ORDER BY d.source""")),
@@ -1243,6 +1256,36 @@ object Pipeline {
       -- the in-order stream state does
       SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS orig_id
       FROM documents GROUP BY md5(text) ORDER BY orig_id""")),
+
+    // ---- streaming quality-gated ingest: the online corpus filter — a
+    // stateless Gopher gate composed BEFORE the stateful cross-batch
+    // dedup, on the same streaming machinery as q107 (same operators
+    // batch or streaming; the oracle replays the batch equivalent)
+    QueryDef("q159_streaming_quality_gate", (s, dir) => {
+      val docs = docsWithDups(s, dir).withColumn("h", md5(col("text")))
+      val logDir = java.nio.file.Files
+        .createTempDirectory("graft_qgate_log").toString
+      docs.filter(col("doc_id") < 100000)
+        .coalesce(1).write.mode("append").parquet(logDir)
+      docs.filter(col("doc_id") >= 100000)
+        .coalesce(1).write.mode("append").parquet(logDir)
+      val stream = _root_.graft.streaming.StreamIngest.openLog(
+        s, logDir, docs.schema, maxFilesPerTrigger = 1)
+      val tier = qualityTier(
+        TextAnalysis.gopherQuality(col("text"), minWords = GopherMinWords))
+      val deduped = _root_.graft.streaming.StreamIngest.streamingDedup(
+        stream.filter(tier), keyCol = "h", hashCol = "h")
+      val q = deduped.writeStream.outputMode("append")
+        .format("memory").queryName("q159_mem").start()
+      try { q.processAllAvailable() } finally { q.stop() }
+      s.table("q159_mem")
+        .select(col("h"), pmod(col("doc_id"), lit(100000)).as("orig_id"))
+        .orderBy("orig_id")
+    }, Some(s"""
+      WITH ${gopherCteSql()}
+      SELECT md5(d.text) AS h, CAST(min(d.doc_id) AS BIGINT) AS orig_id
+      FROM documents d JOIN g ON g.doc_id = d.doc_id AND $QualityTierSql
+      GROUP BY md5(d.text) ORDER BY orig_id""")),
 
     // ---- duplicate-cluster assignment: LSH candidate pairs → connected
     // components, every doc labelled with its cluster's min doc_id (the
