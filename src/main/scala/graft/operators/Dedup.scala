@@ -293,6 +293,33 @@ object Dedup {
         floor(col("dup_ngrams") * 10000.0 / col("total_ngrams")).cast("long"))
   }
 
+  /** Boilerplate mining — the inspection artifact of substring dedup:
+    * the `topK` most document-frequent word n-grams (with an example doc)
+    * so a curator can SEE what [[repeatedNgramProfile]] is counting and
+    * write removal rules.
+    *
+    * Scale: two passes so n-gram TEXT never enters a corpus-wide shuffle —
+    * pass 1 aggregates 16-byte hashes to find the (small) repeated set,
+    * pass 2 re-expands with text and probes that set via broadcast; only
+    * matching rows reach the text aggregation. */
+  def boilerplateNgrams(docs: DataFrame, textCol: String, idCol: String,
+      n: Int, minDocs: Int, topK: Int): DataFrame = {
+    val filtered = docs.filter(size(split(col(textCol), " ")) >= n)
+    val repeated = filtered
+      .select(col(idCol).as("id"),
+        explode(graft.functions.ShingleMd5(col(textCol), n)).as("h"))
+      .groupBy("h").agg(count_distinct(col("id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+    filtered
+      .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
+      .withColumn("h", md5(col("s")))
+      .join(broadcast(repeated), Seq("h"))
+      .groupBy("s")
+      .agg(first(col("nd")).as("nd"), min(col("id")).as("example_id"))
+      .orderBy(col("nd").desc, col("s"))
+      .limit(topK)
+  }
+
   /** Benchmark decontamination (the cross-corpus face of substring dedup):
     * flag training documents sharing word n-grams with an evaluation set,
     * so test data can be removed from the training corpus before a model

@@ -813,6 +813,25 @@ object Pipeline {
              gopher_pass
       FROM g ORDER BY doc_id""")),
 
+    // ---- boilerplate mining: the top document-frequent 5-grams with an
+    // example doc — what a curator reads before writing removal rules;
+    // hash-first so n-gram text never enters a corpus-wide shuffle
+    QueryDef("q160_boilerplate_ngrams", (s, dir) => {
+      Dedup.boilerplateNgrams(
+          t(s, dir, "documents").select("doc_id", "text"),
+          "text", "doc_id", n = 5, minDocs = 3, topK = 20)
+        .orderBy(col("nd").desc, col("s"))
+    }, Some("""
+      WITH pos AS (
+        SELECT doc_id,
+               unnest([array_to_string(words[i:i+4], ' ')
+                       FOR i IN range(1, len(words) - 3)]) AS s
+        FROM (SELECT doc_id, string_split(text, ' ') AS words FROM documents
+              WHERE len(string_split(text, ' ')) >= 5))
+      SELECT s, count(DISTINCT doc_id) AS nd, min(doc_id) AS example_id
+      FROM pos GROUP BY s HAVING count(DISTINCT doc_id) >= 3
+      ORDER BY nd DESC, s LIMIT 20""")),
+
     // ---- benchmark decontamination: training docs (id < 450) sharing
     // 5-grams with the held-out eval slice (id >= 450); eval n-gram set
     // broadcasts, training side is one scan + probe
