@@ -21,11 +21,19 @@ import org.apache.spark.sql.SparkSession
   */
 object Bench {
 
+  /** On-disk bytes of one table — a single parquet file (driver layout)
+    * or a directory of part files (ScaleData / engine-ingested layout). */
+  def tableBytes(sfDir: String, t: String): Long = {
+    val f = new java.io.File(s"$sfDir/$t.parquet")
+    if (f.isDirectory)
+      Option(f.listFiles).map(_.map(_.length()).sum).getOrElse(0L)
+    else f.length()
+  }
+
   /** Total on-disk size of the driver tables, in MB — the input to the
     * size-derived execution policy (shared with tools.NodeTimes). */
   def inputMb(sfDir: String): Long =
-    Tables.all.map(t =>
-      new java.io.File(s"$sfDir/$t.parquet").length()).sum / (1024 * 1024)
+    Tables.all.map(tableBytes(sfDir, _)).sum / (1024 * 1024)
 
   def sizeDerivedAqe(inputMB: Long): Boolean = inputMB >= 1024
 
@@ -46,12 +54,11 @@ object Bench {
       rm(dst.toFile)
     }, "graft-bench-store-cleanup"))
     Tables.all.foreach { t =>
-      val src = new java.io.File(s"$sfDir/$t.parquet")
       // file count ∝ bytes (~1.5 MB each, capped at cpu count): big
       // tables decode in parallel, small tables stay one file — a
       // 32-way split of a 0.5 MB table is 32 tasks of pure overhead
       val files = math.max(1L, math.min(cpus.toLong,
-        src.length() / (1500L * 1024))).toInt
+        tableBytes(sfDir, t) / (1500L * 1024))).toInt
       Tables.load(spark, sfDir, t)
         .repartition(files)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
@@ -152,6 +159,18 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    /** Hypervisor steal ticks from /proc/stat's aggregate cpu line (field
+      * 8 after the label) — recorded before/after the timed section so VM
+      * noise is attributable in the artifact itself, not just in notes. */
+    def stealTicks(): Long =
+      try {
+        val cpu = scala.io.Source.fromFile("/proc/stat").getLines()
+          .find(_.startsWith("cpu ")).getOrElse("")
+        val f = cpu.trim.split("\\s+")
+        if (f.length > 8) f(8).toLong else -1L
+      } catch { case _: Throwable => -1L }
+    val steal0 = stealTicks()
+
     // optional comma-separated name filter for local iteration (driver
     // runs never set it)
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
@@ -188,6 +207,7 @@ object Bench {
       }
     }
 
+    val steal1 = stealTicks()
     def fmt(v: Double) = f"$v%.3f"
     val qs = results.map { case (k, _, hot) => s""""$k":${fmt(hot)}""" }
       .mkString("{", ",", "}")
@@ -195,6 +215,13 @@ object Bench {
       .mkString("{", ",", "}")
     val hotTotal = results.map(_._3).sum
     val coldTotal = results.map(_._2).sum
+    // trust guard: a hot run under 0.2× its cold run means the "hot"
+    // number skipped real execution (the r5 q72=6 ms artifact class —
+    // e.g. an exchange-reuse or cached-stage path) — flag it in the
+    // artifact so a too-good number is never silently recorded
+    val suspects = results.collect {
+      case (k, cold, hot) if cold > 0.05 && hot < 0.2 * cold => s""""$k""""
+    }.mkString("[", ",", "]")
     val extra = if (baseline.nonEmpty) {
       val baseTotal = results.flatMap(r => baseline.get(r._1)).sum
       val ratios = results.collect { case (k, _, hot) if baseline.contains(k) =>
@@ -204,7 +231,8 @@ object Bench {
     } else ""
     val json = s"""{"metric":"total","value":${fmt(hotTotal)},"unit":"sec",""" +
       s""""queries":$qs,"cold_value":${fmt(coldTotal)},""" +
-      s""""cold_queries":$qsCold$extra,"sf":"$sfDir"}"""
+      s""""cold_queries":$qsCold$extra,"suspect_hot":$suspects,""" +
+      s""""steal_ticks":${steal1 - steal0},"sf":"$sfDir"}"""
     // Belt and braces for the driver's extractor (BENCH_r05 recorded
     // "parsed": null because the JSON sat mid-log): persist the line to a
     // known file AND print it after spark.stop(), so it is the final

@@ -62,14 +62,29 @@ object Bpe {
     * adjacent symbol pair (frequency-weighted over the word vocabulary;
     * ties to the lexicographically smallest pair — fully deterministic).
     * Pair counts update incrementally: each round re-walks ONLY the words
-    * containing the chosen pair. */
-  def train(docs: DataFrame, textCol: String, k: Int): Seq[(String, String)] = {
+    * containing the chosen pair.
+    *
+    * `maxVocab` bounds the DRIVER-side vocabulary: when > 0, only the
+    * `maxVocab` most frequent words (ties to the lexicographically
+    * smallest — deterministic) reach the merge loop, selected by a
+    * distributed top-K (Spark plans orderBy+limit as TakeOrdered: per-
+    * partition heaps, K rows to the driver — never the full vocabulary).
+    * On web-scale text the distinct-"word" count (URLs, typos, code) runs
+    * to 10⁸+, so the default MUST be bounded; 0 means unbounded and is
+    * for small-corpus tests only. BpeSpec pins truncated ≡ full whenever
+    * `maxVocab` covers the whole vocabulary. */
+  def train(docs: DataFrame, textCol: String, k: Int,
+      maxVocab: Int = 1 << 22): Seq[(String, String)] = {
     val spark = docs.sparkSession
     import spark.implicits._
-    val vocab: Array[(String, Long)] = docs
+    val counted = docs
       .select(explode(split(col(textCol), " ")).as("w"))
       .groupBy("w").agg(count(lit(1)).as("f"))
-      .as[(String, Long)].collect()
+    val vocab: Array[(String, Long)] =
+      (if (maxVocab > 0)
+        counted.orderBy(col("f").desc, col("w")).limit(maxVocab)
+      else counted)
+        .as[(String, Long)].collect()
     require(vocab.forall(!_._1.contains(Sep)),
       s"corpus words must not contain the '$Sep' separator")
     val freq = vocab.toMap
@@ -143,6 +158,11 @@ object Bpe {
     docs.select(col(idCol).cast("long"), col(textCol))
       .mapPartitions { rows =>
         rows.map { r =>
+          if (r.isNullAt(1)) {
+            // null text → null measurements, matching Column-based
+            // operators' null propagation
+            Row(if (r.isNullAt(0)) null else r.getLong(0), null, null, null)
+          } else {
           val text = r.getString(1)
           val nWords = text.split(" ", -1).length.toLong
           val merged = applyMerges(encode(text), bc.value)
@@ -158,6 +178,7 @@ object Bpe {
           val hash = graft.functions.ShingleMd5Util.md5Hex(
             merged.getBytes(StandardCharsets.UTF_8))
           Row(r.getLong(0), nWords, bpeTokens, hash)
+          }
         }
       }(Encoders.row(outSchema))
   }

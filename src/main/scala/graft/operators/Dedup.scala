@@ -301,15 +301,23 @@ object Dedup {
     * Scale: two passes so n-gram TEXT never enters a corpus-wide shuffle —
     * pass 1 aggregates 16-byte hashes to find the (small) repeated set,
     * pass 2 re-expands with text and probes that set via broadcast; only
-    * matching rows reach the text aggregation. */
+    * matching rows reach the text aggregation. `maxRepeated` bounds the
+    * broadcast set (a low `minDocs` on a web corpus makes "repeated"
+    * unbounded): the cap keeps the most document-frequent hashes (ties to
+    * the lowest hash — deterministic) via a distributed top-K, which
+    * preserves the final `topK` answer whenever the cap exceeds the
+    * candidate count at the boundary frequency; at ~36 bytes/row the
+    * default bounds the broadcast at ~38 MB. */
   def boilerplateNgrams(docs: DataFrame, textCol: String, idCol: String,
-      n: Int, minDocs: Int, topK: Int): DataFrame = {
+      n: Int, minDocs: Int, topK: Int, maxRepeated: Int = 1 << 20)
+      : DataFrame = {
     val filtered = docs.filter(size(split(col(textCol), " ")) >= n)
     val repeated = filtered
       .select(col(idCol).as("id"),
         explode(graft.functions.ShingleMd5(col(textCol), n)).as("h"))
       .groupBy("h").agg(count_distinct(col("id")).as("nd"))
       .filter(col("nd") >= minDocs)
+      .orderBy(col("nd").desc, col("h")).limit(maxRepeated)
     filtered
       .select(col(idCol).as("id"), explode(shingles(col(textCol), n)).as("s"))
       .withColumn("h", md5(col("s")))

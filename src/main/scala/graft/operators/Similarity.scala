@@ -322,12 +322,14 @@ object Similarity {
     * window takes global top-k. No corpus shuffle at all — the plan is
     * scan → local top-k → k·P-row exchange. */
   def pqTopK(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
-      m: Int, ksub: Int, k: Int, queryFilter: Column, iters: Int = 0)
+      m: Int, ksub: Int, k: Int, queryFilter: Column, iters: Int = 0,
+      booksOpt: Option[Array[Array[Array[Double]]]] = None)
       : DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.types._
     val dsub = dims / m
-    val (books, _) = trainPqCodebooks(emb, idCol, vecCol, dims, m, ksub, iters)
+    val books = booksOpt.getOrElse(
+      trainPqCodebooks(emb, idCol, vecCol, dims, m, ksub, iters)._1)
     val spark = emb.sparkSession
     import spark.implicits._
     // LUTs for the (small, filtered) query side — nq × m × ksub longs

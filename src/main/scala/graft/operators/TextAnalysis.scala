@@ -167,6 +167,12 @@ object TextAnalysis {
     docs.select(col(idCol).cast("long"), col(textCol))
       .mapPartitions { rows =>
         rows.map { r =>
+          if (r.isNullAt(1)) {
+            // null text → null measurements (Column-operator null
+            // propagation semantics)
+            Row(if (r.isNullAt(0)) null else r.getLong(0),
+              null, null, null, null)
+          } else {
           val w = r.getString(1).split(" ", -1)
           val n = w.length
           val counts = new java.util.HashMap[String, Int](n * 2)
@@ -189,6 +195,7 @@ object TextAnalysis {
               math.floor((n2 - bis.size) * 10000.0 / n2).toLong
             }
           Row(r.getLong(0), topBp, dupBp, biBp, topBp < 2000L && biBp < 2000L)
+          }
         }
       }(Encoders.row(outSchema))
   }
@@ -242,6 +249,11 @@ object TextAnalysis {
     docs.select(col(idCol).cast("long"), col(textCol))
       .mapPartitions { rows =>
         rows.map { r =>
+          if (r.isNullAt(1)) {
+            // null text → null measurements (Column-operator null
+            // propagation semantics)
+            Row(if (r.isNullAt(0)) null else r.getLong(0), null, null, null)
+          } else {
           val text = r.getString(1)
           val norm = java.text.Normalizer.normalize(text,
             java.text.Normalizer.Form.NFC)
@@ -249,6 +261,7 @@ object TextAnalysis {
             norm.codePointCount(0, norm.length).toLong,
             graft.functions.ShingleMd5Util.md5Hex(
               norm.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+          }
         }
       }(Encoders.row(outSchema))
   }

@@ -37,12 +37,13 @@ object Pipeline {
     * gating compositions on it would be all-one-class; the tier keeps a
     * real split while q143 still reports the honest full verdict. The
     * SQL string is interpolated against the shared CTE `g`. */
-  private val QualityTierSql = "(g.stop_hits >= 1 AND g.n_words >= 30)"
+  private val QualityTierSql =
+    s"(g.stop_hits >= 1 AND g.n_words >= $GopherMinWords)"
   private def qualityTier(
       flags: Seq[(String, org.apache.spark.sql.Column)])
       : org.apache.spark.sql.Column = {
     val m = flags.toMap
-    m("stop_hits") >= 1L && m("n_words") >= 30L
+    m("stop_hits") >= 1L && m("n_words") >= GopherMinWords.toLong
   }
 
   /** Shared DuckDB CTE `g`: the Gopher measurements + verdict of q143 —
@@ -78,6 +79,25 @@ object Pipeline {
         FROM (SELECT doc_id, text, string_split(text, ' ') AS words,
                      string_split(text, chr(10)) AS lines
               FROM documents)))"""
+  }
+
+  /** Fixed materialization root for TRAINED models (IVF centroids, PQ
+    * codebooks, BPE merges): the trained-variant queries persist the model
+    * here *as part of the query*, and their oracle SQL consumes it back
+    * with `read_parquet` — so training itself needn't be SQL-replayable,
+    * only the (deterministic) application of the persisted model, which
+    * the seeded variants (q94/q144/q155) already prove replays exactly.
+    * A fixed path (not per-sf) because oracle SQL is static text; each
+    * query run overwrites its model before reading it back, so the oracle
+    * (which runs after the Verify dump) always sees the matching model. */
+  private val ModelDir = "/tmp/graft_models"
+
+  /** Persist a small model table and read it back, so the search pass and
+    * the oracle consume byte-identical parquet values. */
+  private def materializeModel(df: DataFrame, name: String): DataFrame = {
+    val path = s"$ModelDir/$name"
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
   }
 
   /** DuckDB replay of [[Sampling.hash16]]: 4 md5 nibbles to 0..65535. */
@@ -438,9 +458,11 @@ object Pipeline {
 
     // ---- IVF with TRAINED centroids (round-6): spherical k-means over
     // the corpus, then the same nprobe search. Lloyd's iterations are not
-    // SQL-replayable, so this entry carries no oracle SQL (driver records
-    // the rows-only check); IvfTrainingSpec pins the semantics — monotone
-    // cost, determinism, recall no worse than q94's seed cells.
+    // SQL-replayable, but the trained MODEL is data: the query persists
+    // the converged centroids to parquet and the oracle consumes them with
+    // read_parquet, replaying assignment + nprobe search exactly as q94
+    // does for the seed cells. IvfTrainingSpec still pins the training
+    // semantics (monotone cost, determinism, recall ≥ seed).
     QueryDef("q141_similarity_ivf_trained", (s, dir) => {
       val emb = t(s, dir, "embeddings")
       val (cents, _) = Similarity.trainIvfCentroids(
@@ -448,9 +470,45 @@ object Pipeline {
       Similarity.ivfTopK(emb, "vec_id", "embedding",
           dims = 64, nlist = 16, nprobe = 2, k = 5,
           queryFilter = col("vec_id") < 10,
-          trainedCentroids = Some(cents))
+          trainedCentroids = Some(materializeModel(cents, "ivf_centroids")))
         .orderBy("query_id", "rank")
-    }, None),
+    }, Some(s"""
+      WITH p AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings),
+      cent AS (
+        SELECT cent_id, cv AS ce, cn
+        FROM read_parquet('$ModelDir/ivf_centroids/*.parquet')),
+      sims AS (
+        SELECT p.vec_id, c.cent_id,
+               list_sum([CAST(p.embedding[i] AS DOUBLE) * c.ce[i]
+                         FOR i IN range(1, 65)]) / (p.nrm * c.cn) AS csim
+        FROM p, cent c),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY csim DESC, cent_id) AS crank
+        FROM sims),
+      corpus_cells AS (
+        SELECT cent_id AS cell, vec_id AS neighbor_id
+        FROM ranked WHERE crank = 1),
+      query_cells AS (
+        SELECT cent_id AS cell, vec_id AS query_id
+        FROM ranked WHERE crank <= 2 AND vec_id < 10),
+      s AS (
+        SELECT q.query_id, c.neighbor_id,
+               list_sum([CAST(qe.embedding[i] AS DOUBLE) * ce.embedding[i]
+                         FOR i IN range(1, 65)]) / (qe.nrm * ce.nrm) AS sim
+        FROM query_cells q
+        JOIN corpus_cells c ON q.cell = c.cell
+         AND q.query_id <> c.neighbor_id
+        JOIN p qe ON qe.vec_id = q.query_id
+        JOIN p ce ON ce.vec_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, rank, round(sim, 4) AS sim
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, neighbor_id) AS rank FROM s)
+      WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // ---- product-quantization ANN (Jégou et al. 2011): 64-dim vectors
     // compressed to 8 one-of-16 codes, searched by asymmetric distance with
@@ -499,16 +557,61 @@ object Pipeline {
             FROM adc)
       WHERE rank <= 5 ORDER BY query_id, rank""")),
 
-    // ---- PQ with per-subspace Lloyd-trained codebooks: k-means iterates
-    // are not SQL-replayable, so rows-only here; PqSpec pins monotone
-    // quantization error, determinism, and recall no worse than the seed
-    // codebooks of q144.
+    // ---- PQ with per-subspace Lloyd-trained codebooks: the iterates are
+    // not SQL-replayable, but the trained codebooks are data — persisted
+    // to parquet by the query, consumed by the oracle with read_parquet,
+    // and the encode + fixed-point ADC replay exactly as q144's seed
+    // books already prove. PqSpec keeps pinning monotone quantization
+    // error, determinism, and recall ≥ seed.
     QueryDef("q145_similarity_pq_trained", (s, dir) => {
-      Similarity.pqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+      import s.implicits._
+      val emb = t(s, dir, "embeddings")
+      val (books, _) = Similarity.trainPqCodebooks(
+        emb, "vec_id", "embedding", dims = 64, m = 8, ksub = 16, iters = 2)
+      val booksDf = books.zipWithIndex.flatMap { case (cb, sp) =>
+        cb.zipWithIndex.map { case (cv, code) => (sp, code, cv.toSeq) }
+      }.toSeq.toDF("s", "code", "cv")
+      materializeModel(booksDf, "pq_codebooks")
+      Similarity.pqTopK(emb, "vec_id", "embedding",
           dims = 64, m = 8, ksub = 16, k = 5,
-          queryFilter = col("vec_id") < 10, iters = 2)
+          queryFilter = col("vec_id") < 10, booksOpt = Some(books))
         .orderBy("query_id", "rank")
-    }, None),
+    }, Some(s"""
+      WITH base AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        FROM embeddings),
+      sgrid AS (SELECT unnest(range(0, 8)) AS s),
+      cb AS (
+        SELECT code, s, cv
+        FROM read_parquet('$ModelDir/pq_codebooks/*.parquet')),
+      sub AS (
+        SELECT vec_id, s, v[s*8+1 : s*8+8] AS sv
+        FROM base, sgrid),
+      dists AS (
+        SELECT sub.vec_id, sub.s, cb.code,
+               list_sum([(sv[i] - cv[i]) * (sv[i] - cv[i])
+                         FOR i IN range(1, 9)]) AS d
+        FROM sub JOIN cb ON sub.s = cb.s),
+      enc AS (
+        SELECT vec_id, s, code FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id, s
+                      ORDER BY d, code) AS rn
+          FROM dists) WHERE rn = 1),
+      lut AS (
+        SELECT vec_id AS query_id, s, code,
+               CAST(floor(d * 1e6) AS BIGINT) AS pd
+        FROM dists WHERE vec_id < 10),
+      adc AS (
+        SELECT l.query_id, e.vec_id AS neighbor_id,
+               CAST(sum(l.pd) AS BIGINT) AS adist_fp
+        FROM enc e JOIN lut l ON l.s = e.s AND l.code = e.code
+        WHERE e.vec_id <> l.query_id
+        GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, rank, adist_fp
+      FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                        ORDER BY adist_fp, neighbor_id) AS rank
+            FROM adc)
+      WHERE rank <= 5 ORDER BY query_id, rank""")),
 
     // ---- IVF-PQ (IVFADC): coarse cells (16 lowest-id centroids, L2) +
     // PQ over RESIDUALS (codebook seed = residuals of ids 16..31 — the
@@ -1075,14 +1178,47 @@ object Pipeline {
       FROM m ORDER BY doc_id""")),
 
     // ---- BPE with corpus-TRAINED merges (k=10): the merge list is
-    // data-derived, so no static SQL exists — rows-only; BpeSpec pins
-    // training determinism, per-merge token-count monotonicity, and the
-    // argmax property
+    // data-derived, but it IS data — the query persists it (ord, lhs, rhs)
+    // to parquet and the oracle replays the application with a recursive
+    // CTE that applies merge `ord` at step `ord` via the same literal
+    // left-to-right replace() q155 proved byte-equal to the JVM walk.
+    // BpeSpec keeps pinning training determinism, per-merge token-count
+    // monotonicity, and the argmax property.
     QueryDef("q156_bpe_trained", (s, dir) => {
+      import s.implicits._
       val d = t(s, dir, "documents").select("doc_id", "text")
-      Bpe.tokenize(d, "text", "doc_id", Bpe.train(d, "text", 10))
+      val merges = Bpe.train(d, "text", 10)
+      val mergesDf = merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("ord", "lhs", "rhs")
+      materializeModel(mergesDf, "bpe_merges")
+      Bpe.tokenize(d, "text", "doc_id", merges)
         .orderBy("doc_id")
-    }, None),
+    }, Some(s"""
+      WITH RECURSIVE mg AS (
+        SELECT ord, '/' || lhs || '/' || '/' || rhs || '/' AS pat,
+               '/' || lhs || rhs || '/' AS rep
+        FROM read_parquet('$ModelDir/bpe_merges/*.parquet')),
+      enc AS (
+        SELECT doc_id, text,
+               regexp_replace(text, '(?s)(.)', '/\\1/', 'g') AS e0
+        FROM documents),
+      steps AS (
+        SELECT doc_id, text, e0 AS f, 0 AS i FROM enc
+        UNION ALL
+        SELECT s.doc_id, s.text, replace(s.f, m.pat, m.rep) AS f,
+               s.i + 1 AS i
+        FROM steps s JOIN mg m ON m.ord = s.i + 1),
+      fin AS (
+        SELECT doc_id, text, f FROM steps
+        WHERE i = (SELECT count(*) FROM mg))
+      SELECT doc_id,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST((length(f) - length(replace(f, '/', ''))) // 2
+                  - (len(string_split(text, ' ')) - 1) AS BIGINT)
+               AS bpe_tokens,
+             md5(f) AS enc_hash
+      FROM fin ORDER BY doc_id""")),
 
     // ---- per-source curation report: the corpus dashboard every
     // training-data build runs — docs, token budget, exact-dup rate,
@@ -1296,7 +1432,15 @@ object Pipeline {
         stream.filter(tier), keyCol = "h", hashCol = "h")
       val q = deduped.writeStream.outputMode("append")
         .format("memory").queryName("q159_mem").start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      try { q.processAllAvailable() } finally {
+        q.stop()
+        // the memory sink holds the results now — reclaim the temp log
+        // rather than leaking a parquet dir per gate run
+        val root = java.nio.file.Paths.get(logDir)
+        java.nio.file.Files.walk(root).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       s.table("q159_mem")
         .select(col("h"), pmod(col("doc_id"), lit(100000)).as("orig_id"))
         .orderBy("orig_id")

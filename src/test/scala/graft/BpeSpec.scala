@@ -58,6 +58,25 @@ class BpeSpec extends AnyFunSuite {
       s"q155's hard-coded merges drifted from the trainer: $m1")
   }
 
+  test("maxVocab truncation: equals the full trainer when K covers the " +
+      "vocabulary, and bounds the driver set when it doesn't") {
+    import spark.implicits._
+    val d = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    val nDistinct = d.select(org.apache.spark.sql.functions
+      .explode(org.apache.spark.sql.functions.split(
+        org.apache.spark.sql.functions.col("text"), " ")))
+      .distinct().count().toInt
+    val full = Bpe.train(d, "text", 8, maxVocab = 0)
+    // K ≥ |vocab| → identical merges (also covers the default bound)
+    assert(Bpe.train(d, "text", 8, maxVocab = nDistinct) == full)
+    assert(Bpe.train(d, "text", 8) == full)
+    // K < |vocab| still trains (on the top-K words) and is deterministic
+    val truncated = Bpe.train(d, "text", 8, maxVocab = nDistinct / 4)
+    assert(truncated.length == 8)
+    assert(truncated == Bpe.train(d, "text", 8, maxVocab = nDistinct / 4))
+  }
+
   test("incremental pair counts equal a naive full-recount trainer") {
     import spark.implicits._
     // deterministic pseudo-random corpus with heavy pair structure
