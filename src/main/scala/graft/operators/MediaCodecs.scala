@@ -464,6 +464,63 @@ object MediaCodecs {
   private val Slen1 = Array(0, 0, 0, 0, 3, 1, 1, 1, 2, 2, 2, 3, 3, 3, 4, 4)
   private val Slen2 = Array(0, 1, 2, 3, 0, 1, 2, 3, 1, 2, 3, 1, 2, 3, 2, 3)
 
+  /** Long-block scalefactor band boundaries per sample-rate index (ISO
+    * 11172-3 table B.8 — public): 23 boundaries = 22 bands; indices into
+    * the 576-line granule spectrum. Keyed by the header's rate index
+    * (0 = 44.1 kHz, 1 = 48 kHz, 2 = 32 kHz). */
+  private val Mp3BandsLong: Array[Array[Int]] = Array(
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 52, 62, 74, 90, 110, 134,
+      162, 196, 238, 288, 342, 418, 576),
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 42, 50, 60, 72, 88, 106, 128,
+      156, 190, 230, 276, 330, 384, 576),
+    Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156,
+      194, 240, 296, 364, 448, 550, 576))
+
+  /** Preemphasis per scalefactor band (ISO 11172-3 table B.6 — public);
+    * applied when the granule's preflag is set. */
+  private val Mp3Pretab =
+    Array(0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 2, 2, 3, 3, 3, 2)
+
+  /** One big_values Huffman table: (x, y) pair codes as a binary decode
+    * tree — node < 0 encodes the leaf pair as -(x*16 + y + 1), node ≥ 0 is
+    * the index of the 0-branch (1-branch at +1). `linbits` extends x/y=15
+    * escapes (none for the small tables). */
+  private final case class Mp3HuffTable(tree: Array[Int], linbits: Int)
+
+  /** ISO 11172-3 table B.9, Huffman table 1 (xlen = ylen = 2, no linbits):
+    * (0,0)→"1", (1,0)→"01", (0,1)→"001", (1,1)→"000". Kraft-complete
+    * (1/2 + 1/4 + 1/8 + 1/8 = 1). Tables 2-31 are scoped out by name in
+    * [[decodeMp3]] — same posture as the MP4 codec payload. Table 0 is the
+    * ISO zero table: no code bits, all values zero. */
+  private val Mp3Huff1: Mp3HuffTable = {
+    // tree nodes: [0]=root: 0→node2, 1→leaf(0,0); [2]: 0→node4, 1→leaf(1,0)
+    //             [4]: 0→leaf(1,1), 1→leaf(0,1)
+    def leaf(x: Int, y: Int): Int = -(x * 16 + y + 1)
+    Mp3HuffTable(Array(2, leaf(0, 0), 4, leaf(1, 0), leaf(1, 1), leaf(0, 1)),
+      linbits = 0)
+  }
+
+  /** Decode one (x, y) spectral pair with `tableSelect`'s Huffman table.
+    * Implemented tables: 0 (zero) and 1; the remaining B.9 tables (2-15
+    * and the 16/24 linbits families) error by name. */
+  private def decodeMp3HuffPair(r: BitReader, tableSelect: Int): (Int, Int) =
+    tableSelect match {
+      case 0 => (0, 0)
+      case 1 =>
+        // slots (2i, 2i+1) = an internal node's 0/1 branches; value ≥ 0
+        // jumps to the child node's 0-slot, value < 0 is the leaf pair
+        val t = Mp3Huff1.tree
+        var idx = if (r.get(1) == 0) 0 else 1
+        while (t(idx) >= 0) {
+          val base = t(idx)
+          idx = if (r.get(1) == 0) base else base + 1
+        }
+        val v = -t(idx) - 1
+        (v / 16, v % 16)
+      case n => throw new IllegalArgumentException(
+        s"big_values huffman table $n out of scope (implemented: 0, 1)")
+    }
+
   private final class BitWriter {
     private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
     private var cur = 0
@@ -501,16 +558,17 @@ object MediaCodecs {
   }
 
   /** Fixture writer: `frames` valid MPEG-1 Layer III frames with REAL mono
-    * side info + scalefactors + a count1-region spectrum, optional ID3v2
-    * prefix. Each granule carries big_values=0 and `count1Quads` quadruples
-    * of ±1 spectral values coded with count1 table B (the 4-bit fixed-width
-    * count1 table — its codeword IS the inverted value pattern, so the
-    * region round-trips without the large big_values huffman tables);
-    * global_gain ramps from `globalGain` per frame. Everything after the
-    * coded audio data is deterministic filler. */
+    * side info + scalefactors + a coded spectrum, optional ID3v2 prefix.
+    * Each granule carries `bigValuePairs` (x,y)=(1,1) pairs coded with
+    * huffman table 1 (3-bit code 000 + two sign bits, alternating signs)
+    * followed by `count1Quads` quadruples of ±1 spectral values coded with
+    * count1 table B (the 4-bit fixed-width count1 table — its codeword IS
+    * the inverted value pattern); global_gain ramps from `globalGain` per
+    * frame. Everything after the coded audio data is deterministic
+    * filler. */
   def encodeMp3(frames: Int, bitrateIdx: Int, rateIdx: Int,
       id3Bytes: Int = 0, globalGain: Int = 210,
-      count1Quads: Int = 0): Array[Byte] = {
+      count1Quads: Int = 0, bigValuePairs: Int = 0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     if (id3Bytes > 0) { // ID3v2 header + syncsafe size
       out.write('I'); out.write('D'); out.write('3')
@@ -530,10 +588,12 @@ object MediaCodecs {
       // 4-bit table-B codeword + one sign bit per nonzero value
       val sfBits = 11 * Slen1(2) + 10 * Slen2(2)
       val quadPatterns = (0 until count1Quads).map(q => 1 + (q % 15))
-      val part23 = sfBits +
+      // each (1,1) pair: 3-bit table-1 code + 2 sign bits
+      val part23 = sfBits + bigValuePairs * 5 +
         quadPatterns.map(p => 4 + Integer.bitCount(p)).sum
-      val gr = Mp3Granule(part23, 0, math.min(255, globalGain + f), 2,
-        Seq(0, 0, 0), 0, 0, 0, 0, 1)
+      val tsel = if (bigValuePairs > 0) Seq(1, 1, 1) else Seq(0, 0, 0)
+      val gr = Mp3Granule(part23, bigValuePairs,
+        math.min(255, globalGain + f), 2, tsel, 0, 0, 0, 0, 1)
       w.put(0, 9); w.put(0, 5); w.put(0, 4) // main_data_begin/private/scfsi
       Seq(gr, gr).foreach { g =>
         w.put(g.part23Length, 12); w.put(g.bigValues, 9)
@@ -544,9 +604,14 @@ object MediaCodecs {
         w.put(g.preflag, 1); w.put(g.scalefacScale, 1)
         w.put(g.count1TableSelect, 1)
       }
-      // main data, both granules: scalefactors then count1 quadruples
+      // main data, both granules: scalefactors, big_values pairs, then
+      // count1 quadruples
       Seq(0, 1).foreach { gi =>
         (0 until 10).foreach(b => w.put((b + gi) % 4, 2)) // slen2 bands
+        (0 until bigValuePairs).foreach { j =>
+          w.put(0, 3) // table-1 code 000 = (1,1)
+          w.put(j & 1, 1); w.put((j + 1) & 1, 1) // alternating signs
+        }
         quadPatterns.foreach { pattern =>
           // table B: 4-bit codeword = inverted (v,w,x,y); one sign bit
           // per nonzero value (0 = positive), alternating here
@@ -627,23 +692,35 @@ object MediaCodecs {
     readSideInfo(new BitReader(bytes, pos + 4))
   }
 
-  /** REAL Layer III audio decode for the count1-spectrum family this
-    * codec's fixtures emit (big_values = 0, main_data_begin = 0, long
-    * blocks): side-info bit parse → scalefactor read (slen1/slen2 per
-    * table B.7, scfsi honored) → count1 huffman decode with table B (its
-    * 4-bit codeword is the inverted (v,w,x,y) pattern) + sign bits →
-    * requantization ±|x|^(4/3) · 2^((global_gain−210)/4) → alias-reduction
+  /** Decoded Layer III audio: mono PCM plus spectral-domain facts the
+    * oracle can predict from fixture parameters (count of nonzero decoded
+    * spectral lines across all granules — proof the Huffman paths decoded
+    * the right positions). */
+  final case class Mp3Decoded(pcm: Array[Double], nonzeroSpectra: Long)
+
+  /** REAL Layer III audio decode (main_data_begin = 0, long blocks):
+    * side-info bit parse → scalefactor read (slen1/slen2 per table B.7,
+    * scfsi honored) → big_values huffman decode over the three
+    * region0/region1/region2 table regions (region boundaries from the
+    * B.8 band tables; tables 0 and 1 implemented, 2-31 error by name) →
+    * count1 huffman decode with table B (its 4-bit codeword is the
+    * inverted (v,w,x,y) pattern) + sign bits → requantization
+    * ±|x|^(4/3) · 2^((global_gain−210)/4) ·
+    * 2^(−(1+scalefac_scale)/2 · (scalefac[sfb] + preflag·pretab[sfb]))
+    * with the B.6 preemphasis and B.8 band lookup → alias-reduction
     * butterflies (the 8 public cᵢ coefficients) → 36-point IMDCT per
     * subband with the sine window and inter-granule overlap-add →
-    * frequency inversion. Scoped out, by name: the big_values huffman
-    * tables (decode errors on big_values > 0), per-band scalefactor gain
-    * (needs the ISO B.8 band-boundary tables; scalefactors are parsed and
-    * surfaced but not applied — fixture spectra sit in band 0), and the
-    * 512-tap polyphase synthesis window D[] (tabulated data; subbands are
-    * summed directly instead). Returns mono samples, 1152 per frame.
+    * frequency inversion. Scoped out, by name: huffman tables 2-31 (incl.
+    * the 16/24 linbits families), the bit reservoir (main_data_begin > 0),
+    * window-switching granules, and the 512-tap polyphase synthesis
+    * window D[] (tabulated data with no closed form; subbands are summed
+    * directly instead). Returns mono samples, 1152 per frame.
     */
-  def decodeMp3Pcm(bytes: Array[Byte]): Array[Double] = {
+  def decodeMp3Pcm(bytes: Array[Byte]): Array[Double] = decodeMp3(bytes).pcm
+
+  def decodeMp3(bytes: Array[Byte]): Mp3Decoded = {
     var pos = skipId3(bytes)
+    var nonzero = 0L
     val out = scala.collection.mutable.ArrayBuffer.empty[Double]
     // inter-granule IMDCT overlap: 18 samples per subband
     val overlap = Array.ofDim[Double](32, 18)
@@ -654,16 +731,16 @@ object MediaCodecs {
     while (pos + 4 <= bytes.length &&
         (bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xe0) == 0xe0) {
       val b2 = bytes(pos + 2) & 0xff
+      val rateIdx = (b2 >> 2) & 3
       val frameLen = 144 * Mp3Bitrates((b2 >> 4) & 0xf) * 1000 /
-        Mp3Rates((b2 >> 2) & 3) + ((b2 >> 1) & 1)
+        Mp3Rates(rateIdx) + ((b2 >> 1) & 1)
+      val bands = Mp3BandsLong(rateIdx)
       val r = new BitReader(bytes, pos + 4)
       val si = readSideInfo(r)
       require(si.mainDataBegin == 0,
         "bit-reservoir frames not supported (fixtures write main_data_begin=0)")
       var sf0: Array[Int] = null
       si.granules.zipWithIndex.foreach { case (g, gi) =>
-        require(g.bigValues == 0,
-          "big_values huffman tables out of scope (count1-only fixtures)")
         require(g.count1TableSelect == 1,
           "count1 table A out of scope (fixtures use table B)")
         val dataStart = r.pos
@@ -680,9 +757,29 @@ object MediaCodecs {
           else if (slen > 0) sf(b) = r.get(slen)
         }
         if (gi == 0) sf0 = sf
-        // count1 region: quadruples until part2_3_length is exhausted
+        // big_values region: huffman-coded (x, y) pairs; the table for
+        // each pair comes from its region (region0/1 end at the B.8 band
+        // boundaries selected by region0_count/region1_count)
         val is = Array.ofDim[Double](576)
-        var sp = g.bigValues * 2
+        val region1Start = bands(math.min(g.region0Count + 1, 22))
+        val region2Start =
+          bands(math.min(g.region0Count + 1 + g.region1Count + 1, 22))
+        var sp = 0
+        while (sp < g.bigValues * 2) {
+          val tbl =
+            if (sp < region1Start) g.tableSelect(0)
+            else if (sp < region2Start) g.tableSelect(1)
+            else g.tableSelect(2)
+          val (x, y) = decodeMp3HuffPair(r, tbl)
+          // linbits escapes (x or y = 15) belong to tables ≥ 16 — none of
+          // the implemented tables reach 15, so no escape read here
+          if (x != 0)
+            is(sp) = (if (r.get(1) == 1) -1.0 else 1.0) * x
+          if (y != 0)
+            is(sp + 1) = (if (r.get(1) == 1) -1.0 else 1.0) * y
+          sp += 2
+        }
+        // count1 region: quadruples until part2_3_length is exhausted
         while (r.bitsRead(dataStart) - startBit < g.part23Length &&
             sp + 4 <= 576) {
           val pattern = ~r.get(4) & 0xf
@@ -694,11 +791,27 @@ object MediaCodecs {
           }
           sp += 4
         }
-        // requantize: ±|x|^(4/3) scaled by global gain (per-band
-        // scalefactor gain needs the B.8 tables — see scaladoc)
+        nonzero += is.count(_ != 0.0)
+        // requantize: ±|x|^(4/3) scaled by the global gain and the
+        // per-band scalefactor gain (B.8 band lookup + B.6 preemphasis)
         val gain = math.pow(2.0, 0.25 * (g.globalGain - 210))
-        val xr = is.map(v => math.signum(v) * math.pow(math.abs(v), 4.0 / 3) *
-          gain)
+        val sfMult = 0.5 * (1 + g.scalefacScale)
+        val xr = Array.ofDim[Double](576)
+        var band = 0
+        var i = 0
+        while (i < 576) {
+          while (band < 21 && i >= bands(band + 1)) band += 1
+          val v = is(i)
+          if (v != 0.0) {
+            val sfv =
+              if (band < 21)
+                sf(band) + (if (g.preflag == 1) Mp3Pretab(band) else 0)
+              else 0
+            xr(i) = math.signum(v) * math.pow(math.abs(v), 4.0 / 3) *
+              gain * math.pow(2.0, -sfMult * sfv)
+          }
+          i += 1
+        }
         // alias reduction between adjacent subbands
         (1 until 32).foreach { sb =>
           (0 until 8).foreach { k =>
@@ -745,7 +858,7 @@ object MediaCodecs {
     out.indices.foreach { i =>
       java.util.Arrays.fill(expanded, i * 32, i * 32 + 32, out(i))
     }
-    expanded
+    Mp3Decoded(expanded, nonzero)
   }
 
   // ---- MP4 (ISO BMFF box tree) --------------------------------------------
@@ -760,7 +873,16 @@ object MediaCodecs {
         * the per-track mdhd timescale), chunk count from stco, ISO-639
         * language from mdhd's packed 3×5-bit code. */
       mediaDurationMs: Long = 0L, nChunks: Long = 0L,
-      language: String = "und")
+      language: String = "und",
+      /** round-7 depth — codec configuration from the stsd sample entries
+        * (ISO 14496-15 avcC / 14496-1 esds descriptor chain): the H.264
+        * profile/level and SPS/PPS NAL inventory, and the AAC
+        * AudioSpecificConfig (object type, channels, rate). Empty/zero
+        * when the track has no stsd (pre-round-7 fixtures). */
+      videoCodec: String = "", avcProfile: Int = 0, avcLevel: Int = 0,
+      spsCount: Int = 0, ppsCount: Int = 0,
+      audioCodec: String = "", audioObjectType: Int = 0,
+      audioChannels: Int = 0, audioRateHz: Int = 0)
 
   private def box(typ: String, body: Array[Byte]): Array[Byte] = {
     val buf = ByteBuffer.allocate(8 + body.length) // big-endian by default
@@ -769,11 +891,75 @@ object MediaCodecs {
     buf.array()
   }
 
+  /** AAC sampling_frequency_index (ISO 14496-3 table 1.18 — public). */
+  private val AacFreqIndex = Map(96000 -> 0, 88200 -> 1, 64000 -> 2,
+    48000 -> 3, 44100 -> 4, 32000 -> 5, 24000 -> 6, 22050 -> 7,
+    16000 -> 8, 12000 -> 9, 11025 -> 10, 8000 -> 11)
+
+  /** avc1 visual sample entry (ISO 14496-15): the 78-byte
+    * VisualSampleEntry header + an avcC AVCDecoderConfigurationRecord
+    * carrying one SPS NAL (type 7: profile_idc / constraint flags /
+    * level_idc prefix) and one PPS NAL (type 8). */
+  private def avc1Entry(w0: Int, h0: Int, profile: Int,
+      level: Int): Array[Byte] = {
+    val sps = Array[Byte](0x67, profile.toByte, 0x00, level.toByte,
+      0xac.toByte, 0xd9.toByte, 0x40.toByte)
+    val pps = Array[Byte](0x68, 0xce.toByte, 0x38, 0x80.toByte)
+    val avcC = box("avcC", {
+      val b = ByteBuffer.allocate(11 + sps.length + pps.length)
+      b.put(1.toByte); b.put(profile.toByte); b.put(0.toByte)
+      b.put(level.toByte)
+      b.put(0xff.toByte) // lengthSizeMinusOne = 3
+      b.put(0xe1.toByte) // numOfSequenceParameterSets = 1
+      b.putShort(sps.length.toShort); b.put(sps)
+      b.put(1.toByte) // numOfPictureParameterSets
+      b.putShort(pps.length.toShort); b.put(pps)
+      b.array()
+    })
+    val entry = ByteBuffer.allocate(78 + avcC.length)
+    entry.position(6); entry.putShort(1) // data_reference_index
+    entry.position(24)
+    entry.putShort(w0.toShort); entry.putShort(h0.toShort)
+    entry.putInt(0x00480000); entry.putInt(0x00480000) // 72 dpi
+    entry.position(40); entry.putShort(1) // frame_count
+    entry.position(74); entry.putShort(0x18); entry.putShort(-1)
+    entry.put(avcC)
+    box("avc1", entry.array())
+  }
+
+  /** mp4a audio sample entry (ISO 14496-14) + esds descriptor chain
+    * (ISO 14496-1 §7.2.6: ES_Descriptor → DecoderConfigDescriptor with
+    * objectTypeIndication 0x40 → DecSpecificInfo carrying the 2-byte AAC
+    * AudioSpecificConfig). */
+  private def mp4aEntry(channels: Int, rateHz: Int): Array[Byte] = {
+    val freqIdx = AacFreqIndex(rateHz)
+    val asc = Array[Byte](
+      ((2 << 3) | (freqIdx >> 1)).toByte, // AOT 2 = AAC-LC
+      (((freqIdx & 1) << 7) | (channels << 3)).toByte)
+    val dsi = Array[Byte](0x05, asc.length.toByte) ++ asc
+    val dcd = Array[Byte](0x04, (13 + dsi.length).toByte,
+      0x40, 0x15, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0) ++ dsi
+    val esd = Array[Byte](0x03, (3 + dcd.length).toByte, 0, 0, 0) ++ dcd
+    val esds = box("esds", Array[Byte](0, 0, 0, 0) ++ esd)
+    val entry = ByteBuffer.allocate(28 + esds.length)
+    entry.position(6); entry.putShort(1) // data_reference_index
+    entry.position(16)
+    entry.putShort(channels.toShort); entry.putShort(16) // samplesize
+    entry.position(24); entry.putInt(rateHz << 16)
+    entry.put(esds)
+    box("mp4a", entry.array())
+  }
+
   /** Fixture writer: minimal ftyp + moov(mvhd, trak*) skeleton with real
     * box sizes, fixed-point dimensions and per-track stsz counts. Tracks:
-    * (handler, width, height, sampleCount). */
+    * (handler, width, height, sampleCount). When `avcProfile` > 0, vide
+    * tracks carry an avc1 stsd sample entry (profile/level + SPS/PPS);
+    * when `audioChannels` > 0, soun tracks carry an mp4a entry with an
+    * esds AAC config at `audioRate`. */
   def encodeMp4(timescale: Int, duration: Long,
-      tracks: Seq[(String, Int, Int, Int)]): Array[Byte] = {
+      tracks: Seq[(String, Int, Int, Int)],
+      avcProfile: Int = 0, avcLevel: Int = 0,
+      audioChannels: Int = 0, audioRate: Int = 44100): Array[Byte] = {
     val ftyp = box("ftyp", {
       val b = ByteBuffer.allocate(16)
       b.put("isom".getBytes); b.putInt(0x200); b.put("isom".getBytes)
@@ -841,13 +1027,117 @@ object MediaCodecs {
           (0 until nChunks).foreach(c => b.putInt(1024 + c * 512))
           b.array()
         })
-        val stbl = box("stbl", stsz ++ stts ++ stco)
+        val stsd: Array[Byte] =
+          if (handler == "vide" && avcProfile > 0)
+            box("stsd", Array[Byte](0, 0, 0, 0, 0, 0, 0, 1) ++
+              avc1Entry(w, h, avcProfile, avcLevel))
+          else if (handler == "soun" && audioChannels > 0)
+            box("stsd", Array[Byte](0, 0, 0, 0, 0, 0, 0, 1) ++
+              mp4aEntry(audioChannels, audioRate))
+          else Array.emptyByteArray
+        val stbl = box("stbl", stsd ++ stsz ++ stts ++ stco)
         val minf = box("minf", stbl)
         val mdia = box("mdia", mdhd ++ hdlr ++ minf)
         box("trak", tkhd ++ mdia)
     }
     val moov = box("moov", mvhd ++ traks.flatten.toArray)
     ftyp ++ moov
+  }
+
+  // ---- elementary-stream framing (ADTS / H.264 Annex B) ------------------
+  // Header-level parsing of the two framings an MP4's codec payloads use
+  // outside the container: AAC ADTS frames (ISO 14496-3 §1.A.2) and H.264
+  // Annex-B NAL units (ISO 14496-10 §B.1). Sample *decode* stays out of
+  // scope; the framing walk is what a pipeline needs to count/validate
+  // media payloads.
+
+  final case class AdtsMeta(frames: Int, aacProfile: Int, freqHz: Int,
+      channels: Int, payloadBytes: Long)
+
+  /** Fixture writer: `frames` ADTS frames (7-byte headers, protection
+    * absent) each carrying `payloadPerFrame` deterministic bytes. */
+  def encodeAdts(frames: Int, aacProfile: Int, rateHz: Int, channels: Int,
+      payloadPerFrame: Int): Array[Byte] = {
+    val freqIdx = AacFreqIndex(rateHz)
+    val out = new java.io.ByteArrayOutputStream()
+    (0 until frames).foreach { f =>
+      val frameLen = 7 + payloadPerFrame
+      out.write(0xff); out.write(0xf1) // sync + MPEG-4 + layer 00 + no CRC
+      out.write(((aacProfile - 1) << 6) | (freqIdx << 2) |
+        ((channels >> 2) & 1))
+      out.write(((channels & 3) << 6) | ((frameLen >> 11) & 3))
+      out.write((frameLen >> 3) & 0xff)
+      out.write(((frameLen & 7) << 5) | 0x1f) // + buffer fullness high
+      out.write(0xfc) // buffer fullness low + 1 raw block
+      (0 until payloadPerFrame).foreach(i => out.write((i * 17 + f) % 251))
+    }
+    out.toByteArray
+  }
+
+  /** ADTS frame-header walk: counts frames via the 13-bit frame_length
+    * field, surfaces profile (profile bits + 1 = AAC object type),
+    * sampling frequency and channel configuration from the first frame. */
+  def parseAdts(bytes: Array[Byte]): AdtsMeta = {
+    var pos = 0
+    var frames = 0
+    var profile = 0
+    var freqHz = 0
+    var channels = 0
+    var payload = 0L
+    while (pos + 7 <= bytes.length &&
+        (bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xf0) == 0xf0) {
+      require((bytes(pos + 1) & 0x06) == 0, "ADTS layer must be 00")
+      val b2 = bytes(pos + 2) & 0xff
+      val b3 = bytes(pos + 3) & 0xff
+      val frameLen = ((b3 & 3) << 11) | ((bytes(pos + 4) & 0xff) << 3) |
+        ((bytes(pos + 5) & 0xff) >> 5)
+      require(frameLen >= 7 && pos + frameLen <= bytes.length,
+        s"bad ADTS frame length $frameLen @ $pos")
+      if (frames == 0) {
+        profile = (b2 >> 6) + 1
+        val freqIdx = (b2 >> 2) & 0xf
+        freqHz = AacFreqIndex.collectFirst {
+          case (hz, idx) if idx == freqIdx => hz }.getOrElse(0)
+        channels = ((b2 & 1) << 2) | (b3 >> 6)
+      }
+      payload += frameLen - 7
+      frames += 1
+      pos += frameLen
+    }
+    require(frames > 0, "no ADTS frames found")
+    AdtsMeta(frames, profile, freqHz, channels, payload)
+  }
+
+  /** Fixture writer: H.264 Annex-B stream — each NAL type prefixed with a
+    * 4-byte start code, deterministic payloads. */
+  def encodeAnnexB(nalTypes: Seq[Int], payloadPerNal: Int = 8): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    nalTypes.zipWithIndex.foreach { case (t, i) =>
+      out.write(0); out.write(0); out.write(0); out.write(1)
+      out.write(0x60 | (t & 0x1f)) // nal_ref_idc = 3
+      (0 until payloadPerNal).foreach(j => out.write((j * 13 + i + 1) % 251))
+    }
+    out.toByteArray
+  }
+
+  /** Annex-B start-code walk (both 3- and 4-byte codes): the NAL type
+    * sequence — what a pipeline validates (SPS=7/PPS=8 before slices). */
+  def parseAnnexBNalTypes(bytes: Array[Byte]): Seq[Int] = {
+    val types = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var pos = 0
+    while (pos + 3 < bytes.length) {
+      if (bytes(pos) == 0 && bytes(pos + 1) == 0 &&
+          (bytes(pos + 2) == 1 ||
+            (bytes(pos + 2) == 0 && pos + 4 < bytes.length &&
+              bytes(pos + 3) == 1))) {
+        val hdr = if (bytes(pos + 2) == 1) pos + 3 else pos + 4
+        require((bytes(hdr) & 0x80) == 0, "NAL forbidden_zero_bit set")
+        types += bytes(hdr) & 0x1f
+        pos = hdr + 1
+      } else pos += 1
+    }
+    require(types.nonEmpty, "no Annex-B start codes found")
+    types.toSeq
   }
 
   /** Recursive box walk over the container set; unknown boxes skip by
@@ -865,10 +1155,114 @@ object MediaCodecs {
     var nChunks = 0L
     var mdhdTimescale = 0
     var language = "und"
+    var videoCodec = ""
+    var avcProfile = 0
+    var avcLevel = 0
+    var spsCount = 0
+    var ppsCount = 0
+    var audioCodec = ""
+    var audioObjectType = 0
+    var audioChannels = 0
+    var audioRateHz = 0
     val handlers = scala.collection.mutable.ArrayBuffer[String]()
     def i32(p: Int): Int =
       ((bytes(p) & 0xff) << 24) | ((bytes(p + 1) & 0xff) << 16) |
         ((bytes(p + 2) & 0xff) << 8) | (bytes(p + 3) & 0xff)
+    def i16(p: Int): Int = ((bytes(p) & 0xff) << 8) | (bytes(p + 1) & 0xff)
+    /** ISO 14496-1 expandable descriptor length: 7 bits per byte, high
+      * bit = continuation. Returns (length, bytes consumed). */
+    def descLen(p: Int): (Int, Int) = {
+      var len = 0
+      var i = 0
+      var more = true
+      while (more && i < 4) {
+        val b = bytes(p + i) & 0xff
+        len = (len << 7) | (b & 0x7f)
+        more = (b & 0x80) != 0
+        i += 1
+      }
+      (len, i)
+    }
+    /** avcC: AVCDecoderConfigurationRecord (profile / level + the SPS and
+      * PPS NAL inventory, NAL types checked). */
+    def parseAvcC(p: Int): Unit = {
+      avcProfile = bytes(p + 1) & 0xff
+      avcLevel = bytes(p + 3) & 0xff
+      val nSps = bytes(p + 5) & 0x1f
+      var q = p + 6
+      (0 until nSps).foreach { _ =>
+        val len = i16(q)
+        require((bytes(q + 2) & 0x1f) == 7, "avcC SPS NAL type must be 7")
+        spsCount += 1; q += 2 + len
+      }
+      val nPps = bytes(q) & 0xff
+      q += 1
+      (0 until nPps).foreach { _ =>
+        val len = i16(q)
+        require((bytes(q + 2) & 0x1f) == 8, "avcC PPS NAL type must be 8")
+        ppsCount += 1; q += 2 + len
+      }
+    }
+    /** esds: ES_Descriptor → DecoderConfigDescriptor →
+      * DecSpecificInfo(AudioSpecificConfig). */
+    def parseEsds(p: Int, to: Int): Unit = {
+      var q = p + 4 // version + flags
+      require((bytes(q) & 0xff) == 0x03, "esds must start with ES_Descriptor")
+      q += 1; q += descLen(q)._2
+      q += 3 // ES_ID(2) + streamDependence/URL/OCR flags(1)
+      require((bytes(q) & 0xff) == 0x04,
+        "ES_Descriptor must carry a DecoderConfigDescriptor")
+      q += 1; q += descLen(q)._2
+      val oti = bytes(q) & 0xff
+      require(oti == 0x40, s"objectTypeIndication $oti not MPEG-4 audio")
+      q += 13 // oti(1) streamType(1) bufferSize(3) maxBitrate(4) avg(4)
+      if (q < to && (bytes(q) & 0xff) == 0x05) {
+        q += 1; q += descLen(q)._2
+        val b0 = bytes(q) & 0xff
+        val b1 = bytes(q + 1) & 0xff
+        audioObjectType = b0 >> 3
+        val freqIdx = ((b0 & 7) << 1) | (b1 >> 7)
+        audioRateHz = AacFreqIndex.collectFirst {
+          case (hz, idx) if idx == freqIdx => hz }.getOrElse(0)
+        audioChannels = (b1 >> 3) & 0xf
+      }
+    }
+    /** stsd sample-entry walk: avc1 children start after the 78-byte
+      * VisualSampleEntry, mp4a children after the 28-byte
+      * AudioSampleEntry. */
+    def parseStsd(p: Int, to: Int): Unit = {
+      val n = i32(p + 4)
+      var q = p + 8
+      (0 until n).foreach { _ =>
+        val size = i32(q)
+        require(size >= 8 && q + size <= to, s"bad stsd entry size $size")
+        val typ = new String(bytes, q + 4, 4, "US-ASCII")
+        typ match {
+          case "avc1" =>
+            videoCodec = "avc1"
+            var c = q + 8 + 78
+            while (c + 8 <= q + size) {
+              val cs = i32(c)
+              if (new String(bytes, c + 4, 4, "US-ASCII") == "avcC")
+                parseAvcC(c + 8)
+              c += cs
+            }
+          case "mp4a" =>
+            audioCodec = "mp4a"
+            audioChannels = i16(q + 8 + 16)
+            audioRateHz = i32(q + 8 + 24) >>> 16
+            var c = q + 8 + 28
+            while (c + 8 <= q + size) {
+              val cs = i32(c)
+              if (new String(bytes, c + 4, 4, "US-ASCII") == "esds")
+                parseEsds(c + 8, c + cs)
+              c += cs
+            }
+          case _ => () // unknown sample entries skip by size
+        }
+        q += size
+      }
+    }
     def walk(from: Int, to: Int): Unit = {
       var pos = from
       while (pos + 8 <= to) {
@@ -905,6 +1299,8 @@ object MediaCodecs {
             nChunks += (i32(pos + 8 + 4) & 0xffffffffL)
           case "co64" =>
             nChunks += (i32(pos + 8 + 4) & 0xffffffffL)
+          case "stsd" =>
+            parseStsd(pos + 8, pos + size)
           case "mdhd" =>
             mdhdTimescale = i32(pos + 8 + 12)
             // packed ISO-639-2/T: three 5-bit letters, each + 0x60
@@ -923,6 +1319,10 @@ object MediaCodecs {
     require(timescale > 0, "no mvhd box found")
     Mp4Meta(timescale, duration * 1000L / timescale, nTracks, width, height,
       nSamples, handlers.toSeq,
-      mediaDurationMs = mediaMs, nChunks = nChunks, language = language)
+      mediaDurationMs = mediaMs, nChunks = nChunks, language = language,
+      videoCodec = videoCodec, avcProfile = avcProfile, avcLevel = avcLevel,
+      spsCount = spsCount, ppsCount = ppsCount,
+      audioCodec = audioCodec, audioObjectType = audioObjectType,
+      audioChannels = audioChannels, audioRateHz = audioRateHz)
   }
 }

@@ -188,12 +188,16 @@ object Multimodal {
     StructField("global_gain", LongType),
     StructField("part23_len", LongType),
     StructField("pcm_samples", LongType),
+    StructField("nonzero_spectra", LongType),
     StructField("silent", BooleanType)))
 
-  /** Audio sample decode features (MediaCodecs.decodeMp3Pcm: side-info →
-    * scalefactors → count1 huffman → requantize → IMDCT): bit-level
-    * side-info fields plus decoded-PCM facts. Same mapPartitions shape as
-    * every other decode — no shuffle, bytes never leave the executor. */
+  /** Audio sample decode features (MediaCodecs.decodeMp3: side-info →
+    * scalefactors → big_values + count1 huffman → per-band requantize →
+    * IMDCT): bit-level side-info fields plus decoded spectral/PCM facts
+    * (nonzero_spectra counts decoded nonzero spectral lines — the
+    * Huffman-path proof the oracle predicts from fixture parameters).
+    * Same mapPartitions shape as every other decode — no shuffle, bytes
+    * never leave the executor. */
   def mp3PcmFeatures(media: DataFrame): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val mIdx = media.schema.fieldIndex("media")
@@ -201,10 +205,11 @@ object Multimodal {
       rows.map { r =>
         val bytes = r.getAs[Array[Byte]](mIdx)
         val si = MediaCodecs.parseMp3SideInfo(bytes)
-        val pcm = MediaCodecs.decodeMp3Pcm(bytes)
+        val dec = MediaCodecs.decodeMp3(bytes)
         Row(r.getLong(idIdx), si.granules.head.globalGain.toLong,
-          si.granules.head.part23Length.toLong, pcm.length.toLong,
-          pcm.forall(v => math.abs(v) < 1e-12))
+          si.granules.head.part23Length.toLong, dec.pcm.length.toLong,
+          dec.nonzeroSpectra,
+          dec.pcm.forall(v => math.abs(v) < 1e-12))
       }
     }(Encoders.row(mp3PcmFeatureSchema))
   }
@@ -217,11 +222,19 @@ object Multimodal {
     StructField("height", LongType),
     StructField("n_samples", LongType),
     StructField("has_video", BooleanType),
-    StructField("has_audio", BooleanType)))
+    StructField("has_audio", BooleanType),
+    StructField("video_codec", StringType),
+    StructField("avc_profile", LongType),
+    StructField("avc_level", LongType),
+    StructField("audio_codec", StringType),
+    StructField("audio_channels", LongType),
+    StructField("audio_rate", LongType)))
 
   /** REAL MP4/ISO-BMFF container parse ([[MediaCodecs.parseMp4]]): box
-    * tree walk for duration, track count, dimensions, sample counts and
-    * handler types. avc1/mp4a payload decode stays stubbed. */
+    * tree walk for duration, track count, dimensions, sample counts,
+    * handler types, and the stsd codec configuration (avc1 profile/level
+    * from avcC, mp4a channels/rate from the sample entry + esds AAC
+    * config). Sample decode stays out of scope. */
   def mp4Features(media: DataFrame): DataFrame = {
     val idIdx = media.schema.fieldIndex("media_id")
     val mIdx = media.schema.fieldIndex("media")
@@ -230,7 +243,9 @@ object Multimodal {
         val m = MediaCodecs.parseMp4(r.getAs[Array[Byte]](mIdx))
         Row(r.getLong(idIdx), m.durationMs, m.nTracks.toLong,
           m.width.toLong, m.height.toLong, m.nSamples,
-          m.handlers.contains("vide"), m.handlers.contains("soun"))
+          m.handlers.contains("vide"), m.handlers.contains("soun"),
+          m.videoCodec, m.avcProfile.toLong, m.avcLevel.toLong,
+          m.audioCodec, m.audioChannels.toLong, m.audioRateHz.toLong)
       }
     }(Encoders.row(mp4FeatureSchema))
   }

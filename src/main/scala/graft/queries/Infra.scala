@@ -708,9 +708,17 @@ object Infra {
           val tracks =
             if (k % 2 == 0) Seq(video, ("soun", 0, 0, 200 + (k % 77).toInt))
             else Seq(video)
+          // round-7: stsd codec configuration — key-derived H.264
+          // profile/level (Baseline/Main/High) and AAC channels/rate
           Row(k, _root_.graft.operators.MediaCodecs.encodeMp4(
             timescale = 1000 + (k % 5).toInt * 200,
-            duration = 10000 + k * 7, tracks), "video/mp4")
+            duration = 10000 + k * 7, tracks,
+            avcProfile = Seq(66, 77, 100)((k % 3).toInt),
+            avcLevel = Seq(30, 31, 41)((k % 3).toInt),
+            audioChannels =
+              if (k % 2 != 0) 0 else if (k % 4 == 0) 2 else 1,
+            audioRate = Seq(44100, 48000, 32000)((k % 3).toInt)),
+            "video/mp4")
         }
       }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
       _root_.graft.operators.Multimodal.mp4Features(media)
@@ -730,19 +738,37 @@ object Infra {
              CAST(100 + media_id % 50 +
                CASE WHEN stereo THEN 200 + media_id % 77 ELSE 0 END
                AS BIGINT) AS n_samples,
-             true AS has_video, stereo AS has_audio
+             true AS has_video, stereo AS has_audio,
+             'avc1' AS video_codec,
+             CAST(CASE media_id % 3 WHEN 0 THEN 66 WHEN 1 THEN 77
+                  ELSE 100 END AS BIGINT) AS avc_profile,
+             CAST(CASE media_id % 3 WHEN 0 THEN 30 WHEN 1 THEN 31
+                  ELSE 41 END AS BIGINT) AS avc_level,
+             CASE WHEN stereo THEN 'mp4a' ELSE '' END AS audio_codec,
+             CAST(CASE WHEN NOT stereo THEN 0
+                  WHEN media_id % 4 = 0 THEN 2 ELSE 1 END AS BIGINT)
+               AS audio_channels,
+             CAST(CASE WHEN NOT stereo THEN 0
+                  WHEN media_id % 3 = 0 THEN 44100
+                  WHEN media_id % 3 = 1 THEN 48000
+                  ELSE 32000 END AS BIGINT) AS audio_rate
       FROM k ORDER BY media_id""")),
 
     // ---- REAL MP3 sample decode through the oracle gate (reference keeps
-    // media opaque; this goes further): MediaCodecs.decodeMp3Pcm runs the
-    // actual Layer III chain — side-info bit parse, scalefactors, count1
-    // huffman (table B), requantization, alias reduction, IMDCT + overlap
-    // — over key-derived fixtures. The oracle predicts the bit-exact
-    // side-info fields (part2_3_length arithmetic: 20 scalefactor bits +
-    // 4 code + popcount sign bits per quadruple), the decoded sample
-    // count, and the silence property (zero quadruples → the whole linear
-    // chain must yield exact zeros). MediaCodecsSpec pins the DSP-side
-    // properties SQL cannot (gain linearity, loud failure on big_values).
+    // media opaque; this goes further): MediaCodecs.decodeMp3 runs the
+    // actual Layer III chain — side-info bit parse, scalefactors,
+    // big_values huffman (table 1 over the B.8 region boundaries), count1
+    // huffman (table B), per-band requantization, alias reduction, IMDCT
+    // + overlap — over key-derived fixtures. The oracle predicts the
+    // bit-exact side-info fields (part2_3_length arithmetic: 20
+    // scalefactor bits + 5 bits per (1,1) big_values pair + 4 code +
+    // popcount sign bits per quadruple), the decoded sample count, the
+    // decoded nonzero spectral-line count (per granule: 2 values per
+    // big_values pair + the count1 popcounts, × 2 granules × frames), and
+    // the silence property (zero spectrum → the whole linear chain must
+    // yield exact zeros). MediaCodecsSpec pins the DSP-side properties
+    // SQL cannot (gain linearity, loud failure on unimplemented huffman
+    // tables).
     QueryDef("q140_mp3_pcm", (s, dir) => {
       import org.apache.spark.sql.{Encoders, Row}
       val keys = Tables.load(s, dir, "orders")
@@ -755,7 +781,8 @@ object Infra {
             frames = 2 + (k % 5).toInt,
             bitrateIdx = 9, rateIdx = 0,
             globalGain = 140 + (k % 40).toInt,
-            count1Quads = (k % 4).toInt), "audio/mpeg")
+            count1Quads = (k % 4).toInt,
+            bigValuePairs = (k % 3).toInt * 2), "audio/mpeg")
         }
       }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
       _root_.graft.operators.Multimodal.mp3PcmFeatures(media)
@@ -763,10 +790,15 @@ object Infra {
     }, Some("""
       SELECT o_orderkey AS media_id,
              CAST(140 + o_orderkey % 40 AS BIGINT) AS global_gain,
-             CAST(CASE o_orderkey % 4 WHEN 0 THEN 20 WHEN 1 THEN 25
-                  WHEN 2 THEN 30 ELSE 36 END AS BIGINT) AS part23_len,
+             CAST(20 + o_orderkey % 3 * 10 +
+                  CASE o_orderkey % 4 WHEN 0 THEN 0 WHEN 1 THEN 5
+                  WHEN 2 THEN 10 ELSE 16 END AS BIGINT) AS part23_len,
              CAST((2 + o_orderkey % 5) * 1152 AS BIGINT) AS pcm_samples,
-             o_orderkey % 4 = 0 AS silent
+             CAST((2 + o_orderkey % 5) * 2 *
+                  (o_orderkey % 3 * 4 +
+                   CASE o_orderkey % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                   WHEN 2 THEN 2 ELSE 4 END) AS BIGINT) AS nonzero_spectra,
+             o_orderkey % 12 = 0 AS silent
       FROM orders WHERE o_orderkey < 150 ORDER BY media_id""")),
 
     // ---- mega-join stats ordering on the FILE path through the oracle
