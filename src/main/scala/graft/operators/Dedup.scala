@@ -328,6 +328,63 @@ object Dedup {
       .limit(topK)
   }
 
+  /** Semantic deduplication, SemDeDup-shape (Abbas et al. 2023, "SemDeDup:
+    * Data-efficient learning at web-scale through semantic deduplication"):
+    * cluster the embedding space with a coarse quantizer, then find
+    * near-duplicate pairs ONLY within each cluster — the cluster bound is
+    * what makes embedding dedup tractable at corpus scale (the all-pairs
+    * matrix never exists; candidates are cellmates). A vector is pruned
+    * when a LOWER-id cellmate sits above the cosine threshold; the kept
+    * representative is the minimum id of its duplicate neighbourhood —
+    * the same deterministic keep-min convention as [[exactGroups]].
+    *
+    * Centroids default to the deterministic lowest-id seed cells (exactly
+    * [[Similarity.ivfTopK]]'s untrained assignment, so any SQL engine
+    * replays it); pass `trainedCentroids` (e.g.
+    * [[Similarity.trainIvfCentroids]] output, persisted like q141's
+    * model) for converged cells on a real deployment.
+    *
+    * Scale: assignment is one broadcast (nlist × dims) + per-row argmax;
+    * the pair scan is one shuffle keyed by cell with the quadratic
+    * confined to cellmates (nlist scales with corpus size to bound cell
+    * populations — SemDeDup used 50k clusters at web scale). Exchange
+    * reuse covers the self-join's two sides (same subtree up to the
+    * rename). Output: one row per vector — (vec_id, cell, kept, dup_of).
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, threshold: Double,
+      trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val p = Similarity.prepared(emb, vecCol)
+    val centroids = trainedCentroids.getOrElse(
+      p.orderBy(col(idCol)).limit(nlist)
+        .select(col(idCol).as("cent_id"), col("__vecd").as("cv"),
+          col("__nrm").as("cn")))
+    val wAssign = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy(col("__csim").desc, col("cent_id"))
+    val assigned = p.crossJoin(broadcast(centroids))
+      .withColumn("__csim",
+        Similarity.dot(col("__vecd"), col("cv")) / (col("__nrm") * col("cn")))
+      .withColumn("__crank", row_number().over(wAssign))
+      .filter(col("__crank") === 1)
+      .select(col("cent_id").as("cell"), col(idCol).as("id"),
+        col("__vecd").as("v"), col("__nrm").as("nrm"))
+    val lhs = assigned.select(col("cell"), col("id").as("i"),
+      col("v").as("iv"), col("nrm").as("inrm"))
+    val rhs = assigned.select(col("cell"), col("id").as("j"),
+      col("v").as("jv"), col("nrm").as("jnrm"))
+    val dups = lhs.join(rhs, Seq("cell"))
+      .filter(col("j") < col("i"))
+      .withColumn("sim",
+        Similarity.dot(col("iv"), col("jv")) / (col("inrm") * col("jnrm")))
+      .filter(col("sim") > threshold)
+      .groupBy(col("i"))
+      .agg(min(col("j")).as("dup_of"))
+    assigned.select(col("id").as("vec_id"), col("cell"))
+      .join(dups.select(col("i").as("vec_id"), col("dup_of")),
+        Seq("vec_id"), "left")
+      .withColumn("kept", col("dup_of").isNull)
+  }
+
   /** Benchmark decontamination (the cross-corpus face of substring dedup):
     * flag training documents sharing word n-grams with an evaluation set,
     * so test data can be removed from the training corpus before a model

@@ -81,6 +81,24 @@ class PipelinePlanSpec extends AnyFunSuite {
       s"expected only the final top-k exchange, got ${rep.shuffleExchanges}")
   }
 
+  test("semantic dedup: centroids broadcast; pair scan confined to cells") {
+    val df = Dedup.semanticDedup(
+      Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
+      nlist = 8, threshold = 0.3)
+    val rep = Explain.report(df)
+    assert(rep.broadcastExchanges >= 1,
+      "the centroid model must broadcast for the cell argmax")
+    // the only nested-loop joins are the nlist-row centroid cross join,
+    // appearing once per branch of the self-join lineage (assignment,
+    // lhs, rhs); its exchange is canonically identical across branches so
+    // runtime exchange reuse computes the assignment once. A 4th would
+    // mean an all-pairs product over DATA — the thing the cells prevent.
+    assert(rep.nestedLoopJoins == 3,
+      s"unexpected nested-loop joins: ${rep.nestedLoopJoins}")
+    assert(rep.sortMergeJoins + rep.shuffledHashJoins + rep.broadcastHashJoins
+      >= 1, "cellmate pairing must be a keyed join on cell")
+  }
+
   test("IVF-PQ: no joins, no corpus shuffle — probe map is broadcast") {
     val df = Similarity.ivfPqTopK(
       Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
