@@ -228,6 +228,59 @@ object TextAnalysis {
         floor(col("sum_bits") * 100.0 / col("n_tokens")).cast("long"))
   }
 
+  /** Bigram language-model surprisal with unigram backoff — the KenLM
+    * shape of corpus-relative perplexity filtering (Heafield 2011 /
+    * Wenzek et al. 2019), in the same EXACT integer arithmetic as
+    * [[surprisalBits]] (token bits = `bitlen(context count) −
+    * bitlen(event count)` via binary-string length — libm `ln` differs by
+    * 1 ulp across engines, a hash gate cannot tolerate that).
+    *
+    * Model: P(w|prev) from bigram counts when the bigram is attested at
+    * least `minCount` times, else back off to the unigram P(w) (counted
+    * with `bitlen(N) − bitlen(c(w))`); a document's first token always
+    * scores against the unigram model. Scoring a real held-out LM swaps
+    * the tables; the pipeline shape stays: one token shuffle for the
+    * unigram table, one bigram shuffle, three key joins back, one per-doc
+    * aggregate. At 100 TB the Zipf-truncated top-K uni/bigram tables
+    * broadcast instead of joining (same note as [[surprisalBits]]).
+    * Output: (doc_id, n_tokens, sum_bits, backoff_tokens,
+    * bigram_surprisal_c = floor(100 × mean bits)). */
+  def bigramSurprisalBits(docs: DataFrame, textCol: String,
+      idCol: String, minCount: Long = 2L): DataFrame = {
+    val tk = docs
+      .select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
+      .select(col("doc_id"), col("__ws"),
+        posexplode(col("__ws")).as(Seq("pos", "w")))
+      // element_at is 1-based, pos is 0-based: element_at(ws, pos) is the
+      // PREVIOUS word; null for the document's first token
+      .withColumn("prev",
+        when(col("pos") > 0, element_at(col("__ws"), col("pos"))))
+      .drop("__ws")
+    val uni = tk.groupBy("w").agg(count(lit(1)).as("f"))
+    val tot = uni.agg(sum("f").as("n_total"))
+    val bi = tk.filter(col("prev").isNotNull)
+      .groupBy("prev", "w").agg(count(lit(1)).as("f2"))
+    def bitlen(c: org.apache.spark.sql.Column) = length(bin(c)).cast("long")
+    val backoff = col("prev").isNull || col("f2").isNull ||
+      col("f2") < minCount
+    tk.join(uni, Seq("w"))
+      .join(uni.select(col("w").as("prev"), col("f").as("fp")),
+        Seq("prev"), "left")
+      .join(bi, Seq("prev", "w"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("bits",
+        when(backoff, bitlen(col("n_total")) - bitlen(col("f")))
+          .otherwise(bitlen(col("fp")) - bitlen(col("f2"))))
+      .withColumn("__backoff",
+        when(col("prev").isNotNull &&
+          (col("f2").isNull || col("f2") < minCount), 1L).otherwise(0L))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("bits").as("sum_bits"),
+        sum("__backoff").as("backoff_tokens"))
+      .withColumn("bigram_surprisal_c",
+        floor(col("sum_bits") * 100.0 / col("n_tokens")).cast("long"))
+  }
+
   /** Unicode NFC normalization report — the canonicalization pass a
     * multilingual corpus gets before any hashing/dedup (decomposed
     * combining sequences hash differently from their composed forms, so
