@@ -35,6 +35,35 @@ class PipelineHardeningSpec extends AnyFunSuite {
     assert(labels.filter { case (n, l) => n == l }.keySet == Set(1L, 10L, 20L))
   }
 
+  test("semanticDedup: planted duplicates prune to the min-id " +
+      "representative; cross-cell near-dups survive") {
+    // orthogonal basis directions land in different cells; scaled copies
+    // (cosine exactly 1) land in the same cell as their base and must
+    // prune to it. 64-dim float vectors like the embeddings table.
+    def unit(axis: Int, scale: Float): Seq[Float] =
+      (0 until 64).map(d => if (d == axis) scale else 0.0f)
+    val rows = Seq(
+      (0L, unit(0, 1.0f)), (1L, unit(1, 1.0f)),
+      (2L, unit(2, 1.0f)), (3L, unit(3, 1.0f)),
+      (10L, unit(0, 2.0f)), // dup of 0 (same direction, scaled)
+      (11L, unit(0, 0.5f)), // dup of 0
+      (12L, unit(1, 3.0f)), // dup of 1
+      // near-orthogonal to everything: kept
+      (20L, (0 until 64).map(d => if (d == 60) 1.0f else 0.0f)))
+    val df = rows.toDF("vec_id", "embedding")
+    val out = Dedup.semanticDedup(df, "vec_id", "embedding",
+        nlist = 4, threshold = 0.9)
+      .select("vec_id", "kept", "dup_of")
+      .as[(Long, Boolean, Option[Long])].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(out(10L) == (false, Some(0L)), s"got ${out(10L)}")
+    assert(out(11L) == (false, Some(0L)))
+    assert(out(12L) == (false, Some(1L)))
+    assert(out(0L)._1 && out(1L)._1 && out(20L)._1,
+      "representatives and non-dups must be kept")
+    assert(out.size == rows.size, "one row per input vector")
+  }
+
   test("bucket cap drops the boilerplate mega-bucket; stats report it") {
     val boiler = "one two three four five six seven"
     val docs = ((1 to 200).map(i => (i.toLong, boiler)) ++
