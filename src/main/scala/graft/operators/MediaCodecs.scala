@@ -179,6 +179,44 @@ object MediaCodecs {
     encodeBmp(newW, newH, out)
   }
 
+  /** Difference hash (dHash — the standard perceptual image fingerprint):
+    * integer ITU-R 601 luma → 9×8 nearest-neighbour downsample (same
+    * mapping as [[resizeBmp]]) → 64 adjacent-column comparisons packed
+    * into a long, bit set when the left cell is darker. Invariant to any
+    * global brightness offset or positive contrast scale (both preserve
+    * every comparison) — which is exactly why it catches re-encoded /
+    * re-graded duplicates that byte hashing misses. */
+  def dHash(img: BmpMeta): Long = {
+    val gw = 9
+    val gh = 8
+    val gray = new Array[Int](gw * gh)
+    var y = 0
+    while (y < gh) {
+      val sy = (y.toLong * img.height / gh).toInt
+      var x = 0
+      while (x < gw) {
+        val sx = (x.toLong * img.width / gw).toInt
+        val p = img.pixels(sy * img.width + sx)
+        gray(y * gw + x) = ((p >> 16) & 0xff) * 299 +
+          ((p >> 8) & 0xff) * 587 + (p & 0xff) * 114
+        x += 1
+      }
+      y += 1
+    }
+    var bits = 0L
+    y = 0
+    while (y < gh) {
+      var x = 0
+      while (x < gw - 1) {
+        if (gray(y * gw + x) < gray(y * gw + x + 1))
+          bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
   /** Naive integer-ratio resample (every k-th sample) for PCM audio —
     * the audio face of the same decode → transform → re-encode step. */
   def downsampleWav(bytes: Array[Byte], factor: Int): Array[Byte] = {

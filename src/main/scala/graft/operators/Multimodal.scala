@@ -214,6 +214,42 @@ object Multimodal {
     }(Encoders.row(mp3PcmFeatureSchema))
   }
 
+  val imageDHashSchema: StructType = StructType(Seq(
+    StructField("dhash", LongType),
+    StructField("keep_id", LongType),
+    StructField("n", LongType)))
+
+  /** Perceptual image dedup: decode each image executor-side, fingerprint
+    * with [[MediaCodecs.dHash]], and group — one row per perceptual
+    * duplicate group with the kept (minimum) id and the member count, the
+    * [[Dedup.exactGroups]] convention applied to pixels instead of bytes.
+    * Catches brightness/contrast-regraded and re-encoded duplicates that
+    * byte hashing misses.
+    *
+    * Scale: the decode + hash pass is per-row mapPartitions (bytes never
+    * leave the executor); the only shuffle carries the 8-byte hash — the
+    * image bodies are never shipped. Near-dup retrieval at a hamming
+    * threshold composes with [[Dedup.dupClusters]] over
+    * bit_count-xor-banded candidate pairs, same shape as SimHash. */
+  def imageDHashGroups(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    val fIdx = media.schema.fieldIndex("format")
+    val hashSchema = StructType(Seq(
+      StructField("media_id", LongType, nullable = false),
+      StructField("dhash", LongType)))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val img = MediaCodecs.decodeImage(
+          r.getAs[Array[Byte]](mIdx), r.getString(fIdx))
+        Row(r.getLong(idIdx), MediaCodecs.dHash(img))
+      }
+    }(Encoders.row(hashSchema))
+      .groupBy("dhash")
+      .agg(min(col("media_id")).as("keep_id"),
+        count(lit(1)).as("n"))
+  }
+
   val mp4FeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("duration_ms", LongType),

@@ -754,6 +754,41 @@ object Infra {
                   ELSE 32000 END AS BIGINT) AS audio_rate
       FROM k ORDER BY media_id""")),
 
+    // ---- perceptual image dedup through the oracle gate: key-derived
+    // 16×16 BMP fixtures carry a horizontal sawtooth stripe whose PHASE
+    // (k % 4) is the perceptual identity while brightness offset and
+    // contrast amplitude vary per key — dHash is invariant to both, so
+    // the decoded-pixel groups are exactly the phase classes, which the
+    // oracle predicts from key arithmetic without ever decoding a pixel.
+    QueryDef("q163_image_dedup", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 150)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val phase = (k % 4).toInt
+          val amp = 1 + (k % 3).toInt
+          val offset = ((k * 7) % 40).toInt
+          val px = Array.tabulate(16 * 16) { i =>
+            val x = i % 16
+            val v = offset + amp * ((x + phase) % 4)
+            (v << 16) | (v << 8) | v
+          }
+          Row(k, _root_.graft.operators.MediaCodecs.encodeBmp(16, 16, px),
+            "image/bmp")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.imageDHashGroups(media)
+        .select("keep_id", "n")
+        .orderBy("keep_id")
+    }, Some("""
+      SELECT CAST(min(o_orderkey) AS BIGINT) AS keep_id,
+             count(*) AS n
+      FROM orders WHERE o_orderkey < 150
+      GROUP BY o_orderkey % 4 ORDER BY keep_id""")),
+
     // ---- REAL MP3 sample decode through the oracle gate (reference keeps
     // media opaque; this goes further): MediaCodecs.decodeMp3 runs the
     // actual Layer III chain — side-info bit parse, scalefactors,
