@@ -228,6 +228,37 @@ object TextAnalysis {
         floor(col("sum_bits") * 100.0 / col("n_tokens")).cast("long"))
   }
 
+  /** Sliding-window document chunking — the segmentation step that turns
+    * variable-length documents into training-window-sized pieces: chunks
+    * of `chunkWords` words advancing by `chunkWords - overlapWords`, the
+    * overlap preserving cross-boundary context (the standard pre-training
+    * prep). Chunk starts run while `start < max(n - overlap, 1)`, so the
+    * tail is covered exactly once and a short document yields one chunk.
+    *
+    * Pure per-row projection + explode — no shuffle at any scale; the
+    * chunk count is data-proportional (ceil(n/stride) rows out per doc).
+    * Output: (doc_id, chunk_idx, n_words, chunk_hash) — the md5 makes
+    * the exact chunk text oracle-checkable without shipping it. */
+  def chunkDocs(docs: DataFrame, textCol: String, idCol: String,
+      chunkWords: Int, overlapWords: Int): DataFrame = {
+    require(overlapWords < chunkWords, "overlap must be below chunk size")
+    val stride = chunkWords - overlapWords
+    val ws = words(col(textCol))
+    val nChunks = ceil(
+      greatest(size(ws) - overlapWords, lit(1)) / stride.toDouble)
+      .cast("int")
+    docs
+      .select(col(idCol).as("doc_id"), ws.as("__ws"), nChunks.as("__nc"))
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("__nc") - 1),
+          i => concat_ws(" ",
+            slice(col("__ws"), i * stride + 1, lit(chunkWords)))))
+          .as(Seq("chunk_idx", "__chunk")))
+      .select(col("doc_id"), col("chunk_idx").cast("long"),
+        size(split(col("__chunk"), " ")).cast("long").as("n_words"),
+        md5(col("__chunk")).as("chunk_hash"))
+  }
+
   /** Bigram language-model surprisal with unigram backoff — the KenLM
     * shape of corpus-relative perplexity filtering (Heafield 2011 /
     * Wenzek et al. 2019), in the same EXACT integer arithmetic as

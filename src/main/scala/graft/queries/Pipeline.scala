@@ -1192,6 +1192,30 @@ object Pipeline {
                AS bigram_surprisal_c
       FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- sliding-window chunking (training-window segmentation):
+    // 40-word chunks, 10-word overlap; the md5 per chunk makes the exact
+    // window text the gated value, not just counts
+    QueryDef("q164_chunking", (s, dir) => {
+      TextAnalysis.chunkDocs(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+          chunkWords = 40, overlapWords = 10)
+        .orderBy("doc_id", "chunk_idx")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+      c AS (
+        SELECT doc_id,
+               unnest([{'idx': i,
+                        'c': array_to_string(words[i*30+1 : i*30+40], ' ')}
+                       FOR i IN range(0, CAST(ceil(
+                         greatest(len(words) - 10, 1) / 30.0) AS BIGINT))])
+                 AS t
+        FROM d)
+      SELECT doc_id, CAST(t.idx AS BIGINT) AS chunk_idx,
+             CAST(len(string_split(t.c, ' ')) AS BIGINT) AS n_words,
+             md5(t.c) AS chunk_hash
+      FROM c ORDER BY doc_id, chunk_idx""")),
+
     // ---- data-mixing pipeline: quality gate → quality-weighted
     // deterministic sampling (pass 1/2, fail 1/8) → token-budget shard
     // packing, in ONE plan — composes q143 + q147 + q148, each
