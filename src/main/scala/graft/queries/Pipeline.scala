@@ -1520,6 +1520,62 @@ object Pipeline {
       SELECT md5(text) AS h, CAST(min(doc_id) AS BIGINT) AS orig_id
       FROM documents GROUP BY md5(text) ORDER BY orig_id""")),
 
+    // ---- streaming NEAR-dup dedup (the online SimHash face): per-row
+    // 16-bit fingerprints, routed by the top-4-bit band into
+    // flatMapGroupsWithState, exact hamming <= 3 against the band state.
+    // Batch 1 carries the originals, batch 2 the planted +100000 copies
+    // (hamming 0 — guaranteed hits); ids ascend across and within batches
+    // so "earlier" in the state equals "smaller id" in the oracle's
+    // replay. The band routing's recall loss is replayed by the oracle
+    // (same band equality), not hidden.
+    QueryDef("q165_streaming_neardup", (s, dir) => {
+      val docs = docsWithDups(s, dir)
+      val logDir = java.nio.file.Files
+        .createTempDirectory("graft_neardup_log").toString
+      docs.filter(col("doc_id") < 100000)
+        .coalesce(1).write.mode("append").parquet(logDir)
+      docs.filter(col("doc_id") >= 100000)
+        .coalesce(1).write.mode("append").parquet(logDir)
+      val stream = _root_.graft.streaming.StreamIngest.openLog(
+        s, logDir, docs.schema, maxFilesPerTrigger = 1)
+      val out = _root_.graft.streaming.StreamIngest.streamingNearDupDedup(
+        stream, "text", "doc_id", hammingK = 3)
+      val q = out.writeStream.outputMode("append")
+        .format("memory").queryName("q165_mem").start()
+      try { q.processAllAvailable() } finally {
+        q.stop()
+        val root = java.nio.file.Paths.get(logDir)
+        java.nio.file.Files.walk(root).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      s.table("q165_mem").orderBy("doc_id")
+    }, Some {
+      val sums = (0 until 16).map { k =>
+        val pos = 1 + k / 4
+        val shift = math.pow(2, 3 - k % 4).toInt
+        s"sum((((instr('0123456789abcdef', substr(md5(w), $pos, 1)) - 1) // $shift) % 2) * 2 - 1) AS s$k"
+      }.mkString(", ")
+      val bits = (0 until 16)
+        .map(k => s"CASE WHEN s$k >= 0 THEN ${1L << k} ELSE 0 END")
+        .mkString(" + ")
+      dupCte + s""",
+      tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM docs2),
+      votes AS (SELECT doc_id, $sums FROM tok GROUP BY doc_id),
+      sh AS (SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes),
+      dup AS (
+        SELECT a.doc_id, min(b.doc_id) AS dup_of
+        FROM sh a JOIN sh b
+          ON b.doc_id < a.doc_id
+         AND (a.simhash >> 12) = (b.simhash >> 12)
+         AND bit_count(xor(a.simhash, b.simhash)) <= 3
+        GROUP BY a.doc_id)
+      SELECT s.doc_id, s.simhash, d.dup_of, d.dup_of IS NULL AS kept
+      FROM sh s LEFT JOIN dup d ON d.doc_id = s.doc_id
+      ORDER BY s.doc_id"""
+    }),
+
     // ---- streaming quality-gated ingest: the online corpus filter — a
     // stateless Gopher gate composed BEFORE the stateful cross-batch
     // dedup, on the same streaming machinery as q107 (same operators

@@ -4,7 +4,7 @@ import graft.bitemporal.XtDb
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{BooleanType, LongType, StructField, StructType}
 
 /** Structured Streaming ingest — the Spark shape of the reference's
   * "inside-out" lifecycle (SURVEY §3.4): transaction log → indexer →
@@ -188,6 +188,93 @@ object StreamIngest {
         OutputMode.Append, timeoutConf)(
         dedupGroup(hashIdx, stateTimeout)
       )(Encoders.kryo[Set[String]], Encoders.row(schema))
+  }
+
+  /** Per-row 16-bit SimHash, bit-identical to `Dedup.simHash16`'s
+    * shuffled formulation (per token: md5 hex char `k/4`, bit
+    * `(hexval / 2^(3-k%4)) % 2`, ±1 vote; hash bit k set when the vote
+    * sum is ≥ 0) — but computed in one pass over the row so it composes
+    * with streaming (no groupBy before the stateful operator). */
+  private[graft] def simHash16Row(text: String): Long = {
+    val votes = new Array[Int](16)
+    text.split(" ", -1).foreach { w =>
+      val h = graft.functions.ShingleMd5Util.md5Hex(w.getBytes("UTF-8"))
+      var k = 0
+      while (k < 16) {
+        val hexval = Character.digit(h.charAt(k / 4), 16)
+        val bit = (hexval >> (3 - k % 4)) & 1
+        votes(k) += bit * 2 - 1
+        k += 1
+      }
+    }
+    (0 until 16).map(k => if (votes(k) >= 0) 1L << k else 0L).sum
+  }
+
+  /** Streaming NEAR-dup dedup — the online face of SimHash dedup: each
+    * arriving document is fingerprinted per-row ([[simHash16Row]]), routed
+    * by the hash's top 4 bits (its LSH band), and compared against the
+    * band's state with an exact hamming check; a document is a duplicate
+    * of the minimum earlier id within `hammingK` bits. Routing by one
+    * band is deliberately recall-lossy (near-dups differing inside the
+    * top band pass — the standard LSH trade; union more bands upstream to
+    * raise recall), and the oracle applies the identical band rule, so
+    * the approximation is shared with the gate, not hidden.
+    *
+    * Scale: state is partitioned by band key across executors; per-band
+    * state holds (id, 16-bit hash) pairs — 16 bytes per doc, hash-only
+    * (bodies never enter state). Output: (doc_id, simhash, dup_of, kept).
+    */
+  def streamingNearDupDedup(docs: DataFrame, textCol: String, idCol: String,
+      hammingK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("simhash", LongType),
+      StructField("dup_of", LongType),
+      StructField("kept", BooleanType)))
+    val idIdx = docs.schema.fieldIndex(idCol)
+    val textIdx = docs.schema.fieldIndex(textCol)
+    val hashSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("simhash", LongType, nullable = false)))
+    docs.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.getLong(idIdx), simHash16Row(r.getString(textIdx)))
+      }
+    }(Encoders.row(hashSchema))
+      .groupByKey(_.getLong(1) >> 12)(Encoders.scalaLong)
+      .flatMapGroupsWithState[Vector[(Long, Long)], Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(
+        nearDupGroup(hammingK)
+      )(Encoders.kryo[Vector[(Long, Long)]], Encoders.row(outSchema))
+  }
+
+  /** Per-band near-dup state function (unit-testable like [[dedupGroup]]):
+    * batch rows are processed in ascending id order; each row scans the
+    * band state plus earlier in-batch rows for the minimum id within the
+    * hamming threshold. Every row (kept or duplicate) joins the state —
+    * later near-dups of a duplicate still resolve to the earliest id via
+    * the min. */
+  private[graft] def nearDupGroup(hammingK: Int)(key: Long,
+      rows: Iterator[org.apache.spark.sql.Row],
+      state: org.apache.spark.sql.streaming.GroupState[Vector[(Long, Long)]])
+      : Iterator[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.Row
+    var seen = state.getOption.getOrElse(Vector.empty[(Long, Long)])
+    val out = rows.toVector.sortBy(_.getLong(0)).map { r =>
+      val id = r.getLong(0)
+      val h = r.getLong(1)
+      var dupOf = -1L
+      seen.foreach { case (pid, ph) =>
+        if (pid < id && java.lang.Long.bitCount(ph ^ h) <= hammingK &&
+            (dupOf < 0 || pid < dupOf)) dupOf = pid
+      }
+      seen :+= ((id, h))
+      if (dupOf >= 0) Row(id, h, dupOf, false) else Row(id, h, null, true)
+    }
+    state.update(seen)
+    out.iterator
   }
 
   /** The per-group dedup state function, factored out so eviction semantics

@@ -80,6 +80,52 @@ class StreamIngestSpec extends AnyFunSuite {
     assert(out == Set((1L, "h_a", "a"), (2L, "h_b", "b"), (1L, "h_c", "c")))
   }
 
+  test("per-row simhash equals the shuffled Dedup.simHash16 formulation") {
+    import spark.implicits._
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text").limit(100)
+    val shuffled = graft.operators.Dedup.simHash16(docs, "text", "doc_id")
+      .as[(Long, Long)].collect().toMap
+    docs.as[(Long, String)].collect().foreach { case (id, text) =>
+      assert(StreamIngest.simHash16Row(text) == shuffled(id),
+        s"per-row simhash diverged for doc $id")
+    }
+  }
+
+  test("nearDupGroup: min-id dup resolution, in-batch and cross-batch") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.streaming.GroupState
+    final class FakeState extends GroupState[Vector[(Long, Long)]] {
+      private var v: Option[Vector[(Long, Long)]] = None
+      def exists: Boolean = v.isDefined
+      def get: Vector[(Long, Long)] = v.get
+      def getOption: Option[Vector[(Long, Long)]] = v
+      def update(s: Vector[(Long, Long)]): Unit = v = Some(s)
+      def remove(): Unit = v = None
+      def hasTimedOut: Boolean = false
+      def setTimeoutDuration(d: Long): Unit = ()
+      def setTimeoutDuration(d: String): Unit = ()
+      def setTimeoutTimestamp(t: Long): Unit = ()
+      def setTimeoutTimestamp(t: Long, add: String): Unit = ()
+      def setTimeoutTimestamp(t: java.sql.Date): Unit = ()
+      def setTimeoutTimestamp(t: java.sql.Date, add: String): Unit = ()
+      def getCurrentWatermarkMs(): Long = 0L
+      def getCurrentProcessingTimeMs(): Long = 0L
+    }
+    val st = new FakeState
+    val fn = StreamIngest.nearDupGroup(3) _
+    // batch 1 (out of order on purpose — the fn must sort by id):
+    // 5 and 1 are hamming-1 of each other; 9 is far from both
+    val b1 = fn(0L, Iterator(
+      Row(5L, 0x00f1L), Row(1L, 0x00f0L), Row(9L, 0x0f0fL)), st).toVector
+    assert(b1.map(r => (r.getLong(0), r.get(2), r.getBoolean(3))) ==
+      Vector((1L, null, true), (5L, 1L, false), (9L, null, true)))
+    // batch 2: near 5 (hamming 1 from 5, hamming 2 from 1) → min id 1 wins
+    val b2 = fn(0L, Iterator(Row(20L, 0x00f3L)), st).toVector
+    assert(b2.map(r => (r.getLong(0), r.get(2), r.getBoolean(3))) ==
+      Vector((20L, 1L, false)))
+  }
+
   test("streaming dedup: state TTL evicts idle keys (re-arrival re-emits)") {
     // Eviction semantics tested at the state-function level (deterministic;
     // ProcessingTimeTimeout's wall-clock batch scheduling is not) via a
