@@ -250,6 +250,34 @@ object Multimodal {
         count(lit(1)).as("n"))
   }
 
+  val resizeFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", LongType),
+    StructField("height", LongType),
+    StructField("red_sum", LongType)))
+
+  /** Distributed image transform: decode → nearest-neighbour resize →
+    * re-encode → re-decode, reporting the transformed dimensions and the
+    * red-channel pixel sum — the decode/transform/re-encode shape of a
+    * vision training pipeline, with the re-decode proving the re-encoded
+    * bytes are a valid image (not just that resize ran). Per-row
+    * mapPartitions; bytes never leave the executor, no shuffle. */
+  def imageResizeFeatures(media: DataFrame, newW: Int, newH: Int)
+      : DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val resized = MediaCodecs.decodeBmp(MediaCodecs.resizeBmp(
+          r.getAs[Array[Byte]](mIdx), newW, newH))
+        var redSum = 0L
+        resized.pixels.foreach(p => redSum += (p >> 16) & 0xff)
+        Row(r.getLong(idIdx), resized.width.toLong, resized.height.toLong,
+          redSum)
+      }
+    }(Encoders.row(resizeFeatureSchema))
+  }
+
   val mp4FeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("duration_ms", LongType),

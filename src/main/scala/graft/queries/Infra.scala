@@ -789,6 +789,41 @@ object Infra {
       FROM orders WHERE o_orderkey < 150
       GROUP BY o_orderkey % 4 ORDER BY keep_id""")),
 
+    // ---- distributed image transform through the oracle gate: 16×16
+    // linear-gradient BMP fixtures (v = o + a·x + b·y, no clamping) are
+    // decoded, resized 2× down (nearest-neighbour at an integer ratio
+    // selects source pixel (2x, 2y) exactly), re-encoded and re-decoded;
+    // the oracle predicts the resized red-channel sum in closed form:
+    // Σ_{x,y<8} (o + 2ax + 2by) = 64·o + 448·a + 448·b.
+    QueryDef("q166_media_transform", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 150)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val o = ((k * 3) % 30).toInt
+          val a = 1 + (k % 3).toInt
+          val b = 1 + (k % 2).toInt
+          val px = Array.tabulate(16 * 16) { i =>
+            val v = o + a * (i % 16) + b * (i / 16)
+            (v << 16) | (v << 8) | v
+          }
+          Row(k, _root_.graft.operators.MediaCodecs.encodeBmp(16, 16, px),
+            "image/bmp")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.imageResizeFeatures(media, 8, 8)
+        .orderBy("media_id")
+    }, Some("""
+      SELECT o_orderkey AS media_id,
+             CAST(8 AS BIGINT) AS width, CAST(8 AS BIGINT) AS height,
+             CAST(64 * (o_orderkey * 3 % 30)
+                  + 448 * (1 + o_orderkey % 3)
+                  + 448 * (1 + o_orderkey % 2) AS BIGINT) AS red_sum
+      FROM orders WHERE o_orderkey < 150 ORDER BY media_id""")),
+
     // ---- REAL MP3 sample decode through the oracle gate (reference keeps
     // media opaque; this goes further): MediaCodecs.decodeMp3 runs the
     // actual Layer III chain — side-info bit parse, scalefactors,
