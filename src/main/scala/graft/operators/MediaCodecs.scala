@@ -603,10 +603,15 @@ object MediaCodecs {
     * count1 table B (the 4-bit fixed-width count1 table — its codeword IS
     * the inverted value pattern); global_gain ramps from `globalGain` per
     * frame. Everything after the coded audio data is deterministic
-    * filler. */
+    * filler. `reservoirBytes` exercises the bit reservoir: every frame
+    * after the first declares `main_data_begin = reservoirBytes` and its
+    * first `reservoirBytes` bytes of main data are physically placed at
+    * the END of the PREVIOUS frame's region — the continuous-main-data
+    * layout of ISO 11172-3 §2.4.1.7. */
   def encodeMp3(frames: Int, bitrateIdx: Int, rateIdx: Int,
       id3Bytes: Int = 0, globalGain: Int = 210,
-      count1Quads: Int = 0, bigValuePairs: Int = 0): Array[Byte] = {
+      count1Quads: Int = 0, bigValuePairs: Int = 0,
+      reservoirBytes: Int = 0): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     if (id3Bytes > 0) { // ID3v2 header + syncsafe size
       out.write('I'); out.write('D'); out.write('3')
@@ -616,34 +621,19 @@ object MediaCodecs {
       (0 until id3Bytes).foreach(i => out.write(i % 251))
     }
     val frameLen = 144 * Mp3Bitrates(bitrateIdx) * 1000 / Mp3Rates(rateIdx)
-    (0 until frames).foreach { f =>
-      out.write(0xff); out.write(0xfb) // sync + MPEG-1 + Layer III + no CRC
-      out.write((bitrateIdx << 4) | (rateIdx << 2)) // no padding
-      out.write(0xc4) // mono, no emphasis
+    // scalefac_compress=2 → (slen1,slen2)=(0,2): 11 bands × 0 bits +
+    // 10 bands × 2 bits = 20 scalefactor bits; count1 region: 4-bit
+    // table-B codeword + one sign bit per nonzero value
+    val sfBits = 11 * Slen1(2) + 10 * Slen2(2)
+    val quadPatterns = (0 until count1Quads).map(q => 1 + (q % 15))
+    // each (1,1) pair: 3-bit table-1 code + 2 sign bits
+    val part23 = sfBits + bigValuePairs * 5 +
+      quadPatterns.map(p => 4 + Integer.bitCount(p)).sum
+    val tsel = if (bigValuePairs > 0) Seq(1, 1, 1) else Seq(0, 0, 0)
+    // per-frame main-data byte arrays (built up front so a frame's head
+    // can ride in the previous frame's tail)
+    val mains: IndexedSeq[Array[Byte]] = (0 until frames).map { f =>
       val w = new BitWriter
-      // scalefac_compress=2 → (slen1,slen2)=(0,2): 11 bands × 0 bits +
-      // 10 bands × 2 bits = 20 scalefactor bits; count1 region:
-      // 4-bit table-B codeword + one sign bit per nonzero value
-      val sfBits = 11 * Slen1(2) + 10 * Slen2(2)
-      val quadPatterns = (0 until count1Quads).map(q => 1 + (q % 15))
-      // each (1,1) pair: 3-bit table-1 code + 2 sign bits
-      val part23 = sfBits + bigValuePairs * 5 +
-        quadPatterns.map(p => 4 + Integer.bitCount(p)).sum
-      val tsel = if (bigValuePairs > 0) Seq(1, 1, 1) else Seq(0, 0, 0)
-      val gr = Mp3Granule(part23, bigValuePairs,
-        math.min(255, globalGain + f), 2, tsel, 0, 0, 0, 0, 1)
-      w.put(0, 9); w.put(0, 5); w.put(0, 4) // main_data_begin/private/scfsi
-      Seq(gr, gr).foreach { g =>
-        w.put(g.part23Length, 12); w.put(g.bigValues, 9)
-        w.put(g.globalGain, 8); w.put(g.scalefacCompress, 4)
-        w.put(0, 1) // windows_switching_flag: long blocks
-        g.tableSelect.foreach(t => w.put(t, 5))
-        w.put(g.region0Count, 4); w.put(g.region1Count, 3)
-        w.put(g.preflag, 1); w.put(g.scalefacScale, 1)
-        w.put(g.count1TableSelect, 1)
-      }
-      // main data, both granules: scalefactors, big_values pairs, then
-      // count1 quadruples
       Seq(0, 1).foreach { gi =>
         (0 until 10).foreach(b => w.put((b + gi) % 4, 2)) // slen2 bands
         (0 until bigValuePairs).foreach { j =>
@@ -657,10 +647,45 @@ object MediaCodecs {
           (0 until Integer.bitCount(pattern)).foreach(s => w.put(s & 1, 1))
         }
       }
-      val data = w.bytes
-      require(4 + data.length <= frameLen, "fixture audio data overflows frame")
-      data.foreach(b => out.write(b & 0xff))
-      (4 + data.length until frameLen).foreach(i => out.write((i * 31 + f) % 251))
+      w.bytes
+    }
+    val mdb = Array.tabulate(frames)(f =>
+      if (f == 0) 0 else math.min(reservoirBytes, mains(f).length))
+    val regionLen = frameLen - 21
+    (0 until frames).foreach { f =>
+      out.write(0xff); out.write(0xfb) // sync + MPEG-1 + Layer III + no CRC
+      out.write((bitrateIdx << 4) | (rateIdx << 2)) // no padding
+      out.write(0xc4) // mono, no emphasis
+      val gr = Mp3Granule(part23, bigValuePairs,
+        math.min(255, globalGain + f), 2, tsel, 0, 0, 0, 0, 1)
+      val w = new BitWriter
+      w.put(mdb(f), 9); w.put(0, 5); w.put(0, 4) // mdb/private/scfsi
+      Seq(gr, gr).foreach { g =>
+        w.put(g.part23Length, 12); w.put(g.bigValues, 9)
+        w.put(g.globalGain, 8); w.put(g.scalefacCompress, 4)
+        w.put(0, 1) // windows_switching_flag: long blocks
+        g.tableSelect.foreach(t => w.put(t, 5))
+        w.put(g.region0Count, 4); w.put(g.region1Count, 3)
+        w.put(g.preflag, 1); w.put(g.scalefacScale, 1)
+        w.put(g.count1TableSelect, 1)
+      }
+      val side = w.bytes
+      require(side.length == 17, s"mono side info must be 17 bytes")
+      side.foreach(b => out.write(b & 0xff))
+      // region: the rest of THIS frame's data at the front, the head of
+      // the NEXT frame's data flush at the tail, filler in between
+      val rest = mains(f).drop(mdb(f))
+      val nextHead =
+        if (f + 1 < frames) mains(f + 1).take(mdb(f + 1))
+        else Array.emptyByteArray
+      require(rest.length + nextHead.length <= regionLen,
+        "fixture audio data overflows frame")
+      val region = Array.tabulate(regionLen)(j => (((21 + j) * 31 + f) % 251)
+        .toByte)
+      System.arraycopy(rest, 0, region, 0, rest.length)
+      System.arraycopy(nextHead, 0, region,
+        regionLen - nextHead.length, nextHead.length)
+      region.foreach(b => out.write(b & 0xff))
     }
     out.toByteArray
   }
@@ -748,11 +773,13 @@ object MediaCodecs {
     * with the B.6 preemphasis and B.8 band lookup → alias-reduction
     * butterflies (the 8 public cᵢ coefficients) → 36-point IMDCT per
     * subband with the sine window and inter-granule overlap-add →
-    * frequency inversion. Scoped out, by name: huffman tables 2-31 (incl.
-    * the 16/24 linbits families), the bit reservoir (main_data_begin > 0),
-    * window-switching granules, and the 512-tap polyphase synthesis
-    * window D[] (tabulated data with no closed form; subbands are summed
-    * directly instead). Returns mono samples, 1152 per frame.
+    * frequency inversion. The bit reservoir is REAL (round-7): main data
+    * is read from the rolling continuous stream at `main_data_begin`
+    * bytes before the frame's own region, underflow failing loudly.
+    * Scoped out, by name: huffman tables 2-31 (incl. the 16/24 linbits
+    * families), window-switching granules, and the 512-tap polyphase
+    * synthesis window D[] (tabulated data with no closed form; subbands
+    * are summed directly instead). Returns mono samples, 1152 per frame.
     */
   def decodeMp3Pcm(bytes: Array[Byte]): Array[Double] = decodeMp3(bytes).pcm
 
@@ -766,6 +793,12 @@ object MediaCodecs {
       -0.0037)
     val cs = ci.map(c => 1.0 / math.sqrt(1 + c * c))
     val ca = ci.indices.map(i => ci(i) * cs(i)).toArray
+    // bit reservoir: main data is a CONTINUOUS stream riding behind the
+    // headers — frame N's granule data starts main_data_begin bytes
+    // before its own header, inside previous frames' unused space (ISO
+    // 11172-3 §2.4.1.7 main_data_begin). The rolling buffer holds the
+    // accumulated stream, trimmed to the field's 511-byte reach.
+    var reservoir = Array.emptyByteArray
     while (pos + 4 <= bytes.length &&
         (bytes(pos) & 0xff) == 0xff && (bytes(pos + 1) & 0xe0) == 0xe0) {
       val b2 = bytes(pos + 2) & 0xff
@@ -773,10 +806,19 @@ object MediaCodecs {
       val frameLen = 144 * Mp3Bitrates((b2 >> 4) & 0xf) * 1000 /
         Mp3Rates(rateIdx) + ((b2 >> 1) & 1)
       val bands = Mp3BandsLong(rateIdx)
-      val r = new BitReader(bytes, pos + 4)
-      val si = readSideInfo(r)
-      require(si.mainDataBegin == 0,
-        "bit-reservoir frames not supported (fixtures write main_data_begin=0)")
+      val si = readSideInfo(new BitReader(bytes, pos + 4))
+      // this frame's own main-data region: everything after the 17-byte
+      // mono side info, up to the next header
+      val regionEnd = math.min(pos + frameLen, bytes.length)
+      val ownBytes = java.util.Arrays.copyOfRange(bytes, pos + 21, regionEnd)
+      val dataOffset = reservoir.length - si.mainDataBegin
+      require(dataOffset >= 0,
+        s"bit-reservoir underflow: main_data_begin=${si.mainDataBegin} " +
+          s"exceeds the ${reservoir.length} buffered bytes")
+      val stream = new Array[Byte](reservoir.length + ownBytes.length)
+      System.arraycopy(reservoir, 0, stream, 0, reservoir.length)
+      System.arraycopy(ownBytes, 0, stream, reservoir.length, ownBytes.length)
+      val r = new BitReader(stream, dataOffset)
       var sf0: Array[Int] = null
       si.granules.zipWithIndex.foreach { case (g, gi) =>
         require(g.count1TableSelect == 1,
@@ -888,6 +930,12 @@ object MediaCodecs {
           out += s
         }
       }
+      // roll the reservoir forward, trimmed to main_data_begin's 9-bit
+      // reach (511 bytes)
+      reservoir =
+        if (stream.length <= 511) stream
+        else java.util.Arrays.copyOfRange(stream,
+          stream.length - 511, stream.length)
       pos += frameLen
     }
     // 2 granules × 18 slots emitted per frame above; expand to the frame's

@@ -852,7 +852,10 @@ object Infra {
             bitrateIdx = 9, rateIdx = 0,
             globalGain = 140 + (k % 40).toInt,
             count1Quads = (k % 4).toInt,
-            bigValuePairs = (k % 3).toInt * 2), "audio/mpeg")
+            bigValuePairs = (k % 3).toInt * 2,
+            // odd keys route frames 2+ through the bit reservoir — same
+            // decoded stream, different physical layout, same oracle
+            reservoirBytes = (k % 2).toInt * 4), "audio/mpeg")
         }
       }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
       _root_.graft.operators.Multimodal.mp3PcmFeatures(media)
