@@ -977,6 +977,52 @@ object Pipeline {
       FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
       ORDER BY a.vec_id""")),
 
+    // ---- semantic dedup with TRAINED centroids: spherical k-means cells
+    // instead of the lowest-id seeds — the model persists to parquet and
+    // the oracle consumes it (q141's pattern), so the trained assignment
+    // replays exactly.
+    QueryDef("q167_semantic_dedup_trained", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val (cents, _) = Similarity.trainIvfCentroids(
+        emb, "vec_id", "embedding", dims = 64, nlist = 16, iters = 2)
+      Dedup.semanticDedup(emb, "vec_id", "embedding",
+          nlist = 16, threshold = 0.3,
+          trainedCentroids =
+            Some(materializeModel(cents, "semdedup_centroids")))
+        .orderBy("vec_id")
+    }, Some(s"""
+      WITH p AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings),
+      cent AS (
+        SELECT cent_id, cv AS ce, cn
+        FROM read_parquet('$ModelDir/semdedup_centroids/*.parquet')),
+      sims AS (
+        SELECT p.vec_id, c.cent_id,
+               list_sum([CAST(p.embedding[i] AS DOUBLE) * c.ce[i]
+                         FOR i IN range(1, 65)]) / (p.nrm * c.cn) AS csim
+        FROM p, cent c),
+      assign AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cent_id) AS crank
+          FROM sims) WHERE crank = 1),
+      dups AS (
+        SELECT a.vec_id, min(b.vec_id) AS dup_of
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND b.vec_id < a.vec_id
+        JOIN p pa ON pa.vec_id = a.vec_id
+        JOIN p pb ON pb.vec_id = b.vec_id
+        WHERE list_sum([CAST(pa.embedding[i] AS DOUBLE)
+                        * CAST(pb.embedding[i] AS DOUBLE)
+                        FOR i IN range(1, 65)]) / (pa.nrm * pb.nrm) > 0.3
+        GROUP BY a.vec_id)
+      SELECT a.vec_id, a.cell, d.dup_of, d.dup_of IS NULL AS kept
+      FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
+      ORDER BY a.vec_id""")),
+
     // ---- benchmark decontamination: training docs (id < 450) sharing
     // 5-grams with the held-out eval slice (id >= 450); eval n-gram set
     // broadcasts, training side is one scan + probe
