@@ -250,6 +250,35 @@ object Multimodal {
         count(lit(1)).as("n"))
   }
 
+  val audioEnergySchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("win", LongType),
+    StructField("n_samples", LongType),
+    StructField("energy", LongType)))
+
+  /** Windowed audio energy profile over decoded PCM — the segmentation
+    * statistic an audio curation pipeline thresholds for silence/activity
+    * gating: per `windowSamples` window, the EXACT integer sum of squared
+    * int16 samples (no sqrt/float — the energy sum is the gateable value,
+    * RMS is a monotone function of it). One decode pass per row, one row
+    * per window out; no shuffle. */
+  def audioEnergyWindows(media: DataFrame, windowSamples: Int): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.flatMap { r =>
+        val id = r.getLong(idIdx)
+        val w = MediaCodecs.decodeWav(r.getAs[Array[Byte]](mIdx))
+        w.samples.grouped(windowSamples).zipWithIndex.map {
+          case (win, i) =>
+            var e = 0L
+            win.foreach(s => e += s.toLong * s)
+            Row(id, i.toLong, win.length.toLong, e)
+        }
+      }
+    }(Encoders.row(audioEnergySchema))
+  }
+
   val resizeFeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("width", LongType),

@@ -789,6 +789,43 @@ object Infra {
       FROM orders WHERE o_orderkey < 150
       GROUP BY o_orderkey % 4 ORDER BY keep_id""")),
 
+    // ---- windowed audio energy through the oracle gate: the q118 ramp
+    // fixtures decoded and profiled in 256-sample windows; the oracle
+    // replays the ramp formula and the exact integer sum of squares with
+    // generate-series arithmetic — no float in the gate.
+    QueryDef("q168_audio_energy", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 150)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val n = 1000 + (k % 5).toInt * 200
+          val samples = Array.tabulate(n)(i =>
+            (((i.toLong * 37 + k) % 2048) - 1024).toShort)
+          Row(k, _root_.graft.operators.MediaCodecs.encodeWav(8000, 1, samples),
+            "audio/wav")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.audioEnergyWindows(media, 256)
+        .orderBy("media_id", "win")
+    }, Some("""
+      WITH k AS (
+        SELECT o_orderkey AS media_id,
+               1000 + CAST(o_orderkey % 5 AS INT) * 200 AS n
+        FROM orders WHERE o_orderkey < 150),
+      s AS (
+        SELECT media_id, unnest(range(0, n)) AS i, n FROM k),
+      sm AS (
+        SELECT media_id, i // 256 AS win,
+               (i * 37 + media_id) % 2048 - 1024 AS v
+        FROM s)
+      SELECT media_id, CAST(win AS BIGINT) AS win,
+             count(*) AS n_samples,
+             CAST(sum(v * v) AS BIGINT) AS energy
+      FROM sm GROUP BY media_id, win ORDER BY media_id, win""")),
+
     // ---- distributed image transform through the oracle gate: 16×16
     // linear-gradient BMP fixtures (v = o + a·x + b·y, no clamping) are
     // decoded, resized 2× down (nearest-neighbour at an integer ratio
