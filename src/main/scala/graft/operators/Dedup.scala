@@ -351,9 +351,10 @@ object Dedup {
     * reuse covers the self-join's two sides (same subtree up to the
     * rename). Output: one row per vector — (vec_id, cell, kept, dup_of).
     */
-  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, threshold: Double,
-      trainedCentroids: Option[DataFrame] = None): DataFrame = {
+  /** Voronoi cell assignment shared by the semantic-dedup family:
+    * (cell, id, v, nrm), centroids broadcast, per-row cosine argmax. */
+  private def semanticCells(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, trainedCentroids: Option[DataFrame]): DataFrame = {
     val p = Similarity.prepared(emb, vecCol)
     val centroids = trainedCentroids.getOrElse(
       p.orderBy(col(idCol)).limit(nlist)
@@ -361,26 +362,50 @@ object Dedup {
           col("__nrm").as("cn")))
     val wAssign = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy(col("__csim").desc, col("cent_id"))
-    val assigned = p.crossJoin(broadcast(centroids))
+    p.crossJoin(broadcast(centroids))
       .withColumn("__csim",
         Similarity.dot(col("__vecd"), col("cv")) / (col("__nrm") * col("cn")))
       .withColumn("__crank", row_number().over(wAssign))
       .filter(col("__crank") === 1)
       .select(col("cent_id").as("cell"), col(idCol).as("id"),
         col("__vecd").as("v"), col("__nrm").as("nrm"))
-    val lhs = assigned.select(col("cell"), col("id").as("i"),
+  }
+
+  /** Same-cell near-duplicate PAIRS (id1 < id2, exact cosine > threshold)
+    * — the edge list the SemDeDup family shares: [[semanticDedup]] folds
+    * it to min-id pruning; feeding it to [[dupClusters]] instead yields
+    * transitive cluster labels for quality-aware representative
+    * selection. One shuffle keyed on cell; quadratic bounded by cell
+    * population. */
+  def semanticNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, threshold: Double,
+      trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val assigned =
+      semanticCells(emb, idCol, vecCol, nlist, trainedCentroids)
+    val lhs = assigned.select(col("cell"), col("id").as("id2"),
       col("v").as("iv"), col("nrm").as("inrm"))
-    val rhs = assigned.select(col("cell"), col("id").as("j"),
+    val rhs = assigned.select(col("cell"), col("id").as("id1"),
       col("v").as("jv"), col("nrm").as("jnrm"))
-    val dups = lhs.join(rhs, Seq("cell"))
-      .filter(col("j") < col("i"))
+    lhs.join(rhs, Seq("cell"))
+      .filter(col("id1") < col("id2"))
       .withColumn("sim",
         Similarity.dot(col("iv"), col("jv")) / (col("inrm") * col("jnrm")))
       .filter(col("sim") > threshold)
-      .groupBy(col("i"))
-      .agg(min(col("j")).as("dup_of"))
+      .select(col("id1"), col("id2"), col("sim"))
+  }
+
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, threshold: Double,
+      trainedCentroids: Option[DataFrame] = None): DataFrame = {
+    val assigned =
+      semanticCells(emb, idCol, vecCol, nlist, trainedCentroids)
+    val dups =
+      semanticNearDupPairs(emb, idCol, vecCol, nlist, threshold,
+        trainedCentroids)
+        .groupBy(col("id2"))
+        .agg(min(col("id1")).as("dup_of"))
     assigned.select(col("id").as("vec_id"), col("cell"))
-      .join(dups.select(col("i").as("vec_id"), col("dup_of")),
+      .join(dups.select(col("id2").as("vec_id"), col("dup_of")),
         Seq("vec_id"), "left")
       .withColumn("kept", col("dup_of").isNull)
   }

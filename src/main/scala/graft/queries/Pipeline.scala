@@ -977,6 +977,78 @@ object Pipeline {
       FROM assign a LEFT JOIN dups d ON d.vec_id = a.vec_id
       ORDER BY a.vec_id""")),
 
+    // ---- quality-aware semantic clustering in ONE plan: same-cell
+    // cosine pairs → connected components (transitive clusters, not just
+    // min-id pruning) → per-cluster representative chosen by DOCUMENT
+    // quality (longest text wins, tie to the lowest id) — the full
+    // SemDeDup + curation composition; the oracle replays pairs, the
+    // recursive min-label reach, and the ranked join.
+    QueryDef("q169_semantic_cluster_keep", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val pairs = Dedup.semanticNearDupPairs(emb, "vec_id", "embedding",
+        nlist = 16, threshold = 0.3)
+      val clusters = Dedup.dupClusters(pairs)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("label")
+        .orderBy(col("n_chars").desc, col("node"))
+      clusters
+        .join(t(s, dir, "documents").select(
+          col("doc_id").as("node"), col("n_chars")), Seq("node"))
+        .withColumn("__rn", row_number().over(w))
+        .groupBy(col("label").cast("long").as("canonical"))
+        .agg(count(lit(1)).as("members"),
+          min(when(col("__rn") === 1, col("node"))).cast("long")
+            .as("keep_id"),
+          max(col("n_chars")).cast("long").as("keep_chars"))
+        .orderBy("canonical")
+    }, Some("""
+      WITH RECURSIVE p AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings),
+      cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+        FROM p ORDER BY vec_id LIMIT 16),
+      sims AS (
+        SELECT p.vec_id, c.cent_id,
+               list_sum([CAST(p.embedding[i] AS DOUBLE) * c.ce[i]
+                         FOR i IN range(1, 65)]) / (p.nrm * c.cn) AS csim
+        FROM p, cent c),
+      assign AS (
+        SELECT vec_id, cent_id AS cell FROM (
+          SELECT *, row_number() OVER (PARTITION BY vec_id
+                      ORDER BY csim DESC, cent_id) AS crank
+          FROM sims) WHERE crank = 1),
+      prs AS (
+        SELECT b.vec_id AS id1, a.vec_id AS id2
+        FROM assign a JOIN assign b
+          ON a.cell = b.cell AND b.vec_id < a.vec_id
+        JOIN p pa ON pa.vec_id = a.vec_id
+        JOIN p pb ON pb.vec_id = b.vec_id
+        WHERE list_sum([CAST(pa.embedding[i] AS DOUBLE)
+                        * CAST(pb.embedding[i] AS DOUBLE)
+                        FOR i IN range(1, 65)]) / (pa.nrm * pb.nrm) > 0.3),
+      edges AS (
+        SELECT id1 AS src, id2 AS dst FROM prs
+        UNION
+        SELECT id2, id1 FROM prs),
+      reach(n, l) AS (
+        SELECT src, src FROM edges
+        UNION
+        SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.n),
+      lbl AS (SELECT n AS vec_id, min(l) AS label FROM reach GROUP BY n),
+      ranked AS (
+        SELECT lbl.label, lbl.vec_id, d.n_chars,
+               row_number() OVER (PARTITION BY lbl.label
+                 ORDER BY d.n_chars DESC, lbl.vec_id) AS rn
+        FROM lbl JOIN documents d ON d.doc_id = lbl.vec_id)
+      SELECT CAST(label AS BIGINT) AS canonical, count(*) AS members,
+             CAST(min(CASE WHEN rn = 1 THEN vec_id END) AS BIGINT)
+               AS keep_id,
+             CAST(max(n_chars) AS BIGINT) AS keep_chars
+      FROM ranked GROUP BY label ORDER BY canonical""")),
+
     // ---- semantic dedup with TRAINED centroids: spherical k-means cells
     // instead of the lowest-id seeds — the model persists to parquet and
     // the oracle consumes it (q141's pattern), so the trained assignment
