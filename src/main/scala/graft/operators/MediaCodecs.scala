@@ -968,7 +968,12 @@ object MediaCodecs {
       videoCodec: String = "", avcProfile: Int = 0, avcLevel: Int = 0,
       spsCount: Int = 0, ppsCount: Int = 0,
       audioCodec: String = "", audioObjectType: Int = 0,
-      audioChannels: Int = 0, audioRateHz: Int = 0)
+      audioChannels: Int = 0, audioRateHz: Int = 0,
+      /** round-7 depth: movie fragments (§8.8 moof/traf/trun — the
+        * DASH/HLS layout): fragment count, trun sample total, and the
+        * fragment timeline in ms from the per-sample durations. */
+      nFragments: Int = 0, fragSamples: Long = 0L,
+      fragDurationMs: Long = 0L)
 
   private def box(typ: String, body: Array[Byte]): Array[Byte] = {
     val buf = ByteBuffer.allocate(8 + body.length) // big-endian by default
@@ -1226,11 +1231,74 @@ object MediaCodecs {
     types.toSeq
   }
 
+  /** Fragmented-MP4 fixture writer (ISO 14496-12 §8.8 movie fragments —
+    * the DASH/HLS layout): ftyp + a moov carrying mvex/trex defaults and
+    * an empty-sample-table track, then per fragment
+    * moof(mfhd sequence, traf(tfhd track_id, trun with
+    * sample-duration-present)) + a deterministic mdat payload.
+    * `fragments` = per-fragment (sampleCount, perSampleDelta). */
+  def encodeMp4Fragmented(timescale: Int, width: Int, height: Int,
+      fragments: Seq[(Int, Int)]): Array[Byte] = {
+    val base = encodeMp4(timescale, duration = 0L,
+      Seq(("vide", width, height, 0)))
+    val mvex = box("mvex", box("trex", {
+      val b = ByteBuffer.allocate(24)
+      b.putInt(0) // version + flags
+      b.putInt(1) // track_ID
+      b.putInt(1) // default_sample_description_index
+      b.putInt(0); b.putInt(0); b.putInt(0) // default dur/size/flags
+      b.array()
+    }))
+    // splice mvex into moov: grow the moov (and file) box sizes
+    val out = new java.io.ByteArrayOutputStream()
+    var pos = 0
+    while (pos + 8 <= base.length) {
+      val size = ByteBuffer.wrap(base, pos, 4).getInt
+      val typ = new String(base, pos + 4, 4, "US-ASCII")
+      if (typ == "moov") {
+        val grown = ByteBuffer.allocate(4)
+        grown.putInt(size + mvex.length)
+        out.write(grown.array()); out.write(base, pos + 4, 4)
+        out.write(base, pos + 8, size - 8)
+        out.write(mvex)
+      } else out.write(base, pos, size)
+      pos += size
+    }
+    fragments.zipWithIndex.foreach { case ((n, delta), i) =>
+      val mfhd = box("mfhd", {
+        val b = ByteBuffer.allocate(8)
+        b.putInt(0); b.putInt(i + 1) // sequence_number, 1-based
+        b.array()
+      })
+      val tfhd = box("tfhd", {
+        val b = ByteBuffer.allocate(8)
+        b.putInt(0x020000) // default-base-is-moof
+        b.putInt(1) // track_ID
+        b.array()
+      })
+      val trun = box("trun", {
+        val b = ByteBuffer.allocate(8 + 4 * n)
+        b.putInt(0x000100) // flags: sample-duration-present
+        b.putInt(n)
+        (0 until n).foreach(_ => b.putInt(delta))
+        b.array()
+      })
+      out.write(box("moof", mfhd ++ box("traf", tfhd ++ trun)))
+      val payload = Array.tabulate(16)(j => ((j * 7 + i) % 251).toByte)
+      out.write(box("mdat", payload))
+    }
+    out.toByteArray
+  }
+
   /** Recursive box walk over the container set; unknown boxes skip by
     * their declared size (the property that makes BMFF forward-
     * compatible, and the first thing a wrong parser breaks). */
   def parseMp4(bytes: Array[Byte]): Mp4Meta = {
-    val containers = Set("moov", "trak", "mdia", "minf", "stbl")
+    val containers = Set("moov", "trak", "mdia", "minf", "stbl",
+      "moof", "traf")
+    var nFragments = 0
+    var fragSamples = 0L
+    var fragTicks = 0L
     var timescale = 0
     var duration = 0L
     var nTracks = 0
@@ -1387,6 +1455,23 @@ object MediaCodecs {
             nChunks += (i32(pos + 8 + 4) & 0xffffffffL)
           case "stsd" =>
             parseStsd(pos + 8, pos + size)
+          case "mfhd" =>
+            nFragments += 1
+          case "trun" =>
+            val flags = i32(pos + 8) & 0xffffff
+            val n = i32(pos + 8 + 4)
+            fragSamples += n
+            var q = pos + 8 + 8
+            if ((flags & 0x000001) != 0) q += 4 // data_offset
+            if ((flags & 0x000004) != 0) q += 4 // first_sample_flags
+            (0 until n).foreach { _ =>
+              if ((flags & 0x000100) != 0) { // sample_duration present
+                fragTicks += i32(q).toLong; q += 4
+              }
+              if ((flags & 0x000200) != 0) q += 4 // sample_size
+              if ((flags & 0x000400) != 0) q += 4 // sample_flags
+              if ((flags & 0x000800) != 0) q += 4 // composition offset
+            }
           case "mdhd" =>
             mdhdTimescale = i32(pos + 8 + 12)
             // packed ISO-639-2/T: three 5-bit letters, each + 0x60
@@ -1409,6 +1494,9 @@ object MediaCodecs {
       videoCodec = videoCodec, avcProfile = avcProfile, avcLevel = avcLevel,
       spsCount = spsCount, ppsCount = ppsCount,
       audioCodec = audioCodec, audioObjectType = audioObjectType,
-      audioChannels = audioChannels, audioRateHz = audioRateHz)
+      audioChannels = audioChannels, audioRateHz = audioRateHz,
+      nFragments = nFragments, fragSamples = fragSamples,
+      fragDurationMs =
+        if (mdhdTimescale > 0) fragTicks * 1000L / mdhdTimescale else 0L)
   }
 }

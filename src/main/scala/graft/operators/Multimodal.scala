@@ -250,6 +250,30 @@ object Multimodal {
         count(lit(1)).as("n"))
   }
 
+  val fmp4FeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_fragments", LongType),
+    StructField("frag_samples", LongType),
+    StructField("frag_duration_ms", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType)))
+
+  /** Fragmented-MP4 (DASH/HLS) features: moof/traf/trun walk — fragment
+    * count, trun sample totals, fragment timeline from the per-sample
+    * durations over the track's mdhd timescale. Same per-row decode
+    * shape. */
+  def fmp4Features(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val m = MediaCodecs.parseMp4(r.getAs[Array[Byte]](mIdx))
+        Row(r.getLong(idIdx), m.nFragments.toLong, m.fragSamples,
+          m.fragDurationMs, m.width.toLong, m.height.toLong)
+      }
+    }(Encoders.row(fmp4FeatureSchema))
+  }
+
   val audioEnergySchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("win", LongType),

@@ -789,6 +789,46 @@ object Infra {
       FROM orders WHERE o_orderkey < 150
       GROUP BY o_orderkey % 4 ORDER BY keep_id""")),
 
+    // ---- fragmented MP4 (DASH/HLS movie fragments) through the oracle
+    // gate: moof/traf/trun walk over key-derived fixtures — fragment
+    // count, trun sample totals, fragment timeline from per-sample
+    // durations at the track's mdhd timescale.
+    QueryDef("q170_multimodal_fmp4", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 150)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val nf = 1 + (k % 4).toInt
+          val n = 10 + (k % 7).toInt
+          val delta = 50 + (k % 3).toInt * 25
+          Row(k, _root_.graft.operators.MediaCodecs.encodeMp4Fragmented(
+            timescale = 1000 + (k % 5).toInt * 200,
+            width = 320 + (k % 4).toInt * 16, height = 180,
+            fragments = Seq.fill(nf)((n, delta))), "video/mp4")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.fmp4Features(media)
+        .orderBy("media_id")
+    }, Some("""
+      WITH k AS (
+        SELECT o_orderkey AS media_id,
+               1 + o_orderkey % 4 AS nf,
+               10 + o_orderkey % 7 AS n,
+               50 + o_orderkey % 3 * 25 AS delta,
+               1000 + o_orderkey % 5 * 200 AS ts
+        FROM orders WHERE o_orderkey < 150)
+      SELECT media_id,
+             CAST(nf AS BIGINT) AS n_fragments,
+             CAST(nf * n AS BIGINT) AS frag_samples,
+             CAST(nf * n * delta * 1000 // ts AS BIGINT)
+               AS frag_duration_ms,
+             CAST(320 + media_id % 4 * 16 AS BIGINT) AS width,
+             CAST(180 AS BIGINT) AS height
+      FROM k ORDER BY media_id""")),
+
     // ---- windowed audio energy through the oracle gate: the q118 ramp
     // fixtures decoded and profiled in 256-sample windows; the oracle
     // replays the ramp formula and the exact integer sum of squares with
