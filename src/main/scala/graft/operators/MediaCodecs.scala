@@ -721,6 +721,72 @@ object MediaCodecs {
     Mp3Meta(rate, kbps, frames, frames.toLong * 1152L * 1000L / rate)
   }
 
+  /** ID3v2.3 tag writer: "ID3" header with a syncsafe size and one
+    * frame per (frameId, text) pair — 4-byte id, 4-byte size (plain
+    * 32-bit in v2.3), 2 flag bytes, then encoding byte 0 (ISO-8859-1) +
+    * the text. */
+  def encodeId3(frames: Seq[(String, String)]): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    frames.foreach { case (id, text) =>
+      require(id.length == 4, s"ID3 frame id must be 4 chars: $id")
+      val payload = text.getBytes("ISO-8859-1")
+      body.write(id.getBytes("US-ASCII"))
+      val sz = 1 + payload.length
+      body.write((sz >> 24) & 0xff); body.write((sz >> 16) & 0xff)
+      body.write((sz >> 8) & 0xff); body.write(sz & 0xff)
+      body.write(0); body.write(0) // frame flags
+      body.write(0) // text encoding: ISO-8859-1
+      body.write(payload)
+    }
+    val b = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3')
+    out.write(3); out.write(0); out.write(0) // v2.3, flags
+    out.write((b.length >> 21) & 0x7f); out.write((b.length >> 14) & 0x7f)
+    out.write((b.length >> 7) & 0x7f); out.write(b.length & 0x7f)
+    out.write(b)
+    out.toByteArray
+  }
+
+  /** ID3v2.3 text-frame extraction (the metadata a curation pipeline
+    * keys on): walks the tag's frames, returning id → text for the
+    * text-information frames ("T***", encoding 0 ISO-8859-1 / 3 UTF-8).
+    * Returns empty when no tag is present; stops at padding (zero frame
+    * id). */
+  def parseId3Tags(bytes: Array[Byte]): Map[String, String] = {
+    if (bytes.length < 10 || bytes(0) != 'I' || bytes(1) != 'D' ||
+        bytes(2) != '3') return Map.empty
+    val size = ((bytes(6) & 0x7f) << 21) | ((bytes(7) & 0x7f) << 14) |
+      ((bytes(8) & 0x7f) << 7) | (bytes(9) & 0x7f)
+    val end = math.min(10 + size, bytes.length)
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var pos = 10
+    var done = false
+    while (!done && pos + 10 <= end) {
+      if (bytes(pos) == 0) done = true // padding
+      else {
+        val id = new String(bytes, pos, 4, "US-ASCII")
+        val sz = ((bytes(pos + 4) & 0xff) << 24) |
+          ((bytes(pos + 5) & 0xff) << 16) |
+          ((bytes(pos + 6) & 0xff) << 8) | (bytes(pos + 7) & 0xff)
+        require(sz >= 0 && pos + 10 + sz <= end,
+          s"bad ID3 frame size $sz @ $pos")
+        if (id.startsWith("T") && sz >= 1) {
+          val enc = bytes(pos + 10) & 0xff
+          val cs = enc match {
+            case 0 => "ISO-8859-1"
+            case 3 => "UTF-8"
+            case _ => null // UTF-16 variants: skip, not in fixture scope
+          }
+          if (cs != null)
+            out(id) = new String(bytes, pos + 11, sz - 1, cs)
+        }
+        pos += 10 + sz
+      }
+    }
+    out.toMap
+  }
+
   private def skipId3(bytes: Array[Byte]): Int =
     if (bytes.length >= 10 && bytes(0) == 'I' && bytes(1) == 'D' &&
         bytes(2) == '3')

@@ -250,6 +250,29 @@ object Multimodal {
         count(lit(1)).as("n"))
   }
 
+  val mp3TagSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("title", StringType),
+    StructField("artist", StringType),
+    StructField("album", StringType),
+    StructField("n_text_frames", LongType)))
+
+  /** ID3v2.3 metadata extraction ([[MediaCodecs.parseId3Tags]]): the
+    * title/artist/album text frames an audio curation pipeline keys on,
+    * plus the text-frame count. Per-row, no shuffle. */
+  def mp3TagFeatures(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val tags = MediaCodecs.parseId3Tags(r.getAs[Array[Byte]](mIdx))
+        Row(r.getLong(idIdx), tags.getOrElse("TIT2", null),
+          tags.getOrElse("TPE1", null), tags.getOrElse("TALB", null),
+          tags.size.toLong)
+      }
+    }(Encoders.row(mp3TagSchema))
+  }
+
   val fmp4FeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_fragments", LongType),

@@ -789,6 +789,37 @@ object Infra {
       FROM orders WHERE o_orderkey < 150
       GROUP BY o_orderkey % 4 ORDER BY keep_id""")),
 
+    // ---- ID3v2.3 tag extraction through the oracle gate: REAL tag
+    // frames (TIT2/TPE1/TALB, ISO-8859-1 text) written ahead of a valid
+    // Layer III body; the oracle predicts the strings from key
+    // arithmetic. The frame walk handles padding and non-text frames.
+    QueryDef("q171_mp3_tags", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 150)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val tag = _root_.graft.operators.MediaCodecs.encodeId3(Seq(
+            "TIT2" -> s"title-${k % 7}",
+            "TPE1" -> s"artist-${k % 5}",
+            "TALB" -> s"album-${k % 3}"))
+          val body = _root_.graft.operators.MediaCodecs.encodeMp3(
+            frames = 2, bitrateIdx = 9, rateIdx = 0)
+          Row(k, tag ++ body, "audio/mpeg")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.mp3TagFeatures(media)
+        .orderBy("media_id")
+    }, Some("""
+      SELECT o_orderkey AS media_id,
+             'title-' || CAST(o_orderkey % 7 AS VARCHAR) AS title,
+             'artist-' || CAST(o_orderkey % 5 AS VARCHAR) AS artist,
+             'album-' || CAST(o_orderkey % 3 AS VARCHAR) AS album,
+             CAST(3 AS BIGINT) AS n_text_frames
+      FROM orders WHERE o_orderkey < 150 ORDER BY media_id""")),
+
     // ---- fragmented MP4 (DASH/HLS movie fragments) through the oracle
     // gate: moof/traf/trun walk over key-derived fixtures — fragment
     // count, trun sample totals, fragment timeline from per-sample
