@@ -338,6 +338,59 @@ object MediaCodecs {
     out.toByteArray
   }
 
+  /** Insert tEXt metadata chunks (keyword\0text, Latin-1 — the PNG
+    * metadata layout) after IHDR of an existing PNG. */
+  def addPngTexts(png: Array[Byte], texts: Seq[(String, String)])
+      : Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(png.length + 64)
+    out.write(png, 0, 8) // signature
+    var pos = 8
+    while (pos + 12 <= png.length) {
+      val len = ByteBuffer.wrap(png, pos, 4).getInt
+      val typ = new String(png, pos + 4, 4, "US-ASCII")
+      out.write(png, pos, 12 + len)
+      if (typ == "IHDR") texts.foreach { case (k, v) =>
+        pngChunk(out, "tEXt",
+          k.getBytes("ISO-8859-1") ++ Array[Byte](0) ++
+            v.getBytes("ISO-8859-1"))
+      }
+      pos += 12 + len
+    }
+    out.toByteArray
+  }
+
+  /** tEXt metadata extraction: CRC-checked chunk walk collecting
+    * keyword → text pairs — the image-side analogue of
+    * [[parseId3Tags]]. */
+  def parsePngTexts(bytes: Array[Byte]): Map[String, String] = {
+    require(bytes.length >= 8, "truncated PNG")
+    (0 until 8).foreach(i =>
+      require(bytes(i) == PngSignature(i), "not a PNG"))
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    var pos = 8
+    while (pos + 12 <= bytes.length) {
+      val len = ByteBuffer.wrap(bytes, pos, 4).getInt
+      require(len >= 0 && pos + 12 + len <= bytes.length,
+        s"bad PNG chunk length $len @ $pos")
+      val typ = new String(bytes, pos + 4, 4, "US-ASCII")
+      if (typ == "tEXt") {
+        val data = java.util.Arrays.copyOfRange(bytes, pos + 8,
+          pos + 8 + len)
+        val crc = new java.util.zip.CRC32
+        crc.update(typ.getBytes("US-ASCII")); crc.update(data)
+        require(crc.getValue.toInt ==
+          ByteBuffer.wrap(bytes, pos + 8 + len, 4).getInt,
+          "CRC mismatch in tEXt chunk")
+        val sep = data.indexOf(0.toByte)
+        require(sep > 0, "tEXt missing keyword separator")
+        out(new String(data, 0, sep, "ISO-8859-1")) =
+          new String(data, sep + 1, data.length - sep - 1, "ISO-8859-1")
+      }
+      pos += 12 + len
+    }
+    out.toMap
+  }
+
   /** Parse an 8-bit truecolor non-interlaced PNG: chunk walk with CRC-32
     * verification, zlib inflate of concatenated IDATs, and scanline
     * reconstruction for all five filter types. Returns top-down row-major

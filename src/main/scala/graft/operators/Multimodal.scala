@@ -250,6 +250,32 @@ object Multimodal {
         count(lit(1)).as("n"))
   }
 
+  val pngTextSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("title", StringType),
+    StructField("author", StringType),
+    StructField("n_texts", LongType),
+    StructField("width", LongType),
+    StructField("height", LongType)))
+
+  /** PNG tEXt metadata extraction alongside the pixel decode — the
+    * image-side analogue of [[mp3TagFeatures]]; re-decoding the pixels
+    * proves the inserted chunks left the image valid. */
+  def pngTextFeatures(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        val texts = MediaCodecs.parsePngTexts(bytes)
+        val img = MediaCodecs.decodePng(bytes)
+        Row(r.getLong(idIdx), texts.getOrElse("Title", null),
+          texts.getOrElse("Author", null), texts.size.toLong,
+          img.width.toLong, img.height.toLong)
+      }
+    }(Encoders.row(pngTextSchema))
+  }
+
   val mp3TagSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("title", StringType),

@@ -789,6 +789,41 @@ object Infra {
       FROM orders WHERE o_orderkey < 150
       GROUP BY o_orderkey % 4 ORDER BY keep_id""")),
 
+    // ---- PNG tEXt metadata through the oracle gate: CRC'd tEXt chunks
+    // inserted after IHDR of a real PNG; the re-decode proves the image
+    // stays valid, the oracle predicts the strings from key arithmetic.
+    QueryDef("q172_png_text", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 150)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val w0 = 8 + (k % 3).toInt * 4
+          val px = Array.tabulate(w0 * 8) { i =>
+            val v = (i * 5 + k.toInt) % 240
+            (v << 16) | (v << 8) | v
+          }
+          val png = _root_.graft.operators.MediaCodecs.addPngTexts(
+            _root_.graft.operators.MediaCodecs.encodePng(w0, 8, px),
+            Seq("Title" -> s"img-${k % 11}",
+              "Author" -> s"gen-${k % 4}",
+              "Comment" -> "fixture"))
+          Row(k, png, "image/png")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.pngTextFeatures(media)
+        .orderBy("media_id")
+    }, Some("""
+      SELECT o_orderkey AS media_id,
+             'img-' || CAST(o_orderkey % 11 AS VARCHAR) AS title,
+             'gen-' || CAST(o_orderkey % 4 AS VARCHAR) AS author,
+             CAST(3 AS BIGINT) AS n_texts,
+             CAST(8 + o_orderkey % 3 * 4 AS BIGINT) AS width,
+             CAST(8 AS BIGINT) AS height
+      FROM orders WHERE o_orderkey < 150 ORDER BY media_id""")),
+
     // ---- ID3v2.3 tag extraction through the oracle gate: REAL tag
     // frames (TIT2/TPE1/TALB, ISO-8859-1 text) written ahead of a valid
     // Layer III body; the oracle predicts the strings from key
