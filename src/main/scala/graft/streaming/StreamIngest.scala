@@ -225,7 +225,7 @@ object StreamIngest {
     * (bodies never enter state). Output: (doc_id, simhash, dup_of, kept).
     */
   def streamingNearDupDedup(docs: DataFrame, textCol: String, idCol: String,
-      hammingK: Int = 3): DataFrame = {
+      hammingK: Int = 3, stateTimeout: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.{Encoders, Row}
     import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
     val outSchema = StructType(Seq(
@@ -238,6 +238,12 @@ object StreamIngest {
     val hashSchema = StructType(Seq(
       StructField("doc_id", LongType, nullable = false),
       StructField("simhash", LongType, nullable = false)))
+    // NoTimeout keeps test drains deterministic; production passes a TTL
+    // to bound band state, accepting re-emission after expiry — the same
+    // contract as streamingDedup's TTL (batch dedup is the backstop)
+    val timeoutConf = stateTimeout.map(_ =>
+      GroupStateTimeout.ProcessingTimeTimeout)
+      .getOrElse(GroupStateTimeout.NoTimeout)
     docs.mapPartitions { rows =>
       rows.map { r =>
         Row(r.getLong(idIdx), simHash16Row(r.getString(textIdx)))
@@ -245,8 +251,8 @@ object StreamIngest {
     }(Encoders.row(hashSchema))
       .groupByKey(_.getLong(1) >> 12)(Encoders.scalaLong)
       .flatMapGroupsWithState[Vector[(Long, Long)], Row](
-        OutputMode.Append, GroupStateTimeout.NoTimeout)(
-        nearDupGroup(hammingK)
+        OutputMode.Append, timeoutConf)(
+        nearDupGroup(hammingK, stateTimeout)
       )(Encoders.kryo[Vector[(Long, Long)]], Encoders.row(outSchema))
   }
 
@@ -256,11 +262,16 @@ object StreamIngest {
     * hamming threshold. Every row (kept or duplicate) joins the state —
     * later near-dups of a duplicate still resolve to the earliest id via
     * the min. */
-  private[graft] def nearDupGroup(hammingK: Int)(key: Long,
+  private[graft] def nearDupGroup(hammingK: Int,
+      stateTimeout: Option[String] = None)(key: Long,
       rows: Iterator[org.apache.spark.sql.Row],
       state: org.apache.spark.sql.streaming.GroupState[Vector[(Long, Long)]])
       : Iterator[org.apache.spark.sql.Row] = {
     import org.apache.spark.sql.Row
+    if (state.hasTimedOut) {
+      state.remove()
+      return Iterator.empty
+    }
     var seen = state.getOption.getOrElse(Vector.empty[(Long, Long)])
     val out = rows.toVector.sortBy(_.getLong(0)).map { r =>
       val id = r.getLong(0)
@@ -274,6 +285,7 @@ object StreamIngest {
       if (dupOf >= 0) Row(id, h, dupOf, false) else Row(id, h, null, true)
     }
     state.update(seen)
+    stateTimeout.foreach(state.setTimeoutDuration)
     out.iterator
   }
 
