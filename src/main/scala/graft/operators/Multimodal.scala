@@ -250,6 +250,58 @@ object Multimodal {
         count(lit(1)).as("n"))
   }
 
+  val mediaReportSchema: StructType = StructType(Seq(
+    StructField("format", StringType),
+    StructField("n", LongType),
+    StructField("total_duration_ms", LongType),
+    StructField("total_pixels", LongType),
+    StructField("distinct_content", LongType)))
+
+  /** Per-format media curation report — the q157 corpus dashboard for a
+    * mixed-media table: every row decoded by its own codec in ONE pass
+    * (duration for audio, pixel counts for images), content
+    * fingerprinted (dHash for BMP so regraded duplicates collapse; md5
+    * bytes elsewhere), then one groupBy(format) aggregate. The decode
+    * pass is per-row; only (format, small measures, fingerprint) reach
+    * the shuffle. */
+  def mediaReport(media: DataFrame): DataFrame = {
+    val mIdx = media.schema.fieldIndex("media")
+    val fIdx = media.schema.fieldIndex("format")
+    val rowSchema = StructType(Seq(
+      StructField("format", StringType),
+      StructField("duration_ms", LongType),
+      StructField("pixels", LongType),
+      StructField("fp", StringType)))
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        val fmt = r.getString(fIdx)
+        def md5fp = graft.functions.ShingleMd5Util.md5Hex(bytes)
+        fmt match {
+          case "audio/wav" =>
+            val w = MediaCodecs.decodeWav(bytes)
+            Row(fmt, w.samples.length.toLong * 1000L /
+              (w.sampleRate * w.channels), 0L, md5fp)
+          case "audio/mpeg" =>
+            Row(fmt, MediaCodecs.parseMp3(bytes).durationMs, 0L, md5fp)
+          case "image/bmp" =>
+            val img = MediaCodecs.decodeBmp(bytes)
+            Row(fmt, 0L, img.width.toLong * img.height,
+              MediaCodecs.dHash(img).toString)
+          case "image/png" =>
+            val img = MediaCodecs.decodePng(bytes)
+            Row(fmt, 0L, img.width.toLong * img.height, md5fp)
+          case f => throw new IllegalArgumentException(s"no codec for $f")
+        }
+      }
+    }(Encoders.row(rowSchema))
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"),
+        sum("duration_ms").as("total_duration_ms"),
+        sum("pixels").as("total_pixels"),
+        count_distinct(col("fp")).as("distinct_content"))
+  }
+
   val pngTextSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("title", StringType),

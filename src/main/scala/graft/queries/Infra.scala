@@ -789,6 +789,73 @@ object Infra {
       FROM orders WHERE o_orderkey < 150
       GROUP BY o_orderkey % 4 ORDER BY keep_id""")),
 
+    // ---- cross-modal curation report: a mixed-media table (WAV / BMP /
+    // PNG / MP3 by key class) decoded by format in ONE pass — durations,
+    // pixel totals, and content-dedup counts (dHash for BMP so the
+    // brightness/contrast-varied stripes collapse to their 4 phase
+    // classes; PNG keys ≥ 240 repeat the k-240 pixel pattern, planting
+    // byte-level dups). The oracle predicts every aggregate from the
+    // fixture parameter classes.
+    QueryDef("q173_media_report", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val M = _root_.graft.operators.MediaCodecs
+          (k % 4) match {
+            case 0 =>
+              val n = 1000 + (k % 5).toInt * 200
+              Row(k, M.encodeWav(8000, 1, Array.tabulate(n)(i =>
+                (((i.toLong * 37 + k) % 2048) - 1024).toShort)), "audio/wav")
+            case 1 =>
+              val phase = ((k / 4) % 4).toInt
+              val amp = 1 + (k % 3).toInt
+              val off = ((k * 7) % 40).toInt
+              Row(k, M.encodeBmp(16, 16, Array.tabulate(256) { i =>
+                val v = off + amp * ((i % 16 + phase) % 4)
+                (v << 16) | (v << 8) | v
+              }), "image/bmp")
+            case 2 =>
+              Row(k, M.encodePng(8, 8, Array.tabulate(64) { i =>
+                val v = (i * 5 + k.toInt) % 240
+                (v << 16) | (v << 8) | v
+              }), "image/png")
+            case _ =>
+              Row(k, M.encodeMp3(frames = 2 + (k % 5).toInt,
+                bitrateIdx = 9, rateIdx = 0,
+                globalGain = 140 + (k % 40).toInt), "audio/mpeg")
+          }
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.mediaReport(media)
+        .orderBy("format")
+    }, Some("""
+      WITH k AS (
+        SELECT o_orderkey AS id, o_orderkey % 4 AS cls
+        FROM orders WHERE o_orderkey < 300),
+      m AS (
+        SELECT CASE cls WHEN 0 THEN 'audio/wav' WHEN 1 THEN 'image/bmp'
+                    WHEN 2 THEN 'image/png' ELSE 'audio/mpeg' END AS format,
+               CASE cls
+                 WHEN 0 THEN (1000 + id % 5 * 200) // 8
+                 WHEN 3 THEN (2 + id % 5) * 1152 * 1000 // 44100
+                 ELSE 0 END AS duration_ms,
+               CASE cls WHEN 1 THEN 256 WHEN 2 THEN 64 ELSE 0 END AS pixels,
+               CASE cls
+                 WHEN 0 THEN CAST(id AS VARCHAR)
+                 WHEN 1 THEN CAST(id // 4 % 4 AS VARCHAR)
+                 WHEN 2 THEN CAST(id % 240 AS VARCHAR)
+                 ELSE CAST(id % 40 AS VARCHAR) END AS fp_key
+        FROM k)
+      SELECT format, count(*) AS n,
+             CAST(sum(duration_ms) AS BIGINT) AS total_duration_ms,
+             CAST(sum(pixels) AS BIGINT) AS total_pixels,
+             count(DISTINCT fp_key) AS distinct_content
+      FROM m GROUP BY format ORDER BY format""")),
+
     // ---- PNG tEXt metadata through the oracle gate: CRC'd tEXt chunks
     // inserted after IHDR of a real PNG; the re-decode proves the image
     // stays valid, the oracle predicts the strings from key arithmetic.
