@@ -220,6 +220,33 @@ object WindowSortSet {
       WHERE cnt > (SELECT avg(cnt) FROM per_nation)
       ORDER BY c_nationkey""")),
 
+    // ---- WITH RECURSIVE through Spark's native UnionLoop (4.x): an
+    // iterative anchor+step CTE joined against real data — the standard
+    // SQL recursion surface (sqlite-test exercises it heavily; here the
+    // engine's own SQL entry runs it, not a rewrite)
+    QueryDef("q174_recursive_cte", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH RECURSIVE t(n) AS (
+          SELECT 0
+          UNION ALL
+          SELECT n + 1 FROM t WHERE n < 6)
+        SELECT t.n, count(o.o_orderkey) AS orders_n,
+               CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                 AS BIGINT) AS total_c
+        FROM t LEFT JOIN orders o ON o.o_orderkey % 7 = t.n
+        GROUP BY t.n ORDER BY t.n""")
+    }, Some("""
+      WITH RECURSIVE t(n) AS (
+        SELECT 0
+        UNION ALL
+        SELECT n + 1 FROM t WHERE n < 6)
+      SELECT t.n, count(o.o_orderkey) AS orders_n,
+             CAST(sum(CAST(floor(o.o_totalprice * 100 + 0.5) AS BIGINT))
+               AS BIGINT) AS total_c
+      FROM t LEFT JOIN orders o ON o.o_orderkey % 7 = t.n
+      GROUP BY t.n ORDER BY t.n""")),
+
     // ---- NEST_MANY round-trip: collect_list(struct(..)) then re-unnest
     // (reference Sql.g4:283-284, sql.clj:2111-2117 — document construction)
     QueryDef("q44_nest_many", (s, dir) => {
