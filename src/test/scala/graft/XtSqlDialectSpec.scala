@@ -28,6 +28,22 @@ class XtSqlDialectSpec extends AnyFunSuite {
     (db, new XtSqlEngine(spark, db))
   }
 
+  test("WITH RECURSIVE runs through the dialect front door (UnionLoop)") {
+    import spark.implicits._
+    import graft.bitemporal.TxOp
+    val (db, eng) = fresh()
+    db.submitTx(Seq(TxOp.Put("rec_d",
+      Seq((1L, 3L), (2L, 5L)).toDF("_id", "v"))))
+    val out = eng.sql("""
+      WITH RECURSIVE t(n) AS (
+        SELECT 1 UNION ALL SELECT n + 1 FROM t WHERE n < 4)
+      SELECT t.n, count(d._id) AS hits
+      FROM t LEFT JOIN rec_d d ON d.v % 4 = t.n
+      GROUP BY t.n ORDER BY t.n""")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toSeq
+    assert(out == Seq((1, 1L), (2, 0L), (3, 1L), (4, 0L)))
+  }
+
   test("system-time travel: AS OF, BETWEEN, FROM..TO, ALL") {
     val (db, eng) = fresh()
     import spark.implicits._
