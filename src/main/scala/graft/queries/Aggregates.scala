@@ -177,6 +177,26 @@ object Aggregates {
                               (o_orderstatus), ())
       ORDER BY gid, st, pr""")),
 
+    // PIVOT through Spark's native syntax (same beyond-the-reference
+    // note as q125); the oracle replays it as conditional aggregation —
+    // the engine-portable formulation PIVOT desugars to.
+    QueryDef("q175_pivot", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT * FROM (
+          SELECT l_returnflag AS rf, l_linestatus AS ls, l_quantity
+          FROM lineitem)
+        PIVOT (CAST(sum(l_quantity) AS BIGINT)
+               FOR ls IN ('F' AS f, 'O' AS o))
+        ORDER BY rf""")
+    }, Some("""
+      SELECT l_returnflag AS rf,
+             CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END)
+               AS BIGINT) AS f,
+             CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END)
+               AS BIGINT) AS o
+      FROM lineitem GROUP BY l_returnflag ORDER BY rf""")),
+
     // DECIMAL arithmetic (reference expression.clj:940-957: checked
     // decimal +|-|*, precision/scale growth): exact money math probed as
     // scaled BIGINTs — sum of DECIMAL(12,2), a scale-4 product, and
