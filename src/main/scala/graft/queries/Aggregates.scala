@@ -197,6 +197,28 @@ object Aggregates {
                AS BIGINT) AS o
       FROM lineitem GROUP BY l_returnflag ORDER BY rf""")),
 
+    // UNPIVOT (wide → long) through Spark's native syntax; the oracle
+    // replays it as a UNION ALL stack — the desugared form.
+    QueryDef("q176_unpivot", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT c_custkey, metric, CAST(floor(v * 100 + 0.5) AS BIGINT)
+          AS v_c
+        FROM (SELECT c_custkey, c_acctbal, CAST(c_nationkey AS DOUBLE)
+                AS c_nationkey
+              FROM customer WHERE c_custkey < 50)
+        UNPIVOT (v FOR metric IN (c_acctbal AS bal, c_nationkey AS nat))
+        ORDER BY c_custkey, metric""")
+    }, Some("""
+      SELECT c_custkey, 'bal' AS metric,
+             CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS v_c
+      FROM customer WHERE c_custkey < 50
+      UNION ALL
+      SELECT c_custkey, 'nat',
+             CAST(floor(c_nationkey * 100 + 0.5) AS BIGINT)
+      FROM customer WHERE c_custkey < 50
+      ORDER BY c_custkey, metric""")),
+
     // DECIMAL arithmetic (reference expression.clj:940-957: checked
     // decimal +|-|*, precision/scale growth): exact money math probed as
     // scaled BIGINTs — sum of DECIMAL(12,2), a scale-4 product, and
