@@ -272,12 +272,23 @@ object TextAnalysis {
     * scores against the unigram model. Scoring a real held-out LM swaps
     * the tables; the pipeline shape stays: one token shuffle for the
     * unigram table, one bigram shuffle, three key joins back, one per-doc
-    * aggregate. At 100 TB the Zipf-truncated top-K uni/bigram tables
-    * broadcast instead of joining (same note as [[surprisalBits]]).
+    * aggregate. `broadcastTopK > 0` switches to the 100 TB posture FOR
+    * REAL (not just prose): the `broadcastTopK` most frequent unigrams
+    * and bigrams (ties lexicographic — deterministic) are collected via
+    * distributed top-K and BROADCAST; scoring becomes one stateless
+    * corpus pass with no token joins back. Lookups missing from the
+    * truncated tables floor to count 1 (max surprisal) / back off —
+    * when K covers the corpus the result is IDENTICAL to the join
+    * formulation (spec-pinned); beyond that it is the standard
+    * truncated-LM approximation.
     * Output: (doc_id, n_tokens, sum_bits, backoff_tokens,
     * bigram_surprisal_c = floor(100 × mean bits)). */
   def bigramSurprisalBits(docs: DataFrame, textCol: String,
-      idCol: String, minCount: Long = 2L): DataFrame = {
+      idCol: String, minCount: Long = 2L,
+      broadcastTopK: Int = 0): DataFrame = {
+    if (broadcastTopK > 0)
+      return bigramSurprisalBroadcast(docs, textCol, idCol, minCount,
+        broadcastTopK)
     val tk = docs
       .select(col(idCol).as("doc_id"), words(col(textCol)).as("__ws"))
       .select(col("doc_id"), col("__ws"),
@@ -310,6 +321,75 @@ object TextAnalysis {
         sum("__backoff").as("backoff_tokens"))
       .withColumn("bigram_surprisal_c",
         floor(col("sum_bits") * 100.0 / col("n_tokens")).cast("long"))
+  }
+
+  /** The broadcast-model path of [[bigramSurprisalBits]]: distributed
+    * top-K collects the truncated LM, the corpus pass is stateless. */
+  private def bigramSurprisalBroadcast(docs: DataFrame, textCol: String,
+      idCol: String, minCount: Long, topK: Int): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val tok = docs.select(explode(words(col(textCol))).as("w"))
+    val uni = tok.groupBy("w").agg(count(lit(1)).as("f"))
+    val nTotal = uni.agg(sum("f")).as[Long].head()
+    val uniTop: Map[String, Long] = uni
+      .orderBy(col("f").desc, col("w")).limit(topK)
+      .as[(String, Long)].collect().toMap
+    val biTop: Map[(String, String), Long] = docs
+      .select(words(col(textCol)).as("ws"))
+      .select(posexplode(col("ws")).as(Seq("p", "w")), col("ws"))
+      .filter(col("p") > 0)
+      .select(element_at(col("ws"), col("p")).as("prev"), col("w"))
+      .groupBy("prev", "w").agg(count(lit(1)).as("f2"))
+      .orderBy(col("f2").desc, col("prev"), col("w")).limit(topK)
+      .as[(String, String, Long)].collect()
+      .map { case (p, w, f) => (p, w) -> f }.toMap
+    val bcU = spark.sparkContext.broadcast(uniTop)
+    val bcB = spark.sparkContext.broadcast(biTop)
+    def bitlen(x: Long): Long = 64L - java.lang.Long.numberOfLeadingZeros(x)
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("n_tokens", LongType),
+      StructField("sum_bits", LongType),
+      StructField("backoff_tokens", LongType),
+      StructField("bigram_surprisal_c", LongType)))
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .mapPartitions { rows =>
+        val u = bcU.value
+        val b = bcB.value
+        val nBits = bitlen(nTotal)
+        rows.map { r =>
+          if (r.isNullAt(1))
+            Row(if (r.isNullAt(0)) null else r.getLong(0),
+              null, null, null, null)
+          else {
+            val ws = r.getString(1).split(" ", -1)
+            var sumBits = 0L
+            var backoff = 0L
+            var i = 0
+            while (i < ws.length) {
+              val cur = ws(i)
+              val f2 =
+                if (i == 0) None else b.get((ws(i - 1), cur))
+              f2 match {
+                case Some(c) if c >= minCount =>
+                  // prev's unigram count ≥ its bigram counts, so a hit
+                  // here floors to the bigram count if prev fell out
+                  val fp = u.getOrElse(ws(i - 1), c)
+                  sumBits += bitlen(fp) - bitlen(c)
+                case _ =>
+                  if (i > 0) backoff += 1
+                  sumBits += nBits - bitlen(u.getOrElse(cur, 1L))
+              }
+              i += 1
+            }
+            Row(r.getLong(0), ws.length.toLong, sumBits, backoff,
+              math.floor(sumBits * 100.0 / ws.length).toLong)
+          }
+        }
+      }(Encoders.row(outSchema))
   }
 
   /** Unicode NFC normalization report — the canonicalization pass a

@@ -64,6 +64,26 @@ class PipelineHardeningSpec extends AnyFunSuite {
     assert(out.size == rows.size, "one row per input vector")
   }
 
+  test("broadcast-LM bigram surprisal equals the join formulation when " +
+      "top-K covers the corpus") {
+    import graft.operators.TextAnalysis
+    val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
+      .select("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("doc_id").collect().map(_.toSeq).toSeq
+    val joined = TextAnalysis.bigramSurprisalBits(docs, "text", "doc_id")
+    val bcast = TextAnalysis.bigramSurprisalBits(docs, "text", "doc_id",
+      broadcastTopK = 1 << 20)
+    assert(rows(bcast) == rows(joined),
+      "broadcast path diverged from the join path at full coverage")
+    // truncation is deterministic (rerun-stable)
+    val t1 = TextAnalysis.bigramSurprisalBits(docs, "text", "doc_id",
+      broadcastTopK = 50)
+    val t2 = TextAnalysis.bigramSurprisalBits(docs, "text", "doc_id",
+      broadcastTopK = 50)
+    assert(rows(t1) == rows(t2))
+  }
+
   test("bucket cap drops the boilerplate mega-bucket; stats report it") {
     val boiler = "one two three four five six seven"
     val docs = ((1 to 200).map(i => (i.toLong, boiler)) ++
