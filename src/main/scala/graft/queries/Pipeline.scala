@@ -1334,6 +1334,49 @@ object Pipeline {
              md5(t.c) AS chunk_hash
       FROM c ORDER BY doc_id, chunk_idx""")),
 
+    // ---- the broadcast-model LM path through the SAME oracle as q162:
+    // at full top-K coverage the truncated broadcast tables reproduce the
+    // join formulation bit-exactly, so the 100 TB scoring path is
+    // hash-gated, not just spec'd
+    QueryDef("q177_bigram_broadcast", (s, dir) => {
+      TextAnalysis.bigramSurprisalBits(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+          broadcastTopK = 1 << 20)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH tok AS (
+        SELECT doc_id,
+               unnest([{'pos': i, 'w': words[i],
+                        'prev': CASE WHEN i > 1 THEN words[i-1] END}
+                       FOR i IN range(1, len(words) + 1)]) AS t
+        FROM (SELECT doc_id, string_split(text, ' ') AS words
+              FROM documents)),
+      tk AS (SELECT doc_id, t.w AS w, t.prev AS prev FROM tok),
+      uni AS (SELECT w, count(*) AS f FROM tk GROUP BY w),
+      tot AS (SELECT CAST(sum(f) AS BIGINT) AS n_total FROM uni),
+      bi AS (SELECT prev, w, count(*) AS f2 FROM tk
+             WHERE prev IS NOT NULL GROUP BY prev, w),
+      scored AS (
+        SELECT tk.doc_id,
+               CASE WHEN tk.prev IS NULL OR bi.f2 IS NULL OR bi.f2 < 2
+                    THEN length(bin(tot.n_total))
+                         - length(bin(CAST(u.f AS BIGINT)))
+                    ELSE length(bin(CAST(up.f AS BIGINT)))
+                         - length(bin(CAST(bi.f2 AS BIGINT)))
+               END AS bits,
+               CASE WHEN tk.prev IS NOT NULL
+                         AND (bi.f2 IS NULL OR bi.f2 < 2)
+                    THEN 1 ELSE 0 END AS backoff
+        FROM tk JOIN uni u ON u.w = tk.w
+        LEFT JOIN uni up ON up.w = tk.prev
+        LEFT JOIN bi ON bi.prev = tk.prev AND bi.w = tk.w, tot)
+      SELECT doc_id, count(*) AS n_tokens,
+             CAST(sum(bits) AS BIGINT) AS sum_bits,
+             CAST(sum(backoff) AS BIGINT) AS backoff_tokens,
+             CAST(floor(sum(bits) * 100.0 / count(*)) AS BIGINT)
+               AS bigram_surprisal_c
+      FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- data-mixing pipeline: quality gate → quality-weighted
     // deterministic sampling (pass 1/2, fail 1/8) → token-budget shard
     // packing, in ONE plan — composes q143 + q147 + q148, each
