@@ -578,29 +578,68 @@ object MediaCodecs {
     * escapes (none for the small tables). */
   private final case class Mp3HuffTable(tree: Array[Int], linbits: Int)
 
-  /** ISO 11172-3 table B.9, Huffman table 1 (xlen = ylen = 2, no linbits):
-    * (0,0)→"1", (1,0)→"01", (0,1)→"001", (1,1)→"000". Kraft-complete
-    * (1/2 + 1/4 + 1/8 + 1/8 = 1). Tables 2-31 are scoped out by name in
-    * [[decodeMp3]] — same posture as the MP4 codec payload. Table 0 is the
-    * ISO zero table: no code bits, all values zero. */
-  private val Mp3Huff1: Mp3HuffTable = {
-    // tree nodes: [0]=root: 0→node2, 1→leaf(0,0); [2]: 0→node4, 1→leaf(1,0)
-    //             [4]: 0→leaf(1,1), 1→leaf(0,1)
-    def leaf(x: Int, y: Int): Int = -(x * 16 + y + 1)
-    Mp3HuffTable(Array(2, leaf(0, 0), 4, leaf(1, 0), leaf(1, 1), leaf(0, 1)),
-      linbits = 0)
+  /** Build a decode tree from per-(x,y) (hlen, hcod) entries: slots
+    * (2i, 2i+1) are a node's 0/1 branches; ≥ 0 jumps to a child node's
+    * 0-slot, < 0 encodes the leaf as -(x*16 + y + 1). Verifies
+    * prefix-freeness and Kraft completeness while building — a mistaken
+    * table entry fails construction instead of silently mis-decoding. */
+  private def mp3HuffTree(xlen: Int, ylen: Int, lens: Array[Int],
+      codes: Array[Int]): Array[Int] = {
+    val buf = scala.collection.mutable.ArrayBuffer(0, 0)
+    var kraft = 0.0
+    for (x <- 0 until xlen; y <- 0 until ylen) {
+      val i = x * ylen + y
+      val len = lens(i)
+      kraft += math.pow(2.0, -len)
+      var idx = 0
+      var bit = len - 1
+      while (bit >= 0) {
+        val b = (codes(i) >> bit) & 1
+        val slot = idx + b
+        if (bit == 0) {
+          require(buf(slot) == 0, s"huffman collision at ($x,$y)")
+          buf(slot) = -(x * 16 + y + 1)
+        } else {
+          if (buf(slot) == 0) {
+            buf(slot) = buf.length
+            buf += 0; buf += 0
+          }
+          require(buf(slot) > 0, s"huffman prefix clash at ($x,$y)")
+          idx = buf(slot)
+        }
+        bit -= 1
+      }
+    }
+    require(math.abs(kraft - 1.0) < 1e-12,
+      f"huffman table not Kraft-complete: $kraft%.6f")
+    buf.toArray
   }
 
+  /** ISO 11172-3 table B.9, Huffman tables 1-3 (no linbits), each
+    * verified Kraft-complete and prefix-free at construction:
+    * table 1 (2×2): (0,0)→"1", (1,0)→"01", (0,1)→"001", (1,1)→"000";
+    * tables 2/3 (3×3) as tabulated. Tables 4-31 (incl. the 16/24 linbits
+    * families) are scoped out by name in [[decodeMp3]] — same posture as
+    * the MP4 codec payload. Table 0 is the ISO zero table: no code bits,
+    * all values zero. */
+  private val Mp3HuffTables: Map[Int, Mp3HuffTable] = Map(
+    1 -> Mp3HuffTable(mp3HuffTree(2, 2,
+      Array(1, 3, 2, 3), Array(1, 1, 1, 0)), linbits = 0),
+    2 -> Mp3HuffTable(mp3HuffTree(3, 3,
+      Array(1, 3, 6, 3, 3, 5, 5, 5, 6),
+      Array(1, 2, 1, 3, 1, 1, 3, 2, 0)), linbits = 0),
+    3 -> Mp3HuffTable(mp3HuffTree(3, 3,
+      Array(2, 2, 6, 3, 2, 5, 5, 5, 6),
+      Array(3, 2, 1, 1, 1, 1, 3, 2, 0)), linbits = 0))
+
   /** Decode one (x, y) spectral pair with `tableSelect`'s Huffman table.
-    * Implemented tables: 0 (zero) and 1; the remaining B.9 tables (2-15
-    * and the 16/24 linbits families) error by name. */
+    * Implemented tables: 0 (zero) and 1-3; the remaining B.9 tables
+    * (4-15 and the 16/24 linbits families) error by name. */
   private def decodeMp3HuffPair(r: BitReader, tableSelect: Int): (Int, Int) =
-    tableSelect match {
-      case 0 => (0, 0)
-      case 1 =>
-        // slots (2i, 2i+1) = an internal node's 0/1 branches; value ≥ 0
-        // jumps to the child node's 0-slot, value < 0 is the leaf pair
-        val t = Mp3Huff1.tree
+    if (tableSelect == 0) (0, 0)
+    else Mp3HuffTables.get(tableSelect) match {
+      case Some(tbl) =>
+        val t = tbl.tree
         var idx = if (r.get(1) == 0) 0 else 1
         while (t(idx) >= 0) {
           val base = t(idx)
@@ -608,8 +647,9 @@ object MediaCodecs {
         }
         val v = -t(idx) - 1
         (v / 16, v % 16)
-      case n => throw new IllegalArgumentException(
-        s"big_values huffman table $n out of scope (implemented: 0, 1)")
+      case None => throw new IllegalArgumentException(
+        s"big_values huffman table $tableSelect out of scope " +
+          "(implemented: 0, 1, 2, 3)")
     }
 
   private final class BitWriter {
@@ -664,7 +704,7 @@ object MediaCodecs {
   def encodeMp3(frames: Int, bitrateIdx: Int, rateIdx: Int,
       id3Bytes: Int = 0, globalGain: Int = 210,
       count1Quads: Int = 0, bigValuePairs: Int = 0,
-      reservoirBytes: Int = 0): Array[Byte] = {
+      reservoirBytes: Int = 0, bigValueTable: Int = 1): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     if (id3Bytes > 0) { // ID3v2 header + syncsafe size
       out.write('I'); out.write('D'); out.write('3')
@@ -679,10 +719,20 @@ object MediaCodecs {
     // table-B codeword + one sign bit per nonzero value
     val sfBits = 11 * Slen1(2) + 10 * Slen2(2)
     val quadPatterns = (0 until count1Quads).map(q => 1 + (q % 15))
-    // each (1,1) pair: 3-bit table-1 code + 2 sign bits
-    val part23 = sfBits + bigValuePairs * 5 +
+    // the (1,1) codeword per implemented table: t1 '000', t2 '001',
+    // t3 '01' — plus 2 sign bits per pair
+    val (pairCode, pairCodeLen) = bigValueTable match {
+      case 1 => (0, 3)
+      case 2 => (1, 3)
+      case 3 => (1, 2)
+      case t => throw new IllegalArgumentException(
+        s"fixture writer supports big_values tables 1-3, got $t")
+    }
+    val part23 = sfBits + bigValuePairs * (pairCodeLen + 2) +
       quadPatterns.map(p => 4 + Integer.bitCount(p)).sum
-    val tsel = if (bigValuePairs > 0) Seq(1, 1, 1) else Seq(0, 0, 0)
+    val tsel =
+      if (bigValuePairs > 0) Seq(bigValueTable, bigValueTable, bigValueTable)
+      else Seq(0, 0, 0)
     // per-frame main-data byte arrays (built up front so a frame's head
     // can ride in the previous frame's tail)
     val mains: IndexedSeq[Array[Byte]] = (0 until frames).map { f =>
@@ -690,7 +740,7 @@ object MediaCodecs {
       Seq(0, 1).foreach { gi =>
         (0 until 10).foreach(b => w.put((b + gi) % 4, 2)) // slen2 bands
         (0 until bigValuePairs).foreach { j =>
-          w.put(0, 3) // table-1 code 000 = (1,1)
+          w.put(pairCode, pairCodeLen) // the table's (1,1) codeword
           w.put(j & 1, 1); w.put((j + 1) & 1, 1) // alternating signs
         }
         quadPatterns.foreach { pattern =>

@@ -1064,8 +1064,11 @@ object Infra {
             count1Quads = (k % 4).toInt,
             bigValuePairs = (k % 3).toInt * 2,
             // odd keys route frames 2+ through the bit reservoir — same
-            // decoded stream, different physical layout, same oracle
-            reservoirBytes = (k % 2).toInt * 4), "audio/mpeg")
+            // decoded stream, different physical layout, same oracle;
+            // keys alternate huffman tables 1/2 (both 3-bit (1,1) codes,
+            // so the part2_3_length arithmetic is identical)
+            reservoirBytes = (k % 2).toInt * 4,
+            bigValueTable = 1 + (k % 2).toInt), "audio/mpeg")
         }
       }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
       _root_.graft.operators.Multimodal.mp3PcmFeatures(media)
