@@ -789,6 +789,63 @@ object Infra {
       FROM orders WHERE o_orderkey < 150
       GROUP BY o_orderkey % 4 ORDER BY keep_id""")),
 
+    // ---- curation provenance as bitemporal facts: the bridge between
+    // the pipeline half and the database half of the engine — exact-dedup
+    // decisions land in an XtDb table at T1, a curator override revises
+    // half the prunes at T2, and ONE query reads both system times
+    // (FOR SYSTEM_TIME AS OF vs current), so every training-data decision
+    // is auditable history, not a mutable flag. The oracle replays both
+    // states from the documents directly.
+    QueryDef("q178_curation_provenance", (s, dir) => {
+      val (db, eng) = fresh(s)
+      import _root_.graft.bitemporal.TxOp
+      val d = Tables.load(s, dir, "documents")
+      val universe = d.select(col("doc_id"), col("text")).unionAll(
+        d.filter(col("doc_id") < 50)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      val groups = universe
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("keep"))
+      val decisions = universe
+        .withColumn("h", md5(col("text")))
+        .join(groups, Seq("h"))
+        .select(col("doc_id").as("_id"),
+          (col("doc_id") === col("keep")).as("kept"),
+          col("keep").as("canonical"))
+      db.submitTx(Seq(TxOp.Put("curation", decisions)),
+        Some(ts("2025-03-01 00:00:00")))
+      db.submitTx(Seq(TxOp.Update("curation",
+          !col("kept") && col("canonical") % 2 === 0,
+          Seq("kept" -> lit(true)))),
+        Some(ts("2025-03-02 00:00:00")))
+      eng.sql("""
+        SELECT 'asof' AS probe, CAST(_id AS BIGINT) AS doc_id, kept,
+               CAST(canonical AS BIGINT) AS canonical
+        FROM curation FOR SYSTEM_TIME AS OF TIMESTAMP '2025-03-01 12:00:00'
+        UNION ALL
+        SELECT 'now' AS probe, CAST(_id AS BIGINT) AS doc_id, kept,
+               CAST(canonical AS BIGINT) AS canonical
+        FROM curation""")
+        .orderBy("probe", "doc_id")
+    }, Some("""
+      WITH docs2 AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000 AS doc_id, text FROM documents
+        WHERE doc_id < 50),
+      g AS (SELECT md5(text) AS h, min(doc_id) AS keep
+            FROM docs2 GROUP BY md5(text)),
+      dec AS (
+        SELECT d.doc_id, d.doc_id = g.keep AS kept, g.keep AS canonical
+        FROM docs2 d JOIN g ON md5(d.text) = g.h)
+      SELECT 'asof' AS probe, doc_id, kept, canonical FROM dec
+      UNION ALL
+      SELECT 'now' AS probe, doc_id,
+             CASE WHEN NOT kept AND canonical % 2 = 0 THEN true
+                  ELSE kept END AS kept,
+             canonical FROM dec
+      ORDER BY probe, doc_id""")),
+
     // ---- cross-modal curation report: a mixed-media table (WAV / BMP /
     // PNG / MP3 by key class) decoded by format in ONE pass — durations,
     // pixel totals, and content-dedup counts (dHash for BMP so the
