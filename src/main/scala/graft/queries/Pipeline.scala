@@ -1339,9 +1339,13 @@ object Pipeline {
     // join formulation bit-exactly, so the 100 TB scoring path is
     // hash-gated, not just spec'd
     QueryDef("q177_bigram_broadcast", (s, dir) => {
+      // K = 128k: covers the sf0.01 corpus (~27k distinct bigrams) with
+      // wide margin while bounding the one-time model collect — at 25×
+      // an uncapped K made the driver build the dominant cost
+      // (BASELINE.md round-7 ops table)
       TextAnalysis.bigramSurprisalBits(
           t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
-          broadcastTopK = 1 << 20)
+          broadcastTopK = 1 << 17)
         .orderBy("doc_id")
     }, Some("""
       WITH tok AS (
