@@ -250,6 +250,47 @@ object Multimodal {
         count(lit(1)).as("n"))
   }
 
+  val quarantineSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("format", StringType),
+    StructField("ok", BooleanType),
+    StructField("reason", StringType)))
+
+  /** Corrupt-media quarantine — the validation pass a crawl corpus gets
+    * before any decode-dependent stage: every row's decoder runs under a
+    * guard; failures are REPORTED with the decoder's reason (CRC
+    * mismatch, truncation, bad sync…) instead of killing the job or
+    * silently passing garbage downstream. The loud-failure contracts the
+    * codecs already pin are exactly what makes the reasons precise.
+    * Per-row, no shuffle. */
+  def mediaQuarantine(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    val fIdx = media.schema.fieldIndex("format")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val bytes = r.getAs[Array[Byte]](mIdx)
+        val fmt = r.getString(fIdx)
+        val outcome =
+          try {
+            fmt match {
+              case "audio/wav" => MediaCodecs.decodeWav(bytes)
+              case "audio/mpeg" => MediaCodecs.decodeMp3Pcm(bytes)
+              case "image/bmp" => MediaCodecs.decodeBmp(bytes)
+              case "image/png" => MediaCodecs.decodePng(bytes)
+              case "video/mp4" => MediaCodecs.parseMp4(bytes)
+              case f => throw new IllegalArgumentException(s"no codec for $f")
+            }
+            None
+          } catch {
+            case e: Exception => Some(Option(e.getMessage).getOrElse("error"))
+          }
+        Row(r.getLong(idIdx), fmt, outcome.isEmpty,
+          outcome.map(_.take(60)).orNull)
+      }
+    }(Encoders.row(quarantineSchema))
+  }
+
   val mediaReportSchema: StructType = StructType(Seq(
     StructField("format", StringType),
     StructField("n", LongType),

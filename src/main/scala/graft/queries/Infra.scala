@@ -789,6 +789,56 @@ object Infra {
       FROM orders WHERE o_orderkey < 150
       GROUP BY o_orderkey % 4 ORDER BY keep_id""")),
 
+    // ---- corrupt-media quarantine: planted corruption (flipped RIFF
+    // magic, truncated BMP, a flipped byte inside a PNG IDAT chunk) must
+    // be REPORTED with the decoder's precise reason — the loud-failure
+    // contracts the codec specs pin, surfaced as a per-row curation
+    // verdict instead of a killed job. The oracle predicts ok/reason
+    // from the key classes.
+    QueryDef("q179_media_quarantine", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 300)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val M = _root_.graft.operators.MediaCodecs
+          val corrupt = k % 5 == 0
+          (k % 3) match {
+            case 0 =>
+              val b = M.encodeWav(8000, 1,
+                Array.tabulate(400)(i => ((i * 13 + k) % 2000 - 1000).toShort))
+              if (corrupt) b(0) = 'X'
+              Row(k, b, "audio/wav")
+            case 1 =>
+              val b = M.encodeBmp(8, 8, Array.tabulate(64)(i =>
+                ((i * 3 + k.toInt) % 200) * 0x010101))
+              Row(k, if (corrupt) b.take(10) else b, "image/bmp")
+            case _ =>
+              val b = M.encodePng(8, 8, Array.tabulate(64)(i =>
+                ((i * 5 + k.toInt) % 240) * 0x010101))
+              if (corrupt) b(42) = (b(42) ^ 0xff).toByte
+              Row(k, b, "image/png")
+          }
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.mediaQuarantine(media)
+        .orderBy("media_id")
+    }, Some("""
+      SELECT o_orderkey AS media_id,
+             CASE o_orderkey % 3 WHEN 0 THEN 'audio/wav'
+                  WHEN 1 THEN 'image/bmp' ELSE 'image/png' END AS format,
+             o_orderkey % 5 <> 0 AS ok,
+             CASE WHEN o_orderkey % 5 <> 0 THEN NULL
+                  WHEN o_orderkey % 3 = 0
+                    THEN 'requirement failed: not a RIFF container'
+                  WHEN o_orderkey % 3 = 1
+                    THEN 'requirement failed: truncated BMP (10 bytes)'
+                  ELSE 'requirement failed: CRC mismatch in IDAT chunk'
+             END AS reason
+      FROM orders WHERE o_orderkey < 300 ORDER BY media_id""")),
+
     // ---- curation provenance as bitemporal facts: the bridge between
     // the pipeline half and the database half of the engine — exact-dedup
     // decisions land in an XtDb table at T1, a curator override revises
