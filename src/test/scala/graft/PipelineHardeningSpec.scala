@@ -64,6 +64,26 @@ class PipelineHardeningSpec extends AnyFunSuite {
     assert(out.size == rows.size, "one row per input vector")
   }
 
+  test("mapPartitions text operators propagate null text as null rows") {
+    import graft.operators.{Bpe, TextAnalysis}
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val docs = spark.createDataFrame(
+      java.util.Arrays.asList(Row(1L, "alpha beta alpha"), Row(2L, null)),
+      schema)
+    val tok = Bpe.tokenize(docs, "text", "doc_id", Seq("a" -> "l"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(!tok(1L) && tok(2L), "null text must yield a null-measure row")
+    val rep = TextAnalysis.repetitionProfile(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert(!rep(1L) && rep(2L))
+    val nfc = TextAnalysis.nfcNormalize(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.isNullAt(3)).toMap
+    assert(!nfc(1L) && nfc(2L))
+  }
+
   test("broadcast-LM bigram surprisal equals the join formulation when " +
       "top-K covers the corpus") {
     import graft.operators.TextAnalysis
