@@ -140,6 +140,51 @@ object Bpe {
     merges.toSeq
   }
 
+  /** Per-language tokenizer routing — the multilingual corpus reality:
+    * one tokenizer per language family, each document applied with ITS
+    * language's merge list (falling back to `default` for unrouted
+    * languages). The merge map broadcasts; the pass stays a stateless
+    * per-row projection like [[tokenize]]. Output adds the routing
+    * decision: (doc_id, lang, n_words, bpe_tokens, enc_hash). */
+  def tokenizeByLang(docs: DataFrame, textCol: String, idCol: String,
+      langCol: String, merges: Map[String, Seq[(String, String)]],
+      default: Seq[(String, String)] = Seq.empty): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val bc = docs.sparkSession.sparkContext.broadcast((merges, default))
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("lang", StringType),
+      StructField("n_words", LongType),
+      StructField("bpe_tokens", LongType),
+      StructField("enc_hash", StringType)))
+    docs.select(col(idCol).cast("long"), col(langCol), col(textCol))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          if (r.isNullAt(2))
+            Row(if (r.isNullAt(0)) null else r.getLong(0),
+              if (r.isNullAt(1)) null else r.getString(1), null, null, null)
+          else {
+            val (m, dflt) = bc.value
+            val lang = if (r.isNullAt(1)) null else r.getString(1)
+            val ms = m.getOrElse(lang, dflt)
+            val text = r.getString(2)
+            val nWords = text.split(" ", -1).length.toLong
+            val merged = applyMerges(encode(text), ms)
+            var seps = 0L
+            var i = 0
+            while (i < merged.length) {
+              if (merged.charAt(i) == Sep) seps += 1
+              i += 1
+            }
+            Row(r.getLong(0), lang, nWords, seps / 2 - (nWords - 1),
+              graft.functions.ShingleMd5Util.md5Hex(
+                merged.getBytes(StandardCharsets.UTF_8)))
+          }
+        }
+      }(Encoders.row(outSchema))
+  }
+
   /** Distributed application: (doc_id, n_words, bpe_tokens, enc_hash) —
     * token count after the merges plus the md5 of the merged symbol string
     * (byte-exact application proof for the oracle). One fused pass,

@@ -1450,6 +1450,43 @@ object Pipeline {
              md5(f) AS enc_hash
       FROM m ORDER BY doc_id""")),
 
+    // ---- per-language tokenizer routing: each document applies ITS
+    // language's merge list (en / de routed, the rest fall back) — the
+    // multilingual-corpus reality; the oracle replays every chain with a
+    // CASE over lang and the q155-proven literal replacement semantics
+    QueryDef("q180_bpe_multilingual", (s, dir) => {
+      Bpe.tokenizeByLang(
+          t(s, dir, "documents").select("doc_id", "lang", "text"),
+          "text", "doc_id", "lang",
+          merges = Map(
+            "en" -> Seq("e" -> "r", "i" -> "n", "o" -> "w"),
+            "de" -> Seq("s" -> "t", "e" -> "n")),
+          default = Seq("o" -> "r"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH enc AS (
+        SELECT doc_id, lang, text,
+               regexp_replace(text, '(?s)(.)', '/\1/', 'g') AS e0
+        FROM documents),
+      m AS (
+        SELECT doc_id, lang, text,
+               CASE lang
+                 WHEN 'en' THEN
+                   replace(replace(replace(e0,
+                     '/e//r/', '/er/'), '/i//n/', '/in/'), '/o//w/', '/ow/')
+                 WHEN 'de' THEN
+                   replace(replace(e0, '/s//t/', '/st/'), '/e//n/', '/en/')
+                 ELSE replace(e0, '/o//r/', '/or/')
+               END AS f
+        FROM enc)
+      SELECT doc_id, lang,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+             CAST((length(f) - length(replace(f, '/', ''))) // 2
+                  - (len(string_split(text, ' ')) - 1) AS BIGINT)
+               AS bpe_tokens,
+             md5(f) AS enc_hash
+      FROM m ORDER BY doc_id""")),
+
     // ---- BPE with corpus-TRAINED merges (k=10): the merge list is
     // data-derived, but it IS data — the query persists it (ord, lhs, rhs)
     // to parquet and the oracle replays the application with a recursive
