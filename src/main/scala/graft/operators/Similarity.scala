@@ -391,6 +391,102 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist_fp"))
   }
 
+  /** Scalar quantization (SQ8) ANN — the third classic compression next
+    * to PQ and IVF: every dimension linearly quantized to one byte
+    * against the corpus per-dimension [min, max] envelope
+    * (`code = floor((v−min)·255/(max−min))`, constant dimensions code
+    * 0), searched by asymmetric distance with per-query per-dimension
+    * LUTs over the 256 dequantized levels — FAISS's
+    * ScalarQuantizer/QT_8bit shape. Distances are per-dimension
+    * fixed-point (`floor(diff²·1e6)`) summed as longs: order-free AND
+    * SQL-replayable, the q144/q149 discipline.
+    *
+    * Scale: the envelope is a 64-row aggregate broadcast as the model;
+    * encode is a stateless per-row projection (4× compression at
+    * dims=64 float32); the search is one codes-only corpus pass with
+    * bounded per-partition heaps — no corpus shuffle, same plan shape
+    * as [[pqTopK]]. */
+  def sqTopK(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
+      k: Int, queryFilter: Column): DataFrame = {
+    import org.apache.spark.sql.{Encoders, Row}
+    import org.apache.spark.sql.types._
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val p = prepared(emb, vecCol).select(col(idCol).cast("long").as("__vid"),
+      col("__vecd"))
+    // per-dimension envelope: one 64-row aggregate — the model
+    val mmRows = p.select(posexplode(col("__vecd")).as(Seq("pos", "v")))
+      .groupBy("pos").agg(min("v").as("mn"), max("v").as("mx"))
+      .as[(Int, Double, Double)].collect().sortBy(_._1)
+    val mins = mmRows.map(_._2)
+    val maxs = mmRows.map(_._3)
+    val bcMM = spark.sparkContext.broadcast((mins, maxs))
+    def codeOf(v: Double, mn: Double, mx: Double): Int =
+      if (mx == mn) 0
+      else {
+        val c = math.floor((v - mn) * 255.0 / (mx - mn))
+        if (c < 0) 0 else if (c > 255) 255 else c.toInt
+      }
+    val enc = udf { (v: Seq[Double]) =>
+      val (mn, mx) = bcMM.value
+      (0 until v.length).map(i => codeOf(v(i), mn(i), mx(i)))
+    }
+    val codes = p.withColumn("codes", enc(col("__vecd")))
+      .select(col("__vid"), col("codes"))
+    // query LUTs: per dimension, the fixed-point distance to each of the
+    // 256 dequantized levels
+    val queries: Array[(Long, Array[Array[Long]])] =
+      prepared(emb.filter(queryFilter), vecCol)
+        .select(col(idCol).cast("long"), col("__vecd"))
+        .as[(Long, Seq[Double])].collect()
+        .map { case (qid, qv) =>
+          val lut = Array.tabulate(dims, 256) { (i, c) =>
+            val mn = mins(i); val mx = maxs(i)
+            val deq = if (mx == mn) mn else mn + c * (mx - mn) / 255.0
+            val d = qv(i) - deq
+            math.floor(d * d * 1e6).toLong
+          }
+          (qid, lut)
+        }
+    val bcQ = spark.sparkContext.broadcast(queries)
+    val outSchema = StructType(Seq(
+      StructField("query_id", LongType),
+      StructField("neighbor_id", LongType),
+      StructField("adist_fp", LongType)))
+    val localTopK = codes.mapPartitions { rows =>
+      val qs = bcQ.value
+      val ord = Ordering.Tuple2[Long, Long]
+      val heaps = qs.map { case (qid, _) =>
+        qid -> scala.collection.mutable.PriorityQueue.empty[(Long, Long)](ord)
+      }
+      rows.foreach { r =>
+        val nid = r.getLong(0)
+        val cs = r.getSeq[Int](1)
+        var qi = 0
+        while (qi < qs.length) {
+          val (qid, lut) = qs(qi)
+          if (qid != nid) {
+            var d = 0L; var i = 0
+            while (i < lut.length) { d += lut(i)(cs(i)); i += 1 }
+            val h = heaps(qi)._2
+            if (h.size < k) h.enqueue((d, nid))
+            else if (ord.lt((d, nid), h.head)) { h.dequeue(); h.enqueue((d, nid)) }
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.flatMap { case (qid, h) =>
+        h.iterator.map { case (d, nid) => Row(qid, nid, d) }
+      }
+    }(Encoders.row(outSchema))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("adist_fp"), col("neighbor_id"))
+    localTopK
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"), col("adist_fp"))
+  }
+
   /** IVF-PQ (IVFADC, Jégou et al. 2011 §IV): the billion-scale composition —
     * a coarse quantizer partitions the corpus into `nlist` cells; each
     * vector stores only its cell id + a PQ code of its RESIDUAL (v − cell

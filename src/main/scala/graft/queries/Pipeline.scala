@@ -613,6 +613,50 @@ object Pipeline {
             FROM adc)
       WHERE rank <= 5 ORDER BY query_id, rank""")),
 
+    // ---- scalar-quantization (SQ8) ANN: every dimension byte-coded
+    // against the corpus min/max envelope, searched by fixed-point ADC
+    // over the 256 dequantized levels — the third compression next to
+    // PQ/IVF-PQ; envelope, encode, dequant and integer distance all
+    // replay in SQL
+    QueryDef("q181_similarity_sq8", (s, dir) => {
+      Similarity.sqTopK(t(s, dir, "embeddings"), "vec_id", "embedding",
+          dims = 64, k = 5, queryFilter = col("vec_id") < 10)
+        .orderBy("query_id", "rank")
+    }, Some("""
+      WITH p AS (
+        SELECT vec_id, [CAST(x AS DOUBLE) FOR x IN embedding] AS v
+        FROM embeddings),
+      dim AS (SELECT unnest(range(1, 65)) AS i),
+      mm AS (
+        SELECT i, min(v[i]) AS mn, max(v[i]) AS mx
+        FROM p, dim GROUP BY i),
+      codes AS (
+        SELECT p.vec_id, mm.i, mm.mn, mm.mx,
+               CASE WHEN mm.mx = mm.mn THEN 0
+                    ELSE CAST(least(greatest(
+                      floor((v[mm.i] - mm.mn) * 255 / (mm.mx - mm.mn)),
+                      0), 255) AS BIGINT) END AS c
+        FROM p, mm),
+      deq AS (
+        SELECT vec_id, i,
+               CASE WHEN mx = mn THEN mn
+                    ELSE mn + c * (mx - mn) / 255 END AS dq
+        FROM codes),
+      qs AS (
+        SELECT p.vec_id AS query_id, mm.i AS i, v[mm.i] AS qv
+        FROM p, mm WHERE p.vec_id < 10),
+      s AS (
+        SELECT qs.query_id, d.vec_id AS neighbor_id,
+               CAST(sum(CAST(floor((qs.qv - d.dq) * (qs.qv - d.dq) * 1e6)
+                 AS BIGINT)) AS BIGINT) AS adist_fp
+        FROM qs JOIN deq d ON d.i = qs.i
+        WHERE d.vec_id <> qs.query_id
+        GROUP BY 1, 2)
+      SELECT query_id, neighbor_id, rank, adist_fp FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY adist_fp, neighbor_id) AS rank FROM s)
+      WHERE rank <= 5 ORDER BY query_id, rank""")),
+
     // ---- IVF-PQ (IVFADC): coarse cells (16 lowest-id centroids, L2) +
     // PQ over RESIDUALS (codebook seed = residuals of ids 16..31 — the
     // centroid members' own residuals are zero and can't seed), queries

@@ -99,6 +99,18 @@ class PipelinePlanSpec extends AnyFunSuite {
       >= 1, "cellmate pairing must be a keyed join on cell")
   }
 
+  test("SQ8 ADC scan: no joins, one k-by-P-row exchange for the window") {
+    val df = Similarity.sqTopK(
+      Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
+      dims = 64, k = 5, queryFilter = col("vec_id") < 10)
+    val rep = Explain.report(df)
+    assert(rep.broadcastHashJoins + rep.sortMergeJoins +
+      rep.shuffledHashJoins + rep.nestedLoopJoins == 0,
+      "SQ8 ADC must not plan any join")
+    assert(rep.shuffleExchanges == 1,
+      s"expected only the final top-k exchange, got ${rep.shuffleExchanges}")
+  }
+
   test("IVF-PQ: no joins, no corpus shuffle — probe map is broadcast") {
     val df = Similarity.ivfPqTopK(
       Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
