@@ -228,6 +228,39 @@ object TextAnalysis {
         floor(col("sum_bits") * 100.0 / col("n_tokens")).cast("long"))
   }
 
+  /** Keyword search with a BM25-shaped ranking in EXACT integer
+    * arithmetic — the corpus-tooling face of retrieval: per (doc, term)
+    * term frequency, document frequency per term, and the score
+    * `Σ_t floor(1000 · bitlen(N / df_t) · tf / (tf + satK))` — the
+    * classic shape (idf × saturating tf) with `bitlen` standing in for
+    * the logarithm so the gate never touches libm (the q153/q162
+    * discipline; a production deployment swaps real BM25 — the pipeline
+    * shape is identical).
+    *
+    * Scale: one token shuffle builds the postings for the (few) query
+    * terms only — the filter runs BEFORE the shuffle, so the corpus
+    * stream drops to matching tokens immediately; df is a terms-sized
+    * aggregate joined back (broadcast at any scale). Output: one row
+    * per matching doc — (doc_id, matched_terms, score_c). */
+  def keywordSearch(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], satK: Long = 2L): DataFrame = {
+    val n = docs.count()
+    val tf = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
+      .filter(col("w").isInCollection(terms))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("w"))
+      .withColumn("idf_bits", length(bin(lit(n).cast("long") / col("df")))
+        .cast("long"))
+      .withColumn("term_score",
+        floor(lit(1000) * col("idf_bits") * col("tf") /
+          (col("tf") + lit(satK))).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("matched_terms"),
+        sum("term_score").as("score_c"))
+  }
+
   /** Sliding-window document chunking — the segmentation step that turns
     * variable-length documents into training-window-sized pieces: chunks
     * of `chunkWords` words advancing by `chunkWords - overlapWords`, the

@@ -1312,6 +1312,33 @@ object Pipeline {
                AS surprisal_c
       FROM b GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- keyword search (retrieval over the corpus): BM25-shaped
+    // ranking in exact integer arithmetic — idf via bitlen (no libm in
+    // the gate), saturating tf; the filter runs before the token
+    // shuffle so only matching tokens move
+    QueryDef("q182_text_search", (s, dir) => {
+      TextAnalysis.keywordSearch(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+          terms = Seq("batch", "hash", "dup"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH n AS (SELECT count(*) AS n FROM documents),
+      tf AS (
+        SELECT doc_id, w, count(*) AS tf FROM (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS w
+          FROM documents)
+        WHERE w IN ('batch', 'hash', 'dup')
+        GROUP BY doc_id, w),
+      df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(floor(1000 * length(bin(n.n // df.df)) * tf.tf
+                 / (tf.tf + 2)) AS BIGINT) AS term_score
+        FROM tf JOIN df ON df.w = tf.w, n)
+      SELECT doc_id, count(*) AS matched_terms,
+             CAST(sum(term_score) AS BIGINT) AS score_c
+      FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- bigram-LM surprisal with unigram backoff (KenLM-shape
     // perplexity filtering in exact integer bits — q153's unigram model
     // extended with conditional context; minCount=2 so hapax bigrams
