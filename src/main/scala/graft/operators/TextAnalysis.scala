@@ -261,6 +261,28 @@ object TextAnalysis {
         sum("term_score").as("score_c"))
   }
 
+  /** KWIC snippet extraction for [[keywordSearch]] hits: the first match
+    * position of `term` and a ±`window`-word context (clamped at the
+    * document edges) — what a retrieval UI or a rule-writing curator
+    * reads. Pure codegen'd Column projection (array_position + slice);
+    * the snippet text is md5-gated, so the exact window replays without
+    * shipping it. */
+  def searchSnippets(docs: DataFrame, textCol: String, idCol: String,
+      term: String, window: Int): DataFrame = {
+    val ws = words(col(textCol))
+    docs
+      .select(col(idCol).as("doc_id"), ws.as("__ws"),
+        array_position(ws, term).as("__pos"))
+      .filter(col("__pos") > 0)
+      .select(col("doc_id"),
+        (col("__pos") - 1).cast("long").as("match_idx"),
+        md5(concat_ws(" ",
+          slice(col("__ws"),
+            greatest(col("__pos") - window, lit(1)).cast("int"),
+            lit(2 * window + 1))))
+          .as("snippet_hash"))
+  }
+
   /** Sliding-window document chunking — the segmentation step that turns
     * variable-length documents into training-window-sized pieces: chunks
     * of `chunkWords` words advancing by `chunkWords - overlapWords`, the

@@ -1339,6 +1339,23 @@ object Pipeline {
              CAST(sum(term_score) AS BIGINT) AS score_c
       FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- KWIC snippets for search hits: first match position + a
+    // ±3-word window, md5-gated so the exact context replays
+    QueryDef("q183_search_snippets", (s, dir) => {
+      TextAnalysis.searchSnippets(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+          term = "dup", window = 3)
+        .orderBy("doc_id")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      m AS (SELECT doc_id, list_position(ws, 'dup') AS pos, ws FROM d)
+      SELECT doc_id, CAST(pos - 1 AS BIGINT) AS match_idx,
+             md5(array_to_string(
+               ws[greatest(pos - 3, 1) : greatest(pos - 3, 1) + 6], ' '))
+               AS snippet_hash
+      FROM m WHERE pos IS NOT NULL AND pos > 0 ORDER BY doc_id""")),
+
     // ---- bigram-LM surprisal with unigram backoff (KenLM-shape
     // perplexity filtering in exact integer bits — q153's unigram model
     // extended with conditional context; minCount=2 so hapax bigrams
