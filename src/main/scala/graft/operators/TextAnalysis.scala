@@ -261,6 +261,28 @@ object TextAnalysis {
         sum("term_score").as("score_c"))
   }
 
+  /** Boilerplate line REMOVAL (the cleanup counterpart of
+    * [[graft.operators.Dedup.boilerplateNgrams]]'s detection): drop every
+    * line matching any of the removal `patterns` (nav bars, copyright
+    * footers, cookie banners — the rules a curator writes from the
+    * mining report), keeping the rest byte-exactly. Output:
+    * (doc_id, kept_lines, removed_lines, clean_hash) — the cleaned text
+    * is md5-gated without being shipped. Per-row projection, no
+    * shuffle; the line filter is a single HOF over the split — one
+    * interpreted lambda per line, not the stacked-HOF shape q152
+    * rewrote. */
+  def stripBoilerplate(docs: DataFrame, textCol: String, idCol: String,
+      patterns: Seq[String]): DataFrame = {
+    val lines = split(col(textCol), "\n")
+    val isBoiler = (l: org.apache.spark.sql.Column) =>
+      patterns.map(p => l.rlike(p)).reduce(_ || _)
+    val kept = filter(lines, l => !isBoiler(l))
+    docs.select(col(idCol).as("doc_id"),
+      size(kept).cast("long").as("kept_lines"),
+      (size(lines) - size(kept)).cast("long").as("removed_lines"),
+      md5(array_join(kept, "\n")).as("clean_hash"))
+  }
+
   /** KWIC snippet extraction for [[keywordSearch]] hits: the first match
     * position of `term` and a ±`window`-word context (clamped at the
     * document edges) — what a retrieval UI or a rule-writing curator

@@ -1339,6 +1339,42 @@ object Pipeline {
              CAST(sum(term_score) AS BIGINT) AS score_c
       FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- boilerplate line removal: planted nav/footer lines (doc_id%3
+    // gets both) are stripped by the curator's removal rules; the
+    // cleaned text is md5-gated so "kept the rest byte-exactly" is the
+    // checked property, not just the counts
+    QueryDef("q184_strip_boilerplate", (s, dir) => {
+      val planted = t(s, dir, "documents")
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            concat(lit("HOME | ABOUT | CONTACT\n"), col("text"),
+              lit("\n(c) 2024 example.com")))
+            .otherwise(col("text")).as("t"))
+      TextAnalysis.stripBoilerplate(planted, "t", "doc_id",
+          patterns = Seq("^HOME \\| ", "^\\(c\\) [0-9]{4} "))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                 THEN 'HOME | ABOUT | CONTACT' || chr(10) || text ||
+                      chr(10) || '(c) 2024 example.com'
+                 ELSE text END AS t
+        FROM documents),
+      l AS (
+        SELECT doc_id, string_split(t, chr(10)) AS lines FROM p),
+      k AS (
+        SELECT doc_id, lines,
+               list_filter(lines, x -> NOT (
+                 regexp_matches(x, '^HOME \| ') OR
+                 regexp_matches(x, '^\(c\) [0-9]{4} '))) AS kept
+        FROM l)
+      SELECT doc_id,
+             CAST(len(kept) AS BIGINT) AS kept_lines,
+             CAST(len(lines) - len(kept) AS BIGINT) AS removed_lines,
+             md5(array_to_string(kept, chr(10))) AS clean_hash
+      FROM k ORDER BY doc_id""")),
+
     // ---- KWIC snippets for search hits: first match position + a
     // ±3-word window, md5-gated so the exact context replays
     QueryDef("q183_search_snippets", (s, dir) => {
