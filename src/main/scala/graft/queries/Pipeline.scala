@@ -1375,6 +1375,35 @@ object Pipeline {
              md5(array_to_string(kept, chr(10))) AS clean_hash
       FROM k ORDER BY doc_id""")),
 
+    // ---- sentence segmentation stats: terminator-split sentence count
+    // and scaled-floor mean length in words — the per-doc structural
+    // stats a readability/quality gate composes (regex split is
+    // RE2-safe on both engines)
+    QueryDef("q185_sentence_stats", (s, dir) => {
+      val sents = filter(
+        split(col("text"), "[.!?]"),
+        x => trim(x) =!= "")
+      t(s, dir, "documents")
+        .select(col("doc_id"),
+          size(sents).cast("long").as("n_sentences"),
+          floor(
+            size(split(col("text"), " ")) * lit(100.0) /
+              greatest(size(sents), lit(1)))
+            .cast("long").as("mean_sent_words_c"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CAST(len(sents) AS BIGINT) AS n_sentences,
+             CAST(floor(len(string_split(text, ' ')) * 100.0 /
+                  greatest(len(sents), 1)) AS BIGINT)
+               AS mean_sent_words_c
+      FROM (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '[.!?]'),
+                 x -> trim(x) <> '') AS sents
+        FROM documents)
+      ORDER BY doc_id""")),
+
     // ---- KWIC snippets for search hits: first match position + a
     // ±3-word window, md5-gated so the exact context replays
     QueryDef("q183_search_snippets", (s, dir) => {
