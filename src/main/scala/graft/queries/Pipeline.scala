@@ -1404,6 +1404,73 @@ object Pipeline {
         FROM documents)
       ORDER BY doc_id""")),
 
+    // ---- hybrid retrieval: ANN candidates reranked with a text-overlap
+    // bonus — the two retrieval modalities (embedding cosine + lexical
+    // evidence) fused in one integer score, the shape of every modern
+    // hybrid search stack. Candidates come from the vector side (top-20
+    // cosine); the text bonus counts shared distinct words among each
+    // side's first 10; both stages replay in SQL.
+    QueryDef("q186_hybrid_retrieval", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), array_distinct(
+          slice(split(col("text"), " "), 1, 10)).as("head_words"))
+      val cand = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 5), "vec_id", "embedding", k = 20)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("hybrid_c").desc, col("neighbor_id"))
+      cand
+        .join(docs.select(col("doc_id").as("query_id"),
+          col("head_words").as("qw")), Seq("query_id"))
+        .join(docs.select(col("doc_id").as("neighbor_id"),
+          col("head_words").as("nw")), Seq("neighbor_id"))
+        .withColumn("overlap",
+          size(array_intersect(col("qw"), col("nw"))).cast("long"))
+        .withColumn("hybrid_c",
+          (floor(col("sim") * 10000) + col("overlap") * 100).cast("long"))
+        .withColumn("hrank", row_number().over(w).cast("long"))
+        .filter(col("hrank") <= 5)
+        .select(col("query_id"), col("neighbor_id"), col("hrank"),
+          col("hybrid_c"), col("overlap"))
+        .orderBy("query_id", "hrank")
+    }, Some("""
+      WITH p AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings),
+      sims AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum([CAST(q.embedding[i] AS DOUBLE)
+                         * CAST(c.embedding[i] AS DOUBLE)
+                         FOR i IN range(1, 65)]) / (q.nrm * c.nrm) AS sim
+        FROM p q JOIN p c ON q.vec_id < 5 AND c.vec_id <> q.vec_id),
+      cand AS (
+        -- rank on the UNROUNDED sim (bruteForceTopK's order); the round
+        -- happens only in the hybrid score below
+        SELECT query_id, neighbor_id, round(sim, 4) AS sim FROM (
+          SELECT *, row_number() OVER (PARTITION BY query_id
+                      ORDER BY sim DESC, neighbor_id) AS rk
+          FROM sims) WHERE rk <= 20),
+      hw AS (
+        SELECT doc_id, list_distinct(string_split(text, ' ')[1:10]) AS w
+        FROM documents),
+      h AS (
+        SELECT c.query_id, c.neighbor_id,
+               CAST(len(list_intersect(qw.w, nw.w)) AS BIGINT) AS overlap,
+               CAST(floor(c.sim * 10000)
+                 + len(list_intersect(qw.w, nw.w)) * 100 AS BIGINT)
+                 AS hybrid_c
+        FROM cand c
+        JOIN hw qw ON qw.doc_id = c.query_id
+        JOIN hw nw ON nw.doc_id = c.neighbor_id)
+      SELECT query_id, neighbor_id, hrank, hybrid_c, overlap FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY hybrid_c DESC, neighbor_id) AS hrank
+        FROM h) WHERE hrank <= 5
+      ORDER BY query_id, hrank""")),
+
     // ---- KWIC snippets for search hits: first match position + a
     // ±3-word window, md5-gated so the exact context replays
     QueryDef("q183_search_snippets", (s, dir) => {
