@@ -1,0 +1,287 @@
+package graft.streaming
+
+import java.io.{DataInputStream, DataOutputStream}
+import java.net.{ServerSocket, Socket}
+import java.nio.ByteBuffer
+import java.nio.charset.StandardCharsets.UTF_8
+
+/** Hand-rolled Kafka wire protocol (the public Apache Kafka protocol
+  * spec), client side and a spec-shaped mock broker — the same posture as
+  * `graft.pgwire` vs libpq: no kafka-clients jars exist in this container
+  * and egress is zero, so the BYTES are pinned by our own
+  * implementation of the published format instead. What this proves
+  * beyond round 6 (which stopped at `decodeOpLog` over a MemoryStream):
+  * the full socket path — size-framed requests, request header v1,
+  * Fetch v4 request/response layout, and the v2 RecordBatch format
+  * (CRC32C over the post-crc region, zigzag-varint record fields) —
+  * drains over a REAL TCP connection into the same indexer contract.
+  * The remaining untested surface is exactly the real broker's server
+  * implementation (env-blocked, acknowledged).
+  *
+  * Reference surface: modules/kafka/.../KafkaCluster.kt + Kafka.kt (the
+  * reference embeds a real broker for its tests; the wire formats below
+  * are the public protocol those tests exercise).
+  */
+object KafkaWire {
+
+  final case class FetchedRecord(offset: Long, timestamp: Long,
+      key: Array[Byte], value: Array[Byte])
+
+  // ---- varint helpers (zigzag + LEB128 — the v2 record encoding) -------
+
+  private[graft] def zigzag(n: Long): Long = (n << 1) ^ (n >> 63)
+  private[graft] def unzigzag(n: Long): Long = (n >>> 1) ^ -(n & 1)
+
+  private[graft] def writeVarlong(b: java.io.ByteArrayOutputStream,
+      v0: Long): Unit = {
+    var v = zigzag(v0)
+    while ((v & ~0x7fL) != 0) {
+      b.write(((v & 0x7f) | 0x80).toInt)
+      v >>>= 7
+    }
+    b.write(v.toInt)
+  }
+
+  private[graft] def readVarlong(buf: ByteBuffer): Long = {
+    var v = 0L
+    var shift = 0
+    var b = 0
+    do {
+      b = buf.get() & 0xff
+      v |= (b & 0x7fL) << shift
+      shift += 7
+    } while ((b & 0x80) != 0)
+    unzigzag(v)
+  }
+
+  // ---- v2 RecordBatch encode/decode ------------------------------------
+
+  /** Encode one RecordBatch (magic 2) for `records` starting at
+    * `baseOffset`; CRC32C computed over attributes..end exactly as the
+    * spec requires. */
+  def encodeRecordBatch(baseOffset: Long,
+      records: Seq[(Array[Byte], Array[Byte], Long)]): Array[Byte] = {
+    val body = new java.io.ByteArrayOutputStream()
+    val firstTs = records.headOption.map(_._3).getOrElse(0L)
+    val maxTs = records.map(_._3).foldLeft(firstTs)(math.max)
+    val afterCrc = new java.io.ByteArrayOutputStream()
+    val w = new DataOutputStream(afterCrc)
+    w.writeShort(0) // attributes: no compression, create-time
+    w.writeInt(records.length - 1) // lastOffsetDelta
+    w.writeLong(firstTs); w.writeLong(maxTs)
+    w.writeLong(-1L); w.writeShort(-1); w.writeInt(-1) // no producer/txn
+    w.writeInt(records.length)
+    records.zipWithIndex.foreach { case ((k, v, ts), i) =>
+      val rec = new java.io.ByteArrayOutputStream()
+      rec.write(0) // record attributes
+      writeVarlong(rec, ts - firstTs)
+      writeVarlong(rec, i.toLong)
+      if (k == null) writeVarlong(rec, -1L)
+      else { writeVarlong(rec, k.length.toLong); rec.write(k) }
+      if (v == null) writeVarlong(rec, -1L)
+      else { writeVarlong(rec, v.length.toLong); rec.write(v) }
+      writeVarlong(rec, 0L) // headers
+      val bytes = rec.toByteArray
+      writeVarlong(body, bytes.length.toLong) // record length prefix
+      body.write(bytes)
+    }
+    w.write(body.toByteArray)
+    val after = afterCrc.toByteArray
+    val crc = new java.util.zip.CRC32C
+    crc.update(after)
+    val batchLength = 4 + 1 + 4 + after.length // pLE + magic + crc + rest
+    val out = ByteBuffer.allocate(8 + 4 + batchLength)
+    out.putLong(baseOffset)
+    out.putInt(batchLength)
+    out.putInt(0) // partitionLeaderEpoch
+    out.put(2.toByte) // magic
+    out.putInt(crc.getValue.toInt)
+    out.put(after)
+    out.array()
+  }
+
+  /** Decode every record in a record-set (one or more batches); verifies
+    * each batch's CRC32C and magic, failing loudly on corruption. */
+  def decodeRecordSet(bytes: Array[Byte]): Seq[FetchedRecord] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[FetchedRecord]
+    val buf = ByteBuffer.wrap(bytes)
+    while (buf.remaining() >= 12) {
+      val baseOffset = buf.getLong
+      val batchLength = buf.getInt
+      require(batchLength >= 9 && buf.remaining() >= batchLength,
+        s"truncated record batch (len $batchLength)")
+      buf.getInt // partitionLeaderEpoch
+      val magic = buf.get()
+      require(magic == 2, s"unsupported record batch magic $magic")
+      val crcStored = buf.getInt
+      val afterLen = batchLength - 9
+      val after = new Array[Byte](afterLen)
+      buf.get(after)
+      val crc = new java.util.zip.CRC32C
+      crc.update(after)
+      require(crc.getValue.toInt == crcStored,
+        "record batch CRC32C mismatch")
+      val ab = ByteBuffer.wrap(after)
+      ab.getShort // attributes
+      ab.getInt // lastOffsetDelta
+      val firstTs = ab.getLong
+      ab.getLong // maxTimestamp
+      ab.getLong; ab.getShort; ab.getInt // producer id/epoch/baseSeq
+      val n = ab.getInt
+      (0 until n).foreach { _ =>
+        val recLen = readVarlong(ab)
+        val end = ab.position() + recLen.toInt
+        ab.get() // record attributes
+        val tsDelta = readVarlong(ab)
+        val offDelta = readVarlong(ab)
+        def readBytes(): Array[Byte] = {
+          val len = readVarlong(ab)
+          if (len < 0) null
+          else { val a = new Array[Byte](len.toInt); ab.get(a); a }
+        }
+        val k = readBytes()
+        val v = readBytes()
+        val headers = readVarlong(ab)
+        (0 until headers.toInt).foreach { _ => readBytes(); readBytes() }
+        require(ab.position() == end, "record length mismatch")
+        out += FetchedRecord(baseOffset + offDelta, firstTs + tsDelta, k, v)
+      }
+    }
+    out.toSeq
+  }
+
+  // ---- wire framing ------------------------------------------------------
+
+  private def writeString(w: DataOutputStream, s: String): Unit = {
+    val b = s.getBytes(UTF_8)
+    w.writeShort(b.length); w.write(b)
+  }
+
+  private def readString(buf: ByteBuffer): String = {
+    val len = buf.getShort
+    val b = new Array[Byte](len); buf.get(b)
+    new String(b, UTF_8)
+  }
+
+  /** Fetch v4: one request over a real socket, returns the partition's
+    * records from `fetchOffset`. */
+  def fetchRecords(host: String, port: Int, topic: String, partition: Int,
+      fetchOffset: Long, clientId: String = "graft"): Seq[FetchedRecord] = {
+    val sock = new Socket(host, port)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      val body = new java.io.ByteArrayOutputStream()
+      val w = new DataOutputStream(body)
+      // request header v1
+      w.writeShort(1) // apiKey = Fetch
+      w.writeShort(4) // apiVersion
+      w.writeInt(42) // correlationId
+      writeString(w, clientId)
+      // Fetch v4 body
+      w.writeInt(-1) // replica_id (consumer)
+      w.writeInt(500) // max_wait_ms
+      w.writeInt(1) // min_bytes
+      w.writeInt(1 << 20) // max_bytes
+      w.writeByte(0) // isolation_level = READ_UNCOMMITTED
+      w.writeInt(1) // one topic
+      writeString(w, topic)
+      w.writeInt(1) // one partition
+      w.writeInt(partition)
+      w.writeLong(fetchOffset)
+      w.writeInt(1 << 20) // partition max_bytes
+      out.writeInt(body.size()); body.writeTo(out); out.flush()
+      // response
+      val size = in.readInt()
+      val resp = new Array[Byte](size)
+      in.readFully(resp)
+      val buf = ByteBuffer.wrap(resp)
+      require(buf.getInt == 42, "correlation id mismatch")
+      buf.getInt // throttle_time_ms
+      val nTopics = buf.getInt
+      require(nTopics == 1, s"expected 1 topic, got $nTopics")
+      val t = readString(buf)
+      require(t == topic, s"unexpected topic $t")
+      val nParts = buf.getInt
+      require(nParts == 1, s"expected 1 partition, got $nParts")
+      require(buf.getInt == partition, "unexpected partition")
+      val errorCode = buf.getShort
+      require(errorCode == 0, s"fetch error code $errorCode")
+      buf.getLong // high watermark
+      buf.getLong // last stable offset
+      val nAborted = buf.getInt
+      require(nAborted <= 0, "unexpected aborted txns")
+      val setLen = buf.getInt
+      val set = new Array[Byte](setLen)
+      buf.get(set)
+      decodeRecordSet(set).filter(_.offset >= fetchOffset)
+    } finally sock.close()
+  }
+
+  /** Spec-shaped mock broker: serves Fetch v4 for one topic-partition
+    * from an in-memory log, encoding real v2 record batches. Runs until
+    * `stop()`. */
+  final class MockBroker(topic: String, partition: Int,
+      log: Seq[(Array[Byte], Array[Byte], Long)],
+      batchSize: Int = 50) {
+    private val server = new ServerSocket(0)
+    @volatile private var running = true
+    def port: Int = server.getLocalPort
+
+    private val thread = new Thread(() => {
+      while (running) {
+        try {
+          val sock = server.accept()
+          try handle(sock) finally sock.close()
+        } catch { case _: Exception if !running => () case _: Exception => () }
+      }
+    }, "graft-mock-kafka")
+
+    def start(): MockBroker = { thread.setDaemon(true); thread.start(); this }
+    def stop(): Unit = { running = false; server.close() }
+
+    private def handle(sock: Socket): Unit = {
+      val in = new DataInputStream(sock.getInputStream)
+      val out = new DataOutputStream(sock.getOutputStream)
+      val size = in.readInt()
+      val req = new Array[Byte](size)
+      in.readFully(req)
+      val buf = ByteBuffer.wrap(req)
+      val apiKey = buf.getShort
+      buf.getShort // apiVersion
+      val correlationId = buf.getInt
+      readString(buf) // clientId
+      require(apiKey == 1, s"mock broker serves Fetch only, got $apiKey")
+      buf.getInt; buf.getInt; buf.getInt; buf.getInt; buf.get() // fetch opts
+      buf.getInt // topic count (1)
+      val reqTopic = readString(buf)
+      buf.getInt // partition count (1)
+      val reqPart = buf.getInt
+      val fetchOffset = buf.getLong
+      // record set: batches of `batchSize` from the requested offset
+      val setOut = new java.io.ByteArrayOutputStream()
+      if (reqTopic == topic && reqPart == partition) {
+        var off = math.max(0L, fetchOffset)
+        while (off < log.length) {
+          val batch = log.slice(off.toInt,
+            math.min(log.length, off.toInt + batchSize))
+          setOut.write(encodeRecordBatch(off, batch))
+          off += batch.length
+        }
+      }
+      val set = setOut.toByteArray
+      val body = new java.io.ByteArrayOutputStream()
+      val w = new DataOutputStream(body)
+      w.writeInt(correlationId)
+      w.writeInt(0) // throttle_time
+      w.writeInt(1); writeString(w, reqTopic)
+      w.writeInt(1); w.writeInt(reqPart)
+      w.writeShort(0) // error code
+      w.writeLong(log.length.toLong) // high watermark
+      w.writeLong(log.length.toLong) // last stable offset
+      w.writeInt(0) // aborted txns
+      w.writeInt(set.length); w.write(set)
+      out.writeInt(body.size()); body.writeTo(out); out.flush()
+    }
+  }
+}
