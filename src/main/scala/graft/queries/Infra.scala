@@ -1106,6 +1106,62 @@ object Infra {
              CAST(sum(v * v) AS BIGINT) AS energy
       FROM sm GROUP BY media_id, win ORDER BY media_id, win""")),
 
+    // ---- distributed audio transform through the oracle gate (the
+    // audio face of q166): ramp fixtures → integer-ratio downsample
+    // (every 2nd sample) → re-decode; the oracle replays the kept-sample
+    // ramp and its exact integer energy with generate-series arithmetic.
+    QueryDef("q187_audio_downsample", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 150)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val n = 800 + (k % 4).toInt * 100
+          val wav = _root_.graft.operators.MediaCodecs.encodeWav(8000, 1,
+            Array.tabulate(n)(i =>
+              (((i.toLong * 37 + k) % 2048) - 1024).toShort))
+          Row(k, _root_.graft.operators.MediaCodecs.downsampleWav(wav, 2),
+            "audio/wav")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      val idIdx = 0
+      media.mapPartitions { rows =>
+        rows.map { r =>
+          val w = _root_.graft.operators.MediaCodecs.decodeWav(
+            r.getAs[Array[Byte]](1))
+          var e = 0L
+          w.samples.foreach(s0 => e += s0.toLong * s0)
+          Row(r.getLong(idIdx), w.sampleRate.toLong,
+            w.samples.length.toLong, e)
+        }
+      }(Encoders.row(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("media_id",
+          org.apache.spark.sql.types.LongType, nullable = false),
+        org.apache.spark.sql.types.StructField("sample_rate",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("n_samples",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("energy",
+          org.apache.spark.sql.types.LongType)))))
+        .orderBy("media_id")
+    }, Some("""
+      WITH k AS (
+        SELECT o_orderkey AS media_id,
+               800 + CAST(o_orderkey % 4 AS INT) * 100 AS n
+        FROM orders WHERE o_orderkey < 150),
+      idx AS (
+        SELECT media_id, unnest(range(0, n // 2)) AS i FROM k),
+      s AS (
+        -- kept samples: indices 0, 2, 4, ... of the original ramp
+        SELECT media_id, (i * 2 * 37 + media_id) % 2048 - 1024 AS v
+        FROM idx)
+      SELECT media_id, CAST(4000 AS BIGINT) AS sample_rate,
+             count(*) AS n_samples,
+             CAST(sum(v * v) AS BIGINT) AS energy
+      FROM s GROUP BY media_id ORDER BY media_id""")),
+
     // ---- distributed image transform through the oracle gate: 16×16
     // linear-gradient BMP fixtures (v = o + a·x + b·y, no clamping) are
     // decoded, resized 2× down (nearest-neighbour at an integer ratio
