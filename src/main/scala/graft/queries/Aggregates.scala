@@ -197,6 +197,26 @@ object Aggregates {
                AS BIGINT) AS o
       FROM lineitem GROUP BY l_returnflag ORDER BY rf""")),
 
+    // CUBE proper (q126 covers GROUPING SETS; this is the full 2^k
+    // lattice through the DataFrame API's cube())
+    QueryDef("q188_cube", (s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("o_orderstatus"), lit("(all)")).as("st"),
+          coalesce(col("o_orderpriority"), lit("(all)")).as("pr"),
+          col("n"), col("gid"))
+        .orderBy("gid", "st", "pr")
+    }, Some("""
+      SELECT coalesce(o_orderstatus, '(all)') AS st,
+             coalesce(o_orderpriority, '(all)') AS pr,
+             count(*) AS n,
+             CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority)
+               AS BIGINT) AS gid
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY gid, st, pr""")),
+
     // UNPIVOT (wide → long) through Spark's native syntax; the oracle
     // replays it as a UNION ALL stack — the desugared form.
     QueryDef("q176_unpivot", (s, dir) => {
