@@ -344,15 +344,20 @@ object Dedup {
     * [[Similarity.trainIvfCentroids]] output, persisted like q141's
     * model) for converged cells on a real deployment.
     *
-    * Scale: assignment is one broadcast (nlist × dims) + per-row argmax;
-    * the pair scan is one shuffle keyed by cell with the quadratic
-    * confined to cellmates (nlist scales with corpus size to bound cell
-    * populations — SemDeDup used 50k clusters at web scale). Exchange
-    * reuse covers the self-join's two sides (same subtree up to the
-    * rename). Output: one row per vector — (vec_id, cell, kept, dup_of).
+    * Scale: assignment is a driver-held model (nlist × dims) + a per-row
+    * codegen'd argmax ([[graft.functions.NearestCells]]) — zero expansion,
+    * zero shuffle; the pair scan is one shuffle keyed by cell with the
+    * quadratic confined to cellmates (nlist scales with corpus size to
+    * bound cell populations — SemDeDup used 50k clusters at web scale).
+    * Output: one row per vector — (vec_id, cell, kept, dup_of).
     */
   /** Voronoi cell assignment shared by the semantic-dedup family:
-    * (cell, id, v, nrm), centroids broadcast, per-row cosine argmax. */
+    * (cell, id, v, nrm). The centroid model (nlist × dims) is collected
+    * driver-side and assignment runs as a per-row codegen'd argmax
+    * ([[graft.functions.NearestCells]]) — zero expansion, zero shuffle,
+    * one corpus scan. (The previous crossJoin + row_number window shipped
+    * n × nlist full vectors through one exchange; the oracle SQL keeps
+    * that formulation — outputs are identical.) */
   private def semanticCells(emb: DataFrame, idCol: String, vecCol: String,
       nlist: Int, trainedCentroids: Option[DataFrame]): DataFrame = {
     val p = Similarity.prepared(emb, vecCol)
@@ -360,28 +365,20 @@ object Dedup {
       p.orderBy(col(idCol)).limit(nlist)
         .select(col(idCol).as("cent_id"), col("__vecd").as("cv"),
           col("__nrm").as("cn")))
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("__csim").desc, col("cent_id"))
-    p.crossJoin(broadcast(centroids))
-      .withColumn("__csim",
-        Similarity.dot(col("__vecd"), col("cv")) / (col("__nrm") * col("cn")))
-      .withColumn("__crank", row_number().over(wAssign))
-      .filter(col("__crank") === 1)
-      .select(col("cent_id").as("cell"), col(idCol).as("id"),
+    val (cids, cvecs, cnorms, idType) =
+      Similarity.collectCentroidModel(centroids)
+    p.withColumn("cell", element_at(graft.functions.NearestCells(
+        col("__vecd"), col("__nrm"), cids, cvecs, cnorms, 1), 1).cast(idType))
+      .select(col("cell"), col(idCol).as("id"),
         col("__vecd").as("v"), col("__nrm").as("nrm"))
   }
 
-  /** Same-cell near-duplicate PAIRS (id1 < id2, exact cosine > threshold)
-    * — the edge list the SemDeDup family shares: [[semanticDedup]] folds
-    * it to min-id pruning; feeding it to [[dupClusters]] instead yields
-    * transitive cluster labels for quality-aware representative
-    * selection. One shuffle keyed on cell; quadratic bounded by cell
-    * population. */
-  def semanticNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, threshold: Double,
-      trainedCentroids: Option[DataFrame] = None): DataFrame = {
-    val assigned =
-      semanticCells(emb, idCol, vecCol, nlist, trainedCentroids)
+  /** Same-cell near-duplicate pairs from an ALREADY-ASSIGNED cell frame —
+    * the shared tail of [[semanticNearDupPairs]] and [[semanticDedup]], so
+    * the assignment (and its model collect) happens exactly once per
+    * caller. */
+  private def nearDupPairsFrom(assigned: DataFrame,
+      threshold: Double): DataFrame = {
     val lhs = assigned.select(col("cell"), col("id").as("id2"),
       col("v").as("iv"), col("nrm").as("inrm"))
     val rhs = assigned.select(col("cell"), col("id").as("id1"),
@@ -394,14 +391,24 @@ object Dedup {
       .select(col("id1"), col("id2"), col("sim"))
   }
 
+  /** Same-cell near-duplicate PAIRS (id1 < id2, exact cosine > threshold)
+    * — the edge list the SemDeDup family shares: [[semanticDedup]] folds
+    * it to min-id pruning; feeding it to [[dupClusters]] instead yields
+    * transitive cluster labels for quality-aware representative
+    * selection. One shuffle keyed on cell; quadratic bounded by cell
+    * population. */
+  def semanticNearDupPairs(emb: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, threshold: Double,
+      trainedCentroids: Option[DataFrame] = None): DataFrame =
+    nearDupPairsFrom(
+      semanticCells(emb, idCol, vecCol, nlist, trainedCentroids), threshold)
+
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
       nlist: Int, threshold: Double,
       trainedCentroids: Option[DataFrame] = None): DataFrame = {
     val assigned =
       semanticCells(emb, idCol, vecCol, nlist, trainedCentroids)
-    val dups =
-      semanticNearDupPairs(emb, idCol, vecCol, nlist, threshold,
-        trainedCentroids)
+    val dups = nearDupPairsFrom(assigned, threshold)
         .groupBy(col("id2"))
         .agg(min(col("id1")).as("dup_of"))
     assigned.select(col("id").as("vec_id"), col("cell"))

@@ -92,10 +92,15 @@ object Similarity {
     * checking — on a real deployment, swap in trained centroids and
     * nothing else changes.
     *
-    * Scale: assignment is one broadcast (nlist × dims doubles) + a per-row
-    * argmin; the search joins each query only with its probed cells — one
-    * shuffle keyed by cell, work bounded by nprobe/nlist of the corpus per
-    * query. */
+    * Scale: assignment is a driver-held centroid model (nlist × dims
+    * doubles, Janino-referenced once per executor) + a per-row codegen'd
+    * argmax ([[graft.functions.NearestCells]]) — zero expansion, zero
+    * shuffle, one corpus scan; the search joins each query only with its
+    * probed cells — one shuffle keyed by cell, work bounded by
+    * nprobe/nlist of the corpus per query. (The previous crossJoin +
+    * row_number window shipped n × nlist full vectors through one
+    * exchange — a scale-killer at SemDeDup-scale nlist; the oracle SQL
+    * keeps that formulation, outputs are identical.) */
   def ivfTopK(emb: DataFrame, idCol: String, vecCol: String, dims: Int,
       nlist: Int, nprobe: Int, k: Int,
       queryFilter: Column,
@@ -105,18 +110,19 @@ object Similarity {
       p.orderBy(col(idCol)).limit(nlist)
         .select(col(idCol).as("cent_id"), col("__vecd").as("cv"),
           col("__nrm").as("cn")))
-    // cell assignment: nearest centroid by cosine (argmax similarity)
-    val wAssign = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("__csim").desc, col("cent_id"))
-    val assigned = p.crossJoin(broadcast(centroids))
-      .withColumn("__csim",
-        dot(col("__vecd"), col("cv")) / (col("__nrm") * col("cn")))
-      .withColumn("__crank", row_number().over(wAssign))
-    val corpusCells = assigned.filter(col("__crank") === 1)
-      .select(col("cent_id").as("cell"), col(idCol).as("neighbor_id"),
+    // cell assignment: nearest centroid by cosine (argmax similarity),
+    // fused per-row against the collected model — no n×nlist expansion
+    val (cids, cvecs, cnorms, idType) = collectCentroidModel(centroids)
+    val corpusCells = p
+      .withColumn("cell", element_at(graft.functions.NearestCells(
+        col("__vecd"), col("__nrm"), cids, cvecs, cnorms, 1), 1).cast(idType))
+      .select(col("cell"), col(idCol).as("neighbor_id"),
         col("__vecd").as("nv"), col("__nrm").as("nn"))
-    val queryCells = assigned.filter(col("__crank") <= nprobe && queryFilter)
-      .select(col("cent_id").as("cell"), col(idCol).as("query_id"),
+    val queryCells = p.filter(queryFilter)
+      .withColumn("cell", explode(graft.functions.NearestCells(
+        col("__vecd"), col("__nrm"), cids, cvecs, cnorms, nprobe)))
+      .withColumn("cell", col("cell").cast(idType))
+      .select(col("cell"), col(idCol).as("query_id"),
         col("__vecd").as("qv"), col("__nrm").as("qn"))
     val wTop = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
@@ -127,6 +133,25 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("rank"),
         round(col("sim"), 4).as("sim"))
+  }
+
+  /** Collect a (cent_id, cv, cn) centroid frame into the driver-held model
+    * [[graft.functions.NearestCells]] consumes: (ids-as-long, vectors,
+    * norms, original cent_id type for casting the cell column back). The
+    * collect is model-sized (nlist rows) — the same posture as
+    * [[trainIvfCentroids]]'s driver-held centroid matrix. */
+  private[graft] def collectCentroidModel(centroids: DataFrame)
+      : (Array[Long], Array[Array[Double]], Array[Double],
+         org.apache.spark.sql.types.DataType) = {
+    val idType = centroids.schema("cent_id").dataType
+    val rows = centroids
+      .select(col("cent_id").cast("long"), col("cv"), col("cn"))
+      .collect()
+      .sortBy(_.getLong(0))
+    (rows.map(_.getLong(0)),
+      rows.map(_.getSeq[Double](1).toArray),
+      rows.map(_.getDouble(2)),
+      idType)
   }
 
   /** Spherical k-means (Lloyd's) trainer for [[ivfTopK]] centroids —

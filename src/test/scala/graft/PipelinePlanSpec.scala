@@ -81,22 +81,40 @@ class PipelinePlanSpec extends AnyFunSuite {
       s"expected only the final top-k exchange, got ${rep.shuffleExchanges}")
   }
 
-  test("semantic dedup: centroids broadcast; pair scan confined to cells") {
+  test("semantic dedup: zero-shuffle cell assignment; pair scan confined " +
+      "to cells") {
     val df = Dedup.semanticDedup(
       Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
       nlist = 8, threshold = 0.3)
     val rep = Explain.report(df)
-    assert(rep.broadcastExchanges >= 1,
-      "the centroid model must broadcast for the cell argmax")
-    // the only nested-loop joins are the nlist-row centroid cross join,
-    // appearing once per branch of the self-join lineage (assignment,
-    // lhs, rhs); its exchange is canonically identical across branches so
-    // runtime exchange reuse computes the assignment once. A 4th would
-    // mean an all-pairs product over DATA — the thing the cells prevent.
-    assert(rep.nestedLoopJoins == 3,
-      s"unexpected nested-loop joins: ${rep.nestedLoopJoins}")
+    // assignment is a per-row codegen'd argmax over the driver-held model
+    // (NearestCells) — NO centroid cross join, NO n×nlist expansion, no
+    // exchange of any kind between the corpus scan and the cell column
+    assert(rep.nestedLoopJoins == 0,
+      s"cell assignment must not cross-join: ${rep.nestedLoopJoins}")
     assert(rep.sortMergeJoins + rep.shuffledHashJoins + rep.broadcastHashJoins
       >= 1, "cellmate pairing must be a keyed join on cell")
+  }
+
+  test("IVF cell assignment: per-row argmax, no exchange before the cell " +
+      "join") {
+    val df = Similarity.ivfTopK(
+      Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
+      dims = 64, nlist = 8, nprobe = 2, k = 5,
+      queryFilter = col("vec_id") < 10)
+    val rep = Explain.report(df)
+    assert(rep.nestedLoopJoins == 0,
+      s"assignment must not cross-join centroids: ${rep.nestedLoopJoins}")
+    // plan = 2 scans → per-row NearestCells → cell join (the filtered
+    // query side broadcasts: zero corpus shuffle) → final top-k window
+    // (1 exchange on query_id). <=3 leaves AQE room to pick SMJ for the
+    // cell join at scale — still no n×nlist expansion either way.
+    // (WholeStageCodegen spans are invisible pre-execution under AQE;
+    // NearestCellsSpec proves the codegen path compiles by running with
+    // spark.sql.codegen.fallback=false.)
+    assert(rep.shuffleExchanges <= 3,
+      s"expected <=3 shuffles (cell join + window), got " +
+        s"${rep.shuffleExchanges}")
   }
 
   test("SQ8 ADC scan: no joins, one k-by-P-row exchange for the window") {
