@@ -240,22 +240,68 @@ object TextAnalysis {
     * Scale: one token shuffle builds the postings for the (few) query
     * terms only — the filter runs BEFORE the shuffle, so the corpus
     * stream drops to matching tokens immediately; df is a terms-sized
-    * aggregate joined back (broadcast at any scale). Output: one row
-    * per matching doc — (doc_id, matched_terms, score_c). */
+    * aggregate joined back (broadcast at any scale). The idf numerator N
+    * is a 1-row count aggregate cross-joined broadcast INSIDE the same
+    * plan (column-pruned scan, served from parquet row-group metadata) —
+    * not a separate `docs.count()` action, so the whole search is ONE
+    * job and plan construction runs nothing. Output: one row per
+    * matching doc — (doc_id, matched_terms, score_c). */
   def keywordSearch(docs: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], satK: Long = 2L): DataFrame = {
-    val n = docs.count()
+    val nDf = docs.agg(count(lit(1)).as("__n"))
     val tf = docs
       .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
       .filter(col("w").isInCollection(terms))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("w"))
-      .withColumn("idf_bits", length(bin(lit(n).cast("long") / col("df")))
+      .crossJoin(broadcast(nDf))
+      .withColumn("idf_bits", length(bin(col("__n") / col("df")))
         .cast("long"))
       .withColumn("term_score",
         floor(lit(1000) * col("idf_bits") * col("tf") /
           (col("tf") + lit(satK))).cast("long"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("matched_terms"),
+        sum("term_score").as("score_c"))
+  }
+
+  /** Full BM25 (Robertson/Sparck Jones) with document-length
+    * normalization — the production upgrade of [[keywordSearch]]'s
+    * saturating-tf shape: per term
+    * `floor(1000 · idf_bits · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)))`
+    * with `k1 = k1Milli/1000`, `b = bMilli/1000` (defaults 1.2/0.75, the
+    * textbook constants). `idf_bits` keeps the bitlen-for-log discipline;
+    * the length ratio `dl / (total_len / N)` runs in per-row IEEE double
+    * (bit-identical across engines) with a single floor at the end, so
+    * the score is oracle-replayable to the bit.
+    *
+    * Scale: identical plan shape to [[keywordSearch]] — the corpus stats
+    * (N, total token length) are ONE extra 1-row aggregate broadcast;
+    * per-doc length rides the already-filtered posting stream. One job,
+    * one corpus-token pass. Output: (doc_id, matched_terms, score_c). */
+  def bm25Search(docs: DataFrame, textCol: String, idCol: String,
+      terms: Seq[String], k1Milli: Long = 1200L, bMilli: Long = 750L)
+      : DataFrame = {
+    val k1 = k1Milli / 1000.0
+    val b = bMilli / 1000.0
+    val ws = words(col(textCol))
+    val stats = docs.agg(count(lit(1)).as("__n"),
+      sum(size(words(col(textCol)))).as("__tl"))
+    val tf = docs
+      .select(col(idCol).as("doc_id"), size(ws).cast("long").as("dl"),
+        explode(ws).as("w"))
+      .filter(col("w").isInCollection(terms))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+    val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("w"))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf_bits", length(bin(col("__n") / col("df")))
+        .cast("long"))
+      .withColumn("term_score", floor(
+        lit(1000.0) * col("idf_bits") * col("tf") * lit(k1 + 1.0) /
+          (col("tf") + lit(k1) * (lit(1.0) - lit(b) +
+            lit(b) * (col("dl") / (col("__tl") / col("__n")))))).cast("long"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("matched_terms"),
         sum("term_score").as("score_c"))

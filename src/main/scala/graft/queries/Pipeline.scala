@@ -1339,6 +1339,40 @@ object Pipeline {
              CAST(sum(term_score) AS BIGINT) AS score_c
       FROM scored GROUP BY doc_id ORDER BY doc_id""")),
 
+    // ---- full BM25 with document-length normalization (round-8): same
+    // posting plan as q182 plus the (N, total_len) corpus-stats broadcast;
+    // the length ratio runs in per-row IEEE double with one floor at the
+    // end, so the score replays bit-exactly in the oracle
+    QueryDef("q191_bm25_search", (s, dir) => {
+      TextAnalysis.bm25Search(
+          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
+          terms = Seq("batch", "hash", "dup"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH stats AS (
+        SELECT count(*) AS n, sum(len(string_split(text, ' '))) AS tl
+        FROM documents),
+      tok AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS dl,
+               unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      tf AS (
+        SELECT doc_id, w, count(*) AS tf, max(dl) AS dl
+        FROM tok WHERE w IN ('batch', 'hash', 'dup')
+        GROUP BY doc_id, w),
+      df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+      scored AS (
+        SELECT tf.doc_id,
+               CAST(floor(1000.0 * length(bin(stats.n // df.df)) * tf.tf
+                 * (1.2 + 1.0)
+                 / (tf.tf + 1.2 * (1.0 - 0.75
+                    + 0.75 * (tf.dl / (stats.tl / stats.n))))) AS BIGINT)
+                 AS term_score
+        FROM tf JOIN df ON df.w = tf.w, stats)
+      SELECT doc_id, count(*) AS matched_terms,
+             CAST(sum(term_score) AS BIGINT) AS score_c
+      FROM scored GROUP BY doc_id ORDER BY doc_id""")),
+
     // ---- boilerplate line removal: planted nav/footer lines (doc_id%3
     // gets both) are stripped by the curator's removal rules; the
     // cleaned text is md5-gated so "kept the rest byte-exactly" is the

@@ -117,6 +117,35 @@ class PipelinePlanSpec extends AnyFunSuite {
         s"${rep.shuffleExchanges}")
   }
 
+  test("keyword search: corpus count folded into the plan — construction " +
+      "runs no job") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val df = graft.operators.TextAnalysis.keywordSearch(
+        Tables.load(spark, sf, "documents").select("doc_id", "text"),
+        "text", "doc_id", terms = Seq("batch", "hash", "dup"))
+      val bm = graft.operators.TextAnalysis.bm25Search(
+        Tables.load(spark, sf, "documents").select("doc_id", "text"),
+        "text", "doc_id", terms = Seq("batch", "hash", "dup"))
+      // building the DataFrames must not fire an action (the old shape ran
+      // docs.count() here — a full extra corpus pass at 100 TB)
+      Thread.sleep(500) // listener bus is async; let any job event land
+      assert(jobs.get() == 0,
+        s"plan construction fired ${jobs.get()} job(s)")
+      // ... and N rides a broadcast inside the one plan
+      assert(Explain.report(df).broadcastExchanges >= 2,
+        "df + corpus-count must both broadcast")
+      assert(Explain.report(bm).broadcastExchanges >= 2,
+        "df + corpus-stats must both broadcast")
+    } finally spark.sparkContext.removeSparkListener(listener)
+  }
+
   test("SQ8 ADC scan: no joins, one k-by-P-row exchange for the window") {
     val df = Similarity.sqTopK(
       Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
