@@ -177,6 +177,68 @@ object Aggregates {
                               (o_orderstatus), ())
       ORDER BY gid, st, pr""")),
 
+    // ROLLUP oracled as its UNION ALL DESUGAR (round-8): q125's oracle
+    // uses DuckDB's own ROLLUP, so both engines could share a bug; here
+    // the oracle is the engine-independent expansion — one aggregate per
+    // prefix with literal grouping flags — pinning Spark's Expand-based
+    // rollup against first principles. Three levels exercises the full
+    // prefix lattice (gid 0/1/3/7) plus per-column grouping().
+    QueryDef("q189_rollup_desugar", (s, dir) => {
+      t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_linenumber").cast("string").as("lsn"))
+        .rollup(col("l_returnflag"), col("l_linestatus"), col("lsn"))
+        .agg(count(lit(1)).as("n"),
+          grouping(col("lsn")).cast("long").as("g_sm"),
+          grouping_id().cast("long").as("gid"))
+        .select(coalesce(col("l_returnflag"), lit("(all)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(all)")).as("ls"),
+          coalesce(col("lsn"), lit("(all)")).as("sm"),
+          col("n"), col("g_sm"), col("gid"))
+        .orderBy("gid", "rf", "ls", "sm")
+    }, Some("""
+      SELECT rf, ls, sm, n, g_sm, gid FROM (
+        SELECT l_returnflag AS rf, l_linestatus AS ls,
+               CAST(l_linenumber AS VARCHAR) AS sm,
+               count(*) AS n, CAST(0 AS BIGINT) AS g_sm,
+               CAST(0 AS BIGINT) AS gid
+        FROM lineitem GROUP BY 1, 2, 3
+        UNION ALL
+        SELECT l_returnflag, l_linestatus, '(all)', count(*), 1, 1
+        FROM lineitem GROUP BY 1, 2
+        UNION ALL
+        SELECT l_returnflag, '(all)', '(all)', count(*), 1, 3
+        FROM lineitem GROUP BY 1
+        UNION ALL
+        SELECT '(all)', '(all)', '(all)', count(*), 1, 7
+        FROM lineitem)
+      ORDER BY gid, rf, ls, sm""")),
+
+    // disjoint GROUPING SETS oracled as the UNION ALL desugar (round-8):
+    // q126's sets are hierarchical (a rollup in disguise); disjoint sets
+    // ((a),(b)) exercise Expand's per-set null masks — each input row
+    // feeds BOTH outputs with the other key nulled.
+    QueryDef("q190_gsets_desugar", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT coalesce(l_returnflag, '(all)') AS rf,
+               coalesce(l_linestatus, '(all)') AS ls,
+               count(*) AS n,
+               CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                 AS BIGINT) AS gid
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        ORDER BY gid, rf, ls""")
+    }, Some("""
+      SELECT rf, ls, n, gid FROM (
+        SELECT l_returnflag AS rf, '(all)' AS ls, count(*) AS n,
+               CAST(1 AS BIGINT) AS gid
+        FROM lineitem GROUP BY 1
+        UNION ALL
+        SELECT '(all)', l_linestatus, count(*), 2
+        FROM lineitem GROUP BY 2)
+      ORDER BY gid, rf, ls""")),
+
     // PIVOT through Spark's native syntax (same beyond-the-reference
     // note as q125); the oracle replays it as conditional aggregation —
     // the engine-portable formulation PIVOT desugars to.
