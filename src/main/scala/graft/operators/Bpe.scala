@@ -177,7 +177,10 @@ object Bpe {
               if (merged.charAt(i) == Sep) seps += 1
               i += 1
             }
-            Row(r.getLong(0), lang, nWords, seps / 2 - (nWords - 1),
+            // null id propagates here too — only text-nullness picks the
+            // branch, so an id-null/text-non-null row must not NPE
+            Row(if (r.isNullAt(0)) null else r.getLong(0), lang, nWords,
+              seps / 2 - (nWords - 1),
               graft.functions.ShingleMd5Util.md5Hex(
                 merged.getBytes(StandardCharsets.UTF_8)))
           }
@@ -222,7 +225,8 @@ object Bpe {
           val bpeTokens = seps / 2 - (nWords - 1)
           val hash = graft.functions.ShingleMd5Util.md5Hex(
             merged.getBytes(StandardCharsets.UTF_8))
-          Row(r.getLong(0), nWords, bpeTokens, hash)
+          Row(if (r.isNullAt(0)) null else r.getLong(0), nWords, bpeTokens,
+            hash)
           }
         }
       }(Encoders.row(outSchema))

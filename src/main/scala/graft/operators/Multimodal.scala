@@ -283,7 +283,13 @@ object Multimodal {
             }
             None
           } catch {
-            case e: Exception => Some(Option(e.getMessage).getOrElse("error"))
+            // strip Scala's require() prefix: "requirement failed: " is
+            // Predef's phrasing, not the decoder's — gating a hash oracle
+            // on it couples correctness to the Scala runtime's message
+            // format. The remainder is the decoder's own stable reason.
+            case e: Exception =>
+              val m = Option(e.getMessage).getOrElse("error")
+              Some(m.stripPrefix("requirement failed: "))
           }
         Row(r.getLong(idIdx), fmt, outcome.isEmpty,
           outcome.map(_.take(60)).orNull)

@@ -428,7 +428,7 @@ object TextAnalysis {
     def bitlen(c: org.apache.spark.sql.Column) = length(bin(c)).cast("long")
     val backoff = col("prev").isNull || col("f2").isNull ||
       col("f2") < minCount
-    tk.join(uni, Seq("w"))
+    val scored = tk.join(uni, Seq("w"))
       .join(uni.select(col("w").as("prev"), col("f").as("fp")),
         Seq("prev"), "left")
       .join(bi, Seq("prev", "w"), "left")
@@ -444,6 +444,16 @@ object TextAnalysis {
         sum("__backoff").as("backoff_tokens"))
       .withColumn("bigram_surprisal_c",
         floor(col("sum_bits") * 100.0 / col("n_tokens")).cast("long"))
+    // null-text docs vanish in the token explode (posexplode of null →
+    // no rows) — emit the same null-measure row the broadcast path does,
+    // so the two formulations stay row-for-row identical on any corpus
+    val nullDocs = docs.filter(col(textCol).isNull)
+      .select(col(idCol).as("doc_id"),
+        lit(null).cast("long").as("n_tokens"),
+        lit(null).cast("long").as("sum_bits"),
+        lit(null).cast("long").as("backoff_tokens"),
+        lit(null).cast("long").as("bigram_surprisal_c"))
+    scored.unionByName(nullDocs)
   }
 
   /** The broadcast-model path of [[bigramSurprisalBits]]: distributed

@@ -831,11 +831,9 @@ object Infra {
                   WHEN 1 THEN 'image/bmp' ELSE 'image/png' END AS format,
              o_orderkey % 5 <> 0 AS ok,
              CASE WHEN o_orderkey % 5 <> 0 THEN NULL
-                  WHEN o_orderkey % 3 = 0
-                    THEN 'requirement failed: not a RIFF container'
-                  WHEN o_orderkey % 3 = 1
-                    THEN 'requirement failed: truncated BMP (10 bytes)'
-                  ELSE 'requirement failed: CRC mismatch in IDAT chunk'
+                  WHEN o_orderkey % 3 = 0 THEN 'not a RIFF container'
+                  WHEN o_orderkey % 3 = 1 THEN 'truncated BMP (10 bytes)'
+                  ELSE 'CRC mismatch in IDAT chunk'
              END AS reason
       FROM orders WHERE o_orderkey < 300 ORDER BY media_id""")),
 

@@ -1957,15 +1957,22 @@ object Pipeline {
         .createTempDirectory("graft_dedup_log").toString
       docs.filter(col("doc_id") < 100000)
         .coalesce(1).write.mode("append").parquet(logDir)
-      docs.filter(col("doc_id") >= 100000)
-        .coalesce(1).write.mode("append").parquet(logDir)
       val stream = _root_.graft.streaming.StreamIngest.openLog(
         s, logDir, docs.schema, maxFilesPerTrigger = 1)
       val deduped = _root_.graft.streaming.StreamIngest.streamingDedup(
         stream, keyCol = "h", hashCol = "h")
       val q = deduped.writeStream.outputMode("append")
         .format("memory").queryName("q107_mem").start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      try {
+        // same explicit batch ordering as q165 (mtime ties otherwise
+        // leave the order to the path sort) — q107's output is
+        // arrival-order-invariant anyway, but the batches should still
+        // mean what the comment says
+        q.processAllAvailable()
+        docs.filter(col("doc_id") >= 100000)
+          .coalesce(1).write.mode("append").parquet(logDir)
+        q.processAllAvailable()
+      } finally { q.stop() }
       s.table("q107_mem")
         .select(col("h"), pmod(col("doc_id"), lit(100000)).as("orig_id"))
         .orderBy("orig_id")
@@ -1990,15 +1997,21 @@ object Pipeline {
         .createTempDirectory("graft_neardup_log").toString
       docs.filter(col("doc_id") < 100000)
         .coalesce(1).write.mode("append").parquet(logDir)
-      docs.filter(col("doc_id") >= 100000)
-        .coalesce(1).write.mode("append").parquet(logDir)
       val stream = _root_.graft.streaming.StreamIngest.openLog(
         s, logDir, docs.schema, maxFilesPerTrigger = 1)
       val out = _root_.graft.streaming.StreamIngest.streamingNearDupDedup(
         stream, "text", "doc_id", hammingK = 3)
       val q = out.writeStream.outputMode("append")
         .format("memory").queryName("q165_mem").start()
-      try { q.processAllAvailable() } finally {
+      try {
+        // drain batch 1 BEFORE batch 2 exists: near-dup keep/dup depends
+        // on arrival order, and FileStreamSource's mtime sort can tie if
+        // both files land in one clock tick — this makes order explicit
+        q.processAllAvailable()
+        docs.filter(col("doc_id") >= 100000)
+          .coalesce(1).write.mode("append").parquet(logDir)
+        q.processAllAvailable()
+      } finally {
         q.stop()
         val root = java.nio.file.Paths.get(logDir)
         java.nio.file.Files.walk(root).sorted(

@@ -87,13 +87,19 @@ class PipelineHardeningSpec extends AnyFunSuite {
   test("broadcast-LM bigram surprisal equals the join formulation when " +
       "top-K covers the corpus") {
     import graft.operators.TextAnalysis
+    // include a null-text doc: the join path must emit the same
+    // null-measure row the broadcast path does, not silently drop it
     val docs = Tables.load(spark, "/root/testdata/sf0.001", "documents")
       .select("doc_id", "text")
+      .unionByName(Seq((999999L, Option.empty[String]))
+        .toDF("doc_id", "text"))
     def rows(df: org.apache.spark.sql.DataFrame) =
       df.orderBy("doc_id").collect().map(_.toSeq).toSeq
     val joined = TextAnalysis.bigramSurprisalBits(docs, "text", "doc_id")
     val bcast = TextAnalysis.bigramSurprisalBits(docs, "text", "doc_id",
       broadcastTopK = 1 << 20)
+    assert(rows(joined).exists(r => r.head == 999999L && r(1) == null),
+      "null-text doc must surface as a null-measure row")
     assert(rows(bcast) == rows(joined),
       "broadcast path diverged from the join path at full coverage")
     // truncation is deterministic (rerun-stable)
