@@ -541,11 +541,17 @@ object MediaCodecs {
 
   // -- Layer III side information (ISO 11172-3 §2.4.1.7, mono: 17 bytes) --
 
-  /** One granule's side info (long-block, non-switching layout). */
+  /** One granule's side info. `blockType` 0 = normal long (the
+    * non-switching layout); window-switching granules (round-8) carry
+    * blockType 1 (start) / 2 (short) / 3 (stop), the mixed-block flag and
+    * the three per-window subblock gains; their region counts are the
+    * ISO-implied values, not transmitted. */
   final case class Mp3Granule(part23Length: Int, bigValues: Int,
       globalGain: Int, scalefacCompress: Int, tableSelect: Seq[Int],
       region0Count: Int, region1Count: Int, preflag: Int,
-      scalefacScale: Int, count1TableSelect: Int)
+      scalefacScale: Int, count1TableSelect: Int,
+      blockType: Int = 0, mixedBlockFlag: Int = 0,
+      subblockGain: Seq[Int] = Seq(0, 0, 0))
 
   final case class Mp3SideInfo(mainDataBegin: Int, scfsi: Int,
       granules: Seq[Mp3Granule])
@@ -566,6 +572,15 @@ object MediaCodecs {
       156, 190, 230, 276, 330, 384, 576),
     Array(0, 4, 8, 12, 16, 20, 24, 30, 36, 44, 54, 66, 82, 102, 126, 156,
       194, 240, 296, 364, 448, 550, 576))
+
+  /** Short-block scalefactor band boundaries per sample-rate index (ISO
+    * 11172-3 table B.8 short — public): 14 boundaries = 13 bands per
+    * 192-line window (×3 windows = the 576-line granule). Same rate-index
+    * keying as [[Mp3BandsLong]]. */
+  private val Mp3BandsShort: Array[Array[Int]] = Array(
+    Array(0, 4, 8, 12, 16, 22, 30, 40, 52, 66, 84, 106, 136, 192),
+    Array(0, 4, 8, 12, 16, 22, 28, 38, 50, 64, 80, 100, 126, 192),
+    Array(0, 4, 8, 12, 16, 22, 30, 42, 58, 78, 104, 138, 180, 192))
 
   /** Preemphasis per scalefactor band (ISO 11172-3 table B.6 — public);
     * applied when the granule's preflag is set. */
@@ -615,13 +630,19 @@ object MediaCodecs {
     buf.toArray
   }
 
-  /** ISO 11172-3 table B.9, Huffman tables 1-3 (no linbits), each
-    * verified Kraft-complete and prefix-free at construction:
-    * table 1 (2×2): (0,0)→"1", (1,0)→"01", (0,1)→"001", (1,1)→"000";
-    * tables 2/3 (3×3) as tabulated. Tables 4-31 (incl. the 16/24 linbits
-    * families) are scoped out by name in [[decodeMp3]] — same posture as
-    * the MP4 codec payload. Table 0 is the ISO zero table: no code bits,
-    * all values zero. */
+  /** ISO 11172-3 table B.9, big_values Huffman tables — each verified
+    * Kraft-complete and prefix-free at construction (a mis-transcribed
+    * entry fails the build, it cannot silently mis-decode):
+    * table 1 (2×2), tables 2/3 (3×3), tables 5/6 (4×4, round-8),
+    * tables 7/8/9 (6×6, round-8), table 13 (16×16, all 256 entries,
+    * round-8). Table 0 is the ISO zero table (no code bits, all values
+    * zero); tables 4 and 14 are reserved/unused in the ISO spec itself.
+    * STILL scoped out by name in [[decodeMp3HuffPair]]: tables 10-12, 15
+    * and the 16-23/24-31 linbits families — this container has no copy of
+    * their tabulated data and no egress to fetch one; transcriptions that
+    * failed the prefix/Kraft validation were DISCARDED rather than
+    * shipped (a structurally-valid-but-wrong table is the one error the
+    * validator cannot catch, so nothing unvalidated ships). */
   private val Mp3HuffTables: Map[Int, Mp3HuffTable] = Map(
     1 -> Mp3HuffTable(mp3HuffTree(2, 2,
       Array(1, 3, 2, 3), Array(1, 1, 1, 0)), linbits = 0),
@@ -630,11 +651,109 @@ object MediaCodecs {
       Array(1, 2, 1, 3, 1, 1, 3, 2, 0)), linbits = 0),
     3 -> Mp3HuffTable(mp3HuffTree(3, 3,
       Array(2, 2, 6, 3, 2, 5, 5, 5, 6),
-      Array(3, 2, 1, 1, 1, 1, 3, 2, 0)), linbits = 0))
+      Array(3, 2, 1, 1, 1, 1, 3, 2, 0)), linbits = 0),
+    5 -> Mp3HuffTable(mp3HuffTree(4, 4,
+      Array(1, 3, 6, 7, 3, 3, 6, 7, 6, 6, 7, 8, 7, 6, 7, 8),
+      Array(1, 2, 6, 5, 3, 1, 4, 4, 7, 5, 7, 1, 6, 1, 1, 0)), linbits = 0),
+    6 -> Mp3HuffTable(mp3HuffTree(4, 4,
+      Array(3, 3, 5, 7, 3, 2, 4, 5, 4, 4, 5, 6, 6, 5, 6, 7),
+      Array(7, 3, 5, 1, 6, 2, 3, 2, 5, 4, 4, 1, 3, 3, 2, 0)), linbits = 0),
+    7 -> Mp3HuffTable(mp3HuffTree(6, 6,
+      Array(1, 3, 6, 8, 8, 9, 3, 4, 6, 7, 7, 8, 6, 5, 7, 8, 8, 9,
+        7, 7, 8, 9, 9, 9, 7, 7, 8, 9, 9, 10, 8, 8, 9, 10, 10, 10),
+      Array(1, 2, 10, 19, 16, 10, 3, 3, 7, 10, 5, 3, 11, 4, 13, 17, 8, 4,
+        12, 11, 18, 15, 11, 2, 7, 6, 9, 14, 3, 1, 6, 4, 5, 3, 2, 0)),
+      linbits = 0),
+    8 -> Mp3HuffTable(mp3HuffTree(6, 6,
+      Array(2, 3, 6, 8, 8, 9, 3, 2, 4, 8, 8, 8, 6, 4, 6, 8, 8, 9,
+        8, 8, 8, 9, 9, 10, 8, 7, 8, 9, 10, 10, 9, 8, 9, 9, 11, 11),
+      Array(3, 4, 6, 18, 12, 5, 5, 1, 2, 16, 9, 3, 7, 3, 5, 14, 7, 3,
+        19, 17, 15, 13, 10, 4, 13, 5, 8, 11, 5, 1, 12, 4, 4, 1, 1, 0)),
+      linbits = 0),
+    9 -> Mp3HuffTable(mp3HuffTree(6, 6,
+      Array(3, 3, 5, 6, 8, 9, 3, 3, 4, 5, 6, 8, 4, 4, 5, 6, 7, 8,
+        6, 5, 6, 7, 7, 8, 7, 6, 7, 7, 8, 9, 8, 7, 8, 8, 9, 9),
+      Array(7, 5, 9, 14, 15, 7, 6, 4, 5, 5, 6, 7, 7, 6, 8, 8, 8, 5,
+        15, 6, 9, 10, 5, 1, 11, 7, 9, 6, 4, 1, 14, 4, 6, 2, 6, 0)),
+      linbits = 0),
+    13 -> Mp3HuffTable(mp3HuffTree(16, 16,
+      Array(
+        1, 4, 6, 7, 8, 9, 9, 10, 9, 10, 11, 11, 12, 12, 13, 13,
+        3, 4, 6, 7, 8, 8, 9, 9, 9, 9, 10, 10, 11, 12, 12, 12,
+        6, 6, 7, 8, 9, 9, 10, 10, 9, 10, 10, 11, 11, 12, 13, 13,
+        7, 7, 8, 9, 9, 10, 10, 10, 10, 11, 11, 11, 11, 12, 13, 13,
+        8, 7, 9, 9, 10, 10, 11, 11, 10, 11, 11, 12, 12, 13, 13, 14,
+        9, 8, 9, 10, 10, 10, 11, 11, 11, 11, 12, 11, 13, 13, 14, 14,
+        9, 9, 10, 10, 11, 11, 11, 11, 11, 12, 12, 12, 13, 13, 14, 14,
+        10, 9, 10, 11, 11, 11, 12, 12, 12, 12, 13, 13, 13, 14, 16, 16,
+        9, 8, 9, 10, 10, 11, 11, 12, 12, 12, 12, 13, 13, 14, 15, 15,
+        10, 9, 10, 10, 11, 11, 11, 13, 12, 13, 13, 14, 14, 14, 16, 15,
+        10, 10, 10, 11, 11, 12, 12, 13, 12, 13, 14, 13, 14, 15, 16, 17,
+        11, 10, 10, 11, 12, 12, 12, 12, 13, 13, 13, 14, 15, 15, 15, 16,
+        11, 11, 11, 12, 12, 13, 12, 13, 14, 14, 15, 15, 15, 16, 16, 16,
+        12, 11, 12, 13, 13, 13, 14, 14, 14, 14, 14, 15, 16, 15, 16, 16,
+        13, 12, 12, 13, 13, 13, 15, 14, 14, 17, 15, 15, 15, 17, 16, 16,
+        12, 12, 13, 14, 14, 14, 15, 14, 15, 15, 16, 16, 19, 18, 19, 16),
+      Array(
+        1, 5, 14, 21, 34, 51, 46, 71, 42, 52, 68, 52, 67, 44, 43, 19,
+        3, 4, 12, 19, 31, 26, 44, 33, 31, 24, 32, 24, 31, 35, 22, 14,
+        15, 13, 23, 36, 59, 49, 77, 65, 29, 40, 30, 40, 27, 33, 42, 16,
+        22, 20, 37, 61, 56, 79, 73, 64, 43, 76, 56, 37, 26, 31, 25, 14,
+        35, 16, 60, 57, 97, 75, 114, 91, 54, 73, 55, 41, 48, 53, 23, 24,
+        58, 27, 50, 96, 76, 70, 93, 84, 77, 58, 79, 29, 74, 49, 41, 17,
+        47, 45, 78, 74, 115, 94, 90, 79, 69, 83, 71, 50, 59, 38, 36, 15,
+        72, 34, 56, 95, 92, 85, 91, 90, 86, 73, 77, 65, 51, 44, 43, 42,
+        43, 20, 30, 44, 55, 78, 72, 87, 78, 61, 46, 54, 37, 30, 20, 16,
+        53, 25, 41, 37, 44, 59, 54, 81, 66, 76, 57, 54, 37, 18, 39, 11,
+        35, 33, 31, 57, 42, 82, 72, 80, 47, 58, 55, 21, 22, 26, 38, 22,
+        53, 25, 23, 38, 70, 60, 51, 36, 55, 26, 34, 23, 27, 14, 9, 7,
+        34, 32, 28, 39, 49, 75, 30, 52, 48, 40, 52, 28, 18, 17, 9, 5,
+        45, 21, 34, 64, 56, 50, 49, 45, 31, 19, 12, 15, 10, 7, 6, 3,
+        48, 23, 20, 39, 36, 35, 53, 21, 16, 23, 13, 10, 6, 1, 4, 2,
+        16, 15, 17, 27, 25, 20, 29, 11, 17, 12, 16, 8, 1, 1, 0, 1)),
+      linbits = 0))
+
+  /** ISO 11172-3 count1 table A (16 quadruple entries, validated
+    * prefix-free + Kraft-complete like the big_values tables): decode
+    * tree whose leaf value is the (v,w,x,y) bit pattern, v = MSB. Table
+    * B needs no tree — its 4-bit codeword IS the inverted pattern. */
+  private val Mp3Count1ATree: Array[Int] = mp3HuffTree(1, 16,
+    Array(1, 4, 4, 5, 4, 6, 5, 6, 4, 5, 5, 6, 5, 6, 6, 6),
+    Array(1, 5, 4, 5, 6, 5, 4, 4, 7, 3, 6, 0, 7, 2, 3, 1))
+
+  /** Codeword of (x, y) in `table` — walks the decode tree back to the
+    * (code, length). The fixture writer uses this so ANY validated table
+    * can encode, with no hand-maintained codeword list to drift. */
+  private[operators] def mp3PairCode(table: Int, x: Int, y: Int)
+      : (Int, Int) = {
+    val tbl = Mp3HuffTables.getOrElse(table, throw new IllegalArgumentException(
+      s"big_values huffman table $table out of scope (implemented: " +
+        "0-3, 5-9, 13; 4/14 ISO-reserved; 10-12/15/16-31 unavailable)"))
+    mp3TreeCode(tbl.tree, -(x * 16 + y + 1))
+      .getOrElse(throw new IllegalArgumentException(
+        s"($x,$y) not in huffman table $table"))
+  }
+
+  /** Codeword of count1 table A's quad `pattern` (v,w,x,y bits). */
+  private[operators] def mp3Count1ACode(pattern: Int): (Int, Int) =
+    mp3TreeCode(Mp3Count1ATree, -(pattern + 1)).get
+
+  private def mp3TreeCode(tree: Array[Int], target: Int)
+      : Option[(Int, Int)] = {
+    def walk(slot: Int, code: Int, len: Int): Option[(Int, Int)] = {
+      val v = tree(slot)
+      if (v == target) Some((code, len))
+      else if (v <= 0) None
+      else walk(v, code << 1, len + 1)
+        .orElse(walk(v + 1, (code << 1) | 1, len + 1))
+    }
+    walk(0, 0, 1).orElse(walk(1, 1, 1))
+  }
 
   /** Decode one (x, y) spectral pair with `tableSelect`'s Huffman table.
-    * Implemented tables: 0 (zero) and 1-3; the remaining B.9 tables
-    * (4-15 and the 16/24 linbits families) error by name. */
+    * Implemented tables: 0 (zero) and the validated registry (1-3, 5-9,
+    * 13); the rest of B.9 errors by name (none of the implemented tables
+    * has linbits, so no escape read occurs on any implemented path). */
   private def decodeMp3HuffPair(r: BitReader, tableSelect: Int): (Int, Int) =
     if (tableSelect == 0) (0, 0)
     else Mp3HuffTables.get(tableSelect) match {
@@ -648,8 +767,8 @@ object MediaCodecs {
         val v = -t(idx) - 1
         (v / 16, v % 16)
       case None => throw new IllegalArgumentException(
-        s"big_values huffman table $tableSelect out of scope " +
-          "(implemented: 0, 1, 2, 3)")
+        s"big_values huffman table $tableSelect out of scope (implemented: " +
+          "0-3, 5-9, 13; 4/14 ISO-reserved; 10-12/15/16-31 unavailable)")
     }
 
   private final class BitWriter {
@@ -704,7 +823,8 @@ object MediaCodecs {
   def encodeMp3(frames: Int, bitrateIdx: Int, rateIdx: Int,
       id3Bytes: Int = 0, globalGain: Int = 210,
       count1Quads: Int = 0, bigValuePairs: Int = 0,
-      reservoirBytes: Int = 0, bigValueTable: Int = 1): Array[Byte] = {
+      reservoirBytes: Int = 0, bigValueTable: Int = 1,
+      count1Table: Int = 1): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     if (id3Bytes > 0) { // ID3v2 header + syncsafe size
       out.write('I'); out.write('D'); out.write('3')
@@ -719,17 +839,15 @@ object MediaCodecs {
     // table-B codeword + one sign bit per nonzero value
     val sfBits = 11 * Slen1(2) + 10 * Slen2(2)
     val quadPatterns = (0 until count1Quads).map(q => 1 + (q % 15))
-    // the (1,1) codeword per implemented table: t1 '000', t2 '001',
-    // t3 '01' — plus 2 sign bits per pair
-    val (pairCode, pairCodeLen) = bigValueTable match {
-      case 1 => (0, 3)
-      case 2 => (1, 3)
-      case 3 => (1, 2)
-      case t => throw new IllegalArgumentException(
-        s"fixture writer supports big_values tables 1-3, got $t")
-    }
+    // the (1,1) codeword comes from the table registry itself (round-8:
+    // any validated table encodes — t1 '000', t2 '001', t3 '01', t5
+    // '001', t6 '10', t7 '0011', t8 '01', t9 '100', t13 '0100'), plus 2
+    // sign bits per pair
+    val (pairCode, pairCodeLen) = mp3PairCode(bigValueTable, 1, 1)
+    def quadCode(p: Int): (Int, Int) =
+      if (count1Table == 1) (~p & 0xf, 4) else mp3Count1ACode(p)
     val part23 = sfBits + bigValuePairs * (pairCodeLen + 2) +
-      quadPatterns.map(p => 4 + Integer.bitCount(p)).sum
+      quadPatterns.map(p => quadCode(p)._2 + Integer.bitCount(p)).sum
     val tsel =
       if (bigValuePairs > 0) Seq(bigValueTable, bigValueTable, bigValueTable)
       else Seq(0, 0, 0)
@@ -744,9 +862,11 @@ object MediaCodecs {
           w.put(j & 1, 1); w.put((j + 1) & 1, 1) // alternating signs
         }
         quadPatterns.foreach { pattern =>
-          // table B: 4-bit codeword = inverted (v,w,x,y); one sign bit
-          // per nonzero value (0 = positive), alternating here
-          w.put(~pattern & 0xf, 4)
+          // table B: 4-bit codeword = inverted (v,w,x,y); table A
+          // (round-8): the validated tree's codeword; one sign bit per
+          // nonzero value (0 = positive), alternating here
+          val (qc, ql) = quadCode(pattern)
+          w.put(qc, ql)
           (0 until Integer.bitCount(pattern)).foreach(s => w.put(s & 1, 1))
         }
       }
@@ -760,7 +880,7 @@ object MediaCodecs {
       out.write((bitrateIdx << 4) | (rateIdx << 2)) // no padding
       out.write(0xc4) // mono, no emphasis
       val gr = Mp3Granule(part23, bigValuePairs,
-        math.min(255, globalGain + f), 2, tsel, 0, 0, 0, 0, 1)
+        math.min(255, globalGain + f), 2, tsel, 0, 0, 0, 0, count1Table)
       val w = new BitWriter
       w.put(mdb(f), 9); w.put(0, 5); w.put(0, 4) // mdb/private/scfsi
       Seq(gr, gr).foreach { g =>
@@ -788,6 +908,80 @@ object MediaCodecs {
       System.arraycopy(rest, 0, region, 0, rest.length)
       System.arraycopy(nextHead, 0, region,
         regionLen - nextHead.length, nextHead.length)
+      region.foreach(b => out.write(b & 0xff))
+    }
+    out.toByteArray
+  }
+
+  /** Short-block fixture writer (round-8): frames whose granules carry
+    * window-switching side info — block_type 2, the mixed flag, TWO
+    * table selects and three subblock gains — with short-block
+    * scalefactors (scalefac_compress=2 → 36 bits: short bands 6-11 × 3
+    * windows × 2 bits, identically for mixed granules whose extra bands
+    * are all slen1=0), `bigValuePairs` (1,1) pairs in region0 (< sample
+    * 36) coded with any validated table, and `count1Quads` quadruples.
+    * The spectra land in short huffman order (band-major window-minor),
+    * so the decoder's reorder, per-window subblock-gain requantization
+    * and 3×12-point IMDCT all execute on real coded data. */
+  def encodeMp3Short(frames: Int, bitrateIdx: Int, rateIdx: Int,
+      globalGain: Int = 210, bigValuePairs: Int = 0, count1Quads: Int = 0,
+      bigValueTable: Int = 1, subblockGain: Seq[Int] = Seq(0, 0, 0),
+      count1Table: Int = 1, mixed: Boolean = false): Array[Byte] = {
+    require(bigValuePairs * 2 <= 36,
+      "short fixture codes pairs in region0 only (<= 18 pairs)")
+    require(subblockGain.length == 3 && subblockGain.forall(g =>
+      g >= 0 && g <= 7), "three 3-bit subblock gains required")
+    val out = new java.io.ByteArrayOutputStream()
+    val frameLen = 144 * Mp3Bitrates(bitrateIdx) * 1000 / Mp3Rates(rateIdx)
+    val sfBits = 36 // 18 × slen2(sfc=2); the slen1 groups are 0-width
+    val quadPatterns = (0 until count1Quads).map(q => 1 + (q % 15))
+    val (pairCode, pairCodeLen) = mp3PairCode(bigValueTable, 1, 1)
+    def quadCode(p: Int): (Int, Int) =
+      if (count1Table == 1) (~p & 0xf, 4) else mp3Count1ACode(p)
+    val part23 = sfBits + bigValuePairs * (pairCodeLen + 2) +
+      quadPatterns.map(p => quadCode(p)._2 + Integer.bitCount(p)).sum
+    val regionLen = frameLen - 21
+    (0 until frames).foreach { f =>
+      out.write(0xff); out.write(0xfb)
+      out.write((bitrateIdx << 4) | (rateIdx << 2))
+      out.write(0xc4) // mono, no emphasis
+      val w = new BitWriter
+      w.put(0, 9); w.put(0, 5); w.put(0, 4) // mdb/private/scfsi
+      Seq(0, 1).foreach { _ =>
+        w.put(part23, 12); w.put(bigValuePairs, 9)
+        w.put(math.min(255, globalGain + f), 8); w.put(2, 4) // sfc = 2
+        w.put(1, 1) // window_switching_flag
+        w.put(2, 2) // block_type: short
+        w.put(if (mixed) 1 else 0, 1)
+        w.put(bigValueTable, 5); w.put(bigValueTable, 5)
+        subblockGain.foreach(g => w.put(g, 3))
+        w.put(0, 1); w.put(0, 1) // preflag, scalefac_scale
+        w.put(count1Table, 1)
+      }
+      val side = w.bytes
+      require(side.length == 17, "mono side info must be 17 bytes")
+      side.foreach(b => out.write(b & 0xff))
+      val mw = new BitWriter
+      Seq(0, 1).foreach { gi =>
+        // short scalefactors, band-major window-minor: only bands 6-11
+        // carry bits at sfc=2 (slen2 = 2)
+        (6 until 12).foreach(b =>
+          (0 until 3).foreach(wd => mw.put((b + wd + gi) % 4, 2)))
+        (0 until bigValuePairs).foreach { j =>
+          mw.put(pairCode, pairCodeLen)
+          mw.put(j & 1, 1); mw.put((j + 1) & 1, 1)
+        }
+        quadPatterns.foreach { pattern =>
+          val (qc, ql) = quadCode(pattern)
+          mw.put(qc, ql)
+          (0 until Integer.bitCount(pattern)).foreach(s => mw.put(s & 1, 1))
+        }
+      }
+      val main = mw.bytes
+      require(main.length <= regionLen, "fixture audio data overflows frame")
+      val region = Array.tabulate(regionLen)(j => (((21 + j) * 31 + f) % 251)
+        .toByte)
+      System.arraycopy(main, 0, region, 0, main.length)
       region.foreach(b => out.write(b & 0xff))
     }
     out.toByteArray
@@ -904,13 +1098,28 @@ object MediaCodecs {
       val p23 = r.get(12); val bv = r.get(9); val gg = r.get(8)
       val sfc = r.get(4)
       val switching = r.get(1)
-      require(switching == 0,
-        "window-switching granules not supported (fixture family is long-block)")
-      val ts = Seq(r.get(5), r.get(5), r.get(5))
-      val r0 = r.get(4); val r1 = r.get(3)
-      Mp3Granule(p23, bv, gg, sfc, ts, r0, r1,
-        preflag = r.get(1), scalefacScale = r.get(1),
-        count1TableSelect = r.get(1))
+      if (switching == 1) {
+        // window-switching layout (ISO 11172-3 §2.4.1.7): block_type,
+        // mixed_block_flag, TWO table selects, three subblock gains;
+        // region counts are implied — region0 ends at sample 36 (long
+        // band 8 / 3 × short band 3, identical at all three rates),
+        // region1 runs to the end, region2 is empty
+        val bt = r.get(2)
+        require(bt != 0, "block_type 0 is invalid with window switching")
+        val mixed = r.get(1)
+        val ts = Seq(r.get(5), r.get(5))
+        val sbg = Seq(r.get(3), r.get(3), r.get(3))
+        Mp3Granule(p23, bv, gg, sfc, ts, region0Count = 7, region1Count = 12,
+          preflag = r.get(1), scalefacScale = r.get(1),
+          count1TableSelect = r.get(1),
+          blockType = bt, mixedBlockFlag = mixed, subblockGain = sbg)
+      } else {
+        val ts = Seq(r.get(5), r.get(5), r.get(5))
+        val r0 = r.get(4); val r1 = r.get(3)
+        Mp3Granule(p23, bv, gg, sfc, ts, r0, r1,
+          preflag = r.get(1), scalefacScale = r.get(1),
+          count1TableSelect = r.get(1))
+      }
     }
     Mp3SideInfo(mdb, scfsi, grs)
   }
@@ -945,11 +1154,21 @@ object MediaCodecs {
     * frequency inversion. The bit reservoir is REAL (round-7): main data
     * is read from the rolling continuous stream at `main_data_begin`
     * bytes before the frame's own region, underflow failing loudly.
-    * Scoped out, by name: huffman tables 2-31 (incl. the 16/24 linbits
-    * families), window-switching granules, and the 512-tap polyphase
-    * synthesis window D[] (tabulated data with no closed form; subbands
-    * are summed directly instead). Returns mono samples, 1152 per frame.
-    */
+    * Window-switching granules are REAL (round-8): block types 1/2/3,
+    * short and mixed blocks — short-block scalefactors, the ISO-implied
+    * region split, per-window subblock-gain requantization, the
+    * huffman→line reorder, mixed-boundary alias reduction, and the
+    * 3×12-point IMDCT with the closed-form start/short/stop windows.
+    * Implemented big_values tables: 0-3, 5-9, 13 (each transcription
+    * validated prefix-free + Kraft-complete at construction); count1
+    * tables A and B.
+    * Scoped out, by name: big_values tables 10-12, 15 and the 16-23 /
+    * 24-31 linbits families (no copy of their tabulated data exists in
+    * this environment — candidate transcriptions that failed validation
+    * were discarded, not shipped; 4/14 are ISO-reserved), and the
+    * 512-tap polyphase synthesis window D[] (tabulated data with no
+    * closed form; subbands are summed directly instead). Returns mono
+    * samples, 1152 per frame. */
   def decodeMp3Pcm(bytes: Array[Byte]): Array[Double] = decodeMp3(bytes).pcm
 
   def decodeMp3(bytes: Array[Byte]): Mp3Decoded = {
@@ -989,30 +1208,54 @@ object MediaCodecs {
       System.arraycopy(ownBytes, 0, stream, reservoir.length, ownBytes.length)
       val r = new BitReader(stream, dataOffset)
       var sf0: Array[Int] = null
+      require(si.scfsi == 0 || si.granules.forall(_.blockType != 2),
+        "scfsi scalefactor sharing with short-block granules unsupported")
       si.granules.zipWithIndex.foreach { case (g, gi) =>
-        require(g.count1TableSelect == 1,
-          "count1 table A out of scope (fixtures use table B)")
+        val isMixed = g.blockType == 2 && g.mixedBlockFlag == 1
+        val sbands = Mp3BandsShort(rateIdx)
         val dataStart = r.pos
         val startBit = r.bitsRead(dataStart)
-        // scalefactors: bands 0-10 slen1, 11-20 slen2; scfsi shares a
-        // granule-0 group with granule 1 when its bit is set
         val s1 = Slen1(g.scalefacCompress); val s2 = Slen2(g.scalefacCompress)
-        val sf = Array.ofDim[Int](21)
-        (0 until 21).foreach { b =>
-          val group = if (b < 6) 3 else if (b < 11) 2 else if (b < 16) 1 else 0
-          val share = gi == 1 && ((si.scfsi >> group) & 1) == 1
-          val slen = if (b < 11) s1 else s2
-          if (share) sf(b) = sf0(b)
-          else if (slen > 0) sf(b) = r.get(slen)
+        val sf = Array.ofDim[Int](21)       // long scalefactors
+        val sfS = Array.ofDim[Int](12, 3)   // short scalefactors × window
+        if (g.blockType == 2) {
+          // short-block scalefactors (band-major, window-minor): mixed
+          // granules carry long bands 0-7 + short bands 3-11; pure short
+          // granules carry short bands 0-11. No scfsi sharing (guarded
+          // above). Band 12 has no scalefactor, like long band 21.
+          if (isMixed) {
+            (0 until 8).foreach(b => if (s1 > 0) sf(b) = r.get(s1))
+            (3 until 6).foreach(b =>
+              (0 until 3).foreach(w => if (s1 > 0) sfS(b)(w) = r.get(s1)))
+          } else
+            (0 until 6).foreach(b =>
+              (0 until 3).foreach(w => if (s1 > 0) sfS(b)(w) = r.get(s1)))
+          (6 until 12).foreach(b =>
+            (0 until 3).foreach(w => if (s2 > 0) sfS(b)(w) = r.get(s2)))
+        } else {
+          // long scalefactors: bands 0-10 slen1, 11-20 slen2; scfsi
+          // shares a granule-0 group with granule 1 when its bit is set
+          (0 until 21).foreach { b =>
+            val group = if (b < 6) 3 else if (b < 11) 2 else if (b < 16) 1 else 0
+            val share = gi == 1 && ((si.scfsi >> group) & 1) == 1
+            val slen = if (b < 11) s1 else s2
+            if (share) sf(b) = sf0(b)
+            else if (slen > 0) sf(b) = r.get(slen)
+          }
+          if (gi == 0) sf0 = sf
         }
-        if (gi == 0) sf0 = sf
         // big_values region: huffman-coded (x, y) pairs; the table for
-        // each pair comes from its region (region0/1 end at the B.8 band
-        // boundaries selected by region0_count/region1_count)
+        // each pair comes from its region. Non-switching granules take
+        // region0/region1 ends from the B.8 band boundaries selected by
+        // region0_count/region1_count; window-switching granules use the
+        // ISO-implied split (region0 ends at sample 36, no region2).
         val is = Array.ofDim[Double](576)
-        val region1Start = bands(math.min(g.region0Count + 1, 22))
+        val region1Start =
+          if (g.blockType != 0) 36
+          else bands(math.min(g.region0Count + 1, 22))
         val region2Start =
-          bands(math.min(g.region0Count + 1 + g.region1Count + 1, 22))
+          if (g.blockType != 0) 576
+          else bands(math.min(g.region0Count + 1 + g.region1Count + 1, 22))
         var sp = 0
         while (sp < g.bigValues * 2) {
           val tbl =
@@ -1028,10 +1271,22 @@ object MediaCodecs {
             is(sp + 1) = (if (r.get(1) == 1) -1.0 else 1.0) * y
           sp += 2
         }
-        // count1 region: quadruples until part2_3_length is exhausted
+        // count1 region: quadruples until part2_3_length is exhausted;
+        // table B's 4-bit codeword is the inverted (v,w,x,y) pattern,
+        // table A (round-8) decodes through its validated tree
         while (r.bitsRead(dataStart) - startBit < g.part23Length &&
             sp + 4 <= 576) {
-          val pattern = ~r.get(4) & 0xf
+          val pattern =
+            if (g.count1TableSelect == 1) ~r.get(4) & 0xf
+            else {
+              val t = Mp3Count1ATree
+              var idx = if (r.get(1) == 0) 0 else 1
+              while (t(idx) >= 0) {
+                val base = t(idx)
+                idx = if (r.get(1) == 0) base else base + 1
+              }
+              -t(idx) - 1
+            }
           (0 until 4).foreach { k =>
             if (((pattern >> (3 - k)) & 1) == 1) {
               val sign = if (r.get(1) == 1) -1.0 else 1.0
@@ -1042,13 +1297,18 @@ object MediaCodecs {
         }
         nonzero += is.count(_ != 0.0)
         // requantize: ±|x|^(4/3) scaled by the global gain and the
-        // per-band scalefactor gain (B.8 band lookup + B.6 preemphasis)
+        // per-band scalefactor gain. Long positions use the B.8 long band
+        // lookup + B.6 preemphasis; short positions (huffman order is
+        // band-major window-minor) use the per-window short scalefactor
+        // and the 8·subblock_gain[w] reduction (no pretab for short).
         val gain = math.pow(2.0, 0.25 * (g.globalGain - 210))
         val sfMult = 0.5 * (1 + g.scalefacScale)
         val xr = Array.ofDim[Double](576)
+        val longLimit =
+          if (g.blockType == 2) (if (isMixed) 36 else 0) else 576
         var band = 0
         var i = 0
-        while (i < 576) {
+        while (i < longLimit) {
           while (band < 21 && i >= bands(band + 1)) band += 1
           val v = is(i)
           if (v != 0.0) {
@@ -1061,27 +1321,115 @@ object MediaCodecs {
           }
           i += 1
         }
-        // alias reduction between adjacent subbands
-        (1 until 32).foreach { sb =>
+        if (g.blockType == 2) {
+          var b = if (isMixed) 3 else 0
+          while (b < 13) {
+            val s3 = sbands(b); val wb = sbands(b + 1) - s3
+            var w = 0
+            while (w < 3) {
+              val wGain = math.pow(2.0,
+                0.25 * (g.globalGain - 210 - 8 * g.subblockGain(w)))
+              var j = 0
+              while (j < wb) {
+                val p = 3 * s3 + w * wb + j
+                val v = is(p)
+                if (v != 0.0) {
+                  val sfv = if (b < 12) sfS(b)(w) else 0
+                  xr(p) = math.signum(v) * math.pow(math.abs(v), 4.0 / 3) *
+                    wGain * math.pow(2.0, -sfMult * sfv)
+                }
+                j += 1
+              }
+              w += 1
+            }
+            b += 1
+          }
+        }
+        // reorder short-block spectra from huffman (band, window, sample)
+        // order to line order: subband sb's 18 lines hold 6 samples × 3
+        // windows, sample-major — line = (s3(b) + j)·3 + w
+        val xrl =
+          if (g.blockType != 2) xr
+          else {
+            val o = Array.ofDim[Double](576)
+            if (isMixed) System.arraycopy(xr, 0, o, 0, 36)
+            var b = if (isMixed) 3 else 0
+            while (b < 13) {
+              val s3 = sbands(b); val wb = sbands(b + 1) - s3
+              var w = 0
+              while (w < 3) {
+                var j = 0
+                while (j < wb) {
+                  o((s3 + j) * 3 + w) = xr(3 * s3 + w * wb + j)
+                  j += 1
+                }
+                w += 1
+              }
+              b += 1
+            }
+            o
+          }
+        // alias reduction between adjacent subbands: all 31 boundaries
+        // for long granules; none for pure short; only the long/short
+        // boundary for mixed
+        val nButterflies =
+          if (g.blockType == 2) (if (isMixed) 1 else 0) else 31
+        (1 to nButterflies).foreach { sb =>
           (0 until 8).foreach { k =>
             val lo = sb * 18 - 1 - k
             val hi = sb * 18 + k
-            val a = xr(lo); val b = xr(hi)
-            xr(lo) = a * cs(k) - b * ca(k)
-            xr(hi) = b * cs(k) + a * ca(k)
+            val a = xrl(lo); val b = xrl(hi)
+            xrl(lo) = a * cs(k) - b * ca(k)
+            xrl(hi) = b * cs(k) + a * ca(k)
           }
         }
-        // IMDCT (n=36) per subband, sine window, overlap-add
+        // IMDCT per subband + overlap-add. Long subbands: 36-point with
+        // the block-type window (0 sine / 1 start / 3 stop — closed-form
+        // ISO shapes); short subbands: three 12-point IMDCTs windowed
+        // with the short sine window at offsets 6/12/18 (out[0..5] and
+        // out[30..35] stay zero).
+        val longWin: Int => Double = g.blockType match {
+          case 1 => n =>
+            if (n < 18) math.sin(math.Pi / 36 * (n + 0.5))
+            else if (n < 24) 1.0
+            else if (n < 30) math.sin(math.Pi / 12 * (n - 18 + 0.5))
+            else 0.0
+          case 3 => n =>
+            if (n < 6) 0.0
+            else if (n < 12) math.sin(math.Pi / 12 * (n - 6 + 0.5))
+            else if (n < 18) 1.0
+            else math.sin(math.Pi / 36 * (n + 0.5))
+          case _ => n => math.sin(math.Pi / 36 * (n + 0.5))
+        }
         val granulePcm = Array.ofDim[Double](18, 32)
         (0 until 32).foreach { sb =>
+          val shortSb = g.blockType == 2 && (!isMixed || sb >= 2)
           val x = Array.ofDim[Double](36)
-          (0 until 36).foreach { n =>
-            var s = 0.0
-            (0 until 18).foreach { k =>
-              s += xr(sb * 18 + k) *
-                math.cos(math.Pi / 72 * (2 * n + 1 + 18) * (2 * k + 1))
+          if (shortSb) {
+            (0 until 3).foreach { w =>
+              (0 until 12).foreach { n =>
+                var s = 0.0
+                (0 until 6).foreach { k =>
+                  s += xrl(sb * 18 + k * 3 + w) *
+                    math.cos(math.Pi / 24 * (2 * n + 1 + 6) * (2 * k + 1))
+                }
+                x(6 + 6 * w + n) += s * math.sin(math.Pi / 12 * (n + 0.5))
+              }
             }
-            x(n) = s * math.sin(math.Pi / 36 * (n + 0.5))
+          } else {
+            // mixed granules window their two long subbands with the
+            // normal sine shape
+            val win: Int => Double =
+              if (isMixed) n => math.sin(math.Pi / 36 * (n + 0.5))
+              else longWin
+            (0 until 36).foreach { n =>
+              var s = 0.0
+              (0 until 18).foreach { k =>
+                s += xrl(sb * 18 + k) *
+                  math.cos(math.Pi / 72 * (2 * n + 1 + 18) * (2 * k + 1))
+              }
+              x(n) = s * win(n)
+            }
           }
           (0 until 18).foreach { n =>
             granulePcm(n)(sb) = x(n) + overlap(sb)(n)

@@ -1248,6 +1248,96 @@ object Infra {
              o_orderkey % 12 = 0 AS silent
       FROM orders WHERE o_orderkey < 150 ORDER BY media_id""")),
 
+    // ---- round-8 MP3 depth, face 1: the full validated huffman-table
+    // registry (3, 5-9, 13 — 4×4 through 16×16) AND both count1 tables
+    // rotate through the oracle gate. The oracle predicts part2_3_length
+    // from each table's (1,1) codeword length and count1 A/B codeword
+    // lengths — bit-accounting arithmetic an independent engine replays
+    // from the fixture parameters alone.
+    QueryDef("q192_mp3_tables", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 150)
+        .select(col("o_orderkey").as("media_id"))
+      val tbls = Seq(3, 5, 6, 7, 8, 9, 13)
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          Row(k, _root_.graft.operators.MediaCodecs.encodeMp3(
+            frames = 2 + (k % 5).toInt,
+            bitrateIdx = 9, rateIdx = 0,
+            globalGain = 150 + (k % 40).toInt,
+            count1Quads = (k % 4).toInt,
+            bigValuePairs = (k % 3).toInt * 2,
+            bigValueTable = tbls((k % 7).toInt),
+            count1Table = (k % 2).toInt), "audio/mpeg")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.mp3PcmFeatures(media)
+        .orderBy("media_id")
+    }, Some("""
+      SELECT o_orderkey AS media_id,
+             CAST(150 + o_orderkey % 40 AS BIGINT) AS global_gain,
+             CAST(20 + o_orderkey % 3 * 2 *
+                  (CASE o_orderkey % 7 WHEN 0 THEN 4 WHEN 1 THEN 5
+                   WHEN 2 THEN 4 WHEN 3 THEN 6 WHEN 4 THEN 4
+                   WHEN 5 THEN 5 ELSE 6 END) +
+                  CASE WHEN o_orderkey % 2 = 1
+                    THEN CASE o_orderkey % 4 WHEN 0 THEN 0 WHEN 1 THEN 5
+                         WHEN 2 THEN 10 ELSE 16 END
+                    ELSE CASE o_orderkey % 4 WHEN 0 THEN 0 WHEN 1 THEN 5
+                         WHEN 2 THEN 10 ELSE 17 END
+                  END AS BIGINT) AS part23_len,
+             CAST((2 + o_orderkey % 5) * 1152 AS BIGINT) AS pcm_samples,
+             CAST((2 + o_orderkey % 5) * 2 *
+                  (o_orderkey % 3 * 4 +
+                   CASE o_orderkey % 4 WHEN 0 THEN 0 WHEN 1 THEN 1
+                   WHEN 2 THEN 2 ELSE 4 END) AS BIGINT) AS nonzero_spectra,
+             o_orderkey % 12 = 0 AS silent
+      FROM orders WHERE o_orderkey < 150 ORDER BY media_id""")),
+
+    // ---- round-8 MP3 depth, face 2: window-switching granules through
+    // the gate — short and mixed blocks with per-window subblock gains
+    // and rotating big_values tables; part2_3_length arithmetic swaps the
+    // long layout's 20 scalefactor bits for the short layout's 36.
+    QueryDef("q193_mp3_short", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 150)
+        .select(col("o_orderkey").as("media_id"))
+      val tbls = Seq(1, 5, 9, 13)
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          Row(k, _root_.graft.operators.MediaCodecs.encodeMp3Short(
+            frames = 1 + (k % 3).toInt,
+            bitrateIdx = 9, rateIdx = 0,
+            globalGain = 160 + (k % 30).toInt,
+            bigValuePairs = (k % 4).toInt * 2,
+            count1Quads = (k % 3).toInt,
+            bigValueTable = tbls((k % 4).toInt),
+            subblockGain = Seq((k % 8).toInt, ((k / 2) % 8).toInt,
+              ((k / 3) % 8).toInt),
+            mixed = k % 5 == 0), "audio/mpeg")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.mp3PcmFeatures(media)
+        .orderBy("media_id")
+    }, Some("""
+      SELECT o_orderkey AS media_id,
+             CAST(160 + o_orderkey % 30 AS BIGINT) AS global_gain,
+             CAST(36 + o_orderkey % 4 * 2 *
+                  (CASE o_orderkey % 4 WHEN 3 THEN 6 ELSE 5 END) +
+                  CASE o_orderkey % 3 WHEN 0 THEN 0 WHEN 1 THEN 5
+                  ELSE 10 END AS BIGINT) AS part23_len,
+             CAST((1 + o_orderkey % 3) * 1152 AS BIGINT) AS pcm_samples,
+             CAST((1 + o_orderkey % 3) * 2 *
+                  (o_orderkey % 4 * 4 +
+                   CASE o_orderkey % 3 WHEN 0 THEN 0 WHEN 1 THEN 1
+                   ELSE 2 END) AS BIGINT) AS nonzero_spectra,
+             o_orderkey % 12 = 0 AS silent
+      FROM orders WHERE o_orderkey < 150 ORDER BY media_id""")),
+
     // ---- mega-join stats ordering on the FILE path through the oracle
     // gate (reference :mega-join, join.clj:599-736 — q131 covers the
     // CBO/managed-catalog variant; this is the raw-parquet default where
