@@ -71,7 +71,7 @@ trait TxSnapshot {
   * Partition/bucket by iid-prefix (Trie.kt analogue) is a planned
   * optimisation — correctness does not depend on it.
   */
-class XtDb(spark: SparkSession, root: String) {
+class XtDb(spark: SparkSession, val root: String) {
 
   import Bitemporal._
 
@@ -143,7 +143,7 @@ class XtDb(spark: SparkSession, root: String) {
   // Resolve the FileSystem FOR THE ROOT PATH, not the default FS — an
   // object-store root (s3a://…, or the objstore:// contract double in
   // ObjectStoreSpec) is a different FileSystem than fs.defaultFS
-  private def hadoopFs: org.apache.hadoop.fs.FileSystem =
+  private[graft] def hadoopFs: org.apache.hadoop.fs.FileSystem =
     new org.apache.hadoop.fs.Path(root)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 

@@ -81,19 +81,23 @@ object EngineMetrics {
     * JDK-built-in httpserver — no extra dependency; counters are gauges
     * from `snapshot`, rendered per scrape. Returns the server for
     * `stop()`; port 0 binds an ephemeral port (`getAddress.getPort`). */
+  /** The Prometheus scrape body — shared by [[serveHttp]] and the
+    * healthz surface ([[Healthz]]). */
+  def prometheusBody(spark: SparkSession, db: Option[XtDb]): String =
+    try {
+      snapshot(spark, db).collect().map { r =>
+        val name = s"graft_${r.getString(0)}"
+        s"# TYPE $name gauge\n$name ${r.getLong(1)}"
+      }.mkString("", "\n", "\n")
+    } catch { case e: Exception => s"# scrape failed: ${e.getMessage}\n" }
+
   def serveHttp(spark: SparkSession, db: Option[XtDb], port: Int = 0)
       : com.sun.net.httpserver.HttpServer = {
     val server = com.sun.net.httpserver.HttpServer.create(
       new java.net.InetSocketAddress(port), 0)
     server.createContext("/metrics",
       (exchange: com.sun.net.httpserver.HttpExchange) => {
-        val body =
-          try {
-            snapshot(spark, db).collect().map { r =>
-              val name = s"graft_${r.getString(0)}"
-              s"# TYPE $name gauge\n$name ${r.getLong(1)}"
-            }.mkString("", "\n", "\n")
-          } catch { case e: Exception => s"# scrape failed: ${e.getMessage}\n" }
+        val body = prometheusBody(spark, db)
         val bytes = body.getBytes("UTF-8")
         exchange.getResponseHeaders.set("Content-Type",
           "text/plain; version=0.0.4; charset=utf-8")
