@@ -38,6 +38,7 @@ object ArrowSource {
       case _: ArrowType.Timestamp => TimestampType
       case _: ArrowType.Date => DateType
       case _: ArrowType.Binary => BinaryType
+      case t: ArrowType.Decimal => DecimalType(t.getPrecision, t.getScale)
       case other => throw new UnsupportedOperationException(
         s"arrow type not mapped: $other")
     }
@@ -77,6 +78,7 @@ object ArrowSource {
       case x: DateDayVector => java.sql.Date.valueOf(
         java.time.LocalDate.ofEpochDay(x.get(i).toLong))
       case x: VarBinaryVector => x.get(i)
+      case x: DecimalVector => x.getObject(i)
       case other => throw new UnsupportedOperationException(
         s"arrow vector not mapped: ${other.getClass.getName}")
     }
