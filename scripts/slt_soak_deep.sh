@@ -9,6 +9,7 @@ set -euo pipefail
 cd "$(dirname "$0")/.."
 CORPUS=/root/reference/sqlite-test
 CAP="${1:-400}"
+CLASSES="${GRAFT_CLASSES:-target/scala-2.13/classes}"
 LOG=$(mktemp /tmp/slt_soak_deep.XXXXXX.log)
 
 ADD_OPENS=""
@@ -25,7 +26,7 @@ run_target() {
   echo "== $t (cap $cap/file) =="
   java $ADD_OPENS -Xmx8g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
-    -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    -cp "$CLASSES:/opt/spark/jars/*" \
     graft.slt.SltMain "$t" "$cap" 2>/dev/null \
     | grep -a "^SLT" | tee -a "$LOG"
 }

@@ -17,7 +17,8 @@ import org.apache.spark.sql.types._
   * Two read paths:
   *  - `asOf` (point-in-time, the overwhelmingly common case): pure
   *    window-function plan — one shuffle by `_iid`, no custom operator,
-  *    fully codegen'd; scales to any data size Spark's window can sort.
+  *    fully codegen'd; measured faster than the max_by-aggregation
+  *    alternative at realistic versions-per-document (see `asOf`).
   *  - `history` (FOR ALL VALID_TIME / FOR ALL SYSTEM_TIME): exact
   *    rectangle reconstruction via the pure `EventAlgebra` ceiling scan,
   *    distributed with `flatMapGroups` keyed by `_iid`.
@@ -48,7 +49,18 @@ object Bitemporal {
     * keep it only if it is a `put`.
     *
     * One shuffle: the erase ceiling rides the same `partitionBy(_iid)`
-    * exchange as the recency rank — no distinct/anti-join side plan. */
+    * exchange as the recency rank — no distinct/anti-join side plan.
+    *
+    * Round-8 MEASURED: the seemingly-better single
+    * `max_by(event-struct, (system_from, seq))` hash aggregation was
+    * tried and FALSIFIED on a 7.5M-event / 1.4M-iid log at local[32] —
+    * 1.27 s vs 0.78 s hot for this window plan (BASELINE.md round-8). At
+    * realistic versions-per-document (~5) the partial aggregate combines
+    * almost nothing, so the shuffle still carries ~full rows while every
+    * row pays struct construction into a wide aggregation buffer; the
+    * window pays one exchange (reused by both frames) plus a codegen'd
+    * sort of short runs. Both formulations hash-matched all 16
+    * bitemporal gate queries — the revert is performance-only. */
   def asOf(events: DataFrame, validAt: Column, systemAt: Column): DataFrame = {
     val wIid = Window.partitionBy(IID)
     val visible = events

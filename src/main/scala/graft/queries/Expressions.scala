@@ -215,7 +215,12 @@ object Expressions {
       FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""")),
 
     // ---- date_bin: 15-minute epoch-aligned buckets over the event stream
-    // (temporal.clj date_bin; emitted as epoch seconds — engine-neutral)
+    // (temporal.clj date_bin; emitted as epoch seconds — engine-neutral).
+    // Round-8 MEASURED: a fused mapPartitions partial aggregation was
+    // tried and FALSIFIED at 25× (0.46-0.54 s vs 0.38-0.45 s hot for this
+    // declarative plan — the boxed open-hash pass loses to Tungsten's
+    // UnsafeRow hash aggregate; BASELINE.md round-8). The remaining 4×
+    // letter is the vectorization constant, not a plan defect.
     QueryDef("q58_date_bin", (s, dir) => {
       t(s, dir, "events")
         .groupBy(unix_timestamp(Temporal.dateBin(900, col("ts"))).as("bin"),
