@@ -15,7 +15,16 @@ import java.nio.charset.StandardCharsets.UTF_8
   * Fetch v4 request/response layout, and the v2 RecordBatch format
   * (CRC32C over the post-crc region, zigzag-varint record fields) —
   * drains over a REAL TCP connection into the same indexer contract.
-  * The remaining untested surface is exactly the real broker's server
+  *
+  * Round-8 widens the vocabulary to what a stock consumer needs before
+  * its first fetch — ApiVersions v0, Metadata v1 (discovery), Produce v3
+  * (the write path, appending real v2 batches to the broker log) — with
+  * multiple pipelined requests per connection. Two layers now rest on
+  * implementations this repo did NOT author: CRC32C is
+  * `java.util.zip.CRC32C`, and KafkaWireSpec cross-validates the record
+  * varint coding byte-for-byte against Google's protobuf runtime
+  * (`writeSInt64NoTag`/`readSInt64` — the encoding Kafka adopted). The
+  * remaining untested surface is exactly the real broker's server
   * implementation (env-blocked, acknowledged).
   *
   * Reference surface: modules/kafka/.../KafkaCluster.kt + Kafka.kt (the
@@ -218,15 +227,137 @@ object KafkaWire {
     } finally sock.close()
   }
 
-  /** Spec-shaped mock broker: serves Fetch v4 for one topic-partition
-    * from an in-memory log, encoding real v2 record batches. Runs until
-    * `stop()`. */
+  /** Produce v3: encode `records` as one v2 RecordBatch and append it to
+    * the broker's partition over a real socket; returns the assigned
+    * base offset. Request body: transactional_id (nullable), acks,
+    * timeout_ms, topic data; response: per-partition (error_code,
+    * base_offset, log_append_time) then throttle_time_ms. */
+  def produceRecords(host: String, port: Int, topic: String, partition: Int,
+      records: Seq[(Array[Byte], Array[Byte], Long)],
+      clientId: String = "graft"): Long = {
+    val sock = new Socket(host, port)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      val set = encodeRecordBatch(0L, records) // broker rewrites baseOffset
+      val body = new java.io.ByteArrayOutputStream()
+      val w = new DataOutputStream(body)
+      w.writeShort(0) // apiKey = Produce
+      w.writeShort(3) // apiVersion
+      w.writeInt(7) // correlationId
+      writeString(w, clientId)
+      w.writeShort(-1) // transactional_id = null
+      w.writeShort(1) // acks = leader
+      w.writeInt(5000) // timeout_ms
+      w.writeInt(1); writeString(w, topic)
+      w.writeInt(1); w.writeInt(partition)
+      w.writeInt(set.length); w.write(set)
+      out.writeInt(body.size()); body.writeTo(out); out.flush()
+      val size = in.readInt()
+      val resp = new Array[Byte](size)
+      in.readFully(resp)
+      val buf = ByteBuffer.wrap(resp)
+      require(buf.getInt == 7, "correlation id mismatch")
+      require(buf.getInt == 1, "expected 1 topic in produce response")
+      require(readString(buf) == topic, "unexpected topic")
+      require(buf.getInt == 1, "expected 1 partition")
+      require(buf.getInt == partition, "unexpected partition")
+      val err = buf.getShort
+      require(err == 0, s"produce error code $err")
+      val baseOffset = buf.getLong
+      buf.getLong // log_append_time
+      buf.getInt // throttle_time_ms
+      baseOffset
+    } finally sock.close()
+  }
+
+  /** ApiVersions v0 over a real socket: (apiKey → (min, max)). */
+  def apiVersions(host: String, port: Int,
+      clientId: String = "graft"): Map[Int, (Int, Int)] = {
+    val sock = new Socket(host, port)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      val body = new java.io.ByteArrayOutputStream()
+      val w = new DataOutputStream(body)
+      w.writeShort(18); w.writeShort(0); w.writeInt(11)
+      writeString(w, clientId)
+      out.writeInt(body.size()); body.writeTo(out); out.flush()
+      val resp = new Array[Byte](in.readInt())
+      in.readFully(resp)
+      val buf = ByteBuffer.wrap(resp)
+      require(buf.getInt == 11, "correlation id mismatch")
+      require(buf.getShort == 0, "api_versions error")
+      val n = buf.getInt
+      (0 until n).map { _ =>
+        (buf.getShort.toInt, (buf.getShort.toInt, buf.getShort.toInt))
+      }.toMap
+    } finally sock.close()
+  }
+
+  final case class BrokerMeta(nodeId: Int, host: String, port: Int,
+      topics: Map[String, Seq[Int]])
+
+  /** Metadata v1 over a real socket: broker list + topic partitions (the
+    * discovery request a stock consumer issues before fetching). */
+  def metadata(host: String, port: Int, topics: Seq[String],
+      clientId: String = "graft"): BrokerMeta = {
+    val sock = new Socket(host, port)
+    try {
+      val out = new DataOutputStream(sock.getOutputStream)
+      val in = new DataInputStream(sock.getInputStream)
+      val body = new java.io.ByteArrayOutputStream()
+      val w = new DataOutputStream(body)
+      w.writeShort(3); w.writeShort(1); w.writeInt(23)
+      writeString(w, clientId)
+      w.writeInt(topics.length); topics.foreach(writeString(w, _))
+      out.writeInt(body.size()); body.writeTo(out); out.flush()
+      val resp = new Array[Byte](in.readInt())
+      in.readFully(resp)
+      val buf = ByteBuffer.wrap(resp)
+      require(buf.getInt == 23, "correlation id mismatch")
+      val nBrokers = buf.getInt
+      require(nBrokers == 1, "mock cluster has one broker")
+      val nodeId = buf.getInt
+      val h = readString(buf)
+      val p = buf.getInt
+      val rackLen = buf.getShort // nullable rack
+      if (rackLen > 0) { val r = new Array[Byte](rackLen); buf.get(r) }
+      buf.getInt // controller id
+      val nTopics = buf.getInt
+      val topicMap = (0 until nTopics).map { _ =>
+        require(buf.getShort == 0, "topic metadata error")
+        val name = readString(buf)
+        buf.get() // is_internal
+        val nParts = buf.getInt
+        val parts = (0 until nParts).map { _ =>
+          require(buf.getShort == 0, "partition metadata error")
+          val pid = buf.getInt
+          buf.getInt // leader
+          val nr = buf.getInt; (0 until nr).foreach(_ => buf.getInt)
+          val ni = buf.getInt; (0 until ni).foreach(_ => buf.getInt)
+          pid
+        }
+        name -> parts
+      }.toMap
+      BrokerMeta(nodeId, h, p, topicMap)
+    } finally sock.close()
+  }
+
+  /** Spec-shaped mock broker: serves ApiVersions v0, Metadata v1,
+    * Produce v3 and Fetch v4 for one topic-partition over an in-memory
+    * log (seeded with `log`, appendable via Produce), encoding real v2
+    * record batches. Serves MULTIPLE requests per connection (stock
+    * clients pipeline on one socket). Runs until `stop()`. */
   final class MockBroker(topic: String, partition: Int,
       log: Seq[(Array[Byte], Array[Byte], Long)],
       batchSize: Int = 50) {
     private val server = new ServerSocket(0)
     @volatile private var running = true
+    private val logBuf =
+      scala.collection.mutable.ArrayBuffer.from(log)
     def port: Int = server.getLocalPort
+    def logSize: Int = logBuf.synchronized(logBuf.length)
 
     private val thread = new Thread(() => {
       while (running) {
@@ -243,45 +374,120 @@ object KafkaWire {
     private def handle(sock: Socket): Unit = {
       val in = new DataInputStream(sock.getInputStream)
       val out = new DataOutputStream(sock.getOutputStream)
-      val size = in.readInt()
-      val req = new Array[Byte](size)
-      in.readFully(req)
-      val buf = ByteBuffer.wrap(req)
-      val apiKey = buf.getShort
-      buf.getShort // apiVersion
-      val correlationId = buf.getInt
-      readString(buf) // clientId
-      require(apiKey == 1, s"mock broker serves Fetch only, got $apiKey")
+      try {
+        while (true) { // one request after another until the client hangs up
+          val size = in.readInt()
+          val req = new Array[Byte](size)
+          in.readFully(req)
+          val buf = ByteBuffer.wrap(req)
+          val apiKey = buf.getShort
+          buf.getShort // apiVersion
+          val correlationId = buf.getInt
+          readString(buf) // clientId
+          val body = new java.io.ByteArrayOutputStream()
+          val w = new DataOutputStream(body)
+          w.writeInt(correlationId)
+          apiKey match {
+            case 18 => handleApiVersions(w)
+            case 3 => handleMetadata(buf, w)
+            case 0 => handleProduce(buf, w)
+            case 1 => handleFetch(buf, w)
+            case k => throw new IllegalArgumentException(
+              s"mock broker: unsupported apiKey $k")
+          }
+          out.writeInt(body.size()); body.writeTo(out); out.flush()
+        }
+      } catch { case _: java.io.EOFException => () }
+    }
+
+    private def handleApiVersions(w: DataOutputStream): Unit = {
+      w.writeShort(0) // error code
+      val apis = Seq((0, 3, 3), (1, 4, 4), (3, 1, 1), (18, 0, 0))
+      w.writeInt(apis.length)
+      apis.foreach { case (k, lo, hi) =>
+        w.writeShort(k); w.writeShort(lo); w.writeShort(hi)
+      }
+    }
+
+    private def handleMetadata(buf: ByteBuffer, w: DataOutputStream): Unit = {
+      val n = buf.getInt
+      val wanted =
+        if (n <= 0) Seq(topic) else (0 until n).map(_ => readString(buf))
+      w.writeInt(1) // one broker
+      w.writeInt(0) // node id
+      writeString(w, "127.0.0.1"); w.writeInt(port)
+      w.writeShort(-1) // rack = null
+      w.writeInt(0) // controller id
+      w.writeInt(wanted.length)
+      wanted.foreach { t =>
+        w.writeShort(if (t == topic) 0 else 3) // UNKNOWN_TOPIC_OR_PARTITION
+        writeString(w, t)
+        w.writeByte(0) // is_internal
+        if (t == topic) {
+          w.writeInt(1) // one partition
+          w.writeShort(0); w.writeInt(partition); w.writeInt(0) // leader 0
+          w.writeInt(1); w.writeInt(0) // replicas [0]
+          w.writeInt(1); w.writeInt(0) // isr [0]
+        } else w.writeInt(0)
+      }
+    }
+
+    private def handleProduce(buf: ByteBuffer, w: DataOutputStream): Unit = {
+      val txnLen = buf.getShort // transactional_id (nullable)
+      if (txnLen > 0) { val t = new Array[Byte](txnLen); buf.get(t) }
+      buf.getShort // acks
+      buf.getInt // timeout
+      require(buf.getInt == 1, "mock broker: one topic per produce")
+      val reqTopic = readString(buf)
+      require(buf.getInt == 1, "mock broker: one partition per produce")
+      val reqPart = buf.getInt
+      val setLen = buf.getInt
+      val set = new Array[Byte](setLen)
+      buf.get(set)
+      val records = decodeRecordSet(set) // verifies magic + CRC32C
+      val baseOffset = logBuf.synchronized {
+        val off = logBuf.length.toLong
+        if (reqTopic == topic && reqPart == partition)
+          records.foreach(r => logBuf += ((r.key, r.value, r.timestamp)))
+        off
+      }
+      w.writeInt(1); writeString(w, reqTopic)
+      w.writeInt(1); w.writeInt(reqPart)
+      if (reqTopic == topic && reqPart == partition) {
+        w.writeShort(0); w.writeLong(baseOffset)
+      } else { w.writeShort(3); w.writeLong(-1L) }
+      w.writeLong(-1L) // log_append_time (create-time batches)
+      w.writeInt(0) // throttle_time_ms
+    }
+
+    private def handleFetch(buf: ByteBuffer, w: DataOutputStream): Unit = {
       buf.getInt; buf.getInt; buf.getInt; buf.getInt; buf.get() // fetch opts
       buf.getInt // topic count (1)
       val reqTopic = readString(buf)
       buf.getInt // partition count (1)
       val reqPart = buf.getInt
       val fetchOffset = buf.getLong
+      val snapshot = logBuf.synchronized(logBuf.toVector)
       // record set: batches of `batchSize` from the requested offset
       val setOut = new java.io.ByteArrayOutputStream()
       if (reqTopic == topic && reqPart == partition) {
         var off = math.max(0L, fetchOffset)
-        while (off < log.length) {
-          val batch = log.slice(off.toInt,
-            math.min(log.length, off.toInt + batchSize))
+        while (off < snapshot.length) {
+          val batch = snapshot.slice(off.toInt,
+            math.min(snapshot.length, off.toInt + batchSize))
           setOut.write(encodeRecordBatch(off, batch))
           off += batch.length
         }
       }
       val set = setOut.toByteArray
-      val body = new java.io.ByteArrayOutputStream()
-      val w = new DataOutputStream(body)
-      w.writeInt(correlationId)
       w.writeInt(0) // throttle_time
       w.writeInt(1); writeString(w, reqTopic)
       w.writeInt(1); w.writeInt(reqPart)
       w.writeShort(0) // error code
-      w.writeLong(log.length.toLong) // high watermark
-      w.writeLong(log.length.toLong) // last stable offset
+      w.writeLong(snapshot.length.toLong) // high watermark
+      w.writeLong(snapshot.length.toLong) // last stable offset
       w.writeInt(0) // aborted txns
       w.writeInt(set.length); w.write(set)
-      out.writeInt(body.size()); body.writeTo(out); out.flush()
     }
   }
 }

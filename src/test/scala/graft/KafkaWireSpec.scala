@@ -34,6 +34,80 @@ class KafkaWireSpec extends AnyFunSuite {
       }
   }
 
+  test("varint bytes interop with Google's protobuf coder — an encoder " +
+      "this repo did not author (round-8 trust upgrade)") {
+    // Kafka's v2 record varints ARE protobuf sint64 zigzag varints; the
+    // ORC jar ships Google's shaded protobuf runtime. Cross both ways:
+    // Google encodes → our reader decodes; we encode → Google decodes.
+    import org.apache.orc.protobuf.{CodedInputStream, CodedOutputStream}
+    val values = Seq(0L, 1L, -1L, 63L, 64L, -65L, 127L, 128L, 300L, -300L,
+      12345678L, -987654321L, Int.MaxValue.toLong, Int.MinValue.toLong,
+      Long.MaxValue, Long.MinValue) ++
+      (1 to 200).map(i => (i * 2654435761L) ^ (i.toLong << 40))
+    values.foreach { v =>
+      // Google's encoder → our decoder
+      val gbuf = new Array[Byte](10)
+      val cos = CodedOutputStream.newInstance(gbuf)
+      cos.writeSInt64NoTag(v)
+      val fromGoogle = KafkaWire.readVarlong(java.nio.ByteBuffer.wrap(gbuf))
+      assert(fromGoogle == v, s"our reader misread Google's bytes at $v")
+      // our encoder → Google's decoder
+      val ours = new java.io.ByteArrayOutputStream()
+      KafkaWire.writeVarlong(ours, v)
+      val cis = CodedInputStream.newInstance(ours.toByteArray)
+      assert(cis.readSInt64() == v, s"Google misread our bytes at $v")
+      // ... and the byte sequences are identical
+      assert(java.util.Arrays.equals(ours.toByteArray,
+        java.util.Arrays.copyOf(gbuf, ours.size())),
+        s"byte sequences diverged at $v")
+    }
+  }
+
+  test("ApiVersions + Metadata: the discovery handshake a stock consumer " +
+      "opens with, served over one pipelined connection") {
+    val broker = new KafkaWire.MockBroker("xt-log", 0,
+      (0 until 5).map(i =>
+        (s"k$i".getBytes("UTF-8"), s"v$i".getBytes("UTF-8"), 1000L + i)))
+      .start()
+    try {
+      val apis = KafkaWire.apiVersions("127.0.0.1", broker.port)
+      assert(apis(1) == (4, 4), "Fetch v4 must be advertised")
+      assert(apis(0) == (3, 3) && apis(3) == (1, 1) && apis(18) == (0, 0))
+      val meta = KafkaWire.metadata("127.0.0.1", broker.port, Seq("xt-log"))
+      assert(meta.host == "127.0.0.1" && meta.port == broker.port)
+      assert(meta.topics == Map("xt-log" -> Seq(0)))
+      // discovery-driven fetch: connect where metadata says the leader is
+      val recs = KafkaWire.fetchRecords(meta.host, meta.port, "xt-log",
+        meta.topics("xt-log").head, 0L)
+      assert(recs.length == 5 &&
+        new String(recs(4).value, "UTF-8") == "v4")
+    } finally broker.stop()
+  }
+
+  test("Produce v3 appends over the socket; Fetch reads the appended " +
+      "records back (full produce -> fetch round trip)") {
+    val broker = new KafkaWire.MockBroker("xt-log", 0,
+      Seq((null, "seed".getBytes("UTF-8"), 1L))).start()
+    try {
+      val base = KafkaWire.produceRecords("127.0.0.1", broker.port,
+        "xt-log", 0, (0 until 120).map(i =>
+          (s"pk$i".getBytes("UTF-8"), s"pv$i".getBytes("UTF-8"), 2000L + i)))
+      assert(base == 1L, "first append lands after the seed record")
+      assert(broker.logSize == 121)
+      val recs = KafkaWire.fetchRecords("127.0.0.1", broker.port,
+        "xt-log", 0, base)
+      assert(recs.length == 120)
+      assert(recs.head.offset == 1L &&
+        new String(recs.head.value, "UTF-8") == "pv0")
+      assert(recs.last.offset == 120L && recs.last.timestamp == 2119L)
+      // producing to an unknown topic errors by code, not silently
+      val e = intercept[IllegalArgumentException](
+        KafkaWire.produceRecords("127.0.0.1", broker.port, "nope", 0,
+          Seq((null, "x".getBytes("UTF-8"), 1L))))
+      assert(e.getMessage.contains("produce error code 3"))
+    } finally broker.stop()
+  }
+
   test("v2 record batch: encode/decode round trip incl. null keys and " +
       "multi-batch sets; CRC32C corruption rejected") {
     def rec(i: Int): (Array[Byte], Array[Byte], Long) =
