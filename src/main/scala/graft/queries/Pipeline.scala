@@ -2118,6 +2118,44 @@ object Pipeline {
         UNION
         SELECT e.src, r.l FROM edges e JOIN reach r ON e.dst = r.n)
       SELECT CAST(n AS BIGINT) AS doc_id, CAST(min(l) AS BIGINT) AS canonical
-      FROM reach GROUP BY n ORDER BY doc_id"""))
+      FROM reach GROUP BY n ORDER BY doc_id""")),
+
+    // ---- model-based quality filtering (round-8): the fastText/DCLM
+    // move — distill the rule-based quality heuristic into a hashed
+    // bag-of-words logistic regression, then score the corpus with the
+    // MODEL. Training (deterministic full-batch GD) is not SQL; the
+    // trained model IS data (q141/q156 pattern): persisted as
+    // (idx, w_micro) fixed-point rows + intercept at idx=-1, and scoring
+    // is an order-free INTEGER margin any engine replays exactly.
+    QueryDef("q194_quality_classifier", (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val label = TextAnalysis.qualityScore4(col("text")) >= 4950
+      val (model, _) = _root_.graft.operators.QualityModel.train(
+        docs, "text", "doc_id", label, dims = 64, iters = 40)
+      _root_.graft.operators.QualityModel.score(
+          docs, "text", "doc_id", materializeModel(model, "quality_lr"),
+          dims = 64)
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH w AS (
+        SELECT idx, w_micro
+        FROM read_parquet('$ModelDir/quality_lr/*.parquet') WHERE idx >= 0),
+      b AS (
+        SELECT w_micro AS b
+        FROM read_parquet('$ModelDir/quality_lr/*.parquet') WHERE idx = -1),
+      tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      feat AS (
+        SELECT doc_id, ${sqlHash16("word")} % 64 AS idx, count(*) AS cnt
+        FROM tok GROUP BY 1, 2),
+      s AS (
+        SELECT f.doc_id, sum(f.cnt * w.w_micro) AS s
+        FROM feat f JOIN w USING (idx) GROUP BY 1)
+      SELECT d.doc_id,
+             CAST(coalesce(s.s, 0) + b.b AS BIGINT) AS score_c,
+             coalesce(s.s, 0) + b.b > 0 AS keep
+      FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id, b
+      ORDER BY d.doc_id"""))
   )
 }
