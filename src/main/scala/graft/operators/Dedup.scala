@@ -447,6 +447,40 @@ object Dedup {
       .withColumn("contaminated", col("overlap_ngrams") >= minOverlap)
   }
 
+  /** SEMANTIC decontamination (round-8) — the embedding-space face of
+    * [[contaminationCheck]]: flag training vectors whose cosine
+    * similarity to ANY evaluation-set vector exceeds `threshold`.
+    * N-gram decontamination misses paraphrased eval leakage; the
+    * embedding check catches it (the SemDeDup-era complement every
+    * serious pipeline runs alongside the exact one).
+    *
+    * Scale: the eval set is benchmark-sized (thousands) next to a
+    * 100 TB corpus, so its vectors BROADCAST and the corpus is scanned
+    * ONCE — per row, a bounded loop over the eval matrix via the fused
+    * codegen'd `vec_dot`; only flagged rows and their max-sim eval id
+    * survive to the output. No corpus shuffle of any non-matching row.
+    * Output, for flagged rows only: (vec_id, eval_id of the max-sim
+    * eval vector with ties to the lowest id, sim_c4 = floor(cos·1e4)). */
+  def semanticContamination(train: DataFrame, evalSet: DataFrame,
+      idCol: String, vecCol: String, threshold: Double): DataFrame = {
+    val t = Similarity.prepared(train, vecCol)
+      .select(col(idCol).as("vec_id"), col("__vecd").as("tv"),
+        col("__nrm").as("tn"))
+    val e = Similarity.prepared(evalSet, vecCol)
+      .select(col(idCol).as("eval_id"), col("__vecd").as("ev"),
+        col("__nrm").as("en"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("sim").desc, col("eval_id"))
+    t.crossJoin(broadcast(e))
+      .withColumn("sim",
+        Similarity.dot(col("tv"), col("ev")) / (col("tn") * col("en")))
+      .filter(col("sim") > threshold)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("vec_id"), col("eval_id"),
+        floor(col("sim") * 1e4).cast("long").as("sim_c4"))
+  }
+
   /** Duplicate-cluster assignment — the last mile of every dedup mode:
     * candidate PAIRS (from LSH banding / SimHash / n-gram verify) become
     * per-document cluster labels, each doc labelled with the MINIMUM id of

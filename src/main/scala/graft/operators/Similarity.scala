@@ -135,6 +135,25 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Recall@k evaluation (round-8): score an ANN result set against the
+    * exact brute-force top-k — the measurement every approximate index
+    * ships with (FAISS's recall benchmarks; the knob curves in
+    * BASELINE.md cite cost, this cites QUALITY). Pure relational: one
+    * join of the two (query, neighbor) sets + a per-query count;
+    * queries the ANN missed entirely still appear with recall 0 via the
+    * exact side. Output: (query_id, hits, recall_c4 =
+    * floor(hits·1e4/k)). */
+  def annRecall(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val hits = approx.select("query_id", "neighbor_id")
+      .join(exact.select("query_id", "neighbor_id"),
+        Seq("query_id", "neighbor_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("hits"))
+    exact.select("query_id").distinct()
+      .join(hits, Seq("query_id"), "left")
+      .select(col("query_id"), coalesce(col("hits"), lit(0L)).as("hits"))
+      .withColumn("recall_c4", floor(col("hits") * 10000.0 / k).cast("long"))
+  }
+
   /** Collect a (cent_id, cv, cn) centroid frame into the driver-held model
     * [[graft.functions.NearestCells]] consumes: (ids-as-long, vectors,
     * norms, original cent_id type for casting the cell column back). The

@@ -2156,6 +2156,107 @@ object Pipeline {
              CAST(coalesce(s.s, 0) + b.b AS BIGINT) AS score_c,
              coalesce(s.s, 0) + b.b > 0 AS keep
       FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id, b
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id""")),
+
+    // ---- SEMANTIC decontamination (round-8): embedding-space eval-set
+    // leakage next to q146's n-gram check — paraphrased contamination the
+    // exact n-grams miss. Eval = the vec_id >= 480 slice (benchmark-
+    // sized → broadcast); one corpus pass, flagged rows only.
+    QueryDef("q195_semantic_decontamination", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Dedup.semanticContamination(
+          emb.filter(col("vec_id") < 480), emb.filter(col("vec_id") >= 480),
+          "vec_id", "embedding", threshold = 0.33)
+        .orderBy("vec_id")
+    }, Some("""
+      WITH p AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings),
+      s AS (
+        SELECT t.vec_id, e.vec_id AS eval_id,
+               list_sum([CAST(t.embedding[i] AS DOUBLE) * e.embedding[i]
+                         FOR i IN range(1, 65)]) / (t.nrm * e.nrm) AS sim
+        FROM p t, p e
+        WHERE t.vec_id < 480 AND e.vec_id >= 480),
+      f AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY sim DESC, eval_id) AS rn
+        FROM s WHERE sim > 0.33)
+      SELECT vec_id, eval_id,
+             CAST(floor(sim * 1e4) AS BIGINT) AS sim_c4
+      FROM f WHERE rn = 1 ORDER BY vec_id""")),
+
+    // ---- ANN recall@k evaluation harness (round-8): IVF at nprobe=1
+    // scored against the exact brute-force top-5 — the quality metric
+    // next to the BASELINE.md cost curves. Cell misses surface as
+    // recall < 1; the oracle replays BOTH retrievals and the join.
+    QueryDef("q196_ann_recall", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val exact = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        dims = 64, nlist = 16, nprobe = 1, k = 5,
+        queryFilter = col("vec_id") < 20)
+      Similarity.annRecall(approx, exact, k = 5)
+        .orderBy("query_id")
+    }, Some("""
+      WITH p AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings),
+      ex AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum([CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]
+                             FOR i IN range(1, 65)]) / (q.nrm * c.nrm) DESC,
+                   c.vec_id) AS rank
+          FROM p q, p c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 5),
+      cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+        FROM p ORDER BY vec_id LIMIT 16),
+      sims AS (
+        SELECT p.vec_id, c.cent_id,
+               list_sum([CAST(p.embedding[i] AS DOUBLE) * c.ce[i]
+                         FOR i IN range(1, 65)]) / (p.nrm * c.cn) AS csim
+        FROM p, cent c),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY csim DESC, cent_id) AS crank
+        FROM sims),
+      corpus_cells AS (
+        SELECT cent_id AS cell, vec_id AS neighbor_id
+        FROM ranked WHERE crank = 1),
+      query_cells AS (
+        SELECT cent_id AS cell, vec_id AS query_id
+        FROM ranked WHERE crank = 1 AND vec_id < 20),
+      ivf AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.query_id, c.neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   list_sum([CAST(qe.embedding[i] AS DOUBLE) * ce.embedding[i]
+                             FOR i IN range(1, 65)]) / (qe.nrm * ce.nrm) DESC,
+                   c.neighbor_id) AS rank
+          FROM query_cells q
+          JOIN corpus_cells c ON q.cell = c.cell
+           AND q.query_id <> c.neighbor_id
+          JOIN p qe ON qe.vec_id = q.query_id
+          JOIN p ce ON ce.vec_id = c.neighbor_id)
+        WHERE rank <= 5),
+      hits AS (
+        SELECT e.query_id, count(*) AS hits
+        FROM ex e JOIN ivf i ON i.query_id = e.query_id
+         AND i.neighbor_id = e.neighbor_id
+        GROUP BY 1)
+      SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+             CAST(floor(coalesce(h.hits, 0) * 10000.0 / 5) AS BIGINT)
+               AS recall_c4
+      FROM (SELECT DISTINCT query_id FROM ex) q
+      LEFT JOIN hits h ON h.query_id = q.query_id
+      ORDER BY q.query_id"""))
   )
 }
