@@ -28,14 +28,16 @@ run_target() {
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
     -cp "$CLASSES:/opt/spark/jars/*" \
     graft.slt.SltMain "$t" "$cap" 2>/dev/null \
-    | grep -a "^SLT" | tee -a "$LOG"
+    | grep -a "^SLT" | tee -a "$LOG" || true
 }
 
+# random/index first: they are the raised-cap portion a partial-session
+# soak most needs on record; the named files follow.
+run_target "$CORPUS/random" "$CAP"
+run_target "$CORPUS/index" "$CAP"
 for f in select1 select2 select3 select4 select5 xtdb; do
   run_target "$CORPUS/$f.test" 1000000
 done
-run_target "$CORPUS/random" "$CAP"
-run_target "$CORPUS/index" "$CAP"
 
 python3 - "$LOG" "$CAP" <<'EOF'
 import json, re, sys

@@ -283,6 +283,71 @@ object WindowSortSet {
                  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) || '}',
                ',' ORDER BY o_orderkey) || ']' AS docs_json
       FROM orders WHERE o_orderkey < 100
-      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- RESPECT/IGNORE NULLS window rule (reference Sql.g4:433-434)
+    // + IS [NOT] DISTINCT FROM (Sql.g4:224) through the gate (round-8):
+    // lead/nth_value skipping nulls, and the null-safe comparison against
+    // the lag — the null-semantics corners a naive port gets wrong.
+    QueryDef("q197_window_null_treatment", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH t AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                      ELSE o_totalprice END AS v
+          FROM orders WHERE o_orderkey < 200)
+        SELECT k,
+               CAST(floor(coalesce(
+                 lead(v) IGNORE NULLS OVER (ORDER BY k), 0) * 100 + 0.5)
+                 AS BIGINT) AS next_v_c,
+               CAST(floor(coalesce(
+                 nth_value(v, 2) IGNORE NULLS OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND UNBOUNDED FOLLOWING), 0) * 100 + 0.5)
+                 AS BIGINT) AS second_v_c,
+               v IS DISTINCT FROM lag(v) OVER (ORDER BY k) AS changed,
+               v IS NOT DISTINCT FROM NULL AS is_gap
+        FROM t ORDER BY k""")
+    }, Some("""
+      WITH t AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_totalprice END AS v
+        FROM orders WHERE o_orderkey < 200)
+      SELECT k,
+             CAST(floor(coalesce(
+               lead(v IGNORE NULLS) OVER (ORDER BY k), 0) * 100 + 0.5)
+               AS BIGINT) AS next_v_c,
+             CAST(floor(coalesce(
+               nth_value(v, 2 IGNORE NULLS) OVER (ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND UNBOUNDED FOLLOWING), 0) * 100 + 0.5)
+               AS BIGINT) AS second_v_c,
+             v IS DISTINCT FROM lag(v) OVER (ORDER BY k) AS changed,
+             v IS NOT DISTINCT FROM NULL AS is_gap
+      FROM t ORDER BY k""")),
+
+    // ---- FILTER (WHERE ...) aggregate modifier (round-8): conditional
+    // aggregation without CASE scaffolding — standard SQL both engines
+    // execute natively.
+    QueryDef("q198_filter_clause", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT o_orderstatus AS st,
+               count(*) AS n,
+               count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+               CAST(floor(coalesce(sum(o_totalprice)
+                 FILTER (WHERE o_orderpriority = '1-URGENT'), 0) * 100
+                 + 0.5) AS BIGINT) AS urgent_c
+        FROM orders GROUP BY o_orderstatus ORDER BY st""")
+    }, Some("""
+      SELECT o_orderstatus AS st,
+             count(*) AS n,
+             count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+             CAST(floor(coalesce(sum(o_totalprice)
+               FILTER (WHERE o_orderpriority = '1-URGENT'), 0) * 100
+               + 0.5) AS BIGINT) AS urgent_c
+      FROM orders GROUP BY o_orderstatus ORDER BY st"""))
   )
 }
