@@ -443,6 +443,40 @@ class XtDb(spark: SparkSession, val root: String) {
     rewriteCommit(table, purged)
   }
 
+  /** Uncompacted backlog of `table`: LIVE physical parquet files beyond
+    * one per storage bucket (the current generation only — a superseded
+    * generation kept for in-flight readers is storage debt, not lag).
+    * Every small per-tx append adds one; compaction folds each bucket
+    * back to a single file. Metadata-only FS listing — the measure the
+    * healthz surface and the auto-compaction trigger share. */
+  def blockLag(table: String): Long = {
+    val fs = hadoopFs
+    val dir = new org.apache.hadoop.fs.Path(dataDir(table))
+    if (!fs.exists(dir)) return 0L
+    val perBucket = scala.collection.mutable.Map.empty[String, Long]
+    val it = fs.listFiles(dir, true)
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) {
+        val bucket = f.getPath.getParent.getName
+        perBucket(bucket) = perBucket.getOrElse(bucket, 0L) + 1L
+      }
+    }
+    perBucket.valuesIterator.map(_ - 1L).sum
+  }
+
+  /** The reference compactor's TRIGGER policy (Compactor.kt wakes when
+    * enough level-0 files accumulate) as an explicit engine call: run
+    * [[compact]] iff the table's block lag exceeds `maxLag`. Returns
+    * whether compaction ran — callers (a maintenance loop, the healthz
+    * finish-block hook, or a post-ingest step) get idempotence for
+    * free: a freshly-compacted table has lag 0 and is left alone. */
+  def compactIfLagged(table: String, maxLag: Int = 5): Boolean = {
+    val lagged = blockLag(table) > maxLag
+    if (lagged) compact(table)
+    lagged
+  }
+
   // ---- xt.txs system table (reference: `xt.txs`, information_schema.clj)
   private def logTx(sysTime: java.sql.Timestamp, table: String, op: String,
       committed: Boolean, error: Option[String]): Unit = {

@@ -44,27 +44,10 @@ object Healthz {
       |</body>
       |</html>""".stripMargin
 
-  /** Uncompacted backlog per table: LIVE physical parquet files beyond
-    * one per storage bucket, read from the current generation directory
-    * (the superseded generation that `rewriteCommit` keeps around for
-    * in-flight readers is storage debt, not lag). Compaction folds each
-    * bucket to one file, so a freshly-compacted table has lag 0; every
-    * small per-tx append adds one. Metadata-only FS listing. */
-  def blockLag(db: XtDb, table: String): Long = {
-    val fs = db.hadoopFs
-    val dir = new org.apache.hadoop.fs.Path(db.dataDir(table))
-    if (!fs.exists(dir)) return 0L
-    val perBucket = scala.collection.mutable.Map.empty[String, Long]
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) {
-        val bucket = f.getPath.getParent.getName
-        perBucket(bucket) = perBucket.getOrElse(bucket, 0L) + 1L
-      }
-    }
-    perBucket.valuesIterator.map(_ - 1L).sum
-  }
+  /** Uncompacted backlog per table — delegates to the engine's own
+    * measure ([[XtDb.blockLag]]), which the auto-compaction trigger
+    * (`XtDb.compactIfLagged`) shares. */
+  def blockLag(db: XtDb, table: String): Long = db.blockLag(table)
 
   /** In-flight transaction scratch (the `_staging` dir): non-empty means
     * a transaction is mid-commit — the synchronous store's equivalent of

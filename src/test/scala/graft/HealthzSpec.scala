@@ -96,4 +96,28 @@ class HealthzSpec extends AnyFunSuite {
       assert(get(port, "/healthz/started")._1 == 200)
     } finally server.stop(0)
   }
+
+  test("compactIfLagged: the compactor trigger fires only past the lag " +
+      "threshold, is idempotent, and preserves query results") {
+    import org.apache.spark.sql.functions._
+    val db = new XtDb(spark,
+      java.nio.file.Files.createTempDirectory("graft_autocompact").toString)
+    val eng = new XtSqlEngine(spark, db)
+    (1 to 4).foreach(i => eng.sql(s"INSERT INTO ac RECORDS {_id: 1, v: $i}"))
+    assert(db.blockLag("ac") == 3)
+    assert(!db.compactIfLagged("ac", maxLag = 5),
+      "must not compact below the threshold")
+    assert(db.blockLag("ac") == 3, "a declined trigger must not rewrite")
+    (5 to 8).foreach(i => eng.sql(s"INSERT INTO ac RECORDS {_id: 1, v: $i}"))
+    assert(db.blockLag("ac") == 7)
+    val before = eng.sql("SELECT _id, v FROM ac").collect().toSeq
+    assert(db.compactIfLagged("ac", maxLag = 5), "trigger must fire at lag 7")
+    assert(db.blockLag("ac") == 0, "compaction folds each bucket to 1 file")
+    assert(!db.compactIfLagged("ac", maxLag = 5), "idempotent once folded")
+    assert(eng.sql("SELECT _id, v FROM ac").collect().toSeq == before,
+      "compaction must not change the visible snapshot")
+    assert(before == Seq(org.apache.spark.sql.Row(1L, 8L)) ||
+      before.map(_.toSeq) == Seq(Seq(1, 8)),
+      s"current row must be the latest version, got $before")
+  }
 }

@@ -146,6 +146,25 @@ class PipelinePlanSpec extends AnyFunSuite {
     } finally spark.sparkContext.removeSparkListener(listener)
   }
 
+  test("quality-classifier scoring: model broadcasts; corpus aggregates " +
+      "once") {
+    import graft.operators.QualityModel
+    val docs = Tables.load(spark, sf, "documents").select("doc_id", "text")
+    val model = spark.range(0, 16)
+      .selectExpr("id AS idx", "id * 10 AS w_micro")
+      .unionByName(spark.sql("SELECT -1L AS idx, 5L AS w_micro"))
+    val rep = Explain.report(
+      QualityModel.score(docs, "text", "doc_id", model, dims = 16))
+    assert(rep.broadcastExchanges >= 2,
+      "weights and intercept must broadcast, never shuffle the corpus")
+    assert(rep.sortMergeJoins == 0,
+      "no sort-merge join may appear on the scoring path")
+    // (doc, idx) feature aggregate + per-doc margin aggregate — the only
+    // exchanges; a third would mean the corpus is crossing the wire again
+    assert(rep.shuffleExchanges <= 2,
+      s"expected <=2 shuffles, got ${rep.shuffleExchanges}")
+  }
+
   test("SQ8 ADC scan: no joins, one k-by-P-row exchange for the window") {
     val df = Similarity.sqTopK(
       Tables.load(spark, sf, "embeddings"), "vec_id", "embedding",
