@@ -2257,6 +2257,93 @@ object Pipeline {
                AS recall_c4
       FROM (SELECT DISTINCT query_id FROM ex) q
       LEFT JOIN hits h ON h.query_id = q.query_id
-      ORDER BY q.query_id"""))
+      ORDER BY q.query_id""")),
+
+    // ---- curation pipeline v2 (round-8 capstone composition): the three
+    // round-8 filter families over ONE corpus in ONE plan — exact dedup
+    // (keep the min-id copy), the TRAINED quality classifier (persisted
+    // model, integer scoring), and semantic decontamination against the
+    // eval embedding slice (vec_id ≡ doc_id) — joined into a per-doc
+    // verdict with the reason each doc was dropped. Every stage is
+    // independently oracled (q80/q194/q195); this gates their interop.
+    QueryDef("q199_curation_v2", (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val emb = t(s, dir, "embeddings")
+      val dedupKeep = Dedup.exactGroups(docs, "text", "doc_id")
+        .select(col("keep_id").as("doc_id"), lit(true).as("dedup_keep"))
+      val label = TextAnalysis.qualityScore4(col("text")) >= 4950
+      val (model, _) = _root_.graft.operators.QualityModel.train(
+        docs, "text", "doc_id", label, dims = 64, iters = 40)
+      val scored = _root_.graft.operators.QualityModel.score(
+        docs, "text", "doc_id",
+        materializeModel(model, "quality_lr_v2"), dims = 64)
+      val contaminated = Dedup.semanticContamination(
+          emb.filter(col("vec_id") < 480), emb.filter(col("vec_id") >= 480),
+          "vec_id", "embedding", threshold = 0.33)
+        .select(col("vec_id").as("doc_id"), lit(true).as("contam"))
+      docs.select("doc_id")
+        .join(dedupKeep, Seq("doc_id"), "left")
+        .join(scored.select("doc_id", "keep"), Seq("doc_id"), "left")
+        .join(contaminated, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("dedup_keep"), lit(false)).as("dedup_keep"),
+          col("keep").as("model_keep"),
+          coalesce(col("contam"), lit(false)).as("contaminated"))
+        .withColumn("kept",
+          col("dedup_keep") && col("model_keep") && !col("contaminated"))
+        .withColumn("drop_reason",
+          when(col("kept"), lit(null).cast("string"))
+            .when(!col("dedup_keep"), lit("duplicate"))
+            .when(!col("model_keep"), lit("low_quality"))
+            .otherwise(lit("contaminated")))
+        .orderBy("doc_id")
+    }, Some(s"""
+      WITH keepers AS (
+        SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text)),
+      w AS (
+        SELECT idx, w_micro
+        FROM read_parquet('$ModelDir/quality_lr_v2/*.parquet')
+        WHERE idx >= 0),
+      b AS (
+        SELECT w_micro AS b
+        FROM read_parquet('$ModelDir/quality_lr_v2/*.parquet')
+        WHERE idx = -1),
+      tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      feat AS (
+        SELECT doc_id, ${sqlHash16("word")} % 64 AS idx, count(*) AS cnt
+        FROM tok GROUP BY 1, 2),
+      margin AS (
+        SELECT f.doc_id, sum(f.cnt * w.w_micro) AS s
+        FROM feat f JOIN w USING (idx) GROUP BY 1),
+      p AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings),
+      contam AS (
+        SELECT DISTINCT t.vec_id AS doc_id
+        FROM p t, p e
+        WHERE t.vec_id < 480 AND e.vec_id >= 480
+          AND list_sum([CAST(t.embedding[i] AS DOUBLE) * e.embedding[i]
+                        FOR i IN range(1, 65)]) / (t.nrm * e.nrm) > 0.33),
+      verdict AS (
+        SELECT d.doc_id,
+               k.doc_id IS NOT NULL AS dedup_keep,
+               coalesce(m.s, 0) + b.b > 0 AS model_keep,
+               c.doc_id IS NOT NULL AS contaminated
+        FROM documents d
+        LEFT JOIN keepers k ON k.doc_id = d.doc_id
+        LEFT JOIN margin m ON m.doc_id = d.doc_id
+        LEFT JOIN contam c ON c.doc_id = d.doc_id, b)
+      SELECT doc_id, dedup_keep, model_keep, contaminated,
+             dedup_keep AND model_keep AND NOT contaminated AS kept,
+             CASE WHEN dedup_keep AND model_keep AND NOT contaminated
+                    THEN NULL
+                  WHEN NOT dedup_keep THEN 'duplicate'
+                  WHEN NOT model_keep THEN 'low_quality'
+                  ELSE 'contaminated' END AS drop_reason
+      FROM verdict ORDER BY doc_id"""))
   )
 }
