@@ -98,6 +98,27 @@ object QualityModel {
     (model, losses.toSeq)
   }
 
+  /** Per-row scoring COLUMN for stateless contexts (structured
+    * streaming's append mode cannot run [[score]]'s per-doc aggregate):
+    * the dims-sized model collects driver-side into a map literal and
+    * the margin folds over the token array in one expression —
+    * `intercept + Σ w_micro[idx(word)]·1` per occurrence, the same
+    * order-free integer arithmetic as [[score]] (identical results on
+    * non-null text; null text scores null here — a stream gate simply
+    * never passes it). */
+  def scoreColumn(model: DataFrame, textCol: String,
+      dims: Int = 64): Column = {
+    val rows = model.collect()
+    val intercept = rows.find(_.getLong(0) == -1L)
+      .map(_.getLong(1)).getOrElse(0L)
+    val wMap = rows.filter(_.getLong(0) >= 0)
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val terms = transform(split(col(textCol), " "),
+      w => coalesce(element_at(typedLit(wMap), tokenIndex(w, dims)),
+        lit(0L)))
+    aggregate(terms, lit(intercept), (acc, x) => acc + x)
+  }
+
   /** Score a corpus against a trained `(idx, w_micro)` model (intercept
     * at idx = -1): (doc_id, score_c = integer margin in micro-units,
     * keep = score_c > 0). Null/empty-token docs score the intercept

@@ -2083,6 +2083,66 @@ object Pipeline {
       FROM documents d JOIN g ON g.doc_id = d.doc_id AND $QualityTierSql
       GROUP BY md5(d.text) ORDER BY orig_id""")),
 
+    // ---- streaming MODEL-scored gate (round-8): the trained quality
+    // classifier applied ONLINE — micro-batches scored statelessly
+    // against the persisted fixed-point model via the per-row scoring
+    // column (append mode, no state), docs passing only when the integer
+    // margin is positive. Trained-model × streaming interop: the same
+    // model parquet gates batch (q194/q199) and stream.
+    QueryDef("q200_streaming_model_gate", (s, dir) => {
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val label = TextAnalysis.qualityScore4(col("text")) >= 4950
+      val (model, _) = _root_.graft.operators.QualityModel.train(
+        docs, "text", "doc_id", label, dims = 64, iters = 40)
+      val modelDf = materializeModel(model, "quality_lr_stream")
+      val scoreCol = _root_.graft.operators.QualityModel.scoreColumn(
+        modelDf, "text", dims = 64)
+      val logDir = java.nio.file.Files
+        .createTempDirectory("graft_mgate_log").toString
+      docs.filter(col("doc_id") < 250)
+        .coalesce(1).write.mode("append").parquet(logDir)
+      val stream = _root_.graft.streaming.StreamIngest.openLog(
+        s, logDir, docs.schema, maxFilesPerTrigger = 1)
+      val gated = stream
+        .withColumn("score_c", scoreCol)
+        .filter(col("score_c") > 0)
+        .select("doc_id", "score_c")
+      val q = gated.writeStream.outputMode("append")
+        .format("memory").queryName("q200_mem").start()
+      try {
+        q.processAllAvailable()
+        docs.filter(col("doc_id") >= 250)
+          .coalesce(1).write.mode("append").parquet(logDir)
+        q.processAllAvailable()
+      } finally {
+        q.stop()
+        val root = java.nio.file.Paths.get(logDir)
+        java.nio.file.Files.walk(root).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
+      s.table("q200_mem").orderBy("doc_id")
+    }, Some(s"""
+      WITH w AS (
+        SELECT idx, w_micro
+        FROM read_parquet('$ModelDir/quality_lr_stream/*.parquet')
+        WHERE idx >= 0),
+      b AS (
+        SELECT w_micro AS b
+        FROM read_parquet('$ModelDir/quality_lr_stream/*.parquet')
+        WHERE idx = -1),
+      tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        FROM documents),
+      feat AS (
+        SELECT doc_id, ${sqlHash16("word")} % 64 AS idx, count(*) AS cnt
+        FROM tok GROUP BY 1, 2),
+      m AS (
+        SELECT f.doc_id, sum(f.cnt * w.w_micro) AS s
+        FROM feat f JOIN w USING (idx) GROUP BY 1)
+      SELECT m.doc_id, CAST(m.s + b.b AS BIGINT) AS score_c
+      FROM m, b WHERE m.s + b.b > 0 ORDER BY m.doc_id""")),
+
     // ---- duplicate-cluster assignment: LSH candidate pairs → connected
     // components, every doc labelled with its cluster's min doc_id (the
     // canonical survivor). Oracle = recursive-CTE reachability closure

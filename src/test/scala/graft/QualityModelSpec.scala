@@ -56,6 +56,19 @@ class QualityModelSpec extends AnyFunSuite {
     assert(a == weights(), "re-training produced a different model")
   }
 
+  test("scoreColumn (streaming path) equals score (relational path) on " +
+      "non-null text") {
+    val (model, _) = QualityModel.train(
+      docs, "text", "doc_id", label, dims = 32, iters = 5)
+    val rel = QualityModel.score(docs, "text", "doc_id", model, dims = 32)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val perRow = docs
+      .select(col("doc_id"),
+        QualityModel.scoreColumn(model, "text", dims = 32).as("score_c"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(rel.nonEmpty && rel.sameElements(perRow))
+  }
+
   test("fixed-point scoring replays exactly: intercept-only docs, and a " +
       "driver-side integer recompute agrees") {
     import spark.implicits._
