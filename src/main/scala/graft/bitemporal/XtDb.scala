@@ -454,14 +454,19 @@ class XtDb(spark: SparkSession, val root: String) {
     val dir = new org.apache.hadoop.fs.Path(dataDir(table))
     if (!fs.exists(dir)) return 0L
     val perBucket = scala.collection.mutable.Map.empty[String, Long]
-    val it = fs.listFiles(dir, true)
-    while (it.hasNext) {
-      val f = it.next()
-      if (f.getPath.getName.endsWith(".parquet")) {
-        val bucket = f.getPath.getParent.getName
-        perBucket(bucket) = perBucket.getOrElse(bucket, 0L) + 1L
+    // manual listStatus recursion: listFiles(recursive) falls back to
+    // RawLocalFileSystem permission loading that breaks on non-file URI
+    // schemes (the objstore:// double) — listStatus stays in the
+    // FileSystem API the object-store contract guarantees
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        if (st.isDirectory) walk(st.getPath)
+        else if (st.getPath.getName.endsWith(".parquet")) {
+          val bucket = st.getPath.getParent.getName
+          perBucket(bucket) = perBucket.getOrElse(bucket, 0L) + 1L
+        }
       }
-    }
+    walk(dir)
     perBucket.valuesIterator.map(_ - 1L).sum
   }
 

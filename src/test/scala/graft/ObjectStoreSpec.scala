@@ -112,4 +112,39 @@ class ObjectStoreSpec extends AnyFunSuite {
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     assert(ls(fs, s"$root/_staging").isEmpty)
   }
+
+  test("interrupted rewrite recovers: an orphan generation never becomes " +
+      "visible and the next commit reclaims its slot") {
+    import spark.implicits._
+    val (root, fs) = freshRoot()
+    val db = new XtDb(spark, root)
+    db.putDocs("docs", spark.range(1, 21)
+      .select(col("id").as("_id"), (col("id") * 3).as("v")))
+    db.compact("docs") // commit g1
+    assert(ls(fs, s"$root/docs").contains("g1"))
+    val before = Bitemporal.current(db.events("docs"))
+      .select("_id", "v").as[(Long, Long)].collect().sorted.toSeq
+
+    // simulate a crash BETWEEN writing the next generation's files and
+    // the pointer PUT: an orphan g2 full of garbage exists, _gen still
+    // says g1 — the atomic-commit contract's whole point
+    val orphan = new org.apache.hadoop.fs.Path(s"$root/docs/g2/junk.parquet")
+    val o = fs.create(orphan, true)
+    o.write("not parquet at all".getBytes("UTF-8")); o.close()
+
+    // readers never see the orphan
+    assert(Bitemporal.current(db.events("docs"))
+      .select("_id", "v").as[(Long, Long)].collect().sorted.toSeq == before)
+    assert(db.blockLag("docs") == 0,
+      "lag reads the LIVE generation only, not orphan debris")
+
+    // the next rewrite takes the g2 slot with fresh content (overwrite)
+    // and commits the pointer; results unchanged, junk gone
+    db.compact("docs")
+    assert(ls(fs, s"$root/docs").contains("g2"))
+    assert(!ls(fs, s"$root/docs/g2").contains("junk.parquet"),
+      "recovery must replace the orphan generation's content")
+    assert(Bitemporal.current(db.events("docs"))
+      .select("_id", "v").as[(Long, Long)].collect().sorted.toSeq == before)
+  }
 }
