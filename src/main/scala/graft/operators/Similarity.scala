@@ -135,6 +135,37 @@ object Similarity {
         round(col("sim"), 4).as("sim"))
   }
 
+  /** Hard-negative mining (round-8) — the contrastive-training data-prep
+    * step (DPR/ANCE shape): for each query, the top-k most similar
+    * corpus vectors EXCLUDING the query itself and its known positives —
+    * the "hard" negatives a dense-retrieval trainer wants instead of
+    * random ones. Composes the exact scorer with an anti-join on the
+    * positives table; at scale, swap the scorer for any ANN index in
+    * this file — the anti-join and ranking are unchanged, and the
+    * positives table (training labels, small by definition) broadcasts.
+    * Output: (query_id, neighbor_id, rank, sim). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame,
+      positives: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    val c = prepared(corpus, vecCol)
+      .select(col(idCol).as("neighbor_id"), col("__vecd").as("cv"),
+        col("__nrm").as("cn"))
+    val q = prepared(queries, vecCol)
+      .select(col(idCol).as("query_id"), col("__vecd").as("qv"),
+        col("__nrm").as("qn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("neighbor_id"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .join(broadcast(positives.select(col("query_id"),
+        col("pos_id").as("neighbor_id"))),
+        Seq("query_id", "neighbor_id"), "left_anti")
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("rank"),
+        round(col("sim"), 4).as("sim"))
+  }
+
   /** Recall@k evaluation (round-8): score an ANN result set against the
     * exact brute-force top-k — the measurement every approximate index
     * ships with (FAISS's recall benchmarks; the knob curves in

@@ -2083,6 +2083,41 @@ object Pipeline {
       FROM documents d JOIN g ON g.doc_id = d.doc_id AND $QualityTierSql
       GROUP BY md5(d.text) ORDER BY orig_id""")),
 
+    // ---- hard-negative mining (round-8): contrastive-retrieval data
+    // prep — each query's pseudo-positive is its exact nearest neighbor
+    // (the ANCE self-labeled setup), and the miner returns the next-k
+    // most-similar vectors with the positive anti-joined out. The oracle
+    // replays scorer + positive + anti-join + re-rank.
+    QueryDef("q201_hard_negatives", (s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val queries = emb.filter(col("vec_id") < 20)
+      val positives = Similarity.bruteForceTopK(
+          emb, queries, "vec_id", "embedding", 1)
+        .select(col("query_id"), col("neighbor_id").as("pos_id"))
+      Similarity.hardNegatives(emb, queries, positives,
+          "vec_id", "embedding", k = 3)
+        .orderBy("query_id", "rank")
+    }, Some("""
+      WITH p AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                              FOR x IN embedding])) AS nrm
+        FROM embeddings),
+      s AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               list_sum([CAST(q.embedding[i] AS DOUBLE) * c.embedding[i]
+                         FOR i IN range(1, 65)]) / (q.nrm * c.nrm) AS sim
+        FROM p q, p c
+        WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY query_id
+                    ORDER BY sim DESC, neighbor_id) AS rank0
+        FROM s)
+      SELECT query_id, neighbor_id, CAST(rank0 - 1 AS BIGINT) AS rank,
+             round(sim, 4) AS sim
+      FROM ranked WHERE rank0 BETWEEN 2 AND 4
+      ORDER BY query_id, rank""")),
+
     // ---- streaming MODEL-scored gate (round-8): the trained quality
     // classifier applied ONLINE — micro-batches scored statelessly
     // against the persisted fixed-point model via the per-row scoring
