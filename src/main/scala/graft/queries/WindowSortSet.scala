@@ -328,6 +328,47 @@ object WindowSortSet {
              v IS NOT DISTINCT FROM NULL AS is_gap
       FROM t ORDER BY k""")),
 
+    // ---- forward/backward gap fill (round-8): last_value IGNORE NULLS
+    // over a running frame = the classic series forward-fill (and its
+    // mirror with a following frame) — the time-series imputation op,
+    // expressed in the same RESPECT/IGNORE NULLS surface as q197.
+    QueryDef("q202_gap_fill", (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        WITH t AS (
+          SELECT o_orderkey AS k,
+                 CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                      ELSE o_totalprice END AS v
+          FROM orders WHERE o_orderkey < 200)
+        SELECT k,
+               CAST(floor(coalesce(
+                 last_value(v) IGNORE NULLS OVER (ORDER BY k
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 0) * 100 + 0.5) AS BIGINT) AS ffill_c,
+               CAST(floor(coalesce(
+                 first_value(v) IGNORE NULLS OVER (ORDER BY k
+                   ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+                 0) * 100 + 0.5) AS BIGINT) AS bfill_c,
+               v IS NULL AS was_gap
+        FROM t ORDER BY k""")
+    }, Some("""
+      WITH t AS (
+        SELECT o_orderkey AS k,
+               CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                    ELSE o_totalprice END AS v
+        FROM orders WHERE o_orderkey < 200)
+      SELECT k,
+             CAST(floor(coalesce(
+               last_value(v IGNORE NULLS) OVER (ORDER BY k
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               0) * 100 + 0.5) AS BIGINT) AS ffill_c,
+             CAST(floor(coalesce(
+               first_value(v IGNORE NULLS) OVER (ORDER BY k
+                 ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING),
+               0) * 100 + 0.5) AS BIGINT) AS bfill_c,
+             v IS NULL AS was_gap
+      FROM t ORDER BY k""")),
+
     // ---- FILTER (WHERE ...) aggregate modifier (round-8): conditional
     // aggregation without CASE scaffolding — standard SQL both engines
     // execute natively.
