@@ -278,7 +278,7 @@ object SltRunner {
   /** Execute SQL with SQLite division semantics: parse, substitute
     * `Divide` with [[SqliteDiv]] (type-directed int-vs-float division,
     * null on divide-by-zero) including inside subqueries, then analyze. */
-  private[slt] def runSql(spark: SparkSession, sql: String,
+  private[graft] def runSql(spark: SparkSession, sql: String,
       xtDialect: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
@@ -327,7 +327,15 @@ object SltRunner {
         var c = child
         while (c.isInstanceOf[UnaryPositive])
           c = c.asInstanceOf[UnaryPositive].child
-        c
+        // the unwrap's REPLACEMENT node is not re-matched by transform
+        // rules, so a Divide sitting directly under the stripped `+`
+        // would escape the SqliteDiv substitution (children ARE still
+        // visited, so only this top level needs the inline fix) —
+        // `+ ( + 57 / 6 )` must divide as SQLite, not as Spark
+        c match {
+          case d: Divide => SqliteDiv(d.left, d.right)
+          case other => other
+        }
       case sq: SubqueryExpression => sq.withNewPlan(fix(sq.plan))
     }
     // SQL-standard empty-subquery IN: `x IN (<no rows>)` is FALSE even for

@@ -19,6 +19,19 @@ class SltSpec extends AnyFunSuite {
 
   private val corpus = "/root/reference/sqlite-test"
 
+  test("divide under stripped unary plus keeps SQLite semantics " +
+      "(round-8 regression: the unwrap replacement escaped SqliteDiv)") {
+    import org.apache.spark.sql.Row
+    val out = SltRunner.runSql(spark,
+      "SELECT + 53 * 10 * + + MIN ( ALL 89 ) * + ( + 57 / 6 ) AS col1")
+      .collect()
+    assert(out.toSeq == Seq(Row(424530L)), s"got ${out.toSeq}")
+    // and nested on both sides of nested divides
+    val out2 = SltRunner.runSql(spark,
+      "SELECT + ( + 10 / 3 ) + + ( + ( 7 / 2 ) ) AS c").collect()
+    assert(out2.toSeq == Seq(Row(6L)), s"got ${out2.toSeq}")
+  }
+
   for ((file, maxQ) <- Seq("select1.test" -> 120, "select2.test" -> 60,
       "select3.test" -> 60, "select4.test" -> 60, "select5.test" -> 40,
       "xtdb.test" -> 100)) {
