@@ -262,6 +262,11 @@ class XtDb(spark: SparkSession, val root: String) {
     * later op supersedes an earlier one at the shared system time (the
     * same tie-break EventAlgebra uses). Single-writer, like the
     * reference's log-append. */
+  /** Event rows committed by the most recent `submitTx` on this instance
+    * (insert/update/delete/erase/patch event versions). Counted from the
+    * staged tx delta, never by re-executing the DML's plan. */
+  @volatile var lastTxAffectedRows: Long = 0L
+
   def submitTx(ops: Seq[TxOp],
       systemTime: Option[java.sql.Timestamp] = None): java.sql.Timestamp =
     synchronized {
@@ -342,6 +347,7 @@ class XtDb(spark: SparkSession, val root: String) {
             rows(0).getBoolean(0)
           if (!ok) throw TxAbortedException(s"$label failed")
       }
+      var affected = 0L
       staged.foreach { case (table, dirs) =>
         val parts = dirs.map(spark.read.parquet(_)).toSeq
         val lubbed = parts.map(_.schema).reduce(DynamicSchema.mergeSchemas)
@@ -350,7 +356,13 @@ class XtDb(spark: SparkSession, val root: String) {
         val conformed = evolveSchema(table, df)
         conformed.write.partitionBy(BUCKET).mode("append")
           .parquet(dataDir(table))
+        // affected-row count from the committed delta itself (parquet
+        // footer counts over the staged files — NOT a re-run of the
+        // user's DML plan); surfaced through `lastAffectedRows` for the
+        // ADBC executeUpdate contract
+        affected += parts.map(_.count()).sum
       }
+      lastTxAffectedRows = affected
       logTx(sysTime, staged.keys.mkString(","), s"tx[${ops.length}]",
         committed = true, error = None)
       sysTime

@@ -194,6 +194,141 @@ object Joins {
     l.join(r, Seq("__salt") ++ keys, joinType).drop("__salt")
   }
 
+  /** Half-open period intersection: [lf,lt) ∩ [rf,rt) ≠ ∅ — the SQL
+    * OVERLAPS shape (reference period predicates as join theta conditions,
+    * join.clj:331-339; predicate grammar Sql.g4:227-243). */
+  def overlapsCond(lf: Column, lt: Column, rf: Column, rt: Column): Column =
+    lf < rt && rf < lt
+
+  /** Left period CONTAINS right period: lf <= rf && rt <= lt (implies
+    * intersection when the right period is non-empty). */
+  def containsCond(lf: Column, lt: Column, rf: Column, rt: Column): Column =
+    lf <= rf && rt <= lt
+
+  /** Scale-safe period join: equi-join two period tables on aligned epoch
+    * buckets instead of letting a pure theta predicate plan as a
+    * broadcast/cartesian nested loop (O(n·m) at scale). The reference
+    * nested-loops period-predicate joins (join.clj:331-339 turns period
+    * predicates into theta conditions) — acceptable single-node, fatal for
+    * a horizontally-scaled engine, so this is the dedicated operator.
+    *
+    * Plan: each row explodes its period into the `bucketSeconds`-aligned
+    * epoch buckets it covers; the two sides equi-join on the bucket (plus
+    * any caller equi keys), then the EXACT period predicate filters the
+    * candidates. A pair sharing k buckets would surface k times, so each
+    * pair is emitted only at its canonical bucket — the bucket of
+    * `greatest(lf, rf)`, the first instant both periods are live — which
+    * both sides provably cover for any intersecting pair. No distinct, no
+    * second shuffle.
+    *
+    * Scale properties:
+    *  - ONE shuffle per side (hash by bucket [+ equi keys]); AQE handles
+    *    skewed buckets like any hot equi key.
+    *  - Open-ended/huge periods do NOT explode unboundedly: explode is
+    *    clamped at the global max period-start (two parquet-stats-cheap
+    *    min/max jobs at build time) — buckets past every possible
+    *    canonical bucket can never emit a pair.
+    *  - The per-row bucket fan-out is LOUDLY capped (`maxBucketsPerRow`,
+    *    raise_error names the offending span) — pick `bucketSeconds` near
+    *    the typical period length; the cap is never silent.
+    *
+    * `condition` must IMPLY period intersection (OVERLAPS, CONTAINS,
+    * EQUALS, …): the bucket equi-join only generates intersecting
+    * candidates. Disjoint predicates (PRECEDES, …) need no join at all —
+    * they are range predicates, not correlations.
+    *
+    * `strategy`: "auto" broadcasts the theta join when either BASE side is
+    * under the session broadcast threshold (a broadcast NLJ over a small
+    * side is cheaper than two explode+shuffles) and buckets otherwise;
+    * "bucket"/"broadcast" force the choice (gate queries pin "bucket" so
+    * the scale plan shape is what's tested at any SF). */
+  def intervalJoin(
+      left: DataFrame,
+      right: DataFrame,
+      leftFrom: String, leftTo: String,
+      rightFrom: String, rightTo: String,
+      condition: Column,
+      bucketSeconds: Long,
+      equiKeys: Seq[(String, String)] = Nil,
+      maxBucketsPerRow: Int = 4096,
+      strategy: String = "auto"): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalJoin requires disjoint column names; both sides have: " +
+        overlap.mkString(", "))
+
+    def useBroadcast: Boolean = {
+      val conf = left.sparkSession.sessionState.conf
+      val thr = conf.autoBroadcastJoinThreshold
+      thr > 0 && Seq(left, right).exists(
+        _.queryExecution.optimizedPlan.stats.sizeInBytes <= thr)
+    }
+    val pick = strategy match {
+      case "bucket" => "bucket"
+      case "broadcast" => "broadcast"
+      case "auto" => if (useBroadcast) "broadcast" else "bucket"
+      case other => throw new IllegalArgumentException(
+        s"intervalJoin strategy must be auto|bucket|broadcast, got $other")
+    }
+    if (pick == "broadcast") {
+      val small = left.queryExecution.optimizedPlan.stats.sizeInBytes <=
+        right.queryExecution.optimizedPlan.stats.sizeInBytes
+      val (l, r) = if (small) (broadcast(left), right)
+        else (left, broadcast(right))
+      val equi = equiKeys.map { case (a, b) => col(a) === col(b) }
+      return l.join(r, (condition +: equi).reduce(_ && _))
+    }
+
+    val wMicros = bucketSeconds * 1000000L
+    def ep(c: Column): Column = unix_micros(c.cast("timestamp"))
+    // true floor division on longs (negative-epoch safe); the numerator is
+    // exactly divisible so the double division is exact, cast back to long
+    def fdiv(c: Column): Column =
+      ((c - pmod(c, lit(wMicros))) / lit(wMicros)).cast("long")
+
+    // clamp horizon: the canonical bucket of ANY intersecting pair is
+    // bucket(greatest(lf, rf)) <= bucket(max period-start over both
+    // sides), so no explode needs to go further (min/max-only agg jobs)
+    def maxFrom(df: DataFrame, from: String): Option[Long] = {
+      val r = df.agg(max(ep(col(from)))).head()
+      if (r.isNullAt(0)) None else Some(r.getLong(0))
+    }
+    val horizon = (maxFrom(left, leftFrom), maxFrom(right, rightFrom)) match {
+      case (Some(a), Some(b)) => math.max(a, b)
+      case _ => // one side is empty: the join is empty, keep the schema
+        return left.crossJoin(right).filter(lit(false))
+    }
+    val horizonBkt = java.lang.Math.floorDiv(horizon, wMicros)
+
+    def bucketed(df: DataFrame, from: String, to: String,
+        bktCol: String): DataFrame = {
+      val lo = fdiv(ep(col(from)))
+      val hi = least(fdiv(ep(col(to)) - 1), lit(horizonBkt)) // [from,to)
+      df.withColumn("__lo", lo).withColumn("__hi", hi)
+        .filter(when(col("__hi") - col("__lo") >= lit(maxBucketsPerRow.toLong),
+          raise_error(concat(
+            lit(s"intervalJoin: period $from..$to spans more than " +
+              s"$maxBucketsPerRow buckets of ${bucketSeconds}s at "),
+            col(from).cast("string"),
+            lit(" — widen bucketSeconds"))).cast("boolean"))
+          .otherwise(lit(true)))
+        .withColumn(bktCol,
+          explode(when(col("__hi") >= col("__lo"),
+            sequence(col("__lo"), col("__hi")))
+            .otherwise(array().cast("array<long>"))))
+        .drop("__lo", "__hi")
+    }
+    val lB = bucketed(left, leftFrom, leftTo, "__bkt_l")
+    val rB = bucketed(right, rightFrom, rightTo, "__bkt_r")
+    val canonical = lB("__bkt_l") ===
+      fdiv(greatest(ep(col(leftFrom)), ep(col(rightFrom))))
+    val equi = equiKeys.map { case (a, b) => col(a) === col(b) }
+    val cond = (Seq(lB("__bkt_l") === rB("__bkt_r")) ++ equi ++
+      Seq(condition, canonical)).reduce(_ && _)
+    lB.join(rB, cond).drop("__bkt_l", "__bkt_r")
+  }
+
   /** Null-aware anti join — SQL `NOT IN (subquery)` semantics: if the right
     * side contains any null key, no left row qualifies; left rows with null
     * keys never qualify. (Plain `left_anti` is EXISTS-negation, not NOT IN.)

@@ -197,10 +197,15 @@ object Similarity {
     val rows = centroids
       .select(col("cent_id").cast("long"), col("cv"), col("cn"))
       .collect()
-      .sortBy(_.getLong(0))
-    (rows.map(_.getLong(0)),
-      rows.map(_.getSeq[Double](1).toArray),
-      rows.map(_.getDouble(2)),
+    // a non-numeric cent_id type casts to null — fail with the type name
+    // instead of an opaque NPE (or a silent id collision) downstream
+    require(rows.forall(!_.isNullAt(0)),
+      s"IVF centroid model: cent_id of type ${idType.simpleString} did " +
+        "not cast cleanly to long; use a numeric cell id")
+    val sorted = rows.sortBy(_.getLong(0))
+    (sorted.map(_.getLong(0)),
+      sorted.map(_.getSeq[Double](1).toArray),
+      sorted.map(_.getDouble(2)),
       idType)
   }
 

@@ -323,6 +323,75 @@ object Relational {
       SELECT o_orderstatus, count(*) AS n,
              CAST(sum(l_quantity) AS BIGINT) AS qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-      GROUP BY o_orderstatus ORDER BY o_orderstatus"""))
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // ---- bucketed period-overlap interval join (Joins.intervalJoin):
+    // OVERLAPS between two non-broadcast period tables as an EQUI join on
+    // aligned epoch buckets + exact residual — never a cartesian/broadcast
+    // nested loop (reference period preds as theta conditions,
+    // join.clj:331-339; grammar Sql.g4:227-243). strategy="bucket" pins
+    // the at-scale plan shape even though sf0.01 would broadcast.
+    // ts is second-truncated in BOTH engines (events.parquet carries ns
+    // precision that Spark floors to µs).
+    QueryDef("q203_interval_join_overlaps", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("l_event_id"),
+          date_trunc("second", col("ts")).as("lf"))
+        .withColumn("lt", col("lf") + expr("INTERVAL 2 MINUTES"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("r_event_id"),
+          date_trunc("second", col("ts")).as("rf"))
+        .withColumn("rt", col("rf") + expr("INTERVAL 2 MINUTES"))
+      Joins.intervalJoin(errs, purch, "lf", "lt", "rf", "rt",
+          Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+          bucketSeconds = 300, strategy = "bucket")
+        .groupBy("l_event_id")
+        .agg(count(lit(1)).as("n_overlap"), max("r_event_id").as("max_r"))
+        .presentSorted("l_event_id")
+    }, Some("""
+      WITH e AS (SELECT event_id, date_trunc('second', ts) AS sec,
+                        event_type FROM events),
+      l AS (SELECT event_id AS l_event_id, sec AS lf,
+                   sec + INTERVAL 2 MINUTE AS lt FROM e
+            WHERE event_type = 'error'),
+      r AS (SELECT event_id AS r_event_id, sec AS rf,
+                   sec + INTERVAL 2 MINUTE AS rt FROM e
+            WHERE event_type = 'purchase')
+      SELECT l_event_id, count(*) AS n_overlap, max(r_event_id) AS max_r
+      FROM l JOIN r ON lf < rt AND rf < lt
+      GROUP BY l_event_id ORDER BY l_event_id""")),
+
+    // ---- CONTAINS through the same bucketed plan: the residual predicate
+    // is the only change (contains implies intersection, so the canonical-
+    // bucket emission stays exact)
+    QueryDef("q204_interval_join_contains", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("l_event_id"),
+          date_trunc("second", col("ts")).as("lf"))
+        .withColumn("lt", col("lf") + expr("INTERVAL 10 MINUTES"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("r_event_id"),
+          date_trunc("second", col("ts")).as("rf"))
+        .withColumn("rt", col("rf") + expr("INTERVAL 1 MINUTE"))
+      Joins.intervalJoin(clicks, views, "lf", "lt", "rf", "rt",
+          Joins.containsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+          bucketSeconds = 600, strategy = "bucket")
+        .groupBy("l_event_id")
+        .agg(count(lit(1)).as("n_contained"), min("r_event_id").as("min_r"))
+        .presentSorted("l_event_id")
+    }, Some("""
+      WITH e AS (SELECT event_id, date_trunc('second', ts) AS sec,
+                        event_type FROM events),
+      l AS (SELECT event_id AS l_event_id, sec AS lf,
+                   sec + INTERVAL 10 MINUTE AS lt FROM e
+            WHERE event_type = 'click'),
+      r AS (SELECT event_id AS r_event_id, sec AS rf,
+                   sec + INTERVAL 1 MINUTE AS rt FROM e
+            WHERE event_type = 'view')
+      SELECT l_event_id, count(*) AS n_contained, min(r_event_id) AS min_r
+      FROM l JOIN r ON lf <= rf AND rt <= lt
+      GROUP BY l_event_id ORDER BY l_event_id"""))
   )
 }

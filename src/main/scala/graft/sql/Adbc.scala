@@ -54,18 +54,22 @@ object Adbc {
     /** The result DataFrame without Arrow encoding (for composition). */
     def executeDataFrame(): DataFrame = engine.sql(boundSql)
 
-    def executeUpdate(): Long = {
-      val df = engine.sql(boundSql)
-      if (df.schema.isEmpty) 0L else df.count()
-    }
+    /** DML-only: the engine reports the affected count from the committed
+      * transaction delta itself; queries are rejected (use executeQuery). */
+    def executeUpdate(): Long = engine.sqlUpdate(boundSql)
 
     /** Substitute `?` placeholders outside string literals with
-      * SQL-rendered bind values. */
+      * SQL-rendered bind values. The scanner honors backslash escapes
+      * inside literals (Spark's default lexer treats `\'` as an escaped
+      * quote), so a `?` after `'it\'s'` is still a live placeholder. */
     def boundSql: String = {
       val out = new StringBuilder
       var inStr = false
+      var esc = false
       var p = 0
       sql.foreach {
+        case c if esc => esc = false; out.append(c)
+        case '\\' if inStr => esc = true; out.append('\\')
         case '\'' => inStr = !inStr; out.append('\'')
         case '?' if !inStr =>
           require(p < params.length,
@@ -82,16 +86,31 @@ object Adbc {
 
   private def renderLiteral(v: Any): String = v match {
     case null => "NULL"
-    case s: String => "'" + s.replace("'", "''") + "'"
+    // backslashes must be doubled too: with Spark's default lexer
+    // (escapedStringLiterals=false) a lone trailing `\` would swallow the
+    // closing quote, and `\' OR …` would escape the literal entirely —
+    // the injection the bind API exists to prevent
+    case s: String =>
+      "'" + s.replace("\\", "\\\\").replace("'", "''") + "'"
     case b: Boolean => if (b) "TRUE" else "FALSE"
     case t: java.sql.Timestamp => s"TIMESTAMP '$t'"
     case d: java.sql.Date => s"DATE '$d'"
     case n @ (_: Int | _: Long | _: Short | _: Byte) => n.toString
-    case f @ (_: Double | _: Float) => f.toString
+    case d: Double => renderFloating(d, "DOUBLE")
+    case f: Float => renderFloating(f.toDouble, "FLOAT")
     case d: java.math.BigDecimal => d.toPlainString
     case other => throw new IllegalArgumentException(
       s"unsupported bind type: ${other.getClass.getName}")
   }
+
+  /** Finite floats render as plain literals; NaN/±Infinity get the
+    * engine-parseable CAST spelling (a bare `NaN` is not a SQL numeric
+    * literal — it would resolve as a column reference or fail to parse). */
+  private def renderFloating(d: Double, sqlType: String): String =
+    if (java.lang.Double.isFinite(d)) d.toString
+    else if (d.isNaN) s"CAST('NaN' AS $sqlType)"
+    else if (d > 0) s"CAST('Infinity' AS $sqlType)"
+    else s"CAST('-Infinity' AS $sqlType)"
 
   private def arrowField(f: StructField): Field = {
     val t: ArrowType = f.dataType match {

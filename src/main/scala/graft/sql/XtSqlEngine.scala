@@ -251,6 +251,23 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
     }
   }
 
+  /** DML-only execution returning the affected event-row count from the
+    * transaction itself (the staged tx delta — never a second run of the
+    * DML's plan). Queries are rejected: their result is a relation, not a
+    * count, and belongs on the query path (ADBC `executeQuery`). Inside
+    * an open BEGIN the op is only staged, so the count is 0 until COMMIT. */
+  def sqlUpdate(text: String): Long = parse(text, dbNames) match {
+    case Query(_) => throw SqlParseException(
+      "executeUpdate requires a DML statement; use executeQuery for queries")
+    case _: Insert | _: Update | _: Delete | _: Erase | _: Patch |
+         _: CopyIn | _: WithReturning =>
+      sql(text)
+      if (openTx.isDefined) 0L else db.lastTxAffectedRows
+    case other => throw SqlParseException(
+      s"executeUpdate requires a DML statement, got " +
+        other.getClass.getSimpleName.stripSuffix("$"))
+  }
+
   private def statusDf(colName: String, value: String): DataFrame = {
     import spark.implicits._
     Seq(value).toDF(colName)

@@ -127,17 +127,22 @@ object Healthz {
           val wanted = q.split("&").collectFirst {
             case kv if kv.startsWith("table=") => kv.substring(6)
           }
-          val targets = db.map { d =>
-            wanted match {
-              case Some(t) =>
-                require(d.tables.contains(t), s"Unknown table: $t")
-                Seq(t)
-              case None => d.tables
-            }
-          }.getOrElse(Nil)
-          db.foreach(d => targets.foreach(d.compact))
-          respond(ex, 200,
-            s"Compaction run on ${targets.size} table(s).")
+          val unknown = for {
+            d <- db; t <- wanted if !d.tables.contains(t)
+          } yield t
+          unknown match {
+            case Some(t) =>
+              // a client naming a missing table is a 404, not a server
+              // fault — and no 'requirement failed:' prefix coupling
+              respond(ex, 404, s"Unknown table: $t")
+            case None =>
+              val targets = db.map { d =>
+                wanted.map(Seq(_)).getOrElse(d.tables)
+              }.getOrElse(Nil)
+              db.foreach(d => targets.foreach(d.compact))
+              respond(ex, 200,
+                s"Compaction run on ${targets.size} table(s).")
+          }
         } catch {
           case e: Exception => respond(ex, 500,
             s"Error finishing block: ${e.getMessage}")

@@ -106,4 +106,41 @@ class AdbcSpec extends AnyFunSuite {
     assert(back.schema.fieldNames.toSeq == Seq("_id"))
     assert(back.count() == 0)
   }
+
+  test("binds are injection-safe under backslashes; non-finite floats " +
+      "render as typed casts; ? after an escaped quote stays live") {
+    conn.execute("INSERT INTO et RECORDS " +
+      "{_id: 1, tag: 'safe'}, {_id: 2, tag: 'x'}")
+    // a trailing backslash must not swallow the closing quote, and a
+    // crafted `\' OR 1=1 --` suffix must stay INSIDE the literal
+    val evil = conn.createStatement("SELECT count(*) AS n FROM et " +
+        "WHERE tag = ?").bind("x\\' OR 1=1 --").executeDataFrame()
+    assert(evil.collect().head.getLong(0) == 0L)
+    val trailing = conn.createStatement("SELECT count(*) AS n FROM et " +
+        "WHERE tag = ?").bind("x\\").executeDataFrame()
+    assert(trailing.collect().head.getLong(0) == 0L)
+    // the scanner honors \' inside SQL-text literals: the ? that follows
+    // is a real placeholder, not string-interior
+    val after = conn.createStatement("SELECT count(*) AS n FROM et " +
+        "WHERE tag <> 'it\\'s' AND _id = ?").bind(1L).executeDataFrame()
+    assert(after.collect().head.getLong(0) == 1L)
+    // non-finite doubles parse and compare as real NaN/Infinity values
+    val nan = conn.createStatement("SELECT isnan(?) AS a, ? = " +
+        "double('Infinity') AS b")
+      .bind(Double.NaN, Double.PositiveInfinity).executeDataFrame()
+    val r = nan.collect().head
+    assert(r.getBoolean(0) && r.getBoolean(1))
+  }
+
+  test("executeUpdate returns the committed row count and rejects " +
+      "queries") {
+    val n = conn.execute("INSERT INTO ut RECORDS " +
+      "{_id: 1, v: 1}, {_id: 2, v: 2}, {_id: 3, v: 3}")
+    assert(n == 3L)
+    val upd = conn.createStatement("UPDATE ut SET v = v + 10 WHERE _id <= 2")
+      .executeUpdate()
+    assert(upd == 2L)
+    intercept[Exception](
+      conn.createStatement("SELECT * FROM ut").executeUpdate())
+  }
 }

@@ -76,9 +76,10 @@ class HealthzSpec extends AnyFunSuite {
       assert(ac2 == 200 && abody2 == "Alive.")
       assert(aconn2.getHeaderField("X-Graft-Databases-Unhealthy") == "0")
 
-      // finish-block on an unknown table errors, not 200
+      // finish-block on an unknown table is a CLIENT error: 404 with the
+      // bare message, no 'requirement failed:' runtime-format coupling
       val (uc, ubody) = post(port, "/system/finish-block?table=nope")
-      assert(uc == 500 && ubody.contains("Unknown table"))
+      assert(uc == 404 && ubody == "Unknown table: nope")
       // ... and GET is rejected
       assert(get(port, "/system/finish-block")._1 == 405)
 
