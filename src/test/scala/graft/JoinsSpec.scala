@@ -49,4 +49,126 @@ class JoinsSpec extends AnyFunSuite {
       .select("lv", "m").as[(String, Option[Boolean])].collect().toMap
     assert(out == Map("a" -> Some(true), "b" -> None, "c" -> Some(false)))
   }
+
+  // ---- intervalJoin ------------------------------------------------------
+
+  private def periods(rows: Seq[(Long, String, String)], idCol: String,
+      f: String, tc: String) =
+    rows.toDF(idCol, "__f", "__t")
+      .select(col(idCol), col("__f").cast("timestamp").as(f),
+        col("__t").cast("timestamp").as(tc))
+
+  /** Random-ish period fixture vs. a naive cross-join oracle: the bucketed
+    * plan must produce row-identical pairs for every bucket width,
+    * including widths much smaller and much larger than the periods. */
+  test("interval join: pair-exact vs cross-join oracle across bucket widths") {
+    val rnd = new scala.util.Random(7)
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      val start = 1700000000L + rnd.nextInt(100000)
+      val len = 1 + rnd.nextInt(5000)
+      (idBase + i,
+        java.time.Instant.ofEpochSecond(start).toString.replace("T", " ").dropRight(1),
+        java.time.Instant.ofEpochSecond(start + len).toString.replace("T", " ").dropRight(1))
+    }
+    val l = periods(mk(60, 1000), "lid", "lf", "lt")
+    val r = periods(mk(80, 9000), "rid", "rf", "rt")
+    val oracle = l.crossJoin(r)
+      .filter(Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(oracle.nonEmpty, "fixture must produce overlapping pairs")
+    for (w <- Seq(60L, 1800L, 86400L)) {
+      val got = Joins.intervalJoin(l, r, "lf", "lt", "rf", "rt",
+          Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+          bucketSeconds = w, strategy = "bucket")
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size,
+        s"w=$w: canonical-bucket emission must not duplicate pairs")
+      assert(got.toSet == oracle, s"w=$w: pair set diverged from oracle")
+    }
+  }
+
+  test("interval join: CONTAINS residual, empty side, and equi keys") {
+    val l = periods(Seq((1L, "2024-01-01 00:00:00", "2024-01-01 10:00:00"),
+      (2L, "2024-01-02 00:00:00", "2024-01-02 01:00:00")), "lid", "lf", "lt")
+    val r = periods(Seq((10L, "2024-01-01 02:00:00", "2024-01-01 03:00:00"),
+      (11L, "2024-01-01 09:00:00", "2024-01-01 11:00:00"),
+      (12L, "2024-01-02 00:30:00", "2024-01-02 00:40:00")), "rid", "rf", "rt")
+    val contained = Joins.intervalJoin(l, r, "lf", "lt", "rf", "rt",
+        Joins.containsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+        bucketSeconds = 3600, strategy = "bucket")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(contained == Set((1L, 10L), (2L, 12L))) // 11 overlaps, not contained
+    // an empty side yields an empty result with the joined schema
+    val empty = Joins.intervalJoin(l.filter(lit(false)), r,
+      "lf", "lt", "rf", "rt",
+      Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+      bucketSeconds = 3600, strategy = "bucket")
+    assert(empty.columns.toSeq ==
+      Seq("lid", "lf", "lt", "rid", "rf", "rt"))
+    assert(empty.count() == 0)
+    // equi keys restrict the candidates before the residual
+    val lk = l.withColumn("lgrp", col("lid") % 2)
+    val rk = r.withColumn("rgrp", lit(0L))
+    val keyed = Joins.intervalJoin(lk, rk, "lf", "lt", "rf", "rt",
+        Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+        bucketSeconds = 3600, equiKeys = Seq(("lgrp", "rgrp")),
+        strategy = "bucket")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(keyed == Set((2L, 12L))) // only lid=2 has lgrp=0
+  }
+
+  test("interval join: over-wide periods fail LOUDLY; horizon clamps " +
+      "open-ended tops silently and correctly") {
+    val l = periods(Seq((1L, "2024-01-01 00:00:00", "2030-01-01 00:00:00")),
+      "lid", "lf", "lt")
+    val r = periods(Seq((10L, "2024-01-01 01:00:00", "2024-01-01 02:00:00")),
+      "rid", "rf", "rt")
+    // 6 years of 1s buckets >> cap: raise_error, not silent truncation
+    val ex = intercept[Exception] {
+      Joins.intervalJoin(l, r, "lf", "lt", "rf", "rt",
+        Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+        bucketSeconds = 1, maxBucketsPerRow = 1000,
+        strategy = "bucket").count()
+    }
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${messages(t.getCause)}"
+    assert(messages(ex).contains("intervalJoin"))
+    // with the same data, the horizon clamp bounds the explode at the max
+    // period START (2024-01-01 01:00), so even 1h buckets stay tiny and
+    // the open-ended-style span still joins exactly
+    val got = Joins.intervalJoin(l, r, "lf", "lt", "rf", "rt",
+        Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+        bucketSeconds = 3600, maxBucketsPerRow = 10,
+        strategy = "bucket")
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("interval join: bucketed plan is equi — no nested-loop, no " +
+      "cartesian; broadcast fallback only when asked/auto-small") {
+    val l = periods((1 to 200).map(i =>
+      (i.toLong, s"2024-01-01 0${i % 10}:00:00", s"2024-01-01 0${i % 10}:30:00")),
+      "lid", "lf", "lt")
+    val r = periods((1 to 200).map(i =>
+      (1000L + i, s"2024-01-01 0${i % 10}:15:00", s"2024-01-01 0${i % 10}:45:00")),
+      "rid", "rf", "rt")
+    val bucketed = Joins.intervalJoin(l, r, "lf", "lt", "rf", "rt",
+      Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+      bucketSeconds = 3600, strategy = "bucket")
+    val rep = graft.plans.Explain.report(bucketed)
+    assert(rep.nestedLoopJoins == 0,
+      "bucketed interval join must never plan a nested loop")
+    assert(rep.shuffleExchanges <= 2,
+      s"one hash exchange per side at most, got ${rep.shuffleExchanges}")
+    // strategy=auto on these tiny frames picks the broadcast theta join —
+    // the single-node-cheap path, by stats, exactly like the reference's
+    // nested-loop on small inputs
+    val auto = Joins.intervalJoin(l, r, "lf", "lt", "rf", "rt",
+      Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+      bucketSeconds = 3600)
+    assert(graft.plans.Explain.report(auto).nestedLoopJoins == 1)
+    // both strategies agree on the relation
+    assert(bucketed.select("lid", "rid").as[(Long, Long)].collect().toSet ==
+      auto.select("lid", "rid").as[(Long, Long)].collect().toSet)
+  }
 }
