@@ -488,18 +488,29 @@ object Dedup {
     * `filter(id === label)`. Isolated docs (no pair) are absent — they are
     * their own canonical.
     *
-    * Label propagation to fixpoint: every node starts as its own label
-    * and repeatedly takes the min over itself and its neighbours. Rounds
-    * = component diameter, and near-dup clusters are short-diameter
-    * (boilerplate families collapse through their hub pairs in 2-3
-    * rounds); the 32-round guard bounds pathological chains.
+    * Label propagation with pointer doubling, to fixpoint: every node
+    * starts as its own label; each round takes (1) the min over itself
+    * and its neighbours' labels, then (2) a shortcut hop through the
+    * PREVIOUS round's table — `label ← label-of(label)` — so the reach
+    * roughly doubles per round (d(r) = 2·d(r−1)+1). Rounds are
+    * O(log diameter), not O(diameter): a 100k-doc drifting-boilerplate
+    * CHAIN — exactly what web-scale near-dup graphs contain — converges
+    * in ~17 rounds where plain propagation needs 100k. The shortcut
+    * preserves the invariant (labels only ever decrease toward the
+    * component min, within the component), and convergence is still
+    * judged on the neighbour-min step reaching fixpoint, which is the
+    * standard correctness argument for min-label CC.
     *
-    * Scale design (100 TB target): each round is ONE shuffle join of the
-    * (small) label frame against the edge list plus a groupBy on the same
-    * key — edges are the dominant side and get persisted once up front;
-    * the convergence check rides the same aggregation (max label delta),
-    * a driver-side scalar, not a collect. This is the standard
-    * Pregel-style CC at fixed fan-in, the same shape GraphX uses, without
+    * The 64-round guard is LOUD: with doubling it is mathematically
+    * unreachable (2^64 diameter), so hitting it throws with the residual
+    * improvement count instead of silently returning wrong labels — the
+    * repo's caps-are-never-silent discipline.
+    *
+    * Scale design (100 TB target): each round is a bounded number of
+    * shuffle joins of the (small) label frame against the edge list —
+    * edges are the dominant side and get persisted once up front; the
+    * convergence check rides the same aggregation, a driver-side scalar,
+    * not a collect. Same component contract as GraphX's CC, without
     * dragging in RDDs. */
   def dupClusters(pairs: DataFrame, id1: String = "id1",
       id2: String = "id2"): DataFrame = {
@@ -525,16 +536,30 @@ object Dedup {
     var pinnedCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var converged = false
     var round = 0
-    while (!converged && round < 32) {
+    var lastNext: DataFrame = labels
+    val maxRounds = 64
+    while (!converged && round < maxRounds) {
       val neighbourMin = edges
         .join(labels.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(min("label").as("nlabel"))
-      val joined = labels.join(neighbourMin, Seq("node"), "left")
+      val stepped = labels.join(neighbourMin, Seq("node"), "left")
         .select(col("node"),
           least(col("label"), coalesce(col("nlabel"), col("label")))
             .as("label"),
           (col("nlabel") < col("label")).as("__improved"))
+      // pointer doubling: hop once more through the PREVIOUS round's
+      // (already persisted) table — label-of(label) — so reach doubles
+      // per round instead of growing by one edge
+      val joined = stepped
+        .join(labels.select(col("node").as("__l_node"),
+          col("label").as("__l_label")),
+          stepped("label") === col("__l_node"), "left")
+        .select(col("node"),
+          least(col("label"), coalesce(col("__l_label"), col("label")))
+            .as("label"),
+          (col("__improved") ||
+            col("__l_label") < stepped("label")).as("__improved"))
       val isCkpt = round % 4 == 3
       val next =
         if (isCkpt) joined.localCheckpoint(eager = true)
@@ -550,7 +575,17 @@ object Dedup {
         }
       }
       labels = next.select("node", "label")
+      lastNext = next
       round += 1
+    }
+    if (!converged) {
+      val improving = lastNext.filter(col("__improved")).count()
+      edges.unpersist()
+      throw new IllegalStateException(
+        s"dupClusters did not converge in $maxRounds doubling rounds " +
+          s"($improving labels still improving) — the component structure " +
+          "violates the O(log diameter) bound; refusing to return wrong " +
+          "cluster labels")
     }
     edges.unpersist()
     labels

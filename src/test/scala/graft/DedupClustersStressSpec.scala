@@ -51,4 +51,22 @@ class DedupClustersStressSpec extends AnyFunSuite {
       s"cache leak: $before persistent RDDs before, ${leaked() + before} " +
         f"after ($secs%.1f s)")
   }
+
+  test("a 200-diameter chain (far beyond the old 32-round wall) converges " +
+      "correctly via pointer doubling") {
+    // Round-8 verdict finding: the 32-round guard exited SILENTLY
+    // unconverged, mislabeling any component with diameter > 32 — the
+    // drifting-boilerplate chain shape web-scale near-dup graphs contain.
+    // With doubling this needs ~9 rounds; with plain propagation it needs
+    // 200, so this test fails on the old code (wrong labels) and would
+    // fail loudly (throw) if convergence ever regressed.
+    import spark.implicits._
+    val chain = spark.range(500000L, 500200L)
+      .selectExpr("id AS id1", "id + 1 AS id2")
+    val labels = Dedup.dupClusters(chain).collect()
+    val byNode = labels.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(byNode.size == 201)
+    assert((500000L to 500200L).forall(byNode(_) == 500000L),
+      "every chain node must carry the component-min label")
+  }
 }
