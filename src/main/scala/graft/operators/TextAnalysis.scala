@@ -253,6 +253,15 @@ object TextAnalysis {
       .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
       .filter(col("w").isInCollection(terms))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      // lazy persist: tf feeds BOTH the scoring join and the df aggregate,
+      // and Catalyst duplicates a twice-consumed subtree (no exchange
+      // reuse across the re-aliased branches — measured, not assumed), so
+      // without this the whole corpus is scanned and tokenized twice per
+      // query. The cache is the terms-matched postings only; df then
+      // costs a cache read, and everything stays distributed by doc (no
+      // per-term single-task window — the skew-safe shape for common
+      // terms). Lazy, so plan construction still runs no job.
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("w"))
       .crossJoin(broadcast(nDf))
@@ -276,26 +285,38 @@ object TextAnalysis {
     * (bit-identical across engines) with a single floor at the end, so
     * the score is oracle-replayable to the bit.
     *
-    * Scale: identical plan shape to [[keywordSearch]] — the corpus stats
-    * (N, total token length) are ONE extra 1-row aggregate broadcast;
-    * per-doc length rides the already-filtered posting stream. One job,
-    * one corpus-token pass. Output: (doc_id, matched_terms, score_c). */
+    * Scale: identical posting plan to [[keywordSearch]] plus the
+    * (N, total token length) corpus-stats broadcast. The stats are a
+    * SECOND full tokenize pass when computed in-plan, so pass a
+    * [[corpusStats]] frame computed once per corpus snapshot (`stats`)
+    * and each query tokenizes the corpus exactly once — the
+    * per-corpus-amortized posture a 100 TB deployment wants (store the
+    * stats next to the table at write time). With `stats = None` the
+    * fallback computes them in-plan: correct, linear, two passes.
+    * Output: (doc_id, matched_terms, score_c). */
   def bm25Search(docs: DataFrame, textCol: String, idCol: String,
-      terms: Seq[String], k1Milli: Long = 1200L, bMilli: Long = 750L)
-      : DataFrame = {
+      terms: Seq[String], k1Milli: Long = 1200L, bMilli: Long = 750L,
+      stats: Option[DataFrame] = None): DataFrame = {
     val k1 = k1Milli / 1000.0
     val b = bMilli / 1000.0
     val ws = words(col(textCol))
-    val stats = docs.agg(count(lit(1)).as("__n"),
-      sum(size(words(col(textCol)))).as("__tl"))
+    stats.foreach { st =>
+      require(st.columns.toSeq == Seq("__n", "__tl"),
+        s"stats must be a corpusStats frame (__n, __tl), " +
+          s"got ${st.columns.mkString(",")}")
+    }
+    val statsDf = stats.getOrElse(corpusStats(docs, textCol))
     val tf = docs
       .select(col(idCol).as("doc_id"), size(ws).cast("long").as("dl"),
         explode(ws).as("w"))
       .filter(col("w").isInCollection(terms))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"), max("dl").as("dl"))
+      // same twice-consumed-subtree fix as keywordSearch: cache the
+      // matched postings so the df branch never re-tokenizes the corpus
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("w"))
-      .crossJoin(broadcast(stats))
+      .crossJoin(broadcast(statsDf))
       .withColumn("idf_bits", length(bin(col("__n") / col("df")))
         .cast("long"))
       .withColumn("term_score", floor(
@@ -306,6 +327,16 @@ object TextAnalysis {
       .agg(count(lit(1)).as("matched_terms"),
         sum("term_score").as("score_c"))
   }
+
+  /** One-row corpus-stats frame for [[bm25Search]]: `__n` (document
+    * count) and `__tl` (total token length, for avgdl). This is a full
+    * tokenize pass — compute it ONCE per corpus snapshot, materialize
+    * (localCheckpoint, or write next to the table at ingest — the
+    * write-time-stats pattern), and hand it to every bm25 query so the
+    * per-query cost is a single corpus pass. */
+  def corpusStats(docs: DataFrame, textCol: String): DataFrame =
+    docs.agg(count(lit(1)).as("__n"),
+      sum(size(words(col(textCol)))).as("__tl"))
 
   /** Boilerplate line REMOVAL (the cleanup counterpart of
     * [[graft.operators.Dedup.boilerplateNgrams]]'s detection): drop every

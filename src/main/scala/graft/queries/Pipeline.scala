@@ -1342,11 +1342,17 @@ object Pipeline {
     // ---- full BM25 with document-length normalization (round-8): same
     // posting plan as q182 plus the (N, total_len) corpus-stats broadcast;
     // the length ratio runs in per-row IEEE double with one floor at the
-    // end, so the score replays bit-exactly in the oracle
+    // end, so the score replays bit-exactly in the oracle. Round-9: the
+    // stats are PRECOMPUTED+materialized (corpusStats), so the query
+    // itself tokenizes the corpus exactly once — per-corpus amortized,
+    // the plan a 100 TB deployment runs (PipelinePlanSpec pins the
+    // single-scan shape)
     QueryDef("q191_bm25_search", (s, dir) => {
-      TextAnalysis.bm25Search(
-          t(s, dir, "documents").select("doc_id", "text"), "text", "doc_id",
-          terms = Seq("batch", "hash", "dup"))
+      val docs = t(s, dir, "documents").select("doc_id", "text")
+      val stats = TextAnalysis.corpusStats(docs, "text")
+        .localCheckpoint(true)
+      TextAnalysis.bm25Search(docs, "text", "doc_id",
+          terms = Seq("batch", "hash", "dup"), stats = Some(stats))
         .orderBy("doc_id")
     }, Some("""
       WITH stats AS (
