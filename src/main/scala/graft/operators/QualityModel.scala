@@ -20,9 +20,11 @@ import org.apache.spark.sql.functions._
   * (the q141/q156 trained-model oracle pattern; double summation order
   * never matters because no double is ever summed at scoring time).
   *
-  * Scale: training is iters × (one sparse-feature aggregation + one
-  * dims-row gradient aggregate) over the LABELED set (small by
-  * definition — labels are expensive); scoring is one token explode +
+  * Scale: training is iters × ONE fused aggregation job over the
+  * LABELED set (small by definition — labels are expensive): gradient
+  * numerators, intercept gradient, and log-loss all ride a single
+  * per-idx aggregate, with the weights broadcast-joined as a dims-row
+  * relation (never a per-plan map literal); scoring is one token explode +
   * one (doc, idx) aggregate + a broadcast join against the dims-row
   * model — a single corpus pass, the same posture as every other
   * per-doc operator here. */
@@ -56,40 +58,56 @@ object QualityModel {
     val labeled = docs.select(col(idCol).as("doc_id"),
       labelCol.cast("double").as("__y"))
     val feat = features(docs, textCol, idCol, dims).persist()
+    // a synthetic idx = -2 row per labeled doc rides the SAME per-idx
+    // aggregate and carries the per-doc terms (loss, residual), so one
+    // job per iteration returns gradW, gradB, and the loss together
+    val contrib = feat.unionByName(labeled.select(col("doc_id"),
+      lit(-2L).as("idx"), lit(0L).as("cnt"))).persist()
     val nDocs = labeled.count().toDouble
     var w = Array.fill(dims)(0.0)
     var b = 0.0
     val losses = scala.collection.mutable.Buffer.empty[Double]
     (1 to iters).foreach { _ =>
-      val wMap = typedLit(w.zipWithIndex.map { case (v, i) =>
-        i.toLong -> v
-      }.toMap)
-      val margins = feat
+      // weights travel as a dims-row BROADCAST relation, not a typedLit
+      // embedded per-plan: at realistic dims (2^18 hashed features) a
+      // map literal bloats every iteration's plan and re-analysis; a
+      // broadcast join ships the bytes once per iteration
+      val wDf = w.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toSeq.toDF("idx", "__w")
+      val margins = feat.join(broadcast(wDf), Seq("idx"))
         .groupBy("doc_id")
-        .agg(sum(col("cnt") * element_at(wMap, col("idx"))).as("__m0"))
+        .agg(sum(col("cnt") * col("__w")).as("__m0"))
         .join(labeled, Seq("doc_id"), "right")
         .select(col("doc_id"), col("__y"),
           (coalesce(col("__m0"), lit(0.0)) + b).as("__m"))
         .withColumn("__p", lit(1.0) / (lit(1.0) + exp(-col("__m"))))
         .withColumn("__r", col("__p") - col("__y"))
-        .persist()
-      // mean log-loss (clamped away from 0/1 for the all-confident case)
-      losses += margins.agg(avg(
-        -(col("__y") * log(greatest(col("__p"), lit(1e-12))) +
-          (lit(1.0) - col("__y")) *
-            log(greatest(lit(1.0) - col("__p"), lit(1e-12))))))
-        .as[Double].head()
-      val gradW = feat.join(margins.select("doc_id", "__r"), Seq("doc_id"))
+      // ONE aggregation job: per-feature gradient numerators on idx >= 0
+      // rows; loss and intercept gradient on the idx = -2 rows (their
+      // cnt = 0 keeps them out of the gradient sum)
+      val stats = contrib.join(margins, Seq("doc_id"))
         .groupBy("idx")
-        .agg((sum(col("cnt") * col("__r")) / nDocs).as("g"))
-        .as[(Long, Double)].collect().toMap
-      val gradB = margins.agg(avg("__r")).as[Double].head()
-      margins.unpersist(blocking = false)
+        .agg(sum(col("cnt") * col("__r")).as("__sw"),
+          sum(when(col("idx") === -2L, col("__r"))).as("__sr"),
+          sum(when(col("idx") === -2L,
+            -(col("__y") * log(greatest(col("__p"), lit(1e-12))) +
+              (lit(1.0) - col("__y")) *
+                log(greatest(lit(1.0) - col("__p"), lit(1e-12)))))
+          ).as("__sl"))
+        .collect()
+      val gradW = stats.filter(_.getLong(0) >= 0)
+        .map(r => r.getLong(0) -> r.getDouble(1) / nDocs).toMap
+      val docRow = stats.find(_.getLong(0) == -2L)
+        .getOrElse(throw new IllegalStateException(
+          "quality-model training: no labeled docs"))
+      losses += docRow.getDouble(3) / nDocs
+      val gradB = docRow.getDouble(2) / nDocs
       w = w.zipWithIndex.map { case (v, i) =>
         v - learningRate * gradW.getOrElse(i.toLong, 0.0)
       }
       b -= learningRate * gradB
     }
+    contrib.unpersist(blocking = false)
     feat.unpersist(blocking = false)
     val model = (w.zipWithIndex.map { case (v, i) =>
       (i.toLong, math.floor(v * 1e6).toLong)

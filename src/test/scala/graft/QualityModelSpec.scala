@@ -56,6 +56,35 @@ class QualityModelSpec extends AnyFunSuite {
     assert(a == weights(), "re-training produced a different model")
   }
 
+  test("training runs ONE fused aggregation job per iteration (gradW + " +
+      "gradB + loss together, broadcast weights)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    def jobsFor(iters: Int): Int = {
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val listener = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(listener)
+      try {
+        QualityModel.train(docs, "text", "doc_id", label,
+          dims = 32, iters = iters)
+        Thread.sleep(1000) // async listener bus
+        jobs.get()
+      } finally spark.sparkContext.removeSparkListener(listener)
+    }
+    val base = jobsFor(1)
+    val more = jobsFor(4)
+    val perIter = (more - base) / 3.0
+    // one collect per iteration; AQE materializes its shuffle stages as
+    // sub-jobs of that single action, so allow the fixed stage fan-out —
+    // the round-8 shape ran THREE actions/iter (loss, gradW, gradB),
+    // each with its own stage cascade, landing far above this bound
+    assert(perIter <= 8.0,
+      f"expected <=8 jobs per training iteration, got $perIter%.1f " +
+        s"(iters=1: $base, iters=4: $more)")
+  }
+
   test("scoreColumn (streaming path) equals score (relational path) on " +
       "non-null text") {
     val (model, _) = QualityModel.train(
