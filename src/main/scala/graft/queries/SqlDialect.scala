@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryDef, Tables}
+import graft.QueryDef.PresentOps
 import graft.bitemporal.{TxOp, XtDb}
 import graft.sql.XtSqlEngine
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -421,6 +422,78 @@ object SqlDialect {
                    TIMESTAMP '1995-03-01 00:00:00' AS f2,
                    TIMESTAMP '1995-04-15 00:00:00' AS t2
             FROM orders WHERE o_orderkey < 500)
-      ORDER BY o_orderkey"""))
+      ORDER BY o_orderkey""")),
+
+    // ---- mixed-type (dense-union) USER column through the gate: a column
+    // written as i64, then utf8, then f64 — the reference's polymorphic
+    // dense-union columns (types.clj:236-239, DenseUnionVector.kt) as the
+    // tagged-struct bridge (SURVEY §1.2's "single largest impedance
+    // mismatch"). The second put triggers the union-transition table
+    // REWRITE (readPromotable=false path), and the query exercises the
+    // cross-type TOTAL ORDER (comparator.clj: bool < numbers < strings,
+    // numbers numeric across legs) plus cross-type `=` (42 matches both
+    // the i64 42 and any f64 42.0). DuckDB replays the end state from
+    // orders with the leg/order semantics written out.
+    QueryDef("q205_union_column", (s, dir) => {
+      import graft.functions.DynamicSchema
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{LongType, StringType}
+      val (db, eng) = fresh(s)
+      val orders = Tables.load(s, dir, "orders")
+      val b1 = orders.filter(col("o_orderkey") < 150)
+        .select(col("o_orderkey").as("_id"), col("o_orderkey").as("v"))
+      val b2 = orders
+        .filter(col("o_orderkey") >= 150 && col("o_orderkey") < 300)
+        .select(col("o_orderkey").as("_id"), col("o_orderstatus").as("v"))
+      val b3 = orders
+        .filter(col("o_orderkey") >= 300 && col("o_orderkey") < 400)
+        .select(col("o_orderkey").as("_id"),
+          // Spark floor() returns long; cast back so the leg is f64
+          floor(col("o_totalprice") / 1000).cast("double").as("v"))
+      db.submitTx(Seq(TxOp.Put("accts", b1)))
+      db.submitTx(Seq(TxOp.Put("accts", b2))) // i64 -> union: rewrite
+      db.submitTx(Seq(TxOp.Put("accts", b3))) // f64 leg joins the union
+      val cur = eng.sql("SELECT _id, v FROM accts")
+      val sk = DynamicSchema.unionSortKey(col("v"))
+      val eqI = sk === DynamicSchema.unionSortKey(
+        DynamicSchema.toUnion(lit(42L), LongType))
+      val eqS = sk === DynamicSchema.unionSortKey(
+        DynamicSchema.toUnion(lit("F"), StringType))
+      cur.select(col("_id"), col("v").getField("leg").as("leg"),
+          DynamicSchema.unionRender(col("v")).as("rendered"),
+          sk.getField("tr").as("__tr"), sk.getField("num").as("__num"),
+          sk.getField("str").as("__str"), eqI.as("eq_i64"),
+          eqS.as("eq_str"))
+        .withColumn("xrank", row_number().over(Window.orderBy(
+          col("__tr"), col("__num").asc_nulls_first,
+          col("__str").asc_nulls_first, col("_id"))).cast("long"))
+        .select("_id", "leg", "rendered", "xrank", "eq_i64", "eq_str")
+        .presentSorted("_id")
+    }, Some("""
+      WITH src AS (
+        SELECT o_orderkey AS _id,
+          CASE WHEN o_orderkey < 150 THEN 'i64'
+               WHEN o_orderkey < 300 THEN 'utf8'
+               ELSE 'f64' END AS leg,
+          CASE WHEN o_orderkey < 150 THEN CAST(o_orderkey AS DOUBLE)
+               WHEN o_orderkey >= 300 THEN floor(o_totalprice / 1000)
+               END AS num,
+          CASE WHEN o_orderkey >= 150 AND o_orderkey < 300
+               THEN o_orderstatus END AS str,
+          CASE WHEN o_orderkey < 150 THEN CAST(o_orderkey AS VARCHAR)
+               WHEN o_orderkey < 300 THEN o_orderstatus
+               ELSE CAST(floor(o_totalprice / 1000) AS VARCHAR)
+               END AS rendered
+        FROM orders WHERE o_orderkey < 400),
+      t AS (SELECT _id, leg, rendered,
+                   CASE WHEN leg = 'utf8' THEN 2 ELSE 1 END AS tr,
+                   num, str
+            FROM src)
+      SELECT _id, leg, rendered,
+             row_number() OVER (ORDER BY tr, num ASC NULLS FIRST,
+                                str ASC NULLS FIRST, _id) AS xrank,
+             (tr = 1 AND num = 42.0) AS eq_i64,
+             (tr = 2 AND str = 'F') AS eq_str
+      FROM t ORDER BY _id"""))
   )
 }
