@@ -282,7 +282,7 @@ object SltRunner {
       xtDialect: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, Divide, Exists, Expression, If, InSubquery, ListQuery, Literal, NamedExpression, SubqueryExpression, UnaryPositive}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, CaseWhen, Divide, Exists, Expression, If, InSubquery, IsNotNull, ListQuery, Literal, NamedExpression, SubqueryExpression, UnaryPositive}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 
     // SQLite "bare column" semantics: a non-grouped, non-aggregated column
@@ -302,6 +302,59 @@ object SltRunner {
       case other => other.mapChildren(c => wrapBare(groupNames)(c, inAgg))
     }
 
+    // SQLite types VALUES dynamically: COALESCE(33, <float expr>) carries
+    // INTEGER storage class when the first branch fires, so a following
+    // `/` divides integrally — static LUB typing coerces the COALESCE to
+    // DOUBLE before the divide ever sees it. Carry the per-branch storage
+    // class THROUGH division by expanding a divide over coalesce/ifnull
+    // (and CASE) operands into a CASE of per-branch divides, each typed
+    // with its own branch's static type; distribution recurses so divide
+    // CHAINS (`72 / COALESCE(...) / 37`) keep the class end-to-end. A
+    // node budget bounds pathological nesting (fallback: the old static
+    // SqliteDiv — never silent wrong types for the common shapes).
+    val coalesceNames = Set("coalesce", "ifnull")
+    def stripPlus(e: Expression): Expression = e match {
+      case UnaryPositive(c) => stripPlus(c) // SQLite unary + is identity
+      case other => other
+    }
+    def coalesceArgs(e: Expression): Option[Seq[Expression]] = e match {
+      case f: UnresolvedFunction
+          if coalesceNames.contains(f.nameParts.last.toLowerCase) &&
+            f.arguments.length > 1 => Some(f.arguments)
+      case _ => None
+    }
+    var divBudget = 256
+    def mkDiv(l0: Expression, r0: Expression): Expression = {
+      val l = stripPlus(l0); val r = stripPlus(r0)
+      divBudget -= 1
+      if (divBudget <= 0) SqliteDiv(l, r)
+      else l match {
+        case CaseWhen(branches, elseV) =>
+          CaseWhen(branches.map { case (c, v) => (c, mkDiv(v, r)) },
+            elseV.map(mkDiv(_, r)))
+        case _ => coalesceArgs(l) match {
+          case Some(args) =>
+            CaseWhen(args.init.map(b => (IsNotNull(b), mkDiv(b, r))),
+              Some(mkDiv(args.last, r)))
+          case None => r match {
+            case CaseWhen(branches, elseV) =>
+              CaseWhen(branches.map { case (c, v) => (c, mkDiv(l, v)) },
+                elseV.map(mkDiv(l, _)))
+            case _ => coalesceArgs(r) match {
+              case Some(args) =>
+                CaseWhen(args.init.map(b => (IsNotNull(b), mkDiv(l, b))),
+                  Some(mkDiv(l, args.last)))
+              case None => SqliteDiv(l, r)
+            }
+          }
+        }
+      }
+    }
+    def expandDiv(e: Expression): Expression = e match {
+      case d: Divide => mkDiv(expandDiv(d.left), expandDiv(d.right))
+      case other => other.mapChildren(expandDiv)
+    }
+
     def fix(plan: LogicalPlan): LogicalPlan = plan.transformDown {
       case a: Aggregate if a.groupingExpressions.nonEmpty =>
         val groupNames = a.groupingExpressions.collect {
@@ -318,7 +371,7 @@ object SltRunner {
         }
         a.copy(aggregateExpressions = newAggs)
     }.transformAllExpressions {
-      case d: Divide => SqliteDiv(d.left, d.right)
+      case d: Divide => expandDiv(d)
       // SQLite unary `+` is the identity on ANY value (text included);
       // Spark's casts its operand numeric (null/throw). Unwrap recursively:
       // transformDown does NOT re-match the replacement node, so `+ + x`
@@ -333,7 +386,7 @@ object SltRunner {
         // visited, so only this top level needs the inline fix) —
         // `+ ( + 57 / 6 )` must divide as SQLite, not as Spark
         c match {
-          case d: Divide => SqliteDiv(d.left, d.right)
+          case d: Divide => expandDiv(d)
           case other => other
         }
       case sq: SubqueryExpression => sq.withNewPlan(fix(sq.plan))

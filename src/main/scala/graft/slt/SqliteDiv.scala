@@ -39,14 +39,20 @@ case class SqliteDiv(left: Expression, right: Expression)
   }
 
   private def toD(v: Any): Double = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble
     case n: java.lang.Number => n.doubleValue()
     case s: String => try s.toDouble catch { case _: Exception => 0.0 }
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      try u.toString.toDouble catch { case _: Exception => 0.0 }
     case b: Boolean => if (b) 1.0 else 0.0
   }
 
   private def toL(v: Any): Long = v match {
+    case d: org.apache.spark.sql.types.Decimal => d.toDouble.toLong
     case n: java.lang.Number => n.longValue()
     case s: String => try s.toDouble.toLong catch { case _: Exception => 0L }
+    case u: org.apache.spark.unsafe.types.UTF8String =>
+      try u.toString.toDouble.toLong catch { case _: Exception => 0L }
     case b: Boolean => if (b) 1L else 0L
   }
 

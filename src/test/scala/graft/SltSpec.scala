@@ -32,6 +32,38 @@ class SltSpec extends AnyFunSuite {
     assert(out2.toSeq == Seq(Row(6L)), s"got ${out2.toSeq}")
   }
 
+  test("COALESCE keeps SQLite per-VALUE storage class through division " +
+      "(round-9: the last 3 soak divergences were this class)") {
+    import org.apache.spark.sql.Row
+    // left-operand coalesce: the fired INTEGER branch divides integrally
+    // (33 / -52 = 0), even though a sibling branch is REAL (slt_good_24)
+    val a = SltRunner.runSql(spark,
+      "SELECT + 3 + + COALESCE ( 33, + + AVG ( - 81 ) + " +
+        "+ + CAST ( - 37 AS INTEGER ) ) / - 52").collect()
+    assert(a.head.get(0).toString.toDouble == 3.0, s"got ${a.toSeq}")
+    // right-operand coalesce (slt_good_111 shape): 37 / 99 = 0
+    val b = SltRunner.runSql(spark,
+      "SELECT ALL + 37 / COALESCE ( 99, + - AVG ( - - 52 ) * - 65, " +
+        "SUM ( + 58 ) * + 50 ) + 5").collect()
+    assert(b.head.get(0).toString.toDouble == 5.0, s"got ${b.toSeq}")
+    // divide CHAIN keeps the class end-to-end (slt_good_64 shape):
+    // 72 / -33 = -2 (integer), -2 / 37 = 0 — float typing would give
+    // -0.058..., shifting the downstream integer by one
+    val c = SltRunner.runSql(spark,
+      "SELECT + 72 / COALESCE ( - + MAX ( DISTINCT + 33 ), - + 86 * 47, " +
+        "19 + - AVG ( DISTINCT 97 ) ) / 37 + 612").collect()
+    assert(c.head.get(0).toString.toDouble == 612.0, s"got ${c.toSeq}")
+    // when the REAL branch fires, division is float — per-branch typing
+    // must not force everything integral
+    val d = SltRunner.runSql(spark,
+      "SELECT COALESCE ( NULL, 1.5 ) / 3").collect()
+    assert(d.head.get(0).toString.toDouble == 0.5, s"got ${d.toSeq}")
+    // natural CASE distributes the same way (SQLite CASE is per-value too)
+    val e = SltRunner.runSql(spark,
+      "SELECT CASE WHEN 1 = 1 THEN 7 ELSE 2.5 END / 2").collect()
+    assert(e.head.get(0).toString.toDouble == 3.0, s"got ${e.toSeq}")
+  }
+
   for ((file, maxQ) <- Seq("select1.test" -> 120, "select2.test" -> 60,
       "select3.test" -> 60, "select4.test" -> 60, "select5.test" -> 40,
       "xtdb.test" -> 100)) {
