@@ -84,6 +84,28 @@ object Similarity {
       when(proj >= 0, lit(1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Deterministic overlapping-cluster mixture of an embeddings table:
+    * vec i becomes `w·e_i + (1−w)·e_{(7i+13) mod N}` with
+    * `w = 0.3 + 0.05·(i mod 10)` — points sit BETWEEN cluster centers, so
+    * true nearest neighbors cross IVF cell boundaries and the
+    * recall/nprobe frontier is non-degenerate (the driver's synthetic
+    * corpus replicates vectors exactly, saturating recall at 1.0 —
+    * BASELINE.md round-8's note). SQL-replayable by construction: same
+    * arithmetic, same operation order, no RNG. */
+  def blendedCorpus(emb: DataFrame, idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val n = emb.count()
+    val a = emb.select(col(idCol), col(vecCol).as("__ea"))
+      .withColumn("__bid", (col(idCol) * 7 + 13) % n)
+    val b = emb.select(col(idCol).as("__bid"), col(vecCol).as("__eb"))
+    val w = lit(0.3) + lit(0.05) * (col(idCol) % 10).cast("double")
+    a.join(b, Seq("__bid"))
+      .select(col(idCol),
+        zip_with(col("__ea"), col("__eb"),
+          (x, y) => x.cast("double") * w +
+            y.cast("double") * (lit(1.0) - w)).as(vecCol))
+  }
+
   /** IVF (inverted-file) ANN: partition the corpus into Voronoi cells of
     * `nlist` centroids, search only the `nprobe` nearest cells per query
     * (classic IVF-Flat, the standard billion-scale layout). Centroids here

@@ -2360,6 +2360,91 @@ object Pipeline {
       LEFT JOIN hits h ON h.query_id = q.query_id
       ORDER BY q.query_id""")),
 
+    // ---- ANN recall on a NON-degenerate corpus (round-9): the driver's
+    // embeddings replicate vectors, saturating recall at 1.0 everywhere
+    // (BASELINE.md round-8's honest note), so q196's frontier was
+    // untraced. blendedCorpus derives an overlapping-cluster mixture
+    // deterministically (w·e_i + (1−w)·e_{(7i+13) mod N}); true
+    // neighbors now cross cell boundaries, and this gate pins one real
+    // frontier point (nlist=16, nprobe=2 → recall varies per query).
+    // The oracle replays blend, seed centroids, 2-cell probe, and the
+    // exact top-k entirely in SQL.
+    QueryDef("q206_ann_recall_blend", (s, dir) => {
+      val emb = Similarity.blendedCorpus(t(s, dir, "embeddings"))
+      val exact = Similarity.bruteForceTopK(
+        emb, emb.filter(col("vec_id") < 20), "vec_id", "embedding", 5)
+      val approx = Similarity.ivfTopK(emb, "vec_id", "embedding",
+        dims = 64, nlist = 16, nprobe = 2, k = 5,
+        queryFilter = col("vec_id") < 20)
+      Similarity.annRecall(approx, exact, k = 5)
+        .orderBy("query_id")
+    }, Some("""
+      WITH p0 AS (SELECT vec_id, embedding FROM embeddings),
+      bl AS (
+        SELECT a.vec_id,
+               [CAST(a.embedding[j] AS DOUBLE)
+                  * (0.3 + 0.05 * CAST(a.vec_id % 10 AS DOUBLE))
+                + CAST(b.embedding[j] AS DOUBLE)
+                  * (1.0 - (0.3 + 0.05 * CAST(a.vec_id % 10 AS DOUBLE)))
+                FOR j IN range(1, 65)] AS embedding
+        FROM p0 a JOIN p0 b
+          ON b.vec_id = (a.vec_id * 7 + 13) % (SELECT count(*) FROM p0)),
+      p AS (
+        SELECT vec_id, embedding,
+               sqrt(list_sum([x * x FOR x IN embedding])) AS nrm
+        FROM bl),
+      ex AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                 row_number() OVER (PARTITION BY q.vec_id ORDER BY
+                   list_sum([q.embedding[i] * c.embedding[i]
+                             FOR i IN range(1, 65)]) / (q.nrm * c.nrm) DESC,
+                   c.vec_id) AS rank
+          FROM p q, p c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id)
+        WHERE rank <= 5),
+      cent AS (
+        SELECT vec_id AS cent_id, embedding AS ce, nrm AS cn
+        FROM p ORDER BY vec_id LIMIT 16),
+      sims AS (
+        SELECT p.vec_id, c.cent_id,
+               list_sum([p.embedding[i] * c.ce[i]
+                         FOR i IN range(1, 65)]) / (p.nrm * c.cn) AS csim
+        FROM p, cent c),
+      ranked AS (
+        SELECT *, row_number() OVER (PARTITION BY vec_id
+                    ORDER BY csim DESC, cent_id) AS crank
+        FROM sims),
+      corpus_cells AS (
+        SELECT cent_id AS cell, vec_id AS neighbor_id
+        FROM ranked WHERE crank = 1),
+      query_cells AS (
+        SELECT cent_id AS cell, vec_id AS query_id
+        FROM ranked WHERE crank <= 2 AND vec_id < 20),
+      ivf AS (
+        SELECT query_id, neighbor_id FROM (
+          SELECT q.query_id, c.neighbor_id,
+                 row_number() OVER (PARTITION BY q.query_id ORDER BY
+                   list_sum([qe.embedding[i] * ce.embedding[i]
+                             FOR i IN range(1, 65)]) / (qe.nrm * ce.nrm) DESC,
+                   c.neighbor_id) AS rank
+          FROM query_cells q
+          JOIN corpus_cells c ON q.cell = c.cell
+           AND q.query_id <> c.neighbor_id
+          JOIN p qe ON qe.vec_id = q.query_id
+          JOIN p ce ON ce.vec_id = c.neighbor_id)
+        WHERE rank <= 5),
+      hits AS (
+        SELECT e.query_id, count(*) AS hits
+        FROM ex e JOIN ivf i ON i.query_id = e.query_id
+         AND i.neighbor_id = e.neighbor_id
+        GROUP BY 1)
+      SELECT q.query_id, CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+             CAST(floor(coalesce(h.hits, 0) * 10000.0 / 5) AS BIGINT)
+               AS recall_c4
+      FROM (SELECT DISTINCT query_id FROM ex) q
+      LEFT JOIN hits h ON h.query_id = q.query_id
+      ORDER BY q.query_id""")),
+
     // ---- curation pipeline v2 (round-8 capstone composition): the three
     // round-8 filter families over ONE corpus in ONE plan — exact dedup
     // (keep the min-id copy), the TRAINED quality classifier (persisted
