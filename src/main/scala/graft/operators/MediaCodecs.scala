@@ -2016,4 +2016,365 @@ object MediaCodecs {
       fragDurationMs =
         if (mdhdTimescale > 0) fragTicks * 1000L / mdhdTimescale else 0L)
   }
+
+  // ===== AAC-LC (ISO/IEC 14496-3) — bounded, validator-gated slice ======
+  //
+  // What is REAL here: the complete AAC-LC filterbank — KBD (α=4/6) and
+  // sine windows computed from their closed forms, the 2048/256 MDCT and
+  // IMDCT, all four window sequences (ONLY_LONG / LONG_START /
+  // EIGHT_SHORT / LONG_STOP) with overlap-add — validated by the TDAC
+  // perfect-reconstruction property (a mathematical identity, checked to
+  // 1e-9 in AacSpec, no spec tables required); plus real ADTS framing and
+  // single_channel_element bitstream parse (ics_info, window grouping,
+  // section_data with escape lengths).
+  //
+  // SCOPE-OUT (loud, same disposition as MP3 huffman tables 10-12/15/
+  // 16-31): the spectral codebooks 1-11 and the scalefactor codebook are
+  // explicit (codeword, length) lists in ISO 14496-3 with NO tabulated
+  // data source in this container, and unlike canonical-huffman formats
+  // they cannot be derived; decoding therefore accepts only ZERO_HCB
+  // sections and THROWS (never guesses) on any other codebook.
+
+  private def besselI0(x: Double): Double = {
+    // modified Bessel function of the first kind, order 0 (power series;
+    // converges fast for the |x| <= pi*6 the KBD windows need)
+    var sum = 1.0
+    var term = 1.0
+    var m = 1
+    while (m < 64 && term > 1e-21 * sum) {
+      term *= (x / (2.0 * m)) * (x / (2.0 * m))
+      sum += term
+      m += 1
+    }
+    sum
+  }
+
+  /** Kaiser-Bessel-derived window, full length `n`, per 14496-3 §4.6.11.3:
+    * left half = sqrt(cumulative Kaiser(n/2+1, πα) mass), right half
+    * mirrored. α = 4 for the 2048 window, 6 for 256. */
+  private[graft] def kbdWindow(n: Int, alpha: Double): Array[Double] = {
+    val half = n / 2
+    val kaiser = Array.tabulate(half + 1) { j =>
+      val r = 2.0 * j / half - 1.0
+      besselI0(math.Pi * alpha * math.sqrt(math.max(0.0, 1.0 - r * r)))
+    }
+    val total = kaiser.sum
+    val w = new Array[Double](n)
+    var cum = 0.0
+    var i = 0
+    while (i < half) {
+      cum += kaiser(i)
+      w(i) = math.sqrt(cum / total)
+      w(n - 1 - i) = w(i)
+      i += 1
+    }
+    w
+  }
+
+  private[graft] def sineWindow(n: Int): Array[Double] =
+    Array.tabulate(n)(i => math.sin(math.Pi / n * (i + 0.5)))
+
+  // window halves keyed by (shape, long?): shape 0 = sine, 1 = KBD
+  private lazy val aacWin: Map[(Int, Int), Array[Double]] = Map(
+    (0, 2048) -> sineWindow(2048), (1, 2048) -> kbdWindow(2048, 4.0),
+    (0, 256) -> sineWindow(256), (1, 256) -> kbdWindow(256, 6.0))
+  private def winLeft(shape: Int, n: Int): Array[Double] =
+    aacWin((shape, n)).take(n / 2)
+  private def winRight(shape: Int, n: Int): Array[Double] =
+    aacWin((shape, n)).drop(n / 2)
+
+  /** MDCT, N input samples (already windowed) → N/2 coefficients:
+    * X[k] = Σ_n z[n]·cos(2π/N·(n + n0)(k + ½)), n0 = (N/2 + 1)/2. */
+  private[graft] def mdct(z: Array[Double]): Array[Double] = {
+    val n = z.length
+    val n0 = (n / 2 + 1) / 2.0
+    Array.tabulate(n / 2) { k =>
+      var s = 0.0
+      var i = 0
+      while (i < n) {
+        s += z(i) * math.cos(2.0 * math.Pi / n * (i + n0) * (k + 0.5))
+        i += 1
+      }
+      s
+    }
+  }
+
+  /** IMDCT, N/2 coefficients → N time samples (scale 4/N gives perfect
+    * reconstruction with equal analysis/synthesis windows + OLA). */
+  private[graft] def imdct(coef: Array[Double]): Array[Double] = {
+    val half = coef.length
+    val n = half * 2
+    val n0 = (half + 1) / 2.0
+    Array.tabulate(n) { i =>
+      var s = 0.0
+      var k = 0
+      while (k < half) {
+        s += coef(k) * math.cos(2.0 * math.Pi / n * (i + n0) * (k + 0.5))
+        k += 1
+      }
+      s * 4.0 / n
+    }
+  }
+
+  /** Transform segments of one AAC frame (2048-sample span, 1024 new
+    * samples): (offset within span, N, left half window, right half).
+    * Long-window left halves use the PREVIOUS frame's shape (14496-3
+    * window carryover); EIGHT_SHORT runs 8 short transforms at 128-hop
+    * starting at offset 448. */
+  private def aacSegments(seq: Int, shape: Int, prevShape: Int)
+      : Seq[(Int, Int, Array[Double], Array[Double])] = seq match {
+    case 0 => // ONLY_LONG
+      Seq((0, 2048, winLeft(prevShape, 2048), winRight(shape, 2048)))
+    case 1 => // LONG_START: long rise, flat, short fall, silence
+      val right = Array.fill(448)(1.0) ++ winRight(shape, 256) ++
+        Array.fill(448)(0.0)
+      Seq((0, 2048, winLeft(prevShape, 2048), right))
+    case 3 => // LONG_STOP: silence, short rise, flat, long fall
+      val left = Array.fill(448)(0.0) ++ winLeft(prevShape, 256) ++
+        Array.fill(448)(1.0)
+      Seq((0, 2048, left, winRight(shape, 2048)))
+    case 2 => // EIGHT_SHORT
+      (0 until 8).map { j =>
+        (448 + 128 * j, 256,
+          winLeft(if (j == 0) prevShape else shape, 256),
+          winRight(shape, 256))
+      }
+    case other =>
+      throw new IllegalArgumentException(s"bad window_sequence $other")
+  }
+
+  /** Analysis filterbank: input signal → per-frame 1024 MDCT coefficients
+    * under the given window sequence per frame. Frame f spans
+    * [1024f, 1024f + 2048); the input must be at least (frames+1)*1024
+    * long. (The encoder side of the TDAC validator — not a spec encoder.) */
+  private[graft] def aacAnalysis(x: Array[Double], seqs: Seq[Int],
+      shape: Int): Seq[Array[Double]] =
+    seqs.zipWithIndex.map { case (sq, f) =>
+      val prevShape = shape // constant-shape streams in this slice
+      aacSegments(sq, shape, prevShape).flatMap { case (off, n, wl, wr) =>
+        val z = Array.tabulate(n) { i =>
+          val w = if (i < n / 2) wl(i) else wr(i - n / 2)
+          x(f * 1024 + off + i) * w
+        }
+        mdct(z)
+      }.toArray
+    }
+
+  /** Synthesis filterbank: per-frame 1024 coefficients → reconstructed
+    * signal of (frames+1)*1024 samples via windowed IMDCT overlap-add. */
+  private[graft] def aacSynthesis(frames: Seq[Array[Double]],
+      seqs: Seq[Int], shape: Int): Array[Double] = {
+    val out = new Array[Double]((frames.length + 1) * 1024)
+    frames.zip(seqs).zipWithIndex.foreach { case ((coef, sq), f) =>
+      require(coef.length == 1024, s"frame $f: ${coef.length} coefficients")
+      var taken = 0
+      aacSegments(sq, shape, shape).foreach { case (off, n, wl, wr) =>
+        val t = imdct(coef.slice(taken, taken + n / 2))
+        taken += n / 2
+        var i = 0
+        while (i < n) {
+          val w = if (i < n / 2) wl(i) else wr(i - n / 2)
+          out(f * 1024 + off + i) += t(i) * w
+          i += 1
+        }
+      }
+    }
+    out
+  }
+
+  /** TDAC round-trip probe for the gate: deterministic signal
+    * x[n] = ((n·m) mod 9 − 4)/4 through analysis → synthesis under a
+    * legal window-sequence pattern; returns (err_c, energy_c) where
+    * err_c = floor(1e6 · max interior |y−x|) (0 when reconstruction is
+    * perfect) and energy_c = round(16 · Σ interior y[n]²) — an integer an
+    * oracle recomputes exactly from the closed form. */
+  def aacFilterbankProbe(nFrames: Int, m: Int, shortRun: Int,
+      shape: Int): (Long, Long) = {
+    require(nFrames >= 3 + shortRun, "need LONG,START,SHORT*,STOP pattern")
+    val seqs = Seq(0, 1) ++ Seq.fill(shortRun)(2) ++ Seq(3) ++
+      Seq.fill(nFrames - 3 - shortRun)(0)
+    val len = (nFrames + 1) * 1024
+    val x = Array.tabulate(len)(n => (n.toLong * m % 9 - 4).toDouble / 4.0)
+    val y = aacSynthesis(aacAnalysis(x, seqs, shape), seqs, shape)
+    var maxErr = 0.0
+    var energy16 = 0.0
+    var n = 1024
+    while (n < nFrames * 1024) {
+      val e = math.abs(y(n) - x(n))
+      if (e > maxErr) maxErr = e
+      energy16 += y(n) * y(n) * 16.0
+      n += 1
+    }
+    (math.floor(maxErr * 1e6).toLong, math.floor(energy16 + 0.5).toLong)
+  }
+
+  // ---- AAC-LC ADTS bitstream (ZERO_HCB slice) ---------------------------
+
+  /** Per-frame spec for the fixture writer / parse result.
+    * `windowSequence`: 0 ONLY_LONG, 1 LONG_START, 2 EIGHT_SHORT,
+    * 3 LONG_STOP. `grouping` is the 7-bit scale_factor_grouping (short
+    * frames only). */
+  final case class AacFrame(windowSequence: Int, windowShape: Int,
+      maxSfb: Int, globalGain: Int, grouping: Int = 0)
+
+  final case class AacDecoded(sampleRateHz: Int, channels: Int,
+      frames: Seq[AacFrame], pcm: Array[Double])
+
+  private val AdtsRates = Array(96000, 88200, 64000, 48000, 44100, 32000,
+    24000, 22050, 16000, 12000, 11025, 8000, 7350)
+
+  /** Encode a mono AAC-LC ADTS stream whose every section uses ZERO_HCB —
+    * fully decodable without the scoped-out spectral codebooks. Real ADTS
+    * headers (frame_length, profile=LC, channel_config=1), real SCE
+    * syntax: ics_info with window sequence/shape/grouping, per-group
+    * section_data with escape-coded lengths, the three present-flags, and
+    * a TERM element with byte alignment. */
+  def encodeAacLcAdts(frames: Seq[AacFrame], rateIdx: Int = 4)
+      : Array[Byte] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    frames.foreach { fr =>
+      val pw = new BitWriter
+      pw.put(0, 3) // id_syn_ele = SCE
+      pw.put(0, 4) // element_instance_tag
+      pw.put(fr.globalGain, 8)
+      pw.put(0, 1) // ics_reserved
+      pw.put(fr.windowSequence, 2)
+      pw.put(fr.windowShape, 1)
+      val short = fr.windowSequence == 2
+      val nGroups = if (!short) 1
+        else 8 - Integer.bitCount(fr.grouping & 0x7f)
+      if (short) {
+        require(fr.maxSfb <= 15, s"short max_sfb ${fr.maxSfb} > 15")
+        pw.put(fr.maxSfb, 4)
+        pw.put(fr.grouping & 0x7f, 7)
+      } else {
+        require(fr.maxSfb <= 63, s"long max_sfb ${fr.maxSfb} > 63")
+        pw.put(fr.maxSfb, 6)
+        pw.put(0, 1) // predictor_data_present
+      }
+      // section_data: one ZERO_HCB section of max_sfb bands per group,
+      // escape-coded sect_len (3-bit fields short, 5-bit long)
+      val lenBits = if (short) 3 else 5
+      val esc = (1 << lenBits) - 1
+      (0 until nGroups).foreach { _ =>
+        pw.put(0, 4) // sect_cb = ZERO_HCB
+        var rest = fr.maxSfb
+        while (rest >= esc) { pw.put(esc, lenBits); rest -= esc }
+        pw.put(rest, lenBits)
+      }
+      // no scale_factor_data for ZERO_HCB sections
+      pw.put(0, 1) // pulse_data_present
+      pw.put(0, 1) // tns_data_present
+      pw.put(0, 1) // gain_control_data_present
+      // no spectral_data
+      pw.put(7, 3) // id_syn_ele = TERM
+      val payload = pw.bytes // BitWriter pads the tail to a byte boundary
+      val frameLen = 7 + payload.length
+      val hw = new BitWriter
+      hw.put(0xfff, 12) // syncword
+      hw.put(0, 1) // MPEG-4
+      hw.put(0, 2) // layer
+      hw.put(1, 1) // protection_absent
+      hw.put(1, 2) // profile = AAC-LC (audioObjectType 2 − 1)
+      hw.put(rateIdx, 4)
+      hw.put(0, 1) // private
+      hw.put(1, 3) // channel_configuration = mono
+      hw.put(0, 1); hw.put(0, 1) // original, home
+      hw.put(0, 1); hw.put(0, 1) // copyright id, start
+      hw.put(frameLen, 13)
+      hw.put(0x7ff, 11) // buffer fullness: VBR
+      hw.put(0, 2) // raw_data_blocks − 1
+      out ++= hw.bytes
+      out ++= payload
+    }
+    out.toArray
+  }
+
+  /** Decode a mono AAC-LC ADTS stream through the real filterbank.
+    * Accepts ZERO_HCB sections only — any other codebook names the
+    * scoped-out table set and throws (never a silent wrong decode). */
+  def decodeAacLc(bytes: Array[Byte]): AacDecoded = {
+    val frames = scala.collection.mutable.ArrayBuffer.empty[AacFrame]
+    var sampleRate = 0
+    var pos = 0
+    while (pos + 7 <= bytes.length) {
+      val r = new BitReader(bytes, pos)
+      require(r.get(12) == 0xfff, s"ADTS sync lost at byte $pos")
+      r.get(1); r.get(2)
+      r.get(1) // protection_absent (no CRC in this slice)
+      val profile = r.get(2)
+      require(profile == 1,
+        s"AAC profile $profile: only LC (1) in this slice")
+      val rateIdx = r.get(4)
+      require(rateIdx < AdtsRates.length, s"bad rate index $rateIdx")
+      sampleRate = AdtsRates(rateIdx)
+      r.get(1)
+      val chanCfg = r.get(3)
+      require(chanCfg == 1, s"channel_configuration $chanCfg: mono only")
+      r.get(4) // original/home/copyright
+      val frameLen = r.get(13)
+      r.get(11); r.get(2)
+      // raw_data_block
+      var done = false
+      while (!done) {
+        val id = r.get(3)
+        if (id == 7) done = true // TERM
+        else {
+          require(id == 0, s"element $id: only SCE+TERM in this slice")
+          r.get(4) // instance tag
+          val gain = r.get(8)
+          require(r.get(1) == 0, "ics_reserved must be 0")
+          val seq = r.get(2)
+          val shape = r.get(1)
+          val short = seq == 2
+          val (maxSfb, grouping) =
+            if (short) (r.get(4), r.get(7))
+            else {
+              val m = r.get(6)
+              require(r.get(1) == 0, "prediction not in AAC-LC")
+              (m, 0)
+            }
+          val nGroups = if (!short) 1
+            else 8 - Integer.bitCount(grouping & 0x7f)
+          val lenBits = if (short) 3 else 5
+          val esc = (1 << lenBits) - 1
+          (0 until nGroups).foreach { _ =>
+            var covered = 0
+            while (covered < maxSfb) {
+              val cb = r.get(4)
+              if (cb != 0) throw new UnsupportedOperationException(
+                s"AAC-LC spectral codebook $cb: the huffman codebooks " +
+                  "1-11 and the scalefactor codebook are explicit " +
+                  "(codeword, length) lists in ISO 14496-3 with no " +
+                  "tabulated source in this container — only ZERO_HCB " +
+                  "sections decode (same disposition as MP3 tables " +
+                  "10-12/15/16-31)")
+              var len = 0
+              var inc = r.get(lenBits)
+              while (inc == esc) { len += esc; inc = r.get(lenBits) }
+              len += inc
+              require(len > 0, "empty section")
+              covered += len
+            }
+            require(covered == maxSfb,
+              s"sections cover $covered of $maxSfb bands")
+          }
+          require(r.get(1) == 0, "pulse_data not in the ZERO_HCB slice")
+          require(r.get(1) == 0, "tns_data not in the ZERO_HCB slice")
+          require(r.get(1) == 0, "gain_control not in AAC-LC")
+          frames += AacFrame(seq, shape, maxSfb, gain, grouping)
+        }
+      }
+      pos += frameLen
+    }
+    // real synthesis over the (all-zero) spectra: exercises the window
+    // sequence path; output length is the standard (frames+1)*1024 span
+    val seqs = frames.map(_.windowSequence).toSeq
+    val shape = frames.headOption.map(_.windowShape).getOrElse(0)
+    val pcm =
+      if (frames.isEmpty) Array.empty[Double]
+      else aacSynthesis(frames.map(_ => new Array[Double](1024)).toSeq,
+        seqs, shape)
+    AacDecoded(sampleRate, 1, frames.toSeq, pcm)
+  }
 }

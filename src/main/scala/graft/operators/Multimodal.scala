@@ -214,6 +214,38 @@ object Multimodal {
     }(Encoders.row(mp3PcmFeatureSchema))
   }
 
+  val aacFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", LongType),
+    StructField("frames", LongType),
+    StructField("pcm_samples", LongType),
+    StructField("short_frames", LongType),
+    StructField("max_sfb_mx", LongType),
+    StructField("gain_mx", LongType),
+    StructField("silent", BooleanType)))
+
+  /** AAC-LC ADTS decode features (MediaCodecs.decodeAacLc: ADTS headers →
+    * SCE ics_info/grouping/section_data parse → zero spectra → the real
+    * KBD/sine MDCT filterbank): framing and syntax facts the oracle
+    * predicts from fixture parameters. ZERO_HCB slice — the spectral
+    * codebooks are loudly scoped out in MediaCodecs. Same mapPartitions
+    * shape as every other decode: no shuffle, bytes stay on the executor. */
+  def aacFeatures(media: DataFrame): DataFrame = {
+    val idIdx = media.schema.fieldIndex("media_id")
+    val mIdx = media.schema.fieldIndex("media")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val dec = MediaCodecs.decodeAacLc(r.getAs[Array[Byte]](mIdx))
+        Row(r.getLong(idIdx), dec.sampleRateHz.toLong,
+          dec.frames.length.toLong, dec.pcm.length.toLong,
+          dec.frames.count(_.windowSequence == 2).toLong,
+          dec.frames.map(_.maxSfb).max.toLong,
+          dec.frames.map(_.globalGain).max.toLong,
+          dec.pcm.forall(v => math.abs(v) < 1e-12))
+      }
+    }(Encoders.row(aacFeatureSchema))
+  }
+
   val imageDHashSchema: StructType = StructType(Seq(
     StructField("dhash", LongType),
     StructField("keep_id", LongType),

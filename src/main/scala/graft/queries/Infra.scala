@@ -1338,6 +1338,95 @@ object Infra {
              o_orderkey % 12 = 0 AS silent
       FROM orders WHERE o_orderkey < 150 ORDER BY media_id""")),
 
+    // ---- round-9 AAC-LC, face 1: real ADTS + single_channel_element
+    // syntax through the gate — window sequences (incl. legal
+    // START/SHORT*/STOP runs), shapes, grouping, escape-coded section
+    // lengths — decoded by MediaCodecs.decodeAacLc (ZERO_HCB slice; the
+    // spectral codebooks are loudly scoped out, same disposition as MP3
+    // tables 10-31). The oracle predicts every decoded fact from the
+    // fixture parameters.
+    QueryDef("q207_aac_lc_adts", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      val keys = Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 100)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val frames = 2 + (k % 4).toInt
+          val shape = ((k / 3) % 2).toInt
+          val gain = (f: Int) => 100 + (k % 100).toInt + f
+          val specs =
+            if (k % 2 == 0)
+              (0 until frames).map(f => _root_.graft.operators.MediaCodecs
+                .AacFrame(0, shape, 10 + (k % 20).toInt, gain(f)))
+            else (0 until frames).map { f =>
+              if (f == 0) _root_.graft.operators.MediaCodecs
+                .AacFrame(1, shape, 10 + (k % 20).toInt, gain(f))
+              else if (f == frames - 1) _root_.graft.operators.MediaCodecs
+                .AacFrame(3, shape, 10 + (k % 20).toInt, gain(f))
+              else _root_.graft.operators.MediaCodecs
+                .AacFrame(2, shape, 2 + (k % 8).toInt, gain(f),
+                  grouping = (k % 128).toInt)
+            }
+          Row(k, _root_.graft.operators.MediaCodecs
+            .encodeAacLcAdts(specs), "audio/aac")
+        }
+      }(Encoders.row(_root_.graft.operators.Multimodal.mediaSchema))
+      _root_.graft.operators.Multimodal.aacFeatures(media)
+        .orderBy("media_id")
+    }, Some("""
+      SELECT o_orderkey AS media_id,
+             CAST(44100 AS BIGINT) AS sample_rate,
+             CAST(2 + o_orderkey % 4 AS BIGINT) AS frames,
+             CAST((3 + o_orderkey % 4) * 1024 AS BIGINT) AS pcm_samples,
+             CAST(CASE WHEN o_orderkey % 2 = 0 THEN 0
+                       ELSE o_orderkey % 4 END AS BIGINT) AS short_frames,
+             CAST(10 + o_orderkey % 20 AS BIGINT) AS max_sfb_mx,
+             CAST(100 + o_orderkey % 100 + 1 + o_orderkey % 4
+               AS BIGINT) AS gain_mx,
+             TRUE AS silent
+      FROM orders WHERE o_orderkey < 100 ORDER BY media_id""")),
+
+    // ---- round-9 AAC-LC, face 2: the filterbank itself under oracle —
+    // a deterministic signal through analysis MDCT → IMDCT/overlap-add
+    // across a legal LONG/START/SHORT*/STOP pattern must reconstruct the
+    // interior EXACTLY (TDAC), so err_c pins 0 and the interior energy
+    // replays as a closed-form integer the oracle computes with range().
+    QueryDef("q208_aac_filterbank", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types.{LongType, StructField, StructType}
+      val schema = StructType(Seq(
+        StructField("media_id", LongType, nullable = false),
+        StructField("err_c", LongType),
+        StructField("energy_c", LongType)))
+      Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 48)
+        .select(col("o_orderkey").as("media_id"))
+        .repartition(8)
+        .mapPartitions { rows =>
+          rows.map { r =>
+            val k = r.getLong(0)
+            val (errC, energyC) = _root_.graft.operators.MediaCodecs
+              .aacFilterbankProbe(nFrames = 5 + (k % 3).toInt,
+                m = 1 + (k % 7).toInt, shortRun = 1 + (k % 2).toInt,
+                shape = (k % 2).toInt)
+            Row(k, errC, energyC)
+          }
+        }(Encoders.row(schema))
+        .orderBy("media_id")
+    }, Some("""
+      WITH ks AS (
+        SELECT o_orderkey AS k, 5 + o_orderkey % 3 AS nf,
+               1 + o_orderkey % 7 AS m
+        FROM orders WHERE o_orderkey < 48),
+      nums AS (SELECT n FROM range(1024, 7168) t(n))
+      SELECT ks.k AS media_id, CAST(0 AS BIGINT) AS err_c,
+             CAST(sum(((nums.n * ks.m) % 9 - 4)
+                      * ((nums.n * ks.m) % 9 - 4)) AS BIGINT) AS energy_c
+      FROM ks JOIN nums ON nums.n < ks.nf * 1024
+      GROUP BY ks.k ORDER BY media_id""")),
+
     // ---- mega-join stats ordering on the FILE path through the oracle
     // gate (reference :mega-join, join.clj:599-736 — q131 covers the
     // CBO/managed-catalog variant; this is the raw-parquet default where
