@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // stats-greedy inner-join ordering for the file path (reference
     // join.clj:599-736 :mega-join) — defers to CBO when real stats exist
     extensions.injectOptimizerRule(_ => graft.plans.GraftJoinReorder)
+    // period-OVERLAPS theta joins (reference join.clj:331-339) → the
+    // bucketed interval-join plan instead of a cartesian nested loop
+    extensions.injectOptimizerRule(_ => graft.plans.GraftIntervalJoin)
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
     import org.apache.spark.sql.catalyst.FunctionIdentifier
     import org.apache.spark.sql.catalyst.expressions.ExpressionInfo

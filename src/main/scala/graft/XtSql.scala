@@ -47,6 +47,11 @@ object XtSql {
         .contains(graft.plans.GraftJoinReorder))
       spark.experimental.extraOptimizations ++=
         Seq(graft.plans.GraftJoinReorder)
+    // period-OVERLAPS theta joins → bucketed interval join (no NLJ)
+    if (!spark.experimental.extraOptimizations
+        .contains(graft.plans.GraftIntervalJoin))
+      spark.experimental.extraOptimizations ++=
+        Seq(graft.plans.GraftIntervalJoin)
     val reg = spark.sessionState.functionRegistry
     def register(name: String, arity: Int)(f: Seq[Column] => Column): Unit =
       reg.createOrReplaceTempFunction(name, exprs => {

@@ -39,6 +39,7 @@ object Explain {
       sortMergeJoins: Int,
       shuffledHashJoins: Int,
       nestedLoopJoins: Int,
+      cartesianProducts: Int = 0,
       wholeStageCodegenSpans: Int,
       /** EXPLAIN ANALYZE only: total rows shuffled across all exchanges. */
       rowsShuffled: Option[Long],
@@ -117,6 +118,9 @@ object Explain {
       shuffledHashJoins = nodes.count(_.isInstanceOf[ShuffledHashJoinExec]),
       nestedLoopJoins =
         nodes.count(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      cartesianProducts =
+        nodes.count(_.isInstanceOf[
+          org.apache.spark.sql.execution.joins.CartesianProductExec]),
       wholeStageCodegenSpans =
         nodes.count(_.isInstanceOf[WholeStageCodegenExec]),
       rowsShuffled =

@@ -392,6 +392,59 @@ object Relational {
             WHERE event_type = 'view')
       SELECT l_event_id, count(*) AS n_contained, min(r_event_id) AS min_r
       FROM l JOIN r ON lf <= rf AND rt <= lt
-      GROUP BY l_event_id ORDER BY l_event_id"""))
+      GROUP BY l_event_id ORDER BY l_event_id""")),
+
+    // ---- the OVERLAPS join through plain SQL TEXT: the
+    // GraftIntervalJoin optimizer rule detects the two-strict-inequality
+    // theta shape and reroutes it onto the bucketed plan — the require()
+    // fails unless the main path planned as an equi join (no cartesian).
+    // The broadcast threshold is disabled only while THIS query
+    // materializes (localCheckpoint pins the result before restore).
+    QueryDef("q209_interval_join_rule", (s, dir) => {
+      if (!s.experimental.extraOptimizations
+          .contains(_root_.graft.plans.GraftIntervalJoin))
+        s.experimental.extraOptimizations ++=
+          Seq(_root_.graft.plans.GraftIntervalJoin)
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("lid"),
+          date_trunc("second", col("ts")).as("lf"))
+        .withColumn("lt", col("lf") + expr("INTERVAL 3 MINUTES"))
+        .createOrReplaceTempView("q209_l")
+      ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("rid"),
+          date_trunc("second", col("ts")).as("rf"))
+        .withColumn("rt", col("rf") + expr("INTERVAL 3 MINUTES"))
+        .createOrReplaceTempView("q209_r")
+      val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.graft.intervalJoin.bucketSeconds", "360")
+      try {
+        val joined = s.sql("""
+          SELECT lid, count(*) AS n_overlap, max(rid) AS max_r
+          FROM q209_l JOIN q209_r ON lf < rt AND rf < lt
+          GROUP BY lid ORDER BY lid""")
+        val rep = _root_.graft.plans.Explain.report(joined)
+        require(rep.sortMergeJoins + rep.shuffledHashJoins +
+          rep.broadcastHashJoins >= 1,
+          "interval-join rule did not fire: the OVERLAPS join has no " +
+            "equi main path")
+        require(rep.cartesianProducts == 0,
+          "cartesian product in the rewritten plan")
+        joined.localCheckpoint(true)
+      } finally
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }, Some("""
+      WITH e AS (SELECT event_id, date_trunc('second', ts) AS sec,
+                        event_type FROM events),
+      l AS (SELECT event_id AS lid, sec AS lf,
+                   sec + INTERVAL 3 MINUTE AS lt FROM e
+            WHERE event_type = 'view'),
+      r AS (SELECT event_id AS rid, sec AS rf,
+                   sec + INTERVAL 3 MINUTE AS rt FROM e
+            WHERE event_type = 'signup')
+      SELECT lid, count(*) AS n_overlap, max(rid) AS max_r
+      FROM l JOIN r ON lf < rt AND rf < lt
+      GROUP BY lid ORDER BY lid"""))
   )
 }

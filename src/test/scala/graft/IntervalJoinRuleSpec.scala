@@ -1,0 +1,113 @@
+package graft
+
+import graft.plans.{Explain, GraftIntervalJoin}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** GraftIntervalJoin optimizer rule: SQL-level period-OVERLAPS theta
+  * joins plan through the bucketed equi path instead of a cartesian
+  * nested loop — including exact equivalence on degenerate rows (empty /
+  * inverted / null-bounded periods), which route through the
+  * expected-empty broadcast branches. */
+class IntervalJoinRuleSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      // disable size-based broadcast so the rule's smallness guard does
+      // not skip the tiny fixtures (thr <= 0 => never "broadcast-small")
+      .config("spark.sql.autoBroadcastJoinThreshold", "-1")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    if (!s.experimental.extraOptimizations.contains(GraftIntervalJoin))
+      s.experimental.extraOptimizations ++= Seq(GraftIntervalJoin)
+    s
+  }
+
+  private def fixture(): Unit = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    def period(base: Long, i: Int): (String, String) = {
+      val start = base + rnd.nextInt(86400 * 20)
+      val len = 600 + rnd.nextInt(86400)
+      def ts(s: Long) = java.time.Instant.ofEpochSecond(s).toString
+        .replace("T", " ").dropRight(1)
+      (ts(start), ts(start + len))
+    }
+    val base = 1700000000L
+    val left = (1 to 120).map { i =>
+      val (f, t) = period(base, i)
+      i match { // plant degenerates: empty, inverted, null bounds
+        case 5 => (i.toLong, f, f)
+        case 6 => (i.toLong, t, f)
+        case 7 => (i.toLong, null, t)
+        case _ => (i.toLong, f, t)
+      }
+    }.toDF("lid", "lfs", "lts")
+      .select(col("lid"), col("lfs").cast("timestamp").as("lf"),
+        col("lts").cast("timestamp").as("lt"))
+    val right = (1 to 150).map { i =>
+      val (f, t) = period(base, i + 1000)
+      i match {
+        case 9 => (1000L + i, f, f)
+        case 10 => (1000L + i, t, null)
+        case _ => (1000L + i, f, t)
+      }
+    }.toDF("rid", "rfs", "rts")
+      .select(col("rid"), col("rfs").cast("timestamp").as("rf"),
+        col("rts").cast("timestamp").as("rt"))
+    left.createOrReplaceTempView("lper")
+    right.createOrReplaceTempView("rper")
+  }
+
+  test("OVERLAPS theta join rewrites to the bucketed equi plan; results " +
+      "equal the nested-loop plan exactly, degenerates included") {
+    fixture()
+    spark.conf.set("spark.graft.intervalJoin.bucketSeconds", "21600")
+    val sql = "SELECT lid, rid FROM lper JOIN rper " +
+      "ON lf < rt AND rf < lt"
+    val rewritten = spark.sql(sql)
+    val rep = Explain.report(rewritten)
+    assert(rep.sortMergeJoins + rep.shuffledHashJoins +
+      rep.broadcastHashJoins >= 1,
+      "the main path must be an equi join on the bucket")
+    assert(rep.nestedLoopJoins <= 2,
+      "only the two degenerate branches may nested-loop")
+    val got = rewritten.collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+
+    spark.conf.set("spark.graft.intervalJoin.enabled", "false")
+    try {
+      val naive = spark.sql(sql)
+      val nrep = Explain.report(naive)
+      assert(nrep.nestedLoopJoins + nrep.cartesianProducts >= 1,
+        "sanity: without the rule this is a nested-loop/cartesian plan")
+      val expected = naive.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .toSet
+      assert(got == expected, "rewritten relation diverged")
+      assert(got.nonEmpty)
+    } finally spark.conf.set("spark.graft.intervalJoin.enabled", "true")
+  }
+
+  test("rule defers when an equi conjunct exists and on <= conjuncts " +
+      "(unsound at bucket boundaries)") {
+    fixture()
+    val equi = spark.sql("SELECT lid, rid FROM lper JOIN rper " +
+      "ON lid = rid - 1000 AND lf < rt AND rf < lt")
+    // equi key present: Catalyst keeps its own equi join; our rule must
+    // not touch it (no union/degenerate branches appear)
+    val erep = Explain.report(equi)
+    assert(erep.nestedLoopJoins == 0 && erep.cartesianProducts == 0)
+    val nonStrict = spark.sql("SELECT lid, rid FROM lper JOIN rper " +
+      "ON lf <= rt AND rf <= lt")
+    // <= shape must stay a nested loop/cartesian (rewrite is unsound at
+    // bucket boundaries) — no manufactured equi join
+    val nsrep = Explain.report(nonStrict)
+    assert(nsrep.nestedLoopJoins + nsrep.cartesianProducts == 1)
+    assert(nsrep.sortMergeJoins + nsrep.shuffledHashJoins +
+      nsrep.broadcastHashJoins == 0)
+  }
+}
