@@ -2144,13 +2144,18 @@ object MediaCodecs {
   }
 
   /** Analysis filterbank: input signal → per-frame 1024 MDCT coefficients
-    * under the given window sequence per frame. Frame f spans
-    * [1024f, 1024f + 2048); the input must be at least (frames+1)*1024
-    * long. (The encoder side of the TDAC validator — not a spec encoder.) */
+    * under the given window sequence + shape per frame. A frame's LEFT
+    * overlap half always uses the PREVIOUS frame's window_shape (the
+    * 14496-3 carryover — shape can switch sine↔KBD mid-stream and TDAC
+    * still cancels because both overlapping halves come from the same
+    * window). Frame f spans [1024f, 1024f + 2048); the input must be at
+    * least (frames+1)*1024 long. (The encoder side of the TDAC
+    * validator — not a spec encoder.) */
   private[graft] def aacAnalysis(x: Array[Double], seqs: Seq[Int],
-      shape: Int): Seq[Array[Double]] =
+      shapes: Seq[Int]): Seq[Array[Double]] =
     seqs.zipWithIndex.map { case (sq, f) =>
-      val prevShape = shape // constant-shape streams in this slice
+      val shape = shapes(f)
+      val prevShape = if (f == 0) shape else shapes(f - 1)
       aacSegments(sq, shape, prevShape).flatMap { case (off, n, wl, wr) =>
         val z = Array.tabulate(n) { i =>
           val w = if (i < n / 2) wl(i) else wr(i - n / 2)
@@ -2160,15 +2165,22 @@ object MediaCodecs {
       }.toArray
     }
 
+  private[graft] def aacAnalysis(x: Array[Double], seqs: Seq[Int],
+      shape: Int): Seq[Array[Double]] =
+    aacAnalysis(x, seqs, Seq.fill(seqs.length)(shape))
+
   /** Synthesis filterbank: per-frame 1024 coefficients → reconstructed
-    * signal of (frames+1)*1024 samples via windowed IMDCT overlap-add. */
+    * signal of (frames+1)*1024 samples via windowed IMDCT overlap-add,
+    * with the same previous-frame shape carryover as analysis. */
   private[graft] def aacSynthesis(frames: Seq[Array[Double]],
-      seqs: Seq[Int], shape: Int): Array[Double] = {
+      seqs: Seq[Int], shapes: Seq[Int]): Array[Double] = {
     val out = new Array[Double]((frames.length + 1) * 1024)
     frames.zip(seqs).zipWithIndex.foreach { case ((coef, sq), f) =>
       require(coef.length == 1024, s"frame $f: ${coef.length} coefficients")
+      val shape = shapes(f)
+      val prevShape = if (f == 0) shape else shapes(f - 1)
       var taken = 0
-      aacSegments(sq, shape, shape).foreach { case (off, n, wl, wr) =>
+      aacSegments(sq, shape, prevShape).foreach { case (off, n, wl, wr) =>
         val t = imdct(coef.slice(taken, taken + n / 2))
         taken += n / 2
         var i = 0
@@ -2181,6 +2193,10 @@ object MediaCodecs {
     }
     out
   }
+
+  private[graft] def aacSynthesis(frames: Seq[Array[Double]],
+      seqs: Seq[Int], shape: Int): Array[Double] =
+    aacSynthesis(frames, seqs, Seq.fill(seqs.length)(shape))
 
   /** TDAC round-trip probe for the gate: deterministic signal
     * x[n] = ((n·m) mod 9 − 4)/4 through analysis → synthesis under a
@@ -2368,13 +2384,14 @@ object MediaCodecs {
       pos += frameLen
     }
     // real synthesis over the (all-zero) spectra: exercises the window
-    // sequence path; output length is the standard (frames+1)*1024 span
+    // sequence path with true per-frame shape carryover; output length
+    // is the standard (frames+1)*1024 span
     val seqs = frames.map(_.windowSequence).toSeq
-    val shape = frames.headOption.map(_.windowShape).getOrElse(0)
+    val shapes = frames.map(_.windowShape).toSeq
     val pcm =
       if (frames.isEmpty) Array.empty[Double]
       else aacSynthesis(frames.map(_ => new Array[Double](1024)).toSeq,
-        seqs, shape)
+        seqs, shapes)
     AacDecoded(sampleRate, 1, frames.toSeq, pcm)
   }
 }

@@ -63,12 +63,14 @@ object GraftIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
   private def temporal(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt == TimestampType || dt == TimestampNTZType || dt == DateType
 
-  private def attrOf(e: Expression,
-      side: LogicalPlan): Option[AttributeReference] = e match {
-    case a: AttributeReference
-        if temporal(a.dataType) && side.outputSet.contains(a) => Some(a)
-    case _ => None
-  }
+  /** A deterministic temporal expression bound entirely to one side —
+    * a bare column, a struct field (`p._from`), or a sentinel-coalesced
+    * endpoint (`coalesce(p._to, end-of-time)`, the period-predicate
+    * expansion shape) all qualify. */
+  private def sideExpr(e: Expression, side: LogicalPlan): Boolean =
+    temporal(e.dataType) && e.deterministic && e.references.nonEmpty &&
+      e.references.subsetOf(side.outputSet) &&
+      !SubqueryExpression.hasSubquery(e)
 
   private def tryRewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
       cond: Expression): Option[LogicalPlan] = {
@@ -82,18 +84,28 @@ object GraftIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
     if (hasEqui) return None
-    // lf < rt (left-to-right) and rf < lt (right-to-left)
-    val lrOpt = conjuncts.collectFirst {
-      case LessThan(a, b) if attrOf(a, l).isDefined &&
-        attrOf(b, r).isDefined => (attrOf(a, l).get, attrOf(b, r).get)
+    // one strict left-expr < right-expr conjunct, one strict
+    // right-expr < left-expr conjunct (GreaterThan normalized); the two
+    // must be DIFFERENT conjuncts
+    def asLR(c: Expression): Option[(Expression, Expression)] = c match {
+      case LessThan(a, b) if sideExpr(a, l) && sideExpr(b, r) => Some((a, b))
+      case GreaterThan(a, b) if sideExpr(b, l) && sideExpr(a, r) =>
+        Some((b, a))
+      case _ => None
     }
-    val rlOpt = conjuncts.collectFirst {
-      case LessThan(a, b) if attrOf(a, r).isDefined &&
-        attrOf(b, l).isDefined => (attrOf(a, r).get, attrOf(b, l).get)
+    def asRL(c: Expression): Option[(Expression, Expression)] = c match {
+      case LessThan(a, b) if sideExpr(a, r) && sideExpr(b, l) => Some((a, b))
+      case GreaterThan(a, b) if sideExpr(b, r) && sideExpr(a, l) =>
+        Some((b, a))
+      case _ => None
     }
-    (lrOpt, rlOpt) match {
-      case (Some((lf, rt)), Some((rf, lt))) if lf.exprId != lt.exprId &&
-          rf.exprId != rt.exprId =>
+    val lrHit = conjuncts.zipWithIndex
+      .collectFirst { case (c, i) if asLR(c).isDefined => (asLR(c).get, i) }
+    val rlHit = conjuncts.zipWithIndex
+      .collectFirst { case (c, i) if asRL(c).isDefined => (asRL(c).get, i) }
+    (lrHit, rlHit) match {
+      case (Some(((lfE, rtE), i1)), Some(((rfE, ltE), i2))) if i1 != i2 &&
+          !lfE.semanticEquals(ltE) && !rfE.semanticEquals(rtE) =>
         // the operator needs unambiguous, disjoint column names
         val names = (l.output ++ r.output).map(_.name)
         if (names.distinct.length != names.length) return None
@@ -104,21 +116,31 @@ object GraftIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
         val spark = SparkSession.active
         val bucketSeconds = conf.getConfString(
           "spark.graft.intervalJoin.bucketSeconds", "86400").toLong
+        // materialize the period-bound expressions as internal columns
+        // so the operator's named API (and its horizon clamp — which
+        // bounds the end-of-time sentinel of open periods) applies
+        // unchanged to struct-field / coalesce endpoint shapes
         val lDf = GraftColumnBridge.ofRows(spark, l)
+          .withColumn("__ij_lf", GraftColumnBridge.toColumn(lfE))
+          .withColumn("__ij_lt", GraftColumnBridge.toColumn(ltE))
         val rDf = GraftColumnBridge.ofRows(spark, r)
+          .withColumn("__ij_rf", GraftColumnBridge.toColumn(rfE))
+          .withColumn("__ij_rt", GraftColumnBridge.toColumn(rtE))
         val condCol = GraftColumnBridge.toColumn(cond)
-        val lNormP = col(lf.name) < col(lt.name)
-        val rNormP = col(rf.name) < col(rt.name)
+        val internal = Seq("__ij_lf", "__ij_lt", "__ij_rf", "__ij_rt")
+        val lNormP = col("__ij_lf") < col("__ij_lt")
+        val rNormP = col("__ij_rf") < col("__ij_rt")
         val lNorm = lDf.filter(lNormP)
         val rNorm = rDf.filter(rNormP)
         val lDeg = lDf.filter(!coalesce(lNormP, lit(false)))
         val rDeg = rDf.filter(!coalesce(rNormP, lit(false)))
         val bucketed = graft.operators.Joins.intervalJoin(
-          lNorm, rNorm, lf.name, lt.name, rf.name, rt.name,
+          lNorm, rNorm, "__ij_lf", "__ij_lt", "__ij_rf", "__ij_rt",
           condCol, bucketSeconds, strategy = "bucket")
         val result = bucketed
           .union(broadcast(lDeg).join(rDf, condCol))
           .union(lNorm.join(broadcast(rDeg), condCol))
+          .drop(internal: _*)
         // this batch runs AFTER EliminateResolvedHint, so fold the
         // broadcast() hints into JoinHints ourselves — a leftover
         // ResolvedHint is an internal error at physical planning

@@ -494,6 +494,56 @@ object SqlDialect {
                                 str ASC NULLS FIRST, _id) AS xrank,
              (tr = 1 AND num = 42.0) AS eq_i64,
              (tr = 2 AND str = 'F') AS eq_str
-      FROM t ORDER BY _id"""))
+      FROM t ORDER BY _id""")),
+
+    // ---- period predicates as JOIN theta conditions through the ENGINE
+    // dialect (the reference's exact shape, join.clj:331-339): `l.p
+    // OVERLAPS r.p` between two period-struct tables. The infix rewrite
+    // expands to strict endpoint comparisons, and GraftIntervalJoin
+    // reroutes them onto the bucketed plan — the require() proves the
+    // main path planned equi. Threshold is disabled only while this
+    // query materializes (localCheckpoint pins before restore).
+    QueryDef("q210_overlaps_join_dialect", (s, dir) => {
+      val (_, eng) = fresh(s)
+      Tables.registerAll(s, dir)
+      val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.graft.intervalJoin.bucketSeconds", "360")
+      try {
+        val out = eng.sql("""
+          SELECT lid, count(*) AS n_overlap, max(rid) AS max_r
+          FROM (SELECT event_id AS lid,
+                       period(date_trunc('second', ts),
+                              timestampadd(MINUTE, 3,
+                                date_trunc('second', ts))) AS lp
+                FROM events WHERE event_type = 'click') l
+          JOIN (SELECT event_id AS rid,
+                       period(date_trunc('second', ts),
+                              timestampadd(MINUTE, 3,
+                                date_trunc('second', ts))) AS rp
+                FROM events WHERE event_type = 'signup') r
+            ON l.lp OVERLAPS r.rp
+          GROUP BY lid ORDER BY lid""")
+        val rep = _root_.graft.plans.Explain.report(out)
+        require(rep.sortMergeJoins + rep.shuffledHashJoins +
+          rep.broadcastHashJoins >= 1,
+          "dialect OVERLAPS join did not take the bucketed equi path")
+        require(rep.cartesianProducts == 0,
+          "cartesian product in the dialect OVERLAPS join")
+        out.localCheckpoint(true)
+      } finally
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }, Some("""
+      WITH e AS (SELECT event_id, date_trunc('second', ts) AS sec,
+                        event_type FROM events),
+      l AS (SELECT event_id AS lid, sec AS lf,
+                   sec + INTERVAL 3 MINUTE AS lt FROM e
+            WHERE event_type = 'click'),
+      r AS (SELECT event_id AS rid, sec AS rf,
+                   sec + INTERVAL 3 MINUTE AS rt FROM e
+            WHERE event_type = 'signup')
+      SELECT lid, count(*) AS n_overlap, max(rid) AS max_r
+      FROM l JOIN r ON lf < rt AND rf < lt
+      GROUP BY lid ORDER BY lid"""))
   )
 }

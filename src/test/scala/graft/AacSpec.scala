@@ -47,6 +47,27 @@ class AacSpec extends AnyFunSuite {
     }
   }
 
+  test("TDAC survives sine<->KBD window-shape SWITCHING mid-stream " +
+      "(left halves carry the previous frame's shape)") {
+    val seqs = Seq(0, 1, 2, 3, 0, 0)
+    val shapes = Seq(0, 1, 1, 0, 1, 0) // switch on almost every frame
+    val len = (seqs.length + 1) * 1024
+    val x = Array.tabulate(len)(n =>
+      math.sin(n * 0.017) + ((n * 5) % 13 - 6) / 12.0)
+    val y = MediaCodecs.aacSynthesis(
+      MediaCodecs.aacAnalysis(x, seqs, shapes), seqs, shapes)
+    val maxErr = (1024 until seqs.length * 1024)
+      .map(n => math.abs(y(n) - x(n))).max
+    assert(maxErr < 1e-9, f"shape-switching PR broke: $maxErr%.2e")
+    // sanity: MISMATCHED carryover (constant-shape synthesis of a
+    // switching analysis) must NOT reconstruct — proves the test bites
+    val bad = MediaCodecs.aacSynthesis(
+      MediaCodecs.aacAnalysis(x, seqs, shapes), seqs, 0)
+    val badErr = (1024 until seqs.length * 1024)
+      .map(n => math.abs(bad(n) - x(n))).max
+    assert(badErr > 1e-4, f"expected visible aliasing, got $badErr%.2e")
+  }
+
   test("filterbank probe returns exact integer energy and zero error") {
     val (errC, energyC) = MediaCodecs.aacFilterbankProbe(
       nFrames = 5, m = 3, shortRun = 1, shape = 1)
@@ -61,10 +82,10 @@ class AacSpec extends AnyFunSuite {
       "escape-coded section lengths") {
     val frames = Seq(
       MediaCodecs.AacFrame(0, 1, 45, 120), // long, 45 bands: 5-bit escape
-      MediaCodecs.AacFrame(1, 1, 40, 130),
+      MediaCodecs.AacFrame(1, 0, 40, 130), // shape switches mid-stream
       MediaCodecs.AacFrame(2, 1, 9, 140, grouping = 0x2a), // 3-bit escapes
       MediaCodecs.AacFrame(3, 1, 31, 150),
-      MediaCodecs.AacFrame(0, 1, 63, 160)) // max 6-bit value, 2 escapes
+      MediaCodecs.AacFrame(0, 0, 63, 160)) // max 6-bit value, 2 escapes
     val bytes = MediaCodecs.encodeAacLcAdts(frames, rateIdx = 3)
     val dec = MediaCodecs.decodeAacLc(bytes)
     assert(dec.sampleRateHz == 48000 && dec.channels == 1)

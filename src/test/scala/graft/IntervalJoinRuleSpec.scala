@@ -92,6 +92,48 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.intervalJoin.enabled", "true")
   }
 
+  test("period-struct OVERLAPS (coalesce end-of-time endpoints, open " +
+      "periods included) routes through the bucketed plan") {
+    import graft.functions.Periods
+    import spark.implicits._
+    val base = 1700000000L
+    def ts(s: Long) = new java.sql.Timestamp(s * 1000L)
+    // left periods ~1h, one OPEN-ENDED (null _to): without the horizon
+    // clamp the end-of-time sentinel would explode to year-9999 buckets
+    val left = (1 to 80).map { i =>
+      val f = base + i * 1800L
+      (i.toLong, ts(f), if (i == 3) null else ts(f + 3600L))
+    }.toDF("lid", "lfrom", "lto")
+      .select(col("lid"), Periods.period(col("lfrom"), col("lto")).as("lp"))
+    val right = (1 to 90).map { i =>
+      val f = base + 120000L + i * 1500L
+      (1000L + i, ts(f), ts(f + 1800L))
+    }.toDF("rid", "rfrom", "rto")
+      .select(col("rid"), Periods.period(col("rfrom"), col("rto")).as("rp"))
+    left.createOrReplaceTempView("lpd")
+    right.createOrReplaceTempView("rpd")
+    spark.conf.set("spark.graft.intervalJoin.bucketSeconds", "7200")
+    val joined = left.join(right,
+      Periods.overlaps(left("lp"), right("rp")))
+      .select("lid", "rid")
+    val rep = Explain.report(joined)
+    assert(rep.sortMergeJoins + rep.shuffledHashJoins +
+      rep.broadcastHashJoins >= 1,
+      "struct-field endpoints must still match the overlap shape")
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    spark.conf.set("spark.graft.intervalJoin.enabled", "false")
+    try {
+      val expected = left.join(right,
+        Periods.overlaps(left("lp"), right("rp")))
+        .select("lid", "rid")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected && got.nonEmpty)
+      // the open-ended period overlaps everything after its start
+      assert(got.count(_._1 == 3L) == 90,
+        "open-ended period must match every later right period")
+    } finally spark.conf.set("spark.graft.intervalJoin.enabled", "true")
+  }
+
   test("rule defers when an equi conjunct exists and on <= conjuncts " +
       "(unsound at bucket boundaries)") {
     fixture()
