@@ -329,6 +329,35 @@ object Joins {
     lB.join(rB, cond).drop("__bkt_l", "__bkt_r")
   }
 
+  /** Left-outer face of [[intervalJoin]]: every left row survives, with
+    * the right columns null-extended when no period matches — LEFT JOIN
+    * semantics over the same scale-safe bucketed plan. Composition:
+    * bucketed inner + left-anti on the matched `leftId` set + union.
+    * `leftId` must uniquely identify left rows (the anti join keys on
+    * it); two extra bounded shuffles (distinct ids + anti) on top of the
+    * inner plan — never a nested loop. */
+  def intervalJoinLeft(
+      left: DataFrame,
+      right: DataFrame,
+      leftFrom: String, leftTo: String,
+      rightFrom: String, rightTo: String,
+      condition: Column,
+      bucketSeconds: Long,
+      leftId: String,
+      equiKeys: Seq[(String, String)] = Nil,
+      maxBucketsPerRow: Int = 4096,
+      strategy: String = "auto"): DataFrame = {
+    val inner = intervalJoin(left, right, leftFrom, leftTo,
+      rightFrom, rightTo, condition, bucketSeconds, equiKeys,
+      maxBucketsPerRow, strategy)
+    val matched = inner.select(leftId).distinct()
+    val unmatched = left.join(matched, Seq(leftId), "left_anti")
+    val nullExtended = right.schema.fields.foldLeft(unmatched) { (df, f) =>
+      df.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    inner.unionByName(nullExtended.select(inner.columns.map(col): _*))
+  }
+
   /** Null-aware anti join — SQL `NOT IN (subquery)` semantics: if the right
     * side contains any null key, no left row qualifies; left rows with null
     * keys never qualify. (Plain `left_anti` is EXISTS-negation, not NOT IN.)

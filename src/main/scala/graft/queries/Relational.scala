@@ -394,6 +394,41 @@ object Relational {
       FROM l JOIN r ON lf <= rf AND rt <= lt
       GROUP BY l_event_id ORDER BY l_event_id""")),
 
+    // ---- LEFT OUTER period-overlap join: every left period survives,
+    // right columns null-extend on no match — the outer face of the
+    // bucketed plan (inner + left-anti + union; no nested loop). The
+    // narrow 30-second windows guarantee a real unmatched population.
+    QueryDef("q211_interval_join_left", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val l = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("l_event_id"),
+          date_trunc("second", col("ts")).as("lf"))
+        .withColumn("lt", col("lf") + expr("INTERVAL 30 SECONDS"))
+      val r = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("r_event_id"),
+          date_trunc("second", col("ts")).as("rf"))
+        .withColumn("rt", col("rf") + expr("INTERVAL 30 SECONDS"))
+      Joins.intervalJoinLeft(l, r, "lf", "lt", "rf", "rt",
+          Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+          bucketSeconds = 60, leftId = "l_event_id", strategy = "bucket")
+        .groupBy("l_event_id")
+        .agg(count(col("r_event_id")).as("n_overlap"),
+          max("r_event_id").as("max_r"))
+        .presentSorted("l_event_id")
+    }, Some("""
+      WITH e AS (SELECT event_id, date_trunc('second', ts) AS sec,
+                        event_type FROM events),
+      l AS (SELECT event_id AS l_event_id, sec AS lf,
+                   sec + INTERVAL 30 SECOND AS lt FROM e
+            WHERE event_type = 'error'),
+      r AS (SELECT event_id AS r_event_id, sec AS rf,
+                   sec + INTERVAL 30 SECOND AS rt FROM e
+            WHERE event_type = 'purchase')
+      SELECT l_event_id, count(r_event_id) AS n_overlap,
+             max(r_event_id) AS max_r
+      FROM l LEFT JOIN r ON lf < rt AND rf < lt
+      GROUP BY l_event_id ORDER BY l_event_id""")),
+
     // ---- the OVERLAPS join through plain SQL TEXT: the
     // GraftIntervalJoin optimizer rule detects the two-strict-inequality
     // theta shape and reroutes it onto the bucketed plan — the require()

@@ -144,6 +144,25 @@ class JoinsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L)))
   }
 
+  test("interval join LEFT OUTER: unmatched left rows null-extend; " +
+      "matched rows equal the inner join") {
+    val l = periods(Seq(
+      (1L, "2024-01-01 00:00:00", "2024-01-01 01:00:00"),
+      (2L, "2024-01-05 00:00:00", "2024-01-05 01:00:00"), // no partner
+      (3L, "2024-01-01 00:30:00", "2024-01-01 02:00:00")),
+      "lid", "lf", "lt")
+    val r = periods(Seq(
+      (10L, "2024-01-01 00:45:00", "2024-01-01 01:30:00"),
+      (11L, "2024-01-02 00:00:00", "2024-01-02 01:00:00")), // no partner
+      "rid", "rf", "rt")
+    val out = Joins.intervalJoinLeft(l, r, "lf", "lt", "rf", "rt",
+        Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+        bucketSeconds = 3600, leftId = "lid", strategy = "bucket")
+      .select(col("lid"), col("rid"))
+      .as[(Long, Option[Long])].collect().toSet
+    assert(out == Set((1L, Some(10L)), (3L, Some(10L)), (2L, None)))
+  }
+
   test("interval join: bucketed plan is equi — no nested-loop, no " +
       "cartesian; broadcast fallback only when asked/auto-small") {
     val l = periods((1 to 200).map(i =>
