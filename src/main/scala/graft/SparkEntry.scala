@@ -21,7 +21,8 @@ object SparkEntry {
     _root_.graft.queries.Pipeline.defs ++
     _root_.graft.queries.Meta.defs ++
     _root_.graft.queries.Extra.defs ++
-    _root_.graft.queries.Infra.defs
+    _root_.graft.queries.Infra.defs ++
+    _root_.graft.queries.Sketch.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
