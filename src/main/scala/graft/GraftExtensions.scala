@@ -42,7 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       Temporal.dateBin(toExpression(a.head).asInstanceOf[
         org.apache.spark.sql.catalyst.expressions.Literal]
         .value.toString.toLong, a(1)))
-    inject("period", 2)(a => Periods.period(a.head, a(1)))
+    inject("period", 2)(a => Periods.periodChecked(a.head, a(1)))
     inject("p_lower", 1)(a => Periods.lower(a.head))
     inject("p_upper", 1)(a => Periods.upper(a.head))
     inject("p_contains", 2)(a => Periods.containsPeriod(a.head, a(1)))

@@ -71,7 +71,7 @@ object XtSql {
         toExpression(f(exprs.map(toColumn)))
       }, "scala_udf")
 
-    register("period", 2)(a => Periods.period(a.head, a(1)))
+    register("period", 2)(a => Periods.periodChecked(a.head, a(1)))
     // function-call OVERLAPS(p1, p2, …) — variadic (expr_test 3441); the
     // infix `a OVERLAPS b` form rewrites to p_overlaps separately
     registerVariadic("overlaps", 2)(Periods.overlapsAll)

@@ -25,9 +25,27 @@ object Periods {
   def endOfTime: Column = lit(EndOfTimeLit).cast("timestamp")
   def beginOfTime: Column = lit(BeginOfTimeLit).cast("timestamp")
 
-  /** PERIOD / TSTZRANGE constructor (reference temporal.clj:1916-1950). */
+  /** PERIOD / TSTZRANGE constructor (reference temporal.clj:1916-1950) —
+    * the raw form for engine-synthesized periods that are well-formed by
+    * construction (bitemporal resolution emits `[vf, vt)` rectangles with
+    * `vf < vt`); user-facing construction goes through [[periodChecked]]. */
   def period(from: Column, to: Column): Column =
     struct(from.as("_from"), to.as("_to"))
+
+  /** User-facing constructor: rejects `from >= to` at evaluation like the
+    * reference (`temporal.clj:1898-1907` throws `:xtdb/invalid-period`) —
+    * a malformed period would otherwise make downstream predicate and
+    * join results representation-dependent (see `Joins.intervalJoin`'s
+    * guard). Null endpoints stay legal (unbounded). */
+  def periodChecked(from: Column, to: Column): Column =
+    struct(
+      when(from.isNotNull && to.isNotNull && from >= to,
+        raise_error(concat(
+          lit("'from' must be earlier than 'to' when constructing a period" +
+            " - 'from': "), from.cast("string"),
+          lit(", 'to': "), to.cast("string"))).cast("timestamp"))
+        .otherwise(from).as("_from"),
+      to.as("_to"))
 
   // --- accessors (reference `lower upper lower_inf upper_inf`)
   def lower(p: Column): Column = p.getField("_from")

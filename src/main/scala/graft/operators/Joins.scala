@@ -258,6 +258,26 @@ object Joins {
       s"intervalJoin requires disjoint column names; both sides have: " +
         overlap.mkString(", "))
 
+    // malformed periods (from >= to) fail LOUDLY in every strategy: the
+    // reference rejects them at period construction (temporal.clj:1907),
+    // and letting them through would make results depend on the physical
+    // plan — the raw theta predicate can be true for a backwards period,
+    // but its bucket cover is empty (and a zero-length period's cover
+    // flips with bucket alignment). Null endpoints stay legal: the raw
+    // predicate is null for them under every strategy.
+    def wellFormed(df: DataFrame, from: String, to: String): DataFrame =
+      df.filter(
+        when(col(from).isNotNull && col(to).isNotNull &&
+            col(from) >= col(to),
+          raise_error(concat(
+            lit(s"intervalJoin: malformed period $from..$to " +
+              "('from' must be earlier than 'to') at "),
+            col(from).cast("string"), lit(".."), col(to).cast("string")))
+            .cast("boolean"))
+          .otherwise(lit(true)))
+    val leftW = wellFormed(left, leftFrom, leftTo)
+    val rightW = wellFormed(right, rightFrom, rightTo)
+
     def useBroadcast: Boolean = {
       val conf = left.sparkSession.sessionState.conf
       val thr = conf.autoBroadcastJoinThreshold
@@ -274,8 +294,8 @@ object Joins {
     if (pick == "broadcast") {
       val small = left.queryExecution.optimizedPlan.stats.sizeInBytes <=
         right.queryExecution.optimizedPlan.stats.sizeInBytes
-      val (l, r) = if (small) (broadcast(left), right)
-        else (left, broadcast(right))
+      val (l, r) = if (small) (broadcast(leftW), rightW)
+        else (leftW, broadcast(rightW))
       val equi = equiKeys.map { case (a, b) => col(a) === col(b) }
       return l.join(r, (condition +: equi).reduce(_ && _))
     }
@@ -294,7 +314,7 @@ object Joins {
       val r = df.agg(max(ep(col(from)))).head()
       if (r.isNullAt(0)) None else Some(r.getLong(0))
     }
-    val horizon = (maxFrom(left, leftFrom), maxFrom(right, rightFrom)) match {
+    val horizon = (maxFrom(leftW, leftFrom), maxFrom(rightW, rightFrom)) match {
       case (Some(a), Some(b)) => math.max(a, b)
       case _ => // one side is empty: the join is empty, keep the schema
         return left.crossJoin(right).filter(lit(false))
@@ -319,8 +339,8 @@ object Joins {
             .otherwise(array().cast("array<long>"))))
         .drop("__lo", "__hi")
     }
-    val lB = bucketed(left, leftFrom, leftTo, "__bkt_l")
-    val rB = bucketed(right, rightFrom, rightTo, "__bkt_r")
+    val lB = bucketed(leftW, leftFrom, leftTo, "__bkt_l")
+    val rB = bucketed(rightW, rightFrom, rightTo, "__bkt_r")
     val canonical = lB("__bkt_l") ===
       fdiv(greatest(ep(col(leftFrom)), ep(col(rightFrom))))
     val equi = equiKeys.map { case (a, b) => col(a) === col(b) }

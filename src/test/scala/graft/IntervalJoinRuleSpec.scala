@@ -134,6 +134,52 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.intervalJoin.enabled", "true")
   }
 
+  test("fuzz: rule-on == rule-off across seeds, bucket widths, and " +
+      "condition shapes (degenerates and nulls planted every run)") {
+    import spark.implicits._
+    def mkSide(seed: Int, n: Int, idBase: Long, pre: String): _root_.org.apache.spark.sql.DataFrame = {
+      val rnd = new scala.util.Random(seed)
+      def ts(s: Long) = java.time.Instant.ofEpochSecond(s).toString
+        .replace("T", " ").dropRight(1)
+      val base = 1700000000L
+      (1 to n).map { i =>
+        val start = base + rnd.nextInt(86400 * 10)
+        val len = 1 + rnd.nextInt(3 * 86400) // 1s .. 3d: straddles widths
+        val (f, t) = (ts(start), ts(start + len))
+        rnd.nextInt(12) match { // ~25% degenerate/null rows per side
+          case 0 => (idBase + i, f, f)    // empty
+          case 1 => (idBase + i, t, f)    // inverted
+          case 2 => (idBase + i, null, t) // null from
+          case _ => (idBase + i, f, t)
+        }
+      }.toDF("id", "fs", "tss")
+        .select(col("id").as(s"${pre}id"),
+          col("fs").cast("timestamp").as(s"${pre}f"),
+          col("tss").cast("timestamp").as(s"${pre}t"))
+    }
+    val shapes = Seq( // overlap pair alone, + extra residual conjunct
+      "lf < rt AND rf < lt",
+      "lf < rt AND rf < lt AND lid % 3 != rid % 5")
+    for (seed <- Seq(101, 202, 303); w <- Seq(600L, 21600L, 604800L);
+        shape <- shapes) {
+      mkSide(seed, 60, 1L, "l").createOrReplaceTempView("lfz")
+      mkSide(seed + 7, 70, 5000L, "r").createOrReplaceTempView("rfz")
+      spark.conf.set("spark.graft.intervalJoin.bucketSeconds", w.toString)
+      val sql = s"SELECT lid, rid FROM lfz JOIN rfz ON $shape"
+      val got = spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      spark.conf.set("spark.graft.intervalJoin.enabled", "false")
+      val expected = try spark.sql(sql).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      finally spark.conf.set("spark.graft.intervalJoin.enabled", "true")
+      assert(got == expected,
+        s"seed=$seed w=$w shape='$shape': " +
+          s"missing=${(expected -- got).take(5)} " +
+          s"extra=${(got -- expected).take(5)}")
+      assert(expected.nonEmpty, s"seed=$seed fixture degenerated")
+    }
+  }
+
   test("rule defers when an equi conjunct exists and on <= conjuncts " +
       "(unsound at bucket boundaries)") {
     fixture()

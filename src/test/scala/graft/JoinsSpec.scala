@@ -144,6 +144,45 @@ class JoinsSpec extends AnyFunSuite {
     assert(got == Set((1L, 10L)))
   }
 
+  test("interval join: malformed periods (from >= to) raise loudly in " +
+      "BOTH strategies; null endpoints don't") {
+    // a backwards period can satisfy the raw theta predicate while its
+    // bucket cover is empty (and a zero-length one's cover flips with
+    // bucket alignment) — without the guard, results would depend on the
+    // physical plan. The reference rejects these at period construction
+    // (temporal.clj:1907); intervalJoin mirrors that for its raw-column
+    // API, identically under bucket and broadcast.
+    val good = periods(Seq((10L, "2024-01-01 00:00:00",
+      "2024-01-01 05:00:00")), "rid", "rf", "rt")
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${messages(t.getCause)}"
+    for (bad <- Seq(
+        ("2024-01-01 03:00:00", "2024-01-01 01:00:00"),    // backwards
+        ("2024-01-01 02:00:00", "2024-01-01 02:00:00"));   // zero-length
+        strat <- Seq("bucket", "broadcast")) {
+      val l = periods(Seq((1L, bad._1, bad._2)), "lid", "lf", "lt")
+      val ex = intercept[Exception] {
+        Joins.intervalJoin(l, good, "lf", "lt", "rf", "rt",
+          Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+          bucketSeconds = 3600, strategy = strat).count()
+      }
+      assert(messages(ex).contains("malformed period"),
+        s"strategy=$strat period=$bad must raise the guard")
+    }
+    // null endpoints: legal (unbounded semantics belong to the caller's
+    // predicate — raw nulls make the predicate null => no match), and
+    // identical across strategies
+    val ln = periods(Seq((1L, null, "2024-01-01 04:00:00"),
+      (2L, "2024-01-01 01:00:00", null)), "lid", "lf", "lt")
+    for (strat <- Seq("bucket", "broadcast")) {
+      val got = Joins.intervalJoin(ln, good, "lf", "lt", "rf", "rt",
+          Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+          bucketSeconds = 3600, strategy = strat)
+        .select("lid", "rid").as[(Long, Long)].collect().toSet
+      assert(got == Set.empty[(Long, Long)], s"strategy=$strat")
+    }
+  }
+
   test("interval join LEFT OUTER: unmatched left rows null-extend; " +
       "matched rows equal the inner join") {
     val l = periods(Seq(

@@ -55,4 +55,26 @@ class XtSqlSpec extends AnyFunSuite {
     assert(r.getTimestamp(1).toString == "2024-01-01 00:15:00.0")
     assert(r.getBoolean(2) && r.getBoolean(3))
   }
+
+  test("period() rejects from >= to like the reference; null endpoints legal") {
+    XtSql.registerFunctions(spark)
+    // reference temporal.clj:1907 throws :xtdb/invalid-period on from >= to
+    def messages(t: Throwable): String =
+      if (t == null) "" else s"${t.getMessage} ${messages(t.getCause)}"
+    for (pair <- Seq(
+        "TIMESTAMP '2024-02-01', TIMESTAMP '2024-01-01'",   // backwards
+        "TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-01'")) { // zero-length
+      val ex = intercept[Exception] {
+        spark.sql(s"SELECT period($pair) AS p").collect()
+      }
+      assert(messages(ex).contains("'from' must be earlier than 'to'"),
+        s"period($pair) must raise the reference error")
+    }
+    // unbounded endpoints are not malformed
+    val ok = spark.sql(
+      """SELECT period(CAST(NULL AS TIMESTAMP), TIMESTAMP '2024-01-01') AS a,
+                period(TIMESTAMP '2024-01-01', CAST(NULL AS TIMESTAMP)) AS b""")
+      .collect().head
+    assert(ok.getStruct(0).isNullAt(0) && ok.getStruct(1).isNullAt(1))
+  }
 }
