@@ -236,6 +236,30 @@ object Sketch {
              abs(e.distinct_est - x.exact_n) / x.exact_n <= 0.08
                AS within_tol
       FROM est e JOIN exact x USING (win_start, event_type)
-      ORDER BY win_start, event_type"""))
+      ORDER BY win_start, event_type""")),
+
+    // ---- Z-order (Morton) values through the gate: the bit-interleave
+    // is pure shift/mask arithmetic emitted from ONE source of truth
+    // (Layout.spread16 / Layout.spreadSql), so the oracle replays it
+    // exactly. Layout effectiveness (both-dimension file/row-group
+    // pruning vs a single-column sort) is MEASURED in ZOrderSpec via
+    // records-actually-read; this query pins the math the layout keys on.
+    QueryDef("q219_zorder_value", (s, dir) => {
+      val z = graft.operators.Layout.zvalue2(
+        col("l_partkey"), col("l_suppkey"))
+      t(s, dir, "lineitem")
+        .select(z.as("z"))
+        .groupBy((col("z") - pmod(col("z"), lit(16384L))).as("z_tile"))
+        .agg(count(lit(1)).as("n"), min("z").as("z_min"),
+          max("z").as("z_max"))
+        .presentSortedK("z_tile")
+    }, Some(s"""
+      WITH z AS (
+        SELECT ${graft.operators.Layout.zvalue2Sql("l_partkey", "l_suppkey")}
+                 AS z
+        FROM lineitem)
+      SELECT z - z % 16384 AS z_tile, count(*) AS n,
+             min(z) AS z_min, max(z) AS z_max
+      FROM z GROUP BY 1 ORDER BY z_tile"""))
   )
 }
