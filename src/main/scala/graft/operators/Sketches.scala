@@ -98,6 +98,36 @@ object Sketches {
       .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "leftsemi")
   }
 
+  /** Pairwise set-overlap matrix via theta sketches: one mergeable
+    * sketch per group (a distributed aggregate — the only pass over the
+    * data), then |A|, |B|, |A ∩ B|, |A \ B| estimates over every group
+    * pair from the sketch bytes alone. The set-ALGEBRA questions HLL
+    * cannot answer (its registers only union): audience/cohort overlap,
+    * eval-contamination set differences. The pair join runs over the
+    * #groups-row sketch relation, never the corpus: at 100 TB the
+    * corpus pass is one sketch aggregate and the algebra is driver-cheap.
+    * Below 2^lgK distinct values per group the sketches retain every
+    * hash, so the estimates are exact; above, the published
+    * ~1/sqrt(2^lgK) RSE applies (intersections relative to the union
+    * bound). Output: (g_a, g_b, a_est, b_est, overlap_est, only_a_est)
+    * for g_a < g_b. */
+  def groupOverlap(df: DataFrame, groupCol: String, valueCol: String,
+      lgK: Int = 12): DataFrame = {
+    import graft.functions.ThetaSketch
+    val sk = df.groupBy(groupCol)
+      .agg(ThetaSketch.sketchAgg(col(valueCol), lgK).as("__sk"))
+    val a = sk.select(col(groupCol).as("g_a"), col("__sk").as("__sk_a"))
+    val b = sk.select(col(groupCol).as("g_b"), col("__sk").as("__sk_b"))
+    a.join(b, col("g_a") < col("g_b"))
+      .select(col("g_a"), col("g_b"),
+        ThetaSketch.estimate(col("__sk_a")).as("a_est"),
+        ThetaSketch.estimate(col("__sk_b")).as("b_est"),
+        ThetaSketch.intersectEstimate(col("__sk_a"), col("__sk_b"))
+          .as("overlap_est"),
+        ThetaSketch.differenceEstimate(col("__sk_a"), col("__sk_b"))
+          .as("only_a_est"))
+  }
+
   /** Mergeable distinct counts: per (`groupCols`, `shardCol`) build a
     * Datasketches HLL sketch of `valueCol` (lgK configurable, default
     * 12 ⇒ ~1.6 % relative standard error, 4 KiB max per sketch), then

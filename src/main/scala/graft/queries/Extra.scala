@@ -403,6 +403,49 @@ object Extra {
              o_orderdate - INTERVAL 45 DAY AS minus45d,
              CAST(date_diff('month', CAST(o_orderdate AS DATE),
                             DATE '2001-09-15') AS BIGINT) AS mm
-      FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey"""))
+      FROM orders WHERE o_orderkey < 300 ORDER BY o_orderkey""")),
+
+    // ---- EWMA smoothing over the event stream (time-series analytics):
+    // alpha = 1/2 with a bounded 12-tap window, so every weight 2^-k is
+    // an exact binary scale — value * 2^-k is a pure exponent shift and
+    // the fixed left-to-right 12-term sum is per-row IEEE, bit-identical
+    // across engines (the libm-free discipline of q182/q191). Missing
+    // leading taps renormalize by the present-weight sum. Emitted as a
+    // floor(x * 10^4 + 0.5) scaled int (engine-portable rounding).
+    // A recursive EWMA needs running state; the bounded-tap form is the
+    // scan-friendly equivalent (tail weight <= 2^-12 of the spectrum)
+    // and stays one window pass — no shuffle beyond the per-user sort.
+    QueryDef("q220_ewma", (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id"))
+      val taps = 12
+      val num = (0 until taps).map(k =>
+        coalesce(lag(col("value"), k).over(w), lit(0.0)) *
+          lit(math.pow(2.0, -k))).reduce(_ + _)
+      val den = (0 until taps).map(k =>
+        when(lag(col("value"), k).over(w).isNotNull,
+          lit(math.pow(2.0, -k))).otherwise(lit(0.0))).reduce(_ + _)
+      Tables.load(s, dir, "events")
+        .filter(col("user_id") < 8)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          floor(num / den * 10000.0 + 0.5).as("ewma4"))
+        .orderBy("event_id")
+    }, Some {
+      val taps = 12
+      val num = (0 until taps).map(k =>
+        s"coalesce(lag(value, $k) OVER w, 0.0) * ${math.pow(2.0, -k)}")
+        .mkString(" + ")
+      val den = (0 until taps).map(k =>
+        s"(CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN ${math.pow(2.0, -k)} ELSE 0.0 END)")
+        .mkString(" + ")
+      s"""
+      SELECT event_id, user_id,
+             CAST(floor(($num) / ($den) * 10000.0 + 0.5) AS BIGINT) AS ewma4
+      FROM events WHERE user_id < 8
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id"""
+    })
   )
 }

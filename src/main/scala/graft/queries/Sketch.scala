@@ -260,6 +260,54 @@ object Sketch {
         FROM lineitem)
       SELECT z - z % 16384 AS z_tile, count(*) AS n,
              min(z) AS z_min, max(z) AS z_max
-      FROM z GROUP BY 1 ORDER BY z_tile"""))
+      FROM z GROUP BY 1 ORDER BY z_tile""")),
+
+    // ---- theta-sketch set algebra: pairwise audience overlap between
+    // event types — |A|, |B|, |A ∩ B|, |A \ B| from per-group sketches
+    // (ONE corpus pass; the pair join runs over the 5-row sketch
+    // relation). HLL can only union; theta's hash-sample closure under
+    // intersection/difference is what cohort-overlap and
+    // eval-contamination questions need. Estimates persist (q141
+    // pattern); both engines recompute the exact sets and the same
+    // ±10% verdicts (these groups sit under 2^12 nominal entries, where
+    // theta retains every hash — the verdict is exactness here, the
+    // error bound at scale).
+    QueryDef("q221_sketch_theta_overlap", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val est = materializeModel(
+        Sketches.groupOverlap(ev, "event_type", "user_id", lgK = 12),
+        "theta_overlap")
+      val u = ev.select(col("event_type"), col("user_id")).distinct()
+      val exact = u.as("ua").join(u.as("ub"),
+          col("ua.user_id") === col("ub.user_id") &&
+            col("ua.event_type") < col("ub.event_type"))
+        .groupBy(col("ua.event_type").as("g_a"),
+          col("ub.event_type").as("g_b"))
+        .agg(count(lit(1)).as("overlap_exact"))
+      est.join(exact, Seq("g_a", "g_b"))
+        .select(col("g_a"), col("g_b"), col("a_est"), col("b_est"),
+          col("overlap_est"), col("only_a_est"), col("overlap_exact"),
+          (abs(col("overlap_est") - col("overlap_exact"))
+            / col("overlap_exact") <= 0.10).as("within_tol"),
+          (col("a_est") - col("overlap_est") === col("only_a_est"))
+            .as("algebra_ok"))
+        .presentSortedK("g_a", "g_b")
+    }, Some(s"""
+      WITH est AS (
+        SELECT * FROM read_parquet('$ModelDir/theta_overlap/*.parquet')),
+      u AS (SELECT DISTINCT event_type, user_id FROM events),
+      exact AS (
+        SELECT ua.event_type AS g_a, ub.event_type AS g_b,
+               count(*) AS overlap_exact
+        FROM u ua JOIN u ub ON ua.user_id = ub.user_id
+         AND ua.event_type < ub.event_type
+        GROUP BY 1, 2)
+      SELECT e.g_a, e.g_b, e.a_est, e.b_est, e.overlap_est, e.only_a_est,
+             x.overlap_exact,
+             abs(e.overlap_est - x.overlap_exact) / x.overlap_exact <= 0.10
+               AS within_tol,
+             e.a_est - e.overlap_est = e.only_a_est AS algebra_ok
+      FROM est e JOIN exact x USING (g_a, g_b)
+      ORDER BY g_a, g_b"""))
   )
 }

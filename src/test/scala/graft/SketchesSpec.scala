@@ -172,6 +172,48 @@ class SketchesSpec extends AnyFunSuite {
     } finally df.unpersist()
   }
 
+  test("theta sketch set algebra is EXACT below nominal capacity") {
+    import graft.functions.ThetaSketch
+    // A = {0..599}, B = {300..899}: |A|=|B|=600, |A∩B|=300, |A\B|=300
+    val df = spark.range(0, 600).toDF("v").withColumn("g", lit("A"))
+      .unionAll(spark.range(300, 900).toDF("v").withColumn("g", lit("B")))
+    val m = Sketches.groupOverlap(df, "g", "v", lgK = 12).head()
+    assert((m.getAs[Long]("a_est"), m.getAs[Long]("b_est"),
+      m.getAs[Long]("overlap_est"), m.getAs[Long]("only_a_est"))
+      == ((600L, 600L, 300L, 300L)))
+  }
+
+  test("theta sketch estimates stay inside the published RSE above capacity") {
+    import graft.functions.ThetaSketch
+    // 40k distinct per group, 20k shared, lgK=10 (capacity 1024) => deep
+    // estimation mode; RSE ~ 1/sqrt(1024) ~ 3.1%, allow 5 sigma
+    val a = spark.range(0, 40000).toDF("v").withColumn("g", lit("A"))
+    val b = spark.range(20000, 60000).toDF("v").withColumn("g", lit("B"))
+    val m = Sketches.groupOverlap(a.unionAll(b), "g", "v", lgK = 10).head()
+    def within(est: Long, exact: Long, tol: Double) =
+      math.abs(est - exact).toDouble / exact <= tol
+    assert(within(m.getAs[Long]("a_est"), 40000L, 0.16), m.toString)
+    assert(within(m.getAs[Long]("b_est"), 40000L, 0.16), m.toString)
+    // intersection error is relative to the union bound (60k), wider
+    assert(within(m.getAs[Long]("overlap_est"), 20000L, 0.35), m.toString)
+    assert(within(m.getAs[Long]("only_a_est"), 20000L, 0.35), m.toString)
+  }
+
+  test("theta sketch string and long updates hash canonically (merge across partitions)") {
+    import graft.functions.ThetaSketch
+    // the same logical set built in 1 partition vs 8 must estimate
+    // identically (set property, no insertion-order state below capacity)
+    val vals = (1 to 3000).map(i => s"user_$i")
+    import spark.implicits._
+    val one = vals.toDF("v").coalesce(1)
+      .agg(ThetaSketch.estimate(ThetaSketch.sketchAgg(col("v"), 12)))
+      .head().getLong(0)
+    val many = spark.createDataset(vals).toDF("v").repartition(8)
+      .agg(ThetaSketch.estimate(ThetaSketch.sketchAgg(col("v"), 12)))
+      .head().getLong(0)
+    assert(one == many && one == 3000L)
+  }
+
   test("probe expressions reject unsupported key types loudly") {
     val df = zipf(10).withColumn("d", col("k").cast("double"))
     val cms = df.stat.countMinSketch(col("k"), 1e-3, 0.9, 1)
