@@ -51,5 +51,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     inject("p_precedes", 2)(a => Periods.precedes(a.head, a(1)))
     inject("p_succeeds", 2)(a => Periods.succeeds(a.head, a(1)))
     inject("p_equals", 2)(a => Periods.equalsPeriod(a.head, a(1)))
+    // theta sketches (same surface as XtSql.registerFunctions): the
+    // aggregate builder returns the AggregateFunction raw — the
+    // analyzer wraps it like any registry aggregate
+    extensions.injectFunction((
+      FunctionIdentifier("theta_sketch"),
+      new ExpressionInfo("graft", "theta_sketch"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1 || exprs.length == 2,
+          "theta_sketch expects (key[, lgK])")
+        val lgK =
+          if (exprs.length < 2) 12
+          else exprs(1) match {
+            case org.apache.spark.sql.catalyst.expressions
+              .Literal(v, _) => v.toString.toInt
+            case _ => throw new IllegalArgumentException(
+              "theta_sketch lgK must be a literal")
+          }
+        graft.functions.ThetaSketchAgg(exprs.head, lgK)
+      }))
+    inject("theta_estimate", 1)(a =>
+      graft.functions.ThetaSketch.estimate(a.head))
+    inject("theta_intersect_estimate", 2)(a =>
+      graft.functions.ThetaSketch.intersectEstimate(a.head, a(1)))
+    inject("theta_difference_estimate", 2)(a =>
+      graft.functions.ThetaSketch.differenceEstimate(a.head, a(1)))
   }
 }

@@ -128,6 +128,28 @@ object XtSql {
       Periods.immediatelyLeads(a.head, a(1)))
     register("p_lower_inf", 1)(a => Periods.lowerInf(a.head))
     register("p_upper_inf", 1)(a => Periods.upperInf(a.head))
+    // theta sketches in the SQL surface: the distinct-set aggregate
+    // returns an AggregateFunction raw — the analyzer wraps it into an
+    // AggregateExpression like any registry aggregate
+    reg.createOrReplaceTempFunction("theta_sketch", exprs => {
+      require(exprs.length == 1 || exprs.length == 2,
+        "theta_sketch expects (key[, lgK])")
+      val lgK =
+        if (exprs.length < 2) 12
+        else exprs(1) match {
+          case org.apache.spark.sql.catalyst.expressions
+            .Literal(v, _) => v.toString.toInt
+          case _ => throw new IllegalArgumentException(
+            "theta_sketch lgK must be a literal")
+        }
+      graft.functions.ThetaSketchAgg(exprs.head, lgK)
+    }, "scala_udf")
+    register("theta_estimate", 1)(a =>
+      graft.functions.ThetaSketch.estimate(a.head))
+    register("theta_intersect_estimate", 2)(a =>
+      graft.functions.ThetaSketch.intersectEstimate(a.head, a(1)))
+    register("theta_difference_estimate", 2)(a =>
+      graft.functions.ThetaSketch.differenceEstimate(a.head, a(1)))
 
     // ---- SQL-standard string/array fns Spark lacks under these names
     // (reference expression.clj:1228-1311, 1579-1744, 2205-2250)

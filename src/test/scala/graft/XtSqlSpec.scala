@@ -56,6 +56,23 @@ class XtSqlSpec extends AnyFunSuite {
     assert(r.getBoolean(2) && r.getBoolean(3))
   }
 
+  test("theta sketch SQL surface: sketch/estimate/intersect/difference") {
+    XtSql.registerFunctions(spark)
+    val r = spark.sql("""
+      WITH t(g, v) AS (SELECT CASE WHEN id < 600 THEN 'A' ELSE 'B' END,
+                              CASE WHEN id < 600 THEN id ELSE id - 300 END
+                       FROM range(1200)),
+      s AS (SELECT g, theta_sketch(v) AS sk FROM t GROUP BY g)
+      SELECT theta_estimate(a.sk) AS ea, theta_estimate(b.sk) AS eb,
+             theta_intersect_estimate(a.sk, b.sk) AS ov,
+             theta_difference_estimate(a.sk, b.sk) AS d
+      FROM s a, s b WHERE a.g = 'A' AND b.g = 'B'
+    """).collect().head
+    // A = {0..599}, B = {300..899}: exact below nominal capacity
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((600L, 600L, 300L, 300L)))
+  }
+
   test("period() rejects from >= to like the reference; null endpoints legal") {
     XtSql.registerFunctions(spark)
     // reference temporal.clj:1907 throws :xtdb/invalid-period on from >= to
