@@ -308,6 +308,46 @@ object Sketch {
                AS within_tol,
              e.a_est - e.overlap_est = e.only_a_est AS algebra_ok
       FROM est e JOIN exact x USING (g_a, g_b)
+      ORDER BY g_a, g_b""")),
+
+    // ---- theta sketches in DEEP estimation mode: per-returnflag order
+    // key sets (~11k distinct each at sf0.01 >> the 2^12 nominal
+    // capacity, so the hash-sample estimator is actually exercised, not
+    // the exact small-set path of q221). One corpus pass; the exact
+    // side is the distinct self-join both engines replay. ±10% covers
+    // the ~1.6% RSE amplified by the union/overlap ratio with margin.
+    QueryDef("q222_sketch_theta_orderkeys", (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val est = materializeModel(
+        Sketches.groupOverlap(li, "l_returnflag", "l_orderkey", lgK = 12),
+        "theta_orderkeys")
+      val u = li.select(col("l_returnflag"), col("l_orderkey")).distinct()
+      val exact = u.as("ua").join(u.as("ub"),
+          col("ua.l_orderkey") === col("ub.l_orderkey") &&
+            col("ua.l_returnflag") < col("ub.l_returnflag"))
+        .groupBy(col("ua.l_returnflag").as("g_a"),
+          col("ub.l_returnflag").as("g_b"))
+        .agg(count(lit(1)).as("overlap_exact"))
+      est.join(exact, Seq("g_a", "g_b"))
+        .select(col("g_a"), col("g_b"), col("overlap_est"),
+          col("overlap_exact"),
+          (abs(col("overlap_est") - col("overlap_exact"))
+            / col("overlap_exact") <= 0.10).as("within_tol"))
+        .presentSortedK("g_a", "g_b")
+    }, Some(s"""
+      WITH est AS (
+        SELECT * FROM read_parquet('$ModelDir/theta_orderkeys/*.parquet')),
+      u AS (SELECT DISTINCT l_returnflag, l_orderkey FROM lineitem),
+      exact AS (
+        SELECT ua.l_returnflag AS g_a, ub.l_returnflag AS g_b,
+               count(*) AS overlap_exact
+        FROM u ua JOIN u ub ON ua.l_orderkey = ub.l_orderkey
+         AND ua.l_returnflag < ub.l_returnflag
+        GROUP BY 1, 2)
+      SELECT e.g_a, e.g_b, e.overlap_est, x.overlap_exact,
+             abs(e.overlap_est - x.overlap_exact) / x.overlap_exact <= 0.10
+               AS within_tol
+      FROM est e JOIN exact x USING (g_a, g_b)
       ORDER BY g_a, g_b"""))
   )
 }
