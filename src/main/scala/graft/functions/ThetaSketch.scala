@@ -114,6 +114,76 @@ case class ThetaSketchAgg(child: Expression, lgK: Int,
     copy(child = newChild)
 }
 
+/** Mergeable frequent-items sketch (Misra-Gries style, Datasketches
+  * LongsSketch) over a long/int key: the SINGLE-pass approximate
+  * counterpart of `Sketches.heavyHitters` (which pays a second pass to
+  * be exact). Guarantees after any merge order: estimates bracket the
+  * true count (`lb <= n <= ub` with `ub - lb <= getMaximumError`), and
+  * a NO_FALSE_NEGATIVES query returns every item whose true count
+  * reaches the threshold. `maxMapSize` (power of two) bounds memory and
+  * the error: maxError <= 3.5 * N / maxMapSize. */
+case class FreqItemsAgg(child: Expression, maxMapSize: Int,
+    mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[
+      org.apache.datasketches.frequencies.LongsSketch]
+    with UnaryLike[Expression] {
+
+  require(maxMapSize >= 8 && Integer.bitCount(maxMapSize) == 1,
+    s"maxMapSize must be a power of two >= 8, got $maxMapSize")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType | IntegerType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"freq_items expects bigint/int, got ${t.simpleString}")
+  }
+
+  override def createAggregationBuffer()
+      : org.apache.datasketches.frequencies.LongsSketch =
+    new org.apache.datasketches.frequencies.LongsSketch(maxMapSize)
+
+  override def update(
+      buffer: org.apache.datasketches.frequencies.LongsSketch,
+      input: InternalRow)
+      : org.apache.datasketches.frequencies.LongsSketch = {
+    val v = child.eval(input)
+    if (v != null) v match {
+      case i: java.lang.Integer => buffer.update(i.longValue())
+      case l: java.lang.Long => buffer.update(l.longValue())
+    }
+    buffer
+  }
+
+  override def merge(
+      buffer: org.apache.datasketches.frequencies.LongsSketch,
+      other: org.apache.datasketches.frequencies.LongsSketch)
+      : org.apache.datasketches.frequencies.LongsSketch =
+    buffer.merge(other)
+
+  override def eval(
+      buffer: org.apache.datasketches.frequencies.LongsSketch): Any =
+    buffer.toByteArray
+
+  override def serialize(
+      buffer: org.apache.datasketches.frequencies.LongsSketch): Array[Byte] =
+    buffer.toByteArray
+
+  override def deserialize(bytes: Array[Byte])
+      : org.apache.datasketches.frequencies.LongsSketch =
+    org.apache.datasketches.frequencies.LongsSketch.getInstance(
+      Memory.wrap(bytes))
+
+  override def dataType: DataType = BinaryType
+  override def nullable: Boolean = false
+  override def prettyName: String = "freq_items"
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): FreqItemsAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): FreqItemsAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Rounded distinct estimate of a serialized theta sketch. */
 case class ThetaEstimate(child: Expression) extends UnaryExpression {
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {

@@ -98,6 +98,45 @@ object Sketches {
       .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "leftsemi")
   }
 
+  /** SINGLE-pass approximate heavy hitters (Misra-Gries /
+    * [[graft.functions.FreqItemsAgg]]): where [[heavyHitters]] pays a
+    * second corpus pass to return the exact HAVING answer, this one
+    * answers from one mergeable aggregate — the right trade when the
+    * corpus is read-once (a stream tap, a pipe) or a scan costs more
+    * than approximation is worth. Returns every item whose TRUE count
+    * can reach `threshold` (NO_FALSE_NEGATIVES — supersets the true
+    * heavy hitters) with `(est, lb, ub)` brackets, `ub - lb <=
+    * 3.5 * N / maxMapSize` after any merge order. The guarantee is only
+    * real when `threshold > maxError` — an item below the error bound
+    * may have been purged — so the operator REFUSES smaller thresholds
+    * loudly (raise `maxMapSize`). The sketch collect is model-sized
+    * (maxMapSize entries max). Long/int keys. */
+  def heavyHittersOnePass(df: DataFrame, keyCol: String, threshold: Long,
+      maxMapSize: Int = 8192): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    val bytes = df.agg(
+      toColumn(graft.functions.FreqItemsAgg(
+        toExpression(col(keyCol)), maxMapSize).toAggregateExpression())
+        .as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val sk = org.apache.datasketches.frequencies.LongsSketch.getInstance(
+      org.apache.datasketches.memory.Memory.wrap(bytes))
+    // the no-false-negative contract only holds for thresholds ABOVE the
+    // sketch's error bound (an item under maxError may have been purged
+    // entirely) — refusing loudly beats silently returning a subset
+    require(threshold > sk.getMaximumError,
+      s"heavyHittersOnePass: threshold $threshold <= sketch max error " +
+        s"${sk.getMaximumError} — the no-false-negative guarantee would " +
+        "be silently void; raise maxMapSize (error <= 3.5*N/maxMapSize)")
+    val rows = sk.getFrequentItems(threshold,
+      org.apache.datasketches.frequencies.ErrorType.NO_FALSE_NEGATIVES)
+      .toSeq.map(r => (r.getItem, r.getEstimate, r.getLowerBound,
+        r.getUpperBound))
+    val spark = df.sparkSession
+    import spark.implicits._
+    rows.toDF(keyCol, "est", "lb", "ub")
+  }
+
   /** Pairwise set-overlap matrix via theta sketches: one mergeable
     * sketch per group (a distributed aggregate — the only pass over the
     * data), then |A|, |B|, |A ∩ B|, |A \ B| estimates over every group

@@ -105,29 +105,71 @@ object GraftJoinReorder extends Rule[LogicalPlan] with PredicateHelper {
     * Filter on the way down. Project/alias skipped — column-width scaling is
     * already applied when physical pruning reaches the scan. */
   private def estimate(p: LogicalPlan): Double = p match {
-    case Filter(cond, child) => selectivity(cond) * estimate(child)
+    case Filter(cond, child) => selectivity(cond, child) * estimate(child)
     case Project(_, child) => estimate(child)
     case SubqueryAlias(_, child) => estimate(child)
     case other => math.max(other.stats.sizeInBytes.toDouble, 1.0)
   }
 
-  /** System-R default selectivities (Selinger et al., SIGMOD 1979 §4):
-    * equality 1/10 of a moderate NDV, ranges ~1/3, conjunction independent.
-    * Deliberately coarse — the ordering only needs relative magnitudes. */
-  private def selectivity(e: Expression): Double = e match {
-    case And(l, r) => selectivity(l) * selectivity(r)
+  /** System-R selectivities (Selinger et al., SIGMOD 1979 §4) refined by
+    * write-time NDV sidecars when the scanned table was ANALYZEd
+    * ([[StatsSidecar]] — the engine-side analogue of the reference's
+    * per-page HLL stats, `indexer/HllCalculator.kt`): equality on an
+    * analyzed column costs `1/NDV` instead of the 1/10 default — the
+    * System-R refinement that distinguishes a key-selective filter
+    * (1/150k) from a 3-value flag filter (1/3). Unanalyzed tables keep
+    * the published defaults; the ordering only needs relative
+    * magnitudes. `scope` is the subtree under the filter, used to trace
+    * an attribute to its leaf scan's path. */
+  private def selectivity(e: Expression, scope: LogicalPlan): Double = e match {
+    case And(l, r) => selectivity(l, scope) * selectivity(r, scope)
     case Or(l, r) =>
-      val (a, b) = (selectivity(l), selectivity(r)); a + b - a * b
-    case Not(c) => math.max(0.0, 1.0 - selectivity(c))
+      val (a, b) = (selectivity(l, scope), selectivity(r, scope))
+      a + b - a * b
+    case Not(c) => math.max(0.0, 1.0 - selectivity(c, scope))
+    case EqualTo(a: AttributeReference, _: Literal) => eqSelectivity(a, scope)
+    case EqualTo(_: Literal, a: AttributeReference) => eqSelectivity(a, scope)
     case _: EqualTo | _: EqualNullSafe => 0.1
     case _: LessThan | _: LessThanOrEqual |
          _: GreaterThan | _: GreaterThanOrEqual => 1.0 / 3.0
+    case In(a: AttributeReference, list)
+        if list.forall(_.isInstanceOf[Literal]) =>
+      math.min(0.5, list.size * eqSelectivity(a, scope))
     case In(_, list) => math.min(0.5, 0.1 * list.size)
     case i: InSet => math.min(0.5, 0.1 * i.hset.size)
     case _: StringPredicate | _: Like | _: RLike => 0.25
     case _: IsNull => 0.1
     case _: IsNotNull => 1.0
     case _ => 0.5
+  }
+
+  private def eqSelectivity(a: AttributeReference,
+      scope: LogicalPlan): Double =
+    ndvOf(a, scope).map(n => 1.0 / math.max(1L, n).toDouble).getOrElse(0.1)
+
+  /** NDV of `a` from the `_graft_stats.json` sidecar of the leaf scan
+    * that produces it (exprId match), when one exists. Local-filesystem
+    * paths only — the deployment the raw-parquet default serves; a
+    * non-file scheme just falls back to defaults, never errors. */
+  private def ndvOf(a: AttributeReference,
+      scope: LogicalPlan): Option[Long] = {
+    if (conf.getConfString("spark.graft.joinReorder.ndvStats", "true")
+        != "true") return None
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    scope.collectFirst {
+      case lr: LogicalRelation
+          if lr.output.exists(_.exprId == a.exprId) => lr
+    }.flatMap { lr =>
+      lr.relation match {
+        case fs: HadoopFsRelation =>
+          fs.location.rootPaths.headOption
+            .filter(p => p.toUri.getScheme == null ||
+              p.toUri.getScheme == "file")
+            .flatMap(p => StatsSidecar.read(p.toUri.getPath))
+            .flatMap(_.ndv.get(a.name))
+        case _ => None
+      }
+    }
   }
 
   /** Greedy order (as indices into `plans`): start from the smallest

@@ -348,6 +348,41 @@ object Sketch {
              abs(e.overlap_est - x.overlap_exact) / x.overlap_exact <= 0.10
                AS within_tol
       FROM est e JOIN exact x USING (g_a, g_b)
-      ORDER BY g_a, g_b"""))
+      ORDER BY g_a, g_b""")),
+
+    // ---- SINGLE-pass heavy hitters (Misra-Gries): the one-pass
+    // counterpart of q214. The candidate SET a merged sketch returns is
+    // merge-order-dependent (which near-threshold maybes survive a
+    // purge is not canonical), so the gate pins the part that is
+    // GUARANTEED for every valid sketch state: each exact heavy hitter
+    // (count >= 15, both engines compute it) must appear in the
+    // persisted candidates (NO_FALSE_NEGATIVES) with brackets around
+    // its true count (lb <= n <= ub). Output rows are keyed by the
+    // exact heavy hitters only, so run-to-run maybe-variance cannot
+    // change the row set — only the within-run-consistent brackets.
+    QueryDef("q223_sketch_freq_onepass", (s, dir) => {
+      val orders = t(s, dir, "orders")
+      val cand = materializeModel(
+        Sketches.heavyHittersOnePass(orders, "o_custkey",
+          threshold = 15L, maxMapSize = 8192),
+        "freq_onepass")
+      val exact = orders.groupBy("o_custkey")
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 15)
+      exact.join(cand, Seq("o_custkey"), "left")
+        .select(col("o_custkey"), col("n"),
+          col("est").isNotNull.as("found"),
+          (col("lb") <= col("n") && col("n") <= col("ub"))
+            .as("bracket_ok"))
+        .presentSortedK("o_custkey")
+    }, Some(s"""
+      WITH cand AS (
+        SELECT * FROM read_parquet('$ModelDir/freq_onepass/*.parquet')),
+      exact AS (
+        SELECT o_custkey, count(*) AS n FROM orders
+        GROUP BY o_custkey HAVING count(*) >= 15)
+      SELECT e.o_custkey, e.n, c.est IS NOT NULL AS found,
+             c.lb <= e.n AND e.n <= c.ub AS bracket_ok
+      FROM exact e LEFT JOIN cand c USING (o_custkey)
+      ORDER BY o_custkey"""))
   )
 }

@@ -86,6 +86,56 @@ class JoinReorderSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.joinReorder.enabled", "true")
   }
 
+  test("NDV sidecars refine equality selectivity: ANALYZE flips the " +
+      "greedy order, results unchanged") {
+    install()
+    val d = java.nio.file.Files.createTempDirectory("jr_ndv").toString
+    // hi: 5000 rows, h_pad UNIQUE (ndv 5000) — an equality on it is
+    // key-selective. lo: 4900 rows (slightly SMALLER file so the
+    // default 0.1-selectivity model must pick it first), l_flag ndv 2.
+    spark.range(0, 5000)
+      .select(col("id").as("h_id"), col("id").as("h_pad"))
+      .write.mode("overwrite").parquet(s"$d/hi")
+    spark.range(0, 4900)
+      .select(col("id").as("l_id"), (col("id") % 2).as("l_flag"))
+      .write.mode("overwrite").parquet(s"$d/lo")
+    spark.range(0, 20000)
+      .select(col("id").as("f2_id"), (col("id") % 5000).as("f2_h"),
+        (col("id") % 4900).as("f2_l"))
+      .write.mode("overwrite").parquet(s"$d/fact2")
+    spark.read.parquet(s"$d/hi").createOrReplaceTempView("jr_hi")
+    spark.read.parquet(s"$d/lo").createOrReplaceTempView("jr_lo")
+    spark.read.parquet(s"$d/fact2").createOrReplaceTempView("jr_fact2")
+    val q = """
+      SELECT count(*) AS n FROM jr_fact2
+      JOIN jr_lo ON f2_l = l_id
+      JOIN jr_hi ON f2_h = h_id
+      WHERE l_flag = 1 AND h_pad = 7"""
+    def firstLeafCols: Seq[String] =
+      spark.sql(q).queryExecution.optimizedPlan
+        .collectLeaves().head.output.map(_.name)
+
+    // without sidecars both equalities cost the 0.1 default and the
+    // smaller lo file wins the greedy start
+    assert(firstLeafCols.contains("l_id"),
+      s"default model should start from lo, got $firstLeafCols")
+    val hs = graft.plans.StatsSidecar.analyze(spark, s"$d/hi")
+    val ls = graft.plans.StatsSidecar.analyze(spark, s"$d/lo")
+    assert(hs.ndv("h_pad") > 4000 && ls.ndv("l_flag") <= 3,
+      s"fixture NDVs: $hs $ls")
+    // with stats: hi * 1/5000 << lo * 1/2 — the key-selective filter wins
+    assert(firstLeafCols.contains("h_id"),
+      s"NDV model should start from hi, got $firstLeafCols")
+    val withNdv = spark.sql(q).collect().map(_.getLong(0)).toSeq
+    spark.conf.set("spark.graft.joinReorder.ndvStats", "false")
+    try {
+      assert(firstLeafCols.contains("l_id"),
+        "ndvStats kill-switch must restore the default model")
+      val without = spark.sql(q).collect().map(_.getLong(0)).toSeq
+      assert(withNdv == without)
+    } finally spark.conf.set("spark.graft.joinReorder.ndvStats", "true")
+  }
+
   test("rule is idempotent on its own output") {
     install()
     val optimized = spark.sql(worstOrder).queryExecution.optimizedPlan

@@ -214,6 +214,42 @@ class SketchesSpec extends AnyFunSuite {
     assert(one == many && one == 3000L)
   }
 
+  test("one-pass frequent items: no false negatives + true-count brackets " +
+      "at any partitioning") {
+    val df = zipf(400)
+    for (parts <- Seq(1, 4, 13)) {
+      val d = df.repartition(parts).cache()
+      try {
+        val thr = 30L
+        val exact = d.groupBy("k").agg(count(lit(1)).as("n")).cache()
+        val hh = exact.filter(col("n") >= thr)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+        assert(hh.nonEmpty)
+        // maxMapSize must keep maxError (<= 3.5*N/M) under the threshold
+        // or the guarantee is void — the operator REFUSES such configs:
+        val ex = intercept[IllegalArgumentException] {
+          Sketches.heavyHittersOnePass(d, "k", thr, maxMapSize = 64)
+        }
+        assert(ex.getMessage.contains("no-false-negative"))
+        val cand = Sketches.heavyHittersOnePass(d, "k", thr, maxMapSize = 2048)
+          .collect().map(r => (r.getLong(0),
+            (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+        // NO_FALSE_NEGATIVES: every true heavy hitter is a candidate
+        val missing = hh.keySet -- cand.keySet
+        assert(missing.isEmpty, s"parts=$parts missed true HH: $missing")
+        // brackets: lb <= n <= ub for every candidate with a true count
+        val exactAll = exact.collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toMap
+        cand.foreach { case (k, (est, lb, ub)) =>
+          val n = exactAll(k)
+          assert(lb <= n && n <= ub && lb <= est && est <= ub,
+            s"parts=$parts k=$k n=$n brackets=($lb,$est,$ub)")
+        }
+        exact.unpersist()
+      } finally d.unpersist()
+    }
+  }
+
   test("probe expressions reject unsupported key types loudly") {
     val df = zipf(10).withColumn("d", col("k").cast("double"))
     val cms = df.stat.countMinSketch(col("k"), 1e-3, 0.9, 1)
