@@ -58,6 +58,7 @@ object Sketches {
       eps: Double = 1e-4, confidence: Double = 0.99,
       seed: Int = 42): DataFrame = {
     require(minCount >= 1, s"minCount must be >= 1, got $minCount")
+    require(keyCol != "n", "keyCol 'n' collides with the count column")
     val cms = df.stat.countMinSketch(col(keyCol), eps, confidence, seed)
     df.filter(SketchProbes.cmsEstimate(col(keyCol), cms) >= minCount)
       .groupBy(keyCol)
@@ -93,6 +94,9 @@ object Sketches {
   def bloomSemiJoin(fact: DataFrame, factKey: String,
       dim: DataFrame, dimKey: String,
       expectedItems: Long, fpp: Double = 0.01): DataFrame = {
+    require(factKey != dimKey,
+      s"fact and dim key columns must have distinct names (both '$factKey')" +
+        " — rename one side before the join")
     val bloom = dim.stat.bloomFilter(col(dimKey), expectedItems, fpp)
     fact.filter(SketchProbes.bloomMightContain(col(factKey), bloom))
       .join(dim.select(col(dimKey)), col(factKey) === col(dimKey), "leftsemi")
@@ -113,6 +117,9 @@ object Sketches {
     * (maxMapSize entries max). Long/int keys. */
   def heavyHittersOnePass(df: DataFrame, keyCol: String, threshold: Long,
       maxMapSize: Int = 8192): DataFrame = {
+    require(!Seq("est", "lb", "ub").contains(keyCol),
+      s"keyCol '$keyCol' collides with an output column name")
+    require(threshold >= 1, s"threshold must be >= 1, got $threshold")
     import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
     val bytes = df.agg(
       toColumn(graft.functions.FreqItemsAgg(
@@ -152,6 +159,9 @@ object Sketches {
     * for g_a < g_b. */
   def groupOverlap(df: DataFrame, groupCol: String, valueCol: String,
       lgK: Int = 12): DataFrame = {
+    require(!Seq("g_a", "g_b", "a_est", "b_est", "overlap_est",
+      "only_a_est").contains(groupCol),
+      s"groupCol '$groupCol' collides with an output column name")
     import graft.functions.ThetaSketch
     val sk = df.groupBy(groupCol)
       .agg(ThetaSketch.sketchAgg(col(valueCol), lgK).as("__sk"))
@@ -178,6 +188,8 @@ object Sketches {
     * Output: `groupCols` ++ (`n_shards`, `distinct_est` long). */
   def shardedDistinctCounts(df: DataFrame, groupCols: Seq[String],
       valueCol: String, shardCol: Column, lgK: Int = 12): DataFrame = {
+    require(!groupCols.exists(Seq("n_shards", "distinct_est").contains),
+      "a group column collides with an output column name")
     val gs = groupCols.map(col)
     df.groupBy((gs :+ shardCol.as("__shard")): _*)
       .agg(hll_sketch_agg(col(valueCol), lit(lgK)).as("__sk"))
