@@ -70,6 +70,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           }
         graft.functions.ThetaSketchAgg(exprs.head, lgK)
       }))
+    inject("z_value2", 2)(a =>
+      graft.operators.Layout.zvalue2(a.head, a(1)))
+    inject("z_value3", 3)(a =>
+      graft.operators.Layout.zvalue3(a.head, a(1), a(2)))
     inject("theta_estimate", 1)(a =>
       graft.functions.ThetaSketch.estimate(a.head))
     inject("theta_intersect_estimate", 2)(a =>

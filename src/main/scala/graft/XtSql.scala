@@ -150,6 +150,10 @@ object XtSql {
       graft.functions.ThetaSketch.intersectEstimate(a.head, a(1)))
     register("theta_difference_estimate", 2)(a =>
       graft.functions.ThetaSketch.differenceEstimate(a.head, a(1)))
+    register("z_value2", 2)(a =>
+      graft.operators.Layout.zvalue2(a.head, a(1)))
+    register("z_value3", 3)(a =>
+      graft.operators.Layout.zvalue3(a.head, a(1), a(2)))
 
     // ---- SQL-standard string/array fns Spark lacks under these names
     // (reference expression.clj:1228-1311, 1579-1744, 2205-2250)

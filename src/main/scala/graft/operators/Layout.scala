@@ -69,6 +69,44 @@ object Layout {
   def zvalue2Sql(a: String, b: String): String =
     s"(${spreadSql(a)} | (${spreadSql(b)} << 1))"
 
+  /** 21→63 bit spread (each input bit to position 3i) for the 3-D
+    * Morton value — same single-source-of-truth discipline as
+    * [[spread16]]/[[spreadSql]]. */
+  private val Spread21 = Seq(
+    (0x1F00000000FFFFL, 32), (0x1F0000FF0000FFL, 16),
+    (0x100F00F00F00F00FL, 8), (0x10C30C30C30C30C3L, 4),
+    (0x1249249249249249L, 2))
+
+  private def spread21(x: Column): Column =
+    Spread21.foldLeft(x.bitwiseAND(lit(0x1FFFFFL))) {
+      case (v, (mask, sh)) =>
+        v.bitwiseOR(shiftleft(v, sh)).bitwiseAND(lit(mask))
+    }
+
+  def spread21Sql(e: String): String =
+    Spread21.foldLeft(s"($e & ${0x1FFFFFL})") { case (v, (mask, sh)) =>
+      s"((($v | ($v << $sh)) & $mask))"
+    }
+
+  private def ranged21(c: Column, name: String): Column =
+    when(c.isNull || c < 0 || c > 0x1FFFFF,
+      raise_error(concat(
+        lit(s"zvalue3: $name out of 21-bit domain [0, 2097151]: "),
+        c.cast("string"))).cast("bigint"))
+      .otherwise(c.cast("bigint"))
+
+  /** Morton value of three 21-bit dimensions (63 bits total): bit i of
+    * `a`/`b`/`c` at positions 3i / 3i+1 / 3i+2. */
+  def zvalue3(a: Column, b: Column, c: Column): Column =
+    spread21(ranged21(a, "a"))
+      .bitwiseOR(shiftleft(spread21(ranged21(b, "b")), 1))
+      .bitwiseOR(shiftleft(spread21(ranged21(c, "c")), 2))
+
+  /** [[zvalue3]]'s oracle text. */
+  def zvalue3Sql(a: String, b: String, c: String): String =
+    s"(${spread21Sql(a)} | (${spread21Sql(b)} << 1) " +
+      s"| (${spread21Sql(c)} << 2))"
+
   /** Z-ordered parquet writer: range-partition on the z-value into
     * `numFiles` contiguous z-ranges, sort within each, drop the helper
     * column, write. Each output file then covers a compact tile of the

@@ -2394,4 +2394,243 @@ object MediaCodecs {
         seqs, shapes)
     AacDecoded(sampleRate, 1, frames.toSeq, pcm)
   }
+
+  // ===== GIF87a (palette + LZW) =====
+  // Public spec: GIF87a/89a (CompuServe, W3C note); LZW per the spec's
+  // appendix — variable code width (minCodeSize+1 .. 12 bits), LSB-first
+  // bit packing, CLEAR/EOI control codes, 255-byte data sub-blocks.
+  // The width-growth invariant shared by encoder and decoder: the next
+  // code on the wire can reference at most `nextCode` (the KwKwK case),
+  // so both sides bump the width whenever `nextCode` reaches `1 << w`.
+
+  final case class GifMeta(width: Int, height: Int,
+      palette: Array[Int], indices: Array[Byte])
+
+  /** Encode an indexed image as GIF87a with a global color table.
+    * `palette.length` must be a power of two in [2, 256]; every index
+    * must address it. */
+  def encodeGif(width: Int, height: Int, palette: Array[Int],
+      indices: Array[Byte]): Array[Byte] = {
+    require(indices.length == width * height, "index count mismatch")
+    require(palette.length >= 2 && palette.length <= 256 &&
+      Integer.bitCount(palette.length) == 1,
+      s"palette size must be a power of two in [2,256]: ${palette.length}")
+    val pBits = 31 - Integer.numberOfLeadingZeros(palette.length)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF87a".getBytes("US-ASCII"))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(width); le16(height)
+    out.write(0x80 | ((pBits - 1) << 4) | (pBits - 1)) // GCT present+size
+    out.write(0); out.write(0) // background, aspect
+    palette.foreach { c =>
+      out.write((c >> 16) & 0xff); out.write((c >> 8) & 0xff)
+      out.write(c & 0xff)
+    }
+    out.write(0x2C) // image descriptor
+    le16(0); le16(0); le16(width); le16(height)
+    out.write(0) // no local color table, not interlaced
+    val minCode = math.max(2, pBits)
+    out.write(minCode)
+
+    // LZW body → sub-blocks
+    val body = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L
+    var bitCnt = 0
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var w = minCode + 1
+    var nextCode = eoi + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << bitCnt
+      bitCnt += w
+      while (bitCnt >= 8) {
+        body.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; bitCnt -= 8
+      }
+    }
+    var dict = new java.util.HashMap[Integer, Integer]()
+    def reset(): Unit = {
+      dict = new java.util.HashMap[Integer, Integer]()
+      nextCode = eoi + 1
+      w = minCode + 1
+    }
+    emit(clear)
+    var cur: Int = indices(0) & 0xff
+    require(cur < palette.length, s"index $cur out of palette")
+    var i = 1
+    while (i < indices.length) {
+      val x = indices(i) & 0xff
+      require(x < palette.length, s"index $x out of palette")
+      val key = Integer.valueOf((cur << 8) | x)
+      val hit = dict.get(key)
+      if (hit != null) cur = hit.intValue()
+      else {
+        emit(cur)
+        if (nextCode < 4096) {
+          dict.put(key, Integer.valueOf(nextCode))
+          nextCode += 1
+          // the giflib/ImageIO "late" schedule (verified against
+          // javax.imageio both directions in MediaCodecsSpec): the
+          // width grows one code later than strictly necessary — the
+          // boundary KwKwK value is unrepresentable in theory, and
+          // practical encoders avoid it by growing late on both sides
+          if (nextCode > (1 << w) && w < 12) w += 1
+        } else { // table full: clear and restart (never silent drift)
+          emit(clear); reset()
+        }
+        cur = x
+      }
+      i += 1
+    }
+    emit(cur)
+    emit(eoi)
+    if (bitCnt > 0) body.write((bitBuf & 0xff).toInt)
+    val b = body.toByteArray
+    var off = 0
+    while (off < b.length) {
+      val n = math.min(255, b.length - off)
+      out.write(n); out.write(b, off, n); off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3B) // trailer
+    out.toByteArray
+  }
+
+  /** Strict GIF87a/89a decode (global color table, single
+    * non-interlaced image, extensions skipped). Loud on bad signature,
+    * truncation, out-of-range LZW codes, or a pixel-count mismatch. */
+  def decodeGif(bytes: Array[Byte]): GifMeta = {
+    require(bytes.length >= 13, s"truncated GIF (${bytes.length} bytes)")
+    val sig = new String(bytes, 0, 6, "US-ASCII")
+    require(sig == "GIF87a" || sig == "GIF89a", s"not a GIF: '$sig'")
+    var p = 6
+    def u8(): Int = { val v = bytes(p) & 0xff; p += 1; v }
+    def le16(): Int = { val v = (bytes(p) & 0xff) | ((bytes(p + 1) & 0xff) << 8); p += 2; v }
+    val width = le16(); val height = le16()
+    val packed = u8(); u8(); u8() // background, aspect
+    require((packed & 0x80) != 0, "GIF without a global color table")
+    val pSize = 1 << ((packed & 7) + 1)
+    val palette = Array.tabulate(pSize) { _ =>
+      val r = u8(); val g = u8(); val b = u8()
+      (r << 16) | (g << 8) | b
+    }
+    // blocks
+    var indices: Array[Byte] = null
+    var done = false
+    while (!done) {
+      require(p < bytes.length, "GIF truncated before trailer")
+      u8() match {
+        case 0x3B => done = true
+        case 0x21 => // extension: label + sub-blocks
+          u8()
+          var n = u8()
+          while (n != 0) { p += n; n = u8() }
+        case 0x2C =>
+          require(indices == null, "multi-image GIF not supported")
+          le16(); le16()
+          val iw = le16(); val ih = le16()
+          require(iw == width && ih == height,
+            s"sub-rectangle image ($iw x $ih) not supported")
+          val ipacked = u8()
+          require((ipacked & 0x80) == 0, "local color table not supported")
+          val interlaced = (ipacked & 0x40) != 0
+          val minCode = u8()
+          require(minCode >= 2 && minCode <= 8, s"bad LZW min code $minCode")
+          // gather LZW bytes from sub-blocks
+          val body = new java.io.ByteArrayOutputStream()
+          var n = u8()
+          while (n != 0) {
+            require(p + n <= bytes.length, "truncated image data")
+            body.write(bytes, p, n); p += n; n = u8()
+          }
+          val raw = lzwDecode(body.toByteArray, minCode, width * height)
+          indices =
+            if (!interlaced) raw
+            else { // 4-pass row order: 0,8.. / 4,12.. / 2,6.. / 1,3..
+              val out = new Array[Byte](raw.length)
+              val passes = Seq((0, 8), (4, 8), (2, 4), (1, 2))
+              var src = 0
+              for ((start, step) <- passes; y <- start until height by step) {
+                System.arraycopy(raw, src * width, out, y * width, width)
+                src += 1
+              }
+              out
+            }
+        case other => throw new IllegalArgumentException(
+          f"unknown GIF block 0x$other%02x at ${p - 1}")
+      }
+    }
+    require(indices != null, "GIF without an image block")
+    indices.foreach(ix => require((ix & 0xff) < pSize,
+      s"decoded index ${ix & 0xff} outside the $pSize-color palette"))
+    GifMeta(width, height, palette, indices)
+  }
+
+  private def lzwDecode(data: Array[Byte], minCode: Int,
+      nPixels: Int): Array[Byte] = {
+    val clear = 1 << minCode
+    val eoi = clear + 1
+    var w = minCode + 1
+    var nextCode = eoi + 1
+    // code table: prefix code + suffix byte per entry
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    var i = 0
+    while (i < clear) { prefix(i) = -1; suffix(i) = i.toByte; i += 1 }
+    val out = new java.io.ByteArrayOutputStream(nPixels)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var p = 0
+    var prev = -1
+    val stack = new Array[Byte](4096)
+    def expand(code: Int): Byte = { // push expansion, return first byte
+      var sp = 0
+      var c = code
+      while (c >= 0) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+      val first = stack(sp - 1)
+      while (sp > 0) { sp -= 1; out.write(stack(sp) & 0xff) }
+      first
+    }
+    var finished = false
+    while (!finished) {
+      while (bitCnt < w && p < data.length) {
+        bitBuf |= (data(p) & 0xffL) << bitCnt; bitCnt += 8; p += 1
+      }
+      require(bitCnt >= w, "LZW stream truncated before EOI")
+      val code = (bitBuf & ((1L << w) - 1)).toInt
+      bitBuf >>>= w; bitCnt -= w
+      if (code == clear) {
+        nextCode = eoi + 1; w = minCode + 1; prev = -1
+      } else if (code == eoi) {
+        finished = true
+      } else if (prev == -1) {
+        require(code < clear, s"first LZW code $code is not a literal")
+        expand(code); prev = code
+      } else {
+        require(code <= nextCode && code != eoi,
+          s"LZW code $code beyond table size $nextCode")
+        val first =
+          if (code < nextCode) expand(code)
+          else { // KwKwK: code == nextCode expands to prev ++ first(prev)
+            val f = expand(prev)
+            out.write(f & 0xff)
+            f
+          }
+        if (nextCode < 4096) {
+          prefix(nextCode) = prev; suffix(nextCode) = first
+          nextCode += 1
+          // giflib's decoder schedule: the table lags the encoder by one
+          // add at read time, so the same literal condition on the
+          // decoder's own counter lands on the same WIRE position as the
+          // encoder's `nextCode > 1 << w` — cross-validated against
+          // javax.imageio in both directions in MediaCodecsSpec
+          if (nextCode >= (1 << w) && w < 12) w += 1
+        }
+        prev = code
+      }
+    }
+    val res = out.toByteArray
+    require(res.length == nPixels,
+      s"decoded ${res.length} pixels, expected $nPixels")
+    res
+  }
 }

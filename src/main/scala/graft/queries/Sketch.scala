@@ -383,6 +383,101 @@ object Sketch {
       SELECT e.o_custkey, e.n, c.est IS NOT NULL AS found,
              c.lb <= e.n AND e.n <= c.ub AS bracket_ok
       FROM exact e LEFT JOIN cand c USING (o_custkey)
-      ORDER BY o_custkey"""))
+      ORDER BY o_custkey""")),
+
+    // ---- 3-D Morton values (21 bits/dim, 63 total) — q219's math gate
+    // extended to the three-column layout; same single-source mask
+    // table emits both engines' bit arithmetic.
+    QueryDef("q224_zorder3_value", (s, dir) => {
+      val z = graft.operators.Layout.zvalue3(col("l_partkey"),
+        col("l_suppkey"), floor(col("l_quantity")).cast("long"))
+      t(s, dir, "lineitem")
+        .select(z.as("z"))
+        .groupBy((col("z") - pmod(col("z"), lit(1L << 18))).as("z_tile"))
+        .agg(count(lit(1)).as("n"), min("z").as("z_min"),
+          max("z").as("z_max"))
+        .presentSortedK("z_tile")
+    }, Some(s"""
+      WITH z AS (
+        SELECT ${graft.operators.Layout.zvalue3Sql("l_partkey",
+          "l_suppkey", "CAST(floor(l_quantity) AS BIGINT)")} AS z
+        FROM lineitem)
+      SELECT z - z % ${1L << 18} AS z_tile, count(*) AS n,
+             min(z) AS z_min, max(z) AS z_max
+      FROM z GROUP BY 1 ORDER BY z_tile""")),
+
+    // ---- REAL GIF decode through the oracle gate (q118/q119 pattern):
+    // per order key a GIF87a is synthesized — formula palette (4/8/16
+    // colors) + formula indices, LZW-compressed — decoded distributed
+    // (MediaCodecs.decodeGif: variable-width LZW, CLEAR/EOI, sub-blocks)
+    // and reduced to integer features. DuckDB replays the generating
+    // formulas; a wrong code-width schedule, bit order, or palette
+    // offset breaks the match. The codec itself is additionally
+    // cross-validated against javax.imageio in both directions
+    // (MediaCodecsSpec).
+    QueryDef("q225_multimodal_gif", (s, dir) => {
+      import org.apache.spark.sql.{Encoders, Row}
+      import org.apache.spark.sql.types._
+      val keys = t(s, dir, "orders")
+        .filter(col("o_orderkey") < 150)
+        .select(col("o_orderkey").as("media_id"))
+      val media = keys.mapPartitions { rows =>
+        rows.map { r =>
+          val k = r.getLong(0)
+          val w = 8 + (k % 9).toInt
+          val h = 6 + (k % 7).toInt
+          val ps = 1 << (2 + (k % 3)).toInt
+          val pal = Array.tabulate(ps)(j =>
+            (((j * 41 + k) % 256).toInt << 16) |
+              (((j * 17 + 2 * k) % 256).toInt << 8) |
+              ((j * 29 + 3 * k) % 256).toInt)
+          val idx = Array.tabulate(w * h) { i =>
+            ((i % w) * 3 + (i / w) * 7 + k).%(ps).toByte
+          }
+          Row(k, graft.operators.MediaCodecs.encodeGif(w, h, pal, idx),
+            "image/gif")
+        }
+      }(Encoders.row(graft.operators.Multimodal.mediaSchema))
+      val outSchema = StructType(Seq(
+        StructField("media_id", LongType), StructField("w", LongType),
+        StructField("h", LongType), StructField("sum_idx", LongType),
+        StructField("sum_r", LongType), StructField("sum_g", LongType),
+        StructField("sum_b", LongType)))
+      media.mapPartitions { rows =>
+        rows.map { r =>
+          val m = graft.operators.MediaCodecs.decodeGif(
+            r.getAs[Array[Byte]](1))
+          var si = 0L; var sr = 0L; var sg = 0L; var sb = 0L
+          m.indices.foreach { b =>
+            val j = b & 0xff
+            si += j
+            val c = m.palette(j)
+            sr += (c >> 16) & 0xff; sg += (c >> 8) & 0xff; sb += c & 0xff
+          }
+          Row(r.getLong(0), m.width.toLong, m.height.toLong, si, sr, sg, sb)
+        }
+      }(Encoders.row(outSchema))
+        .orderBy("media_id")
+    }, Some("""
+      WITH k AS (
+        SELECT o_orderkey AS media_id,
+               8 + CAST(o_orderkey % 9 AS INT) AS w,
+               6 + CAST(o_orderkey % 7 AS INT) AS h,
+               CASE o_orderkey % 3 WHEN 0 THEN 4 WHEN 1 THEN 8
+                    ELSE 16 END AS ps
+        FROM orders WHERE o_orderkey < 150),
+      px AS (
+        SELECT media_id, w, h, ps, unnest(range(0, w * h)) AS i FROM k),
+      f AS (
+        SELECT media_id, w, h,
+               ((i % w) * 3 + (i // w) * 7 + media_id) % ps AS idx
+        FROM px)
+      SELECT media_id, CAST(max(w) AS BIGINT) AS w,
+             CAST(max(h) AS BIGINT) AS h,
+             CAST(sum(idx) AS BIGINT) AS sum_idx,
+             CAST(sum((idx * 41 + media_id) % 256) AS BIGINT) AS sum_r,
+             CAST(sum((idx * 17 + 2 * media_id) % 256) AS BIGINT) AS sum_g,
+             CAST(sum((idx * 29 + 3 * media_id) % 256) AS BIGINT) AS sum_b
+      FROM f GROUP BY media_id ORDER BY media_id"""))
   )
 }

@@ -50,6 +50,33 @@ class ZOrderSpec extends AnyFunSuite {
     assert(monot == monot.sorted && monot.distinct.size == monot.size)
   }
 
+  test("zvalue3 decode roundtrip across the 21-bit domain") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(67)
+    val triples = Seq.fill(200)((rnd.nextInt(1 << 21).toLong,
+      rnd.nextInt(1 << 21).toLong, rnd.nextInt(1 << 21).toLong)) :+
+      ((0L, 0L, 0L)) :+ (((1L << 21) - 1, (1L << 21) - 1, (1L << 21) - 1))
+    val got = triples.toDF("a", "b", "c")
+      .select(col("a"), col("b"), col("c"),
+        Layout.zvalue3(col("a"), col("b"), col("c")).as("z"))
+      .collect()
+    def compact3(z: Long, shift: Int): Long = {
+      var v = (z >> shift) & 0x1249249249249249L
+      v = (v | (v >> 2)) & 0x10C30C30C30C30C3L
+      v = (v | (v >> 4)) & 0x100F00F00F00F00FL
+      v = (v | (v >> 8)) & 0x1F0000FF0000FFL
+      v = (v | (v >> 16)) & 0x1F00000000FFFFL
+      v = (v | (v >> 32)) & 0x1FFFFFL
+      v
+    }
+    got.foreach { r =>
+      val (a, b, c, z) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(compact3(z, 0) == a && compact3(z, 1) == b &&
+        compact3(z, 2) == c, s"decode($z) != ($a, $b, $c)")
+    }
+  }
+
   test("zvalue2 rejects out-of-domain inputs loudly") {
     val ex = intercept[Exception] {
       spark.range(1).select(
