@@ -2395,6 +2395,175 @@ object MediaCodecs {
     AacDecoded(sampleRate, 1, frames.toSeq, pcm)
   }
 
+  // ===== H.264 SPS (ITU-T H.264 §7.3.2.1.1) =====
+  // Real exp-Golomb parse of a sequence parameter set — the resolution /
+  // profile layer of the avc1 codec config (the next bounded slice of
+  // the MP4 sample-decode scope-out: config fully parsed, slice DATA
+  // decode still out, named below). Emulation-prevention bytes
+  // (00 00 03) handled both directions.
+
+  final case class SpsMeta(profileIdc: Int, levelIdc: Int,
+      width: Int, height: Int, frameMbsOnly: Boolean,
+      log2MaxFrameNum: Int, picOrderCntType: Int, maxNumRefFrames: Int)
+
+  private[graft] final class BitReaderMsb(bytes: Array[Byte]) {
+    private var pos = 0
+    def bitsRead: Int = pos
+    def u1(): Int = {
+      require(pos < bytes.length * 8, "SPS truncated")
+      val v = (bytes(pos >> 3) >> (7 - (pos & 7))) & 1
+      pos += 1; v
+    }
+    def u(n: Int): Int = { var v = 0; var i = 0
+      while (i < n) { v = (v << 1) | u1(); i += 1 }; v }
+    def ue(): Int = {
+      var zeros = 0
+      while (u1() == 0) { zeros += 1; require(zeros <= 31, "bad ue(v)") }
+      (1 << zeros) - 1 + u(zeros)
+    }
+    def se(): Int = { val k = ue(); if ((k & 1) == 1) (k + 1) / 2 else -(k / 2) }
+  }
+
+  private[graft] final class BitWriterMsb {
+    private val out = new java.io.ByteArrayOutputStream()
+    private var cur = 0
+    private var n = 0
+    def u1(b: Int): Unit = {
+      cur = (cur << 1) | (b & 1); n += 1
+      if (n == 8) { out.write(cur); cur = 0; n = 0 }
+    }
+    def u(v: Int, bits: Int): Unit =
+      (bits - 1 to 0 by -1).foreach(i => u1((v >> i) & 1))
+    def ue(v: Int): Unit = {
+      require(v >= 0)
+      val zeros = 31 - Integer.numberOfLeadingZeros(v + 1)
+      u(0, zeros); u1(1); u(v + 1 - (1 << zeros), zeros)
+    }
+    /** rbsp_trailing_bits: stop bit + alignment zeros. */
+    def trailer(): Array[Byte] = {
+      u1(1)
+      while (n != 0) u1(0)
+      out.toByteArray
+    }
+  }
+
+  /** Insert emulation-prevention bytes (00 00 00/01/02/03 → 00 00 03 0x). */
+  private[graft] def epbEscape(rbsp: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(rbsp.length + 8)
+    var zeros = 0
+    rbsp.foreach { b =>
+      if (zeros == 2 && (b & 0xff) <= 3) { out.write(3); zeros = 0 }
+      out.write(b & 0xff)
+      zeros = if (b == 0) zeros + 1 else 0
+    }
+    out.toByteArray
+  }
+
+  private[graft] def epbUnescape(nal: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(nal.length)
+    var zeros = 0
+    var i = 0
+    while (i < nal.length) {
+      val b = nal(i) & 0xff
+      if (zeros == 2 && b == 3 && i + 1 < nal.length &&
+          (nal(i + 1) & 0xff) <= 3) { zeros = 0 } // skip the 03
+      else {
+        out.write(b)
+        zeros = if (b == 0) zeros + 1 else 0
+      }
+      i += 1
+    }
+    out.toByteArray
+  }
+
+  /** Baseline/main SPS writer: 4:2:0, pic_order_cnt_type 0, dims via
+    * mb grid + frame cropping (right/bottom) so ANY even resolution
+    * round-trips. Returns the full NAL (header byte 0x67 + escaped
+    * RBSP). */
+  def encodeSpsH264(width: Int, height: Int, profileIdc: Int = 66,
+      levelIdc: Int = 30): Array[Byte] = {
+    require(width > 0 && height > 0 && width % 2 == 0 && height % 2 == 0,
+      s"even dimensions required (4:2:0 crop units), got ${width}x$height")
+    require(!Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134,
+      135).contains(profileIdc),
+      s"high-profile SPS extras not written by this encoder ($profileIdc)")
+    val w = new BitWriterMsb
+    w.u(profileIdc, 8)
+    w.u(0, 8) // constraint flags + reserved
+    w.u(levelIdc, 8)
+    w.ue(0) // seq_parameter_set_id
+    w.ue(4) // log2_max_frame_num_minus4 => 8
+    w.ue(0) // pic_order_cnt_type 0
+    w.ue(4) // log2_max_pic_order_cnt_lsb_minus4
+    w.ue(1) // max_num_ref_frames
+    w.u1(0) // gaps_in_frame_num_value_allowed
+    val mbW = (width + 15) / 16
+    val mbH = (height + 15) / 16
+    w.ue(mbW - 1) // pic_width_in_mbs_minus1
+    w.ue(mbH - 1) // pic_height_in_map_units_minus1
+    w.u1(1) // frame_mbs_only_flag
+    w.u1(0) // direct_8x8_inference_flag
+    val cropR = (mbW * 16 - width) / 2  // crop unit x = 2 (4:2:0)
+    val cropB = (mbH * 16 - height) / 2 // crop unit y = 2 (frame mbs only)
+    if (cropR > 0 || cropB > 0) {
+      w.u1(1) // frame_cropping_flag
+      w.ue(0); w.ue(cropR); w.ue(0); w.ue(cropB)
+    } else w.u1(0)
+    w.u1(0) // vui_parameters_present_flag
+    Array[Byte](0x67) ++ epbEscape(w.trailer())
+  }
+
+  /** Parse an SPS NAL to profile/level/resolution (spec §7.3.2.1.1,
+    * 7.4.2.1.1 for the cropping arithmetic). High-profile extras
+    * (chroma/bit-depth) are parsed; scaling matrices are LOUDLY out of
+    * scope. */
+  def parseSpsH264(nal: Array[Byte]): SpsMeta = {
+    require(nal.length >= 4, s"truncated SPS (${nal.length} bytes)")
+    require((nal(0) & 0x1f) == 7, s"not an SPS NAL (type ${nal(0) & 0x1f})")
+    val r = new BitReaderMsb(epbUnescape(nal.drop(1)))
+    val profile = r.u(8)
+    r.u(8) // constraint flags
+    val level = r.u(8)
+    r.ue() // sps id
+    var chromaFormat = 1
+    if (Set(100, 110, 122, 244, 44, 83, 86, 118, 128, 138, 139, 134, 135)
+        .contains(profile)) {
+      chromaFormat = r.ue()
+      if (chromaFormat == 3) r.u1() // separate_colour_plane_flag
+      r.ue(); r.ue() // bit depths
+      r.u1() // qpprime_y_zero_transform_bypass
+      require(r.u1() == 0, "scaling matrices not supported (scoped out)")
+    }
+    val log2MaxFrameNum = r.ue() + 4
+    val poc = r.ue()
+    if (poc == 0) r.ue()
+    else if (poc == 1) {
+      r.u1(); r.se(); r.se()
+      val n = r.ue()
+      (0 until n).foreach(_ => r.se())
+    }
+    val maxRef = r.ue()
+    r.u1() // gaps allowed
+    val mbW = r.ue() + 1
+    val mapH = r.ue() + 1
+    val frameMbsOnly = r.u1() == 1
+    if (!frameMbsOnly) r.u1() // mb_adaptive_frame_field
+    r.u1() // direct_8x8
+    var (cl, cr, ct, cb) = (0, 0, 0, 0)
+    if (r.u1() == 1) { cl = r.ue(); cr = r.ue(); ct = r.ue(); cb = r.ue() }
+    val (cux, cuy0) = chromaFormat match {
+      case 0 => (1, 1) // monochrome
+      case 1 => (2, 2) // 4:2:0
+      case 2 => (2, 1) // 4:2:2
+      case _ => (1, 1) // 4:4:4
+    }
+    val cuy = cuy0 * (if (frameMbsOnly) 1 else 2)
+    val width = mbW * 16 - (cl + cr) * cux
+    val height = mapH * 16 * (if (frameMbsOnly) 1 else 2) - (ct + cb) * cuy
+    SpsMeta(profile, level, width, height, frameMbsOnly,
+      log2MaxFrameNum, poc, maxRef)
+  }
+
   // ===== GIF87a (palette + LZW) =====
   // Public spec: GIF87a/89a (CompuServe, W3C note); LZW per the spec's
   // appendix — variable code width (minCodeSize+1 .. 12 bits), LSB-first
