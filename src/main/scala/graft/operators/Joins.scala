@@ -205,6 +205,129 @@ object Joins {
   def containsCond(lf: Column, lt: Column, rf: Column, rt: Column): Column =
     lf <= rf && rt <= lt
 
+  // ---- shared internals of the interval-join family ----
+
+  private def ijEp(c: Column): Column = unix_micros(c.cast("timestamp"))
+
+  /** Exact floor division of epoch micros by the bucket width: the
+    * numerator is snapped to a multiple of `w` with pmod (negative-epoch
+    * safe), then divided with a catalyst IntegralDivide — long-exact at
+    * every representable timestamp. (A double-precision divide loses
+    * ulps once the numerator passes 2^53 — timestamps beyond ~year
+    * 2255 — and a one-ulp-low quotient truncates into the previous
+    * bucket, silently dropping pairs.) */
+  private def ijFdiv(c: Column, w: Long): Column = {
+    import org.apache.spark.sql.GraftColumnBridge.{toColumn, toExpression}
+    toColumn(new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+      toExpression(c - pmod(c, lit(w))), toExpression(lit(w))))
+  }
+
+  /** Malformed periods fail LOUDLY in every strategy: the reference
+    * rejects them at period construction (temporal.clj:1907), and letting
+    * them through would make results depend on the physical plan — the
+    * raw theta predicate can be true for a backwards period, but its
+    * bucket cover is empty. Half-open mode also rejects zero-length
+    * periods (their cover flips with bucket alignment); inclusive mode
+    * legalizes from == to (an instant period covers one bucket). Null
+    * endpoints stay legal: the raw predicate is null for them under
+    * every strategy. */
+  private def ijWellFormed(df: DataFrame, from: String, to: String,
+      inclusive: Boolean): DataFrame = {
+    val bad = if (inclusive) col(from) > col(to) else col(from) >= col(to)
+    val rule = if (inclusive) "'from' must not be after 'to'"
+      else "'from' must be earlier than 'to'"
+    df.filter(
+      when(col(from).isNotNull && col(to).isNotNull && bad,
+        raise_error(concat(
+          lit(s"intervalJoin: malformed period $from..$to ($rule) at "),
+          col(from).cast("string"), lit(".."), col(to).cast("string")))
+          .cast("boolean"))
+        .otherwise(lit(true)))
+  }
+
+  private def ijPick(left: DataFrame, right: DataFrame,
+      strategy: String): String = strategy match {
+    case "bucket" | "broadcast" => strategy
+    case "auto" =>
+      val thr = left.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+      val small = thr > 0 && Seq(left, right).exists(
+        _.queryExecution.optimizedPlan.stats.sizeInBytes <= thr)
+      if (small) "broadcast" else "bucket"
+    case other => throw new IllegalArgumentException(
+      s"intervalJoin strategy must be auto|bucket|broadcast, got $other")
+  }
+
+  /** Bucket-unit explode horizon: an upper bound on
+    * bucket(greatest(lf, rf)) over every joinable pair — the max
+    * period-start over both sides — so open-ended/huge periods never
+    * explode past the last bucket that could emit a pair. Resolution
+    * order keeps PLANNING job-free:
+    *  1. both sides' stats sidecars
+    *     ([[graft.plans.StatsSidecar.maxMicrosUpperBound]]): a literal,
+    *     zero jobs, zero data reads — the 100 TB path, where stats ride
+    *     with the table;
+    *  2. otherwise a 1-row max-aggregate frame BROADCAST INTO the plan:
+    *     the bound is computed inside the query's own job from
+    *     column-pruned scans — never as a separate action at
+    *     operator-build or optimizer-rewrite time.
+    * The frame's value is null when a side is statically empty or
+    * all-null; [[ijBucketed]] then clamps every row to its own first
+    * bucket, which is sound — a join with an empty side matches nothing,
+    * and the left face must still keep (not explode away) its rows. */
+  private def ijHorizonBkt(lW: DataFrame, rW: DataFrame,
+      lFrom: String, rFrom: String, w: Long): Either[Long, DataFrame] = {
+    val lB = graft.plans.StatsSidecar.maxMicrosUpperBound(lW, lFrom)
+    val rB = graft.plans.StatsSidecar.maxMicrosUpperBound(rW, rFrom)
+    (lB, rB) match {
+      case (Some(a), Some(b)) =>
+        Left(java.lang.Math.floorDiv(math.max(a, b), w))
+      case _ =>
+        def side(df: DataFrame, from: String, bound: Option[Long],
+            name: String): DataFrame = bound match {
+          case Some(v) =>
+            df.sparkSession.range(1).select(lit(v).as(name))
+          case None => df.agg(max(ijEp(col(from))).as(name))
+        }
+        // broadcast the 1-row combine so it plans as a BNLJ, never a
+        // CartesianProduct (gate plans pin cartesian-free)
+        Right(side(lW, lFrom, lB, "__hbl")
+          .crossJoin(broadcast(side(rW, rFrom, rB, "__hbr")))
+          .select(ijFdiv(greatest(col("__hbl"), col("__hbr")), w)
+            .as("__hbbkt")))
+    }
+  }
+
+  /** Explode a period table into its bucket cover `[__lo, __hi]`,
+    * horizon-clamped and LOUDLY capped at `cap` buckets per row. */
+  private def ijBucketed(df: DataFrame, from: String, to: String,
+      bktCol: String, w: Long, bucketSeconds: Long,
+      horizon: Either[Long, DataFrame], cap: Int,
+      inclusive: Boolean): DataFrame = {
+    val withHb = horizon match {
+      case Left(h) => df.withColumn("__hbbkt", lit(h))
+      case Right(hb) => df.crossJoin(broadcast(hb))
+    }
+    val lo = ijFdiv(ijEp(col(from)), w)
+    val hiRaw = if (inclusive) ijFdiv(ijEp(col(to)), w) // [from, to]
+      else ijFdiv(ijEp(col(to)) - 1, w) // [from, to)
+    // a null horizon (empty/all-null other side, no sidecar) clamps every
+    // row to its first bucket: nothing can match, and no row is lost
+    val hi = least(hiRaw, coalesce(col("__hbbkt"), lo))
+    withHb.withColumn("__lo", lo).withColumn("__hi", hi)
+      .filter(when(col("__hi") - col("__lo") >= lit(cap.toLong),
+        raise_error(concat(
+          lit(s"intervalJoin: period $from..$to spans more than " +
+            s"$cap buckets of ${bucketSeconds}s at "),
+          col(from).cast("string"),
+          lit(" — widen bucketSeconds"))).cast("boolean"))
+        .otherwise(lit(true)))
+      .withColumn(bktCol,
+        explode(when(col("__hi") >= col("__lo"),
+          sequence(col("__lo"), col("__hi")))
+          .otherwise(array().cast("array<long>"))))
+      .drop("__lo", "__hi", "__hbbkt")
+  }
+
   /** Scale-safe period join: equi-join two period tables on aligned epoch
     * buckets instead of letting a pure theta predicate plan as a
     * broadcast/cartesian nested loop (O(n·m) at scale). The reference
@@ -224,17 +347,24 @@ object Joins {
     * Scale properties:
     *  - ONE shuffle per side (hash by bucket [+ equi keys]); AQE handles
     *    skewed buckets like any hot equi key.
-    *  - Open-ended/huge periods do NOT explode unboundedly: explode is
-    *    clamped at the global max period-start (two parquet-stats-cheap
-    *    min/max jobs at build time) — buckets past every possible
-    *    canonical bucket can never emit a pair.
+    *  - Open-ended/huge periods do NOT explode unboundedly: the explode
+    *    is clamped at the global max period-start, sourced from the
+    *    tables' stats sidecars when present (zero jobs) and otherwise
+    *    computed INSIDE the query's own job as a broadcast 1-row
+    *    aggregate — building or optimizer-rewriting an interval join
+    *    never runs a Spark job ([[ijHorizonBkt]]).
     *  - The per-row bucket fan-out is LOUDLY capped (`maxBucketsPerRow`,
     *    raise_error names the offending span) — pick `bucketSeconds` near
     *    the typical period length; the cap is never silent.
     *
-    * `condition` must IMPLY period intersection (OVERLAPS, CONTAINS,
-    * EQUALS, …): the bucket equi-join only generates intersecting
-    * candidates. Disjoint predicates (PRECEDES, …) need no join at all —
+    * `condition` must IMPLY period intersection — half-open
+    * ([lf,lt) ∩ [rf,rt) ≠ ∅: OVERLAPS, CONTAINS, EQUALS, …) by default,
+    * or CLOSED intersection (lf ≤ rt ∧ rf ≤ lt) with
+    * `inclusiveBounds = true`, which widens each cover to `[from, to]`
+    * so boundary-equality pairs land in a shared bucket. The canonical
+    * bucket stays exact in both modes: for any pair satisfying the
+    * (strict or inclusive) intersection, greatest(lf, rf) lies inside
+    * BOTH covers. Disjoint predicates (PRECEDES, …) need no join at all —
     * they are range predicates, not correlations.
     *
     * `strategy`: "auto" broadcasts the theta join when either BASE side is
@@ -251,99 +381,31 @@ object Joins {
       bucketSeconds: Long,
       equiKeys: Seq[(String, String)] = Nil,
       maxBucketsPerRow: Int = 4096,
-      strategy: String = "auto"): DataFrame = {
+      strategy: String = "auto",
+      inclusiveBounds: Boolean = false): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
       s"intervalJoin requires disjoint column names; both sides have: " +
         overlap.mkString(", "))
-
-    // malformed periods (from >= to) fail LOUDLY in every strategy: the
-    // reference rejects them at period construction (temporal.clj:1907),
-    // and letting them through would make results depend on the physical
-    // plan — the raw theta predicate can be true for a backwards period,
-    // but its bucket cover is empty (and a zero-length period's cover
-    // flips with bucket alignment). Null endpoints stay legal: the raw
-    // predicate is null for them under every strategy.
-    def wellFormed(df: DataFrame, from: String, to: String): DataFrame =
-      df.filter(
-        when(col(from).isNotNull && col(to).isNotNull &&
-            col(from) >= col(to),
-          raise_error(concat(
-            lit(s"intervalJoin: malformed period $from..$to " +
-              "('from' must be earlier than 'to') at "),
-            col(from).cast("string"), lit(".."), col(to).cast("string")))
-            .cast("boolean"))
-          .otherwise(lit(true)))
-    val leftW = wellFormed(left, leftFrom, leftTo)
-    val rightW = wellFormed(right, rightFrom, rightTo)
-
-    def useBroadcast: Boolean = {
-      val conf = left.sparkSession.sessionState.conf
-      val thr = conf.autoBroadcastJoinThreshold
-      thr > 0 && Seq(left, right).exists(
-        _.queryExecution.optimizedPlan.stats.sizeInBytes <= thr)
-    }
-    val pick = strategy match {
-      case "bucket" => "bucket"
-      case "broadcast" => "broadcast"
-      case "auto" => if (useBroadcast) "broadcast" else "bucket"
-      case other => throw new IllegalArgumentException(
-        s"intervalJoin strategy must be auto|bucket|broadcast, got $other")
-    }
-    if (pick == "broadcast") {
+    val leftW = ijWellFormed(left, leftFrom, leftTo, inclusiveBounds)
+    val rightW = ijWellFormed(right, rightFrom, rightTo, inclusiveBounds)
+    val equi = equiKeys.map { case (a, b) => col(a) === col(b) }
+    if (ijPick(left, right, strategy) == "broadcast") {
       val small = left.queryExecution.optimizedPlan.stats.sizeInBytes <=
         right.queryExecution.optimizedPlan.stats.sizeInBytes
       val (l, r) = if (small) (broadcast(leftW), rightW)
         else (leftW, broadcast(rightW))
-      val equi = equiKeys.map { case (a, b) => col(a) === col(b) }
       return l.join(r, (condition +: equi).reduce(_ && _))
     }
-
-    val wMicros = bucketSeconds * 1000000L
-    def ep(c: Column): Column = unix_micros(c.cast("timestamp"))
-    // true floor division on longs (negative-epoch safe); the numerator is
-    // exactly divisible so the double division is exact, cast back to long
-    def fdiv(c: Column): Column =
-      ((c - pmod(c, lit(wMicros))) / lit(wMicros)).cast("long")
-
-    // clamp horizon: the canonical bucket of ANY intersecting pair is
-    // bucket(greatest(lf, rf)) <= bucket(max period-start over both
-    // sides), so no explode needs to go further (min/max-only agg jobs)
-    def maxFrom(df: DataFrame, from: String): Option[Long] = {
-      val r = df.agg(max(ep(col(from)))).head()
-      if (r.isNullAt(0)) None else Some(r.getLong(0))
-    }
-    val horizon = (maxFrom(leftW, leftFrom), maxFrom(rightW, rightFrom)) match {
-      case (Some(a), Some(b)) => math.max(a, b)
-      case _ => // one side is empty: the join is empty, keep the schema
-        return left.crossJoin(right).filter(lit(false))
-    }
-    val horizonBkt = java.lang.Math.floorDiv(horizon, wMicros)
-
-    def bucketed(df: DataFrame, from: String, to: String,
-        bktCol: String): DataFrame = {
-      val lo = fdiv(ep(col(from)))
-      val hi = least(fdiv(ep(col(to)) - 1), lit(horizonBkt)) // [from,to)
-      df.withColumn("__lo", lo).withColumn("__hi", hi)
-        .filter(when(col("__hi") - col("__lo") >= lit(maxBucketsPerRow.toLong),
-          raise_error(concat(
-            lit(s"intervalJoin: period $from..$to spans more than " +
-              s"$maxBucketsPerRow buckets of ${bucketSeconds}s at "),
-            col(from).cast("string"),
-            lit(" — widen bucketSeconds"))).cast("boolean"))
-          .otherwise(lit(true)))
-        .withColumn(bktCol,
-          explode(when(col("__hi") >= col("__lo"),
-            sequence(col("__lo"), col("__hi")))
-            .otherwise(array().cast("array<long>"))))
-        .drop("__lo", "__hi")
-    }
-    val lB = bucketed(leftW, leftFrom, leftTo, "__bkt_l")
-    val rB = bucketed(rightW, rightFrom, rightTo, "__bkt_r")
+    val w = bucketSeconds * 1000000L
+    val horizon = ijHorizonBkt(leftW, rightW, leftFrom, rightFrom, w)
+    val lB = ijBucketed(leftW, leftFrom, leftTo, "__bkt_l", w,
+      bucketSeconds, horizon, maxBucketsPerRow, inclusiveBounds)
+    val rB = ijBucketed(rightW, rightFrom, rightTo, "__bkt_r", w,
+      bucketSeconds, horizon, maxBucketsPerRow, inclusiveBounds)
     val canonical = lB("__bkt_l") ===
-      fdiv(greatest(ep(col(leftFrom)), ep(col(rightFrom))))
-    val equi = equiKeys.map { case (a, b) => col(a) === col(b) }
+      ijFdiv(greatest(ijEp(col(leftFrom)), ijEp(col(rightFrom))), w)
     val cond = (Seq(lB("__bkt_l") === rB("__bkt_r")) ++ equi ++
       Seq(condition, canonical)).reduce(_ && _)
     lB.join(rB, cond).drop("__bkt_l", "__bkt_r")
@@ -351,11 +413,19 @@ object Joins {
 
   /** Left-outer face of [[intervalJoin]]: every left row survives, with
     * the right columns null-extended when no period matches — LEFT JOIN
-    * semantics over the same scale-safe bucketed plan. Composition:
-    * bucketed inner + left-anti on the matched `leftId` set + union.
-    * `leftId` must uniquely identify left rows (the anti join keys on
-    * it); two extra bounded shuffles (distinct ids + anti) on top of the
-    * inner plan — never a nested loop. */
+    * semantics over the same scale-safe bucketed plan, in a SINGLE pass.
+    *
+    * Plan: the bucketed join runs as a LEFT join over the exploded
+    * covers, so an unmatched left row surfaces (null-extended) once per
+    * bucket; one window over `leftId` then keeps all matched rows plus
+    * exactly one null row for rows with no match anywhere. The explode +
+    * bucket shuffle executes ONCE (the r9 shape ran it twice — once for
+    * the inner result, once for the matched-id anti join), and the
+    * window's hash-partitioning by `leftId` is exactly what a downstream
+    * per-left aggregation reuses. Null-endpoint left rows explode to
+    * zero buckets, so they bypass the join and union back null-extended.
+    * `leftId` must uniquely identify left rows (the window partitions
+    * on it). */
   def intervalJoinLeft(
       left: DataFrame,
       right: DataFrame,
@@ -366,16 +436,52 @@ object Joins {
       leftId: String,
       equiKeys: Seq[(String, String)] = Nil,
       maxBucketsPerRow: Int = 4096,
-      strategy: String = "auto"): DataFrame = {
-    val inner = intervalJoin(left, right, leftFrom, leftTo,
-      rightFrom, rightTo, condition, bucketSeconds, equiKeys,
-      maxBucketsPerRow, strategy)
-    val matched = inner.select(leftId).distinct()
-    val unmatched = left.join(matched, Seq(leftId), "left_anti")
-    val nullExtended = right.schema.fields.foldLeft(unmatched) { (df, f) =>
+      strategy: String = "auto",
+      inclusiveBounds: Boolean = false): DataFrame = {
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalJoinLeft requires disjoint column names; both sides " +
+        s"have: ${overlap.mkString(", ")}")
+    require(left.columns.contains(leftId),
+      s"leftId $leftId is not a left column")
+    val leftW = ijWellFormed(left, leftFrom, leftTo, inclusiveBounds)
+    val rightW = ijWellFormed(right, rightFrom, rightTo, inclusiveBounds)
+    val equi = equiKeys.map { case (a, b) => col(a) === col(b) }
+    if (ijPick(left, right, strategy) == "broadcast")
+      return leftW.join(broadcast(rightW),
+        (condition +: equi).reduce(_ && _), "left")
+    val w = bucketSeconds * 1000000L
+    val nullLeft = leftW.filter(
+      col(leftFrom).isNull || col(leftTo).isNull)
+    val liveLeft = leftW.filter(
+      col(leftFrom).isNotNull && col(leftTo).isNotNull)
+    val horizon = ijHorizonBkt(liveLeft, rightW, leftFrom, rightFrom, w)
+    val lB = ijBucketed(liveLeft, leftFrom, leftTo, "__bkt_l", w,
+      bucketSeconds, horizon, maxBucketsPerRow, inclusiveBounds)
+    val rB = ijBucketed(rightW, rightFrom, rightTo, "__bkt_r", w,
+      bucketSeconds, horizon, maxBucketsPerRow, inclusiveBounds)
+      .withColumn("__rmatch", lit(true))
+    val canonical = lB("__bkt_l") ===
+      ijFdiv(greatest(ijEp(col(leftFrom)), ijEp(col(rightFrom))), w)
+    val cond = (Seq(lB("__bkt_l") === rB("__bkt_r")) ++ equi ++
+      Seq(condition, canonical)).reduce(_ && _)
+    val joined = lB.join(rB, cond, "left")
+    import org.apache.spark.sql.expressions.Window
+    val byId = Window.partitionBy(col(leftId))
+    val matchedOrFirst = joined
+      .withColumn("__any",
+        max(when(col("__rmatch"), lit(1)).otherwise(lit(0))).over(byId))
+      .withColumn("__rn",
+        row_number().over(byId.orderBy(col("__bkt_l"))))
+      .filter(coalesce(col("__rmatch"), lit(false)) ||
+        (col("__any") === 0 && col("__rn") === 1))
+      .drop("__bkt_l", "__bkt_r", "__rmatch", "__any", "__rn")
+    val nullExtended = right.schema.fields.foldLeft(nullLeft) { (df, f) =>
       df.withColumn(f.name, lit(null).cast(f.dataType))
     }
-    inner.unionByName(nullExtended.select(inner.columns.map(col): _*))
+    matchedOrFirst.unionByName(
+      nullExtended.select(matchedOrFirst.columns.map(col): _*))
   }
 
   /** Null-aware anti join — SQL `NOT IN (subquery)` semantics: if the right

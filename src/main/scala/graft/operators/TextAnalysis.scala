@@ -246,6 +246,34 @@ object TextAnalysis {
     * not a separate `docs.count()` action, so the whole search is ONE
     * job and plan construction runs nothing. Output: one row per
     * matching doc — (doc_id, matched_terms, score_c). */
+  /** Postings caches [[keywordSearch]]/[[bm25Search]] have persisted and
+    * not yet released. The persists are LAZY (plan construction runs no
+    * job), so the search functions cannot unpersist them themselves —
+    * the cache must outlive the caller's action. A long-lived session
+    * (server loop, notebook) calls [[releasePostings]] after each
+    * query's result is materialized; otherwise release falls to the
+    * GC-driven ContextCleaner, which is correct but unbounded in time. */
+  private val livePostings =
+    new java.util.concurrent.ConcurrentLinkedQueue[DataFrame]()
+
+  private def trackPostings(df: DataFrame): Unit = livePostings.add(df)
+
+  /** Unpersist every postings cache accumulated by [[keywordSearch]] /
+    * [[bm25Search]] since the last release. Call AFTER the search
+    * results have been materialized (written/collected): releasing
+    * earlier is still correct but re-tokenizes the corpus twice for any
+    * result materialized later. Returns the number released. */
+  def releasePostings(): Int = {
+    var n = 0
+    var f = livePostings.poll()
+    while (f != null) {
+      f.unpersist(blocking = false)
+      n += 1
+      f = livePostings.poll()
+    }
+    n
+  }
+
   def keywordSearch(docs: DataFrame, textCol: String, idCol: String,
       terms: Seq[String], satK: Long = 2L): DataFrame = {
     val nDf = docs.agg(count(lit(1)).as("__n"))
@@ -260,8 +288,11 @@ object TextAnalysis {
       // query. The cache is the terms-matched postings only; df then
       // costs a cache read, and everything stays distributed by doc (no
       // per-term single-task window — the skew-safe shape for common
-      // terms). Lazy, so plan construction still runs no job.
+      // terms). Lazy, so plan construction still runs no job. Tracked for
+      // [[releasePostings]] — long-lived sessions release deterministically
+      // instead of waiting on the GC-driven ContextCleaner.
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackPostings(tf)
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("w"))
       .crossJoin(broadcast(nDf))
@@ -314,6 +345,7 @@ object TextAnalysis {
       // same twice-consumed-subtree fix as keywordSearch: cache the
       // matched postings so the df branch never re-tokenizes the corpus
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    trackPostings(tf)
     val df = tf.groupBy("w").agg(count(lit(1)).as("df"))
     tf.join(broadcast(df), Seq("w"))
       .crossJoin(broadcast(statsDf))

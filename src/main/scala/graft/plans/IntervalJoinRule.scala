@@ -21,10 +21,14 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   * equi join on bucket → exact residual → canonical-bucket emission).
   *
   * Soundness notes, each load-bearing:
-  *  - STRICT `<` only. With `<=` conjuncts, a pair satisfied at exact
-  *    equality on a bucket boundary can fall outside the partner's
-  *    exploded range — silently missed. Rewriting those is wrong, so we
-  *    do not.
+  *  - Strict `<` pairs rewrite through the half-open bucket cover.
+  *    Pairs where either conjunct is `<=` rewrite through the CLOSED
+  *    cover (`inclusiveBounds = true`): under the half-open cover a pair
+  *    satisfied at exact equality on a bucket boundary can fall outside
+  *    the partner's exploded range — silently missed — so inclusive
+  *    shapes widen each cover to `[from, to]`, whose canonical-bucket
+  *    emission stays exact for every strict/inclusive mix (the residual
+  *    is always the original predicate).
   *  - Degenerate rows (from ≥ to, or a NULL bound) can still satisfy the
   *    condition against a suitable partner but explode to zero buckets.
   *    They are split out and joined through a broadcast nested loop
@@ -41,8 +45,9 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   * `spark.graft.intervalJoin.bucketSeconds` (default 86400 — pick near
   * the typical period length; the operator's per-row bucket cap stays
   * loud). The child subtrees are re-entered as DataFrames, so the
-  * operator's horizon clamp (two min/max jobs at planning time) and its
-  * guarantees apply unchanged.
+  * operator's horizon clamp and its guarantees apply unchanged — and
+  * since the horizon is sidecar-sourced or computed inside the query's
+  * own job, REWRITING here never runs a Spark job at optimization time.
   */
 object GraftIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
 
@@ -75,8 +80,13 @@ object GraftIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
   private def tryRewrite(j: Join, l: LogicalPlan, r: LogicalPlan,
       cond: Expression): Option[LogicalPlan] = {
     val conjuncts = splitConjunctivePredicates(cond)
+    // a usable shuffle key must bind BOTH children: an EqualTo whose
+    // sides' references are merely subsets of the outputs also matches
+    // single-side/literal conjuncts (`l.x = 5` — literal refs are a
+    // subset of everything), which would wrongly suppress the rewrite
+    // and leave the query on the cartesian NLJ path
     val hasEqui = conjuncts.exists {
-      case EqualTo(a, b) =>
+      case EqualTo(a, b) if a.references.nonEmpty && b.references.nonEmpty =>
         (a.references.subsetOf(l.outputSet) &&
           b.references.subsetOf(r.outputSet)) ||
         (b.references.subsetOf(l.outputSet) &&
@@ -84,28 +94,42 @@ object GraftIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
       case _ => false
     }
     if (hasEqui) return None
-    // one strict left-expr < right-expr conjunct, one strict
-    // right-expr < left-expr conjunct (GreaterThan normalized); the two
-    // must be DIFFERENT conjuncts
-    def asLR(c: Expression): Option[(Expression, Expression)] = c match {
-      case LessThan(a, b) if sideExpr(a, l) && sideExpr(b, r) => Some((a, b))
-      case GreaterThan(a, b) if sideExpr(b, l) && sideExpr(a, r) =>
-        Some((b, a))
-      case _ => None
-    }
-    def asRL(c: Expression): Option[(Expression, Expression)] = c match {
-      case LessThan(a, b) if sideExpr(a, r) && sideExpr(b, l) => Some((a, b))
-      case GreaterThan(a, b) if sideExpr(b, r) && sideExpr(a, l) =>
-        Some((b, a))
-      case _ => None
-    }
+    // one left-expr {<,<=} right-expr conjunct, one right-expr {<,<=}
+    // left-expr conjunct (GreaterThan[OrEqual] normalized); the two must
+    // be DIFFERENT conjuncts. The boolean is `strict`.
+    def asLR(c: Expression): Option[(Expression, Expression, Boolean)] =
+      c match {
+        case LessThan(a, b) if sideExpr(a, l) && sideExpr(b, r) =>
+          Some((a, b, true))
+        case GreaterThan(a, b) if sideExpr(b, l) && sideExpr(a, r) =>
+          Some((b, a, true))
+        case LessThanOrEqual(a, b) if sideExpr(a, l) && sideExpr(b, r) =>
+          Some((a, b, false))
+        case GreaterThanOrEqual(a, b) if sideExpr(b, l) && sideExpr(a, r) =>
+          Some((b, a, false))
+        case _ => None
+      }
+    def asRL(c: Expression): Option[(Expression, Expression, Boolean)] =
+      c match {
+        case LessThan(a, b) if sideExpr(a, r) && sideExpr(b, l) =>
+          Some((a, b, true))
+        case GreaterThan(a, b) if sideExpr(b, r) && sideExpr(a, l) =>
+          Some((b, a, true))
+        case LessThanOrEqual(a, b) if sideExpr(a, r) && sideExpr(b, l) =>
+          Some((a, b, false))
+        case GreaterThanOrEqual(a, b) if sideExpr(b, r) && sideExpr(a, l) =>
+          Some((b, a, false))
+        case _ => None
+      }
     val lrHit = conjuncts.zipWithIndex
       .collectFirst { case (c, i) if asLR(c).isDefined => (asLR(c).get, i) }
     val rlHit = conjuncts.zipWithIndex
       .collectFirst { case (c, i) if asRL(c).isDefined => (asRL(c).get, i) }
     (lrHit, rlHit) match {
-      case (Some(((lfE, rtE), i1)), Some(((rfE, ltE), i2))) if i1 != i2 &&
+      case (Some(((lfE, rtE, s1), i1)), Some(((rfE, ltE, s2), i2)))
+          if i1 != i2 &&
           !lfE.semanticEquals(ltE) && !rfE.semanticEquals(rtE) =>
+        val inclusive = !(s1 && s2)
         // the operator needs unambiguous, disjoint column names
         val names = (l.output ++ r.output).map(_.name)
         if (names.distinct.length != names.length) return None
@@ -128,15 +152,22 @@ object GraftIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
           .withColumn("__ij_rt", GraftColumnBridge.toColumn(rtE))
         val condCol = GraftColumnBridge.toColumn(cond)
         val internal = Seq("__ij_lf", "__ij_lt", "__ij_rf", "__ij_rt")
-        val lNormP = col("__ij_lf") < col("__ij_lt")
-        val rNormP = col("__ij_rf") < col("__ij_rt")
+        // inclusive shapes legalize from == to (closed covers include the
+        // boundary bucket); strict shapes keep half-open normalcy
+        val lNormP =
+          if (inclusive) col("__ij_lf") <= col("__ij_lt")
+          else col("__ij_lf") < col("__ij_lt")
+        val rNormP =
+          if (inclusive) col("__ij_rf") <= col("__ij_rt")
+          else col("__ij_rf") < col("__ij_rt")
         val lNorm = lDf.filter(lNormP)
         val rNorm = rDf.filter(rNormP)
         val lDeg = lDf.filter(!coalesce(lNormP, lit(false)))
         val rDeg = rDf.filter(!coalesce(rNormP, lit(false)))
         val bucketed = graft.operators.Joins.intervalJoin(
           lNorm, rNorm, "__ij_lf", "__ij_lt", "__ij_rf", "__ij_rt",
-          condCol, bucketSeconds, strategy = "bucket")
+          condCol, bucketSeconds, strategy = "bucket",
+          inclusiveBounds = inclusive)
         val result = bucketed
           .union(broadcast(lDeg).join(rDf, condCol))
           .union(lNorm.join(broadcast(rDeg), condCol))
@@ -144,9 +175,20 @@ object GraftIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
         // this batch runs AFTER EliminateResolvedHint, so fold the
         // broadcast() hints into JoinHints ourselves — a leftover
         // ResolvedHint is an internal error at physical planning
-        Some(Project(j.output,
+        val child =
           org.apache.spark.sql.catalyst.optimizer.EliminateResolvedHint(
-            result.queryExecution.analyzed)))
+            result.queryExecution.analyzed)
+        // the operator's in-plan horizon aggregate makes each input
+        // subtree appear under BOTH sides of the bucket join, so
+        // DeduplicateRelations may re-alias the surviving occurrence —
+        // restore the original exprIds by (unique, checked above) name
+        val byName = child.output.map(a => a.name -> a).toMap
+        val restored: Seq[NamedExpression] = j.output.map { a =>
+          val c = byName(a.name)
+          if (c.exprId == a.exprId) c
+          else Alias(c, a.name)(exprId = a.exprId, qualifier = a.qualifier)
+        }
+        Some(Project(restored, child))
       case _ => None
     }
   }

@@ -3,9 +3,11 @@ package graft.plans
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Write-time table statistics (row count + per-column distinct counts)
-  * as a `_graft_stats.json` sidecar inside the table directory — the
-  * engine's ANALYZE, feeding [[GraftJoinReorder]]'s selectivity model.
+/** Write-time table statistics (row count, per-column distinct counts,
+  * temporal min/max) as a `_graft_stats.json` sidecar inside the table
+  * directory — the engine's ANALYZE, feeding [[GraftJoinReorder]]'s
+  * selectivity model and [[graft.operators.Joins.intervalJoin]]'s
+  * horizon clamp.
   *
   * The reference computes exactly this at index time: per-page HLL
   * sketches next to min/max metadata (`indexer/HllCalculator.kt`,
@@ -16,16 +18,33 @@ import org.apache.spark.sql.functions._
   * deployment — have nowhere to put those stats, hence the sidecar.
   *
   * NDVs come from `approx_count_distinct` (HLL++, one pass over the
-  * table for all columns at once); the underscore prefix keeps the file
-  * invisible to Spark/DuckDB parquet listing. Reads are cached per
-  * (path, mtime) so the optimizer rule never re-reads per query. */
+  * table for all columns at once); temporal columns additionally get
+  * exact min/max as epoch micros in the same pass. The underscore
+  * prefix keeps the file invisible to Spark/DuckDB parquet listing.
+  * Reads are cached per path (stale mtimes replace their entry, so the
+  * cache is bounded by the number of distinct tables, not by rewrites).
+  *
+  * Freshness: the sidecar records the data-file count and max mtime at
+  * analyze time; consumers whose soundness depends on the stats (the
+  * interval-join horizon) call [[maxMicrosUpperBound]], which verifies
+  * both against the live directory before trusting a bound — a table
+  * rewritten without re-ANALYZE falls back to computing, never to a
+  * silently-stale bound. */
 object StatsSidecar {
 
-  final case class TableStats(rowCount: Long, ndv: Map[String, Long])
+  final case class TableStats(
+      rowCount: Long,
+      ndv: Map[String, Long],
+      files: Long = -1L,
+      mtime: Long = -1L,
+      minMicros: Map[String, Long] = Map.empty,
+      maxMicros: Map[String, Long] = Map.empty)
 
   private val FileName = "_graft_stats.json"
-  private val cache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Long), Option[TableStats]]()
+  // keyed by sidecar path; the value carries the mtime it was read at, so
+  // a rewrite REPLACES the entry instead of accumulating stale keys
+  private val cache = new java.util.concurrent.ConcurrentHashMap[
+    String, (Long, Option[TableStats])]()
 
   /** Sidecar location: inside a directory table; for a single-file table
     * (the driver testdata shape) a `_`-prefixed sibling — both invisible
@@ -37,7 +56,28 @@ object StatsSidecar {
       s"_graft_stats.${f.getName}.json")
   }
 
-  /** One pass: rowCount + NDV for every atomic column, written to
+  /** The table's data files (directory members minus `_`/`.`-prefixed
+    * metadata, or the single file itself) — the freshness fingerprint. */
+  private def dataFiles(dir: String): Seq[java.io.File] = {
+    val f = new java.io.File(dir)
+    if (f.isDirectory)
+      Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filter(x => x.isFile && !x.getName.startsWith("_") &&
+          !x.getName.startsWith("."))
+    else if (f.isFile) Seq(f)
+    else Nil
+  }
+
+  private def temporalType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.TimestampType |
+           org.apache.spark.sql.types.TimestampNTZType |
+           org.apache.spark.sql.types.DateType => true
+      case _ => false
+    }
+
+  /** One pass: rowCount + NDV for every atomic column + exact min/max
+    * (epoch micros) for every temporal column, written to
     * `<dir>/_graft_stats.json`. Returns the stats. */
   def analyze(spark: SparkSession, dir: String): TableStats = {
     val df = spark.read.parquet(dir)
@@ -47,46 +87,155 @@ object StatsSidecar {
            _: org.apache.spark.sql.types.StructType => false
       case _ => true
     })
+    val temporal = atomic.filter(f => temporalType(f.dataType))
+    def micros(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      unix_micros(c.cast("timestamp"))
     val aggs = count(lit(1)).as("__n") +:
-      atomic.map(f => approx_count_distinct(col(f.name)).as(f.name))
+      (atomic.map(f => approx_count_distinct(col(f.name)).as(f.name)) ++
+        temporal.map(f => micros(min(col(f.name))).as(s"__min_${f.name}")) ++
+        temporal.map(f => micros(max(col(f.name))).as(s"__max_${f.name}")))
     val row = df.agg(aggs.head, aggs.tail: _*).head()
-    val stats = TableStats(row.getLong(0),
-      atomic.indices.map(i => atomic(i).name -> row.getLong(i + 1)).toMap)
-    val json = {
-      val cols = stats.ndv.toSeq.sortBy(_._1)
-        .map { case (k, v) => s""""${k}":$v""" }.mkString(",")
-      s"""{"rowCount":${stats.rowCount},"ndv":{$cols}}"""
-    }
+    def tmap(prefix: String): Map[String, Long] =
+      temporal.flatMap { f =>
+        val i = row.fieldIndex(s"$prefix${f.name}")
+        if (row.isNullAt(i)) None else Some(f.name -> row.getLong(i))
+      }.toMap
+    val dfs = dataFiles(dir)
+    val stats = TableStats(
+      rowCount = row.getLong(0),
+      ndv = atomic.indices.map(i => atomic(i).name -> row.getLong(i + 1)).toMap,
+      files = dfs.size.toLong,
+      mtime = if (dfs.isEmpty) -1L else dfs.map(_.lastModified()).max,
+      minMicros = tmap("__min_"),
+      maxMicros = tmap("__max_"))
+    def obj(m: Map[String, Long]): String =
+      m.toSeq.sortBy(_._1).map { case (k, v) => s""""${k}":$v""" }
+        .mkString("{", ",", "}")
+    val json = s"""{"rowCount":${stats.rowCount},"files":${stats.files},""" +
+      s""""mtime":${stats.mtime},"ndv":${obj(stats.ndv)},""" +
+      s""""minMicros":${obj(stats.minMicros)},""" +
+      s""""maxMicros":${obj(stats.maxMicros)}}"""
     val p = sidecarFile(dir)
     val w = new java.io.PrintWriter(p, "UTF-8")
     try w.print(json) finally w.close()
-    cache.clear() // new stats invalidate any cached miss for this path
+    cache.remove(p.getAbsolutePath) // next read picks up the new file
     stats
   }
 
   /** Cached sidecar read; None when the table was never analyzed. */
   def read(dir: String): Option[TableStats] = {
     val f = sidecarFile(dir)
-    val key = (f.getAbsolutePath, if (f.exists()) f.lastModified() else -1L)
-    cache.computeIfAbsent(key, _ =>
-      if (!f.exists()) None
-      else {
-        val s = new String(
-          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
-        parse(s)
-      })
+    val key = f.getAbsolutePath
+    val m = if (f.exists()) f.lastModified() else -1L
+    val cur = cache.get(key)
+    if (cur != null && cur._1 == m) cur._2
+    else {
+      val v =
+        if (!f.exists()) None
+        else parse(new String(
+          java.nio.file.Files.readAllBytes(f.toPath), "UTF-8"))
+      cache.put(key, (m, v))
+      v
+    }
   }
 
   /** Minimal parser for the exact shape [[analyze]] writes — no JSON
     * library on the unmanaged classpath is guaranteed stable, and the
-    * format is ours. Returns None on any mismatch (treated as
-    * no-stats, never an error in the optimizer path). */
+    * format is ours. The ndv/minMicros/maxMicros maps are parsed scoped
+    * to their own `{...}` regions (a real column named `rowCount` stays
+    * an ndv entry; scalars never read from inside a map). Returns None
+    * on any mismatch (treated as no-stats, never an error in the
+    * optimizer path). */
   private[plans] def parse(s: String): Option[TableStats] = try {
-    val rc = """"rowCount"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
-      .map(_.group(1).toLong)
-    val ndv = """"([^"]+)"\s*:\s*(\d+)""".r.findAllMatchIn(s)
-      .filterNot(_.group(1) == "rowCount")
-      .map(m => m.group(1) -> m.group(2).toLong).toMap
-    rc.map(TableStats(_, ndv))
+    def region(name: String): Map[String, Long] =
+      (s""""$name"\\s*:\\s*\\{([^{}]*)\\}""").r.findFirstMatchIn(s)
+        .map(m => """"([^"]+)"\s*:\s*(-?\d+)""".r
+          .findAllMatchIn(m.group(1))
+          .map(x => x.group(1) -> x.group(2).toLong).toMap)
+        .getOrElse(Map.empty)
+    val scalarSrc =
+      s.replaceAll("\"[A-Za-z]+\"\\s*:\\s*\\{[^{}]*\\}", "")
+    def scalar(name: String): Option[Long] =
+      (s""""$name"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(scalarSrc)
+        .map(_.group(1).toLong)
+    scalar("rowCount").map(rc => TableStats(rc, region("ndv"),
+      scalar("files").getOrElse(-1L), scalar("mtime").getOrElse(-1L),
+      region("minMicros"), region("maxMicros")))
   } catch { case _: Exception => None }
+
+  /** An upper bound on `max(epoch_micros(colName))` over `df` from the
+    * sidecar of the leaf scan the column passes through — ZERO Spark
+    * jobs, the 100 TB path (stats ride with the table; planning touches
+    * no data). None when the column is computed rather than passed
+    * through, the scan is not a single-rooted local parquet path, the
+    * table was never analyzed, or the sidecar is stale against the live
+    * file listing (count + max mtime) — callers fall back to computing.
+    *
+    * Soundness: the trace follows the column's exprId through
+    * pass-through nodes only (projects/filters/joins/aggregates keep
+    * attribute identity and can only SUBSET or null-extend the leaf's
+    * values, never exceed its max; nulls never raise a max). Union and
+    * CTE-ref nodes reuse exprIds across children with DIFFERENT value
+    * sets, so the trace rejects any plan containing them. */
+  def maxMicrosUpperBound(df: DataFrame, colName: String): Option[Long] =
+    try {
+      import org.apache.spark.sql.catalyst.plans.logical.{Union, CTERelationRef}
+      val plan = df.queryExecution.analyzed
+      val unsafe = plan.collectFirst {
+        case u: Union => u: Any
+        case c: CTERelationRef => c: Any
+      }.isDefined
+      if (unsafe) None
+      else plan.output.find(_.name == colName)
+        .flatMap(a => traceToScan(plan, a.exprId))
+        .flatMap { case (path, baseName) =>
+          read(path)
+            .filter { st =>
+              val dfs = dataFiles(path)
+              st.files == dfs.size.toLong &&
+                st.mtime == (if (dfs.isEmpty) -1L
+                             else dfs.map(_.lastModified()).max)
+            }
+            .flatMap(_.maxMicros.get(baseName))
+        }
+    } catch { case scala.util.control.NonFatal(_) => None }
+
+  /** Follow an attribute (by exprId) down to the parquet scan that
+    * produces it, through pass-through plan nodes and one-level
+    * `Alias(attr)` renames. Returns (local path, leaf column name). */
+  private def traceToScan(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      id: org.apache.spark.sql.catalyst.expressions.ExprId)
+      : Option[(String, String)] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    plan match {
+      case p: Project =>
+        p.projectList.find(_.exprId == id) match {
+          case Some(a: AttributeReference) => traceToScan(p.child, a.exprId)
+          case Some(Alias(a: AttributeReference, _)) =>
+            traceToScan(p.child, a.exprId)
+          case _ => None // computed expression — not a pass-through
+        }
+      case lr: LogicalRelation =>
+        lr.relation match {
+          case fs: HadoopFsRelation =>
+            lr.output.find(_.exprId == id).flatMap { a =>
+              fs.location.rootPaths.toSeq match {
+                case Seq(p) if p.toUri.getScheme == null ||
+                    p.toUri.getScheme == "file" =>
+                  Some((p.toUri.getPath, a.name))
+                case _ => None
+              }
+            }
+          case _ => None
+        }
+      case other =>
+        other.children.find(_.output.exists(_.exprId == id)) match {
+          case Some(c) => traceToScan(c, id)
+          case None => None
+        }
+    }
+  }
 }

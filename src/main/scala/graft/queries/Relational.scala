@@ -480,6 +480,93 @@ object Relational {
             WHERE event_type = 'signup')
       SELECT lid, count(*) AS n_overlap, max(rid) AS max_r
       FROM l JOIN r ON lf < rt AND rf < lt
-      GROUP BY lid ORDER BY lid"""))
+      GROUP BY lid ORDER BY lid""")),
+
+    // ---- INCLUSIVE endpoints through SQL TEXT: `<=` conjuncts rewrite
+    // through the CLOSED bucket cover (the half-open cover silently
+    // misses pairs satisfied at exact boundary equality — the round-9
+    // rule correctly refused these; round 10 handles them). Minute
+    // truncation + whole-minute widths guarantee a real population of
+    // exact lf = rt / rf = lt boundary pairs, so the closed cover is
+    // load-bearing, not vacuously equal to the strict result.
+    QueryDef("q212_interval_join_inclusive_rule", (s, dir) => {
+      if (!s.experimental.extraOptimizations
+          .contains(_root_.graft.plans.GraftIntervalJoin))
+        s.experimental.extraOptimizations ++=
+          Seq(_root_.graft.plans.GraftIntervalJoin)
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "view")
+        .select(col("event_id").as("lid"),
+          date_trunc("minute", col("ts")).as("lf"))
+        .withColumn("lt", col("lf") + expr("INTERVAL 2 MINUTES"))
+        .createOrReplaceTempView("q212_l")
+      ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("rid"),
+          date_trunc("minute", col("ts")).as("rf"))
+        .withColumn("rt", col("rf") + expr("INTERVAL 2 MINUTES"))
+        .createOrReplaceTempView("q212_r")
+      val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.graft.intervalJoin.bucketSeconds", "240")
+      try {
+        val joined = s.sql("""
+          SELECT lid, count(*) AS n_touch, max(rid) AS max_r
+          FROM q212_l JOIN q212_r ON lf <= rt AND rf <= lt
+          GROUP BY lid ORDER BY lid""")
+        val rep = _root_.graft.plans.Explain.report(joined)
+        require(rep.sortMergeJoins + rep.shuffledHashJoins +
+          rep.broadcastHashJoins >= 1,
+          "inclusive interval-join rule did not fire: no equi main path")
+        require(rep.cartesianProducts == 0,
+          "cartesian product in the rewritten plan")
+        joined.localCheckpoint(true)
+      } finally
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }, Some("""
+      WITH e AS (SELECT event_id, date_trunc('minute', ts) AS min_ts,
+                        event_type FROM events),
+      l AS (SELECT event_id AS lid, min_ts AS lf,
+                   min_ts + INTERVAL 2 MINUTE AS lt FROM e
+            WHERE event_type = 'view'),
+      r AS (SELECT event_id AS rid, min_ts AS rf,
+                   min_ts + INTERVAL 2 MINUTE AS rt FROM e
+            WHERE event_type = 'signup')
+      SELECT lid, count(*) AS n_touch, max(rid) AS max_r
+      FROM l JOIN r ON lf <= rt AND rf <= lt
+      GROUP BY lid ORDER BY lid""")),
+
+    // ---- the closed-interval OPERATOR face (inclusiveBounds = true):
+    // same bucketed plan, covers widened to [from, to] so the
+    // boundary-touch pairs (lf = rt exactly, after minute truncation)
+    // survive — SQL `(lf, lt) OVERLAPS (rf, rt)`-with-equality semantics
+    QueryDef("q213_interval_join_closed", (s, dir) => {
+      val ev = t(s, dir, "events")
+      val errs = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("l_event_id"),
+          date_trunc("minute", col("ts")).as("lf"))
+        .withColumn("lt", col("lf") + expr("INTERVAL 3 MINUTES"))
+      val purch = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("r_event_id"),
+          date_trunc("minute", col("ts")).as("rf"))
+        .withColumn("rt", col("rf") + expr("INTERVAL 3 MINUTES"))
+      Joins.intervalJoin(errs, purch, "lf", "lt", "rf", "rt",
+          col("lf") <= col("rt") && col("rf") <= col("lt"),
+          bucketSeconds = 300, strategy = "bucket",
+          inclusiveBounds = true)
+        .groupBy("l_event_id")
+        .agg(count(lit(1)).as("n_touch"), max("r_event_id").as("max_r"))
+        .presentSorted("l_event_id")
+    }, Some("""
+      WITH e AS (SELECT event_id, date_trunc('minute', ts) AS min_ts,
+                        event_type FROM events),
+      l AS (SELECT event_id AS l_event_id, min_ts AS lf,
+                   min_ts + INTERVAL 3 MINUTE AS lt FROM e
+            WHERE event_type = 'error'),
+      r AS (SELECT event_id AS r_event_id, min_ts AS rf,
+                   min_ts + INTERVAL 3 MINUTE AS rt FROM e
+            WHERE event_type = 'purchase')
+      SELECT l_event_id, count(*) AS n_touch, max(r_event_id) AS max_r
+      FROM l JOIN r ON lf <= rt AND rf <= lt
+      GROUP BY l_event_id ORDER BY l_event_id"""))
   )
 }

@@ -202,8 +202,9 @@ class JoinsSpec extends AnyFunSuite {
     assert(out == Set((1L, Some(10L)), (3L, Some(10L)), (2L, None)))
   }
 
-  test("interval join: bucketed plan is equi — no nested-loop, no " +
-      "cartesian; broadcast fallback only when asked/auto-small") {
+  test("interval join: bucketed plan is equi — no cartesian; without a " +
+      "sidecar the only nested loops are 1-row horizon broadcasts; " +
+      "broadcast fallback only when asked/auto-small") {
     val l = periods((1 to 200).map(i =>
       (i.toLong, s"2024-01-01 0${i % 10}:00:00", s"2024-01-01 0${i % 10}:30:00")),
       "lid", "lf", "lt")
@@ -214,10 +215,17 @@ class JoinsSpec extends AnyFunSuite {
       Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
       bucketSeconds = 3600, strategy = "bucket")
     val rep = graft.plans.Explain.report(bucketed)
-    assert(rep.nestedLoopJoins == 0,
-      "bucketed interval join must never plan a nested loop")
-    assert(rep.shuffleExchanges <= 2,
-      s"one hash exchange per side at most, got ${rep.shuffleExchanges}")
+    assert(rep.sortMergeJoins + rep.shuffledHashJoins +
+      rep.broadcastHashJoins >= 1,
+      "the main path must be an equi join on the bucket")
+    assert(rep.cartesianProducts == 0,
+      "bucketed interval join must never plan a cartesian")
+    // in-memory frames have no stats sidecar, so the horizon rides the
+    // plan as 1-row broadcast aggregates: per side the combine + attach,
+    // 4 BNLJs max, every broadcast side exactly one row — never O(n·m)
+    assert(rep.nestedLoopJoins <= 4,
+      s"only 1-row horizon broadcasts may nested-loop, got " +
+        s"${rep.nestedLoopJoins}")
     // strategy=auto on these tiny frames picks the broadcast theta join —
     // the single-node-cheap path, by stats, exactly like the reference's
     // nested-loop on small inputs
@@ -228,5 +236,136 @@ class JoinsSpec extends AnyFunSuite {
     // both strategies agree on the relation
     assert(bucketed.select("lid", "rid").as[(Long, Long)].collect().toSet ==
       auto.select("lid", "rid").as[(Long, Long)].collect().toSet)
+  }
+
+  test("interval join: closed-interval mode (inclusiveBounds) is " +
+      "pair-exact vs a cross-join oracle, boundary-equality pairs " +
+      "included, across bucket widths") {
+    val rnd = new scala.util.Random(13)
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      // hour-align ~1/3 of rows: exact cross-side boundary equalities are
+      // the pairs where the closed cover is load-bearing (a half-open
+      // cover silently misses them)
+      val aligned = rnd.nextInt(3) == 0
+      val start0 = 1700000000L + rnd.nextInt(100000)
+      val start = if (aligned) start0 - start0 % 3600 else start0
+      val len0 = 1 + rnd.nextInt(5000)
+      val len = if (aligned) 3600L * (1 + len0 % 3) else len0
+      def ts(s: Long) = java.time.Instant.ofEpochSecond(s).toString
+        .replace("T", " ").dropRight(1)
+      (idBase + i, ts(start), ts(start + len))
+    }
+    val l = periods(mk(60, 1000), "lid", "lf", "lt")
+    val r = periods(mk(80, 9000), "rid", "rf", "rt")
+    val closedCond = col("lf") <= col("rt") && col("rf") <= col("lt")
+    val oracle = l.crossJoin(r).filter(closedCond)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val strictOracle = l.crossJoin(r)
+      .filter(Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(oracle.size > strictOracle.size,
+      "fixture must contain boundary-equality pairs (closed strictly wider)")
+    for (w <- Seq(60L, 1800L, 86400L)) {
+      val got = Joins.intervalJoin(l, r, "lf", "lt", "rf", "rt",
+          closedCond, bucketSeconds = w, strategy = "bucket",
+          inclusiveBounds = true)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size,
+        s"w=$w: canonical-bucket emission must not duplicate pairs")
+      assert(got.toSet == oracle, s"w=$w: pair set diverged from oracle; " +
+        s"missing=${(oracle -- got.toSet).take(5)}")
+    }
+    // inclusive mode legalizes instant periods (from == to): an instant
+    // inside a partner's closed period matches
+    val inst = periods(Seq(
+      (1L, "2024-01-01 02:00:00", "2024-01-01 02:00:00")), "lid", "lf", "lt")
+    val part = periods(Seq(
+      (10L, "2024-01-01 01:00:00", "2024-01-01 02:00:00"), // touches at end
+      (11L, "2024-01-01 03:00:00", "2024-01-01 04:00:00")), "rid", "rf", "rt")
+    val got = Joins.intervalJoin(inst, part, "lf", "lt", "rf", "rt",
+        closedCond, bucketSeconds = 3600, strategy = "bucket",
+        inclusiveBounds = true)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got == Set((1L, 10L)))
+  }
+
+  test("interval join: sidecar-sourced horizon plans with ZERO extra " +
+      "scans and ZERO build-time jobs; LEFT face runs the bucketed join " +
+      "ONCE (input records ~= one read per side)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
+    val dir = java.nio.file.Files.createTempDirectory("ij_sidecar").toFile
+    try {
+      val lRaw = periods((1 to 400).map(i =>
+        (i.toLong, s"2024-01-01 ${"%02d".format(i % 24)}:00:00",
+          s"2024-01-01 ${"%02d".format(i % 24)}:40:00")),
+        "lid", "lf", "lt")
+      val rRaw = periods((1 to 300).map(i =>
+        (1000L + i, s"2024-01-01 ${"%02d".format(i % 24)}:20:00",
+          s"2024-01-01 ${"%02d".format(i % 24)}:59:00")),
+        "rid", "rf", "rt")
+      lRaw.coalesce(1).write.parquet(s"$dir/l")
+      rRaw.coalesce(1).write.parquet(s"$dir/r")
+      graft.plans.StatsSidecar.analyze(spark, s"$dir/l")
+      graft.plans.StatsSidecar.analyze(spark, s"$dir/r")
+      val l = spark.read.parquet(s"$dir/l")
+      val r = spark.read.parquet(s"$dir/r")
+
+      // 1) operator BUILD + plan materialization runs ZERO jobs (the r9
+      //    shape ran two full-scan max() jobs here — at optimizer-rewrite
+      //    time for SQL queries)
+      val jobs = new java.util.concurrent.atomic.AtomicInteger(0)
+      val jl = new SparkListener {
+        override def onJobStart(js: SparkListenerJobStart): Unit =
+          jobs.incrementAndGet()
+      }
+      spark.sparkContext.addSparkListener(jl)
+      val (inner, left) = try {
+        val inner = Joins.intervalJoin(l, r, "lf", "lt", "rf", "rt",
+          Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+          bucketSeconds = 3600, strategy = "bucket")
+        val left = Joins.intervalJoinLeft(l, r, "lf", "lt", "rf", "rt",
+          Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+          bucketSeconds = 3600, leftId = "lid", strategy = "bucket")
+        inner.queryExecution.executedPlan // force planning
+        left.queryExecution.executedPlan
+        Thread.sleep(500) // listener bus is async
+        assert(jobs.get() == 0,
+          s"sidecar horizon must plan job-free, fired ${jobs.get()}")
+        (inner, left)
+      } finally spark.sparkContext.removeSparkListener(jl)
+
+      // 2) with the sidecar the plan has NO horizon aggregates at all:
+      //    zero nested loops, pure bucket equi join
+      val rep = graft.plans.Explain.report(inner)
+      assert(rep.nestedLoopJoins == 0 && rep.cartesianProducts == 0,
+        "sidecar horizon must remove every in-plan horizon branch")
+
+      // 3) LEFT face single pass: total input records across the action
+      //    ~= one read of each side (the r9 inner+anti shape read the
+      //    inputs twice). Window/bucket rows are not input records, so
+      //    the bound is tight.
+      val nIn = 400L + 300L
+      val read = new java.util.concurrent.atomic.AtomicLong(0)
+      val tl = new SparkListener {
+        override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+          if (te.taskMetrics != null)
+            read.addAndGet(te.taskMetrics.inputMetrics.recordsRead)
+      }
+      spark.sparkContext.addSparkListener(tl)
+      val rows = try {
+        val rows = left.collect()
+        Thread.sleep(800)
+        rows
+      } finally spark.sparkContext.removeSparkListener(tl)
+      assert(read.get() >= nIn && read.get() < 2 * nIn,
+        s"expected ~one read per side (~$nIn records), read ${read.get()}")
+      // every left row survives exactly once unless matched
+      assert(rows.map(_.getLong(0)).distinct.length == 400)
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).foreach(_.foreach(rm)); f.delete()
+      }
+      rm(dir)
+    }
   }
 }
