@@ -107,9 +107,11 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
       val eng = new XtSqlEngine(spark, db)
         .withPrincipal(params.getOrElse("user", "xtdb"))
       // extended-protocol state: statement name -> query text (with $n
-      // placeholder spans), portal name -> fully-bound SQL text
+      // placeholder spans), portal name -> fully-bound SQL text, and the
+      // run state of partially-executed (suspended) result-set portals
       val prepared = scala.collection.mutable.Map.empty[String, String]
       val portals = scala.collection.mutable.Map.empty[String, String]
+      val portalRuns = scala.collection.mutable.Map.empty[String, PortalRun]
       var skipUntilSync = false
       var open = true
       while (open) {
@@ -156,6 +158,7 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
                 val text = prepared.getOrElse(stmt,
                   sys.error(s"unknown prepared statement: $stmt"))
                 portals(portal) = bindPlaceholders(text, params)
+                portalRuns.remove(portal) // re-Bind restarts the portal
                 msg(out, '2')(_ => ())
               } catch { case e: Exception =>
                 error(out, e); skipUntilSync = true
@@ -181,18 +184,43 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
                     else msg(out, 'n')(_ => ())
                   } catch { case _: Exception => msg(out, 'n')(_ => ()) }
               }
-            case 'E' => // Execute
+            case 'E' => // Execute (maxRows > 0 => resumable portal)
               try {
-                val portal = r.cstr(); r.i32() // maxRows: portals not suspended
+                val portal = r.cstr(); val maxRows = r.i32()
                 val text = portals.getOrElse(portal,
                   sys.error(s"unknown portal: $portal"))
-                runStatement(eng, text, out, describe = false)
+                if (!isResultSet(text))
+                  runStatement(eng, text, out, describe = false)
+                else {
+                  // first Execute materializes the portal as a driver-side
+                  // partition-at-a-time cursor (toLocalIterator — Spark
+                  // pulls one partition per fetch round, never the whole
+                  // relation, which is what a JDBC setFetchSize client is
+                  // asking for); later Executes resume it
+                  val run = portalRuns.getOrElseUpdate(portal, {
+                    val df = eng.sql(text)
+                    new PortalRun(df.schema, df.toLocalIterator())
+                  })
+                  var n = 0
+                  while (run.it.hasNext && (maxRows <= 0 || n < maxRows)) {
+                    dataRow(out, run.it.next(), run.schema)
+                    n += 1
+                  }
+                  run.sent += n
+                  if (run.it.hasNext) msg(out, 's')(_ => ()) // PortalSuspended
+                  else {
+                    val total = run.sent
+                    portalRuns.remove(portal)
+                    msg(out, 'C')(w => cstr(w, s"SELECT $total"))
+                  }
+                }
               } catch { case e: Exception =>
                 error(out, e); skipUntilSync = true
               }
             case 'C' => // Close
               val kind = r.byte().toChar; val name = r.cstr()
-              if (kind == 'S') prepared.remove(name) else portals.remove(name)
+              if (kind == 'S') prepared.remove(name)
+              else { portals.remove(name); portalRuns.remove(name) }
               msg(out, '3')(_ => ())
             case 'p' => () // stray password message
             case _ => () // unsupported message: ignore (e.g. COPY subprotocol)
@@ -515,6 +543,22 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
     if (spans.isEmpty) text
     else SqlLexer.splice(text, spans.map { case (s, e, _) => (s, e, "NULL") })
   }
+
+  /** Run state of a partially-executed result-set portal (Execute with
+    * maxRows > 0 that did not exhaust the cursor → PortalSuspended, the
+    * extended-protocol flow a JDBC driver with `setFetchSize` uses).
+    * `it` is Spark's toLocalIterator: partitions stream to the driver
+    * one at a time as the client fetches, so a suspended portal holds a
+    * bounded buffer, not the whole relation. Divergence from Postgres,
+    * documented: portals here survive Sync (this session model is
+    * autocommit-only; real PG keeps suspended portals alive inside the
+    * client's explicit transaction, which JDBC opens for fetch-size
+    * cursors — keeping them across Sync is what makes the same client
+    * flow work without BEGIN). */
+  private final class PortalRun(
+      val schema: StructType,
+      val it: java.util.Iterator[org.apache.spark.sql.Row],
+      var sent: Long = 0L)
 
   // ---- wire encoding ------------------------------------------------------
 

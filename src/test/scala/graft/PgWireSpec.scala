@@ -208,6 +208,80 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("portal suspension: Execute maxRows fetches in chunks with " +
+      "PortalSuspended, resumes across Sync, completes with the full " +
+      "count; Close discards the cursor") {
+    val c = new Client(server.boundPort)
+    c.startup(); c.untilReady()
+    (1 to 10).foreach(i =>
+      c.query(s"INSERT INTO wire_cursor RECORDS {_id: $i, v: ${i * 100}}"))
+
+    c.send('P') { w =>
+      c.cstr(w, "scur")
+      c.cstr(w, "SELECT _id FROM wire_cursor ORDER BY _id")
+      w.writeShort(0)
+    }
+    c.send('B') { w =>
+      c.cstr(w, "pcur"); c.cstr(w, "scur")
+      w.writeShort(0); w.writeShort(0); w.writeShort(0)
+    }
+    // fetch rounds: Execute(maxRows) + Flush, read until suspended/complete
+    def fetch(portal: String, maxRows: Int): (Seq[Seq[String]], Char, String) = {
+      c.send('E') { w => c.cstr(w, portal); w.writeInt(maxRows) }
+      c.send('H')(_ => ())
+      val rows = scala.collection.mutable.Buffer[Seq[String]]()
+      var end = ' '
+      var tagTxt = ""
+      while (end == ' ') {
+        val (t, p) = c.recv()
+        t match {
+          case 'D' => rows += c.row(p)
+          case 's' => end = 's' // PortalSuspended
+          case 'C' => end = 'C'
+            tagTxt = new String(p.takeWhile(_ != 0), UTF_8)
+          case 'E' => end = 'E'
+            tagTxt = new String(p, UTF_8)
+          case _ => () // BindComplete etc.
+        }
+      }
+      (rows.toSeq, end, tagTxt)
+    }
+    val (r1, e1, _) = fetch("pcur", 4)
+    assert(r1.map(_.head) == Seq("1", "2", "3", "4") && e1 == 's',
+      s"first chunk must suspend, got $e1 rows=$r1")
+    // JDBC's setFetchSize flow issues Sync between fetch rounds — the
+    // suspended portal must survive it (autocommit session model)
+    c.send('S')(_ => ()); c.untilReady()
+    val (r2, e2, _) = fetch("pcur", 4)
+    assert(r2.map(_.head) == Seq("5", "6", "7", "8") && e2 == 's')
+    val (r3, e3, tag3) = fetch("pcur", 4)
+    assert(r3.map(_.head) == Seq("9", "10") && e3 == 'C')
+    assert(tag3 == "SELECT 10",
+      s"completion must carry the portal's total row count, got '$tag3'")
+    // maxRows = 0 drains a fresh portal in one go (no suspension)
+    c.send('B') { w =>
+      c.cstr(w, "pall"); c.cstr(w, "scur")
+      w.writeShort(0); w.writeShort(0); w.writeShort(0)
+    }
+    val (rAll, eAll, _) = fetch("pall", 0)
+    assert(rAll.length == 10 && eAll == 'C')
+    // Close discards a suspended portal; Execute after Close errors
+    c.send('B') { w =>
+      c.cstr(w, "pgone"); c.cstr(w, "scur")
+      w.writeShort(0); w.writeShort(0); w.writeShort(0)
+    }
+    val (_, eg, _) = fetch("pgone", 3)
+    assert(eg == 's')
+    c.send('C') { w => w.writeByte('P'); c.cstr(w, "pgone") }
+    c.send('H')(_ => ())
+    val (tClose, _) = c.recv()
+    assert(tClose == '3', "CloseComplete")
+    val (_, eAfter, _) = fetch("pgone", 3)
+    assert(eAfter == 'E', "Execute on a closed portal must error")
+    c.send('S')(_ => ()); c.untilReady()
+    c.close()
+  }
+
   test("error surfaces as ErrorResponse and session recovers") {
     val c = new Client(server.boundPort)
     c.startup(); c.untilReady()
