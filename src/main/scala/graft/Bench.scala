@@ -43,8 +43,19 @@ object Bench {
   /** One-time ingest of the driver parquet into a size-proportional
     * multi-file layout (~1.5 MB/file, small tables stay whole) under a
     * temp dir that a shutdown hook removes recursively (File.deleteOnExit
-    * is a no-op on non-empty directories). Shared with tools.NodeTimes. */
-  def ingestLayout(spark: SparkSession, sfDir: String, cpus: Int): String = {
+    * is a no-op on non-empty directories). Shared with tools.NodeTimes.
+    *
+    * `bucketedFacts`: additionally write lineitem + orders CO-BUCKETED on
+    * the orderkey (same bucket count, one file per bucket, sorted within)
+    * and register them in the session catalog — every
+    * lineitem⋈orders join then plans with ZERO exchange on the fact
+    * side (Catalyst recognizes the matching HashPartitioning from the
+    * bucket spec). This is the write-once/join-forever layout a 100 TB
+    * deployment uses for its dominant join key; the flat layout re-pays
+    * that shuffle per query. Tables.load routes these two names to the
+    * catalog tables via `spark.graft.layout.bucketedTables`. */
+  def ingestLayout(spark: SparkSession, sfDir: String, cpus: Int,
+      bucketedFacts: Boolean = false): String = {
     val dst = java.nio.file.Files.createTempDirectory("graft_bench_store")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
@@ -53,16 +64,34 @@ object Bench {
       }
       rm(dst.toFile)
     }, "graft-bench-store-cleanup"))
+    val bucketKeys = Map("lineitem" -> "l_orderkey", "orders" -> "o_orderkey")
     Tables.all.foreach { t =>
       // file count ∝ bytes (~1.5 MB each, capped at cpu count): big
       // tables decode in parallel, small tables stay one file — a
       // 32-way split of a 0.5 MB table is 32 tasks of pure overhead
       val files = math.max(1L, math.min(cpus.toLong,
         tableBytes(sfDir, t) / (1500L * 1024))).toInt
-      Tables.load(spark, sfDir, t)
-        .repartition(files)
-        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      if (bucketedFacts && bucketKeys.contains(t)) {
+        import org.apache.spark.sql.functions.col
+        val key = bucketKeys(t)
+        // same bucket count on BOTH fact tables (co-location contract);
+        // pre-repartition by the same hash so each task writes exactly
+        // its one bucket file (multi-file buckets forfeit the sort info)
+        val buckets = cpus
+        Tables.load(spark, sfDir, t)
+          .repartition(buckets, col(key))
+          .write.mode("overwrite")
+          .option("path", s"$dst/bucketed_$t")
+          .bucketBy(buckets, key).sortBy(key)
+          .saveAsTable(s"graft_b_$t")
+      } else
+        Tables.load(spark, sfDir, t)
+          .repartition(files)
+          .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
+    if (bucketedFacts)
+      spark.conf.set("spark.graft.layout.bucketedTables",
+        bucketKeys.keys.mkString(","))
     dst.toString
   }
 
@@ -142,8 +171,14 @@ object Bench {
     // reads from it. Disable with SPARK_GRAFT_INGEST=false to measure the
     // raw driver files.
     val ingest = sys.env.getOrElse("SPARK_GRAFT_INGEST", "true").toBoolean
+    // SPARK_GRAFT_LAYOUT=bucketed co-buckets lineitem+orders on orderkey
+    // at ingest (zero-exchange fact joins); default "flat" is the shipped
+    // multi-file layout — BASELINE.md carries the measured 25× comparison
+    val layout = sys.env.getOrElse("SPARK_GRAFT_LAYOUT", "flat")
     val dataDir =
-      if (ingest) ingestLayout(spark, sfDir, cpus.toInt) else sfDir
+      if (ingest) ingestLayout(spark, sfDir, cpus.toInt,
+        bucketedFacts = layout == "bucketed")
+      else sfDir
     Tables.all.foreach { t =>
       val df = Tables.load(spark, dataDir, t)
       // cache(): later Tables.load plans canonically match the cached
@@ -237,7 +272,8 @@ object Bench {
     val json = s"""{"metric":"total","value":${fmt(hotTotal)},"unit":"sec",""" +
       s""""queries":$qs,"cold_value":${fmt(coldTotal)},""" +
       s""""cold_queries":$qsCold$extra,"suspect_hot":$suspects,""" +
-      s""""steal_ticks":${steal1 - steal0},"sf":"$sfDir"}"""
+      s""""steal_ticks":${steal1 - steal0},"layout":"$layout",""" +
+      s""""sf":"$sfDir"}"""
     // Belt and braces for the driver's extractor (BENCH_r05 recorded
     // "parsed": null because the JSON sat mid-log): persist the line to a
     // known file AND print it after spark.stop(), so it is the final

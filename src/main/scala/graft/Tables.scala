@@ -25,7 +25,24 @@ object Tables {
   private val loaded =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // co-bucketed layout (Bench.ingestLayout(bucketedFacts=true) — the
+    // zero-exchange fact-join storage option): tables listed in the conf
+    // resolve to their catalog-registered bucketed form, whose
+    // HashPartitioning(key, n) Catalyst uses to ELIDE the join shuffle.
+    // At the 100 TB design point this is the difference between shuffling
+    // the fact tables on every orderkey join and never shuffling them.
+    val bucketed = spark.conf
+      .get("spark.graft.layout.bucketedTables", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
+    if (bucketed.contains(name))
+      loaded.getOrElseUpdate((spark, s"bucketed:$name", name),
+        spark.table(s"graft_b_$name"))
+    else loadFlat(spark, dir, name)
+  }
+
+  private def loadFlat(spark: SparkSession, dir: String,
+      name: String): DataFrame =
     loaded.getOrElseUpdate((spark, dir, name), {
       import org.apache.spark.sql.functions.{col, timestamp_micros}
       if (name == "events") {

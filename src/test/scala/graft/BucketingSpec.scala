@@ -69,6 +69,40 @@ class BucketingSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS lineitem_b")
   }
 
+  test("Bench bucketed-facts ingest: lineitem⋈orders plans ZERO " +
+      "exchanges through Tables.load, result equals the flat layout") {
+    val dst = Bench.ingestLayout(spark, sf, cpus = 4, bucketedFacts = true)
+    try {
+      assert(spark.conf.get("spark.graft.layout.bucketedTables")
+        .split(",").toSet == Set("lineitem", "orders"))
+      val li = Tables.load(spark, dst, "lineitem")
+      val o = Tables.load(spark, dst, "orders")
+      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "o_orderstatus", "l_quantity")
+      val rep = Explain.report(joined)
+      assert(rep.shuffleExchanges === 0,
+        s"co-bucketed fact join must not shuffle:\n" +
+          s"${joined.queryExecution.executedPlan}")
+      assert(rep.sortMergeJoins + rep.shuffledHashJoins >= 1)
+      // the q03/q05/q09 shape on top: the groupBy is the ONLY exchange
+      val agg = joined.groupBy("o_orderstatus")
+        .agg(sum("l_quantity").as("qty"))
+      assert(Explain.report(agg).shuffleExchanges <= 1,
+        "only the aggregation may exchange over a co-bucketed join")
+      // and the relation is identical to the flat-layout join
+      val plain = Tables.load(spark, sf, "lineitem")
+        .join(Tables.load(spark, sf, "orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .select("l_orderkey", "o_orderstatus", "l_quantity")
+      assert(joined.count() === plain.count())
+      assert(joined.except(plain).isEmpty && plain.except(joined).isEmpty)
+    } finally {
+      spark.conf.set("spark.graft.layout.bucketedTables", "")
+      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
+      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
+    }
+  }
+
   test("salted join equals plain join (inner)") {
     val li = Tables.load(spark, sf, "lineitem")
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))
