@@ -55,7 +55,7 @@ object Bench {
     * that shuffle per query. Tables.load routes these two names to the
     * catalog tables via `spark.graft.layout.bucketedTables`. */
   def ingestLayout(spark: SparkSession, sfDir: String, cpus: Int,
-      bucketedFacts: Boolean = false): String = {
+      bucketedFacts: Boolean = false, analyze: Boolean = false): String = {
     val dst = java.nio.file.Files.createTempDirectory("graft_bench_store")
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
@@ -92,6 +92,14 @@ object Bench {
     if (bucketedFacts)
       spark.conf.set("spark.graft.layout.bucketedTables",
         bucketKeys.keys.mkString(","))
+    // write-time ANALYZE: stats ride with the table (the reference indexes
+    // HLL + min/max at ingest the same way) — join reorder gets NDVs and
+    // the interval-join horizon goes fully job-free for these tables
+    if (analyze) Tables.all.foreach { t =>
+      val path = if (bucketedFacts && bucketKeys.contains(t))
+        s"$dst/bucketed_$t" else s"$dst/$t.parquet"
+      graft.plans.StatsSidecar.analyze(spark, path)
+    }
     dst.toString
   }
 
@@ -175,9 +183,12 @@ object Bench {
     // at ingest (zero-exchange fact joins); default "flat" is the shipped
     // multi-file layout — BASELINE.md carries the measured 25× comparison
     val layout = sys.env.getOrElse("SPARK_GRAFT_LAYOUT", "flat")
+    // SPARK_GRAFT_ANALYZE=true writes stats sidecars at ingest (untimed) —
+    // opt-in so headline numbers stay comparable across rounds
+    val analyze = sys.env.getOrElse("SPARK_GRAFT_ANALYZE", "false").toBoolean
     val dataDir =
       if (ingest) ingestLayout(spark, sfDir, cpus.toInt,
-        bucketedFacts = layout == "bucketed")
+        bucketedFacts = layout == "bucketed", analyze = analyze)
       else sfDir
     Tables.all.foreach { t =>
       val df = Tables.load(spark, dataDir, t)

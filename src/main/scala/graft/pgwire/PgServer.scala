@@ -107,10 +107,12 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
       val eng = new XtSqlEngine(spark, db)
         .withPrincipal(params.getOrElse("user", "xtdb"))
       // extended-protocol state: statement name -> query text (with $n
-      // placeholder spans), portal name -> fully-bound SQL text, and the
-      // run state of partially-executed (suspended) result-set portals
+      // placeholder spans), portal name -> (fully-bound SQL text, result
+      // format codes from Bind), and the run state of partially-executed
+      // (suspended) result-set portals
       val prepared = scala.collection.mutable.Map.empty[String, String]
-      val portals = scala.collection.mutable.Map.empty[String, String]
+      val portals =
+        scala.collection.mutable.Map.empty[String, (String, Seq[Int])]
       val portalRuns = scala.collection.mutable.Map.empty[String, PortalRun]
       var skipUntilSync = false
       var open = true
@@ -148,16 +150,25 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
             case 'B' => // Bind
               try {
                 val portal = r.cstr(); val stmt = r.cstr()
-                val nFmt = r.i16(); (0 until nFmt).foreach(_ => r.i16())
+                val nFmt = r.i16()
+                val pFmts = (0 until nFmt).map(_ => r.i16())
+                // binary PARAMETERS need the Parse-time type OIDs to decode
+                // (we accept them untyped); fail loudly rather than parse
+                // binary bytes as UTF-8 text and corrupt the statement
+                require(pFmts.forall(_ == 0),
+                  "binary-format parameters are not supported; bind text")
                 val nParams = r.i16()
                 val params = (0 until nParams).map { _ =>
                   val l = r.i32()
                   if (l < 0) null else new String(r.bytes(l), UTF_8)
                 }
-                val nRFmt = r.i16(); (0 until nRFmt).foreach(_ => r.i16())
+                val nRFmt = r.i16()
+                val rFmts = (0 until nRFmt).map(_ => r.i16())
+                require(rFmts.forall(f => f == 0 || f == 1),
+                  s"unknown result format code in ${rFmts.mkString(",")}")
                 val text = prepared.getOrElse(stmt,
                   sys.error(s"unknown prepared statement: $stmt"))
-                portals(portal) = bindPlaceholders(text, params)
+                portals(portal) = (bindPlaceholders(text, params), rFmts)
                 portalRuns.remove(portal) // re-Bind restarts the portal
                 msg(out, '2')(_ => ())
               } catch { case e: Exception =>
@@ -165,11 +176,12 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
               }
             case 'D' => // Describe
               val kind = r.byte().toChar; val name = r.cstr()
-              val text = if (kind == 'S') prepared.get(name)
+              val described =
+                if (kind == 'S') prepared.get(name).map((_, Seq.empty[Int]))
                 else portals.get(name)
-              text match {
+              described match {
                 case None => msg(out, 'n')(_ => ())
-                case Some(t) =>
+                case Some((t, fmts)) =>
                   if (kind == 'S') { // ParameterDescription (all unspecified)
                     val n = placeholderSpans(t).length
                     msg(out, 't') { w =>
@@ -180,14 +192,14 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
                   // only for bindable text
                   try {
                     if (isResultSet(t))
-                      rowDescription(out, eng.sql(stripBind(t)).schema)
+                      rowDescription(out, eng.sql(stripBind(t)).schema, fmts)
                     else msg(out, 'n')(_ => ())
                   } catch { case _: Exception => msg(out, 'n')(_ => ()) }
               }
             case 'E' => // Execute (maxRows > 0 => resumable portal)
               try {
                 val portal = r.cstr(); val maxRows = r.i32()
-                val text = portals.getOrElse(portal,
+                val (text, rFmts) = portals.getOrElse(portal,
                   sys.error(s"unknown portal: $portal"))
                 if (!isResultSet(text))
                   runStatement(eng, text, out, describe = false)
@@ -203,7 +215,7 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
                   })
                   var n = 0
                   while (run.it.hasNext && (maxRows <= 0 || n < maxRows)) {
-                    dataRow(out, run.it.next(), run.schema)
+                    dataRow(out, run.it.next(), run.schema, rFmts)
                     n += 1
                   }
                   run.sent += n
@@ -631,30 +643,118 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
     case _ => 25 // arrays/structs/maps render as text
   }
 
-  private def rowDescription(out: DataOutputStream, schema: StructType): Unit =
+  /** Per-column result format from Bind's codes (pg semantics: empty =
+    * all text, one code = applies to every column, else positional). */
+  private def fmtFor(fmts: Seq[Int], i: Int): Int =
+    if (fmts.isEmpty) 0
+    else if (fmts.length == 1) fmts.head
+    else fmts(i)
+
+  private def rowDescription(out: DataOutputStream, schema: StructType,
+      fmts: Seq[Int] = Nil): Unit =
     msg(out, 'T') { w =>
       w.writeShort(schema.fields.length)
-      schema.fields.foreach { f =>
+      schema.fields.zipWithIndex.foreach { case (f, i) =>
         cstr(w, f.name)
         w.writeInt(0); w.writeShort(0) // table oid / attnum: not a base col
         w.writeInt(pgOid(f.dataType))
         w.writeShort(-1); w.writeInt(-1) // typlen / typmod
-        w.writeShort(0) // text format
+        w.writeShort(fmtFor(fmts, i))
       }
     }
 
   private def dataRow(out: DataOutputStream,
-      row: org.apache.spark.sql.Row, schema: StructType): Unit =
+      row: org.apache.spark.sql.Row, schema: StructType,
+      fmts: Seq[Int] = Nil): Unit =
     msg(out, 'D') { w =>
       w.writeShort(schema.fields.length)
       schema.fields.zipWithIndex.foreach { case (f, i) =>
         if (row.isNullAt(i)) w.writeInt(-1)
         else {
-          val bytes = render(row.get(i), f.dataType).getBytes(UTF_8)
+          val bytes =
+            if (fmtFor(fmts, i) == 1) renderBinary(row.get(i), f.dataType)
+            else render(row.get(i), f.dataType).getBytes(UTF_8)
           w.writeInt(bytes.length); w.write(bytes)
         }
       }
     }
+
+  // PG binary-format epochs: 2000-01-01 as epoch-days / epoch-micros
+  private val PgEpochDays = 10957L
+  private val PgEpochMicros = 946684800000000L
+
+  /** Binary-format rendering (PostgreSQL binary wire conventions, network
+    * byte order — src/backend/utils/adt per-type send functions, public
+    * documentation). Types with no defined/row-typed binary form here
+    * (arrays/structs travel as text OID 25) fall back to the text bytes,
+    * which is exactly what their RowDescription OID advertises. */
+  private def renderBinary(v: Any, dt: DataType): Array[Byte] = {
+    def be(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(n)
+      fill(bb); bb.array()
+    }
+    (v, dt) match {
+      case (b: Boolean, _) => Array[Byte](if (b) 1 else 0)
+      case (x: Byte, _) => be(2)(_.putShort(x.toShort))
+      case (x: Short, _) => be(2)(_.putShort(x))
+      case (x: Int, _) => be(4)(_.putInt(x))
+      case (x: Long, _) => be(8)(_.putLong(x))
+      case (x: Float, _) => be(4)(_.putFloat(x))
+      case (x: Double, _) => be(8)(_.putDouble(x))
+      case (bytes: Array[Byte], BinaryType) => bytes
+      case (d: java.sql.Date, _) =>
+        be(4)(_.putInt((d.toLocalDate.toEpochDay - PgEpochDays).toInt))
+      case (d: java.time.LocalDate, _) =>
+        be(4)(_.putInt((d.toEpochDay - PgEpochDays).toInt))
+      case (t: java.sql.Timestamp, _) =>
+        val micros1970 = Math.floorDiv(t.getTime, 1000L) * 1000000L +
+          t.getNanos / 1000L
+        be(8)(_.putLong(micros1970 - PgEpochMicros))
+      case (t: java.time.LocalDateTime, _) =>
+        val inst = t.toInstant(java.time.ZoneOffset.UTC)
+        val micros1970 = inst.getEpochSecond * 1000000L +
+          inst.getNano / 1000L
+        be(8)(_.putLong(micros1970 - PgEpochMicros))
+      case (t: java.time.Instant, _) =>
+        val micros1970 = t.getEpochSecond * 1000000L + t.getNano / 1000L
+        be(8)(_.putLong(micros1970 - PgEpochMicros))
+      case (dec: java.math.BigDecimal, _) => pgNumericBinary(dec)
+      case (s, StringType) => String.valueOf(s).getBytes(UTF_8)
+      case (other, odt) => render(other, odt).getBytes(UTF_8)
+    }
+  }
+
+  /** PostgreSQL `numeric` binary send format: ndigits, weight (base-10000
+    * exponent of the first digit group), sign (0x0000/0x4000), dscale,
+    * then the base-10000 digit groups, all int16 big-endian. */
+  private def pgNumericBinary(dec: java.math.BigDecimal): Array[Byte] = {
+    val sign = if (dec.signum() < 0) 0x4000 else 0x0000
+    val dscale = math.max(0, dec.scale())
+    val abs = dec.abs()
+    // integer of abs * 10^dscale, padded so the fraction fills whole
+    // 4-decimal-digit groups
+    val fracGroups = (dscale + 3) / 4
+    val pad = fracGroups * 4 - dscale
+    val padded = abs.movePointRight(dscale).toBigIntegerExact
+      .multiply(java.math.BigInteger.TEN.pow(pad))
+    var digits = List.empty[Int]
+    var x = padded
+    val B = java.math.BigInteger.valueOf(10000)
+    while (x.signum() > 0) {
+      val Array(q, r) = x.divideAndRemainder(B)
+      digits = r.intValue() :: digits
+      x = q
+    }
+    val weight = digits.length - fracGroups - 1
+    val trimmed = digits.reverse.dropWhile(_ == 0).reverse
+    val bb = java.nio.ByteBuffer.allocate(8 + 2 * trimmed.length)
+    bb.putShort(trimmed.length.toShort)
+    bb.putShort((if (trimmed.isEmpty) 0 else weight).toShort)
+    bb.putShort(sign.toShort)
+    bb.putShort(dscale.toShort)
+    trimmed.foreach(d => bb.putShort(d.toShort))
+    bb.array()
+  }
 
   /** Text-format rendering (pg output conventions). */
   private def render(v: Any, dt: DataType): String = (v, dt) match {

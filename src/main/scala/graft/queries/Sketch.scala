@@ -355,19 +355,41 @@ object Sketch {
     // merge-order-dependent (which near-threshold maybes survive a
     // purge is not canonical), so the gate pins the part that is
     // GUARANTEED for every valid sketch state: each exact heavy hitter
-    // (count >= 15, both engines compute it) must appear in the
-    // persisted candidates (NO_FALSE_NEGATIVES) with brackets around
-    // its true count (lb <= n <= ub). Output rows are keyed by the
-    // exact heavy hitters only, so run-to-run maybe-variance cannot
-    // change the row set — only the within-run-consistent brackets.
+    // (both engines compute it) must appear in the persisted candidates
+    // (NO_FALSE_NEGATIVES) with brackets around its true count
+    // (lb <= n <= ub). Output rows are keyed by the exact heavy hitters
+    // only, so run-to-run maybe-variance cannot change the row set —
+    // only the within-run-consistent brackets.
+    //
+    // The heavy-hitter bar is 1.5× THE AVERAGE KEY MULTIPLICITY
+    // (ceil(3N/2D), integer-exact in both engines as 2·D·n_g ≥ 3·N), not
+    // an absolute count: the round-9 literal (15) was that expression
+    // evaluated at sf0.01 in disguise, and at sf0.1 the sketch's
+    // no-false-negative guard fired loudly (bound 3.5N/8192 > 15) — the
+    // sf0.1 gate run catching exactly the scale-dependence it exists to
+    // catch. The map is sized FROM the bar (7N/threshold, 2× guard
+    // margin), which documents the honest Misra-Gries law: space is
+    // O(N/threshold) = O(1/φ) — constant for a fractional bar, linear in
+    // the key count for a multiplicity bar like this one (≈ 4.7·D here).
+    // At sf0.01 this reproduces the round-9 numbers exactly (bar 15,
+    // map 8192); at sf0.1 the bar stays 15 and the map grows to 70k.
     QueryDef("q223_sketch_freq_onepass", (s, dir) => {
       val orders = t(s, dir, "orders")
+      val st = orders.agg(count(lit(1)).as("n"),
+        countDistinct(col("o_custkey")).as("d")).head()
+      val (nRows, dKeys) = (st.getLong(0), st.getLong(1))
+      val threshold = (3 * nRows + 2 * dKeys - 1) / (2 * dKeys)
+      // next power of two >= max(8192, 7N/threshold) — the sketch
+      // requires a pow2 map; rounding up only widens the guard margin
+      val mapSize = Integer.highestOneBit((math.max(8192L,
+        (7 * nRows + threshold - 1) / threshold).toInt - 1) << 1)
       val cand = materializeModel(
         Sketches.heavyHittersOnePass(orders, "o_custkey",
-          threshold = 15L, maxMapSize = 8192),
+          threshold = threshold, maxMapSize = mapSize),
         "freq_onepass")
       val exact = orders.groupBy("o_custkey")
-        .agg(count(lit(1)).as("n")).filter(col("n") >= 15)
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") * lit(2 * dKeys) >= lit(3 * nRows))
       exact.join(cand, Seq("o_custkey"), "left")
         .select(col("o_custkey"), col("n"),
           col("est").isNotNull.as("found"),
@@ -377,9 +399,13 @@ object Sketch {
     }, Some(s"""
       WITH cand AS (
         SELECT * FROM read_parquet('$ModelDir/freq_onepass/*.parquet')),
+      tot AS (SELECT count(*) AS nn,
+                     count(DISTINCT o_custkey) AS dd FROM orders),
       exact AS (
         SELECT o_custkey, count(*) AS n FROM orders
-        GROUP BY o_custkey HAVING count(*) >= 15)
+        GROUP BY o_custkey
+        HAVING count(*) * (SELECT 2 * dd FROM tot)
+               >= (SELECT 3 * nn FROM tot))
       SELECT e.o_custkey, e.n, c.est IS NOT NULL AS found,
              c.lb <= e.n AND e.n <= c.ub AS bracket_ok
       FROM exact e LEFT JOIN cand c USING (o_custkey)

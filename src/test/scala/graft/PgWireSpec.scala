@@ -282,6 +282,82 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("binary result formats: Bind's per-column codes are honored " +
+      "(int8/float8/bool/numeric/timestamp binary, text column text); " +
+      "binary parameters are refused loudly") {
+    val c = new Client(server.boundPort)
+    c.startup(); c.untilReady()
+    c.send('P') { w =>
+      c.cstr(w, "sbin")
+      c.cstr(w, "SELECT CAST(258 AS BIGINT) AS i, " +
+        "CAST(1.5 AS DOUBLE) AS d, true AS b, " +
+        "CAST('12345.678' AS DECIMAL(10,3)) AS n, " +
+        "TIMESTAMP '2000-01-01 00:00:01' AS t, 'hi' AS s")
+      w.writeShort(0)
+    }
+    c.send('B') { w =>
+      c.cstr(w, "pbin"); c.cstr(w, "sbin")
+      w.writeShort(0) // no param format codes
+      w.writeShort(0) // no params
+      w.writeShort(6)
+      Seq(1, 1, 1, 1, 1, 0).foreach(w.writeShort) // last column stays text
+    }
+    c.send('D') { w => w.writeByte('P'); c.cstr(w, "pbin") }
+    c.send('E') { w => c.cstr(w, "pbin"); w.writeInt(0) }
+    c.send('S')(_ => ())
+    val msgs = c.untilReady()
+    // RowDescription advertises the per-column formats
+    val rd = msgs.find(_._1 == 'T').get._2
+    def i16(a: Array[Byte], off: Int): Int =
+      ((a(off) & 0xff) << 8) | (a(off + 1) & 0xff)
+    def i32(a: Array[Byte], off: Int): Int =
+      (i16(a, off) << 16) | i16(a, off + 2)
+    // walk the 6 field descriptors; the format code is the last short
+    var off = 2
+    val rdFmts = (0 until 6).map { _ =>
+      while (rd(off) != 0) off += 1 // name cstr
+      off += 1
+      val fmt = i16(rd, off + 16) // 4+2+4+2+4 fixed bytes then format
+      off += 18
+      fmt
+    }
+    assert(rdFmts == Seq(1, 1, 1, 1, 1, 0), s"RowDescription formats $rdFmts")
+    // raw DataRow fields
+    val dr = dataRows(msgs).head
+    var p = 2
+    val fields = (0 until 6).map { _ =>
+      val len = i32(dr, p); p += 4
+      val bytes = java.util.Arrays.copyOfRange(dr, p, p + len); p += len
+      bytes
+    }
+    assert(fields(0).toSeq == Seq[Byte](0, 0, 0, 0, 0, 0, 1, 2), "int8 258")
+    assert(java.nio.ByteBuffer.wrap(fields(1)).getDouble == 1.5, "float8")
+    assert(fields(2).toSeq == Seq[Byte](1), "bool true")
+    // numeric 12345.678: ndigits=3 weight=1 sign=0 dscale=3,
+    // groups 1 | 2345 | 6780 (base 10000)
+    val n = fields(3)
+    assert(i16(n, 0) == 3 && i16(n, 2) == 1 && i16(n, 4) == 0 &&
+      i16(n, 6) == 3 &&
+      i16(n, 8) == 1 && i16(n, 10) == 2345 && i16(n, 12) == 6780,
+      s"numeric groups ${(0 until n.length / 2).map(i => i16(n, 2 * i))}")
+    // timestamp: 1s past the PG 2000-01-01 epoch = 1,000,000 micros
+    assert(java.nio.ByteBuffer.wrap(fields(4)).getLong == 1000000L, "ts")
+    assert(new String(fields(5), UTF_8) == "hi", "text column stays text")
+
+    // binary parameter format code => loud ErrorResponse, then recovery
+    c.send('B') { w =>
+      c.cstr(w, "pbad"); c.cstr(w, "sbin")
+      w.writeShort(1); w.writeShort(1) // one param format code: binary
+      w.writeShort(0); w.writeShort(0)
+    }
+    c.send('S')(_ => ())
+    val bad = c.untilReady()
+    assert(bad.exists(_._1 == 'E'), "binary params must be refused")
+    assert(new String(bad.find(_._1 == 'E').get._2, UTF_8)
+      .contains("binary-format parameters"))
+    c.close()
+  }
+
   test("error surfaces as ErrorResponse and session recovers") {
     val c = new Client(server.boundPort)
     c.startup(); c.untilReady()
