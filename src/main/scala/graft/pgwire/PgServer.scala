@@ -44,6 +44,12 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
   private val server = new ServerSocket(port)
   @volatile private var running = true
   private val threads = java.util.concurrent.ConcurrentHashMap.newKeySet[Thread]()
+  // CancelRequest routing: BackendKeyData (pid, secret) -> the Spark job
+  // group every statement of that connection runs under. A cancel
+  // connection looks the pair up and cancels the group — psql's Ctrl-C.
+  private val pidGen = new java.util.concurrent.atomic.AtomicInteger(1000)
+  private val cancelKeys =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int), String]()
 
   /** The actual bound port (useful with port = 0). */
   def boundPort: Int = server.getLocalPort
@@ -86,8 +92,11 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
     var in = new DataInputStream(new BufferedInputStream(sock.getInputStream))
     var out = new DataOutputStream(
       new BufferedOutputStream(sock.getOutputStream))
+    val pid = pidGen.incrementAndGet()
+    val key = new java.security.SecureRandom().nextInt()
+    val jobGroup = s"pgwire-$pid"
     try {
-      val params = startup(in, out, () => {
+      val params = startup(in, out, pid, key, () => {
         // TLS accepted: wrap the raw socket; all subsequent traffic
         // (including the re-sent StartupMessage) flows through the
         // SSLSocket's streams
@@ -102,6 +111,12 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
           new BufferedOutputStream(sock.getOutputStream))
         (in, out)
       }).getOrElse(return)
+      // every statement of this connection runs under its own Spark job
+      // group (thread-local property; the whole session lives on this
+      // handler thread) so a CancelRequest can kill exactly its jobs
+      cancelKeys.put((pid, key), jobGroup)
+      spark.sparkContext.setJobGroup(jobGroup,
+        s"pgwire connection $pid", interruptOnCancel = true)
       // connection principal = the startup user (reference authn): GRANT/
       // REVOKE over the wire requires connecting as the xtdb superuser
       val eng = new XtSqlEngine(spark, db)
@@ -245,6 +260,7 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
       case e: Exception =>
         try { error(out, e); out.flush() } catch { case _: Exception => () }
     } finally {
+      cancelKeys.remove((pid, key))
       threads.remove(Thread.currentThread())
       try sock.close() catch { case _: Exception => () }
     }
@@ -254,8 +270,11 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
     * SSLContext is configured, 'N' otherwise), then the configured [[PgAuth]]
     * exchange, then parameter statuses + ReadyForQuery. Returns the startup
     * parameters, or None to drop the connection. `upgrade` wraps the raw
-    * socket in TLS and hands back the new streams. */
+    * socket in TLS and hands back the new streams. A CancelRequest on this
+    * (fresh) connection cancels the identified connection's Spark job
+    * group and drops — the psql Ctrl-C path. */
   private def startup(in0: DataInputStream, out0: DataOutputStream,
+      pid: Int, key: Int,
       upgrade: () => (DataInputStream, DataOutputStream))
       : Option[Map[String, String]] = {
     var in = in0
@@ -273,7 +292,12 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
           val (i2, o2) = upgrade()
           in = i2; out = o2
         case 80877103 | 80877104 => out.write('N'); out.flush() // SSL/GSS: no
-        case 80877102 => return None // CancelRequest: nothing to cancel
+        case 80877102 => // CancelRequest: pid + secret, then drop silently
+          val (cp, ck) = (r.i32(), r.i32())
+          Option(cancelKeys.get((cp, ck))).foreach { group =>
+            spark.sparkContext.cancelJobGroup(group)
+          }
+          return None
         case _ =>
           var done = false
           while (!done && r.remaining > 0) {
@@ -365,7 +389,7 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
       .foreach { case (k, v) =>
         msg(out, 'S') { w => cstr(w, k); cstr(w, v) }
       }
-    msg(out, 'K') { w => w.writeInt(42); w.writeInt(0) } // BackendKeyData
+    msg(out, 'K') { w => w.writeInt(pid); w.writeInt(key) } // BackendKeyData
     readyForQuery(out)
     out.flush()
     Some(params)

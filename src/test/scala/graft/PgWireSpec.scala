@@ -358,6 +358,53 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("CancelRequest: a second connection cancels the first's running " +
+      "query by (pid, secret); the victim gets an error and recovers") {
+    val c = new Client(server.boundPort)
+    c.startup()
+    val hello = c.untilReady()
+    val k = hello.find(_._1 == 'K').get._2
+    def i32(a: Array[Byte], o: Int): Int =
+      ((a(o) & 0xff) << 24) | ((a(o + 1) & 0xff) << 16) |
+        ((a(o + 2) & 0xff) << 8) | (a(o + 3) & 0xff)
+    val (pid, key) = (i32(k, 0), i32(k, 4))
+    assert(pid > 1000, "BackendKeyData must carry a real per-connection pid")
+    // fire a multi-second query and DON'T wait for it
+    c.send('Q') { w =>
+      c.cstr(w, "SELECT count(*) AS n FROM range(60000) a " +
+        "CROSS JOIN range(60000) b")
+    }
+    // canceller: a fresh connection repeats CancelRequest(pid, secret)
+    // until the victim's reply lands (a cancel during the planning phase
+    // has no running job to kill yet, exactly like real Postgres)
+    @volatile var done = false
+    val canceller = new Thread(() => {
+      while (!done) {
+        val cs = new java.net.Socket("127.0.0.1", server.boundPort)
+        try {
+          val co = new DataOutputStream(cs.getOutputStream)
+          co.writeInt(16); co.writeInt(80877102)
+          co.writeInt(pid); co.writeInt(key); co.flush()
+        } finally cs.close()
+        Thread.sleep(500)
+      }
+    })
+    canceller.setDaemon(true); canceller.start()
+    val reply = try c.untilReady() finally { done = true }
+    assert(reply.exists(_._1 == 'E'),
+      "the cancelled query must surface an ErrorResponse")
+    // a wrong secret must NOT cancel: session is alive and usable
+    val cs2 = new java.net.Socket("127.0.0.1", server.boundPort)
+    try {
+      val co = new DataOutputStream(cs2.getOutputStream)
+      co.writeInt(16); co.writeInt(80877102)
+      co.writeInt(pid); co.writeInt(key + 1); co.flush()
+    } finally cs2.close()
+    val ok = c.query("SELECT 5 AS five")
+    assert(dataRows(ok).map(c.row) == Seq(Seq("5")))
+    c.close()
+  }
+
   test("error surfaces as ErrorResponse and session recovers") {
     val c = new Client(server.boundPort)
     c.startup(); c.untilReady()
