@@ -282,7 +282,7 @@ object SltRunner {
       xtDialect: Boolean = false): DataFrame = {
     import org.apache.spark.sql.GraftColumnBridge
     import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedFunction}
-    import org.apache.spark.sql.catalyst.expressions.{Alias, CaseWhen, Divide, Exists, Expression, If, InSubquery, IsNotNull, ListQuery, Literal, NamedExpression, SubqueryExpression, UnaryPositive}
+    import org.apache.spark.sql.catalyst.expressions.{Add, Alias, BinaryExpression, CaseWhen, Divide, Exists, Expression, If, InSubquery, IsNotNull, ListQuery, Literal, Multiply, NamedExpression, Subtract, SubqueryExpression, UnaryMinus, UnaryPositive}
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, LogicalPlan}
 
     // SQLite "bare column" semantics: a non-grouped, non-aggregated column
@@ -324,8 +324,65 @@ object SltRunner {
       case _ => None
     }
     var divBudget = 256
+    // Float CASE/COALESCE up through the class-preserving arithmetic
+    // contexts (unary -, +, binary + - *) so a division operand exposes
+    // its per-branch storage class: SQLite evaluates
+    // `- COALESCE(-20, AVG(..)+x)` to the INTEGER 20 when the first
+    // branch fires, and a following `/` divides integrally — while the
+    // static LUB type is DOUBLE because of the never-taken AVG branch.
+    // (Found by the uncapped SLT sweep: the capped 1000-query prefixes
+    // never reached these shapes — one or two per random/expr file.)
+    // Only division operands pay this expansion, and the shared node
+    // budget bounds pathological nesting.
+    def branchesOf(x0: Expression)
+        : Option[(Seq[(Expression, Expression)], Option[Expression])] = {
+      val x = stripPlus(x0)
+      x match {
+        case CaseWhen(bs, el) => Some((bs, el))
+        case _ => coalesceArgs(x).map { args =>
+          (args.init.map(b => (IsNotNull(b), b)), Some(args.last))
+        }
+      }
+    }
+    def normalize(e0: Expression): Expression = {
+      val e = stripPlus(e0)
+      if (divBudget <= 0) return e
+      e match {
+        case um @ UnaryMinus(c, _) =>
+          branchesOf(normalize(c)) match {
+            case Some((bs, el)) =>
+              divBudget -= 1
+              CaseWhen(
+                bs.map { case (p, v) =>
+                  (p, um.withNewChildren(Seq(v)).asInstanceOf[Expression])
+                },
+                el.map(v => um.withNewChildren(Seq(v))))
+            case None => e
+          }
+        case b @ (_: Add | _: Subtract | _: Multiply) =>
+          val bin = b.asInstanceOf[BinaryExpression]
+          val ln = normalize(bin.left)
+          val rn = normalize(bin.right)
+          def rebuild(x: Expression, y: Expression): Expression =
+            bin.withNewChildren(Seq(x, y))
+          branchesOf(ln) match {
+            case Some((bs, el)) =>
+              divBudget -= 1
+              CaseWhen(bs.map { case (p, v) => (p, rebuild(v, rn)) },
+                el.map(rebuild(_, rn)))
+            case None => branchesOf(rn) match {
+              case Some((bs, el)) =>
+                divBudget -= 1
+                CaseWhen(bs.map { case (p, v) => (p, rebuild(ln, v)) },
+                  el.map(rebuild(ln, _)))
+              case None => rebuild(ln, rn)
+            }
+          }
+        case other => other
+      }
+    }
     def mkDiv(l0: Expression, r0: Expression): Expression = {
-      val l = stripPlus(l0); val r = stripPlus(r0)
+      val l = normalize(l0); val r = normalize(r0)
       divBudget -= 1
       if (divBudget <= 0) SqliteDiv(l, r)
       else l match {

@@ -64,6 +64,36 @@ class SltSpec extends AnyFunSuite {
     assert(e.head.get(0).toString.toDouble == 3.0, s"got ${e.toSeq}")
   }
 
+  test("storage class floats through -, +, * wrappers into division " +
+      "(round-10: the UNCAPPED sweep found these past the old 1000-query " +
+      "prefixes — one or two per random/expr file)") {
+    import org.apache.spark.sql.Row
+    // negated coalesce divisor (slt_good_112 shape): -16 / -63 = 0 int,
+    // + -85 = -85; static typing gave -16/-63.0 = 0.25..  -> -84
+    val a = SltRunner.runSql(spark,
+      "SELECT - 16 / - COALESCE ( 63, - + AVG ( DISTINCT 35 ) - - - 85 ) " +
+        "+ - 85 col1").collect()
+    assert(a.head.get(0).toString.toDouble == -85.0, s"got ${a.toSeq}")
+    // negated coalesce divisor, fired branch negative (slt_good_15):
+    // -50 / -(-20) = -50/20 = -2 int, +75 = 73
+    val b = SltRunner.runSql(spark,
+      "SELECT ALL - 50 / - COALESCE ( - 20, + AVG ( ALL + 29 ) + " +
+        "( - 44 ) ) + + 75 AS col2").collect()
+    assert(b.head.get(0).toString.toDouble == 73.0, s"got ${b.toSeq}")
+    // coalesce under * inside a CASE branch value (slt_good_91 ELSE
+    // shape): the int class must survive Multiply and Add wrappers
+    val c = SltRunner.runSql(spark,
+      "SELECT 86 / CASE 16 WHEN 67 THEN 24 ELSE " +
+        "- 99 / - 5 + COALESCE ( - 26, AVG ( CAST ( NULL AS INTEGER ) ) " +
+        ") * 34 END AS col0").collect()
+    // else value = 19 + (-26*34) = -865 (INTEGER class); 86 / -865 = 0
+    assert(c.head.get(0).toString.toDouble == 0.0, s"got ${c.toSeq}")
+    // real-branch fire still divides as float through the wrappers
+    val d = SltRunner.runSql(spark,
+      "SELECT 3 / - COALESCE ( NULL, 1.5 ) AS col0").collect()
+    assert(d.head.get(0).toString.toDouble == -2.0, s"got ${d.toSeq}")
+  }
+
   for ((file, maxQ) <- Seq("select1.test" -> 120, "select2.test" -> 60,
       "select3.test" -> 60, "select4.test" -> 60, "select5.test" -> 40,
       "xtdb.test" -> 100)) {
