@@ -425,7 +425,16 @@ object Joins {
     * per-left aggregation reuses. Null-endpoint left rows explode to
     * zero buckets, so they bypass the join and union back null-extended.
     * `leftId` must uniquely identify left rows (the window partitions
-    * on it). */
+    * on it).
+    *
+    * Skew trade-off, stated plainly: the per-`leftId` window puts all of
+    * one left row's match rows in one task — for a mega-key (millions of
+    * matches for a single left period) that task is the straggler. The
+    * r9 shape (inner + distinct + anti) had the same per-key constraint
+    * on its distinct PLUS a second full execution of the bucketed join,
+    * so this is strictly better; if a workload has such keys, bound the
+    * fan-out with `equiKeys` (the shuffle then keys on (bucket, equi))
+    * or pre-aggregate the right side per bucket. */
   def intervalJoinLeft(
       left: DataFrame,
       right: DataFrame,

@@ -359,6 +359,23 @@ object SltRunner {
                 el.map(v => um.withNewChildren(Seq(v))))
             case None => e
           }
+        // NULLIF(a, b) carries a's storage class (it returns a's value or
+        // NULL) — distribute over a's branches so a fired INTEGER branch
+        // divides integrally even when a sibling branch is REAL
+        case f: UnresolvedFunction
+            if f.nameParts.last.toLowerCase == "nullif" &&
+              f.arguments.length == 2 =>
+          branchesOf(normalize(f.arguments.head)) match {
+            case Some((bs, el)) =>
+              divBudget -= 1
+              val other = f.arguments(1)
+              CaseWhen(
+                bs.map { case (p, v) =>
+                  (p, f.copy(arguments = Seq(v, other)): Expression)
+                },
+                el.map(v => f.copy(arguments = Seq(v, other))))
+            case None => e
+          }
         case b @ (_: Add | _: Subtract | _: Multiply) =>
           val bin = b.asInstanceOf[BinaryExpression]
           val ln = normalize(bin.left)

@@ -92,6 +92,14 @@ class SltSpec extends AnyFunSuite {
     val d = SltRunner.runSql(spark,
       "SELECT 3 / - COALESCE ( NULL, 1.5 ) AS col0").collect()
     assert(d.head.get(0).toString.toDouble == -2.0, s"got ${d.toSeq}")
+    // NULLIF carries its first argument's class (slt_good_111 shape):
+    // COALESCE(AVG(NULL), -65) fires the INTEGER -65; NULLIF(-65,-45)
+    // = -65; -94 / -65 = 1 integral; + -46 = -45
+    val f = SltRunner.runSql(spark,
+      "SELECT ALL - + 94 / + NULLIF ( + COALESCE ( " +
+        "- + AVG ( + CAST ( NULL AS INTEGER ) ), + - 65 ), + - 45 ) " +
+        "+ + - 46 AS col2").collect()
+    assert(f.head.get(0).toString.toDouble == -45.0, s"got ${f.toSeq}")
   }
 
   for ((file, maxQ) <- Seq("select1.test" -> 120, "select2.test" -> 60,
