@@ -1,0 +1,80 @@
+package graft.tools
+
+import graft.Tables
+import graft.operators.Joins
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the bucketed interval join: the q203 (strict
+  * OVERLAPS), q213 (closed `<=`), and q211 (LEFT) shapes on the events
+  * table of an arbitrary SF dir, best-of-N hot timings, one JSON line —
+  * the measurement row BASELINE.md pairs with DuckDB's time for the
+  * same SQL on the same files (scripts/duckdb_interval_probe.py).
+  *
+  * Usage: runMain graft.tools.IntervalProbe <sfDir> [runs]
+  */
+object IntervalProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val runs = args.lift(1).map(_.toInt).getOrElse(3)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.range(1000000L).selectExpr("sum(id)").collect() // JIT warm-up
+
+    val ev = Tables.load(spark, sfDir, "events")
+    def sideDf(tpe: String, idAs: String, f: String, t: String,
+        mins: Int) =
+      ev.filter(col("event_type") === tpe)
+        .select(col("event_id").as(idAs),
+          date_trunc("second", col("ts")).as(f))
+        .withColumn(t, col(f) + expr(s"INTERVAL $mins MINUTES"))
+
+    def q203() = Joins.intervalJoin(
+        sideDf("error", "l_event_id", "lf", "lt", 2),
+        sideDf("purchase", "r_event_id", "rf", "rt", 2),
+        "lf", "lt", "rf", "rt",
+        Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+        bucketSeconds = 300, strategy = "bucket")
+      .groupBy("l_event_id")
+      .agg(count(lit(1)).as("n"), max("r_event_id").as("m"))
+
+    def q213() = Joins.intervalJoin(
+        sideDf("error", "l_event_id", "lf", "lt", 3),
+        sideDf("purchase", "r_event_id", "rf", "rt", 3),
+        "lf", "lt", "rf", "rt",
+        col("lf") <= col("rt") && col("rf") <= col("lt"),
+        bucketSeconds = 300, strategy = "bucket", inclusiveBounds = true)
+      .groupBy("l_event_id")
+      .agg(count(lit(1)).as("n"), max("r_event_id").as("m"))
+
+    def q211() = Joins.intervalJoinLeft(
+        sideDf("error", "l_event_id", "lf", "lt", 1),
+        sideDf("purchase", "r_event_id", "rf", "rt", 1),
+        "lf", "lt", "rf", "rt",
+        Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+        bucketSeconds = 60, leftId = "l_event_id", strategy = "bucket")
+      .groupBy("l_event_id")
+      .agg(count(col("r_event_id")).as("n"), max("r_event_id").as("m"))
+
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def best(mk: () => org.apache.spark.sql.DataFrame): (Double, Long) = {
+      var rows = 0L
+      val t = (1 to runs).map(_ => time { rows = mk().count() }).min
+      (t, rows)
+    }
+    val out = Seq("q203_overlaps" -> best(q203 _),
+      "q213_closed" -> best(q213 _), "q211_left" -> best(q211 _))
+    val qs = out.map { case (k, (t, n)) =>
+      f""""$k":{"sec":$t%.3f,"rows":$n}""" }.mkString("{", ",", "}")
+    println(s"""{"probe":"interval_join","sf":"$sfDir","queries":$qs}""")
+    spark.stop()
+  }
+}
