@@ -146,7 +146,7 @@ object StatsSidecar {
     * an ndv entry; scalars never read from inside a map). Returns None
     * on any mismatch (treated as no-stats, never an error in the
     * optimizer path). */
-  private[plans] def parse(s: String): Option[TableStats] = try {
+  private[graft] def parse(s: String): Option[TableStats] = try {
     def region(name: String): Map[String, Long] =
       (s""""$name"\\s*:\\s*\\{([^{}]*)\\}""").r.findFirstMatchIn(s)
         .map(m => """"([^"]+)"\s*:\s*(-?\d+)""".r
