@@ -9,22 +9,26 @@ import sys
 log_dir, out = sys.argv[1], sys.argv[2]
 note = " ".join(sys.argv[3:])
 line = re.compile(r"^SLT (\S+): (\d+)/(\d+) passed(?: \((\d+) skipped\))?")
-files = 0
-passed = 0
-total = 0
-skipped = 0
-fails = []
+# dedupe by file path, keeping the LAST occurrence in glob order — a
+# fixed-and-rerun file's clean result (zz_*.log) supersedes its earlier
+# failing record
+per_file = {}
 for log in sorted(glob.glob(f"{log_dir}/*.log")):
     with open(log) as fh:
+        cur = None
         for ln in fh:
             m = line.match(ln)
             if m:
-                files += 1
-                passed += int(m.group(2))
-                total += int(m.group(3))
-                skipped += int(m.group(4) or 0)
-            elif ln.startswith("  FAIL"):
-                fails.append(ln.strip()[:400])
+                cur = m.group(1)
+                per_file[cur] = [int(m.group(2)), int(m.group(3)),
+                                 int(m.group(4) or 0), []]
+            elif ln.startswith("  FAIL") and cur:
+                per_file[cur][3].append(ln.strip()[:400])
+files = len(per_file)
+passed = sum(v[0] for v in per_file.values())
+total = sum(v[1] for v in per_file.values())
+skipped = sum(v[2] for v in per_file.values())
+fails = [f for v in per_file.values() for f in v[3]]
 doc = {
     "mode": "uncapped",
     "files_completed": files,

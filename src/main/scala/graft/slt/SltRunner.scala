@@ -430,6 +430,31 @@ object SltRunner {
     }
 
     def fix(plan: LogicalPlan): LogicalPlan = plan.transformDown {
+      // SQLite resolves names in HAVING even when the SELECT list has a
+      // DUPLICATED output alias (SELECT x AS c, y AS c ... HAVING f(c));
+      // Spark raises AMBIGUOUS_REFERENCE. SLT compares values only —
+      // output column NAMES never matter — so rename the second and
+      // later duplicates to unique internal names: the single remaining
+      // alias then resolves through exactly the machinery every
+      // single-alias HAVING in the corpus already uses (table column
+      // takes precedence, e.g. inside COUNT(col1); the alias serves
+      // otherwise). Uncapped-sweep finding, random/groupby.
+      case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
+        h.child match {
+          case a: Aggregate =>
+            val seen = scala.collection.mutable.Set[String]()
+            var changed = false
+            val newAggs = a.aggregateExpressions.zipWithIndex.map {
+              case (al: Alias, i) =>
+                if (seen.add(al.name.toLowerCase)) al
+                else { changed = true; Alias(al.child, s"__sltdup${i}")() }
+              case (ne, _) => ne
+            }
+            if (changed) h.copy(child =
+              a.copy(aggregateExpressions = newAggs))
+            else h
+          case _ => h
+        }
       case a: Aggregate if a.groupingExpressions.nonEmpty =>
         val groupNames = a.groupingExpressions.collect {
           case u: UnresolvedAttribute => u.nameParts.last.toLowerCase

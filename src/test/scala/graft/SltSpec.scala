@@ -102,6 +102,33 @@ class SltSpec extends AnyFunSuite {
     assert(f.head.get(0).toString.toDouble == -45.0, s"got ${f.toSeq}")
   }
 
+  test("duplicated output aliases in a HAVING query resolve like the " +
+      "single-alias corpus shapes (random/groupby uncapped-sweep " +
+      "finding; Spark alone raises AMBIGUOUS_REFERENCE)") {
+    import org.apache.spark.sql.Row
+    spark.sql("DROP TABLE IF EXISTS slt_dup_t")
+    spark.sql("CREATE TABLE slt_dup_t (col0 INT, col1 INT) USING parquet")
+    spark.sql("INSERT INTO slt_dup_t VALUES (51, 1), (85, 2)")
+    try {
+      // alias-only name: binds to the surviving (first) alias
+      val out = SltRunner.runSql(spark,
+        "SELECT col0 AS col2, - col0 AS col2 FROM slt_dup_t " +
+          "GROUP BY col0 HAVING col2 > 60").collect()
+      assert(out.toSeq == Seq(Row(85, -85)), s"got ${out.toSeq}")
+      // NULL BETWEEN alias AND NULL filters everything — empty, no error
+      val empty = SltRunner.runSql(spark,
+        "SELECT + col0 AS col2, - col0 AS col2 FROM slt_dup_t " +
+          "GROUP BY col0 HAVING NULL BETWEEN col2 AND NULL").collect()
+      assert(empty.isEmpty)
+      // inside an aggregate the TABLE column takes precedence (SQLite
+      // column-before-alias): COUNT(col1) must not become COUNT(COUNT(*))
+      val agg = SltRunner.runSql(spark,
+        "SELECT COUNT ( * ) AS col1, - 0 * 69 AS col1 FROM slt_dup_t " +
+          "GROUP BY col0 HAVING ( COUNT ( col1 ) ) IS NULL").collect()
+      assert(agg.isEmpty, s"got ${agg.toSeq}")
+    } finally spark.sql("DROP TABLE IF EXISTS slt_dup_t")
+  }
+
   for ((file, maxQ) <- Seq("select1.test" -> 120, "select2.test" -> 60,
       "select3.test" -> 60, "select4.test" -> 60, "select5.test" -> 40,
       "xtdb.test" -> 100)) {
