@@ -24,6 +24,15 @@ for log in sorted(glob.glob(f"{log_dir}/*.log")):
                                  int(m.group(4) or 0), []]
             elif ln.startswith("  FAIL") and cur:
                 per_file[cur][3].append(ln.strip()[:400])
+# a record whose failures are JVM-shutdown artifacts (the sweep was
+# killed mid-file: every in-flight query errors with a stopped-context
+# message and the runner logs the file before dying) is NOT a completed
+# file — drop it entirely rather than report teardown noise as engine
+# failures
+shutdown = ("stopped SparkContext", "Task serialization failed",
+            'The "collect" action failed')
+per_file = {k: v for k, v in per_file.items()
+            if not any(any(s in f for s in shutdown) for f in v[3])}
 files = len(per_file)
 passed = sum(v[0] for v in per_file.values())
 total = sum(v[1] for v in per_file.values())
