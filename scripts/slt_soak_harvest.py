@@ -30,7 +30,8 @@ for log in sorted(glob.glob(f"{log_dir}/*.log")):
 # file — drop it entirely rather than report teardown noise as engine
 # failures
 shutdown = ("stopped SparkContext", "Task serialization failed",
-            'The "collect" action failed')
+            'The "collect" action failed',
+            "Eagerly executed command failed")
 per_file = {k: v for k, v in per_file.items()
             if not any(any(s in f for s in shutdown) for f in v[3])}
 files = len(per_file)
