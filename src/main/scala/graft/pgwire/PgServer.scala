@@ -121,11 +121,13 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
       // REVOKE over the wire requires connecting as the xtdb superuser
       val eng = new XtSqlEngine(spark, db)
         .withPrincipal(params.getOrElse("user", "xtdb"))
-      // extended-protocol state: statement name -> query text (with $n
-      // placeholder spans), portal name -> (fully-bound SQL text, result
-      // format codes from Bind), and the run state of partially-executed
-      // (suspended) result-set portals
-      val prepared = scala.collection.mutable.Map.empty[String, String]
+      // extended-protocol state: statement name -> (query text with $n
+      // placeholder spans, Parse-time parameter type OIDs — kept so Bind
+      // can decode binary-format parameters), portal name -> (fully-bound
+      // SQL text, result format codes from Bind), and the run state of
+      // partially-executed (suspended) result-set portals
+      val prepared =
+        scala.collection.mutable.Map.empty[String, (String, Seq[Int])]
       val portals =
         scala.collection.mutable.Map.empty[String, (String, Seq[Int])]
       val portalRuns = scala.collection.mutable.Map.empty[String, PortalRun]
@@ -143,7 +145,7 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
             case 'X' => open = false
             case 'S' => // Sync
               skipUntilSync = false
-              readyForQuery(out)
+              readyForQuery(out, eng)
             case 'H' => out.flush()
             case _ if skipUntilSync => () // discard until Sync after error
             case 'Q' =>
@@ -152,37 +154,53 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
               if (stmts.length == 1 && isCopyFromStdin(stmts.head)) {
                 try copyInWire(stmts.head, in, out)
                 catch { case e: Exception => error(out, e) }
-                readyForQuery(out)
+                readyForQuery(out, eng)
               } else {
                 simpleQuery(eng, text, out)
-                readyForQuery(out)
+                readyForQuery(out, eng)
               }
             case 'P' => // Parse
               val name = r.cstr(); val query = r.cstr()
-              val nOids = r.i16(); (0 until nOids).foreach(_ => r.i32())
-              prepared(name) = query
+              val nOids = r.i16()
+              val oids = (0 until nOids).map(_ => r.i32())
+              prepared(name) = (query, oids)
               msg(out, '1')(_ => ())
             case 'B' => // Bind
               try {
                 val portal = r.cstr(); val stmt = r.cstr()
                 val nFmt = r.i16()
                 val pFmts = (0 until nFmt).map(_ => r.i16())
-                // binary PARAMETERS need the Parse-time type OIDs to decode
-                // (we accept them untyped); fail loudly rather than parse
-                // binary bytes as UTF-8 text and corrupt the statement
-                require(pFmts.forall(_ == 0),
-                  "binary-format parameters are not supported; bind text")
+                require(pFmts.forall(f => f == 0 || f == 1),
+                  s"unknown parameter format code in ${pFmts.mkString(",")}")
+                val (text, oids) = prepared.getOrElse(stmt,
+                  sys.error(s"unknown prepared statement: $stmt"))
                 val nParams = r.i16()
-                val params = (0 until nParams).map { _ =>
+                // pg semantics: no codes = all text, one code = applies to
+                // every parameter, else positional (must match count)
+                require(pFmts.length <= 1 || pFmts.length == nParams,
+                  s"bind: ${pFmts.length} parameter format codes for " +
+                    s"$nParams parameters (must be 0, 1, or the count)")
+                def pFmt(i: Int): Int =
+                  if (pFmts.isEmpty) 0
+                  else if (pFmts.length == 1) pFmts.head else pFmts(i)
+                val params = (0 until nParams).map { i =>
                   val l = r.i32()
-                  if (l < 0) null else new String(r.bytes(l), UTF_8)
+                  if (l < 0) null
+                  else if (pFmt(i) == 0) new String(r.bytes(l), UTF_8)
+                  else {
+                    // binary parameter: decode via the Parse-time OID —
+                    // without a declared type the bytes are uninterpretable,
+                    // so refuse loudly rather than corrupt the statement
+                    val oid = if (i < oids.length) oids(i) else 0
+                    require(oid != 0, s"binary-format parameter $$${i + 1} " +
+                      "has no Parse-time type OID to decode with")
+                    decodeBinaryParam(r.bytes(l), oid, i + 1)
+                  }
                 }
                 val nRFmt = r.i16()
                 val rFmts = (0 until nRFmt).map(_ => r.i16())
                 require(rFmts.forall(f => f == 0 || f == 1),
                   s"unknown result format code in ${rFmts.mkString(",")}")
-                val text = prepared.getOrElse(stmt,
-                  sys.error(s"unknown prepared statement: $stmt"))
                 portals(portal) = (bindPlaceholders(text, params), rFmts)
                 portalRuns.remove(portal) // re-Bind restarts the portal
                 msg(out, '2')(_ => ())
@@ -192,15 +210,20 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
             case 'D' => // Describe
               val kind = r.byte().toChar; val name = r.cstr()
               val described =
-                if (kind == 'S') prepared.get(name).map((_, Seq.empty[Int]))
+                if (kind == 'S')
+                  prepared.get(name).map { case (t, _) => (t, Seq.empty[Int]) }
                 else portals.get(name)
               described match {
                 case None => msg(out, 'n')(_ => ())
                 case Some((t, fmts)) =>
-                  if (kind == 'S') { // ParameterDescription (all unspecified)
+                  if (kind == 'S') { // ParameterDescription: echo the
+                    // Parse-time OIDs, 0 (unspecified) for undeclared ones
                     val n = placeholderSpans(t).length
+                    val oids = prepared(name)._2
                     msg(out, 't') { w =>
-                      w.writeShort(n); (0 until n).foreach(_ => w.writeInt(0))
+                      w.writeShort(n)
+                      (0 until n).foreach(i =>
+                        w.writeInt(if (i < oids.length) oids(i) else 0))
                     }
                   }
                   // statements may still hold unbound $n — describe rowdesc
@@ -585,12 +608,13 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
     * extended-protocol flow a JDBC driver with `setFetchSize` uses).
     * `it` is Spark's toLocalIterator: partitions stream to the driver
     * one at a time as the client fetches, so a suspended portal holds a
-    * bounded buffer, not the whole relation. Divergence from Postgres,
-    * documented: portals here survive Sync (this session model is
-    * autocommit-only; real PG keeps suspended portals alive inside the
-    * client's explicit transaction, which JDBC opens for fetch-size
-    * cursors — keeping them across Sync is what makes the same client
-    * flow work without BEGIN). */
+    * bounded buffer, not the whole relation. Suspended portals work both
+    * inside an explicit BEGIN (ReadyForQuery reports 'T', the conformant
+    * flow a JDBC fetch-size cursor drives) and across Sync in autocommit.
+    * The latter is a documented divergence from Postgres — real PG closes
+    * suspended portals when the implicit transaction ends at Sync;
+    * keeping them is a harmless superset that lets the same client flow
+    * work without BEGIN. */
   private final class PortalRun(
       val schema: StructType,
       val it: java.util.Iterator[org.apache.spark.sql.Row],
@@ -634,6 +658,12 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
     w.write(s.getBytes(UTF_8)); w.writeByte(0)
   }
 
+  /** ReadyForQuery with the live transaction status — 'T' inside an
+    * explicit BEGIN, 'I' when idle (what JDBC keys its cursor flow on).
+    * The startup-path overload reports 'I' (no session engine yet). */
+  private def readyForQuery(out: DataOutputStream, eng: XtSqlEngine): Unit =
+    msg(out, 'Z')(_.writeByte(if (eng.inTransaction) 'T' else 'I'))
+
   private def readyForQuery(out: DataOutputStream): Unit =
     msg(out, 'Z')(_.writeByte('I'))
 
@@ -674,9 +704,19 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
     else if (fmts.length == 1) fmts.head
     else fmts(i)
 
+  /** PG requires Bind's result-format count be 0, 1, or the result column
+    * count; the count is only checkable once the schema is known, so it's
+    * validated here at first use (Describe/Execute) with a clear message
+    * instead of an IndexOutOfBounds per row. */
+  private def checkFmtCount(fmts: Seq[Int], nCols: Int): Unit =
+    require(fmts.length <= 1 || fmts.length == nCols,
+      s"bind: ${fmts.length} result format codes for $nCols result " +
+        "columns (must be 0, 1, or the column count)")
+
   private def rowDescription(out: DataOutputStream, schema: StructType,
       fmts: Seq[Int] = Nil): Unit =
     msg(out, 'T') { w =>
+      checkFmtCount(fmts, schema.fields.length)
       w.writeShort(schema.fields.length)
       schema.fields.zipWithIndex.foreach { case (f, i) =>
         cstr(w, f.name)
@@ -691,6 +731,7 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
       row: org.apache.spark.sql.Row, schema: StructType,
       fmts: Seq[Int] = Nil): Unit =
     msg(out, 'D') { w =>
+      checkFmtCount(fmts, schema.fields.length)
       w.writeShort(schema.fields.length)
       schema.fields.zipWithIndex.foreach { case (f, i) =>
         if (row.isNullAt(i)) w.writeInt(-1)
@@ -712,6 +753,67 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
     * documentation). Types with no defined/row-typed binary form here
     * (arrays/structs travel as text OID 25) fall back to the text bytes,
     * which is exactly what their RowDescription OID advertises. */
+  /** Decode a binary-format Bind parameter into the text form
+    * [[bindPlaceholders]] splices — the receive-side inverse of
+    * [[renderBinary]], covering exactly the OIDs this server encodes
+    * (bool, bytea, int2/4/8, float4/8, text/varchar, date,
+    * timestamp/timestamptz, numeric). Unknown OIDs refuse loudly: guessing
+    * an encoding would corrupt the statement silently. */
+  private def decodeBinaryParam(b: Array[Byte], oid: Int, idx: Int): String = {
+    val bb = java.nio.ByteBuffer.wrap(b) // big-endian by default
+    def need(n: Int): Unit = require(b.length == n,
+      s"binary parameter $$${idx}: oid $oid expects $n bytes, got ${b.length}")
+    oid match {
+      case 16 => need(1); if (b(0) != 0) "t" else "f"
+      case 17 => "\\x" + b.map("%02x".format(_)).mkString
+      case 21 => need(2); bb.getShort.toString
+      case 23 => need(4); bb.getInt.toString
+      case 20 => need(8); bb.getLong.toString
+      case 700 => need(4); bb.getFloat.toString
+      case 701 => need(8); bb.getDouble.toString
+      case 25 | 1043 => new String(b, UTF_8)
+      case 1082 => // days since 2000-01-01
+        need(4)
+        java.time.LocalDate.ofEpochDay(bb.getInt.toLong + PgEpochDays).toString
+      case 1114 | 1184 => // micros since 2000-01-01 (1184: instant, UTC)
+        need(8)
+        val micros1970 = bb.getLong + PgEpochMicros
+        val inst = java.time.Instant.ofEpochSecond(
+          Math.floorDiv(micros1970, 1000000L),
+          Math.floorMod(micros1970, 1000000L) * 1000L)
+        java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+      case 1700 => // base-10000 numeric: ndigits, weight, sign, dscale, digits
+        require(b.length >= 8,
+          s"binary parameter $$${idx}: numeric header needs 8 bytes")
+        val nd = bb.getShort.toInt; val weight = bb.getShort.toInt
+        val sign = bb.getShort & 0xffff; val dscale = bb.getShort.toInt
+        require(sign == 0x0000 || sign == 0x4000,
+          s"binary parameter $$${idx}: unsupported numeric sign 0x${sign.toHexString}")
+        require(b.length == 8 + 2 * nd,
+          s"binary parameter $$${idx}: numeric with $nd digit groups " +
+            s"expects ${8 + 2 * nd} bytes, got ${b.length}")
+        // digit groups are one base-10000 integer; the first group sits at
+        // base-10000 exponent `weight`, so value = D * 10^(4*(weight-nd+1))
+        var intAcc = java.math.BigInteger.ZERO
+        val B = java.math.BigInteger.valueOf(10000)
+        (0 until nd).foreach { _ =>
+          intAcc = intAcc.multiply(B)
+            .add(java.math.BigInteger.valueOf(bb.getShort.toLong))
+        }
+        val exp10 = 4 * (weight - nd + 1)
+        var dec = new java.math.BigDecimal(intAcc)
+        dec = if (exp10 >= 0) dec.movePointRight(exp10)
+              else dec.movePointLeft(-exp10)
+        dec = dec.setScale(dscale) // throws on malformed (lossy) input
+        if (sign == 0x4000) dec = dec.negate()
+        dec.toPlainString
+      case other => sys.error(
+        s"binary parameter $$${idx}: unsupported type oid $other; bind text")
+    }
+  }
+
   private def renderBinary(v: Any, dt: DataType): Array[Byte] = {
     def be(n: Int)(fill: java.nio.ByteBuffer => Unit): Array[Byte] = {
       val bb = java.nio.ByteBuffer.allocate(n)

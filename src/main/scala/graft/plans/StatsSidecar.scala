@@ -38,7 +38,8 @@ object StatsSidecar {
       files: Long = -1L,
       mtime: Long = -1L,
       minMicros: Map[String, Long] = Map.empty,
-      maxMicros: Map[String, Long] = Map.empty)
+      maxMicros: Map[String, Long] = Map.empty,
+      tz: String = "")
 
   private val FileName = "_graft_stats.json"
   // keyed by sidecar path; the value carries the mtime it was read at, so
@@ -57,13 +58,18 @@ object StatsSidecar {
   }
 
   /** The table's data files (directory members minus `_`/`.`-prefixed
-    * metadata, or the single file itself) — the freshness fingerprint. */
+    * metadata, or the single file itself) — the freshness fingerprint.
+    * RECURSES into subdirectories so partitioned/bucketed layouts
+    * (`table/part=x/file.parquet`) fingerprint their real files: a
+    * top-level-only listing would see 0 files both at analyze and at
+    * check time and the staleness guard would always pass. */
   private def dataFiles(dir: String): Seq[java.io.File] = {
+    def walk(d: java.io.File): Seq[java.io.File] =
+      Option(d.listFiles()).map(_.toSeq).getOrElse(Nil)
+        .filterNot(x => x.getName.startsWith("_") || x.getName.startsWith("."))
+        .flatMap(x => if (x.isDirectory) walk(x) else Seq(x))
     val f = new java.io.File(dir)
-    if (f.isDirectory)
-      Option(f.listFiles()).map(_.toSeq).getOrElse(Nil)
-        .filter(x => x.isFile && !x.getName.startsWith("_") &&
-          !x.getName.startsWith("."))
+    if (f.isDirectory) walk(f)
     else if (f.isFile) Seq(f)
     else Nil
   }
@@ -101,18 +107,20 @@ object StatsSidecar {
         if (row.isNullAt(i)) None else Some(f.name -> row.getLong(i))
       }.toMap
     val dfs = dataFiles(dir)
+    val sessionTz = spark.sessionState.conf.sessionLocalTimeZone
     val stats = TableStats(
       rowCount = row.getLong(0),
       ndv = atomic.indices.map(i => atomic(i).name -> row.getLong(i + 1)).toMap,
       files = dfs.size.toLong,
       mtime = if (dfs.isEmpty) -1L else dfs.map(_.lastModified()).max,
       minMicros = tmap("__min_"),
-      maxMicros = tmap("__max_"))
+      maxMicros = tmap("__max_"),
+      tz = sessionTz)
     def obj(m: Map[String, Long]): String =
       m.toSeq.sortBy(_._1).map { case (k, v) => s""""${k}":$v""" }
         .mkString("{", ",", "}")
     val json = s"""{"rowCount":${stats.rowCount},"files":${stats.files},""" +
-      s""""mtime":${stats.mtime},"ndv":${obj(stats.ndv)},""" +
+      s""""mtime":${stats.mtime},"tz":"${stats.tz}","ndv":${obj(stats.ndv)},""" +
       s""""minMicros":${obj(stats.minMicros)},""" +
       s""""maxMicros":${obj(stats.maxMicros)}}"""
     val p = sidecarFile(dir)
@@ -158,9 +166,11 @@ object StatsSidecar {
     def scalar(name: String): Option[Long] =
       (s""""$name"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(scalarSrc)
         .map(_.group(1).toLong)
+    val tz = """"tz"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(s)
+      .map(_.group(1)).getOrElse("")
     scalar("rowCount").map(rc => TableStats(rc, region("ndv"),
       scalar("files").getOrElse(-1L), scalar("mtime").getOrElse(-1L),
-      region("minMicros"), region("maxMicros")))
+      region("minMicros"), region("maxMicros"), tz))
   } catch { case _: Exception => None }
 
   /** An upper bound on `max(epoch_micros(colName))` over `df` from the
@@ -192,9 +202,16 @@ object StatsSidecar {
           read(path)
             .filter { st =>
               val dfs = dataFiles(path)
-              st.files == dfs.size.toLong &&
+              // files == 0 means the fingerprint saw nothing — an
+              // unlistable layout; a 0==0 match would let a stale bound
+              // through, so an empty fingerprint never validates.
+              st.files > 0 && st.files == dfs.size.toLong &&
                 st.mtime == (if (dfs.isEmpty) -1L
-                             else dfs.map(_.lastModified()).max)
+                             else dfs.map(_.lastModified()).max) &&
+                // micros for Date/TimestampNTZ columns were computed in
+                // the ANALYZE session's timezone; a query session in a
+                // different zone could make this an underestimate
+                st.tz == df.sparkSession.sessionState.conf.sessionLocalTimeZone
             }
             .flatMap(_.maxMicros.get(baseName))
         }

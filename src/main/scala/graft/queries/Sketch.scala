@@ -378,11 +378,17 @@ object Sketch {
       val st = orders.agg(count(lit(1)).as("n"),
         countDistinct(col("o_custkey")).as("d")).head()
       val (nRows, dKeys) = (st.getLong(0), st.getLong(1))
+      require(nRows > 0 && dKeys > 0,
+        s"q223 needs a non-empty orders table (rows=$nRows, distinct=$dKeys)")
       val threshold = (3 * nRows + 2 * dKeys - 1) / (2 * dKeys)
       // next power of two >= max(8192, 7N/threshold) — the sketch
-      // requires a pow2 map; rounding up only widens the guard margin
-      val mapSize = Integer.highestOneBit((math.max(8192L,
-        (7 * nRows + threshold - 1) / threshold).toInt - 1) << 1)
+      // requires a pow2 map; rounding up only widens the guard margin.
+      // Pow2 arithmetic stays in Long (an Int cast of 7N/threshold can
+      // overflow for huge distinct-key counts) with an explicit upper
+      // clamp of 2^26 entries (~0.5 GiB of map) before the .toInt.
+      val want = math.min(1L << 26,
+        math.max(8192L, (7 * nRows + threshold - 1) / threshold))
+      val mapSize = java.lang.Long.highestOneBit((want - 1) << 1).toInt
       val cand = materializeModel(
         Sketches.heavyHittersOnePass(orders, "o_custkey",
           threshold = threshold, maxMapSize = mapSize),

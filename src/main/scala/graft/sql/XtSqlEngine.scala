@@ -55,6 +55,11 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
   // transaction see the pre-transaction snapshot — staged writes become
   // visible atomically at COMMIT, like the reference's log-deferred DML.
   private var openTx: Option[scala.collection.mutable.Buffer[TxOp]] = None
+
+  /** Whether an explicit BEGIN is open — pgwire's ReadyForQuery reports
+    * 'T' (in transaction) vs 'I' (idle) from this, which is what a JDBC
+    * driver keys its fetch-size cursor flow on. */
+  def inTransaction: Boolean = openTx.isDefined
   private var txReadOnly: Boolean = false
   private var txSystemTime: Option[java.sql.Timestamp] = None
   private val sessionVars = scala.collection.mutable.Map.empty[String, String]

@@ -284,7 +284,7 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
 
   test("binary result formats: Bind's per-column codes are honored " +
       "(int8/float8/bool/numeric/timestamp binary, text column text); " +
-      "binary parameters are refused loudly") {
+      "a binary parameter without a Parse-time OID is refused loudly") {
     val c = new Client(server.boundPort)
     c.startup(); c.untilReady()
     c.send('P') { w =>
@@ -344,17 +344,158 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(java.nio.ByteBuffer.wrap(fields(4)).getLong == 1000000L, "ts")
     assert(new String(fields(5), UTF_8) == "hi", "text column stays text")
 
-    // binary parameter format code => loud ErrorResponse, then recovery
+    // a binary parameter VALUE without a Parse-time OID is undecodable =>
+    // loud ErrorResponse (never guess an encoding), then recovery
+    c.send('P') { w =>
+      c.cstr(w, "snooid"); c.cstr(w, "SELECT $1 AS v")
+      w.writeShort(0) // no declared parameter OIDs
+    }
     c.send('B') { w =>
-      c.cstr(w, "pbad"); c.cstr(w, "sbin")
+      c.cstr(w, "pbad"); c.cstr(w, "snooid")
       w.writeShort(1); w.writeShort(1) // one param format code: binary
-      w.writeShort(0); w.writeShort(0)
+      w.writeShort(1) // one param value
+      w.writeInt(4); w.writeInt(258)
+      w.writeShort(0)
     }
     c.send('S')(_ => ())
     val bad = c.untilReady()
-    assert(bad.exists(_._1 == 'E'), "binary params must be refused")
+    assert(bad.exists(_._1 == 'E'),
+      "binary param without declared OID must be refused")
     assert(new String(bad.find(_._1 == 'E').get._2, UTF_8)
-      .contains("binary-format parameters"))
+      .contains("no Parse-time type OID"))
+    c.close()
+  }
+
+  test("binary parameters: Bind decodes int8/int4/float8/bool/date/" +
+      "timestamp/numeric/text by Parse-time OID, and Describe echoes " +
+      "the declared OIDs") {
+    val c = new Client(server.boundPort)
+    c.startup(); c.untilReady()
+    c.send('P') { w =>
+      c.cstr(w, "sbp")
+      c.cstr(w, "SELECT $1 AS i8, $2 AS i4, $3 AS f8, $4 AS b, " +
+        "$5 AS d, $6 AS ts, $7 AS num, $8 AS s")
+      w.writeShort(8)
+      Seq(20, 23, 701, 16, 1082, 1114, 1700, 25).foreach(w.writeInt)
+    }
+    c.send('D') { w => w.writeByte('S'); c.cstr(w, "sbp") }
+    c.send('B') { w =>
+      c.cstr(w, "pbp"); c.cstr(w, "sbp")
+      w.writeShort(1); w.writeShort(1) // ONE code: all params binary
+      w.writeShort(8)
+      w.writeInt(8); w.writeLong(1234567890123L)        // int8
+      w.writeInt(4); w.writeInt(-42)                    // int4
+      w.writeInt(8); w.writeDouble(2.75)                // float8
+      w.writeInt(1); w.writeByte(1)                     // bool true
+      w.writeInt(4); w.writeInt(31)                     // date: 2000-02-01
+      w.writeInt(8); w.writeLong(1500000L)              // ts: 2000-01-01 00:00:01.5
+      // numeric -98765.4321: ndigits=3 weight=1 sign=0x4000 dscale=4,
+      // groups 9 | 8765 | 4321
+      w.writeInt(8 + 6)
+      Seq(3, 1, 0x4000, 4, 9, 8765, 4321).foreach(w.writeShort)
+      val s = "it's text".getBytes(UTF_8)
+      w.writeInt(s.length); w.write(s)                  // text with a quote
+      w.writeShort(0) // results: all text
+    }
+    c.send('E') { w => c.cstr(w, "pbp"); w.writeInt(0) }
+    c.send('S')(_ => ())
+    val msgs = c.untilReady()
+    // ParameterDescription echoes the declared OIDs
+    val pd = msgs.find(_._1 == 't').get._2
+    def i16(a: Array[Byte], off: Int): Int =
+      ((a(off) & 0xff) << 8) | (a(off + 1) & 0xff)
+    def i32(a: Array[Byte], off: Int): Int =
+      (i16(a, off) << 16) | i16(a, off + 2)
+    assert(i16(pd, 0) == 8 &&
+      (0 until 8).map(i => i32(pd, 2 + 4 * i)) ==
+        Seq(20, 23, 701, 16, 1082, 1114, 1700, 25),
+      "ParameterDescription must echo Parse-time OIDs")
+    assert(!msgs.exists(_._1 == 'E'),
+      s"no error expected: ${msgs.find(_._1 == 'E').map(m => new String(m._2, UTF_8))}")
+    val rows = dataRows(msgs).map(c.row)
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r(0) == "1234567890123" && r(1) == "-42" && r(2) == "2.75")
+    assert(r(3) == "t" || r(3) == "true", s"bool came back ${r(3)}")
+    assert(r(4) == "2000-02-01")
+    assert(r(5).startsWith("2000-01-01 00:00:01.5"), s"ts came back ${r(5)}")
+    assert(r(6) == "-98765.4321")
+    assert(r(7) == "it's text")
+    c.close()
+  }
+
+  test("result-format count must be 0, 1, or the column count — a " +
+      "mismatched count errors clearly and the session recovers") {
+    val c = new Client(server.boundPort)
+    c.startup(); c.untilReady()
+    c.send('P') { w =>
+      c.cstr(w, "sfmt"); c.cstr(w, "SELECT 1 AS a, 2 AS b, 3 AS c")
+      w.writeShort(0)
+    }
+    c.send('B') { w =>
+      c.cstr(w, "pfmt"); c.cstr(w, "sfmt")
+      w.writeShort(0); w.writeShort(0)
+      w.writeShort(2); w.writeShort(0); w.writeShort(1) // 2 codes, 3 cols
+    }
+    c.send('E') { w => c.cstr(w, "pfmt"); w.writeInt(0) }
+    c.send('S')(_ => ())
+    val msgs = c.untilReady()
+    val err = msgs.find(_._1 == 'E')
+    assert(err.isDefined, "mismatched result-format count must error")
+    assert(new String(err.get._2, UTF_8).contains("result format codes"))
+    val ok = c.query("SELECT 9 AS nine")
+    assert(dataRows(ok).map(c.row) == Seq(Seq("9")))
+    c.close()
+  }
+
+  test("suspended portal inside an explicit transaction: ReadyForQuery " +
+      "reports 'T' between BEGIN and COMMIT and the cursor resumes " +
+      "across Sync — the JDBC setFetchSize flow") {
+    val c = new Client(server.boundPort)
+    c.startup(); c.untilReady()
+    (1 to 6).foreach(i =>
+      c.query(s"INSERT INTO wire_txcur RECORDS {_id: $i}"))
+    def txStatus(msgs: Seq[(Char, Array[Byte])]): Char =
+      msgs.last._2.head.toChar // ReadyForQuery payload = one status byte
+    assert(txStatus(c.query("SELECT 1 AS x")) == 'I')
+    val begun = c.query("BEGIN")
+    assert(txStatus(begun) == 'T',
+      "ReadyForQuery must report 'T' inside an explicit transaction")
+    c.send('P') { w =>
+      c.cstr(w, "stx"); c.cstr(w, "SELECT _id FROM wire_txcur ORDER BY _id")
+      w.writeShort(0)
+    }
+    c.send('B') { w =>
+      c.cstr(w, "ptx"); c.cstr(w, "stx")
+      w.writeShort(0); w.writeShort(0); w.writeShort(0)
+    }
+    def fetch(maxRows: Int): (Seq[String], Char) = {
+      c.send('E') { w => c.cstr(w, "ptx"); w.writeInt(maxRows) }
+      c.send('H')(_ => ())
+      val rows = scala.collection.mutable.Buffer[String]()
+      var end = ' '
+      while (end == ' ') {
+        val (t, p) = c.recv()
+        t match {
+          case 'D' => rows += c.row(p).head
+          case 's' => end = 's'
+          case 'C' => end = 'C'
+          case 'E' => end = 'E'
+          case _ => ()
+        }
+      }
+      (rows.toSeq, end)
+    }
+    val (r1, e1) = fetch(3)
+    assert(r1 == Seq("1", "2", "3") && e1 == 's')
+    // Sync inside the tx: still 'T', portal still live
+    c.send('S')(_ => ())
+    val sync1 = c.untilReady()
+    assert(txStatus(sync1) == 'T', "Sync inside BEGIN must stay 'T'")
+    val (r2, e2) = fetch(3)
+    assert(r2 == Seq("4", "5", "6") && e2 == 'C')
+    assert(txStatus(c.query("COMMIT")) == 'I',
+      "ReadyForQuery must return to 'I' after COMMIT")
     c.close()
   }
 
