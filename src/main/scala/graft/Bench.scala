@@ -52,8 +52,10 @@ object Bench {
     * side (Catalyst recognizes the matching HashPartitioning from the
     * bucket spec). This is the write-once/join-forever layout a 100 TB
     * deployment uses for its dominant join key; the flat layout re-pays
-    * that shuffle per query. Tables.load routes these two names to the
-    * catalog tables via `spark.graft.layout.bucketedTables`. */
+    * that shuffle per query. The declaration is persisted as a
+    * LayoutCatalog sidecar in the ingest directory, so Tables.load
+    * routes these two names through the catalog bucketed tables —
+    * scoped to this directory, in this session or any later one. */
   def ingestLayout(spark: SparkSession, sfDir: String, cpus: Int,
       bucketedFacts: Boolean = false, analyze: Boolean = false): String = {
     val dst = java.nio.file.Files.createTempDirectory("graft_bench_store")
@@ -72,26 +74,19 @@ object Bench {
       val files = math.max(1L, math.min(cpus.toLong,
         tableBytes(sfDir, t) / (1500L * 1024))).toInt
       if (bucketedFacts && bucketKeys.contains(t)) {
-        import org.apache.spark.sql.functions.col
-        val key = bucketKeys(t)
         // same bucket count on BOTH fact tables (co-location contract);
-        // pre-repartition by the same hash so each task writes exactly
-        // its one bucket file (multi-file buckets forfeit the sort info)
-        val buckets = cpus
-        Tables.load(spark, sfDir, t)
-          .repartition(buckets, col(key))
-          .write.mode("overwrite")
-          .option("path", s"$dst/bucketed_$t")
-          .bucketBy(buckets, key).sortBy(key)
-          .saveAsTable(s"graft_b_$t")
+        // LayoutCatalog persists the declaration as a sidecar in dst, so
+        // Tables.load routes through the registered bucketed table — in
+        // this session and in any later one over the same directory
+        graft.storage.LayoutCatalog.ingestBucketed(spark,
+          Tables.load(spark, sfDir, t), dst.toString,
+          graft.storage.LayoutCatalog.Layout(t, bucketKeys(t), cpus,
+            s"bucketed_$t"))
       } else
         Tables.load(spark, sfDir, t)
           .repartition(files)
           .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     }
-    if (bucketedFacts)
-      spark.conf.set("spark.graft.layout.bucketedTables",
-        bucketKeys.keys.mkString(","))
     // write-time ANALYZE: stats ride with the table (the reference indexes
     // HLL + min/max at ingest the same way) — join reorder gets NDVs and
     // the interval-join horizon goes fully job-free for these tables

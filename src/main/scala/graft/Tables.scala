@@ -26,19 +26,21 @@ object Tables {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // co-bucketed layout (Bench.ingestLayout(bucketedFacts=true) — the
-    // zero-exchange fact-join storage option): tables listed in the conf
-    // resolve to their catalog-registered bucketed form, whose
+    // co-bucketed layout: a `_graft_layout.<name>.json` sidecar IN the
+    // directory (written by LayoutCatalog.ingestBucketed) routes the read
+    // through a catalog-registered bucketed external table, whose
     // HashPartitioning(key, n) Catalyst uses to ELIDE the join shuffle.
     // At the 100 TB design point this is the difference between shuffling
     // the fact tables on every orderkey join and never shuffling them.
-    val bucketed = spark.conf
-      .get("spark.graft.layout.bucketedTables", "")
-      .split(",").map(_.trim).filter(_.nonEmpty).toSet
-    if (bucketed.contains(name))
-      loaded.getOrElseUpdate((spark, s"bucketed:$name", name),
-        spark.table(s"graft_b_$name"))
-    else loadFlat(spark, dir, name)
+    // The declaration travels with the data, so loads from a different
+    // dir in the same session serve that dir's own layout (never another
+    // ingest's), and any fresh session re-registers automatically.
+    graft.storage.LayoutCatalog.read(dir, name) match {
+      case Some(l) =>
+        loaded.getOrElseUpdate((spark, dir, s"bucketed:$name"),
+          graft.storage.LayoutCatalog.load(spark, dir, name, l))
+      case None => loadFlat(spark, dir, name)
+    }
   }
 
   private def loadFlat(spark: SparkSession, dir: String,

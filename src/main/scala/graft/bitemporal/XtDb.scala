@@ -205,6 +205,7 @@ class XtDb(spark: SparkSession, val root: String) {
     df.repartition(16, col(BUCKET))
       .write.partitionBy(BUCKET).mode("overwrite")
       .parquet(s"${tableDir(table)}/g$next")
+    invalidateSnapshot(table)
     val out = fs.create(genPath(table), true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     // keep the superseded generation for in-flight readers; drop older.
@@ -215,13 +216,19 @@ class XtDb(spark: SparkSession, val root: String) {
       fs.listStatus(new org.apache.hadoop.fs.Path(tableDir(table)))
         .filterNot { st =>
           val n = st.getPath.getName
-          n == "_gen" || keep.contains(n)
+          n == "_gen" || n == "_layout.json" || keep.contains(n)
         }
         .foreach(st => fs.delete(st.getPath, true))
   }
 
-  private def tableExists(table: String): Boolean =
-    hadoopFs.exists(new org.apache.hadoop.fs.Path(tableDir(table)))
+  private def tableExists(table: String): Boolean = {
+    val fs = hadoopFs
+    val dir = new org.apache.hadoop.fs.Path(tableDir(table))
+    // a layout may be declared BEFORE the first write; a directory whose
+    // only member is the declaration holds no table yet
+    fs.exists(dir) &&
+      fs.listStatus(dir).exists(_.getPath.getName != "_layout.json")
+  }
 
   /** Stamp the bitemporal event-meta columns onto a doc batch. */
   private def buildEvents(docs: DataFrame, op: String,
@@ -248,6 +255,7 @@ class XtDb(spark: SparkSession, val root: String) {
       monotonically_increasing_id())
     val conformed = evolveSchema(table, withMeta)
     conformed.write.partitionBy(BUCKET).mode("append").parquet(dataDir(table))
+    invalidateSnapshot(table)
     logTx(sysTime, table, op, committed = true, error = None)
     sysTime
   }
@@ -356,6 +364,7 @@ class XtDb(spark: SparkSession, val root: String) {
         val conformed = evolveSchema(table, df)
         conformed.write.partitionBy(BUCKET).mode("append")
           .parquet(dataDir(table))
+        invalidateSnapshot(table)
         // affected-row count from the committed delta itself (parquet
         // footer counts over the staged files — NOT a re-run of the
         // user's DML plan); surfaced through `lastAffectedRows` for the
@@ -453,6 +462,139 @@ class XtDb(spark: SparkSession, val root: String) {
         (col("__erase_sf").isNull || col(SF) > col("__erase_sf")))
       .drop("__erase_sf")
     rewriteCommit(table, purged)
+    layoutOf(table).foreach(l => materializeCurrentSnapshot(table, l))
+  }
+
+  // ---- declared layout (bucket key + count) ------------------------------
+  //
+  // The engine's answer to the measured fact-join slope (BASELINE.md
+  // round-10 25× table: co-bucketing lineitem+orders turned q03/q05/q09's
+  // marginal slopes 11.7/19.1/14.1 into 2.0/3.7/4.1): a table may DECLARE
+  // its dominant join key, persisted with the table, and compaction then
+  // ALSO materializes the current snapshot bucketed on that key into the
+  // session catalog — reads of the current state join on the key with
+  // zero fact-side exchange (Catalyst recognizes the bucket spec's
+  // HashPartitioning). This is the write-once/join-forever trade: the
+  // bucketing shuffle is paid once at compaction, not per query. The
+  // reference's analogue is its trie-partitioned L1 compaction layout
+  // (compactor/Compactor.kt) — storage organized for the read path at
+  // write time.
+
+  final case class TableLayout(key: String, buckets: Int)
+
+  private def layoutPath(table: String) =
+    new org.apache.hadoop.fs.Path(s"${tableDir(table)}/_layout.json")
+
+  /** Declare the table's bucket layout (persisted as one small JSON next
+    * to the generation pointer — atomic PUT, object-store-safe). Takes
+    * effect at the NEXT [[compact]]; an already-valid snapshot built
+    * under a different layout is invalidated immediately. */
+  def declareLayout(table: String, key: String, buckets: Int): Unit = {
+    require(buckets > 0, s"declareLayout($table): buckets must be > 0")
+    require(key.nonEmpty && !key.contains("\""),
+      s"declareLayout($table): bad key '$key'")
+    val out = hadoopFs.create(layoutPath(table), true)
+    try out.write(s"""{"key":"$key","buckets":$buckets}""".getBytes("UTF-8"))
+    finally out.close()
+    snapshotState.remove(table)
+  }
+
+  /** The table's declared layout, if any. */
+  def layoutOf(table: String): Option[TableLayout] = {
+    val fs = hadoopFs
+    val p = layoutPath(table)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        val s = new String(bytes, "UTF-8")
+        for {
+          k <- """"key"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(s).map(_.group(1))
+          b <- """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s).map(_.group(1).toInt)
+        } yield TableLayout(k, b)
+      } finally in.close()
+    }
+  }
+
+  /** Snapshot validity: present iff the bucketed current-state snapshot
+    * reflects the live table. `expiresMicros` guards VALID-TIME
+    * transitions — `current` is a moving point, so a put whose
+    * valid_from/valid_to lies in the future changes the current state
+    * with no write happening; the snapshot records the earliest such
+    * boundary and refuses itself once the clock passes it. In-memory
+    * only (single-writer contract): a fresh instance over the same root
+    * serves live resolution until its own first compact. */
+  private val snapshotState = new java.util.concurrent.ConcurrentHashMap[
+    String, Long]() // table -> expiresMicros (Long.MaxValue = no boundary)
+
+  private def invalidateSnapshot(table: String): Unit =
+    snapshotState.remove(table)
+
+  /** Session-catalog name for the table's bucketed current snapshot —
+    * scoped by store root so two XtDb instances in one JVM never collide. */
+  private def snapshotTableName(table: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$root/$table".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    s"graft_cur_${table.replaceAll("[^A-Za-z0-9_]", "_")}_$h"
+  }
+
+  /** Write the resolved current state bucketed by the declared key into
+    * the current generation dir (underscore prefix keeps it invisible to
+    * the event-log parquet listing; it is swept with its generation) and
+    * register it in the session catalog. Called by [[compact]]. */
+  private def materializeCurrentSnapshot(table: String,
+      l: TableLayout): Unit = {
+    val cur = Bitemporal.resolve(events(table),
+      Bitemporal.TemporalSpec.Current, Bitemporal.TemporalSpec.Current)
+    require(cur.columns.contains(l.key),
+      s"declared layout key '${l.key}' is not a column of $table " +
+        s"(${cur.columns.mkString(", ")})")
+    val name = snapshotTableName(table)
+    val dir = s"${dataDir(table)}/_current_b"
+    // the boundary reference point is taken BEFORE the snapshot write:
+    // an event activating between this stamp and the write's own
+    // `current_timestamp()` is then counted as an (already-passed)
+    // expiry, so the snapshot conservatively refuses itself rather than
+    // race the clock
+    val nowTs = java.sql.Timestamp.from(java.time.Instant.now())
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    cur.repartition(l.buckets, col(l.key))
+      .write.mode("overwrite").option("path", dir)
+      .bucketBy(l.buckets, l.key).sortBy(l.key)
+      .saveAsTable(name)
+    // earliest FUTURE valid-time boundary across live events: once the
+    // clock passes it, the current state changes without a write and the
+    // snapshot must stop serving (the q-fixture: a put valid-from
+    // tomorrow). Computed on the just-compacted generation — small.
+    val b = events(table)
+      .select(least(
+        min(when(col(VF) > lit(nowTs), col(VF))),
+        min(when(col(VT) > lit(nowTs), col(VT)))).as("b"))
+      .head()
+    val expires =
+      if (b.isNullAt(0)) Long.MaxValue
+      else {
+        val i = b.getTimestamp(0).toInstant
+        i.getEpochSecond * 1000000L + i.getNano / 1000L
+      }
+    snapshotState.put(table, expires)
+  }
+
+  /** The bucketed current-state snapshot, iff it is still a faithful view
+    * (no writes since compact, no valid-time boundary crossed). Callers
+    * fall back to live resolution on None. */
+  def currentSnapshotIfValid(table: String): Option[DataFrame] = {
+    val expires = snapshotState.get(table)
+    val nowMicros = java.time.Instant.now().toEpochMilli * 1000L
+    if (expires == null || nowMicros >= expires) None
+    else {
+      val name = snapshotTableName(table)
+      if (spark.catalog.tableExists(name)) Some(spark.table(name))
+      else { invalidateSnapshot(table); None }
+    }
   }
 
   /** Uncompacted backlog of `table`: LIVE physical parquet files beyond
@@ -472,7 +614,13 @@ class XtDb(spark: SparkSession, val root: String) {
     // FileSystem API the object-store contract guarantees
     def walk(p: org.apache.hadoop.fs.Path): Unit =
       fs.listStatus(p).foreach { st =>
-        if (st.isDirectory) walk(st.getPath)
+        // `_`-prefixed members WITHOUT '=' are metadata (the bucketed
+        // current snapshot, pointers) — Spark's file index skips them by
+        // the same rule, so they are not event-log backlog. `_bucket=c`
+        // partition dirs stay in.
+        if (st.getPath.getName.startsWith("_") &&
+            !st.getPath.getName.contains("=")) ()
+        else if (st.isDirectory) walk(st.getPath)
         else if (st.getPath.getName.endsWith(".parquet")) {
           val bucket = st.getPath.getParent.getName
           perBucket(bucket) = perBucket.getOrElse(bucket, 0L) + 1L
@@ -745,6 +893,7 @@ class XtDb(spark: SparkSession, val root: String) {
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), full)
       .write.parquet(tableDir(table))
+    invalidateSnapshot(table)
     saveSchema(table, full)
   }
 

@@ -291,15 +291,28 @@ object SltRunner {
     // aggregate calls) so MISSING_AGGREGATION never fires.
     val aggFnNames = Set("count", "sum", "min", "max", "avg", "total",
       "group_concat", "first", "last", "any_value")
-    def wrapBare(groupNames: Set[String])(e: Expression,
+    // A reference matches a grouping expression only if the column names
+    // agree AND the table qualifiers (when both sides carry one) agree:
+    // `GROUP BY cor0.col1` does NOT make a bare `cor1.col1` grouped —
+    // last-part-only matching let exactly that slip through to
+    // MISSING_AGGREGATION (uncapped-sweep finding, random/groupby:
+    // COALESCE(k, cor1.col1 + …) under GROUP BY cor0.col1).
+    def groupedBy(groupParts: Seq[Seq[String]])(
+        parts: Seq[String]): Boolean =
+      groupParts.exists { g =>
+        g.last == parts.last &&
+          (g.length < 2 || parts.length < 2 ||
+            g(g.length - 2) == parts(parts.length - 2))
+      }
+    def wrapBare(grouped: Seq[String] => Boolean)(e: Expression,
         inAgg: Boolean): Expression = e match {
       case u: UnresolvedAttribute
-          if !inAgg && !groupNames.contains(u.nameParts.last.toLowerCase) =>
+          if !inAgg && !grouped(u.nameParts.map(_.toLowerCase)) =>
         UnresolvedFunction("any_value", Seq(u), isDistinct = false)
       case f: UnresolvedFunction =>
         val inner = inAgg || aggFnNames.contains(f.nameParts.last.toLowerCase)
-        f.mapChildren(c => wrapBare(groupNames)(c, inner))
-      case other => other.mapChildren(c => wrapBare(groupNames)(c, inAgg))
+        f.mapChildren(c => wrapBare(grouped)(c, inner))
+      case other => other.mapChildren(c => wrapBare(grouped)(c, inAgg))
     }
 
     // SQLite types VALUES dynamically: COALESCE(33, <float expr>) carries
@@ -439,7 +452,25 @@ object SltRunner {
       // single-alias HAVING in the corpus already uses (table column
       // takes precedence, e.g. inside COUNT(col1); the alias serves
       // otherwise). Uncapped-sweep finding, random/groupby.
-      case h: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
+      case h0: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
+        // BETWEEN inside HAVING: Spark 4's Between is RuntimeReplaceable
+        // over a With(common-expression) node, and the HAVING
+        // alias-substitution path can change the common expression's type
+        // after the With is built — RewriteWithExpression then fails plan
+        // validation (seen with `HAVING a + g BETWEEN NULL AND NULL`,
+        // uncapped-sweep finding). Expand to the explicit conjunction
+        // before analysis; HAVING predicates are side-effect-free, so the
+        // duplicated input expression is only a (tiny) double evaluation.
+        val h = h0.copy(havingCondition =
+          h0.havingCondition.transformDown {
+            case org.apache.spark.sql.catalyst.expressions
+                  .Between(in, lo, hi, _) =>
+              org.apache.spark.sql.catalyst.expressions.And(
+                org.apache.spark.sql.catalyst.expressions
+                  .GreaterThanOrEqual(in, lo),
+                org.apache.spark.sql.catalyst.expressions
+                  .LessThanOrEqual(in, hi))
+          })
         h.child match {
           case a: Aggregate =>
             val seen = scala.collection.mutable.Set[String]()
@@ -456,17 +487,18 @@ object SltRunner {
           case _ => h
         }
       case a: Aggregate if a.groupingExpressions.nonEmpty =>
-        val groupNames = a.groupingExpressions.collect {
-          case u: UnresolvedAttribute => u.nameParts.last.toLowerCase
-        }.toSet
+        val groupParts = a.groupingExpressions.collect {
+          case u: UnresolvedAttribute => u.nameParts.map(_.toLowerCase)
+        }
+        val grouped = groupedBy(groupParts) _
         val newAggs = a.aggregateExpressions.map {
           case u: UnresolvedAttribute
-              if !groupNames.contains(u.nameParts.last.toLowerCase) =>
+              if !grouped(u.nameParts.map(_.toLowerCase)) =>
             Alias(UnresolvedFunction("any_value", Seq(u), isDistinct = false),
               u.nameParts.last)()
           case ne => // Alias, UnresolvedAlias, grouped attrs, stars, ...
             ne.withNewChildren(ne.children.map(c =>
-              wrapBare(groupNames)(c, false))).asInstanceOf[NamedExpression]
+              wrapBare(grouped)(c, false))).asInstanceOf[NamedExpression]
         }
         a.copy(aggregateExpressions = newAggs)
     }.transformAllExpressions {

@@ -384,11 +384,19 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
         else d
       }.drop(dropMeta: _*)
     // bare table refs resolve under the query's default specs (views are
-    // lazy — registering every store table costs nothing)
+    // lazy — registering every store table costs nothing). A query at the
+    // plain current point (no temporal clause, no frozen clock) reads a
+    // table's bucketed current snapshot when one is valid — the
+    // declared-layout zero-exchange join path (XtDb.declareLayout);
+    // anything temporal resolves live from the event log.
     db.tables.foreach { t =>
-      visible(Bitemporal.resolve(db.events(t),
-        toSpec(pq.defaultValid), toSpec(pq.defaultSystem)))
-        .createOrReplaceTempView(t)
+      val atCurrent = pq.defaultValid == SpecAst.Current &&
+        pq.defaultSystem == SpecAst.Current && clock.isEmpty
+      val resolved =
+        (if (atCurrent) db.currentSnapshotIfValid(t) else None)
+          .getOrElse(Bitemporal.resolve(db.events(t),
+            toSpec(pq.defaultValid), toSpec(pq.defaultSystem)))
+      visible(resolved).createOrReplaceTempView(t)
     }
     // attached databases: every qualified ref was folded to
     // __db_<name>__<table> by the parser — register those views under the

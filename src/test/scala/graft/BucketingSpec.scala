@@ -70,37 +70,130 @@ class BucketingSpec extends AnyFunSuite {
   }
 
   test("Bench bucketed-facts ingest: lineitem⋈orders plans ZERO " +
-      "exchanges through Tables.load, result equals the flat layout") {
+      "exchanges through Tables.load, result equals the flat layout; " +
+      "the declaration is a per-directory sidecar") {
     val dst = Bench.ingestLayout(spark, sf, cpus = 4, bucketedFacts = true)
-    try {
-      assert(spark.conf.get("spark.graft.layout.bucketedTables")
-        .split(",").toSet == Set("lineitem", "orders"))
-      val li = Tables.load(spark, dst, "lineitem")
-      val o = Tables.load(spark, dst, "orders")
-      val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
-        .select("l_orderkey", "o_orderstatus", "l_quantity")
-      val rep = Explain.report(joined)
-      assert(rep.shuffleExchanges === 0,
-        s"co-bucketed fact join must not shuffle:\n" +
-          s"${joined.queryExecution.executedPlan}")
-      assert(rep.sortMergeJoins + rep.shuffledHashJoins >= 1)
-      // the q03/q05/q09 shape on top: the groupBy is the ONLY exchange
-      val agg = joined.groupBy("o_orderstatus")
-        .agg(sum("l_quantity").as("qty"))
-      assert(Explain.report(agg).shuffleExchanges <= 1,
-        "only the aggregation may exchange over a co-bucketed join")
-      // and the relation is identical to the flat-layout join
-      val plain = Tables.load(spark, sf, "lineitem")
-        .join(Tables.load(spark, sf, "orders"),
-          col("l_orderkey") === col("o_orderkey"))
-        .select("l_orderkey", "o_orderstatus", "l_quantity")
-      assert(joined.count() === plain.count())
-      assert(joined.except(plain).isEmpty && plain.except(joined).isEmpty)
-    } finally {
-      spark.conf.set("spark.graft.layout.bucketedTables", "")
-      spark.sql("DROP TABLE IF EXISTS graft_b_lineitem")
-      spark.sql("DROP TABLE IF EXISTS graft_b_orders")
-    }
+    assert(graft.storage.LayoutCatalog.read(dst, "lineitem").isDefined &&
+      graft.storage.LayoutCatalog.read(dst, "orders").isDefined,
+      "ingest must persist layout sidecars in the destination dir")
+    val li = Tables.load(spark, dst, "lineitem")
+    val o = Tables.load(spark, dst, "orders")
+    val joined = li.join(o, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "o_orderstatus", "l_quantity")
+    val rep = Explain.report(joined)
+    assert(rep.shuffleExchanges === 0,
+      s"co-bucketed fact join must not shuffle:\n" +
+        s"${joined.queryExecution.executedPlan}")
+    assert(rep.sortMergeJoins + rep.shuffledHashJoins >= 1)
+    // the q03/q05/q09 shape on top: the groupBy is the ONLY exchange
+    val agg = joined.groupBy("o_orderstatus")
+      .agg(sum("l_quantity").as("qty"))
+    assert(Explain.report(agg).shuffleExchanges <= 1,
+      "only the aggregation may exchange over a co-bucketed join")
+    // and the relation is identical to the flat-layout join
+    val plain = Tables.load(spark, sf, "lineitem")
+      .join(Tables.load(spark, sf, "orders"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "o_orderstatus", "l_quantity")
+    assert(joined.count() === plain.count())
+    assert(joined.except(plain).isEmpty && plain.except(joined).isEmpty)
+    // routing is scoped to the ingest directory: the SAME table name
+    // loaded from the original (flat) dir serves the flat files — a
+    // bucketed ingest elsewhere in the session must not hijack it
+    val flatAgain = Tables.load(spark, sf, "lineitem")
+    assert(Explain.report(
+      flatAgain.groupBy("l_orderkey").count()).shuffleExchanges >= 1,
+      "flat-dir load must stay flat (no phantom bucketing)")
+    // a fresh session (new catalog state) re-registers from the sidecar
+    // alone — the layout is a property of the data, not of one session
+    val s2 = spark.newSession()
+    val li2 = Tables.load(s2, dst, "lineitem")
+    val o2 = Tables.load(s2, dst, "orders")
+    val j2 = li2.join(o2, col("l_orderkey") === col("o_orderkey"))
+      .select("l_orderkey", "l_quantity")
+    assert(Explain.report(j2).shuffleExchanges === 0,
+      "fresh-session load must recover the bucket spec from the sidecar")
+    assert(j2.count() === plain.count())
+  }
+
+  test("XtDb declared layout: compact materializes a bucketed current " +
+      "snapshot; current-point reads join with zero fact-side exchange, " +
+      "equal the live resolution, and any write invalidates the snapshot") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-layout-xtdb").toString
+    val db = new graft.bitemporal.XtDb(spark, root)
+    val eng = new graft.sql.XtSqlEngine(spark, db)
+    db.declareLayout("lo_orders", "ok", 4)
+    db.putDocs("lo_orders",
+      (1 to 50).map(i => (i.toString, i % 10, s"o$i"))
+        .toDF("_id", "ok", "tag"))
+    db.putDocs("lo_lines",
+      (1 to 200).map(i => (i.toString, i % 10, i * 1.5))
+        .toDF("_id", "ok", "qty"))
+    db.declareLayout("lo_lines", "ok", 4)
+    val live = eng.sql(
+      "SELECT l.ok, count(*) AS n FROM lo_lines l " +
+        "JOIN lo_orders o ON l.ok = o.ok GROUP BY l.ok ORDER BY l.ok")
+      .collect().map(_.toSeq)
+    assert(db.currentSnapshotIfValid("lo_orders").isEmpty,
+      "no snapshot before compact")
+    db.compact("lo_orders"); db.compact("lo_lines")
+    val snapO = db.currentSnapshotIfValid("lo_orders")
+    val snapL = db.currentSnapshotIfValid("lo_lines")
+    assert(snapO.isDefined && snapL.isDefined, "compact must build snapshots")
+    // the snapshot-side join is exchange-free on the declared key
+    val j = snapL.get.join(snapO.get, Seq("ok")).select("ok", "qty")
+    assert(Explain.report(j).shuffleExchanges === 0,
+      s"snapshot join must not shuffle:\n${j.queryExecution.executedPlan}")
+    // the SQL front door serves the snapshot and matches the live answer
+    val viaSnap = eng.sql(
+      "SELECT l.ok, count(*) AS n FROM lo_lines l " +
+        "JOIN lo_orders o ON l.ok = o.ok GROUP BY l.ok ORDER BY l.ok")
+      .collect().map(_.toSeq)
+    assert(viaSnap.toSeq == live.toSeq)
+    // a temporal clause bypasses the snapshot (history must stay live)
+    val hist = eng.sql(
+      "SELECT count(*) AS n FROM lo_orders FOR ALL SYSTEM_TIME")
+    assert(hist.collect().head.getLong(0) >= 50L)
+    // any write invalidates: the next current read sees the new row
+    db.putDocs("lo_orders", Seq(("99", 3, "new")).toDF("_id", "ok", "tag"))
+    assert(db.currentSnapshotIfValid("lo_orders").isEmpty,
+      "a write must invalidate the snapshot")
+    val after = eng.sql(
+      "SELECT count(*) AS n FROM lo_orders WHERE _id = '99'")
+    assert(after.collect().head.getLong(0) === 1L)
+  }
+
+  test("XtDb snapshot refuses itself once a FUTURE valid-from boundary " +
+      "passes (the moving current point): near boundary expires, far " +
+      "boundary keeps serving") {
+    import spark.implicits._
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-layout-vt").toString
+    val db = new graft.bitemporal.XtDb(spark, root)
+    db.declareLayout("vt_docs", "k", 2)
+    db.putDocs("vt_docs", Seq(("1", 1, "now")).toDF("_id", "k", "v"))
+    // a put that becomes visible ~2s from now: the snapshot must record
+    // the boundary and stop serving once the clock passes it
+    val soon = java.sql.Timestamp.from(
+      java.time.Instant.now().plusSeconds(2))
+    db.putDocs("vt_docs", Seq(("2", 2, "soon")).toDF("_id", "k", "v"),
+      validFrom = Some(lit(soon)))
+    db.compact("vt_docs")
+    val snap = db.currentSnapshotIfValid("vt_docs")
+    assert(snap.isDefined, "snapshot valid before the boundary")
+    assert(snap.get.count() === 1L, "future-valid row not yet current")
+    Thread.sleep(2500)
+    assert(db.currentSnapshotIfValid("vt_docs").isEmpty,
+      "snapshot must expire when the valid-time boundary passes")
+    // live resolution now includes the activated row
+    assert(graft.bitemporal.Bitemporal
+      .current(db.events("vt_docs")).count() === 2L)
+    // far-future boundary: recompact — serves again (expiry far away)
+    db.compact("vt_docs")
+    assert(db.currentSnapshotIfValid("vt_docs").isDefined)
+    assert(db.currentSnapshotIfValid("vt_docs").get.count() === 2L)
   }
 
   test("salted join equals plain join (inner)") {

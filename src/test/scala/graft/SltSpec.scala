@@ -129,6 +129,65 @@ class SltSpec extends AnyFunSuite {
     } finally spark.sql("DROP TABLE IF EXISTS slt_dup_t")
   }
 
+  test("qualifier-aware bare-column grouping: GROUP BY cor0.col1 does " +
+      "NOT make cor1.col1 grouped — it wraps in any_value (round-11 " +
+      "uncapped-sweep finding, random/groupby COALESCE shapes)") {
+    import org.apache.spark.sql.Row
+    spark.sql("DROP TABLE IF EXISTS slt_qg_a")
+    spark.sql("DROP TABLE IF EXISTS slt_qg_b")
+    spark.sql("CREATE TABLE slt_qg_a (col0 INT, col1 INT) USING parquet")
+    spark.sql("CREATE TABLE slt_qg_b (col0 INT, col1 INT) USING parquet")
+    spark.sql("INSERT INTO slt_qg_a VALUES (1, 10), (2, 20)")
+    spark.sql("INSERT INTO slt_qg_b VALUES (7, 70)")
+    try {
+      // the exact failing shape: constant-first COALESCE whose later arg
+      // references the OTHER table's col1 while cor0.col1 is grouped —
+      // SQLite answers the constant for every group
+      val out = SltRunner.runSql(spark,
+        "SELECT - COALESCE ( 90, cor1.col1 + 31 ) FROM slt_qg_a AS cor0 " +
+          "CROSS JOIN slt_qg_b cor1 GROUP BY cor1.col0, cor0.col1")
+        .collect()
+      assert(out.toSeq == Seq(Row(-90), Row(-90)), s"got ${out.toSeq}")
+      // same-qualifier reference still counts as grouped (no wrapping
+      // regression): grouped column flows through untouched
+      val ok = SltRunner.runSql(spark,
+        "SELECT cor0.col1 + 1 FROM slt_qg_a cor0 GROUP BY cor0.col1")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(ok == Seq(11, 21), s"got $ok")
+      // unqualified group name still matches a qualified reference
+      val uq = SltRunner.runSql(spark,
+        "SELECT cor0.col1 FROM slt_qg_a cor0 GROUP BY col1")
+        .collect().map(_.getInt(0)).sorted.toSeq
+      assert(uq == Seq(10, 20), s"got $uq")
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS slt_qg_a")
+      spark.sql("DROP TABLE IF EXISTS slt_qg_b")
+    }
+  }
+
+  test("BETWEEN over an output alias in HAVING expands before analysis " +
+      "(round-11 uncapped-sweep finding: Spark's With-based Between " +
+      "fails RewriteWithExpression validation after alias substitution)") {
+    spark.sql("DROP TABLE IF EXISTS slt_hb_t")
+    spark.sql("CREATE TABLE slt_hb_t (col0 INT, col2 INT) USING parquet")
+    spark.sql("INSERT INTO slt_hb_t VALUES (3, 4), (5, 6)")
+    try {
+      // the exact failing shape: aggregate alias + grouped col BETWEEN
+      // NULL AND NULL — SQLite yields no rows, Spark alone errors
+      val out = SltRunner.runSql(spark,
+        "SELECT AVG ( + - col0 ) AS col1 FROM slt_hb_t cor0 " +
+          "GROUP BY col2, col0 " +
+          "HAVING + col1 + col2 BETWEEN NULL AND NULL").collect()
+      assert(out.isEmpty, s"got ${out.toSeq}")
+      // a satisfiable HAVING BETWEEN still selects correctly
+      val sel = SltRunner.runSql(spark,
+        "SELECT AVG ( col0 ) AS a FROM slt_hb_t GROUP BY col2 " +
+          "HAVING a BETWEEN 4 AND 9").collect()
+      assert(sel.length == 1 && sel.head.get(0).toString.toDouble == 5.0,
+        s"got ${sel.toSeq}")
+    } finally spark.sql("DROP TABLE IF EXISTS slt_hb_t")
+  }
+
   for ((file, maxQ) <- Seq("select1.test" -> 120, "select2.test" -> 60,
       "select3.test" -> 60, "select4.test" -> 60, "select5.test" -> 40,
       "xtdb.test" -> 100)) {
