@@ -411,30 +411,154 @@ object Joins {
     lB.join(rB, cond).drop("__bkt_l", "__bkt_r")
   }
 
+  /** Plane-sweep execution of the bucketed interval join: identical
+    * semantics and shuffle shape to [[intervalJoin]] (strategy="bucket",
+    * no equi keys), different in-partition algorithm — the per-bucket
+    * IEJoin idea. Both sides explode into the same bucket covers and
+    * shuffle ONCE on the bucket; within each partition the union of the
+    * two sides is sorted by (bucket, period-start) and a single forward
+    * sweep emits exactly the intersecting pairs: each arriving row scans
+    * the other side's ACTIVE list (periods whose end has not passed this
+    * row's start), so pairs that cannot intersect are never enumerated —
+    * the explode+SMJ plan enumerates every same-bucket pair and filters.
+    * Canonical-bucket dedup is the arriving row's start lying in the
+    * current bucket (the arriving row holds the pair's later start, so
+    * this is greatest(lf, rf)'s bucket, same rule as intervalJoin).
+    * Dead active entries are compacted in the same scan, so active
+    * memory is bounded by per-bucket concurrent-interval occupancy.
+    *
+    * Trade: the sweep is a fused row-at-a-time loop (mapPartitions, no
+    * codegen) where the bucketed plan keeps whole-stage codegen but
+    * enumerates all same-bucket pairs — which wins depends on bucket
+    * density; `tools/IntervalProbe` measures both and BASELINE.md
+    * records the verdict. `condition` must imply period intersection
+    * (half-open, or closed with `inclusiveBounds`) exactly as in
+    * [[intervalJoin]]; it is re-applied to the sweep's candidate pairs,
+    * so stricter predicates (CONTAINS, EQUALS) stay exact. */
+  def intervalJoinSweep(
+      left: DataFrame,
+      right: DataFrame,
+      leftFrom: String, leftTo: String,
+      rightFrom: String, rightTo: String,
+      condition: Column,
+      bucketSeconds: Long,
+      maxBucketsPerRow: Int = 4096,
+      inclusiveBounds: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.StructType
+    require(bucketSeconds > 0, "bucketSeconds must be positive")
+    val overlap = left.columns.toSet.intersect(right.columns.toSet)
+    require(overlap.isEmpty,
+      s"intervalJoinSweep requires disjoint column names; both sides " +
+        s"have: ${overlap.mkString(", ")}")
+    val leftW = ijWellFormed(left, leftFrom, leftTo, inclusiveBounds)
+    val rightW = ijWellFormed(right, rightFrom, rightTo, inclusiveBounds)
+    val w = bucketSeconds * 1000000L
+    val horizon = ijHorizonBkt(leftW, rightW, leftFrom, rightFrom, w)
+    val lB = ijBucketed(leftW, leftFrom, leftTo, "__bkt", w,
+      bucketSeconds, horizon, maxBucketsPerRow, inclusiveBounds)
+    val rB = ijBucketed(rightW, rightFrom, rightTo, "__bkt", w,
+      bucketSeconds, horizon, maxBucketsPerRow, inclusiveBounds)
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq
+    val lSel = Seq(col("__bkt"), lit(0).as("__side"),
+        ijEp(col(leftFrom)).as("__s"), ijEp(col(leftTo)).as("__e")) ++
+      lCols.map(col) ++
+      rCols.map(c => lit(null).cast(right.schema(c).dataType).as(c))
+    val rSel = Seq(col("__bkt"), lit(1).as("__side"),
+        ijEp(col(rightFrom)).as("__s"), ijEp(col(rightTo)).as("__e")) ++
+      lCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+      rCols.map(col)
+    val sorted = lB.select(lSel: _*).unionByName(rB.select(rSel: _*))
+      .repartition(col("__bkt"))
+      .sortWithinPartitions(col("__bkt"), col("__s"), col("__side"))
+    val outSchema = StructType(left.schema.fields ++ right.schema.fields)
+    val (nL, nR) = (lCols.length, rCols.length)
+    val (inclusive, width) = (inclusiveBounds, w)
+    val swept = sorted.mapPartitions { iter =>
+      new Iterator[Row] {
+        private val out = scala.collection.mutable.Queue.empty[Row]
+        private var curBkt = Long.MinValue
+        // (start, end, own-side field values)
+        private val actL =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Any])]
+        private val actR =
+          scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Array[Any])]
+        private def pump(): Unit =
+          while (out.isEmpty && iter.hasNext) {
+            val r = iter.next()
+            val bkt = r.getLong(0); val side = r.getInt(1)
+            val s = r.getLong(2); val e = r.getLong(3)
+            if (bkt != curBkt) { curBkt = bkt; actL.clear(); actR.clear() }
+            val own = new Array[Any](if (side == 0) nL else nR)
+            val base = if (side == 0) 4 else 4 + nL
+            var i = 0
+            while (i < own.length) { own(i) = r.get(base + i); i += 1 }
+            // the arriving row carries the pair's later start (sort
+            // order), so this is greatest(lf, rf)'s bucket
+            val canonical = java.lang.Math.floorDiv(s, width) == curBkt
+            val other = if (side == 0) actR else actL
+            var j = 0; var k = 0
+            while (j < other.length) {
+              val (os @ _, oe, ovals) = other(j)
+              val alive = if (inclusive) oe >= s else oe > s
+              if (alive) {
+                if (canonical) {
+                  val vals = new Array[Any](nL + nR)
+                  if (side == 0) {
+                    System.arraycopy(own, 0, vals, 0, nL)
+                    System.arraycopy(ovals, 0, vals, nL, nR)
+                  } else {
+                    System.arraycopy(ovals, 0, vals, 0, nL)
+                    System.arraycopy(own, 0, vals, nL, nR)
+                  }
+                  out.enqueue(new org.apache.spark.sql.catalyst.expressions
+                    .GenericRowWithSchema(vals, outSchema))
+                }
+                other(k) = other(j); k += 1
+              }
+              j += 1
+            }
+            if (k < other.length) other.remove(k, other.length - k)
+            (if (side == 0) actL else actR) += ((s, e, own))
+          }
+        def hasNext: Boolean = { pump(); out.nonEmpty }
+        def next(): Row = { pump(); out.dequeue() }
+      }
+    }(org.apache.spark.sql.Encoders.row(outSchema))
+    swept.filter(condition)
+  }
+
   /** Left-outer face of [[intervalJoin]]: every left row survives, with
     * the right columns null-extended when no period matches — LEFT JOIN
     * semantics over the same scale-safe bucketed plan, in a SINGLE pass.
     *
-    * Plan: the bucketed join runs as a LEFT join over the exploded
-    * covers, so an unmatched left row surfaces (null-extended) once per
-    * bucket; one window over `leftId` then keeps all matched rows plus
-    * exactly one null row for rows with no match anywhere. The explode +
-    * bucket shuffle executes ONCE (the r9 shape ran it twice — once for
-    * the inner result, once for the matched-id anti join), and the
-    * window's hash-partitioning by `leftId` is exactly what a downstream
-    * per-left aggregation reuses. Null-endpoint left rows explode to
-    * zero buckets, so they bypass the join and union back null-extended.
-    * `leftId` must uniquely identify left rows (the window partitions
-    * on it).
+    * Plan (round-11, the skew-safe shape): the bucketed join runs as an
+    * INNER join over the exploded covers and its matches pass straight
+    * through — no per-`leftId` window anywhere, so no stage ever holds
+    * ALL of one left id's match rows in one task (the r10 shape's
+    * documented straggler: a mega-key with 10⁵ matches serialized its
+    * window partition). Unmatched rows are synthesized from a SECOND,
+    * column-pruned consumption of the same join: Catalyst prunes that
+    * branch's scans to the id + period columns (a skinny explode/join),
+    * its `distinct` combines map-side before shuffling (a mega-key
+    * contributes at most one row per map partition), and a left-anti
+    * join back to the left BASE relation (never the exploded covers)
+    * null-extends the misses. Every stage is therefore either
+    * partial-combined or a plain equi join AQE can skew-split.
     *
-    * Skew trade-off, stated plainly: the per-`leftId` window puts all of
-    * one left row's match rows in one task — for a mega-key (millions of
-    * matches for a single left period) that task is the straggler. The
-    * r9 shape (inner + distinct + anti) had the same per-key constraint
-    * on its distinct PLUS a second full execution of the bucketed join,
-    * so this is strictly better; if a workload has such keys, bound the
-    * fan-out with `equiKeys` (the shuffle then keys on (bucket, equi))
-    * or pre-aggregate the right side per bucket. */
+    * Cost accounting vs the window shape it replaces: the window
+    * re-shuffled the ENTIRE join output by `leftId` (its exchange was
+    * the largest in the plan and the skew point); this shape spends a
+    * skinny re-execution of the bucketed join (two narrow columns per
+    * side) plus an id-shuffle of the left base — strictly fewer bytes
+    * whenever matches outnumber left rows, and bounded tasks always.
+    * The r9 double-execution finding does not recur: that shape re-ran
+    * the join UNPRUNED for the inner result; here the second consumption
+    * exists only for the match-id set and carries ids, not payloads.
+    * Null-endpoint left rows explode to zero buckets, so they bypass the
+    * join and union back null-extended. `leftId` must uniquely identify
+    * left rows. */
   def intervalJoinLeft(
       left: DataFrame,
       right: DataFrame,
@@ -470,27 +594,23 @@ object Joins {
       bucketSeconds, horizon, maxBucketsPerRow, inclusiveBounds)
     val rB = ijBucketed(rightW, rightFrom, rightTo, "__bkt_r", w,
       bucketSeconds, horizon, maxBucketsPerRow, inclusiveBounds)
-      .withColumn("__rmatch", lit(true))
     val canonical = lB("__bkt_l") ===
       ijFdiv(greatest(ijEp(col(leftFrom)), ijEp(col(rightFrom))), w)
     val cond = (Seq(lB("__bkt_l") === rB("__bkt_r")) ++ equi ++
       Seq(condition, canonical)).reduce(_ && _)
-    val joined = lB.join(rB, cond, "left")
-    import org.apache.spark.sql.expressions.Window
-    val byId = Window.partitionBy(col(leftId))
-    val matchedOrFirst = joined
-      .withColumn("__any",
-        max(when(col("__rmatch"), lit(1)).otherwise(lit(0))).over(byId))
-      .withColumn("__rn",
-        row_number().over(byId.orderBy(col("__bkt_l"))))
-      .filter(coalesce(col("__rmatch"), lit(false)) ||
-        (col("__any") === 0 && col("__rn") === 1))
-      .drop("__bkt_l", "__bkt_r", "__rmatch", "__any", "__rn")
-    val nullExtended = right.schema.fields.foldLeft(nullLeft) { (df, f) =>
+    val matched = lB.join(rB, cond).drop("__bkt_l", "__bkt_r")
+    // skinny second consumption: Catalyst prunes this branch of the join
+    // to leftId + the condition's columns; map-side partial dedup bounds
+    // every task regardless of a key's match fan-out
+    val matchedIds = matched.select(col(leftId).as("__mid")).distinct()
+    val unmatchedLive = liveLeft.join(matchedIds,
+      col(leftId) === col("__mid"), "left_anti")
+    val nullExtended = right.schema.fields.foldLeft(
+      nullLeft.unionByName(unmatchedLive)) { (df, f) =>
       df.withColumn(f.name, lit(null).cast(f.dataType))
     }
-    matchedOrFirst.unionByName(
-      nullExtended.select(matchedOrFirst.columns.map(col): _*))
+    matched.unionByName(
+      nullExtended.select(matched.columns.map(col): _*))
   }
 
   /** Null-aware anti join — SQL `NOT IN (subquery)` semantics: if the right

@@ -53,6 +53,24 @@ object IntervalProbe {
       .groupBy("l_event_id")
       .agg(count(lit(1)).as("n"), max("r_event_id").as("m"))
 
+    def q203sweep() = Joins.intervalJoinSweep(
+        sideDf("error", "l_event_id", "lf", "lt", 2),
+        sideDf("purchase", "r_event_id", "rf", "rt", 2),
+        "lf", "lt", "rf", "rt",
+        Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+        bucketSeconds = 300)
+      .groupBy("l_event_id")
+      .agg(count(lit(1)).as("n"), max("r_event_id").as("m"))
+
+    def q213sweep() = Joins.intervalJoinSweep(
+        sideDf("error", "l_event_id", "lf", "lt", 3),
+        sideDf("purchase", "r_event_id", "rf", "rt", 3),
+        "lf", "lt", "rf", "rt",
+        col("lf") <= col("rt") && col("rf") <= col("lt"),
+        bucketSeconds = 300, inclusiveBounds = true)
+      .groupBy("l_event_id")
+      .agg(count(lit(1)).as("n"), max("r_event_id").as("m"))
+
     def q211() = Joins.intervalJoinLeft(
         sideDf("error", "l_event_id", "lf", "lt", 1),
         sideDf("purchase", "r_event_id", "rf", "rt", 1),
@@ -71,7 +89,10 @@ object IntervalProbe {
       (t, rows)
     }
     val out = Seq("q203_overlaps" -> best(q203 _),
-      "q213_closed" -> best(q213 _), "q211_left" -> best(q211 _))
+      "q203_sweep" -> best(q203sweep _),
+      "q213_closed" -> best(q213 _),
+      "q213_sweep" -> best(q213sweep _),
+      "q211_left" -> best(q211 _))
     val qs = out.map { case (k, (t, n)) =>
       f""""$k":{"sec":$t%.3f,"rows":$n}""" }.mkString("{", ",", "}")
     println(s"""{"probe":"interval_join","sf":"$sfDir","queries":$qs}""")

@@ -87,6 +87,60 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("interval join SWEEP: pair-exact vs cross-join oracle across " +
+      "bucket widths, both bound modes, CONTAINS residual, empty side") {
+    val rnd = new scala.util.Random(11)
+    def mk(n: Int, idBase: Long) = (0 until n).map { i =>
+      val start = 1700000000L + rnd.nextInt(100000)
+      val len = 1 + rnd.nextInt(5000)
+      (idBase + i,
+        java.time.Instant.ofEpochSecond(start).toString.replace("T", " ").dropRight(1),
+        java.time.Instant.ofEpochSecond(start + len).toString.replace("T", " ").dropRight(1))
+    }
+    val l = periods(mk(60, 1000), "lid", "lf", "lt")
+    val r = periods(mk(80, 9000), "rid", "rf", "rt")
+    val oracle = l.crossJoin(r)
+      .filter(Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(oracle.nonEmpty)
+    for (w <- Seq(60L, 1800L, 86400L)) {
+      val got = Joins.intervalJoinSweep(l, r, "lf", "lt", "rf", "rt",
+          Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+          bucketSeconds = w)
+        .select("lid", "rid").as[(Long, Long)].collect()
+      assert(got.length == got.toSet.size,
+        s"w=$w: sweep must not duplicate pairs")
+      assert(got.toSet == oracle, s"w=$w: sweep pair set diverged")
+    }
+    // closed-bound mode agrees with the closed cross-join oracle
+    // (boundary-equality pairs included)
+    val closedOracle = l.crossJoin(r)
+      .filter(col("lf") <= col("rt") && col("rf") <= col("lt"))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val closed = Joins.intervalJoinSweep(l, r, "lf", "lt", "rf", "rt",
+        col("lf") <= col("rt") && col("rf") <= col("lt"),
+        bucketSeconds = 1800, inclusiveBounds = true)
+      .select("lid", "rid").as[(Long, Long)].collect()
+    assert(closed.length == closed.toSet.size)
+    assert(closed.toSet == closedOracle, "closed-mode sweep diverged")
+    // a stricter residual (CONTAINS) filters the sweep's candidates
+    val containsOracle = l.crossJoin(r)
+      .filter(Joins.containsCond(col("lf"), col("lt"), col("rf"), col("rt")))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    val contains = Joins.intervalJoinSweep(l, r, "lf", "lt", "rf", "rt",
+        Joins.containsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+        bucketSeconds = 1800)
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(contains == containsOracle, "CONTAINS residual diverged")
+    // empty side: empty result, joined schema preserved
+    val empty = Joins.intervalJoinSweep(l.filter(lit(false)), r,
+      "lf", "lt", "rf", "rt",
+      Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+      bucketSeconds = 3600)
+    assert(empty.columns.toSeq == Seq("lid", "lf", "lt", "rid", "rf", "rt"))
+    assert(empty.count() == 0)
+  }
+
   test("interval join: CONTAINS residual, empty side, and equi keys") {
     val l = periods(Seq((1L, "2024-01-01 00:00:00", "2024-01-01 10:00:00"),
       (2L, "2024-01-02 00:00:00", "2024-01-02 01:00:00")), "lid", "lf", "lt")
@@ -202,6 +256,57 @@ class JoinsSpec extends AnyFunSuite {
     assert(out == Set((1L, Some(10L)), (3L, Some(10L)), (2L, None)))
   }
 
+  test("interval join LEFT OUTER under a mega-key: one leftId matching " +
+      "1e5 covers does NOT serialize into one task (max task's shuffle " +
+      "read stays a fraction of the matches) and the result is exact") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
+    import spark.implicits._
+    val w = 60L // bucketSeconds
+    val base = 1700000000L
+    val nR = 100000
+    val buckets = 2000
+    // one mega left period spanning `buckets` buckets + one lonely row
+    def ts(sec: Long) = java.time.Instant.ofEpochSecond(sec)
+      .toString.replace("T", " ").dropRight(1)
+    val l = periods(Seq(
+      (1L, ts(base), ts(base + buckets * w)),
+      (2L, ts(base + 10 * buckets * w), ts(base + 10 * buckets * w + 30))),
+      "lid", "lf", "lt")
+    // rights spread across the left's span — every one matches lid=1
+    val r = periods((0 until nR).map { i =>
+      val s = base + (i % buckets) * w + (i / buckets) % (w - 2)
+      (1000L + i, ts(s), ts(s + 1))
+    }, "rid", "rf", "rt")
+    val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
+    val tot = new java.util.concurrent.atomic.AtomicLong(0)
+    val tl = new SparkListener {
+      override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
+        if (te.taskMetrics != null) {
+          val n = te.taskMetrics.shuffleReadMetrics.recordsRead
+          tot.addAndGet(n)
+          maxTask.accumulateAndGet(n, Math.max(_, _))
+        }
+    }
+    spark.sparkContext.addSparkListener(tl)
+    val (nMatched, nNull) = try {
+      val out = Joins.intervalJoinLeft(l, r, "lf", "lt", "rf", "rt",
+        Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+        bucketSeconds = w, leftId = "lid", strategy = "bucket",
+        maxBucketsPerRow = 4096)
+      val counts = out.groupBy(col("rid").isNull.as("isnull")).count()
+        .as[(Boolean, Long)].collect().toMap
+      Thread.sleep(800)
+      (counts.getOrElse(false, 0L), counts.getOrElse(true, 0L))
+    } finally spark.sparkContext.removeSparkListener(tl)
+    assert(nMatched == nR.toLong, s"every right must match: $nMatched")
+    assert(nNull == 1L, s"exactly the lonely left row null-extends: $nNull")
+    // the skew pin: the r10 window shape put all 1e5 match rows of lid=1
+    // into ONE task; the pass-through shape spreads them by bucket
+    assert(maxTask.get() < nR / 2,
+      s"mega-key must not serialize: max task read ${maxTask.get()} of " +
+        s"~$nR matches (total shuffled ${tot.get()})")
+  }
+
   test("interval join: bucketed plan is equi — no cartesian; without a " +
       "sidecar the only nested loops are 1-row horizon broadcasts; " +
       "broadcast fallback only when asked/auto-small") {
@@ -290,8 +395,9 @@ class JoinsSpec extends AnyFunSuite {
   }
 
   test("interval join: sidecar-sourced horizon plans with ZERO extra " +
-      "scans and ZERO build-time jobs; LEFT face runs the bucketed join " +
-      "ONCE (input records ~= one read per side)") {
+      "scans and ZERO build-time jobs; LEFT face reads stay a small " +
+      "constant per side (matched pass-through + skinny id branch + " +
+      "anti join — never a window over the join output)") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerTaskEnd}
     val dir = java.nio.file.Files.createTempDirectory("ij_sidecar").toFile
     try {
@@ -340,11 +446,13 @@ class JoinsSpec extends AnyFunSuite {
       assert(rep.nestedLoopJoins == 0 && rep.cartesianProducts == 0,
         "sidecar horizon must remove every in-plan horizon branch")
 
-      // 3) LEFT face single pass: total input records across the action
-      //    ~= one read of each side (the r9 inner+anti shape read the
-      //    inputs twice). Window/bucket rows are not input records, so
-      //    the bound is tight.
-      val nIn = 400L + 300L
+      // 3) LEFT face reads: matched pass-through (one read per side) +
+      //    the skinny matched-id branch (one pruned read per side) + the
+      //    anti join's left re-read + the null-endpoint left branch — a
+      //    SMALL CONSTANT per side (≤ 4 left / ≤ 2 right), and in
+      //    exchange NO stage re-partitions the join output by leftId
+      //    (the r10 window shape did, and a mega-key serialized there).
+      val maxIn = 4L * 400L + 2L * 300L
       val read = new java.util.concurrent.atomic.AtomicLong(0)
       val tl = new SparkListener {
         override def onTaskEnd(te: SparkListenerTaskEnd): Unit =
@@ -357,8 +465,12 @@ class JoinsSpec extends AnyFunSuite {
         Thread.sleep(800)
         rows
       } finally spark.sparkContext.removeSparkListener(tl)
-      assert(read.get() >= nIn && read.get() < 2 * nIn,
-        s"expected ~one read per side (~$nIn records), read ${read.get()}")
+      assert(read.get() >= 700L && read.get() <= maxIn,
+        s"expected a small constant of reads (<= $maxIn records), " +
+          s"read ${read.get()}")
+      // the skew pin: no window executes anywhere in the left face
+      assert(!left.queryExecution.executedPlan.toString.contains("Window"),
+        "left face must not window over the join output")
       // every left row survives exactly once unless matched
       assert(rows.map(_.getLong(0)).distinct.length == 400)
     } finally {
