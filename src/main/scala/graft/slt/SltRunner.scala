@@ -453,23 +453,30 @@ object SltRunner {
       // takes precedence, e.g. inside COUNT(col1); the alias serves
       // otherwise). Uncapped-sweep finding, random/groupby.
       case h0: org.apache.spark.sql.catalyst.analysis.UnresolvedHaving =>
-        // BETWEEN inside HAVING: Spark 4's Between is RuntimeReplaceable
-        // over a With(common-expression) node, and the HAVING
-        // alias-substitution path can change the common expression's type
-        // after the With is built — RewriteWithExpression then fails plan
-        // validation (seen with `HAVING a + g BETWEEN NULL AND NULL`,
-        // uncapped-sweep finding). Expand to the explicit conjunction
-        // before analysis; HAVING predicates are side-effect-free, so the
-        // duplicated input expression is only a (tiny) double evaluation.
+        // BETWEEN inside HAVING: the parser leaves `x BETWEEN a AND b`
+        // as the unresolved function between(x, a, b), which analysis
+        // resolves to Spark 4's RuntimeReplaceable Between — a
+        // With(common-expression) node. HAVING resolution of a name
+        // that is BOTH a table column and an output alias leaves a
+        // TempResolvedColumn inside that With, and the optimizer's
+        // RewriteWithExpression then fails plan validation ("previously
+        // resolved and now became unresolved") — seen with
+        // `HAVING + col1 + col2 BETWEEN NULL AND NULL` over
+        // tab0(col0,col1,col2), uncapped-sweep finding. Expanding to the
+        // explicit conjunction BEFORE analysis sidesteps the With
+        // machinery entirely; HAVING predicates are side-effect-free, so
+        // the duplicated operand is only a (tiny) double evaluation.
         val h = h0.copy(havingCondition =
           h0.havingCondition.transformDown {
-            case org.apache.spark.sql.catalyst.expressions
-                  .Between(in, lo, hi, _) =>
+            case f: UnresolvedFunction
+                if f.nameParts.last.toLowerCase == "between" &&
+                  f.arguments.length == 3 =>
+              val Seq(x, lo, hi) = f.arguments
               org.apache.spark.sql.catalyst.expressions.And(
                 org.apache.spark.sql.catalyst.expressions
-                  .GreaterThanOrEqual(in, lo),
+                  .GreaterThanOrEqual(x, lo),
                 org.apache.spark.sql.catalyst.expressions
-                  .LessThanOrEqual(in, hi))
+                  .LessThanOrEqual(x, hi))
           })
         h.child match {
           case a: Aggregate =>

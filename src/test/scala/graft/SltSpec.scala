@@ -169,8 +169,12 @@ class SltSpec extends AnyFunSuite {
       "(round-11 uncapped-sweep finding: Spark's With-based Between " +
       "fails RewriteWithExpression validation after alias substitution)") {
     spark.sql("DROP TABLE IF EXISTS slt_hb_t")
-    spark.sql("CREATE TABLE slt_hb_t (col0 INT, col2 INT) USING parquet")
-    spark.sql("INSERT INTO slt_hb_t VALUES (3, 4), (5, 6)")
+    // col1 EXISTS as a table column AND is the output alias — the
+    // corpus shape (tab0(col0, col1, col2)); resolution must still
+    // terminate without tripping the optimizer
+    spark.sql(
+      "CREATE TABLE slt_hb_t (col0 INT, col1 INT, col2 INT) USING parquet")
+    spark.sql("INSERT INTO slt_hb_t VALUES (3, 9, 4), (5, 2, 6)")
     try {
       // the exact failing shape: aggregate alias + grouped col BETWEEN
       // NULL AND NULL — SQLite yields no rows, Spark alone errors
