@@ -429,9 +429,16 @@ object Joins {
     *
     * Trade: the sweep is a fused row-at-a-time loop (mapPartitions, no
     * codegen) where the bucketed plan keeps whole-stage codegen but
-    * enumerates all same-bucket pairs — which wins depends on bucket
-    * density; `tools/IntervalProbe` measures both and BASELINE.md
-    * records the verdict. `condition` must imply period intersection
+    * enumerates all same-bucket pairs. MEASURED VERDICT (round 11,
+    * BASELINE.md 25× addendum): the sweep ties or loses to the
+    * explode+SMJ at the probe's density (best 1.38 s vs 1.19 s strict /
+    * 1.44 vs 1.07 closed over three sessions) — the family's constant
+    * vs DuckDB's IEJoin is the shared row-at-a-time machinery, not
+    * same-bucket pair enumeration — so [[intervalJoin]] remains the
+    * shipped plan and this operator is the on-record falsification
+    * (kept correct + spec'd for denser-bucket workloads where the
+    * active-list pruning could still pay). `condition` must imply
+    * period intersection
     * (half-open, or closed with `inclusiveBounds`) exactly as in
     * [[intervalJoin]]; it is re-applied to the sweep's candidate pairs,
     * so stricter predicates (CONTAINS, EQUALS) stay exact. */
