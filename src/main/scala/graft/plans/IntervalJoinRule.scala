@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.catalyst.expressions._
-import org.apache.spark.sql.catalyst.plans.Inner
+import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.functions.{broadcast, coalesce, col, lit}
@@ -19,6 +19,10 @@ import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
   * temporal columns, no usable equi conjunct — and rewrites the join
   * through [[graft.operators.Joins.intervalJoin]] (epoch-bucket explode →
   * equi join on bucket → exact residual → canonical-bucket emission).
+  * LEFT OUTER period joins (round 11) rewrite through the same inner
+  * plan plus a null-safe whole-row anti join for the unmatched face —
+  * without this, `LEFT JOIN ... ON lf < rt AND rf < lt` over two large
+  * sides plans as a BroadcastNestedLoopJoin, O(n·m) at scale.
   *
   * Soundness notes, each load-bearing:
   *  - Strict `<` pairs rewrite through the half-open bucket cover.
@@ -55,7 +59,7 @@ object GraftIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
     if (conf.getConfString("spark.graft.intervalJoin.enabled",
         "true") != "true") plan
     else plan.transformDown {
-      case j @ Join(l, r, Inner, Some(cond), hint)
+      case j @ Join(l, r, Inner | LeftOuter, Some(cond), hint)
           if hint == JoinHint.NONE &&
             // before EliminateResolvedHint runs, a broadcast() hint is a
             // ResolvedHint CHILD, not a JoinHint — our own degenerate
@@ -164,14 +168,55 @@ object GraftIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
         val rNorm = rDf.filter(rNormP)
         val lDeg = lDf.filter(!coalesce(lNormP, lit(false)))
         val rDeg = rDf.filter(!coalesce(rNormP, lit(false)))
+        // a LEFT OUTER rewrite synthesizes unmatched rows with a
+        // null-safe whole-row anti join; map-typed left columns are not
+        // equatable, so such shapes stay on Spark's default plan
+        def equatable(dt: org.apache.spark.sql.types.DataType): Boolean =
+          dt match {
+            case _: org.apache.spark.sql.types.MapType => false
+            case s: org.apache.spark.sql.types.StructType =>
+              s.fields.forall(f => equatable(f.dataType))
+            case a: org.apache.spark.sql.types.ArrayType =>
+              equatable(a.elementType)
+            case _ => true
+          }
+        if (j.joinType == LeftOuter &&
+            !l.output.forall(a => equatable(a.dataType))) return None
         val bucketed = graft.operators.Joins.intervalJoin(
           lNorm, rNorm, "__ij_lf", "__ij_lt", "__ij_rf", "__ij_rt",
           condCol, bucketSeconds, strategy = "bucket",
           inclusiveBounds = inclusive)
-        val result = bucketed
+        val innerFull = bucketed
           .union(broadcast(lDeg).join(rDf, condCol))
           .union(lNorm.join(broadcast(rDeg), condCol))
-          .drop(internal: _*)
+        val result = j.joinType match {
+          case Inner => innerFull.drop(internal: _*)
+          case _ => // LeftOuter: inner rows pass through; unmatched left
+            // rows are (left ∖ matched-left) via a null-safe whole-row
+            // anti join — set semantics keep duplicate-row multiplicity
+            // exact (duplicates match identically, so both pass either
+            // the inner side or the anti side together). No per-leftId
+            // window anywhere, same skew posture as intervalJoinLeft.
+            val lCols = lDf.columns.toSeq
+            // groupBy-dedup, NOT .distinct(): this plan splices into a
+            // tree the optimizer is already processing, and the batch
+            // that replaces Deduplicate with Aggregate has run — a fresh
+            // Deduplicate node would reach physical planning and throw
+            val mRenamed = innerFull.select(lCols.map(col): _*)
+              .groupBy(lCols.map(col): _*)
+              .agg(org.apache.spark.sql.functions.lit(1).as("__one"))
+              .drop("__one")
+              .toDF(lCols.map("__m_" + _): _*)
+            val antiCond = lCols.map(c => col(c) <=> col(s"__m_$c"))
+              .reduce(_ && _)
+            val unmatched0 = lDf.join(mRenamed, antiCond, "left_anti")
+            val unmatched = rDf.schema.fields.foldLeft(unmatched0) {
+              (df, f) => df.withColumn(f.name, lit(null).cast(f.dataType))
+            }
+            innerFull.unionByName(
+              unmatched.select(innerFull.columns.map(col): _*))
+              .drop(internal: _*)
+        }
         // this batch runs AFTER EliminateResolvedHint, so fold the
         // broadcast() hints into JoinHints ourselves — a leftover
         // ResolvedHint is an internal error at physical planning

@@ -567,6 +567,59 @@ object Relational {
             WHERE event_type = 'purchase')
       SELECT l_event_id, count(*) AS n_touch, max(r_event_id) AS max_r
       FROM l JOIN r ON lf <= rt AND rf <= lt
-      GROUP BY l_event_id ORDER BY l_event_id"""))
+      GROUP BY l_event_id ORDER BY l_event_id""")),
+
+    // ---- LEFT OUTER period join through SQL TEXT (round 11): without
+    // the rule, `LEFT JOIN ... ON lf < rt AND rf < lt` over two large
+    // sides plans as a BroadcastNestedLoopJoin — O(n·m) at scale. The
+    // rewrite runs the bucketed inner plan and synthesizes unmatched
+    // rows with a null-safe whole-row anti join (multiset-exact).
+    QueryDef("q226_interval_join_left_rule", (s, dir) => {
+      if (!s.experimental.extraOptimizations
+          .contains(_root_.graft.plans.GraftIntervalJoin))
+        s.experimental.extraOptimizations ++=
+          Seq(_root_.graft.plans.GraftIntervalJoin)
+      val ev = t(s, dir, "events")
+      ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("lid"),
+          date_trunc("second", col("ts")).as("lf"))
+        .withColumn("lt", col("lf") + expr("INTERVAL 2 MINUTES"))
+        .createOrReplaceTempView("q226_l")
+      ev.filter(col("event_type") === "signup")
+        .select(col("event_id").as("rid"),
+          date_trunc("second", col("ts")).as("rf"))
+        .withColumn("rt", col("rf") + expr("INTERVAL 2 MINUTES"))
+        .createOrReplaceTempView("q226_r")
+      val prevThr = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      s.conf.set("spark.graft.intervalJoin.bucketSeconds", "240")
+      try {
+        val joined = s.sql("""
+          SELECT lid, count(rid) AS n_overlap,
+                 coalesce(max(rid), -1) AS max_r
+          FROM q226_l LEFT JOIN q226_r ON lf < rt AND rf < lt
+          GROUP BY lid ORDER BY lid""")
+        val rep = _root_.graft.plans.Explain.report(joined)
+        require(rep.sortMergeJoins + rep.shuffledHashJoins +
+          rep.broadcastHashJoins >= 1,
+          "LEFT interval-join rule did not fire: no equi main path")
+        require(rep.cartesianProducts == 0,
+          "cartesian product in the rewritten LEFT plan")
+        joined.localCheckpoint(true)
+      } finally
+        s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThr)
+    }, Some("""
+      WITH e AS (SELECT event_id, date_trunc('second', ts) AS sec,
+                        event_type FROM events),
+      l AS (SELECT event_id AS lid, sec AS lf,
+                   sec + INTERVAL 2 MINUTE AS lt FROM e
+            WHERE event_type = 'error'),
+      r AS (SELECT event_id AS rid, sec AS rf,
+                   sec + INTERVAL 2 MINUTE AS rt FROM e
+            WHERE event_type = 'signup')
+      SELECT lid, count(rid) AS n_overlap,
+             coalesce(max(rid), -1) AS max_r
+      FROM l LEFT JOIN r ON lf < rt AND rf < lt
+      GROUP BY lid ORDER BY lid"""))
   )
 }

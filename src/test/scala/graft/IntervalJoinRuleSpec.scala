@@ -271,4 +271,65 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
         "ON lf < rt AND rf < lt AND lid % 7 = 3")
     }
   }
+
+  /** LEFT-OUTER comparison is a MULTISET (unmatched multiplicity matters,
+    * Set would mask duplicate-row bugs). */
+  private def assertLeftEquivalent(sql: String): Seq[(Long, Long)] = {
+    val rewritten = spark.sql(sql)
+    val rep = Explain.report(rewritten)
+    assert(rep.sortMergeJoins + rep.shuffledHashJoins +
+      rep.broadcastHashJoins >= 1,
+      s"the main path must be an equi join on the bucket: $sql")
+    assert(rep.cartesianProducts == 0, s"cartesian in rewritten plan: $sql")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+      .toSeq.sorted
+    val got = rows(rewritten)
+    spark.conf.set("spark.graft.intervalJoin.enabled", "false")
+    try {
+      val expected = rows(spark.sql(sql))
+      assert(got == expected,
+        s"LEFT rewrite diverged for: $sql\n" +
+          s"got=${got.take(8)}\nexp=${expected.take(8)}")
+      got
+    } finally spark.conf.set("spark.graft.intervalJoin.enabled", "true")
+  }
+
+  test("LEFT OUTER period join rewrites: unmatched (and degenerate) " +
+      "left rows null-extend with exact multiset multiplicity; strict " +
+      "and inclusive shapes both covered") {
+    withNoBroadcast {
+      fixture()
+      spark.conf.set("spark.graft.intervalJoin.bucketSeconds", "21600")
+      val got = assertLeftEquivalent(
+        "SELECT lid, rid FROM lper LEFT JOIN rper ON lf < rt AND rf < lt")
+      assert(got.exists(_._2 == -1L),
+        "fixture must exercise the unmatched face (degenerates 5/6/7)")
+      assert(got.exists(_._2 != -1L), "and the matched face")
+      assertLeftEquivalent(
+        "SELECT lid, rid FROM lper LEFT JOIN rper ON lf <= rt AND rf <= lt")
+    }
+  }
+
+  test("LEFT OUTER rewrite keeps duplicate-left-row multiplicity exact " +
+      "(whole-row anti join is set-based; duplicates pass together)") {
+    withNoBroadcast {
+      import spark.implicits._
+      def ts(s: String) = java.sql.Timestamp.valueOf(s)
+      // two IDENTICAL matched rows and two IDENTICAL unmatched rows
+      Seq(
+        (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")),
+        (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 02:00:00")),
+        (2L, ts("2024-06-01 00:00:00"), ts("2024-06-01 01:00:00")),
+        (2L, ts("2024-06-01 00:00:00"), ts("2024-06-01 01:00:00")))
+        .toDF("lid", "lf", "lt").createOrReplaceTempView("ldup")
+      Seq((10L, ts("2024-01-01 01:00:00"), ts("2024-01-01 03:00:00")))
+        .toDF("rid", "rf", "rt").createOrReplaceTempView("rdup")
+      spark.conf.set("spark.graft.intervalJoin.bucketSeconds", "21600")
+      val got = assertLeftEquivalent(
+        "SELECT lid, rid FROM ldup LEFT JOIN rdup ON lf < rt AND rf < lt")
+      assert(got == Seq((1L, 10L), (1L, 10L), (2L, -1L), (2L, -1L)),
+        s"got $got")
+    }
+  }
 }
