@@ -242,6 +242,63 @@ class IntervalJoinRuleSpec extends AnyFunSuite {
         .count()
       assert(incl > strict,
         "fixture must contain boundary-equality pairs (<= strictly wider)")
+
+      // LEFT OUTER over the same fuzz fixtures: rule-on == rule-off as a
+      // MULTISET (unmatched rows included with exact multiplicity),
+      // strict + inclusive shapes, every width
+      for (seed <- Seq(101, 303); w <- Seq(600L, 21600L, 604800L);
+          shape <- Seq("lf < rt AND rf < lt", "lf <= rt AND rf <= lt")) {
+        mkSide(seed, 60, 1L, "l").createOrReplaceTempView("lfz")
+        mkSide(seed + 7, 70, 5000L, "r").createOrReplaceTempView("rfz")
+        spark.conf.set("spark.graft.intervalJoin.bucketSeconds", w.toString)
+        val sql = s"SELECT lid, rid FROM lfz LEFT JOIN rfz ON $shape"
+        def rows() = spark.sql(sql).collect()
+          .map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1)))
+          .toSeq.sorted
+        val got = rows()
+        spark.conf.set("spark.graft.intervalJoin.enabled", "false")
+        val expected = try rows()
+          finally spark.conf.set("spark.graft.intervalJoin.enabled", "true")
+        assert(got == expected, s"LEFT seed=$seed w=$w shape='$shape'")
+        assert(expected.exists(_._2 == -1L) && expected.exists(_._2 != -1L),
+          s"LEFT fuzz fixture must exercise both faces (seed=$seed)")
+      }
+
+      // the SWEEP operator over the same fixtures: pair-exact vs the
+      // rule-off nested-loop truth, strict + inclusive
+      for (seed <- Seq(202, 303); w <- Seq(600L, 21600L)) {
+        val lfz = mkSide(seed, 60, 1L, "l")
+        val rfz = mkSide(seed + 7, 70, 5000L, "r")
+        // sweep requires well-formed periods (malformed raise loudly):
+        // filter the planted degenerates the way a caller would
+        val lOk = lfz.filter(col("lf").isNotNull && col("lt").isNotNull &&
+          col("lf") < col("lt"))
+        val rOk = rfz.filter(col("rf").isNotNull && col("rt").isNotNull &&
+          col("rf") < col("rt"))
+        val oracle = lOk.crossJoin(rOk)
+          .filter(col("lf") < col("rt") && col("rf") < col("lt"))
+          .select("lid", "rid").as[(Long, Long)].collect().toSet
+        val swept = _root_.graft.operators.Joins.intervalJoinSweep(
+            lOk, rOk, "lf", "lt", "rf", "rt",
+            col("lf") < col("rt") && col("rf") < col("lt"),
+            bucketSeconds = w)
+          .select("lid", "rid").as[(Long, Long)].collect()
+        assert(swept.length == swept.toSet.size,
+          s"sweep fuzz dup seed=$seed w=$w")
+        assert(swept.toSet == oracle, s"sweep fuzz seed=$seed w=$w")
+        val oracleIncl = lOk.crossJoin(rOk)
+          .filter(col("lf") <= col("rt") && col("rf") <= col("lt"))
+          .select("lid", "rid").as[(Long, Long)].collect().toSet
+        val sweptIncl = _root_.graft.operators.Joins.intervalJoinSweep(
+            lOk, rOk, "lf", "lt", "rf", "rt",
+            col("lf") <= col("rt") && col("rf") <= col("lt"),
+            bucketSeconds = w, inclusiveBounds = true)
+          .select("lid", "rid").as[(Long, Long)].collect()
+        assert(sweptIncl.toSet == oracleIncl,
+          s"sweep inclusive fuzz seed=$seed w=$w")
+        assert(oracleIncl.size > oracle.size,
+          s"fixture must plant boundary equalities (seed=$seed)")
+      }
     }
   }
 
