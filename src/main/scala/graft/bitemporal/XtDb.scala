@@ -205,7 +205,6 @@ class XtDb(spark: SparkSession, val root: String) {
     df.repartition(16, col(BUCKET))
       .write.partitionBy(BUCKET).mode("overwrite")
       .parquet(s"${tableDir(table)}/g$next")
-    invalidateSnapshot(table)
     val out = fs.create(genPath(table), true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     // keep the superseded generation for in-flight readers; drop older.
@@ -255,7 +254,6 @@ class XtDb(spark: SparkSession, val root: String) {
       monotonically_increasing_id())
     val conformed = evolveSchema(table, withMeta)
     conformed.write.partitionBy(BUCKET).mode("append").parquet(dataDir(table))
-    invalidateSnapshot(table)
     logTx(sysTime, table, op, committed = true, error = None)
     sysTime
   }
@@ -364,7 +362,6 @@ class XtDb(spark: SparkSession, val root: String) {
         val conformed = evolveSchema(table, df)
         conformed.write.partitionBy(BUCKET).mode("append")
           .parquet(dataDir(table))
-        invalidateSnapshot(table)
         // affected-row count from the committed delta itself (parquet
         // footer counts over the staged files — NOT a re-run of the
         // user's DML plan); surfaced through `lastAffectedRows` for the
@@ -496,7 +493,7 @@ class XtDb(spark: SparkSession, val root: String) {
     val out = hadoopFs.create(layoutPath(table), true)
     try out.write(s"""{"key":"$key","buckets":$buckets}""".getBytes("UTF-8"))
     finally out.close()
-    snapshotState.remove(table)
+    noSnapshot.remove(table)
   }
 
   /** The table's declared layout, if any. */
@@ -518,19 +515,42 @@ class XtDb(spark: SparkSession, val root: String) {
     }
   }
 
-  /** Snapshot validity: present iff the bucketed current-state snapshot
-    * reflects the live table. `expiresMicros` guards VALID-TIME
-    * transitions — `current` is a moving point, so a put whose
-    * valid_from/valid_to lies in the future changes the current state
-    * with no write happening; the snapshot records the earliest such
-    * boundary and refuses itself once the clock passes it. In-memory
-    * only (single-writer contract): a fresh instance over the same root
-    * serves live resolution until its own first compact. */
-  private val snapshotState = new java.util.concurrent.ConcurrentHashMap[
-    String, Long]() // table -> expiresMicros (Long.MaxValue = no boundary)
+  /** Snapshot validity is verified against STORAGE at every serve, not
+    * trusted from instance memory: the snapshot's meta file records the
+    * generation, an event-file fingerprint (count + max mtime, the
+    * StatsSidecar freshness contract), and the earliest FUTURE
+    * valid-time boundary. A serve re-checks all three — so a write from
+    * ANY instance over the same root (not just this one) invalidates,
+    * and a fresh instance can keep serving a still-valid snapshot
+    * across restarts. `expiresMicros` guards VALID-TIME transitions:
+    * `current` is a moving point, and a put whose valid_from/valid_to
+    * lies in the future changes the current state with no write
+    * happening. The in-memory set is only a negative cache of tables
+    * known to have no snapshot (avoids a meta-file stat per query on
+    * never-compacted tables); it is only ever ADDED TO on a miss and
+    * cleared by compact, so it can never hold a stale "valid". */
+  private val noSnapshot =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
-  private def invalidateSnapshot(table: String): Unit =
-    snapshotState.remove(table)
+  /** Event-file freshness fingerprint of the table's live data dir:
+    * (file count, max mtime) over data files, skipping `_`-prefixed
+    * metadata that is not a partition dir — the same rule Spark's file
+    * index applies, so exactly the files events() reads are counted. */
+  private def eventFingerprint(table: String): (Long, Long) = {
+    val fs = hadoopFs
+    var n = 0L; var mt = -1L
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("_") && !nm.contains("=")) ()
+        else if (nm.startsWith(".")) ()
+        else if (st.isDirectory) walk(st.getPath)
+        else { n += 1; mt = math.max(mt, st.getModificationTime) }
+      }
+    val dir = new org.apache.hadoop.fs.Path(dataDir(table))
+    if (fs.exists(dir)) walk(dir)
+    (n, mt)
+  }
 
   /** Session-catalog name for the table's bucketed current snapshot —
     * scoped by store root so two XtDb instances in one JVM never collide. */
@@ -541,10 +561,41 @@ class XtDb(spark: SparkSession, val root: String) {
     s"graft_cur_${table.replaceAll("[^A-Za-z0-9_]", "_")}_$h"
   }
 
+  private final case class SnapMeta(gen: Int, files: Long, mtime: Long,
+      expires: Long, key: String, buckets: Int, dir: String)
+
+  private def snapMetaPath(table: String) =
+    new org.apache.hadoop.fs.Path(s"${tableDir(table)}/_snapmeta.json")
+
+  private def readSnapMeta(table: String): Option[SnapMeta] = {
+    val fs = hadoopFs
+    val p = snapMetaPath(table)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        val s = new String(bytes, "UTF-8")
+        def num(k: String) = (s""""$k"\\s*:\\s*(-?\\d+)""").r
+          .findFirstMatchIn(s).map(_.group(1).toLong)
+        def str(k: String) = (s""""$k"\\s*:\\s*"([^"]+)"""").r
+          .findFirstMatchIn(s).map(_.group(1))
+        for {
+          g <- num("gen"); f <- num("files"); m <- num("mtime")
+          e <- num("expires"); k <- str("key"); b <- num("buckets")
+          d <- str("dir")
+        } yield SnapMeta(g.toInt, f, m, e, k, b.toInt, d)
+      } finally in.close()
+    }
+  }
+
   /** Write the resolved current state bucketed by the declared key into
     * the current generation dir (underscore prefix keeps it invisible to
-    * the event-log parquet listing; it is swept with its generation) and
-    * register it in the session catalog. Called by [[compact]]. */
+    * the event-log parquet listing; it is swept with its generation),
+    * register it in the session catalog, and persist the validity meta
+    * (generation + event-file fingerprint + valid-time expiry + layout)
+    * that every serve re-verifies. Called by [[compact]]. */
   private def materializeCurrentSnapshot(table: String,
       l: TableLayout): Unit = {
     val cur = Bitemporal.resolve(events(table),
@@ -580,20 +631,49 @@ class XtDb(spark: SparkSession, val root: String) {
         val i = b.getTimestamp(0).toInstant
         i.getEpochSecond * 1000000L + i.getNano / 1000L
       }
-    snapshotState.put(table, expires)
+    val (fc, fm) = eventFingerprint(table)
+    val json = s"""{"gen":${currentGen(table).getOrElse(0)},""" +
+      s""""files":$fc,"mtime":$fm,"expires":$expires,""" +
+      s""""key":"${l.key}","buckets":${l.buckets},"dir":"$dir"}"""
+    val out = hadoopFs.create(snapMetaPath(table), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    noSnapshot.remove(table)
   }
 
-  /** The bucketed current-state snapshot, iff it is still a faithful view
-    * (no writes since compact, no valid-time boundary crossed). Callers
-    * fall back to live resolution on None. */
+  /** The bucketed current-state snapshot, iff STORAGE still vouches for
+    * it: same generation, same event-file fingerprint (so a write from
+    * ANY instance over this root invalidates), declared layout unchanged,
+    * and no future valid-time boundary crossed. Re-registers the catalog
+    * table from the persisted meta when absent, so a fresh
+    * session/instance serves a still-valid snapshot without recompacting.
+    * Callers fall back to live resolution on None. */
   def currentSnapshotIfValid(table: String): Option[DataFrame] = {
-    val expires = snapshotState.get(table)
-    val nowMicros = java.time.Instant.now().toEpochMilli * 1000L
-    if (expires == null || nowMicros >= expires) None
-    else {
-      val name = snapshotTableName(table)
-      if (spark.catalog.tableExists(name)) Some(spark.table(name))
-      else { invalidateSnapshot(table); None }
+    if (noSnapshot.contains(table)) return None
+    readSnapMeta(table) match {
+      case None => noSnapshot.add(table); None
+      case Some(m) =>
+        val nowMicros = {
+          val i = java.time.Instant.now()
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
+        val layoutOk = layoutOf(table)
+          .exists(l => l.key == m.key && l.buckets == m.buckets)
+        lazy val (fc, fm) = eventFingerprint(table)
+        if (!layoutOk || nowMicros >= m.expires ||
+            currentGen(table).getOrElse(0) != m.gen ||
+            fc != m.files || fm != m.mtime) None
+        else {
+          val name = snapshotTableName(table)
+          if (!spark.catalog.tableExists(name)) {
+            val schema = spark.read.parquet(m.dir).schema
+            spark.sql(
+              s"""CREATE TABLE $name (${schema.toDDL}) USING PARQUET
+                 |CLUSTERED BY (${m.key}) SORTED BY (${m.key})
+                 |INTO ${m.buckets} BUCKETS
+                 |LOCATION '${m.dir}'""".stripMargin)
+          }
+          Some(spark.table(name))
+        }
     }
   }
 
@@ -893,7 +973,6 @@ class XtDb(spark: SparkSession, val root: String) {
     spark.createDataFrame(
       new java.util.ArrayList[org.apache.spark.sql.Row](), full)
       .write.parquet(tableDir(table))
-    invalidateSnapshot(table)
     saveSchema(table, full)
   }
 

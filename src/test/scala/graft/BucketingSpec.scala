@@ -156,13 +156,33 @@ class BucketingSpec extends AnyFunSuite {
     val hist = eng.sql(
       "SELECT count(*) AS n FROM lo_orders FOR ALL SYSTEM_TIME")
     assert(hist.collect().head.getLong(0) >= 50L)
-    // any write invalidates: the next current read sees the new row
-    db.putDocs("lo_orders", Seq(("99", 3, "new")).toDF("_id", "ok", "tag"))
+    // validity is a property of STORAGE, not instance memory: a fresh
+    // XtDb instance over the same root serves the still-valid snapshot
+    // (re-registering the catalog table from the persisted meta)
+    val db2 = new graft.bitemporal.XtDb(spark, root)
+    // drop the registered snapshot table to simulate a fresh session's
+    // empty catalog — the serve must re-register from the persisted meta
+    spark.catalog.listTables().collect()
+      .map(_.name).filter(_.startsWith("graft_cur_lo_orders_"))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
+    assert(db2.currentSnapshotIfValid("lo_orders").isDefined,
+      "a fresh instance must serve a still-valid snapshot from storage")
+    // a write through ANY instance invalidates every instance's serve —
+    // the event-file fingerprint changed, nothing in-memory to trust
+    db2.putDocs("lo_orders", Seq(("99", 3, "new")).toDF("_id", "ok", "tag"))
     assert(db.currentSnapshotIfValid("lo_orders").isEmpty,
+      "the ORIGINAL instance must refuse after another instance's write")
+    assert(db2.currentSnapshotIfValid("lo_orders").isEmpty,
       "a write must invalidate the snapshot")
     val after = eng.sql(
       "SELECT count(*) AS n FROM lo_orders WHERE _id = '99'")
     assert(after.collect().head.getLong(0) === 1L)
+    // re-declaring a DIFFERENT layout refuses the old snapshot
+    db.compact("lo_lines")
+    assert(db.currentSnapshotIfValid("lo_lines").isDefined)
+    db.declareLayout("lo_lines", "ok", 8)
+    assert(db.currentSnapshotIfValid("lo_lines").isEmpty,
+      "a layout re-declaration must refuse a snapshot built under the old one")
   }
 
   test("XtDb snapshot refuses itself once a FUTURE valid-from boundary " +
