@@ -307,6 +307,67 @@ class JoinsSpec extends AnyFunSuite {
         s"~$nR matches (total shuffled ${tot.get()})")
   }
 
+  test("interval join under AQE: a hot bucket is SPLIT by the skew-join " +
+      "optimizer (the scaladoc's 'AQE handles skewed buckets' claim, " +
+      "pinned) and the result stays pair-exact") {
+    // child session: AQE + aggressive skew thresholds must not leak into
+    // the other suites sharing this SparkContext
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // AQE's own runtime broadcast conversion would turn these tiny test
+    // sides into a BHJ (no skew machinery involved) — disable it so the
+    // fixture exercises the SMJ skew split a big deployment would hit
+    s.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    s.conf.set("spark.sql.adaptive.enabled", "true")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    s.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    s.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.0")
+    s.conf.set(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    s.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    import s.implicits._
+    def ts(sec: Long) = java.time.Instant.ofEpochSecond(sec)
+      .toString.replace("T", " ").dropRight(1)
+    val base = 1700000000L
+    // ONE hot bucket (3600s wide): thousands of rows both sides inside
+    // it, a sprinkle of rows elsewhere
+    val l = (1 to 4000).map(i => (i.toLong, ts(base + i % 1800),
+        ts(base + i % 1800 + 30))) ++
+      (1 to 20).map(i => (100000L + i, ts(base + 86400L * i),
+        ts(base + 86400L * i + 30)))
+    val r = (1 to 4000).map(i => (500000L + i, ts(base + (i * 7) % 1800),
+        ts(base + (i * 7) % 1800 + 25))) ++
+      (1 to 20).map(i => (900000L + i, ts(base + 86400L * i + 10),
+        ts(base + 86400L * i + 40)))
+    val lDf = l.toDF("lid", "lfs", "lts").select(col("lid"),
+      col("lfs").cast("timestamp").as("lf"),
+      col("lts").cast("timestamp").as("lt"))
+    val rDf = r.toDF("rid", "rfs", "rts").select(col("rid"),
+      col("rfs").cast("timestamp").as("rf"),
+      col("rts").cast("timestamp").as("rt"))
+    val joined = Joins.intervalJoin(lDf, rDf, "lf", "lt", "rf", "rt",
+      Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
+      bucketSeconds = 3600, strategy = "bucket")
+      .select("lid", "rid")
+    // collect the DataFrame ITSELF (.as[...] would wrap a fresh, never-
+    // executed QueryExecution and the adaptive plan below would be stale)
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1)))
+    // pair-exact under AQE + skew handling
+    val oracle = lDf.crossJoin(rDf)
+      .filter(Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")))
+      .select("lid", "rid").as[(Long, Long)].collect().toSet
+    assert(got.length == got.toSet.size, "no duplicate pairs under AQE")
+    assert(got.toSet == oracle, "pair set diverged under AQE skew handling")
+    assert(oracle.size > 10000, "fixture must be genuinely hot")
+    // the EXECUTED adaptive plan (post-collect, isFinalPlan=true) shows
+    // the skew split on the bucket join
+    val planStr = joined.queryExecution.executedPlan.toString
+    assert(planStr.contains("skew=true"),
+      s"AQE must split the hot bucket (no skew=true in plan):\n" +
+        planStr.take(2000))
+  }
+
   test("interval join: bucketed plan is equi — no cartesian; without a " +
       "sidecar the only nested loops are 1-row horizon broadcasts; " +
       "broadcast fallback only when asked/auto-small") {
