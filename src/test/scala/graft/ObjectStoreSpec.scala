@@ -147,4 +147,26 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(Bitemporal.current(db.events("docs"))
       .select("_id", "v").as[(Long, Long)].collect().sorted.toSeq == before)
   }
+
+  test("declared layout + bucketed snapshot lifecycle over objstore://: " +
+      "compact materializes, serve verifies from storage, a write " +
+      "invalidates — all without an engine-level rename") {
+    import spark.implicits._
+    val (root, fs) = freshRoot()
+    val db = new XtDb(spark, root)
+    db.declareLayout("ldocs", "k", 2)
+    db.putDocs("ldocs", (1 to 40)
+      .map(i => (i.toString, i % 4, i * 10)).toDF("_id", "k", "v"))
+    db.compact("ldocs")
+    val snap = db.currentSnapshotIfValid("ldocs")
+    assert(snap.isDefined, "snapshot must build over the object store")
+    assert(snap.get.count() == 40)
+    // meta + snapshot live under the store root; nothing engine-level
+    // renamed (the contract double throws outside committer workspaces)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(
+      s"$root/ldocs/_snapmeta.json")))
+    db.putDocs("ldocs", Seq(("99", 1, 990)).toDF("_id", "k", "v"))
+    assert(db.currentSnapshotIfValid("ldocs").isEmpty,
+      "fingerprint over the object store must catch the append")
+  }
 }
