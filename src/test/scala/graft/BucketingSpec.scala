@@ -104,9 +104,14 @@ class BucketingSpec extends AnyFunSuite {
     assert(Explain.report(
       flatAgain.groupBy("l_orderkey").count()).shuffleExchanges >= 1,
       "flat-dir load must stay flat (no phantom bucketing)")
-    // a fresh session (new catalog state) re-registers from the sidecar
-    // alone — the layout is a property of the data, not of one session
+    // a fresh session re-registers from the sidecar alone — the layout
+    // is a property of the data, not of one session. newSession() SHARES
+    // the external catalog, so drop the registrations first to force the
+    // re-registration path a genuinely fresh process would take
     val s2 = spark.newSession()
+    spark.catalog.listTables().collect().map(_.name)
+      .filter(_.startsWith("graft_b_"))
+      .foreach(n => spark.sql(s"DROP TABLE IF EXISTS $n"))
     val li2 = Tables.load(s2, dst, "lineitem")
     val o2 = Tables.load(s2, dst, "orders")
     val j2 = li2.join(o2, col("l_orderkey") === col("o_orderkey"))
