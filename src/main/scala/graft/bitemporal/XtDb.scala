@@ -666,11 +666,18 @@ class XtDb(spark: SparkSession, val root: String) {
           val name = snapshotTableName(table)
           if (!spark.catalog.tableExists(name)) {
             val schema = spark.read.parquet(m.dir).schema
-            spark.sql(
+            // two threads serving the same still-valid snapshot can race
+            // the exists-then-CREATE; concurrent registration of the SAME
+            // (root-hashed) name is success — fall through to spark.table
+            try spark.sql(
               s"""CREATE TABLE $name (${schema.toDDL}) USING PARQUET
-                 |CLUSTERED BY (${m.key}) SORTED BY (${m.key})
+                 |CLUSTERED BY (`${m.key}`) SORTED BY (`${m.key}`)
                  |INTO ${m.buckets} BUCKETS
                  |LOCATION '${m.dir}'""".stripMargin)
+            catch {
+              case _: org.apache.spark.sql.AnalysisException
+                  if spark.catalog.tableExists(name) => ()
+            }
           }
           Some(spark.table(name))
         }

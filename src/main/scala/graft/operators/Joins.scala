@@ -610,8 +610,13 @@ object Joins {
     // to leftId + the condition's columns; map-side partial dedup bounds
     // every task regardless of a key's match fan-out
     val matchedIds = matched.select(col(leftId).as("__mid")).distinct()
+    // null-safe equality: the join condition never references leftId, so
+    // a left row with a NULL id can match — plain === would then fail the
+    // anti probe (NULL never equals) and emit the row a second time,
+    // null-extended. Under the uniqueness contract at most one left row
+    // carries a NULL id, so <=> removes exactly the matched one.
     val unmatchedLive = liveLeft.join(matchedIds,
-      col(leftId) === col("__mid"), "left_anti")
+      col(leftId) <=> col("__mid"), "left_anti")
     val nullExtended = right.schema.fields.foldLeft(
       nullLeft.unionByName(unmatchedLive)) { (df, f) =>
       df.withColumn(f.name, lit(null).cast(f.dataType))

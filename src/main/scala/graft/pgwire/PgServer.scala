@@ -145,6 +145,14 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
             case 'X' => open = false
             case 'S' => // Sync
               skipUntilSync = false
+              // Sync ends the IMPLICIT transaction in autocommit, and PG
+              // destroys non-holdable portals at transaction end — so
+              // outside an explicit BEGIN every portal (suspended or not)
+              // dies here, exactly the behavior a libpq-exact client keys
+              // on. Inside BEGIN portals survive until COMMIT/ROLLBACK —
+              // the JDBC setFetchSize cursor flow. Prepared statements are
+              // session-scoped and always survive.
+              if (!eng.inTransaction) { portals.clear(); portalRuns.clear() }
               readyForQuery(out, eng)
             case 'H' => out.flush()
             case _ if skipUntilSync => () // discard until Sync after error
@@ -608,13 +616,12 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
     * extended-protocol flow a JDBC driver with `setFetchSize` uses).
     * `it` is Spark's toLocalIterator: partitions stream to the driver
     * one at a time as the client fetches, so a suspended portal holds a
-    * bounded buffer, not the whole relation. Suspended portals work both
-    * inside an explicit BEGIN (ReadyForQuery reports 'T', the conformant
-    * flow a JDBC fetch-size cursor drives) and across Sync in autocommit.
-    * The latter is a documented divergence from Postgres — real PG closes
-    * suspended portals when the implicit transaction ends at Sync;
-    * keeping them is a harmless superset that lets the same client flow
-    * work without BEGIN. */
+    * bounded buffer, not the whole relation. Portal lifetime matches
+    * Postgres: inside an explicit BEGIN a suspended portal survives Sync
+    * (ReadyForQuery reports 'T' — the flow a JDBC fetch-size cursor
+    * drives); in autocommit, Sync ends the implicit transaction and
+    * destroys every portal, so a later Execute gets "unknown portal"
+    * exactly as libpq expects. */
   private final class PortalRun(
       val schema: StructType,
       val it: java.util.Iterator[org.apache.spark.sql.Row],
@@ -781,9 +788,15 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
         val inst = java.time.Instant.ofEpochSecond(
           Math.floorDiv(micros1970, 1000000L),
           Math.floorMod(micros1970, 1000000L) * 1000L)
-        java.time.LocalDateTime.ofInstant(inst, java.time.ZoneOffset.UTC)
+        val rendered = java.time.LocalDateTime
+          .ofInstant(inst, java.time.ZoneOffset.UTC)
           .format(java.time.format.DateTimeFormatter
             .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))
+        // 1184 is an absolute instant: splice it WITH an explicit offset, or
+        // the engine's later cast would re-interpret the zone-less literal
+        // in the SESSION timezone (SET TIME ZONE is supported) and shift
+        // it. 1114 is zone-less by definition and stays bare.
+        if (oid == 1184) rendered + "+00:00" else rendered
       case 1700 => // base-10000 numeric: ndigits, weight, sign, dscale, digits
         require(b.length >= 8,
           s"binary parameter $$${idx}: numeric header needs 8 bytes")

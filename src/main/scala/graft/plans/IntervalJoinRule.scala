@@ -65,9 +65,20 @@ object GraftIntervalJoin extends Rule[LogicalPlan] with PredicateHelper {
             // ResolvedHint CHILD, not a JoinHint — our own degenerate
             // branches carry exactly that, and re-matching them recurses
             !l.isInstanceOf[ResolvedHint] && !r.isInstanceOf[ResolvedHint] &&
-            !j.isStreaming && cond.deterministic =>
+            !j.isStreaming && cond.deterministic &&
+            // the rewrite re-executes both child subtrees (the horizon
+            // aggregate, the degenerate-row branches, and the LeftOuter
+            // unmatched synthesis all consume them again): a child whose
+            // projection contains rand()/uuid() produces DIFFERENT rows per
+            // consumption, so the branches would disagree — skip, mirroring
+            // Spark's own determinism guards on plan-duplicating rewrites
+            planDeterministic(l) && planDeterministic(r) =>
         tryRewrite(j, l, r, cond).getOrElse(j)
     }
+
+  private def planDeterministic(p: LogicalPlan): Boolean =
+    !p.exists(_.expressions.exists(e =>
+      e.exists(!_.deterministic)))
 
   private def temporal(dt: org.apache.spark.sql.types.DataType): Boolean =
     dt == TimestampType || dt == TimestampNTZType || dt == DateType

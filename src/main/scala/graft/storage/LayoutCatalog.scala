@@ -37,16 +37,36 @@ object LayoutCatalog {
   private def sidecar(dir: String, table: String) =
     new java.io.File(dir, s"_graft_layout.$table.json")
 
+  /** The sidecar format is hand-rolled JSON parsed by regex, and `load`
+    * splices key + path into DDL — so every field is validated up front:
+    * a quote/backtick/newline in any of them would either write a sidecar
+    * `read` can't parse (a silently-ignored layout) or break/inject into
+    * the CREATE TABLE statement. */
+  private def validate(l: Layout): Unit = {
+    def ok(what: String, v: String): Unit =
+      require(v.nonEmpty && !v.exists(c => c == '"' || c == '`' ||
+          c == '\'' || c == '\\' || c == '\n' || c == '\r'),
+        s"layout $what '$v' must be non-empty and contain no " +
+          "quote/backtick/backslash/newline characters")
+    ok("table", l.table); ok("key", l.key); ok("dataSubdir", l.dataSubdir)
+    require(l.buckets > 0, s"layout buckets must be > 0, got ${l.buckets}")
+  }
+
   /** Persist a layout declaration for `dir`/`table` (data already written
     * bucketed under `dir/dataSubdir`). */
   def declare(dir: String, l: Layout): Unit = {
+    validate(l)
     val json = s"""{"table":"${l.table}","key":"${l.key}",""" +
       s""""buckets":${l.buckets},"dataSubdir":"${l.dataSubdir}"}"""
     val w = new java.io.PrintWriter(sidecar(dir, l.table), "UTF-8")
     try w.print(json) finally w.close()
   }
 
-  /** The directory's declared layout for `table`, if any. */
+  /** The directory's declared layout for `table`, if any. A sidecar that
+    * EXISTS but does not parse is a loud error, never a silent flat read:
+    * the user declared a layout, and quietly serving the undeclared plan
+    * would hide the exact slope regression the declaration exists to
+    * prevent. */
   def read(dir: String, table: String): Option[Layout] = {
     val f = sidecar(dir, table)
     if (!f.isFile) None
@@ -54,12 +74,18 @@ object LayoutCatalog {
       val s = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
       def str(k: String) =
         (s""""$k"\\s*:\\s*"([^"]+)"""").r.findFirstMatchIn(s).map(_.group(1))
-      for {
+      val parsed = for {
         key <- str("key")
         sub <- str("dataSubdir")
         b <- """"buckets"\s*:\s*(\d+)""".r.findFirstMatchIn(s)
           .map(_.group(1).toInt)
       } yield Layout(table, key, b, sub)
+      parsed match {
+        case None => sys.error(
+          s"corrupt layout sidecar ${sidecar(dir, table)}: '$s' — fix or " +
+            "delete the declaration; refusing to silently serve flat")
+        case some => some.foreach(validate); some
+      }
     }
   }
 
@@ -100,15 +126,24 @@ object LayoutCatalog {
     * zero-exchange reads. */
   def load(spark: SparkSession, dir: String, table: String,
       l: Layout): DataFrame = {
+    validate(l)
     val path = s"$dir/${l.dataSubdir}"
+    require(!path.contains("'"),
+      s"layout data path '$path' must not contain a single quote")
     val name = catalogName(table, path)
     if (!spark.catalog.tableExists(name)) {
       val schema = spark.read.parquet(path).schema
-      spark.sql(
+      // two sessions/threads can race the exists-then-CREATE; concurrent
+      // registration of the SAME (path-hashed) name is success, not error
+      try spark.sql(
         s"""CREATE TABLE $name (${schema.toDDL}) USING PARQUET
-           |CLUSTERED BY (${l.key}) SORTED BY (${l.key})
+           |CLUSTERED BY (`${l.key}`) SORTED BY (`${l.key}`)
            |INTO ${l.buckets} BUCKETS
            |LOCATION '$path'""".stripMargin)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException
+            if spark.catalog.tableExists(name) => ()
+      }
     }
     spark.table(name)
   }

@@ -221,6 +221,46 @@ class BucketingSpec extends AnyFunSuite {
     assert(db.currentSnapshotIfValid("vt_docs").get.count() === 2L)
   }
 
+  test("LayoutCatalog input hardening: a key/table carrying quote or " +
+      "backtick characters is refused at declare, and a corrupt sidecar " +
+      "surfaces a loud error instead of a silent flat read") {
+    import graft.storage.LayoutCatalog
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-layout-harden").toString
+    // a quote would break the hand-rolled JSON; a backtick would break the
+    // CREATE TABLE identifier quoting — both must be refused up front
+    for (badKey <- Seq("k\"ey", "k`ey", "k'ey", "", "k\ney")) {
+      val e = intercept[IllegalArgumentException] {
+        LayoutCatalog.declare(dir,
+          LayoutCatalog.Layout("t", badKey, 8, "data"))
+      }
+      assert(e.getMessage.contains("layout"), s"for key '$badKey': $e")
+    }
+    intercept[IllegalArgumentException] {
+      LayoutCatalog.declare(dir,
+        LayoutCatalog.Layout("t\"bl", "k", 8, "data"))
+    }
+    intercept[IllegalArgumentException] {
+      LayoutCatalog.declare(dir, LayoutCatalog.Layout("t", "k", 0, "data"))
+    }
+    // a sidecar that exists but does not parse is a LOUD error: the user
+    // declared a layout, so quietly serving flat would hide the slope
+    // regression the declaration exists to prevent
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(dir, "_graft_layout.corrupt.json"),
+      """{"table":"corrupt","key":}""")
+    val err = intercept[RuntimeException] {
+      LayoutCatalog.read(dir, "corrupt")
+    }
+    assert(err.getMessage.contains("corrupt layout sidecar"))
+    // absence is still a clean None (flat is the UNDECLARED default)
+    assert(LayoutCatalog.read(dir, "never_declared").isEmpty)
+    // a valid declaration round-trips
+    LayoutCatalog.declare(dir, LayoutCatalog.Layout("ok", "k1", 4, "data"))
+    assert(LayoutCatalog.read(dir, "ok")
+      .contains(LayoutCatalog.Layout("ok", "k1", 4, "data")))
+  }
+
   test("salted join equals plain join (inner)") {
     val li = Tables.load(spark, sf, "lineitem")
       .select(col("l_orderkey").as("o_orderkey"), col("l_quantity"))

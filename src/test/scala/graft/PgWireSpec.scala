@@ -209,8 +209,9 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
   }
 
   test("portal suspension: Execute maxRows fetches in chunks with " +
-      "PortalSuspended, resumes across Sync, completes with the full " +
-      "count; Close discards the cursor") {
+      "PortalSuspended and completes with the full count; Sync in " +
+      "autocommit destroys portals (PG implicit-tx end); Close discards " +
+      "the cursor") {
     val c = new Client(server.boundPort)
     c.startup(); c.untilReady()
     (1 to 10).foreach(i =>
@@ -249,15 +250,30 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     val (r1, e1, _) = fetch("pcur", 4)
     assert(r1.map(_.head) == Seq("1", "2", "3", "4") && e1 == 's',
       s"first chunk must suspend, got $e1 rows=$r1")
-    // JDBC's setFetchSize flow issues Sync between fetch rounds — the
-    // suspended portal must survive it (autocommit session model)
-    c.send('S')(_ => ()); c.untilReady()
+    // fetch rounds separated by Flush (one pipeline, no Sync): the
+    // suspended portal resumes
     val (r2, e2, _) = fetch("pcur", 4)
     assert(r2.map(_.head) == Seq("5", "6", "7", "8") && e2 == 's')
     val (r3, e3, tag3) = fetch("pcur", 4)
     assert(r3.map(_.head) == Seq("9", "10") && e3 == 'C')
     assert(tag3 == "SELECT 10",
       s"completion must carry the portal's total row count, got '$tag3'")
+    // Sync in autocommit ends the implicit transaction, and PG destroys
+    // every portal at transaction end — a suspended portal must NOT
+    // survive it (the round-11 superset is gone; JDBC only drives the
+    // cursor flow with autocommit off, i.e. inside BEGIN)
+    c.send('B') { w =>
+      c.cstr(w, "psync"); c.cstr(w, "scur")
+      w.writeShort(0); w.writeShort(0); w.writeShort(0)
+    }
+    val (_, eSuspended, _) = fetch("psync", 3)
+    assert(eSuspended == 's')
+    c.send('S')(_ => ()); c.untilReady()
+    val (_, eDead, deadMsg) = fetch("psync", 3)
+    assert(eDead == 'E',
+      s"Execute on a portal after autocommit Sync must error, got $eDead")
+    assert(deadMsg.contains("unknown portal"), s"got '$deadMsg'")
+    c.send('S')(_ => ()); c.untilReady()
     // maxRows = 0 drains a fresh portal in one go (no suspension)
     c.send('B') { w =>
       c.cstr(w, "pall"); c.cstr(w, "scur")
