@@ -67,17 +67,28 @@ trait TxSnapshot {
   * single-writer coordination point (mirroring the reference's tx log,
   * core/src/main/clojure/xtdb/log.clj) and compaction = file consolidation.
   *
-  * Scale note: appends are O(tx size); reads shuffle once by `_iid`.
-  * Partition/bucket by iid-prefix (Trie.kt analogue) is a planned
-  * optimisation — correctness does not depend on it.
+  * Scale note — the event log IS iid-bucketed at write time (round 12):
+  * compaction rewrites each generation as a Spark bucketed table hashed on
+  * `_iid` (the reference's trie layout, Trie.kt:34-60 — storage organized
+  * by iid prefix at write time so the read path never re-partitions), and
+  * [[events]] serves it through the session catalog whenever storage still
+  * vouches for it (same generation + event-file fingerprint — an append
+  * from ANY instance invalidates). `Bitemporal.asOf`'s `_iid` windows and
+  * every as-of join on `_iid` then plan with ZERO exchange: the per-query
+  * shuffle of the whole event log becomes a write-once cost, exactly the
+  * trade the declared snapshot layout made for equi joins. Fresh per-tx
+  * appends land as plain files in the live generation dir and flip reads
+  * back to the flat path until the next compaction.
   */
 class XtDb(spark: SparkSession, val root: String) {
 
   import Bitemporal._
 
-  // `_bucket` partition dirs hold hex chars; without this, a table whose
-  // buckets happen to all be digits reads back as int and LUB-unions with
-  // string on the next append
+  // Legacy-read compat: pre-round-12 tables stored `_bucket` as a hex-char
+  // PARTITION dir; without this, a table whose buckets happen to all be
+  // digits reads back as int and LUB-unions with string on the next
+  // append. Round-12 storage writes `_bucket` as a data column (the
+  // generation itself is iid-bucketed), so this only affects old dirs.
   spark.conf.set("spark.sql.sources.partitionColumnTypeInference.enabled",
     "false")
 
@@ -128,13 +139,25 @@ class XtDb(spark: SparkSession, val root: String) {
     }
   }
 
-  /** Raw event log for a table. Read under the registered LUB schema:
-    * Spark 4's vectorized parquet reader widens narrower stored types
-    * (int→long, float/int→double) at scan time, so a numeric widening
-    * append costs O(batch), never a table rewrite (reference merge-types
-    * read-side conform). Tables written before the registry fall back to
-    * footer merging. */
-  def events(table: String): DataFrame = loadSchema(table) match {
+  /** Raw event log for a table — served as the iid-BUCKETED catalog table
+    * whenever storage vouches the live generation is exactly the compacted
+    * file set ([[bucketedEventsIfValid]]): `Bitemporal.asOf`'s windows and
+    * as-of joins by `_iid` then plan with zero exchange. Any append since
+    * compaction flips to the flat file read.
+    *
+    * The flat read goes under the registered LUB schema: Spark 4's
+    * vectorized parquet reader widens narrower stored types (int→long,
+    * float/int→double) at scan time, so a numeric widening append costs
+    * O(batch), never a table rewrite (reference merge-types read-side
+    * conform). Tables written before the registry fall back to footer
+    * merging. */
+  def events(table: String): DataFrame =
+    bucketedEventsIfValid(table).getOrElse(flatEvents(table))
+
+  /** The flat (file-level) event read — the write path's view: every
+    * rewrite/migration input reads THIS, never the catalog registration,
+    * so a rewrite is decoupled from catalog state it is about to replace. */
+  private def flatEvents(table: String): DataFrame = loadSchema(table) match {
     case Some(st) => spark.read.schema(st).parquet(dataDir(table))
     case None =>
       spark.read.option("mergeSchema", "true").parquet(dataDir(table))
@@ -160,13 +183,14 @@ class XtDb(spark: SparkSession, val root: String) {
   // their metadata pointer, and the reference's storage modules assume
   // (modules/aws/src/main/kotlin/xtdb/aws — put/list/delete only).
   //
-  // Layout: appends accumulate inside the current generation directory
-  // (`<table>/_bucket=<c>/…` before any rewrite — "generation 0" is the
-  // table root for backward compatibility — `<table>/g<N>/_bucket=<c>/…`
-  // after). GC is lazy by one generation: `g<N-1>` is deleted only when
-  // `g<N+1>` commits, so a reader that resolved the pointer just before a
-  // flip can finish scanning (single-writer analogue of a read lease; a
-  // deployment would use a time-based lease instead).
+  // Layout: a committed generation holds the compacted event log as an
+  // iid-BUCKETED file set (Spark bucket ids in the file names, re-attached
+  // through the session catalog); per-tx appends accumulate as plain
+  // parquet parts in the same live directory ("generation 0" is the table
+  // root before any rewrite). GC is lazy by one generation: `g<N-1>` is
+  // deleted only when `g<N+1>` commits, so a reader that resolved the
+  // pointer just before a flip can finish scanning (single-writer analogue
+  // of a read lease; a deployment would use a time-based lease instead).
 
   private def genPath(table: String) =
     new org.apache.hadoop.fs.Path(s"${tableDir(table)}/_gen")
@@ -195,30 +219,139 @@ class XtDb(spark: SparkSession, val root: String) {
     case None => tableDir(table)
   }
 
-  /** Object-store-safe whole-table replace: new generation dir + atomic
-    * pointer PUT + lazy GC of everything older than the superseded
-    * generation. No rename anywhere (ObjectStoreSpec enforces this). */
+  /** Storage bucket count for the event log — the trie fanout analogue.
+    * 16 matches the iid-hex first-char spread; a 1000-executor deployment
+    * sets this to ~2× its executor count so every core owns buckets. */
+  private def eventBuckets: Int =
+    spark.conf.get("spark.graft.eventBuckets", "16").toInt
+
+  /** Object-store-safe whole-table replace: the new generation is written
+    * as an iid-BUCKETED file set (one hash-bucket file per `_iid` bucket,
+    * registered in the session catalog so reads re-attach the bucket
+    * spec), committed by the atomic pointer PUT, then lazy GC of
+    * everything older than the superseded generation. No rename anywhere
+    * (ObjectStoreSpec enforces this). A crash between the pointer PUT and
+    * the meta write only costs the optimization: the flipped generation
+    * reads flat until the next compaction re-stamps it. */
   private def rewriteCommit(table: String, df: DataFrame): Unit = {
     val fs = hadoopFs
     val cur = currentGen(table)
     val next = cur.getOrElse(0) + 1
-    df.repartition(16, col(BUCKET))
-      .write.partitionBy(BUCKET).mode("overwrite")
-      .parquet(s"${tableDir(table)}/g$next")
+    val gdir = s"${tableDir(table)}/g$next"
+    val nb = eventBuckets
+    val name = eventsTableName(table)
+    spark.sql(s"DROP TABLE IF EXISTS $name")
+    df.repartition(nb, col(IID))
+      .write.mode("overwrite").option("path", gdir)
+      .bucketBy(nb, IID).sortBy(IID)
+      .saveAsTable(name)
     val out = fs.create(genPath(table), true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    writeEvMeta(table, next, nb)
     // keep the superseded generation for in-flight readers; drop older.
-    // Root-layout legacy data (loose _bucket=* dirs) is "generation 0":
+    // Root-layout legacy data (loose appended parts) is "generation 0":
     // kept on the g1 flip, swept on the g2 flip.
     val keep = Set(s"g$next") ++ cur.map(c => s"g$c")
     if (cur.isDefined)
       fs.listStatus(new org.apache.hadoop.fs.Path(tableDir(table)))
         .filterNot { st =>
           val n = st.getPath.getName
-          n == "_gen" || n == "_layout.json" || keep.contains(n)
+          n == "_gen" || n == "_layout.json" || n == "_evmeta.json" ||
+            keep.contains(n)
         }
         .foreach(st => fs.delete(st.getPath, true))
   }
+
+  // ---- iid-bucketed event-log serving --------------------------------
+  //
+  // The event-log twin of the declared-layout snapshot machinery: the
+  // compacted generation is bucketed by `_iid`, `_evmeta.json` records
+  // (generation, event-file fingerprint, bucket count), and every serve
+  // re-verifies all of it against STORAGE — so an append from ANY
+  // instance over this root invalidates, and a fresh session/instance
+  // re-attaches a still-valid bucketed log without recompacting.
+
+  private def eventsTableName(table: String): String = {
+    val h = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$root/$table".getBytes("UTF-8"))
+      .take(4).map("%02x".format(_)).mkString
+    s"graft_ev_${table.replaceAll("[^A-Za-z0-9_]", "_")}_$h"
+  }
+
+  private def evMetaPath(table: String) =
+    new org.apache.hadoop.fs.Path(s"${tableDir(table)}/_evmeta.json")
+
+  private def writeEvMeta(table: String, gen: Int, buckets: Int): Unit = {
+    val (fc, fm) = eventFingerprint(table)
+    val json = s"""{"gen":$gen,"files":$fc,"mtime":$fm,"buckets":$buckets}"""
+    val out = hadoopFs.create(evMetaPath(table), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  private def readEvMeta(table: String): Option[(Int, Long, Long, Int)] = {
+    val fs = hadoopFs
+    val p = evMetaPath(table)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+        in.readFully(bytes)
+        val s = new String(bytes, "UTF-8")
+        def num(k: String) = (s""""$k"\\s*:\\s*(-?\\d+)""").r
+          .findFirstMatchIn(s).map(_.group(1).toLong)
+        for { g <- num("gen"); f <- num("files"); m <- num("mtime")
+              b <- num("buckets") }
+          yield (g.toInt, f, m, b.toInt)
+      } finally in.close()
+    }
+  }
+
+  /** Register-or-reuse `name` as a bucketed external table at `path` with
+    * the given key/buckets. Verifies an EXISTING registration still points
+    * at `path` — a generation flip by another instance re-uses the same
+    * root-hashed name, so a stale location must be dropped, not served —
+    * and treats a concurrent-registration race as success. */
+  private def attachBucketedTable(name: String, path: String, key: String,
+      buckets: Int): DataFrame = {
+    val qualify = (p: String) =>
+      hadoopFs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString
+    if (spark.catalog.tableExists(name)) {
+      val loc = spark.sessionState.catalog
+        .getTableMetadata(org.apache.spark.sql.catalyst.TableIdentifier(name))
+        .location.toString
+      if (qualify(loc) != qualify(path)) spark.sql(s"DROP TABLE $name")
+    }
+    if (!spark.catalog.tableExists(name)) {
+      val schema = spark.read.parquet(path).schema
+      try spark.sql(
+        s"""CREATE TABLE $name (${schema.toDDL}) USING PARQUET
+           |CLUSTERED BY (`$key`) SORTED BY (`$key`)
+           |INTO $buckets BUCKETS
+           |LOCATION '$path'""".stripMargin)
+      catch {
+        case _: org.apache.spark.sql.AnalysisException
+            if spark.catalog.tableExists(name) => ()
+      }
+    }
+    spark.table(name)
+  }
+
+  /** The iid-bucketed event log, iff STORAGE still vouches the live
+    * generation is exactly the compacted file set: same generation and
+    * same event-file fingerprint (count + max mtime), so an append from
+    * any instance flips readers back to the flat path until the next
+    * compaction. Public so specs/tools can pin the serving decision. */
+  def bucketedEventsIfValid(table: String): Option[DataFrame] =
+    readEvMeta(table) match {
+      case Some((gen, files, mtime, buckets))
+          if currentGen(table).getOrElse(0) == gen =>
+        val (fc, fm) = eventFingerprint(table)
+        if (fc != files || fm != mtime) None
+        else Some(attachBucketedTable(eventsTableName(table),
+          dataDir(table), IID, buckets))
+      case _ => None
+    }
 
   private def tableExists(table: String): Boolean = {
     val fs = hadoopFs
@@ -253,9 +386,28 @@ class XtDb(spark: SparkSession, val root: String) {
     val withMeta = buildEvents(docs, op, validFrom, validTo, sysTime,
       monotonically_increasing_id())
     val conformed = evolveSchema(table, withMeta)
-    conformed.write.partitionBy(BUCKET).mode("append").parquet(dataDir(table))
+    conformed.write.mode("append").parquet(dataDir(table))
     logTx(sysTime, table, op, committed = true, error = None)
+    maybeAutoCompact(table)
     sysTime
+  }
+
+  /** Post-write compaction trigger — the reference compactor's wakeup
+    * (Compactor.kt wakes as level-0 files accumulate) wired into the
+    * ingest path, so a steady-write table with a DECLARED layout returns
+    * to snapshot serving without operator action: every write invalidates
+    * the bucketed snapshot (correct), and once the appended backlog
+    * exceeds `spark.graft.autoCompact.maxLag` (default 8; -1 disables)
+    * the write that crossed the threshold re-compacts and
+    * re-materializes it. Bounded by construction: at most one
+    * compaction per maxLag+1 writes, and a freshly-compacted table has
+    * lag 0. Tables without a declared layout keep the explicit
+    * [[compact]]/[[compactIfLagged]] contract — they serve the flat log
+    * correctly either way, so the rewrite amplification is opt-in. */
+  private def maybeAutoCompact(table: String): Unit = {
+    val maxLag = spark.conf.get("spark.graft.autoCompact.maxLag", "8").toInt
+    if (maxLag >= 0 && layoutOf(table).isDefined)
+      compactIfLagged(table, maxLag)
   }
 
   /** Multi-op atomic transaction: every op shares ONE system time; ops are
@@ -360,8 +512,7 @@ class XtDb(spark: SparkSession, val root: String) {
         val df = parts.map(DynamicSchema.conform(_, lubbed))
           .reduce(_.unionByName(_, allowMissingColumns = true))
         val conformed = evolveSchema(table, df)
-        conformed.write.partitionBy(BUCKET).mode("append")
-          .parquet(dataDir(table))
+        conformed.write.mode("append").parquet(dataDir(table))
         // affected-row count from the committed delta itself (parquet
         // footer counts over the staged files — NOT a re-run of the
         // user's DML plan); surfaced through `lastAffectedRows` for the
@@ -371,6 +522,7 @@ class XtDb(spark: SparkSession, val root: String) {
       lastTxAffectedRows = affected
       logTx(sysTime, staged.keys.mkString(","), s"tx[${ops.length}]",
         committed = true, error = None)
+      staged.keys.foreach(maybeAutoCompact)
       sysTime
     } catch {
       case e: TxAbortedException =>
@@ -410,7 +562,7 @@ class XtDb(spark: SparkSession, val root: String) {
         // transition at any depth, scalar->struct) needs the files rewritten
         // because no read-side promotion can conjure the new shape.
         if (!DynamicSchema.readPromotable(existingSchema, merged))
-          rewriteTable(table, DynamicSchema.conform(events(table), merged))
+          rewriteTable(table, DynamicSchema.conform(flatEvents(table), merged))
         saveSchema(table, merged)
       }
       DynamicSchema.conform(incoming, merged)
@@ -420,9 +572,11 @@ class XtDb(spark: SparkSession, val root: String) {
   private def rewriteTable(table: String, df: DataFrame): Unit =
     rewriteCommit(table, df)
 
-  /** Point lookup by `_id`: the iid-prefix bucket predicate prunes storage
-    * partitions before any file is opened (the reference's iid-trie path
-    * pruning, scan.clj:161-199 / Trie.kt:34-60). */
+  /** Point lookup by `_id`: over a compacted log the `_iid` equality
+    * prunes the bucketed scan to ONE of the hash buckets before any file
+    * is opened (Spark bucket pruning — the reference's iid-trie path
+    * pruning, scan.clj:161-199 / Trie.kt:34-60); uncompacted appends are
+    * skipped by the pushed parquet row-group stats instead. */
   def pointLookup(table: String, id: Any,
       validAt: Option[Column] = None,
       systemAt: Option[Column] = None): DataFrame = {
@@ -450,7 +604,9 @@ class XtDb(spark: SparkSession, val root: String) {
     * files are physically wide and later scans stop paying the widening
     * promotion. Single-writer: do not run concurrently with appends. */
   def compact(table: String): Unit = {
-    val ev = events(table)
+    // a layout may be declared before the first write — nothing to fold
+    if (!tableExists(table)) return
+    val ev = flatEvents(table)
     val w = org.apache.spark.sql.expressions.Window.partitionBy(IID)
     val purged = ev
       .withColumn("__erase_sf",
@@ -662,39 +818,25 @@ class XtDb(spark: SparkSession, val root: String) {
         if (!layoutOk || nowMicros >= m.expires ||
             currentGen(table).getOrElse(0) != m.gen ||
             fc != m.files || fm != m.mtime) None
-        else {
-          val name = snapshotTableName(table)
-          if (!spark.catalog.tableExists(name)) {
-            val schema = spark.read.parquet(m.dir).schema
-            // two threads serving the same still-valid snapshot can race
-            // the exists-then-CREATE; concurrent registration of the SAME
-            // (root-hashed) name is success — fall through to spark.table
-            try spark.sql(
-              s"""CREATE TABLE $name (${schema.toDDL}) USING PARQUET
-                 |CLUSTERED BY (`${m.key}`) SORTED BY (`${m.key}`)
-                 |INTO ${m.buckets} BUCKETS
-                 |LOCATION '${m.dir}'""".stripMargin)
-            catch {
-              case _: org.apache.spark.sql.AnalysisException
-                  if spark.catalog.tableExists(name) => ()
-            }
-          }
-          Some(spark.table(name))
-        }
+        else Some(attachBucketedTable(snapshotTableName(table), m.dir,
+          m.key, m.buckets))
     }
   }
 
   /** Uncompacted backlog of `table`: LIVE physical parquet files beyond
-    * one per storage bucket (the current generation only — a superseded
-    * generation kept for in-flight readers is storage debt, not lag).
-    * Every small per-tx append adds one; compaction folds each bucket
-    * back to a single file. Metadata-only FS listing — the measure the
-    * healthz surface and the auto-compaction trigger share. */
+    * the compacted bucketed set (the current generation only — a
+    * superseded generation kept for in-flight readers is storage debt,
+    * not lag). Every small per-tx append adds files; compaction folds the
+    * log back to one file per `_iid` bucket (the `_evmeta.json` baseline;
+    * a never-compacted table's baseline is one file — the first part is a
+    * table, the rest is consolidation debt). Metadata-only FS listing —
+    * the measure the healthz surface and the auto-compaction trigger
+    * share. */
   def blockLag(table: String): Long = {
     val fs = hadoopFs
     val dir = new org.apache.hadoop.fs.Path(dataDir(table))
     if (!fs.exists(dir)) return 0L
-    val perBucket = scala.collection.mutable.Map.empty[String, Long]
+    var files = 0L
     // manual listStatus recursion: listFiles(recursive) falls back to
     // RawLocalFileSystem permission loading that breaks on non-file URI
     // schemes (the objstore:// double) — listStatus stays in the
@@ -703,18 +845,19 @@ class XtDb(spark: SparkSession, val root: String) {
       fs.listStatus(p).foreach { st =>
         // `_`-prefixed members WITHOUT '=' are metadata (the bucketed
         // current snapshot, pointers) — Spark's file index skips them by
-        // the same rule, so they are not event-log backlog. `_bucket=c`
-        // partition dirs stay in.
+        // the same rule, so they are not event-log backlog
         if (st.getPath.getName.startsWith("_") &&
             !st.getPath.getName.contains("=")) ()
         else if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet")) {
-          val bucket = st.getPath.getParent.getName
-          perBucket(bucket) = perBucket.getOrElse(bucket, 0L) + 1L
-        }
+        else if (st.getPath.getName.endsWith(".parquet")) files += 1L
       }
     walk(dir)
-    perBucket.valuesIterator.map(_ - 1L).sum
+    val baseline = readEvMeta(table) match {
+      case Some((gen, n, _, _))
+          if gen == currentGen(table).getOrElse(0) => n
+      case _ => 1L
+    }
+    math.max(0L, files - baseline)
   }
 
   /** The reference compactor's TRIGGER policy (Compactor.kt wakes when
@@ -1049,13 +1192,14 @@ class XtDb(spark: SparkSession, val root: String) {
     val it = fs.listFiles(
       new org.apache.hadoop.fs.Path(tableDir(table)), true)
     val rows = scala.collection.mutable.Buffer[(String, String, Long)]()
+    val bucketId = "_(\\d{5})(?:\\.c\\d+)?\\..*parquet$".r
     while (it.hasNext) {
       val f = it.next()
       if (f.getPath.getName.endsWith(".parquet")) {
-        val bucket = f.getPath.getParent.getName match {
-          case b if b.startsWith(s"$BUCKET=") => b.substring(BUCKET.length + 1)
-          case _ => ""
-        }
+        // compacted files carry their `_iid` hash-bucket id in the Spark
+        // bucketed-file name suffix; plain per-tx appends report ""
+        val bucket = bucketId.findFirstMatchIn(f.getPath.getName)
+          .map(_.group(1)).getOrElse("")
         rows += ((bucket, f.getPath.toString, f.getLen))
       }
     }

@@ -1548,6 +1548,65 @@ object Infra {
                   ELSE o_totalprice END AS price,
              o_orderstatus AS status
       FROM orders WHERE o_orderkey < 150 AND o_orderkey % 4 <> 0
-      ORDER BY _id"""))
+      ORDER BY _id""")),
+
+    // ---- SQL-DECLARED bucket layout (round 12, verdict ask #2): the DDL
+    // face of XtDb.declareLayout. `ALTER TABLE … DECLARE LAYOUT` persists
+    // the declaration, compacts, and materializes the bucketed current
+    // snapshot; a current-point SQL join on the declared keys then plans
+    // with ZERO fact-side exchange (required in-query), and
+    // information_schema_table_layouts exposes the declaration + live
+    // snapshot validity. The oracle replays the logical join — the
+    // physical layout must not change the relation. Reference analogue:
+    // layout is a write-time compactor property, transparent to readers
+    // (compactor/Compactor.kt).
+    QueryDef("q227_sql_declared_layout", (s, dir) => {
+      val (db, eng) = fresh(s)
+      db.putDocs("lo_o", Tables.load(s, dir, "orders")
+        .filter(col("o_orderkey") < 2000)
+        .select(col("o_orderkey").as("_id"),
+          col("o_orderkey").as("ok"), col("o_orderstatus").as("st")))
+      // documents need a UNIQUE _id (the synthetic lineitem has duplicate
+      // (orderkey, linenumber) pairs), so ingest per-order line aggregates
+      db.putDocs("lo_l", Tables.load(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 2000)
+        .groupBy(col("l_orderkey").as("okl"))
+        .agg(count(lit(1)).as("nl"),
+          sum(col("l_quantity").cast("long")).as("qty"))
+        .withColumn("_id", col("okl")))
+      eng.sql("ALTER TABLE lo_o DECLARE LAYOUT (key = ok, buckets = 4)")
+      eng.sql("ALTER TABLE lo_l DECLARE LAYOUT (key = okl, buckets = 4)")
+      val meta = eng.sql(
+        "SELECT table_name, layout_key, layout_buckets, snapshot_valid " +
+          "FROM information_schema_table_layouts ORDER BY table_name")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getBoolean(3))).toSeq
+      require(meta == Seq(("lo_l", "okl", 4L, true), ("lo_o", "ok", 4L, true)),
+        s"table_layouts must expose both live declarations, got $meta")
+      // the join itself is exchange-free on the declared layout
+      val joined = eng.sql(
+        "SELECT o.st, l.qty FROM lo_l l JOIN lo_o o ON l.okl = o.ok")
+      require(Explain.report(joined).shuffleExchanges == 0,
+        "SQL join over SQL-declared layouts must not shuffle")
+      val agg = eng.sql(
+        "SELECT o.st AS st, count(*) AS n, CAST(sum(l.nl) AS BIGINT) AS nl, " +
+          "CAST(sum(l.qty) AS BIGINT) AS qty " +
+          "FROM lo_l l JOIN lo_o o ON l.okl = o.ok " +
+          "GROUP BY o.st ORDER BY st")
+      require(Explain.report(agg).shuffleExchanges <= 2,
+        "only the aggregation + presentation sort may exchange over the " +
+          "declared layout (the join itself is pinned exchange-free above)")
+      agg
+    }, Some("""
+      WITH la AS (
+        SELECT l_orderkey, count(*) AS nl,
+               sum(CAST(l_quantity AS BIGINT)) AS qty
+        FROM lineitem WHERE l_orderkey < 2000 GROUP BY l_orderkey)
+      SELECT o_orderstatus AS st, count(*) AS n,
+             CAST(sum(nl) AS BIGINT) AS nl, CAST(sum(qty) AS BIGINT) AS qty
+      FROM la JOIN orders ON l_orderkey = o_orderkey
+      WHERE o_orderkey < 2000
+      GROUP BY o_orderstatus ORDER BY st"""))
   )
 }

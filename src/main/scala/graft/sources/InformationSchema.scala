@@ -74,4 +74,20 @@ object InformationSchema {
       }
     }.toDF("table_name", "column_name", "ordinal_position", "data_type")
   }
+
+  /** information_schema.table_layouts — the declared bucket layouts
+    * (`XtDb.declareLayout` / `CREATE TABLE … WITH (layout_key…)` /
+    * `ALTER TABLE … DECLARE LAYOUT`), one row per declared table, with
+    * whether a storage-verified bucketed snapshot is currently serving.
+    * Driver-side catalog read per table — registered only when a query
+    * references the view. */
+  def layoutsFor(db: XtDb, spark: SparkSession,
+      tableNames: Seq[String]): DataFrame = {
+    import spark.implicits._
+    tableNames.flatMap { n =>
+      db.layoutOf(n).map(l =>
+        (n, l.key, l.buckets.toLong,
+          db.currentSnapshotIfValid(n).isDefined))
+    }.toDF("table_name", "layout_key", "layout_buckets", "snapshot_valid")
+  }
 }

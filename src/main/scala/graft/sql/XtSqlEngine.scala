@@ -94,9 +94,21 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
       rep.render.split("\n").toSeq.toDF("plan")
     } else parse(text, dbNames) match {
       case Query(pq) => runQuery(pq)
-      case CreateTable(table, ddl) =>
+      case CreateTable(table, ddl, layout) =>
         db.createTable(table, ddl)
+        // the WITH (layout_key, layout_buckets) clause — the SQL face of
+        // XtDb.declareLayout: write-time storage organization, transparent
+        // to readers (reference compactor layout). The table is empty, so
+        // materialization waits for data (auto-compaction or the first
+        // explicit compact).
+        layout.foreach { case (k, b) => db.declareLayout(table, k, b) }
         txInfo(db.snapshotToken())
+      case DeclareLayout(table, key, buckets) =>
+        db.declareLayout(table, key, buckets)
+        // compact immediately so the bucketed snapshot + iid-bucketed log
+        // materialize now, not at the next write (no-op on an empty table)
+        db.compact(table)
+        statusDf("status", s"DECLARE LAYOUT $table ($key, $buckets)")
       case GrantRevoke(grant, what, grantee) =>
         if (!isSuperuser) throw SqlParseException(
           s"GRANT/REVOKE requires the superuser principal " +
@@ -424,6 +436,11 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
       graft.sources.InformationSchema.columnsFor(db, spark, infoTables)
         .createOrReplaceTempView("information_schema_columns")
     }
+    // declared layouts (+ live snapshot validity): the validity column
+    // stats storage per table, so materialize only when asked for
+    if (referenced.contains("information_schema_table_layouts"))
+      graft.sources.InformationSchema.layoutsFor(db, spark, infoTables)
+        .createOrReplaceTempView("information_schema_table_layouts")
     // pg_catalog views under bare names (reference puts pg_catalog on the
     // default search path, information_schema.clj:204) — BI tools schema-sync
     // against these over the JDBC front door
@@ -550,7 +567,8 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
       }).load(path)
       val (vf, vt) = validCols(docs)
       TxOp.Put(table, docs, vf, vt)
-    case CreateTable(_, _) | GrantRevoke(_, _, _) | CopyOut(_, _, _) =>
+    case CreateTable(_, _, _) | DeclareLayout(_, _, _) |
+        GrantRevoke(_, _, _) | CopyOut(_, _, _) =>
       throw SqlParseException("DDL is not valid inside a transaction")
     case Patch(table, valid, recs) =>
       val (vf, vt) = rangeCols(valid)

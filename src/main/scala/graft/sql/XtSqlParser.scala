@@ -72,8 +72,18 @@ object XtSqlParser {
     /** COPY <table> FROM '<path>' [WITH (FORMAT <fmt>)] — bulk ingest. */
     final case class CopyIn(table: String, path: String,
         format: Option[String]) extends XtStatement
-    /** CREATE TABLE <t> (<col> <type>, …) — schema pre-declaration. */
-    final case class CreateTable(table: String, columnsDdl: String)
+    /** CREATE TABLE <t> (<col> <type>, …)
+      * [WITH (layout_key = <col>, layout_buckets = <n>)] — schema
+      * pre-declaration, optionally carrying the table's bucket-layout
+      * declaration (the write-time storage organization the engine's
+      * compactor materializes — reference compactor/Compactor.kt: layout
+      * is a write-time property, transparent to readers). */
+    final case class CreateTable(table: String, columnsDdl: String,
+        layout: Option[(String, Int)] = None) extends XtStatement
+    /** ALTER TABLE <t> DECLARE LAYOUT (key = <col>, buckets = <n>) —
+      * declare/replace the bucket layout of an EXISTING table; the engine
+      * compacts immediately so the bucketed snapshot materializes. */
+    final case class DeclareLayout(table: String, key: String, buckets: Int)
       extends XtStatement
     /** GRANT/REVOKE <what> TO/FROM <grantee> (role catalog record). */
     /** DML with a trailing `RETURNING <select list>` (Sql.g4:19-31):
@@ -143,6 +153,7 @@ object XtSqlParser {
       case "ASSERT" => parseAssert(sql, toks)
       case "COPY" => parseCopy(sql, toks)
       case "CREATE" => parseCreate(sql, toks)
+      case "ALTER" => parseAlter(sql, toks)
       case "GRANT" | "REVOKE" => parseGrantRevoke(sql, toks)
       case "BEGIN" | "START" => parseBegin(sql, toks)
       case "COMMIT" => XtStatement.Commit
@@ -1507,8 +1518,61 @@ object XtSqlParser {
     if (toks.length <= 3 || !toks(3).isPunct("("))
       throw SqlParseException("CREATE TABLE requires a column list")
     val close = matchParen(toks, 3)
+    val layout =
+      if (close + 1 < toks.length && toks(close + 1).is("WITH"))
+        Some(parseLayoutOptions(toks, close + 2,
+          keyName = "layout_key", bucketsName = "layout_buckets"))
+      else None
     XtStatement.CreateTable(table,
-      sql.substring(toks(4).start, toks(close - 1).end))
+      sql.substring(toks(4).start, toks(close - 1).end), layout)
+  }
+
+  /** ALTER TABLE <t> DECLARE LAYOUT (key = <col>, buckets = <n>). */
+  private def parseAlter(sql: String, toks: Vector[Tok]): XtStatement = {
+    expect(toks, 1, "TABLE")
+    val table = tableNameAt(toks, 2)
+    expect(toks, 3, "DECLARE")
+    expect(toks, 4, "LAYOUT")
+    val (key, buckets) = parseLayoutOptions(toks, 5,
+      keyName = "key", bucketsName = "buckets")
+    XtStatement.DeclareLayout(table, key, buckets)
+  }
+
+  /** `( <keyName> = <col|'col'>, <bucketsName> = <n> )` in either order. */
+  private def parseLayoutOptions(toks: Vector[Tok], open: Int,
+      keyName: String, bucketsName: String): (String, Int) = {
+    if (open >= toks.length || !toks(open).isPunct("("))
+      throw SqlParseException(s"expected ($keyName = …, $bucketsName = …)")
+    val close = matchParen(toks, open)
+    var key: Option[String] = None
+    var buckets: Option[Int] = None
+    var i = open + 1
+    while (i < close - 1) {
+      val name = toks(i).text.toLowerCase(java.util.Locale.ROOT)
+      if (i + 2 >= close || !toks(i + 1).isPunct("="))
+        throw SqlParseException(s"expected <option> = <value> at '$name'")
+      val v = toks(i + 2)
+      name match {
+        case `keyName` =>
+          key = Some(
+            if (v.kind == Tok.Str) v.text.substring(1, v.text.length - 1)
+            else identName(v))
+        case `bucketsName` =>
+          if (v.kind != Tok.Num)
+            throw SqlParseException(s"$bucketsName must be an integer")
+          buckets = Some(v.text.toInt)
+        case other =>
+          throw SqlParseException(s"unknown layout option: $other")
+      }
+      i += 3
+      if (i < close - 1) {
+        if (!toks(i).isPunct(","))
+          throw SqlParseException("expected ',' between layout options")
+        i += 1
+      }
+    }
+    (key.getOrElse(throw SqlParseException(s"missing $keyName")),
+      buckets.getOrElse(throw SqlParseException(s"missing $bucketsName")))
   }
 
   private def parseGrantRevoke(sql: String, toks: Vector[Tok]): XtStatement = {

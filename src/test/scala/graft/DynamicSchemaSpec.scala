@@ -37,10 +37,10 @@ class DynamicSchemaSpec extends AnyFunSuite {
     import spark.implicits._
     db.putDocs("big", Seq((1L, 10)).toDF("_id", "v")) // v: int
     def dataFiles() = {
-      val d = new java.io.File(s"$root/big")
-      d.listFiles.flatMap(b =>
-        if (b.isDirectory) b.listFiles.filter(_.getName.endsWith(".parquet"))
-        else Array.empty[java.io.File])
+      def walk(f: java.io.File): Iterator[java.io.File] =
+        if (f.isDirectory) f.listFiles.iterator.flatMap(walk) else Iterator(f)
+      walk(new java.io.File(s"$root/big"))
+        .filter(_.getName.endsWith(".parquet"))
         .map(f => f.getPath -> f.lastModified).toMap
     }
     val before = dataFiles()

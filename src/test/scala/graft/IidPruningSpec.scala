@@ -8,8 +8,10 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.scalatest.funsuite.AnyFunSuite
 
 /** iid point-lookup pruning (reference scan.clj:161-199): `_id = k`
-  * through the SQL engine must derive the `_bucket` partition predicate
-  * and scan ONE bucket directory, not all 16. */
+  * through the SQL engine must derive the `_iid = md5(k)` predicate at the
+  * scan — over a compacted (iid-bucketed) log that equality prunes the
+  * scan to ONE of the hash buckets before any file is opened; over
+  * uncompacted appends it is a pushed parquet data filter. */
 class IidPruningSpec extends AnyFunSuite {
 
   lazy val spark: SparkSession = SparkSession.builder()
@@ -27,7 +29,8 @@ class IidPruningSpec extends AnyFunSuite {
     case other => other.children.flatMap(scans)
   }
 
-  test("_id equality injects _iid + _bucket predicates; one bucket scanned") {
+  test("_id equality injects _iid + _bucket predicates; a compacted log " +
+      "scans ONE hash bucket") {
     import spark.implicits._
     val db = new XtDb(spark,
       java.nio.file.Files.createTempDirectory("iidprune").toString)
@@ -36,28 +39,36 @@ class IidPruningSpec extends AnyFunSuite {
     db.submitTx(Seq(graft.bitemporal.TxOp.Put("pts",
       spark.range(1, 201).selectExpr("id AS _id", "id * 10 AS v"))))
 
+    // uncompacted appends: the derived _iid equality is a pushed data
+    // filter (parquet row-group stats), _bucket rides along
+    val q0 = eng.sql("SELECT _id, v FROM pts WHERE _id = 42")
+    assert(q0.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      Seq((42L, 420L)))
+    val scan0 = scans(q0.queryExecution.executedPlan).head
+    assert(scan0.dataFilters.exists(_.references.exists(_.name == "_iid")),
+      s"no _iid data filter in ${scan0.dataFilters}")
+    assert(scan0.dataFilters.exists(_.references.exists(_.name == "_bucket")),
+      s"no _bucket data filter in ${scan0.dataFilters}")
+
+    // compacted: the generation is iid-bucketed, so the SAME query prunes
+    // the scan to exactly one hash bucket before any file is opened
+    db.compact("pts")
     val q = eng.sql("SELECT _id, v FROM pts WHERE _id = 42")
     val rows = q.collect()
     assert(rows.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((42L, 420L)))
-
-    // the derived predicates reached the scan: _bucket as a partition
-    // filter (1 of 16 dirs), _iid as a pushed data filter
     val sc = scans(q.queryExecution.executedPlan)
     assert(sc.nonEmpty, "no file scan found")
     val scan = sc.head
-    assert(scan.partitionFilters.exists(
-      _.references.exists(_.name == "_bucket")),
-      s"no _bucket partition filter in ${scan.partitionFilters}")
-    assert(scan.selectedPartitions.partitionCount == 1,
-      s"expected 1 bucket dir, scanned ${scan.selectedPartitions.partitionCount}")
-    assert(scan.dataFilters.exists(_.references.exists(_.name == "_iid")),
-      s"no _iid data filter in ${scan.dataFilters}")
+    assert(scan.bucketedScan, s"compacted read must be a bucketed scan:\n$scan")
+    assert(scan.optionalBucketSet.exists(_.cardinality() == 1),
+      s"expected 1 selected bucket, got " +
+        s"${scan.optionalBucketSet.map(_.cardinality())}:\n$scan")
 
-    // negative control: a non-equality filter scans every bucket present
+    // negative control: a non-equality filter selects every bucket
     val full = eng.sql("SELECT count(*) AS n FROM pts WHERE v > 0")
     assert(full.head.getLong(0) == 200L)
     val fullScan = scans(full.queryExecution.executedPlan).head
-    assert(fullScan.selectedPartitions.partitionCount > 1)
+    assert(fullScan.optionalBucketSet.forall(_.cardinality() > 1))
   }
 
   test("unsafe shapes are left alone (aggregate over all rows stays exact)") {

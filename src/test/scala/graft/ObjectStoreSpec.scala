@@ -64,8 +64,8 @@ class ObjectStoreSpec extends AnyFunSuite {
     db.putDocs("docs", Seq((100L, "tagged")).toDF("_id", "v"))
     val g1 = ls(fs, s"$root/docs")
     assert(g1.contains("g1") && g1.contains("_gen"), s"after migration: $g1")
-    assert(g1.exists(_.startsWith("_bucket=")),
-      s"legacy gen-0 data should survive until g2: $g1")
+    assert(g1.exists(_.endsWith(".parquet")),
+      s"legacy gen-0 data (loose appended parts) should survive until g2: $g1")
     val cur = Bitemporal.current(db.events("docs"))
     assert(cur.count() == 51)
     // union column: original longs and the tagged string both resolve
@@ -78,7 +78,7 @@ class ObjectStoreSpec extends AnyFunSuite {
     db.compact("docs")
     val g2 = ls(fs, s"$root/docs")
     assert(g2.contains("g2") && g2.contains("g1"), s"after compact: $g2")
-    assert(!g2.exists(_.startsWith("_bucket=")),
+    assert(!g2.exists(_.endsWith(".parquet")),
       s"gen-0 legacy data should be swept at g2: $g2")
     val afterCompact = Bitemporal.current(db.events("docs"))
     assert(afterCompact.count() == 50)

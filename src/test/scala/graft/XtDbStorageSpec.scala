@@ -18,9 +18,9 @@ class XtDbStorageSpec extends AnyFunSuite {
     .getOrCreate()
 
   // Recursive count of the LIVE file set — after a rewrite the data sits
-  // in a generation subdirectory (`g<N>/_bucket=*/...`) while the
-  // superseded generation is kept for in-flight readers, so counting the
-  // table root would see both.
+  // in a generation subdirectory (`g<N>/...`, iid-bucketed files) while
+  // the superseded generation is kept for in-flight readers, so counting
+  // the table root would see both.
   private def parquetFiles(dir: String): Int = {
     def walk(f: java.io.File): Iterator[java.io.File] =
       if (f.isDirectory) f.listFiles.iterator.flatMap(walk) else Iterator(f)
@@ -41,11 +41,12 @@ class XtDbStorageSpec extends AnyFunSuite {
     val before = parquetFiles(db.dataDir("items"))
     assert(before >= 8)
 
-    // point lookup: correct row + bucket partition filter in the plan
+    // point lookup: correct row + derived _iid/_bucket predicates pushed
+    // to the scan
     val hit = db.pointLookup("items", 5L)
     assert(hit.select("name").as[String].collect().toSeq == Seq("item5"))
     val plan = hit.queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("_bucket"))
+    assert(plan.contains("_bucket") && plan.contains("_iid"))
 
     // full snapshot before compaction
     val beforeRows = db.asOf("items").select("_id", "name", "qty")
@@ -54,13 +55,20 @@ class XtDbStorageSpec extends AnyFunSuite {
     db.compact("items")
     val after = parquetFiles(db.dataDir("items"))
     assert(after < before)
+    // the compacted generation serves as the iid-bucketed catalog table
+    assert(db.bucketedEventsIfValid("items").isDefined,
+      "compaction must leave a storage-verified bucketed event log")
 
     val afterRows = db.asOf("items").select("_id", "name", "qty")
       .as[(Long, String, Long)].collect().toSet
     assert(afterRows == beforeRows && afterRows.size == 8)
 
-    // history still resolves after compaction (SEQ/SF preserved)
+    // history still resolves after compaction (SEQ/SF preserved); the
+    // append flips event serving back to the flat path (fingerprint
+    // invalidation) with identical results
     db.putDocs("items", Seq((5L, "item5b", 55L)).toDF("_id", "name", "qty"))
+    assert(db.bucketedEventsIfValid("items").isEmpty,
+      "an append must invalidate the bucketed event serving")
     assert(db.pointLookup("items", 5L).select("name")
       .as[String].collect().toSeq == Seq("item5b"))
     assert(db.history("items").filter(col("_id") === 5L).count() >= 2)

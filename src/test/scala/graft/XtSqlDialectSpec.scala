@@ -435,6 +435,46 @@ class XtSqlDialectSpec extends AnyFunSuite {
       .as[Long].collect().head == 1L)
   }
 
+  test("SQL-declared layouts: CREATE TABLE … WITH (layout_key, " +
+      "layout_buckets) and ALTER TABLE … DECLARE LAYOUT persist the " +
+      "declaration, materialize the snapshot, and surface in " +
+      "information_schema_table_layouts") {
+    val (db, eng) = fresh()
+    import spark.implicits._
+    // CREATE TABLE carries the declaration (empty table: snapshot waits)
+    eng.sql("CREATE TABLE lt1 (_id BIGINT, k BIGINT, v STRING) " +
+      "WITH (layout_key = k, layout_buckets = 4)")
+    assert(db.layoutOf("lt1").contains(db.TableLayout("k", 4)))
+    // ALTER TABLE declares on an existing table and compacts immediately
+    (1 to 20).foreach(i =>
+      eng.sql(s"INSERT INTO lt2 RECORDS {_id: $i, k: ${i % 5}, v: 'x$i'}"))
+    assert(db.currentSnapshotIfValid("lt2").isEmpty)
+    eng.sql("ALTER TABLE lt2 DECLARE LAYOUT (key = k, buckets = 2)")
+    assert(db.layoutOf("lt2").contains(db.TableLayout("k", 2)))
+    assert(db.currentSnapshotIfValid("lt2").isDefined,
+      "DECLARE LAYOUT must compact and materialize the snapshot")
+    // quoted-string key form parses too
+    eng.sql("ALTER TABLE lt2 DECLARE LAYOUT (buckets = 2, key = 'k')")
+    // info-schema exposure: declared tables with live validity
+    val meta = eng.sql(
+      "SELECT table_name, layout_key, layout_buckets, snapshot_valid " +
+        "FROM information_schema_table_layouts ORDER BY table_name")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(meta.toSeq == Seq(("lt1", "k", 4L), ("lt2", "k", 2L)))
+    // results unchanged by the layout
+    assert(eng.sql("SELECT count(*) AS n FROM lt2").as[Long].head == 20L)
+    // malformed forms refuse loudly
+    intercept[Exception] {
+      eng.sql("ALTER TABLE lt2 DECLARE LAYOUT (key = k)")
+    }
+    intercept[Exception] {
+      eng.sql("ALTER TABLE lt2 DECLARE LAYOUT (key = k, buckets = 'x')")
+    }
+    intercept[Exception] {
+      eng.sql("ALTER TABLE lt2 DECLARE LAYOUT (key = k, buckets = 2, zap = 1)")
+    }
+  }
+
   test("sqlScript: ;-separated statements run in order, last result returned") {
     val (db, eng) = fresh()
     import spark.implicits._
