@@ -197,43 +197,26 @@ object StatsSidecar {
       }.isDefined
       if (unsafe) None
       else plan.output.find(_.name == colName)
-        .flatMap(a => traceToScan(plan, a.exprId))
-        .flatMap { case (path, baseName) =>
-          read(path)
-            .filter { st =>
-              val dfs = dataFiles(path)
-              // files == 0 means the fingerprint saw nothing — an
-              // unlistable layout; a 0==0 match would let a stale bound
-              // through, so an empty fingerprint never validates.
-              st.files > 0 && st.files == dfs.size.toLong &&
-                st.mtime == (if (dfs.isEmpty) -1L
-                             else dfs.map(_.lastModified()).max) &&
-                // micros for Date/TimestampNTZ columns were computed in
-                // the ANALYZE session's timezone; a query session in a
-                // different zone could make this an underestimate
-                st.tz == df.sparkSession.sessionState.conf.sessionLocalTimeZone
-            }
-            .flatMap(_.maxMicros.get(baseName))
-        }
+        .flatMap(a => attrBound(plan, a.exprId,
+          df.sparkSession.sessionState.conf.sessionLocalTimeZone))
     } catch { case scala.util.control.NonFatal(_) => None }
 
-  /** Follow an attribute (by exprId) down to the parquet scan that
-    * produces it, through pass-through plan nodes and one-level
-    * `Alias(attr)` renames. Returns (local path, leaf column name). */
-  private def traceToScan(
+  /** Upper bound (epoch micros) of an attribute, following it (by exprId)
+    * down to the parquet scan that produces it — through pass-through
+    * plan nodes and MONOTONE computed projections ([[exprBound]]). */
+  private def attrBound(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
-      id: org.apache.spark.sql.catalyst.expressions.ExprId)
-      : Option[(String, String)] = {
+      id: org.apache.spark.sql.catalyst.expressions.ExprId,
+      tz: String): Option[Long] = {
     import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
     plan match {
       case p: Project =>
         p.projectList.find(_.exprId == id) match {
-          case Some(a: AttributeReference) => traceToScan(p.child, a.exprId)
-          case Some(Alias(a: AttributeReference, _)) =>
-            traceToScan(p.child, a.exprId)
-          case _ => None // computed expression — not a pass-through
+          case Some(a: AttributeReference) => attrBound(p.child, a.exprId, tz)
+          case Some(Alias(e, _)) => exprBound(e, p.child, tz)
+          case _ => None
         }
       case lr: LogicalRelation =>
         lr.relation match {
@@ -242,7 +225,7 @@ object StatsSidecar {
               fs.location.rootPaths.toSeq match {
                 case Seq(p) if p.toUri.getScheme == null ||
                     p.toUri.getScheme == "file" =>
-                  Some((p.toUri.getPath, a.name))
+                  leafBound(p.toUri.getPath, a.name, tz)
                 case _ => None
               }
             }
@@ -250,9 +233,74 @@ object StatsSidecar {
         }
       case other =>
         other.children.find(_.output.exists(_.exprId == id)) match {
-          case Some(c) => traceToScan(c, id)
+          case Some(c) => attrBound(c, id, tz)
           case None => None
         }
     }
   }
+
+  /** Upper bound of a MONOTONE computed temporal expression — the shapes
+    * the interval-join inputs take in practice (`date_trunc(unit, ts)`,
+    * `ts + INTERVAL k`, `ts - INTERVAL k`): each is bounded exactly from
+    * the scanned column's sidecar bound, so derived period endpoints
+    * resolve the horizon as a LITERAL instead of paying a per-query
+    * max-aggregate scan of each side. Soundness per case:
+    * trunc(ts) <= ts (truncation never moves forward); `+ interval` with
+    * a LITERAL day-time interval shifts the max by exactly that many
+    * micros (addExact — overflow falls back to None via the outer catch).
+    * Anything else — casts that reinterpret the zone, non-literal
+    * intervals, month intervals (variable length) — returns None and the
+    * operator computes the bound in-job as before. */
+  private def exprBound(
+      e: org.apache.spark.sql.catalyst.expressions.Expression,
+      child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+      tz: String): Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.types.DayTimeIntervalType
+    e match {
+      case a: AttributeReference => attrBound(child, a.exprId, tz)
+      // casts the bound itself went through: [[analyze]] stores
+      // unix_micros(CAST(max(col) AS TIMESTAMP)), i.e. the stored micros
+      // for an NTZ/Date column are already the post-cast instant under
+      // the analyze session's zone — and the leaf check refuses a zone
+      // mismatch. The wall->instant mapping is monotone non-decreasing
+      // for fixed zone rules, so max commutes with the cast (the same
+      // assumption analyze's one-pass aggregate already makes). Identity
+      // casts (the analyzer wraps arithmetic in ts->ts) pass trivially.
+      // The REVERSE direction (instant->wall, timestamp->ntz/date) is
+      // NOT covered: the stored micros are instant-based and a wall
+      // reinterpretation would need the inverse mapping.
+      case c: Cast
+          if c.child.dataType == c.dataType ||
+            (c.dataType == org.apache.spark.sql.types.TimestampType &&
+              (c.child.dataType == org.apache.spark.sql.types.TimestampNTZType ||
+                c.child.dataType == org.apache.spark.sql.types.DateType)) =>
+        exprBound(c.child, child, tz)
+      case TruncTimestamp(_, ts, _) => exprBound(ts, child, tz)
+      case TimestampAddInterval(start, Literal(v: Long, _: DayTimeIntervalType), _) =>
+        exprBound(start, child, tz).map(b => Math.addExact(b, v))
+      case _ => None
+    }
+  }
+
+  /** The sidecar bound for a scanned column, trusted only when the
+    * sidecar's freshness fingerprint matches the live directory and the
+    * ANALYZE session's timezone matches the query session's. */
+  private def leafBound(path: String, baseName: String,
+      tz: String): Option[Long] =
+    read(path)
+      .filter { st =>
+        val dfs = dataFiles(path)
+        // files == 0 means the fingerprint saw nothing — an unlistable
+        // layout; a 0==0 match would let a stale bound through, so an
+        // empty fingerprint never validates.
+        st.files > 0 && st.files == dfs.size.toLong &&
+          st.mtime == (if (dfs.isEmpty) -1L
+                       else dfs.map(_.lastModified()).max) &&
+          // micros for Date/TimestampNTZ columns were computed in the
+          // ANALYZE session's timezone; a query session in a different
+          // zone could make this an underestimate
+          st.tz == tz
+      }
+      .flatMap(_.maxMicros.get(baseName))
 }

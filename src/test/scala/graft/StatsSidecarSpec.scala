@@ -60,13 +60,31 @@ class StatsSidecarSpec extends AnyFunSuite {
       val bound = StatsSidecar.maxMicrosUpperBound(df, "ts")
       assert(bound.contains(st.maxMicros("ts")),
         "fresh sidecar must supply the bound with zero jobs")
-      // pass-through projections keep the bound; computed columns do not
+      // pass-through projections keep the bound
       assert(StatsSidecar.maxMicrosUpperBound(
         df.select(col("ts"), col("id")).filter(col("id") > 0), "ts")
         .isDefined)
+      // MONOTONE computed projections (round 12): the interval-join
+      // horizon's derived period endpoints — `+ INTERVAL k` shifts the
+      // bound by exactly k micros, `date_trunc` passes it through
+      // (trunc(ts) <= ts), and compositions stack. EXACT arithmetic:
+      // a too-small bound silently drops pairs.
       assert(StatsSidecar.maxMicrosUpperBound(
         df.select((col("ts") + expr("INTERVAL 1 DAY")).as("ts")), "ts")
-        .isEmpty, "a computed column must never trace to the scan")
+        .contains(st.maxMicros("ts") + 86400L * 1000000L))
+      assert(StatsSidecar.maxMicrosUpperBound(
+        df.select((date_trunc("second", col("ts")) +
+          expr("INTERVAL 2 MINUTES")).as("p"), col("id")), "p")
+        .contains(st.maxMicros("ts") + 120L * 1000000L),
+        "the q203 bench shape (trunc + interval) must resolve as a literal")
+      // non-monotone / variable-length shapes still refuse: month
+      // intervals vary, arbitrary exprs are untraceable
+      assert(StatsSidecar.maxMicrosUpperBound(
+        df.select((col("ts") + expr("INTERVAL 1 MONTH")).as("m")), "m")
+        .isEmpty, "month intervals are variable-length — no static bound")
+      assert(StatsSidecar.maxMicrosUpperBound(
+        df.select(greatest(col("ts"), current_timestamp()).as("g")), "g")
+        .isEmpty)
       // REWRITE the table with a later max but WITHOUT re-ANALYZE: the
       // fingerprint (file count + mtime) must reject the stale bound
       val old = new java.io.File(path).listFiles()
