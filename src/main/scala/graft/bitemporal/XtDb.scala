@@ -248,6 +248,7 @@ class XtDb(spark: SparkSession, val root: String) {
     val out = fs.create(genPath(table), true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     writeEvMeta(table, next, nb)
+    noEvMeta.remove(table)
     // keep the superseded generation for in-flight readers; drop older.
     // Root-layout legacy data (loose appended parts) is "generation 0":
     // kept on the g1 flip, swept on the g2 flip.
@@ -314,6 +315,9 @@ class XtDb(spark: SparkSession, val root: String) {
     * and treats a concurrent-registration race as success. */
   private def attachBucketedTable(name: String, path: String, key: String,
       buckets: Int): DataFrame = {
+    require(!path.contains("'"),
+      s"bucketed table path '$path' must not contain a single quote " +
+        "(spliced into LOCATION)")
     val qualify = (p: String) =>
       hadoopFs.makeQualified(new org.apache.hadoop.fs.Path(p)).toString
     if (spark.catalog.tableExists(name)) {
@@ -337,21 +341,38 @@ class XtDb(spark: SparkSession, val root: String) {
     spark.table(name)
   }
 
+  // negative cache: tables never compacted under this instance skip the
+  // per-query _evmeta stat (the event-log twin of `noSnapshot`); only
+  // ever ADDED on a miss and cleared by rewriteCommit, so it can never
+  // hold a stale "bucketed"
+  private val noEvMeta =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** The iid-bucketed event log, iff STORAGE still vouches the live
     * generation is exactly the compacted file set: same generation and
-    * same event-file fingerprint (count + max mtime), so an append from
-    * any instance flips readers back to the flat path until the next
-    * compaction. Public so specs/tools can pin the serving decision. */
-  def bucketedEventsIfValid(table: String): Option[DataFrame] =
+    * same NON-EMPTY event-file fingerprint (count + max mtime), so an
+    * append from any instance flips readers back to the flat path until
+    * the next compaction. Any attach failure also degrades to the flat
+    * path — the bucketed serving is strictly an optimization. Public so
+    * specs/tools can pin the serving decision. */
+  def bucketedEventsIfValid(table: String): Option[DataFrame] = {
+    if (noEvMeta.contains(table)) return None
     readEvMeta(table) match {
       case Some((gen, files, mtime, buckets))
           if currentGen(table).getOrElse(0) == gen =>
         val (fc, fm) = eventFingerprint(table)
-        if (fc != files || fm != mtime) None
-        else Some(attachBucketedTable(eventsTableName(table),
-          dataDir(table), IID, buckets))
+        // files == 0 (an empty compacted table) never serves bucketed:
+        // there are no parquet footers to infer the attach schema from,
+        // and the flat read under the registered schema is already free
+        if (files == 0 || fc != files || fm != mtime) None
+        else
+          try Some(attachBucketedTable(eventsTableName(table),
+            dataDir(table), IID, buckets))
+          catch { case scala.util.control.NonFatal(_) => None }
+      case None => noEvMeta.add(table); None
       case _ => None
     }
+  }
 
   private def tableExists(table: String): Boolean = {
     val fs = hadoopFs
@@ -380,11 +401,26 @@ class XtDb(spark: SparkSession, val root: String) {
       .withColumn(BUCKET, substring(col(IID), 1, 1))
   }
 
+  /** Pre-round-12 stores partitioned every append into `_bucket=<c>/`
+    * dirs; a flat append into such a directory would break Spark's
+    * partition discovery (root-level files + partition dirs mixed) for
+    * every later read. Detect the legacy layout on write and fold it
+    * into an iid-bucketed generation first — a one-time migration
+    * rewrite, after which this table appends flat like any other. */
+  private def migrateLegacyLayoutIfAny(table: String): Unit = {
+    val fs = hadoopFs
+    val dir = new org.apache.hadoop.fs.Path(dataDir(table))
+    if (fs.exists(dir) &&
+        fs.listStatus(dir).exists(_.getPath.getName.startsWith(s"$BUCKET=")))
+      compact(table)
+  }
+
   private def appendEvents(table: String, docs: DataFrame, op: String,
       validFrom: Option[Column], validTo: Option[Column]): java.sql.Timestamp = {
     val sysTime = nextSystemTime()
     val withMeta = buildEvents(docs, op, validFrom, validTo, sysTime,
       monotonically_increasing_id())
+    migrateLegacyLayoutIfAny(table)
     val conformed = evolveSchema(table, withMeta)
     conformed.write.mode("append").parquet(dataDir(table))
     logTx(sysTime, table, op, committed = true, error = None)
@@ -407,7 +443,17 @@ class XtDb(spark: SparkSession, val root: String) {
   private def maybeAutoCompact(table: String): Unit = {
     val maxLag = spark.conf.get("spark.graft.autoCompact.maxLag", "8").toInt
     if (maxLag >= 0 && layoutOf(table).isDefined)
-      compactIfLagged(table, maxLag)
+      // the append already COMMITTED (and logged) — a maintenance failure
+      // here must not make the put look failed, or a retrying caller
+      // would double-insert. Surface it loudly and leave the backlog for
+      // the next trigger / an explicit compact().
+      try { compactIfLagged(table, maxLag); () }
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println(
+            s"[xtdb] auto-compaction of '$table' failed (append is " +
+              s"committed; backlog remains): ${e.getMessage}")
+      }
   }
 
   /** Multi-op atomic transaction: every op shares ONE system time; ops are
@@ -511,6 +557,7 @@ class XtDb(spark: SparkSession, val root: String) {
         val lubbed = parts.map(_.schema).reduce(DynamicSchema.mergeSchemas)
         val df = parts.map(DynamicSchema.conform(_, lubbed))
           .reduce(_.unionByName(_, allowMissingColumns = true))
+        migrateLegacyLayoutIfAny(table)
         val conformed = evolveSchema(table, df)
         conformed.write.mode("append").parquet(dataDir(table))
         // affected-row count from the committed delta itself (parquet
@@ -644,8 +691,23 @@ class XtDb(spark: SparkSession, val root: String) {
     * under a different layout is invalidated immediately. */
   def declareLayout(table: String, key: String, buckets: Int): Unit = {
     require(buckets > 0, s"declareLayout($table): buckets must be > 0")
-    require(key.nonEmpty && !key.contains("\""),
-      s"declareLayout($table): bad key '$key'")
+    // same character policy as LayoutCatalog.validate: the key is spliced
+    // into hand-rolled JSON (quote/newline would produce a sidecar the
+    // regex reader silently fails on) and into backtick-quoted DDL
+    require(key.nonEmpty && !key.exists(c => c == '"' || c == '`' ||
+        c == '\'' || c == '\\' || c == '\n' || c == '\r'),
+      s"declareLayout($table): key '$key' must be non-empty and contain " +
+        "no quote/backtick/backslash/newline characters")
+    // a declaration against an EXISTING table must name a real payload
+    // column now — otherwise the bad key persists and every later
+    // compaction (incl. the post-write auto-compaction) fails at
+    // materialization, long after the put that triggered it
+    if (tableExists(table)) {
+      val cols = flatEvents(table).columns
+      require(cols.contains(key),
+        s"declareLayout($table): key '$key' is not a column " +
+          s"(${cols.mkString(", ")})")
+    }
     val out = hadoopFs.create(layoutPath(table), true)
     try out.write(s"""{"key":"$key","buckets":$buckets}""".getBytes("UTF-8"))
     finally out.close()

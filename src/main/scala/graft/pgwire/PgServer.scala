@@ -159,14 +159,18 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
             case 'Q' =>
               val text = r.cstr()
               val stmts = splitScript(text)
+              val wasInTx = eng.inTransaction
               if (stmts.length == 1 && isCopyFromStdin(stmts.head)) {
                 try copyInWire(stmts.head, in, out)
                 catch { case e: Exception => error(out, e) }
-                readyForQuery(out, eng)
-              } else {
-                simpleQuery(eng, text, out)
-                readyForQuery(out, eng)
+              } else simpleQuery(eng, text, out)
+              // COMMIT/ROLLBACK (via the simple protocol) ends the
+              // transaction and PG destroys its portals right there, not
+              // at the next Sync
+              if (wasInTx && !eng.inTransaction) {
+                portals.clear(); portalRuns.clear()
               }
+              readyForQuery(out, eng)
             case 'P' => // Parse
               val name = r.cstr(); val query = r.cstr()
               val nOids = r.i16()
@@ -247,9 +251,16 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
                 val portal = r.cstr(); val maxRows = r.i32()
                 val (text, rFmts) = portals.getOrElse(portal,
                   sys.error(s"unknown portal: $portal"))
-                if (!isResultSet(text))
+                if (!isResultSet(text)) {
+                  val wasInTx = eng.inTransaction
                   runStatement(eng, text, out, describe = false)
-                else {
+                  // an extended-protocol COMMIT/ROLLBACK also destroys
+                  // the transaction's portals immediately (PG portal
+                  // lifetime), not at the next Sync
+                  if (wasInTx && !eng.inTransaction) {
+                    portals.clear(); portalRuns.clear()
+                  }
+                } else {
                   // first Execute materializes the portal as a driver-side
                   // partition-at-a-time cursor (toLocalIterator — Spark
                   // pulls one partition per fetch round, never the whole

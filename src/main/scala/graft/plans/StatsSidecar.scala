@@ -278,7 +278,28 @@ object StatsSidecar {
         exprBound(c.child, child, tz)
       case TruncTimestamp(_, ts, _) => exprBound(ts, child, tz)
       case TimestampAddInterval(start, Literal(v: Long, _: DayTimeIntervalType), _) =>
-        exprBound(start, child, tz).map(b => Math.addExact(b, v))
+        // Spark's day-time interval addition is WALL-CLOCK arithmetic in
+        // the session zone (measured: +INTERVAL 1 DAY across a DST
+        // fall-back adds 25h of instant time — so a bare `bound + v`
+        // micros add would UNDER-estimate there and silently drop pairs).
+        // Replicate the exact semantics on the bound instant: to wall in
+        // the session zone, plus v micros of LocalDateTime, back to
+        // instant. The mapping is monotone non-decreasing (instant->wall
+        // monotone; wall +const monotone; wall->instant non-decreasing
+        // under java.time gap/overlap resolution, which Spark itself
+        // uses), so applying it to the max IS the max of applications.
+        // The same formula is exact for NTZ inputs: their stored bound is
+        // the post-cast instant, and cast(ntz + v) = instant(wall + v).
+        exprBound(start, child, tz).map { b =>
+          val zone = java.time.ZoneId.of(tz)
+          val inst = java.time.Instant.ofEpochSecond(
+            Math.floorDiv(b, 1000000L), Math.floorMod(b, 1000000L) * 1000L)
+          val out = inst.atZone(zone).toLocalDateTime
+            .plus(v, java.time.temporal.ChronoUnit.MICROS)
+            .atZone(zone).toInstant
+          Math.addExact(Math.multiplyExact(out.getEpochSecond, 1000000L),
+            out.getNano / 1000L)
+        }
       case _ => None
     }
   }

@@ -26,6 +26,22 @@ object Pipeline {
         .select((col("doc_id") + 100000).as("doc_id"), col("text")))
   }
 
+  /** [[docsWithDups]] with the planted-copy offset derived FROM the
+    * corpus (max doc_id + 1), for the queries that SPLIT on it or
+    * recover the original id from it: a fixed +100000 collides with real
+    * doc ids once the corpus outgrows it (caught by the round-12 25×
+    * gate run — the q223 scale-variant-threshold class). The batch
+    * queries whose ORACLES plant the same +100000 stay on the fixed
+    * constant (symmetric on both sides, scale-safe for matching). */
+  private def docsWithDupsDerived(s: SparkSession,
+      dir: String): (DataFrame, Long) = {
+    val d = t(s, dir, "documents")
+    val off = d.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    (d.select("doc_id", "text").unionAll(
+      d.filter(col("doc_id") < 50)
+        .select((col("doc_id") + off).as("doc_id"), col("text"))), off)
+  }
+
   /** Single source of truth for the Gopher word-count floor — used by
     * every gopherQuality call AND interpolated into gopherCteSql, so the
     * Spark side and the oracle cannot drift. */
@@ -1953,15 +1969,18 @@ object Pipeline {
     // ---- streaming exact dedup end-to-end through the oracle gate (the
     // streaming face of q80; StreamIngest.streamingDedup's
     // flatMapGroupsWithState per-hash state). Originals land in microbatch
-    // 1, the +100000 duplicate copies in batch 2, so every duplicate is a
-    // cross-batch repeat the state must drop. The emitted doc_id is made
-    // arrival-order-invariant by projecting `doc_id % 100000` (original
-    // and copy agree on it), so the oracle needs no arrival-order model.
+    // 1 (written in ascending doc_id order so first-arrival == min id at
+    // any scale), the planted duplicate copies in batch 2, so every
+    // duplicate is a cross-batch repeat the state must drop. The copy
+    // offset is derived from the corpus (max doc_id + 1) and the emitted
+    // id is mapped back through it, so original and copy agree on
+    // `orig_id` at ANY scale factor.
     QueryDef("q107_streaming_dedup", (s, dir) => {
-      val docs = docsWithDups(s, dir).withColumn("h", md5(col("text")))
+      val (docs0, off) = docsWithDupsDerived(s, dir)
+      val docs = docs0.withColumn("h", md5(col("text")))
       val logDir = java.nio.file.Files
         .createTempDirectory("graft_dedup_log").toString
-      docs.filter(col("doc_id") < 100000)
+      docs.filter(col("doc_id") < off).orderBy("doc_id")
         .coalesce(1).write.mode("append").parquet(logDir)
       val stream = _root_.graft.streaming.StreamIngest.openLog(
         s, logDir, docs.schema, maxFilesPerTrigger = 1)
@@ -1970,17 +1989,15 @@ object Pipeline {
       val q = deduped.writeStream.outputMode("append")
         .format("memory").queryName("q107_mem").start()
       try {
-        // same explicit batch ordering as q165 (mtime ties otherwise
-        // leave the order to the path sort) — q107's output is
-        // arrival-order-invariant anyway, but the batches should still
-        // mean what the comment says
         q.processAllAvailable()
-        docs.filter(col("doc_id") >= 100000)
+        docs.filter(col("doc_id") >= off).orderBy("doc_id")
           .coalesce(1).write.mode("append").parquet(logDir)
         q.processAllAvailable()
       } finally { q.stop() }
       s.table("q107_mem")
-        .select(col("h"), pmod(col("doc_id"), lit(100000)).as("orig_id"))
+        .select(col("h"),
+          when(col("doc_id") >= off, col("doc_id") - off)
+            .otherwise(col("doc_id")).as("orig_id"))
         .orderBy("orig_id")
     }, Some("""
       -- first arrival per content hash: duplicate TEXTS inside the corpus
@@ -2056,12 +2073,13 @@ object Pipeline {
     // dedup, on the same streaming machinery as q107 (same operators
     // batch or streaming; the oracle replays the batch equivalent)
     QueryDef("q159_streaming_quality_gate", (s, dir) => {
-      val docs = docsWithDups(s, dir).withColumn("h", md5(col("text")))
+      val (docs0, off) = docsWithDupsDerived(s, dir)
+      val docs = docs0.withColumn("h", md5(col("text")))
       val logDir = java.nio.file.Files
         .createTempDirectory("graft_qgate_log").toString
-      docs.filter(col("doc_id") < 100000)
+      docs.filter(col("doc_id") < off).orderBy("doc_id")
         .coalesce(1).write.mode("append").parquet(logDir)
-      docs.filter(col("doc_id") >= 100000)
+      docs.filter(col("doc_id") >= off).orderBy("doc_id")
         .coalesce(1).write.mode("append").parquet(logDir)
       val stream = _root_.graft.streaming.StreamIngest.openLog(
         s, logDir, docs.schema, maxFilesPerTrigger = 1)
@@ -2081,7 +2099,9 @@ object Pipeline {
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
       }
       s.table("q159_mem")
-        .select(col("h"), pmod(col("doc_id"), lit(100000)).as("orig_id"))
+        .select(col("h"),
+          when(col("doc_id") >= off, col("doc_id") - off)
+            .otherwise(col("doc_id")).as("orig_id"))
         .orderBy("orig_id")
     }, Some(s"""
       WITH ${gopherCteSql()}

@@ -512,6 +512,32 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(r2 == Seq("4", "5", "6") && e2 == 'C')
     assert(txStatus(c.query("COMMIT")) == 'I',
       "ReadyForQuery must return to 'I' after COMMIT")
+    // PG destroys a transaction's portals AT COMMIT, not at the next
+    // Sync: a portal suspended inside BEGIN must be gone right after
+    // the COMMIT that ended its transaction
+    assert(txStatus(c.query("BEGIN")) == 'T')
+    c.send('B') { w =>
+      c.cstr(w, "ptx2"); c.cstr(w, "stx")
+      w.writeShort(0); w.writeShort(0); w.writeShort(0)
+    }
+    def fetchP(portal: String, maxRows: Int): Char = {
+      c.send('E') { w => c.cstr(w, portal); w.writeInt(maxRows) }
+      c.send('H')(_ => ())
+      var end = ' '
+      while (end == ' ') {
+        val (t, _) = c.recv()
+        t match {
+          case 's' | 'C' | 'E' => end = t
+          case _ => ()
+        }
+      }
+      end
+    }
+    assert(fetchP("ptx2", 2) == 's', "portal suspends inside the tx")
+    assert(txStatus(c.query("COMMIT")) == 'I')
+    assert(fetchP("ptx2", 2) == 'E',
+      "Execute on a portal after its transaction COMMITted must error")
+    c.send('S')(_ => ()); c.untilReady()
     c.close()
   }
 

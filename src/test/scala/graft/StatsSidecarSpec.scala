@@ -105,6 +105,36 @@ class StatsSidecarSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
+  test("interval bounds use Spark's WALL-CLOCK day-time semantics: " +
+      "+1 DAY across a DST fall-back is 25h of instant time — a plain " +
+      "micros add would under-bound and silently drop join pairs") {
+    import spark.implicits._
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    val dir = tempDir()
+    try {
+      val path = s"$dir/dst"
+      // max ts 12:00 EDT the day before the Nov-2026 fall-back: +1 DAY
+      // crosses the transition
+      Seq((1L, "2026-10-31 12:00:00")).toDF("id", "tss")
+        .select(col("id"), col("tss").cast("timestamp").as("ts"))
+        .coalesce(1).write.parquet(path)
+      val st = StatsSidecar.analyze(spark, path)
+      val df = spark.read.parquet(path)
+      val derived = df.select((col("ts") + expr("INTERVAL 1 DAY")).as("d"))
+      val engineVal = derived.select(unix_micros(col("d"))).head.getLong(0)
+      assert(engineVal - st.maxMicros("ts") == 90000L * 1000000L,
+        "fixture must actually cross the fall-back (wall +1d = instant +25h)")
+      val bound = StatsSidecar.maxMicrosUpperBound(derived, "d")
+      assert(bound.contains(engineVal),
+        s"bound $bound must equal the engine's own wall-clock value " +
+          s"$engineVal — anything smaller drops pairs")
+    } finally {
+      spark.conf.set("spark.sql.session.timeZone", prevTz)
+      rm(dir)
+    }
+  }
+
   test("union in the plan rejects the bound (exprIds alias across " +
       "children with different value sets)") {
     import spark.implicits._

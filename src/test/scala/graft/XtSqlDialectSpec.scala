@@ -467,6 +467,14 @@ class XtSqlDialectSpec extends AnyFunSuite {
     intercept[Exception] {
       eng.sql("ALTER TABLE lt2 DECLARE LAYOUT (key = k)")
     }
+    // a key that is not a column of the table is refused BEFORE
+    // persisting — a poisoned declaration would make every later
+    // auto-compaction fail at materialization
+    intercept[Exception] {
+      eng.sql("ALTER TABLE lt2 DECLARE LAYOUT (key = nosuch, buckets = 2)")
+    }
+    assert(db.layoutOf("lt2").contains(db.TableLayout("k", 2)),
+      "a refused declaration must leave the previous layout intact")
     intercept[Exception] {
       eng.sql("ALTER TABLE lt2 DECLARE LAYOUT (key = k, buckets = 'x')")
     }
