@@ -354,7 +354,14 @@ class XtDb(spark: SparkSession, val root: String) {
     * append from any instance flips readers back to the flat path until
     * the next compaction. Any attach failure also degrades to the flat
     * path — the bucketed serving is strictly an optimization. Public so
-    * specs/tools can pin the serving decision. */
+    * specs/tools can pin the serving decision.
+    *
+    * Concurrency contract: the check-then-serve is not atomic against a
+    * REMOTE writer — an append landing between the fingerprint check and
+    * the query's file listing can surface as a transient listing error
+    * (a flat part in a bucketed relation) that a retry resolves; the
+    * same class as the generation-flip read lease. Within an instance
+    * the single-writer discipline prevents it. */
   def bucketedEventsIfValid(table: String): Option[DataFrame] = {
     if (noEvMeta.contains(table)) return None
     readEvMeta(table) match {
@@ -712,6 +719,18 @@ class XtDb(spark: SparkSession, val root: String) {
     try out.write(s"""{"key":"$key","buckets":$buckets}""".getBytes("UTF-8"))
     finally out.close()
     noSnapshot.remove(table)
+  }
+
+  /** Remove the table's declared layout: the persisted declaration is
+    * deleted and the bucketed current snapshot stops serving (its meta
+    * no longer matches a declared layout); the event log itself stays
+    * bucketed until the next compaction (harmless — it is still the
+    * correct data, just organized). */
+  def dropLayout(table: String): Unit = {
+    val fs = hadoopFs
+    fs.delete(layoutPath(table), false)
+    noSnapshot.remove(table)
+    ()
   }
 
   /** The table's declared layout, if any. */

@@ -106,15 +106,13 @@ object Pipeline {
     * A fixed path (not per-sf) because oracle SQL is static text; each
     * query run overwrites its model before reading it back, so the oracle
     * (which runs after the Verify dump) always sees the matching model. */
-  private val ModelDir = "/tmp/graft_models"
+  private val ModelDir = Models.dir
 
   /** Persist a small model table and read it back, so the search pass and
-    * the oracle consume byte-identical parquet values. */
-  private def materializeModel(df: DataFrame, name: String): DataFrame = {
-    val path = s"$ModelDir/$name"
-    df.coalesce(1).write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
-  }
+    * the oracle consume byte-identical parquet values (per-JVM root —
+    * see [[Models]]). */
+  private def materializeModel(df: DataFrame, name: String): DataFrame =
+    Models.materialize(df, name)
 
   /** DuckDB replay of [[Sampling.hash16]]: 4 md5 nibbles to 0..65535. */
   private def sqlHash16(key: String): String =

@@ -29,15 +29,12 @@ object Sketch {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     Tables.load(s, dir, name)
 
-  /** Same fixed model root as Pipeline's trained-variant queries: the
-    * query overwrites its estimates before the oracle (which runs after
-    * the Verify dump) reads them back. */
-  private val ModelDir = "/tmp/graft_models"
-  private def materializeModel(df: DataFrame, name: String): DataFrame = {
-    val path = s"$ModelDir/$name"
-    df.coalesce(1).write.mode("overwrite").parquet(path)
-    df.sparkSession.read.parquet(path)
-  }
+  /** Same model root as Pipeline's trained-variant queries (per-JVM —
+    * see [[Models]]): the query writes its estimates, the oracle (which
+    * runs after the Verify dump) reads them back from the same files. */
+  private val ModelDir = Models.dir
+  private def materializeModel(df: DataFrame, name: String): DataFrame =
+    Models.materialize(df, name)
 
   val defs: Seq[QueryDef] = Seq(
 

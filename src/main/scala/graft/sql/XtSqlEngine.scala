@@ -109,6 +109,9 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
         // materialize now, not at the next write (no-op on an empty table)
         db.compact(table)
         statusDf("status", s"DECLARE LAYOUT $table ($key, $buckets)")
+      case DropLayout(table) =>
+        db.dropLayout(table)
+        statusDf("status", s"DROP LAYOUT $table")
       case GrantRevoke(grant, what, grantee) =>
         if (!isSuperuser) throw SqlParseException(
           s"GRANT/REVOKE requires the superuser principal " +
@@ -567,7 +570,7 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
       }).load(path)
       val (vf, vt) = validCols(docs)
       TxOp.Put(table, docs, vf, vt)
-    case CreateTable(_, _, _) | DeclareLayout(_, _, _) |
+    case CreateTable(_, _, _) | DeclareLayout(_, _, _) | DropLayout(_) |
         GrantRevoke(_, _, _) | CopyOut(_, _, _) =>
       throw SqlParseException("DDL is not valid inside a transaction")
     case Patch(table, valid, recs) =>

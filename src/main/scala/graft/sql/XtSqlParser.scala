@@ -85,6 +85,9 @@ object XtSqlParser {
       * compacts immediately so the bucketed snapshot materializes. */
     final case class DeclareLayout(table: String, key: String, buckets: Int)
       extends XtStatement
+    /** ALTER TABLE <t> DROP LAYOUT — remove the declaration; reads fall
+      * back to live resolution / flat serving. */
+    final case class DropLayout(table: String) extends XtStatement
     /** GRANT/REVOKE <what> TO/FROM <grantee> (role catalog record). */
     /** DML with a trailing `RETURNING <select list>` (Sql.g4:19-31):
       * the wrapped statement executes and the affected rows, projected by
@@ -1527,15 +1530,21 @@ object XtSqlParser {
       sql.substring(toks(4).start, toks(close - 1).end), layout)
   }
 
-  /** ALTER TABLE <t> DECLARE LAYOUT (key = <col>, buckets = <n>). */
+  /** ALTER TABLE <t> (DECLARE LAYOUT (key = <col>, buckets = <n>) |
+    * DROP LAYOUT). */
   private def parseAlter(sql: String, toks: Vector[Tok]): XtStatement = {
     expect(toks, 1, "TABLE")
     val table = tableNameAt(toks, 2)
-    expect(toks, 3, "DECLARE")
-    expect(toks, 4, "LAYOUT")
-    val (key, buckets) = parseLayoutOptions(toks, 5,
-      keyName = "key", bucketsName = "buckets")
-    XtStatement.DeclareLayout(table, key, buckets)
+    if (toks.length > 3 && toks(3).is("DROP")) {
+      expect(toks, 4, "LAYOUT")
+      XtStatement.DropLayout(table)
+    } else {
+      expect(toks, 3, "DECLARE")
+      expect(toks, 4, "LAYOUT")
+      val (key, buckets) = parseLayoutOptions(toks, 5,
+        keyName = "key", bucketsName = "buckets")
+      XtStatement.DeclareLayout(table, key, buckets)
+    }
   }
 
   /** `( <keyName> = <col|'col'>, <bucketsName> = <n> )` in either order. */

@@ -481,6 +481,15 @@ class XtSqlDialectSpec extends AnyFunSuite {
     intercept[Exception] {
       eng.sql("ALTER TABLE lt2 DECLARE LAYOUT (key = k, buckets = 2, zap = 1)")
     }
+    // DROP LAYOUT removes the declaration; reads fall back to live/flat
+    eng.sql("ALTER TABLE lt2 DROP LAYOUT")
+    assert(db.layoutOf("lt2").isEmpty)
+    assert(db.currentSnapshotIfValid("lt2").isEmpty,
+      "dropping the layout must stop snapshot serving")
+    assert(eng.sql("SELECT count(*) AS n FROM lt2").as[Long].head == 20L)
+    assert(eng.sql(
+      "SELECT count(*) AS n FROM information_schema_table_layouts")
+      .as[Long].head == 1L, "only lt1's declaration remains")
   }
 
   test("sqlScript: ;-separated statements run in order, last result returned") {
