@@ -68,7 +68,7 @@ def main(sfdir, outdir):
             msg = str(e)
             if "INTERRUPT" in msg.upper():
                 print(f"SKIP {name}: ORACLE-TIMEOUT after {timeout}s "
-                      "(DuckDB-side; spark output present)")
+                      f"(DuckDB-side; spark output present, {len(got)} rows)")
             else:
                 print(f"FAIL {name}: exec error: {e}")
                 n_bad += 1
