@@ -30,7 +30,14 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 
-if [ ! -d "$DST/orders.parquet" ]; then
+# every table must be present — a partially-derived set (interrupted
+# ScaleData) must be rebuilt, not reused forever
+COMPLETE=1
+for t in region nation customer supplier part orders lineitem events \
+         documents embeddings; do
+  [ -e "$DST/$t.parquet" ] || COMPLETE=0
+done
+if [ "$COMPLETE" != 1 ]; then
   echo "== deriving 25x set at $DST =="
   SPARK_GRAFT_CPUS="$CPUS" java $ADD_OPENS -Xmx24g \
     -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
@@ -38,9 +45,13 @@ if [ ! -d "$DST/orders.parquet" ]; then
     graft.tools.ScaleData /root/testdata/sf0.1 "$DST" 25 16
 fi
 
+# a crashed Verify must FAIL the audit, not hand stale/absent dumps to
+# the oracle — keep the JVM's own exit status through the log filter
+VLOG=$(mktemp /tmp/graft_verify25x_log.XXXX)
 SPARK_GRAFT_CPUS="$CPUS" java $ADD_OPENS -Xmx24g \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
-  graft.Verify "$DST" "$OUT" 2>&1 | grep "\[verify\]" || true
+  graft.Verify "$DST" "$OUT" > "$VLOG" 2>&1
+grep "\[verify\]" "$VLOG" || true
 
 python3 scripts/oracle_check.py "$DST" "$OUT"

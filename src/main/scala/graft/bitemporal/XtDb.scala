@@ -341,12 +341,18 @@ class XtDb(spark: SparkSession, val root: String) {
     spark.table(name)
   }
 
-  // negative cache: tables never compacted under this instance skip the
-  // per-query _evmeta stat (the event-log twin of `noSnapshot`); only
-  // ever ADDED on a miss and cleared by rewriteCommit, so it can never
-  // hold a stale "bucketed"
+  // negative cache with a short TTL: tables never compacted skip the
+  // per-query _evmeta stat for a bounded window (the event-log twin of
+  // `noSnapshot`). TTL rather than permanent: a REMOTE instance's
+  // compaction writes the meta file without touching this instance, and
+  // a permanent negative would pin this reader to the flat path forever;
+  // with the TTL it picks the bucketed serving up within `NoEvMetaTtlMs`
+  // (an optimization-latency bound, never a correctness one — the flat
+  // path is always correct). A LOCAL compaction clears its entry
+  // immediately in rewriteCommit.
+  private val NoEvMetaTtlMs = 30000L
   private val noEvMeta =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
   /** The iid-bucketed event log, iff STORAGE still vouches the live
     * generation is exactly the compacted file set: same generation and
@@ -363,7 +369,9 @@ class XtDb(spark: SparkSession, val root: String) {
     * same class as the generation-flip read lease. Within an instance
     * the single-writer discipline prevents it. */
   def bucketedEventsIfValid(table: String): Option[DataFrame] = {
-    if (noEvMeta.contains(table)) return None
+    val neg = noEvMeta.get(table)
+    if (neg != null && System.currentTimeMillis() < neg + NoEvMetaTtlMs)
+      return None
     readEvMeta(table) match {
       case Some((gen, files, mtime, buckets))
           if currentGen(table).getOrElse(0) == gen =>
@@ -376,7 +384,8 @@ class XtDb(spark: SparkSession, val root: String) {
           try Some(attachBucketedTable(eventsTableName(table),
             dataDir(table), IID, buckets))
           catch { case scala.util.control.NonFatal(_) => None }
-      case None => noEvMeta.add(table); None
+      case None =>
+        noEvMeta.put(table, System.currentTimeMillis()); None
       case _ => None
     }
   }
@@ -413,13 +422,22 @@ class XtDb(spark: SparkSession, val root: String) {
     * partition discovery (root-level files + partition dirs mixed) for
     * every later read. Detect the legacy layout on write and fold it
     * into an iid-bucketed generation first — a one-time migration
-    * rewrite, after which this table appends flat like any other. */
+    * rewrite, after which this table appends flat like any other. The
+    * check itself runs ONCE per table per instance (only pre-round-12
+    * code ever created the legacy dirs, so a clean verdict can never
+    * regress) — no per-put LIST on the hot write path. */
+  private val legacyChecked =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   private def migrateLegacyLayoutIfAny(table: String): Unit = {
+    if (legacyChecked.contains(table)) return
     val fs = hadoopFs
     val dir = new org.apache.hadoop.fs.Path(dataDir(table))
     if (fs.exists(dir) &&
         fs.listStatus(dir).exists(_.getPath.getName.startsWith(s"$BUCKET=")))
       compact(table)
+    legacyChecked.add(table)
+    ()
   }
 
   private def appendEvents(table: String, docs: DataFrame, op: String,
@@ -708,15 +726,22 @@ class XtDb(spark: SparkSession, val root: String) {
     // a declaration against an EXISTING table must name a real payload
     // column now — otherwise the bad key persists and every later
     // compaction (incl. the post-write auto-compaction) fails at
-    // materialization, long after the put that triggered it
-    if (tableExists(table)) {
-      val cols = flatEvents(table).columns
-      require(cols.contains(key),
-        s"declareLayout($table): key '$key' is not a column " +
-          s"(${cols.mkString(", ")})")
-    }
+    // materialization, long after the put that triggered it. Resolution
+    // is case-insensitive like the engine's own column resolution, and
+    // the CANONICAL column name is what gets persisted (the DDL splice
+    // backtick-quotes it verbatim).
+    val canonicalKey =
+      if (!tableExists(table)) key
+      else {
+        val cols = flatEvents(table).columns
+        cols.find(_.equalsIgnoreCase(key)).getOrElse(
+          throw new IllegalArgumentException(
+            s"declareLayout($table): key '$key' is not a column " +
+              s"(${cols.mkString(", ")})"))
+      }
     val out = hadoopFs.create(layoutPath(table), true)
-    try out.write(s"""{"key":"$key","buckets":$buckets}""".getBytes("UTF-8"))
+    try out.write(
+      s"""{"key":"$canonicalKey","buckets":$buckets}""".getBytes("UTF-8"))
     finally out.close()
     noSnapshot.remove(table)
   }

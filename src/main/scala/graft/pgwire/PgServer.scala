@@ -159,15 +159,16 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
             case 'Q' =>
               val text = r.cstr()
               val stmts = splitScript(text)
-              val wasInTx = eng.inTransaction
+              val epoch0 = eng.txEpoch
               if (stmts.length == 1 && isCopyFromStdin(stmts.head)) {
                 try copyInWire(stmts.head, in, out)
                 catch { case e: Exception => error(out, e) }
               } else simpleQuery(eng, text, out)
-              // COMMIT/ROLLBACK (via the simple protocol) ends the
-              // transaction and PG destroys its portals right there, not
-              // at the next Sync
-              if (wasInTx && !eng.inTransaction) {
+              // any COMMIT/ROLLBACK in the message ends a transaction and
+              // PG destroys its portals right there — the tx-END counter
+              // (not the net before/after state) catches scripts that
+              // immediately re-open one ('COMMIT; BEGIN')
+              if (eng.txEpoch != epoch0) {
                 portals.clear(); portalRuns.clear()
               }
               readyForQuery(out, eng)
@@ -252,12 +253,13 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
                 val (text, rFmts) = portals.getOrElse(portal,
                   sys.error(s"unknown portal: $portal"))
                 if (!isResultSet(text)) {
-                  val wasInTx = eng.inTransaction
+                  val epoch0 = eng.txEpoch
                   runStatement(eng, text, out, describe = false)
                   // an extended-protocol COMMIT/ROLLBACK also destroys
                   // the transaction's portals immediately (PG portal
-                  // lifetime), not at the next Sync
-                  if (wasInTx && !eng.inTransaction) {
+                  // lifetime), not at the next Sync — epoch-counted so a
+                  // script that re-opens a tx cannot mask the end
+                  if (eng.txEpoch != epoch0) {
                     portals.clear(); portalRuns.clear()
                   }
                 } else {

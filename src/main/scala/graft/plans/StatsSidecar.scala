@@ -244,13 +244,23 @@ object StatsSidecar {
     * `ts + INTERVAL k`, `ts - INTERVAL k`): each is bounded exactly from
     * the scanned column's sidecar bound, so derived period endpoints
     * resolve the horizon as a LITERAL instead of paying a per-query
-    * max-aggregate scan of each side. Soundness per case:
-    * trunc(ts) <= ts (truncation never moves forward); `+ interval` with
-    * a LITERAL day-time interval shifts the max by exactly that many
-    * micros (addExact — overflow falls back to None via the outer catch).
-    * Anything else — casts that reinterpret the zone, non-literal
-    * intervals, month intervals (variable length) — returns None and the
-    * operator computes the bound in-job as before. */
+    * max-aggregate scan of each side.
+    *
+    * COMPUTED transforms are derived ONLY under a FIXED-OFFSET session
+    * zone (UTC, GMT, +HH:MM — the engine default everywhere). There
+    * every case is exact and monotone: trunc(ts) <= ts and commutes
+    * with max; a literal day-time interval is exactly `+ v` micros
+    * (Spark splits it into wall-clock whole days + instant sub-day
+    * micros — measured: +36 HOURS across a spring-forward is 35h of
+    * instant time — and with no transitions wall == instant). Under a
+    * DST zone NONE of that holds: the day part shifts by the zone
+    * delta, and instant->wall is NON-monotone inside a fall-back
+    * overlap, so trunc/interval bounds derived from the max instant can
+    * UNDER-estimate by up to the transition size and silently drop
+    * pairs — those sessions return None and the operator computes the
+    * bound inside its own job, exactly as before. Non-literal
+    * intervals, month intervals (variable length), and zone-
+    * reinterpreting casts also refuse. */
   private def exprBound(
       e: org.apache.spark.sql.catalyst.expressions.Expression,
       child: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
@@ -259,17 +269,16 @@ object StatsSidecar {
     import org.apache.spark.sql.types.DayTimeIntervalType
     e match {
       case a: AttributeReference => attrBound(child, a.exprId, tz)
+      case _ if !java.time.ZoneId.of(tz).getRules.isFixedOffset => None
       // casts the bound itself went through: [[analyze]] stores
       // unix_micros(CAST(max(col) AS TIMESTAMP)), i.e. the stored micros
       // for an NTZ/Date column are already the post-cast instant under
       // the analyze session's zone — and the leaf check refuses a zone
-      // mismatch. The wall->instant mapping is monotone non-decreasing
-      // for fixed zone rules, so max commutes with the cast (the same
-      // assumption analyze's one-pass aggregate already makes). Identity
-      // casts (the analyzer wraps arithmetic in ts->ts) pass trivially.
-      // The REVERSE direction (instant->wall, timestamp->ntz/date) is
-      // NOT covered: the stored micros are instant-based and a wall
-      // reinterpretation would need the inverse mapping.
+      // mismatch. Identity casts (the analyzer wraps arithmetic in
+      // ts->ts) pass trivially. The REVERSE direction (instant->wall,
+      // timestamp->ntz/date) is NOT covered: the stored micros are
+      // instant-based and a wall reinterpretation would need the
+      // inverse mapping.
       case c: Cast
           if c.child.dataType == c.dataType ||
             (c.dataType == org.apache.spark.sql.types.TimestampType &&
@@ -278,28 +287,7 @@ object StatsSidecar {
         exprBound(c.child, child, tz)
       case TruncTimestamp(_, ts, _) => exprBound(ts, child, tz)
       case TimestampAddInterval(start, Literal(v: Long, _: DayTimeIntervalType), _) =>
-        // Spark's day-time interval addition is WALL-CLOCK arithmetic in
-        // the session zone (measured: +INTERVAL 1 DAY across a DST
-        // fall-back adds 25h of instant time — so a bare `bound + v`
-        // micros add would UNDER-estimate there and silently drop pairs).
-        // Replicate the exact semantics on the bound instant: to wall in
-        // the session zone, plus v micros of LocalDateTime, back to
-        // instant. The mapping is monotone non-decreasing (instant->wall
-        // monotone; wall +const monotone; wall->instant non-decreasing
-        // under java.time gap/overlap resolution, which Spark itself
-        // uses), so applying it to the max IS the max of applications.
-        // The same formula is exact for NTZ inputs: their stored bound is
-        // the post-cast instant, and cast(ntz + v) = instant(wall + v).
-        exprBound(start, child, tz).map { b =>
-          val zone = java.time.ZoneId.of(tz)
-          val inst = java.time.Instant.ofEpochSecond(
-            Math.floorDiv(b, 1000000L), Math.floorMod(b, 1000000L) * 1000L)
-          val out = inst.atZone(zone).toLocalDateTime
-            .plus(v, java.time.temporal.ChronoUnit.MICROS)
-            .atZone(zone).toInstant
-          Math.addExact(Math.multiplyExact(out.getEpochSecond, 1000000L),
-            out.getNano / 1000L)
-        }
+        exprBound(start, child, tz).map(b => Math.addExact(b, v))
       case _ => None
     }
   }

@@ -16,7 +16,11 @@ import org.apache.spark.sql.DataFrame
   * round-12 25x audit: q145's 25x-trained codebooks were clobbered by a
   * subsequent sf0.01 gate run before DuckDB replayed them). */
 object Models {
-  val dir: String = java.nio.file.Files
+  // lazy: only JVMs that actually build the query catalog pay for (and
+  // leave behind) the temp dir. NOT delete-on-exit — the DuckDB oracle
+  // reads these files AFTER the Verify JVM exits; /tmp reclamation is
+  // the host's.
+  lazy val dir: String = java.nio.file.Files
     .createTempDirectory("graft_models").toString
 
   /** Persist a small model table and read it back, so the search pass

@@ -60,6 +60,11 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
     * 'T' (in transaction) vs 'I' (idle) from this, which is what a JDBC
     * driver keys its fetch-size cursor flow on. */
   def inTransaction: Boolean = openTx.isDefined
+  // monotone count of transaction ENDS (COMMIT or ROLLBACK) — the wire
+  // layer compares it around a message to destroy the ended transaction's
+  // portals even when a script re-opens one ('COMMIT; BEGIN')
+  private var txEnds = 0L
+  def txEpoch: Long = txEnds
   private var txReadOnly: Boolean = false
   private var txSystemTime: Option[java.sql.Timestamp] = None
   private val sessionVars = scala.collection.mutable.Map.empty[String, String]
@@ -147,12 +152,14 @@ class XtSqlEngine(spark: SparkSession, db: XtDb,
         val ops = openTx.getOrElse(
           throw SqlParseException("COMMIT without an open transaction"))
         openTx = None
+        txEnds += 1
         if (ops.isEmpty) statusDf("status", "COMMIT (empty)")
         else txInfo(db.submitTx(ops.toSeq, txSystemTime))
       case Rollback =>
         if (openTx.isEmpty)
           throw SqlParseException("ROLLBACK without an open transaction")
         openTx = None
+        txEnds += 1
         statusDf("status", "ROLLBACK")
       case SetTimeZone(zoneExpr) =>
         val zone = stripStr(zoneExpr)

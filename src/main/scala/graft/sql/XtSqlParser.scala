@@ -1537,6 +1537,9 @@ object XtSqlParser {
     val table = tableNameAt(toks, 2)
     if (toks.length > 3 && toks(3).is("DROP")) {
       expect(toks, 4, "LAYOUT")
+      if (toks.length > 5)
+        throw SqlParseException(
+          s"unexpected input after DROP LAYOUT: '${toks(5).text}'")
       XtStatement.DropLayout(table)
     } else {
       expect(toks, 3, "DECLARE")

@@ -105,9 +105,12 @@ class StatsSidecarSpec extends AnyFunSuite {
     } finally rm(dir)
   }
 
-  test("interval bounds use Spark's WALL-CLOCK day-time semantics: " +
-      "+1 DAY across a DST fall-back is 25h of instant time — a plain " +
-      "micros add would under-bound and silently drop join pairs") {
+  test("computed-expression bounds REFUSE under a DST zone: Spark's " +
+      "day-time interval arithmetic is wall-clock for the day part " +
+      "(+1 DAY across a fall-back is 25h of instant time) and " +
+      "instant->wall is non-monotone in the overlap — any static bound " +
+      "derived from the max instant can under-estimate and drop pairs; " +
+      "pass-through attributes are zone-independent and keep the bound") {
     import spark.implicits._
     val prevTz = spark.conf.get("spark.sql.session.timeZone")
     spark.conf.set("spark.sql.session.timeZone", "America/New_York")
@@ -125,10 +128,17 @@ class StatsSidecarSpec extends AnyFunSuite {
       val engineVal = derived.select(unix_micros(col("d"))).head.getLong(0)
       assert(engineVal - st.maxMicros("ts") == 90000L * 1000000L,
         "fixture must actually cross the fall-back (wall +1d = instant +25h)")
-      val bound = StatsSidecar.maxMicrosUpperBound(derived, "d")
-      assert(bound.contains(engineVal),
-        s"bound $bound must equal the engine's own wall-clock value " +
-          s"$engineVal — anything smaller drops pairs")
+      // the naive `bound + v` would be 86400s short of engineVal here —
+      // and the exact-replication alternative is non-monotone in the
+      // fall-back overlap — so a DST-zone session must get NO bound
+      assert(StatsSidecar.maxMicrosUpperBound(derived, "d").isEmpty,
+        "computed bounds must refuse under a transition-bearing zone")
+      assert(StatsSidecar.maxMicrosUpperBound(
+        df.select((date_trunc("hour", col("ts"))).as("t")), "t").isEmpty,
+        "trunc is non-monotone in the overlap too — refuse")
+      // pass-through attribute: instant-domain, no transform — still fine
+      assert(StatsSidecar.maxMicrosUpperBound(df, "ts")
+        .contains(st.maxMicros("ts")))
     } finally {
       spark.conf.set("spark.sql.session.timeZone", prevTz)
       rm(dir)

@@ -115,6 +115,36 @@ class XtDbStorageSpec extends AnyFunSuite {
       .count() == 4)
   }
 
+  test("a STALE catalog registration (another instance flipped the " +
+      "generation) is re-pointed, not served: the attach path verifies " +
+      "the registered location against the live data dir") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("xtstale").toString
+    val db = new graft.bitemporal.XtDb(spark, root)
+    db.putDocs("st", (1 to 40).map(i => (i.toLong, i * 2L)).toDF("_id", "v"))
+    db.compact("st")
+    val served = db.bucketedEventsIfValid("st")
+    assert(served.isDefined && served.get.count() == 40)
+    // simulate a second instance's later flip having re-registered the
+    // SAME root-hashed name at a different (now stale) location: re-point
+    // the catalog entry at an empty dir with the same schema
+    val name = spark.catalog.listTables().collect().map(_.name)
+      .find(_.startsWith("graft_ev_st_")).get
+    val staleDir = java.nio.file.Files
+      .createTempDirectory("xtstale_dir").toString
+    val schema = served.get.schema
+    spark.sql(s"DROP TABLE $name")
+    spark.sql(
+      s"""CREATE TABLE $name (${schema.toDDL}) USING PARQUET
+         |CLUSTERED BY (`_iid`) SORTED BY (`_iid`) INTO 16 BUCKETS
+         |LOCATION '$staleDir'""".stripMargin)
+    // the serve must notice the location mismatch and re-attach at the
+    // LIVE generation — never quietly serve the stale (empty) dir
+    val reattached = db.bucketedEventsIfValid("st")
+    assert(reattached.isDefined && reattached.get.count() == 40,
+      "stale catalog location must be dropped and re-pointed")
+  }
+
   test("compaction physically removes erased history; re-inserts survive") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("xterase").toString

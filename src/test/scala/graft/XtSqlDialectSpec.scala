@@ -481,6 +481,15 @@ class XtSqlDialectSpec extends AnyFunSuite {
     intercept[Exception] {
       eng.sql("ALTER TABLE lt2 DECLARE LAYOUT (key = k, buckets = 2, zap = 1)")
     }
+    // key resolution is case-insensitive like the engine's own column
+    // resolution, and the canonical column name is what persists
+    eng.sql("ALTER TABLE lt2 DECLARE LAYOUT (key = K, buckets = 2)")
+    assert(db.layoutOf("lt2").contains(db.TableLayout("k", 2)))
+    // trailing garbage after DROP LAYOUT refuses, never silently ignored
+    intercept[Exception] {
+      eng.sql("ALTER TABLE lt2 DROP LAYOUT CASCADE")
+    }
+    assert(db.layoutOf("lt2").isDefined)
     // DROP LAYOUT removes the declaration; reads fall back to live/flat
     eng.sql("ALTER TABLE lt2 DROP LAYOUT")
     assert(db.layoutOf("lt2").isEmpty)
