@@ -238,6 +238,87 @@ object Bench {
       (d.name, cold, hot)
     }
 
+    // ---- second recorded posture: DECLARED LAYOUTS for the window/as-of
+    // family (round 13). The flat headline above is the layout-less
+    // engine; this section records the SAME queries where the 100 TB
+    // deployment would declare the obvious layout:
+    //  - q31/q72 read `events` bucketed on user_id — the scan's
+    //    HashPartitioning satisfies the window / fused-as-of-join
+    //    distribution, so the per-query exchange disappears;
+    //  - q70 reads its bitemporal events as an iid-bucketed table —
+    //    exactly the file set XtDb.compact leaves behind, so the asOf
+    //    resolve windows plan with zero exchange.
+    // The bucketing shuffle is paid once at ingest (reported untimed as
+    // bucketed_prep); every posture query is verified row-equal to its
+    // flat twin (count + order-independent xxhash64 sum) before timing.
+    val posture2 = sys.env.getOrElse("SPARK_GRAFT_POSTURE2", "true").toBoolean
+    def fmt2(v: Double) = f"$v%.3f"
+    val bucketedExtra = if (!posture2) "" else try {
+      import org.apache.spark.sql.functions._
+      import graft.bitemporal.Bitemporal
+      val prep0 = System.nanoTime()
+      val dstB = java.nio.file.Files
+        .createTempDirectory("graft_bench_bucketed").toString
+      graft.storage.LayoutCatalog.ingestBucketed(spark,
+        Tables.load(spark, dataDir, "events"), dstB,
+        graft.storage.LayoutCatalog.Layout("events", "user_id",
+          cpus.toInt, "bucketed_events"))
+      val ev70Layout = graft.storage.LayoutCatalog.Layout(
+        "ev70", Bitemporal.IID, 16, "ev70")
+      graft.storage.LayoutCatalog.ingestBucketed(spark,
+        graft.queries.Bitemp.syntheticEvents(spark, dataDir), dstB,
+        ev70Layout)
+      val asof70 = lit("1999-01-01 00:00:00").cast("timestamp")
+      def q70B() = {
+        import graft.QueryDef.PresentOps
+        Bitemporal.asOf(graft.storage.LayoutCatalog.load(
+            spark, dstB, "ev70", ev70Layout), asof70, asof70)
+          .select(col("_id"), col("version"),
+            unix_timestamp(col(Bitemporal.VF)).as("vf_ep"))
+          .presentSorted("_id")
+      }
+      def byName(n: String) = SparkEntry.all.find(_.name == n).get
+      val bdefs: Seq[(String, () => org.apache.spark.sql.DataFrame)] = Seq(
+        "q31_window_lead_lag" ->
+          (() => byName("q31_window_lead_lag").fn(spark, dstB)),
+        "q70_bitemp_asof" -> (() => q70B()),
+        "q72_asof_join" ->
+          (() => byName("q72_asof_join").fn(spark, dstB)))
+      def sig(df: org.apache.spark.sql.DataFrame): (Long, String) = {
+        // order-independent row signature; decimal sum (ANSI-safe — a
+        // long sum of full-range xxhash64 values overflows)
+        val r = df.agg(count(lit(1)),
+          sum(xxhash64(df.columns.map(col): _*).cast("decimal(38,0)")))
+          .head()
+        (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
+      }
+      val verified = bdefs.forall { case (n, f) =>
+        val ok = sig(f()) == sig(byName(n).fn(spark, dataDir))
+        if (!ok) System.err.println(s"[bench] bucketed posture MISMATCH: $n")
+        ok
+      }
+      val prepSec = (System.nanoTime() - prep0) / 1e9
+      val bres = bdefs.map { case (n, f) =>
+        val cold = time(f().collect())
+        def hotDf() =
+          if (prepared) PlanCache.prepared(spark, (dstB, n))(f()) else f()
+        val hot = (1 to hotRuns).map(_ => time(hotDf().collect())).min
+        (n, cold, hot)
+      }
+      val bq = bres.map { case (k, _, h) => s""""$k":${fmt2(h)}""" }
+        .mkString("{", ",", "}")
+      val bqc = bres.map { case (k, c, _) => s""""$k":${fmt2(c)}""" }
+        .mkString("{", ",", "}")
+      s""","bucketed_prep":${fmt2(prepSec)},"bucketed_verified":$verified,""" +
+        s""""bucketed_value":${fmt2(bres.map(_._3).sum)},""" +
+        s""""bucketed_queries":$bq,"bucketed_cold_queries":$bqc"""
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] bucketed posture failed: ${e.getMessage}")
+        s""","bucketed_error":"${Option(e.getMessage).getOrElse("?")
+          .replaceAll("[\"\\\\\\n\\r]", " ").take(160)}""""
+    }
+
     val baseline: Map[String, Double] = {
       val f = new java.io.File("BASELINE_DUCKDB.json")
       if (!f.exists) Map.empty
@@ -278,8 +359,8 @@ object Bench {
     val json = s"""{"metric":"total","value":${fmt(hotTotal)},"unit":"sec",""" +
       s""""queries":$qs,"cold_value":${fmt(coldTotal)},""" +
       s""""cold_queries":$qsCold$extra,"suspect_hot":$suspects,""" +
-      s""""steal_ticks":${steal1 - steal0},"layout":"$layout",""" +
-      s""""sf":"$sfDir"}"""
+      s""""steal_ticks":${steal1 - steal0},"layout":"$layout"""" +
+      s"""$bucketedExtra,"sf":"$sfDir"}"""
     // Belt and braces for the driver's extractor (BENCH_r05 recorded
     // "parsed": null because the JSON sat mid-log): persist the line to a
     // known file AND print it after spark.stop(), so it is the final

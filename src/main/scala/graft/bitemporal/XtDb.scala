@@ -139,20 +139,32 @@ class XtDb(spark: SparkSession, val root: String) {
     }
   }
 
-  /** Raw event log for a table — served as the iid-BUCKETED catalog table
-    * whenever storage vouches the live generation is exactly the compacted
-    * file set ([[bucketedEventsIfValid]]): `Bitemporal.asOf`'s windows and
-    * as-of joins by `_iid` then plan with zero exchange. Any append since
-    * compaction flips to the flat file read.
+  /** Raw event log for a table — served as ONE iid-BUCKETED relation over
+    * the manifest's live file set (base bucket files + level folds)
+    * whenever the appended backlog is empty ([[bucketedEventsIfValid]]):
+    * `Bitemporal.asOf`'s windows and as-of joins by `_iid` then plan with
+    * zero exchange. With a backlog pending, the read is the explicit
+    * union of live files (base + levels + backlog) — always correct, one
+    * exchange — until the next (incremental) compaction folds it.
     *
-    * The flat read goes under the registered LUB schema: Spark 4's
-    * vectorized parquet reader widens narrower stored types (int→long,
-    * float/int→double) at scan time, so a numeric widening append costs
-    * O(batch), never a table rewrite (reference merge-types read-side
-    * conform). Tables written before the registry fall back to footer
-    * merging. */
-  def events(table: String): DataFrame =
-    bucketedEventsIfValid(table).getOrElse(flatEvents(table))
+    * Reads go under the registered LUB schema: Spark 4's vectorized
+    * parquet reader widens narrower stored types (int→long, float/int→
+    * double) at scan time, so a numeric widening append costs O(batch),
+    * never a table rewrite (reference merge-types read-side conform).
+    * Tables written before the registry fall back to footer merging. */
+  def events(table: String): DataFrame = liveFileSets(table) match {
+    case None => flatEvents(table)
+    case Some(s) =>
+      val bucketed = s.base ++ s.levelFiles
+      if (s.backlog.isEmpty && bucketed.nonEmpty)
+        bucketedRelation(table, bucketed, s.meta.buckets)
+      else if (s.meta.levels.isEmpty && s.meta.consumed.isEmpty)
+        // pure post-full-compaction state with appends: the directory
+        // listing IS the live set — the plain flat read (keeps the
+        // pre-manifest behavior exactly, incl. the empty-table case)
+        flatEvents(table)
+      else explicitRead(table, bucketed ++ s.backlog)
+  }
 
   /** The flat (file-level) event read — the write path's view: every
     * rewrite/migration input reads THIS, never the catalog registration,
@@ -219,35 +231,57 @@ class XtDb(spark: SparkSession, val root: String) {
     case None => tableDir(table)
   }
 
-  /** Storage bucket count for the event log — the trie fanout analogue.
-    * 16 matches the iid-hex first-char spread; a 1000-executor deployment
-    * sets this to ~2× its executor count so every core owns buckets. */
-  private def eventBuckets: Int =
+  /** Storage bucket count FLOOR for the event log — the trie fanout
+    * analogue. 16 matches the iid-hex first-char spread; the actual count
+    * is derived from the table's live bytes at each full compaction
+    * ([[deriveEventBuckets]]) so a growing table re-fans out instead of
+    * accreting 16 multi-TB single files. */
+  private def eventBucketFloor: Int =
     spark.conf.get("spark.graft.eventBuckets", "16").toInt
 
+  /** Bucket count for a full compaction, derived from the live data size:
+    * `max(floor, ceil(bytes / spark.graft.eventBucketBytes))`, capped at
+    * 4096. Persisted in `_evmeta.json` (readers and level folds adapt for
+    * free) and RE-derived at every full compaction, so the fanout tracks
+    * table growth — no bucket ever has to exceed ~one task read. */
+  private def deriveEventBuckets(liveBytes: Long): Int = {
+    val target = spark.conf
+      .get("spark.graft.eventBucketBytes", (256L * 1024 * 1024).toString)
+      .toLong
+    math.min(4096L,
+      math.max(eventBucketFloor.toLong,
+        (liveBytes + target - 1) / math.max(1L, target))).toInt
+  }
+
+  /** Bytes of the table's live event files (base + levels + backlog) —
+    * metadata-only listing. */
+  private def liveEventBytes(table: String): Long = {
+    val root = listRootParquet(table).map(_.getLen).sum
+    val lv = cachedEvMeta(table) match {
+      case Some(m) if currentGen(table).getOrElse(0) == m.gen =>
+        m.levels.flatMap(levelParquet(table, _)).map(_.getLen).sum
+      case _ => 0L
+    }
+    root + lv
+  }
+
   /** Object-store-safe whole-table replace: the new generation is written
-    * as an iid-BUCKETED file set (one hash-bucket file per `_iid` bucket,
-    * registered in the session catalog so reads re-attach the bucket
-    * spec), committed by the atomic pointer PUT, then lazy GC of
-    * everything older than the superseded generation. No rename anywhere
-    * (ObjectStoreSpec enforces this). A crash between the pointer PUT and
-    * the meta write only costs the optimization: the flipped generation
-    * reads flat until the next compaction re-stamps it. */
+    * as an iid-BUCKETED file set (one hash-bucket file per `_iid` bucket),
+    * committed by the atomic pointer PUT, then lazy GC of everything older
+    * than the superseded generation. No rename anywhere (ObjectStoreSpec
+    * enforces this). A crash between the pointer PUT and the meta write
+    * only costs the optimization: the flipped generation reads flat until
+    * the next compaction re-stamps it. */
   private def rewriteCommit(table: String, df: DataFrame): Unit = {
     val fs = hadoopFs
     val cur = currentGen(table)
     val next = cur.getOrElse(0) + 1
     val gdir = s"${tableDir(table)}/g$next"
-    val nb = eventBuckets
-    val name = eventsTableName(table)
-    spark.sql(s"DROP TABLE IF EXISTS $name")
-    df.repartition(nb, col(IID))
-      .write.mode("overwrite").option("path", gdir)
-      .bucketBy(nb, IID).sortBy(IID)
-      .saveAsTable(name)
+    val nb = deriveEventBuckets(liveEventBytes(table))
+    writeBucketedFiles(df, gdir, nb)
     val out = fs.create(genPath(table), true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    writeEvMeta(table, next, nb)
+    writeEvMeta(table, EvMeta(next, nb, Nil, Set.empty, Nil, 0))
     noEvMeta.remove(table)
     // keep the superseded generation for in-flight readers; drop older.
     // Root-layout legacy data (loose appended parts) is "generation 0":
@@ -263,33 +297,61 @@ class XtDb(spark: SparkSession, val root: String) {
         .foreach(st => fs.delete(st.getPath, true))
   }
 
-  // ---- iid-bucketed event-log serving --------------------------------
+  // ---- iid-bucketed event-log serving (manifest-driven, round 13) ----
   //
-  // The event-log twin of the declared-layout snapshot machinery: the
-  // compacted generation is bucketed by `_iid`, `_evmeta.json` records
-  // (generation, event-file fingerprint, bucket count), and every serve
-  // re-verifies all of it against STORAGE — so an append from ANY
-  // instance over this root invalidates, and a fresh session/instance
-  // re-attaches a still-valid bucketed log without recompacting.
+  // The event-log twin of the declared-layout snapshot machinery, now
+  // LSM-shaped: `_evmeta.json` is the MANIFEST of the live file set —
+  // base bucket files (full compaction), level dirs (incremental backlog
+  // folds, `_lv<k>`, hidden from directory listings), and the names of
+  // consumed/retired files kept one cycle for in-flight readers (the
+  // lazy-by-one read lease, same depth as the generation GC). Serving is
+  // catalog-free: the live files are handed to Spark as ONE explicit
+  // bucketed relation (HadoopFsRelation + BucketSpec), so there is no
+  // registration to go stale across instances and a fresh session serves
+  // straight from storage. Multiple files per bucket (base + levels) keep
+  // the hash-clustering guarantee — Spark groups a bucket's files into
+  // one task — which is all the zero-exchange windows/joins need.
 
-  private def eventsTableName(table: String): String = {
-    val h = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$root/$table".getBytes("UTF-8"))
-      .take(4).map("%02x".format(_)).mkString
-    s"graft_ev_${table.replaceAll("[^A-Za-z0-9_]", "_")}_$h"
-  }
+  /** The live-event manifest (reference: the trie catalog's current-tries
+    * metadata, Compactor.kt/SegmentMerge.kt level outputs):
+    *  - `buckets`: the hash fanout every live bucketed file was written
+    *    with (levels MUST match the base);
+    *  - `levels`: ordered level dir names under the live generation dir
+    *    (each one bucketed fold of appended backlog);
+    *  - `consumed`: root append files whose rows live in a level — still
+    *    on disk for one cycle, excluded from reads;
+    *  - `retired`: level dirs superseded by a level merge — same lease;
+    *  - `lvseq`: monotone level-name counter. */
+  private[graft] final case class EvMeta(gen: Int, buckets: Int,
+      levels: Seq[String], consumed: Set[String], retired: Seq[String],
+      lvseq: Int)
 
   private def evMetaPath(table: String) =
     new org.apache.hadoop.fs.Path(s"${tableDir(table)}/_evmeta.json")
 
-  private def writeEvMeta(table: String, gen: Int, buckets: Int): Unit = {
+  private def jsonArr(xs: Iterable[String]): String =
+    xs.map(x => s""""$x"""").mkString("[", ",", "]")
+
+  private def writeEvMeta(table: String, m: EvMeta): Unit = {
+    require((m.levels ++ m.consumed ++ m.retired)
+        .forall(n => !n.exists(c => c == '"' || c == '\\' || c == '\n')),
+      "manifest entries must be plain file/dir names")
     val (fc, fm) = eventFingerprint(table)
-    val json = s"""{"gen":$gen,"files":$fc,"mtime":$fm,"buckets":$buckets}"""
+    val json = s"""{"v":2,"gen":${m.gen},"files":$fc,"mtime":$fm,""" +
+      s""""buckets":${m.buckets},"levels":${jsonArr(m.levels)},""" +
+      s""""consumed":${jsonArr(m.consumed)},""" +
+      s""""retired":${jsonArr(m.retired)},"lvseq":${m.lvseq}}"""
     val out = hadoopFs.create(evMetaPath(table), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
 
-  private def readEvMeta(table: String): Option[(Int, Long, Long, Int)] = {
+  /** Parse the manifest. A v2 manifest that fails to parse is a LOUD
+    * error: once levels/consumed exist the manifest is correctness-
+    * bearing (it excludes consumed duplicates and includes hidden level
+    * dirs), so a silent flat fallback would serve wrong rows — contrast
+    * the pre-round-13 meta, which was optimization-only. A LEGACY meta
+    * (no "v" key) still fails soft to the flat path. */
+  private def readEvMeta(table: String): Option[EvMeta] = {
     val fs = hadoopFs
     val p = evMetaPath(table)
     if (!fs.exists(p)) None
@@ -301,10 +363,126 @@ class XtDb(spark: SparkSession, val root: String) {
         val s = new String(bytes, "UTF-8")
         def num(k: String) = (s""""$k"\\s*:\\s*(-?\\d+)""").r
           .findFirstMatchIn(s).map(_.group(1).toLong)
-        for { g <- num("gen"); f <- num("files"); m <- num("mtime")
-              b <- num("buckets") }
-          yield (g.toInt, f, m, b.toInt)
+        def arr(k: String): Option[Seq[String]] =
+          (s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
+            .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1))
+              .map(_.group(1)).toSeq)
+        if (num("v").contains(2L)) {
+          val parsed = for {
+            g <- num("gen"); b <- num("buckets"); q <- num("lvseq")
+            lv <- arr("levels"); cn <- arr("consumed"); rt <- arr("retired")
+          } yield EvMeta(g.toInt, b.toInt, lv, cn.toSet, rt, q.toInt)
+          Some(parsed.getOrElse(throw new IllegalStateException(
+            s"corrupt event manifest for '$table' at $p: $s")))
+        } else
+          for { g <- num("gen"); b <- num("buckets") }
+            yield EvMeta(g.toInt, b.toInt, Nil, Set.empty, Nil, 0)
       } finally in.close()
+    }
+  }
+
+  /** Manifest read behind the short-TTL negative cache (skips the
+    * per-query meta stat on never-compacted tables; see [[noEvMeta]]). */
+  private def cachedEvMeta(table: String): Option[EvMeta] = {
+    val neg = noEvMeta.getOrDefault(table, -1L)
+    if (neg >= 0L && System.currentTimeMillis() < neg + NoEvMetaTtlMs)
+      return None
+    val m = readEvMeta(table)
+    if (m.isEmpty) noEvMeta.put(table, System.currentTimeMillis())
+    m
+  }
+
+  // Spark's bucketed writers stamp the bucket id into the file name
+  // (`…_00003.c000.snappy.parquet`); plain append parts carry no
+  // underscore-digit suffix at all. This mirrors the reader-side rule
+  // Spark itself applies (BucketingUtils.getBucketId), so base/level
+  // files and flat appends are distinguishable from the listing alone.
+  private val bucketFilePattern = """.*_(\d+)(?:\..*)?$""".r
+  private def isBucketFile(name: String): Boolean =
+    bucketFilePattern.pattern.matcher(name).matches()
+
+  /** Visible `.parquet` files under the live data dir (recursive, skipping
+    * `_`-prefixed metadata that is not a partition dir — Spark's own
+    * listing rule, so exactly what a flat read would see). */
+  private def listRootParquet(table: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val fs = hadoopFs
+    val out = scala.collection.mutable.Buffer[org.apache.hadoop.fs.FileStatus]()
+    def walk(p: org.apache.hadoop.fs.Path): Unit =
+      fs.listStatus(p).foreach { st =>
+        val nm = st.getPath.getName
+        if (nm.startsWith("_") && !nm.contains("=")) ()
+        else if (nm.startsWith(".")) ()
+        else if (st.isDirectory) walk(st.getPath)
+        else if (nm.endsWith(".parquet")) out += st
+      }
+    val dir = new org.apache.hadoop.fs.Path(dataDir(table))
+    if (fs.exists(dir)) walk(dir)
+    out.toSeq
+  }
+
+  private def levelParquet(table: String, level: String)
+      : Seq[org.apache.hadoop.fs.FileStatus] = {
+    val fs = hadoopFs
+    val p = new org.apache.hadoop.fs.Path(s"${dataDir(table)}/$level")
+    if (!fs.exists(p)) Nil
+    else fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+      .toSeq
+  }
+
+  private final case class LiveSets(meta: EvMeta,
+      base: Seq[org.apache.hadoop.fs.FileStatus],
+      backlog: Seq[org.apache.hadoop.fs.FileStatus],
+      levelFiles: Seq[org.apache.hadoop.fs.FileStatus])
+
+  /** Resolve the manifest against the live listing: base bucket files,
+    * un-consumed flat backlog, level files. None = no (gen-matching)
+    * manifest — the table reads flat. */
+  private def liveFileSets(table: String): Option[LiveSets] =
+    cachedEvMeta(table) match {
+      case Some(m) if currentGen(table).getOrElse(0) == m.gen =>
+        val rootFiles = listRootParquet(table)
+        val base = rootFiles.filter(f => isBucketFile(f.getPath.getName))
+        val backlog = rootFiles.filterNot(f =>
+          isBucketFile(f.getPath.getName) ||
+            m.consumed.contains(f.getPath.getName))
+        Some(LiveSets(m, base, backlog,
+          m.levels.flatMap(levelParquet(table, _))))
+      case _ => None
+    }
+
+  /** One bucketed relation over an EXPLICIT file list (public Spark API:
+    * InMemoryFileIndex over leaf files + HadoopFsRelation carrying the
+    * BucketSpec, surfaced via `baseRelationToDataFrame`). Catalyst sees
+    * `HashPartitioning(_iid, buckets)` on the scan — windows/joins on
+    * `_iid` plan with zero exchange, `_iid = k` prunes to one bucket —
+    * with no session-catalog registration to go stale. */
+  private def bucketedRelation(table: String,
+      files: Seq[org.apache.hadoop.fs.FileStatus], buckets: Int): DataFrame = {
+    import org.apache.spark.sql.execution.datasources._
+    val schema = loadSchema(table).getOrElse(
+      spark.read.parquet(files.map(_.getPath.toString): _*).schema)
+    val index = new InMemoryFileIndex(spark, files.map(_.getPath),
+      Map.empty, Some(schema))
+    val rel = HadoopFsRelation(index, new StructType(), schema,
+      Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
+        buckets, Seq(IID), Nil)),
+      new parquet.ParquetFileFormat(), Map.empty)(spark)
+    spark.baseRelationToDataFrame(rel)
+  }
+
+  /** Plain (non-bucketed) read of an explicit live file list under the
+    * registered LUB schema — the correct-by-construction path whenever a
+    * backlog is pending or levels exist without the registry. */
+  private def explicitRead(table: String,
+      files: Seq[org.apache.hadoop.fs.FileStatus]): DataFrame = {
+    val paths = files.map(_.getPath.toString)
+    if (paths.isEmpty) flatEvents(table)
+    else loadSchema(table) match {
+      case Some(st) => spark.read.schema(st).parquet(paths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
   }
 
@@ -354,41 +532,27 @@ class XtDb(spark: SparkSession, val root: String) {
   private val noEvMeta =
     new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
-  /** The iid-bucketed event log, iff STORAGE still vouches the live
-    * generation is exactly the compacted file set: same generation and
-    * same NON-EMPTY event-file fingerprint (count + max mtime), so an
-    * append from any instance flips readers back to the flat path until
-    * the next compaction. Any attach failure also degrades to the flat
-    * path — the bucketed serving is strictly an optimization. Public so
-    * specs/tools can pin the serving decision.
+  /** The iid-bucketed event log, iff the manifest's live set has NO
+    * pending flat backlog: any append from any instance shows up in the
+    * live-dir listing as an un-consumed flat file and flips readers to
+    * the explicit-union path until the next (incremental) compaction
+    * folds it. Any failure to build the relation degrades to the plain
+    * read — the bucketed serving is strictly an optimization over the
+    * same rows. Public so specs/tools can pin the serving decision.
     *
-    * Concurrency contract: the check-then-serve is not atomic against a
-    * REMOTE writer — an append landing between the fingerprint check and
-    * the query's file listing can surface as a transient listing error
-    * (a flat part in a bucketed relation) that a retry resolves; the
-    * same class as the generation-flip read lease. Within an instance
-    * the single-writer discipline prevents it. */
-  def bucketedEventsIfValid(table: String): Option[DataFrame] = {
-    val neg = noEvMeta.get(table)
-    if (neg != null && System.currentTimeMillis() < neg + NoEvMetaTtlMs)
-      return None
-    readEvMeta(table) match {
-      case Some((gen, files, mtime, buckets))
-          if currentGen(table).getOrElse(0) == gen =>
-        val (fc, fm) = eventFingerprint(table)
-        // files == 0 (an empty compacted table) never serves bucketed:
-        // there are no parquet footers to infer the attach schema from,
-        // and the flat read under the registered schema is already free
-        if (files == 0 || fc != files || fm != mtime) None
-        else
-          try Some(attachBucketedTable(eventsTableName(table),
-            dataDir(table), IID, buckets))
-          catch { case scala.util.control.NonFatal(_) => None }
-      case None =>
-        noEvMeta.put(table, System.currentTimeMillis()); None
+    * Concurrency contract: the manifest-then-list is not atomic against
+    * a REMOTE writer — an append landing between the two can surface as
+    * a transient listing error that a retry resolves; the same class as
+    * the generation-flip read lease. Within an instance the single-writer
+    * discipline prevents it. */
+  def bucketedEventsIfValid(table: String): Option[DataFrame] =
+    liveFileSets(table) match {
+      case Some(s) if s.backlog.isEmpty && (s.base ++ s.levelFiles).nonEmpty =>
+        try Some(bucketedRelation(table, s.base ++ s.levelFiles,
+          s.meta.buckets))
+        catch { case scala.util.control.NonFatal(_) => None }
       case _ => None
     }
-  }
 
   private def tableExists(table: String): Boolean = {
     val fs = hadoopFs
@@ -459,12 +623,15 @@ class XtDb(spark: SparkSession, val root: String) {
     * to snapshot serving without operator action: every write invalidates
     * the bucketed snapshot (correct), and once the appended backlog
     * exceeds `spark.graft.autoCompact.maxLag` (default 8; -1 disables)
-    * the write that crossed the threshold re-compacts and
-    * re-materializes it. Bounded by construction: at most one
-    * compaction per maxLag+1 writes, and a freshly-compacted table has
-    * lag 0. Tables without a declared layout keep the explicit
-    * [[compact]]/[[compactIfLagged]] contract — they serve the flat log
-    * correctly either way, so the rewrite amplification is opt-in. */
+    * the write that crossed the threshold folds it back in. Cost is
+    * TIERED (see [[compactIfLagged]]): a small table takes the full
+    * rewrite + snapshot rebuild inline (sub-second); a LARGE table takes
+    * the O(backlog) incremental fold, with the full rewrite amortized
+    * geometrically — so steady ingest never pays O(table) per put the
+    * way the pre-round-13 trigger did. Tables without a declared layout
+    * keep the explicit [[compact]]/[[compactIfLagged]] contract — they
+    * serve the flat log correctly either way, so the rewrite
+    * amplification is opt-in. */
   private def maybeAutoCompact(table: String): Unit = {
     val maxLag = spark.conf.get("spark.graft.autoCompact.maxLag", "8").toInt
     if (maxLag >= 0 && layoutOf(table).isDefined)
@@ -634,7 +801,12 @@ class XtDb(spark: SparkSession, val root: String) {
         // transition at any depth, scalar->struct) needs the files rewritten
         // because no read-side promotion can conjure the new shape.
         if (!DynamicSchema.readPromotable(existingSchema, merged))
-          rewriteTable(table, DynamicSchema.conform(flatEvents(table), merged))
+          rewriteTable(table, DynamicSchema.conform(
+            liveFileSets(table) match {
+              case Some(s) =>
+                explicitRead(table, s.base ++ s.levelFiles ++ s.backlog)
+              case None => flatEvents(table)
+            }, merged))
         saveSchema(table, merged)
       }
       DynamicSchema.conform(incoming, merged)
@@ -678,7 +850,12 @@ class XtDb(spark: SparkSession, val root: String) {
   def compact(table: String): Unit = {
     // a layout may be declared before the first write — nothing to fold
     if (!tableExists(table)) return
-    val ev = flatEvents(table)
+    val ev = liveFileSets(table) match {
+      // manifest-aware full input (base + levels + backlog as one plain
+      // read) — NEVER the directory listing once levels/consumed exist
+      case Some(s) => explicitRead(table, s.base ++ s.levelFiles ++ s.backlog)
+      case None => flatEvents(table)
+    }
     val w = org.apache.spark.sql.expressions.Window.partitionBy(IID)
     val purged = ev
       .withColumn("__erase_sf",
@@ -733,7 +910,8 @@ class XtDb(spark: SparkSession, val root: String) {
     val canonicalKey =
       if (!tableExists(table)) key
       else {
-        val cols = flatEvents(table).columns
+        val cols = loadSchema(table).map(_.fieldNames)
+          .getOrElse(events(table).columns)
         cols.find(_.equalsIgnoreCase(key)).getOrElse(
           throw new IllegalArgumentException(
             s"declareLayout($table): key '$key' is not a column " +
@@ -795,23 +973,14 @@ class XtDb(spark: SparkSession, val root: String) {
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** Event-file freshness fingerprint of the table's live data dir:
-    * (file count, max mtime) over data files, skipping `_`-prefixed
-    * metadata that is not a partition dir — the same rule Spark's file
-    * index applies, so exactly the files events() reads are counted. */
+    * (file count, max mtime) over VISIBLE `.parquet` data files — the
+    * same counting rule as [[listRootParquet]] and [[blockLag]] (one
+    * rule everywhere, so a stray non-parquet file can never desync the
+    * healthz surface from the snapshot-validity check). */
   private def eventFingerprint(table: String): (Long, Long) = {
-    val fs = hadoopFs
-    var n = 0L; var mt = -1L
-    def walk(p: org.apache.hadoop.fs.Path): Unit =
-      fs.listStatus(p).foreach { st =>
-        val nm = st.getPath.getName
-        if (nm.startsWith("_") && !nm.contains("=")) ()
-        else if (nm.startsWith(".")) ()
-        else if (st.isDirectory) walk(st.getPath)
-        else { n += 1; mt = math.max(mt, st.getModificationTime) }
-      }
-    val dir = new org.apache.hadoop.fs.Path(dataDir(table))
-    if (fs.exists(dir)) walk(dir)
-    (n, mt)
+    val files = listRootParquet(table)
+    (files.size.toLong,
+      files.foldLeft(-1L)((m, f) => math.max(m, f.getModificationTime)))
   }
 
   /** Session-catalog name for the table's bucketed current snapshot —
@@ -929,69 +1098,241 @@ class XtDb(spark: SparkSession, val root: String) {
     }
   }
 
-  /** Uncompacted backlog of `table`: LIVE physical parquet files beyond
-    * the compacted bucketed set (the current generation only — a
+  /** Uncompacted backlog of `table`: LIVE flat append files not yet
+    * folded into the bucketed set (the current generation only — a
     * superseded generation kept for in-flight readers is storage debt,
-    * not lag). Every small per-tx append adds files; compaction folds the
-    * log back to one file per `_iid` bucket (the `_evmeta.json` baseline;
-    * a never-compacted table's baseline is one file — the first part is a
-    * table, the rest is consolidation debt). Metadata-only FS listing —
-    * the measure the healthz surface and the auto-compaction trigger
-    * share. */
+    * not lag). Computed by the SAME rule the read path uses: visible
+    * root `.parquet` files that are neither bucket-named nor consumed
+    * (a never-compacted table's first part is a table, the rest is
+    * consolidation debt). Metadata-only FS listing — the measure the
+    * healthz surface and the auto-compaction trigger share. */
   def blockLag(table: String): Long = {
     val fs = hadoopFs
     val dir = new org.apache.hadoop.fs.Path(dataDir(table))
     if (!fs.exists(dir)) return 0L
-    var files = 0L
-    // manual listStatus recursion: listFiles(recursive) falls back to
-    // RawLocalFileSystem permission loading that breaks on non-file URI
-    // schemes (the objstore:// double) — listStatus stays in the
-    // FileSystem API the object-store contract guarantees
-    def walk(p: org.apache.hadoop.fs.Path): Unit =
-      fs.listStatus(p).foreach { st =>
-        // `_`-prefixed members WITHOUT '=' are metadata (the bucketed
-        // current snapshot, pointers) — Spark's file index skips them by
-        // the same rule, so they are not event-log backlog
-        if (st.getPath.getName.startsWith("_") &&
-            !st.getPath.getName.contains("=")) ()
-        else if (st.isDirectory) walk(st.getPath)
-        else if (st.getPath.getName.endsWith(".parquet")) files += 1L
-      }
-    walk(dir)
-    val baseline = readEvMeta(table) match {
-      case Some((gen, n, _, _))
-          if gen == currentGen(table).getOrElse(0) => n
-      case _ => 1L
+    liveFileSets(table) match {
+      case Some(s) => s.backlog.size.toLong
+      case None =>
+        math.max(0L, listRootParquet(table)
+          .count(f => !isBucketFile(f.getPath.getName)).toLong - 1L)
     }
-    math.max(0L, files - baseline)
   }
 
-  /** The reference compactor's TRIGGER policy (Compactor.kt wakes when
-    * enough level-0 files accumulate) as an explicit engine call: run
-    * [[compact]] iff the table's block lag exceeds `maxLag`. Returns
-    * whether compaction ran — callers (a maintenance loop, the healthz
-    * finish-block hook, or a post-ingest step) get idempotence for
-    * free: a freshly-compacted table has lag 0 and is left alone. */
+  /** The reference compactor's TRIGGER + LEVEL policy (Compactor.kt wakes
+    * as level-0 files accumulate; SegmentMerge merges only tries touched
+    * by new level-0 files) as one engine call. When the backlog exceeds
+    * `maxLag`:
+    *  - a table with no bucketed base yet, or one whose live bytes are
+    *    under `spark.graft.fullCompact.smallBytes` (default 256 MB — a
+    *    rewrite there costs less than the bookkeeping), takes the FULL
+    *    [[compact]]: erase purge, derived bucket fanout, snapshot
+    *    materialization;
+    *  - a LARGE table takes [[compactIncremental]] — O(backlog), never
+    *    O(table) — and only escalates to the full rewrite once the
+    *    accumulated level bytes reach `spark.graft.fullCompact.ratio`
+    *    (default 0.2) of the base, i.e. geometrically: lifetime write
+    *    amplification is O(1/ratio) per byte instead of the pre-round-13
+    *    O(table/maxLag) per byte.
+    * Returns whether any compaction ran — a freshly-folded table has lag
+    * 0, so callers get idempotence for free. */
   def compactIfLagged(table: String, maxLag: Int = 5): Boolean = {
     val lagged = blockLag(table) > maxLag
-    if (lagged) compact(table)
-    lagged
+    if (!lagged) return false
+    val smallBytes = spark.conf
+      .get("spark.graft.fullCompact.smallBytes",
+        (256L * 1024 * 1024).toString).toLong
+    val hasBase = cachedEvMeta(table)
+      .exists(_.gen == currentGen(table).getOrElse(0))
+    if (!hasBase || liveEventBytes(table) <= smallBytes) compact(table)
+    else {
+      compactIncremental(table)
+      val ratio = spark.conf
+        .get("spark.graft.fullCompact.ratio", "0.2").toDouble
+      liveFileSets(table).foreach { s =>
+        val baseBytes = math.max(1L, s.base.map(_.getLen).sum)
+        val lvBytes = s.levelFiles.map(_.getLen).sum
+        if (lvBytes >= ratio * baseBytes) compact(table)
+      }
+    }
+    true
+  }
+
+  /** Incremental (bucket-level) compaction — the reference's level-wise
+    * trie merge (Compactor.kt / SegmentMerge.kt) on the bucketed layout:
+    * shuffle ONLY the appended backlog into a new bucketed LEVEL dir
+    * (`_lv<k>`, hidden from directory listings; one file per touched
+    * `_iid` bucket at the base's fanout) and commit it with one atomic
+    * manifest PUT. The base bucket files are NEVER read or rewritten —
+    * cost is O(backlog), so a constant-size backlog folds in constant
+    * time at any table size (BASELINE.md round-13 table). Erase events
+    * ride the levels and keep masking at read; their PHYSICAL purge (the
+    * GDPR guarantee) happens at the next full [[compact]], which is also
+    * when levels fold into a fresh base generation.
+    *
+    * Level growth is bounded: once `spark.graft.maxLevels` (default 8)
+    * levels exist, the fold merges backlog + all levels into ONE new
+    * level (O(levels), still never the base). Superseded level dirs and
+    * consumed backlog files are kept for one cycle (the lazy-by-one read
+    * lease, same depth as the generation GC) and deleted on the next
+    * fold. Single-writer, like every other write path here.
+    *
+    * Returns true if a fold ran; falls back to the full [[compact]] when
+    * no bucketed base exists yet. */
+  def compactIncremental(table: String): Boolean = {
+    if (!tableExists(table)) return false
+    val m = cachedEvMeta(table) match {
+      case Some(mm) if currentGen(table).getOrElse(0) == mm.gen => mm
+      case _ => compact(table); return true
+    }
+    val fs = hadoopFs
+    val dd = dataDir(table)
+    // lazy-by-one GC: the PREVIOUS cycle's consumed/retired entries have
+    // been excluded from every manifest since — delete them now; anything
+    // that refuses to die stays excluded (never re-read as backlog)
+    val consumedCarry = m.consumed.filter { name =>
+      val p = new org.apache.hadoop.fs.Path(s"$dd/$name")
+      (try { fs.delete(p, false); fs.exists(p) }
+       catch { case scala.util.control.NonFatal(_) => fs.exists(p) })
+    }
+    val retiredCarry = m.retired.filter { d =>
+      val p = new org.apache.hadoop.fs.Path(s"$dd/$d")
+      (try { fs.delete(p, true); fs.exists(p) }
+       catch { case scala.util.control.NonFatal(_) => fs.exists(p) })
+    }
+    val backlog = listRootParquet(table).filterNot(f =>
+      isBucketFile(f.getPath.getName) ||
+        consumedCarry.contains(f.getPath.getName))
+    val maxLevels = spark.conf.get("spark.graft.maxLevels", "8").toInt
+    val mergeLevels = m.levels.size >= maxLevels
+    if (backlog.isEmpty && !mergeLevels) {
+      writeEvMeta(table, m.copy(consumed = consumedCarry,
+        retired = retiredCarry))
+      return false
+    }
+    val input = backlog ++
+      (if (mergeLevels) m.levels.flatMap(levelParquet(table, _)) else Nil)
+    if (input.isEmpty) {
+      writeEvMeta(table, m.copy(consumed = consumedCarry,
+        retired = retiredCarry))
+      return false
+    }
+    val lvName = s"_lv${m.lvseq}"
+    writeBucketedFiles(explicitRead(table, input), s"$dd/$lvName", m.buckets)
+    writeEvMeta(table, m.copy(
+      levels = (if (mergeLevels) Nil else m.levels) :+ lvName,
+      consumed = consumedCarry ++ backlog.map(_.getPath.getName),
+      retired = retiredCarry ++ (if (mergeLevels) m.levels else Nil),
+      lvseq = m.lvseq + 1))
+    noEvMeta.remove(table)
+    true
+  }
+
+  /** Write `df` as a bucketed file set (one file per non-empty `_iid`
+    * hash bucket, Spark bucket ids in the file names) into `dir`. Goes
+    * through a throwaway external-table registration because that is the
+    * only writer Spark exposes for bucketed files; the registration is
+    * dropped immediately (external ⇒ files stay) — serving never touches
+    * the catalog. */
+  private def writeBucketedFiles(df: DataFrame, dir: String,
+      buckets: Int): Unit = {
+    val tmp = s"graft_bkw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    df.repartition(buckets, col(IID))
+      .write.mode("overwrite").option("path", dir)
+      .bucketBy(buckets, IID).sortBy(IID)
+      .saveAsTable(tmp)
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    ()
   }
 
   // ---- xt.txs system table (reference: `xt.txs`, information_schema.clj)
+  //
+  // Folded with the same generation machinery as the event log (What's
+  // wrong r12 #2): every DML op appends one tiny parquet part into the
+  // live tx-log generation (`_txs/_g<N>`, or the legacy `_txs` root);
+  // once the part count crosses the fold threshold the whole live set is
+  // consolidated into `_g<N+1>` (~128 MB output files), committed by one
+  // atomic pointer PUT, and the generation BEFORE the superseded one is
+  // deleted (lazy-by-one read lease, like the event-log GC). The
+  // threshold scales with the consolidated size (fold only when the
+  // appended tail rivals the base file count), so lifetime rewrite cost
+  // is O(N log N), not O(N²/threshold) — and `xt.txs` reads plus every
+  // listStatus stay bounded instead of degrading linearly with ingest.
+
+  private def txsGenPath = new org.apache.hadoop.fs.Path(s"$root/_txs/_gen")
+
+  private def txsGen: Option[Int] = {
+    val fs = hadoopFs
+    if (!fs.exists(txsGenPath)) None
+    else {
+      val in = fs.open(txsGenPath)
+      try {
+        val bytes = new Array[Byte](
+          fs.getFileStatus(txsGenPath).getLen.toInt)
+        in.readFully(bytes)
+        Some(new String(bytes, "UTF-8").trim.toInt)
+      } finally in.close()
+    }
+  }
+
+  private def txsLiveDir: String = txsGen match {
+    case Some(n) => s"$root/_txs/_g$n"
+    case None => s"$root/_txs"
+  }
+
+  private def maybeFoldTxs(): Unit = try {
+    val fs = hadoopFs
+    val threshold =
+      spark.conf.get("spark.graft.txsFoldThreshold", "64").toLong
+    if (threshold <= 0) return
+    val dir = new org.apache.hadoop.fs.Path(txsLiveDir)
+    if (!fs.exists(dir)) return
+    val files = fs.listStatus(dir).filter(st =>
+      st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val totalBytes = files.map(_.getLen).sum
+    // consolidated base ≈ ceil(bytes/128MB) files; fold only when the
+    // appended tail dominates it (geometric spacing = amortized O(log N)
+    // rewrites per row)
+    val baseFiles = math.max(1L, totalBytes / (128L * 1024 * 1024))
+    if (files.length <= math.max(threshold, 2L * baseFiles)) return
+    val cur = txsGen
+    val next = cur.getOrElse(0) + 1
+    spark.read.parquet(txsLiveDir)
+      .coalesce(baseFiles.toInt)
+      .write.mode("overwrite").parquet(s"$root/_txs/_g$next")
+    val out = fs.create(txsGenPath, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    // lazy-by-one GC: drop the generation BEFORE the one just superseded
+    // (in-flight readers of the superseded one finish undisturbed)
+    if (next >= 3)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/_txs/_g${next - 2}"),
+        true)
+    if (next == 2)
+      fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_txs"))
+        .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+        .foreach(st => fs.delete(st.getPath, false))
+    ()
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      // the DML op already committed+logged — tx-log maintenance must
+      // never fail the write; the backlog just waits for the next trigger
+      System.err.println(s"[xtdb] tx-log fold failed (log intact): " +
+        s"${e.getMessage}")
+  }
+
   private def logTx(sysTime: java.sql.Timestamp, table: String, op: String,
       committed: Boolean, error: Option[String]): Unit = {
     import spark.implicits._
     Seq((sysTime.toInstant.toEpochMilli, sysTime, table, op, committed,
         error.orNull))
       .toDF("tx_id", "system_time", "tx_table", "tx_op", "committed", "error")
-      .write.mode("append").parquet(s"$root/_txs")
+      .write.mode("append").parquet(txsLiveDir)
+    maybeFoldTxs()
   }
 
   /** The `xt.txs` transaction-log table: one row per DML op, including
     * aborted ASSERTs. */
   def txs: DataFrame =
-    spark.read.parquet(s"$root/_txs").orderBy("tx_id")
+    spark.read.parquet(txsLiveDir).orderBy("tx_id")
 
   /** SQL UPDATE — plan = query producing new row versions, appended as puts
     * (reference prepareTxSql, query.clj:478-495): read the current

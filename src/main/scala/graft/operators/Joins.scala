@@ -163,6 +163,45 @@ object Joins {
       .select((leftCols ++ payloadCols).distinct.map(col): _*)
   }
 
+  /** [[asOfJoin]] FUSED over one source scan: when both sides are row
+    * subsets of the SAME relation (the q72 shape — clicks and purchases
+    * are filters of one events table), the union is unnecessary: a single
+    * scan computes the side tag and the carry-forward window is the only
+    * stateful step. Cost: one scan of the source instead of two, and the
+    * window shuffle is the ONLY exchange — which disappears entirely when
+    * the source is bucketed/declared on `key` (the scan's
+    * HashPartitioning satisfies the window's ClusteredDistribution; the
+    * round-13 declared-layout posture for the as-of family, measured in
+    * BENCH_r13's `bucketed` section).
+    *
+    * Semantics are exactly `asOfJoin(source.filter(isLeft),
+    * source.filter(isRight), key, ts, ts, payload, tieBreak)` — each
+    * left row carries the latest right payload at-or-before its `ts`
+    * (ties: right first, then `tieBreak`). `isLeft`/`isRight` must be
+    * disjoint (JoinsSpec pins the equivalence). `payload` maps right
+    * source column → output name. */
+  def asOfJoinFused(
+      source: DataFrame,
+      key: String,
+      ts: String,
+      isLeft: Column,
+      isRight: Column,
+      payload: Seq[(String, String)],
+      tieBreak: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = source.filter(isLeft || isRight)
+      .withColumn("__side", when(isRight, lit(0)).otherwise(lit(1)))
+    val w = Window.partitionBy(key)
+      .orderBy(col(ts), col("__side"), col(tieBreak))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = payload.foldLeft(base) { case (df, (src, out)) =>
+      df.withColumn(out,
+        last(when(col("__side") === 0, col(src)), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .select((source.columns ++ payload.map(_._2)).distinct.map(col): _*)
+  }
+
   /** Skew-safe equi join via key salting: left rows scatter across `salt`
     * sub-keys, the right side replicates `salt` ways, and the join runs on
     * (key, salt) — a hot key's probe rows spread over `salt` tasks instead
@@ -614,15 +653,42 @@ object Joins {
     // a left row with a NULL id can match — plain === would then fail the
     // anti probe (NULL never equals) and emit the row a second time,
     // null-extended. Under the uniqueness contract at most one left row
-    // carries a NULL id, so <=> removes exactly the matched one.
+    // carries a NULL id, so <=> removes exactly the matched one. That
+    // contract is ENFORCED when the schema cannot rule it out: with >1
+    // NULL-id left rows the <=> anti would silently drop every unmatched
+    // one (loss is worse than the duplication it replaced), so a 1-row
+    // broadcast guard asserts the invariant inside the plan — zero cost
+    // when leftId is non-nullable, one skinny pruned count otherwise
+    // (the dupClusters-style loud guard).
     val unmatchedLive = liveLeft.join(matchedIds,
       col(leftId) <=> col("__mid"), "left_anti")
     val nullExtended = right.schema.fields.foldLeft(
       nullLeft.unionByName(unmatchedLive)) { (df, f) =>
       df.withColumn(f.name, lit(null).cast(f.dataType))
     }
-    matched.unionByName(
+    val out = matched.unionByName(
       nullExtended.select(matched.columns.map(col): _*))
+    if (!left.schema(leftId).nullable) out
+    else {
+      // the uniqueness contract, ENFORCED when the schema cannot rule it
+      // out: with >1 NULL-id left rows the <=> anti probe would silently
+      // drop every unmatched one. A 1-row broadcast guard on the FINAL
+      // output (the anti branch itself can be empty-pruned by AQE in
+      // exactly the dangerous case — all null-id rows matched — while a
+      // violating output always has the matched rows to hang this on);
+      // zero cost when leftId is non-nullable, one skinny pruned count
+      // otherwise (the dupClusters-style loud guard).
+      // guard rides the JOIN CONDITION (the over-wide-period idiom):
+      // a projected assert column would be removed by column pruning
+      val guard = liveLeft.filter(col(leftId).isNull)
+        .agg(count(lit(1)).as("__nid_n"))
+      out.join(broadcast(guard),
+        when(col("__nid_n") > 1L, raise_error(lit(
+          s"intervalJoinLeft: more than one left row has a NULL " +
+            s"'$leftId' — leftId must uniquely identify left rows"))
+          .cast("boolean")).otherwise(lit(true)),
+        "left").drop("__nid_n")
+    }
   }
 
   /** Null-aware anti join — SQL `NOT IN (subquery)` semantics: if the right

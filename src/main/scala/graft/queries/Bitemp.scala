@@ -22,7 +22,9 @@ import org.apache.spark.sql.functions._
   */
 object Bitemp {
 
-  private def syntheticEvents(s: SparkSession, dir: String): DataFrame = {
+  /** Exposed to Bench's bucketed posture (the same fixture, written
+    * iid-bucketed as the compacted-event-log analogue). */
+  private[graft] def syntheticEvents(s: SparkSession, dir: String): DataFrame = {
     val vf = expr("timestampadd(DAY, CAST(version AS INT), o_orderdate)")
     Tables.load(s, dir, "orders")
       .filter(col("o_orderkey") < 2000)
@@ -225,19 +227,21 @@ object Bitemp {
       ORDER BY _id, s_off, v_off""")),
 
     // ---- as-of (event-time) join: each click matched to the user's latest
-    // purchase at-or-before it (temporal correlation — SURVEY §2.3 note;
-    // operators/Joins.asOfJoin: union+window, one shuffle, no range blowup)
+    // purchase at-or-before it (temporal correlation — SURVEY §2.3 note).
+    // Both sides are filters of ONE events scan, so the FUSED as-of join
+    // applies (operators/Joins.asOfJoinFused: single scan + carry-forward
+    // window, one shuffle — zero over a user_id-bucketed layout); the
+    // general two-table asOfJoin stays the operator for disjoint inputs
+    // (equivalence pinned in JoinsSpec).
     QueryDef("q72_asof_join", (s, dir) => {
       val base = Tables.load(s, dir, "events")
         .withColumn("ts_ms", expr("unix_micros(cast(ts as timestamp)) div 1000"))
-      val purchases = base.filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts_ms"), col("event_id"),
-          col("value").as("last_purchase"))
-      val clicks = base.filter(col("event_type") === "click")
-        .select("user_id", "ts_ms", "event_id")
-      _root_.graft.operators.Joins.asOfJoin(clicks, purchases,
-          key = "user_id", leftTs = "ts_ms", rightTs = "ts_ms",
-          payloadCols = Seq("last_purchase"), tieBreak = "event_id")
+        .select("user_id", "ts_ms", "event_id", "event_type", "value")
+      _root_.graft.operators.Joins.asOfJoinFused(base,
+          key = "user_id", ts = "ts_ms",
+          isLeft = col("event_type") === "click",
+          isRight = col("event_type") === "purchase",
+          payload = Seq("value" -> "last_purchase"), tieBreak = "event_id")
         .select(col("user_id"), col("event_id"), col("last_purchase"))
         // output is one row per click (data-proportional): a global range
         // sort, not a single-task presentation sort — at 100x this result

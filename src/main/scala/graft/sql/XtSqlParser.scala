@@ -1546,6 +1546,13 @@ object XtSqlParser {
       expect(toks, 4, "LAYOUT")
       val (key, buckets) = parseLayoutOptions(toks, 5,
         keyName = "key", bucketsName = "buckets")
+      // the option list's closing paren must end the statement —
+      // symmetric with the DROP LAYOUT trailing-token check
+      val close = matchParen(toks, 5)
+      if (close + 1 < toks.length)
+        throw SqlParseException(
+          s"unexpected input after DECLARE LAYOUT (…): " +
+            s"'${toks(close + 1).text}'")
       XtStatement.DeclareLayout(table, key, buckets)
     }
   }

@@ -41,6 +41,56 @@ class JoinsSpec extends AnyFunSuite {
     assert(messages(ex).contains("single-join"))
   }
 
+  test("asOfJoinFused ≡ asOfJoin when both sides are filters of one " +
+      "relation; NULL-id interval LEFT join guard trips loudly on >1") {
+    // fused equivalence: clicks/purchases interleaved per user, ties on ts
+    val src = Seq(
+      (1, 10L, 100L, "purchase", 5.0), (1, 20L, 101L, "click", 0.0),
+      (1, 20L, 102L, "purchase", 7.0), (1, 20L, 103L, "click", 0.0),
+      (1, 30L, 104L, "click", 0.0), (2, 5L, 200L, "click", 0.0),
+      (2, 9L, 201L, "purchase", 3.0), (2, 9L, 202L, "click", 0.0),
+      (3, 1L, 300L, "other", 9.0)
+    ).toDF("user_id", "ts_ms", "event_id", "event_type", "value")
+    val fused = Joins.asOfJoinFused(src, key = "user_id", ts = "ts_ms",
+      isLeft = col("event_type") === "click",
+      isRight = col("event_type") === "purchase",
+      payload = Seq("value" -> "last_purchase"), tieBreak = "event_id")
+      .select("user_id", "event_id", "last_purchase")
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"), col("event_id"),
+        col("value").as("last_purchase"))
+    val clicks = src.filter(col("event_type") === "click")
+      .select("user_id", "ts_ms", "event_id")
+    val general = Joins.asOfJoin(clicks, purchases, key = "user_id",
+      leftTs = "ts_ms", rightTs = "ts_ms",
+      payloadCols = Seq("last_purchase"), tieBreak = "event_id")
+      .select("user_id", "event_id", "last_purchase")
+    assert(fused.collect().map(_.toSeq).toSet ==
+      general.collect().map(_.toSeq).toSet)
+    assert(fused.count() === 5)
+
+    // the ADVICE round-12 finding: >1 NULL-leftId rows would silently
+    // lose unmatched left rows through the <=> anti probe — must refuse
+    val l = Seq((Some(1L), 0L, 100L), (None, 0L, 100L), (None, 0L, 100L))
+      .toDF("lid", "lf", "lt")
+    val r = Seq((10L, 20L, "x")).toDF("rf", "rt", "tag")
+    val e = intercept[Exception] {
+      Joins.intervalJoinLeft(l, r, "lf", "lt", "rf", "rt",
+        condition = lit(true), bucketSeconds = 100L, leftId = "lid",
+        strategy = "bucket").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("NULL")),
+      s"guard must name the NULL-id violation: $e")
+    // exactly one NULL-id row stays exact (the documented contract)
+    val ok = Joins.intervalJoinLeft(
+      Seq((Some(1L), 0L, 100L), (None, 0L, 100L)).toDF("lid", "lf", "lt"),
+      r, "lf", "lt", "rf", "rt", condition = lit(true),
+      bucketSeconds = 100L, leftId = "lid", strategy = "bucket")
+    assert(ok.count() === 2)
+  }
+
   test("mark join: 3VL null mark for null left keys") {
     val left = Seq[(java.lang.Integer, String)]((1, "a"), (null, "b"), (9, "c"))
       .toDF("k", "lv")

@@ -115,9 +115,9 @@ class XtDbStorageSpec extends AnyFunSuite {
       .count() == 4)
   }
 
-  test("a STALE catalog registration (another instance flipped the " +
-      "generation) is re-pointed, not served: the attach path verifies " +
-      "the registered location against the live data dir") {
+  test("event serving is CATALOG-FREE (round 13): no graft_ev_* " +
+      "registration exists to go stale — a generation flip by another " +
+      "instance is picked up from the storage manifest alone") {
     import spark.implicits._
     val root = java.nio.file.Files.createTempDirectory("xtstale").toString
     val db = new graft.bitemporal.XtDb(spark, root)
@@ -125,24 +125,21 @@ class XtDbStorageSpec extends AnyFunSuite {
     db.compact("st")
     val served = db.bucketedEventsIfValid("st")
     assert(served.isDefined && served.get.count() == 40)
-    // simulate a second instance's later flip having re-registered the
-    // SAME root-hashed name at a different (now stale) location: re-point
-    // the catalog entry at an empty dir with the same schema
-    val name = spark.catalog.listTables().collect().map(_.name)
-      .find(_.startsWith("graft_ev_st_")).get
-    val staleDir = java.nio.file.Files
-      .createTempDirectory("xtstale_dir").toString
-    val schema = served.get.schema
-    spark.sql(s"DROP TABLE $name")
-    spark.sql(
-      s"""CREATE TABLE $name (${schema.toDDL}) USING PARQUET
-         |CLUSTERED BY (`_iid`) SORTED BY (`_iid`) INTO 16 BUCKETS
-         |LOCATION '$staleDir'""".stripMargin)
-    // the serve must notice the location mismatch and re-attach at the
-    // LIVE generation — never quietly serve the stale (empty) dir
-    val reattached = db.bucketedEventsIfValid("st")
-    assert(reattached.isDefined && reattached.get.count() == 40,
-      "stale catalog location must be dropped and re-pointed")
+    // the whole stale-registration hazard class is gone: serving builds
+    // the bucketed relation from the manifest's explicit file list, no
+    // session-catalog entry is created for the event log at all
+    assert(!spark.catalog.listTables().collect().map(_.name)
+      .exists(_.startsWith("graft_ev_st_")),
+      "event-log serving must not register catalog tables")
+    // another instance flips the generation (append + compact through a
+    // SECOND XtDb over the same root); the first instance follows the
+    // pointer + manifest with nothing in-memory or in-catalog to go stale
+    val db2 = new graft.bitemporal.XtDb(spark, root)
+    db2.putDocs("st", Seq((41L, 82L)).toDF("_id", "v"))
+    db2.compact("st")
+    val after = db.bucketedEventsIfValid("st")
+    assert(after.isDefined && after.get.count() == 41,
+      "the first instance must serve the flipped generation from storage")
   }
 
   test("compaction physically removes erased history; re-inserts survive") {
