@@ -38,7 +38,7 @@ def main(sfdir, outdir):
         elif os.path.exists(p):
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    n_ok = n_bad = 0
+    n_ok = n_bad = n_near = 0
     for name in sorted(oracle):
         spark_dir = f"{outdir}/{name}"
         files = glob.glob(f"{spark_dir}/*.parquet")
@@ -46,6 +46,7 @@ def main(sfdir, outdir):
             print(f"FAIL {name}: no spark output at {spark_dir}")
             n_bad += 1
             continue
+        timed_out = {"flag": False}
         try:
             got = con.execute(
                 f"SELECT * FROM read_parquet({files!r})").fetchdf()
@@ -56,19 +57,39 @@ def main(sfdir, outdir):
             timeout = float(os.environ.get("ORACLE_TIMEOUT_SEC", "0"))
             if timeout > 0:
                 import threading
-                timer = threading.Timer(timeout, con.interrupt)
+                def _interrupt():
+                    # per-query flag: only THIS query may classify as a
+                    # timeout — without it, a timer firing between query
+                    # completion and cancel() poisons the NEXT query on
+                    # the shared connection, which would then be
+                    # misreported as ORACLE-TIMEOUT
+                    timed_out["flag"] = True
+                    con.interrupt()
+                timer = threading.Timer(timeout, _interrupt)
                 timer.start()
                 try:
                     want = con.execute(oracle[name]).fetchdf()
                 finally:
                     timer.cancel()
+                if timed_out["flag"]:
+                    # fired after completion: absorb any pending interrupt
+                    # so it cannot kill the next statement
+                    try:
+                        con.execute("SELECT 1").fetchall()
+                    except Exception:
+                        pass
             else:
                 want = con.execute(oracle[name]).fetchdf()
         except Exception as e:
             msg = str(e)
-            if "INTERRUPT" in msg.upper():
+            if timed_out["flag"] and "INTERRUPT" in msg.upper():
                 print(f"SKIP {name}: ORACLE-TIMEOUT after {timeout}s "
                       f"(DuckDB-side; spark output present, {len(got)} rows)")
+                # leave the connection clean for the next query
+                try:
+                    con.execute("SELECT 1").fetchall()
+                except Exception:
+                    pass
             else:
                 print(f"FAIL {name}: exec error: {e}")
                 n_bad += 1
@@ -83,6 +104,13 @@ def main(sfdir, outdir):
             n_bad += 1
             continue
         diffs = []
+        near_notes = []
+        # NEAR_ABS (e.g. 0.01): accept an absolute diff up to this bound,
+        # but ONLY on columns that are 2-decimal-rounded on BOTH sides —
+        # the documented one-cent float-summation-order class on
+        # round(sum(double), 2) aggregates at audit scale factors.
+        # The sf0.01 driver gate never sets it, so that stays hash-exact.
+        near_abs = float(os.environ.get("NEAR_ABS", "0"))
         for c in g.columns:
             a, b = g[c], w[c]
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
@@ -91,6 +119,20 @@ def main(sfdir, outdir):
                 eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
                 if not eq.all():
                     close = np.isclose(af, bf, rtol=1e-9, equal_nan=True)
+                    if near_abs > 0 and not close.all():
+                        def two_dec(x):
+                            fin = x[np.isfinite(x)]
+                            return np.all(
+                                np.abs(np.round(fin * 100) - fin * 100) < 1e-6)
+                        nansafe = np.where(np.isnan(af) & np.isnan(bf), 0.0,
+                                           af - bf)
+                        if (two_dec(af) and two_dec(bf) and
+                                not np.isnan(nansafe).any() and
+                                np.abs(nansafe).max() <= near_abs + 1e-12):
+                            near_notes.append(
+                                f"{c} |Δ|max={np.abs(nansafe).max():.4f}"
+                                f" ({(~eq).sum()}/{len(eq)} rows)")
+                            continue
                     tag = "NEAR" if close.all() else "DIFF"
                     i = int(np.argmin(eq))
                     diffs.append(f"{c}[{tag}] e.g. row{i}: {af[i]!r} vs {bf[i]!r} "
@@ -104,6 +146,9 @@ def main(sfdir, outdir):
         if diffs:
             print(f"FAIL {name}: " + "; ".join(diffs[:4]))
             n_bad += 1
+        elif near_notes:
+            print(f"NEAR {name} ({len(g)} rows): " + "; ".join(near_notes[:4]))
+            n_near += 1
         else:
             # also flag dtype drift (driver checks schema)
             dt = [(c, str(got[c].dtype), str(want[c].dtype))
@@ -113,7 +158,8 @@ def main(sfdir, outdir):
             note = f"  [dtype drift: {dt}]" if dt else ""
             print(f"ok   {name} ({len(g)} rows){note}")
             n_ok += 1
-    print(f"== {n_ok} ok, {n_bad} fail ==")
+    near = f", {n_near} near" if n_near else ""
+    print(f"== {n_ok} ok{near}, {n_bad} fail ==")
     return 1 if n_bad else 0
 
 if __name__ == "__main__":

@@ -1,0 +1,84 @@
+package graft.tools
+
+import graft.bitemporal.{Bitemporal, XtDb}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-13 scaling probe for incremental compaction (VERDICT r12 Next
+  * #1's "Done" gate): fold a CONSTANT-size backlog into event tables of
+  * increasing size and show the fold time is flat — O(backlog), not
+  * O(table) — while the full rewrite (the pre-round-13 only option)
+  * scales linearly. Also records asOf serving time before/after the fold
+  * (the fold must restore the zero-exchange posture) and the derived
+  * bucket fanout.
+  *
+  * Usage: CompactionProbe [nIdsCommaList] [versions] [backlogRows]
+  * Defaults: 150000,750000,3750000 ids × 5 versions (= the r12 probe's
+  * 18.75M-event 25× point at the top), 100000-row backlog.
+  * Prints one JSON line per scale point.
+  */
+object CompactionProbe {
+  def main(args: Array[String]): Unit = {
+    val nIdsList = args.lift(0).getOrElse("150000,750000,3750000")
+      .split(",").map(_.trim.toLong).toSeq
+    val versions = args.lift(1).map(_.toInt).getOrElse(5)
+    val backlogRows = args.lift(2).map(_.toLong).getOrElse(100000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    nIdsList.foreach { nIds =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_cprobe_$nIds").toString
+      val db = new XtDb(spark, root)
+      def docs(lo: Long, hi: Long) = spark.range(lo, hi)
+        .select(col("id").as("_id"),
+          explode(sequence(lit(0), lit(versions - 1))).as("version"))
+        .select(col("_id"), col("version"),
+          (col("_id") * 31 + col("version")).as("v"))
+      db.putDocs("ev", docs(1, nIds + 1))
+      val (_, fullSec) = time(db.compact("ev"))
+      def asofAgg(): Long = Bitemporal.current(db.events("ev"))
+        .agg(count(lit(1))).head().getLong(0)
+      val (rows0, asofBucketedSec) = time(asofAgg())
+      // constant-size backlog, whatever the table size
+      db.putDocs("ev", spark.range(nIds + 1, nIds + 1 + backlogRows)
+        .select(col("id").as("_id"), lit(0).as("version"),
+          (col("id") * 31).as("v")))
+      val (_, asofFlatSec) = time(asofAgg())
+      val (folded, foldSec) = time(db.compactIncremental("ev"))
+      val (rows1, asofAfterSec) = time(asofAgg())
+      val exchanges = graft.plans.Explain
+        .report(db.asOf("ev")).shuffleExchanges
+      val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+          .get(s"$root/ev/_evmeta.json")), "UTF-8")).get.group(1).toInt
+      println(
+        s"""{"probe":"compaction","n_ids":$nIds,"versions":$versions,""" +
+        s""""events":${nIds * versions},"backlog_rows":$backlogRows,""" +
+        s""""full_compact_sec":${f"$fullSec%.3f"},""" +
+        s""""fold_sec":${f"$foldSec%.3f"},"folded":$folded,""" +
+        s""""buckets":$buckets,""" +
+        s""""asof_bucketed_sec":${f"$asofBucketedSec%.3f"},""" +
+        s""""asof_flat_backlog_sec":${f"$asofFlatSec%.3f"},""" +
+        s""""asof_after_fold_sec":${f"$asofAfterSec%.3f"},""" +
+        s""""asof_exchanges_after_fold":$exchanges,""" +
+        s""""rows_before":$rows0,"rows_after":$rows1}""")
+      // clean up the multi-GB store before the next scale point
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+    spark.stop()
+  }
+}

@@ -324,6 +324,53 @@ class BucketingSpec extends AnyFunSuite {
     assert(Explain.report(db.asOf("ev")).shuffleExchanges === 0)
   }
 
+  test("declared layout for the WINDOW/AS-OF family (round 13): over " +
+      "events bucketed on user_id, lead/lag windows and the fused as-of " +
+      "join plan with ZERO exchanges and equal the flat results") {
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-winlayout").toString
+    graft.storage.LayoutCatalog.ingestBucketed(spark,
+      Tables.load(spark, sf, "events"), dst,
+      graft.storage.LayoutCatalog.Layout("events", "user_id", 4,
+        "bucketed_events"))
+    val evB = Tables.load(spark, dst, "events")
+    val evF = Tables.load(spark, sf, "events")
+
+    // q31 shape: lead/lag window partitioned by the declared key
+    def winOf(ev: org.apache.spark.sql.DataFrame) = {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("event_id")
+      ev.filter(col("user_id") < 20)
+        .select(col("user_id"), col("event_id"), col("value"),
+          lag("value", 1).over(w).as("prev"),
+          lead("value", 1).over(w).as("next"))
+    }
+    val winB = winOf(evB)
+    assert(Explain.report(winB).shuffleExchanges === 0,
+      s"window over the declared layout must not exchange:\n" +
+        s"${winB.queryExecution.executedPlan}")
+    assert(winB.collect().map(_.toSeq).toSet ==
+      winOf(evF).collect().map(_.toSeq).toSet)
+
+    // q72 shape: fused as-of join (one scan + carry-forward window)
+    def asofOf(ev: org.apache.spark.sql.DataFrame) =
+      Joins.asOfJoinFused(
+        ev.withColumn("ts_ms",
+          expr("unix_micros(cast(ts as timestamp)) div 1000"))
+          .select("user_id", "ts_ms", "event_id", "event_type", "value"),
+        key = "user_id", ts = "ts_ms",
+        isLeft = col("event_type") === "click",
+        isRight = col("event_type") === "purchase",
+        payload = Seq("value" -> "last_purchase"), tieBreak = "event_id")
+        .select("user_id", "event_id", "last_purchase")
+    val asofB = asofOf(evB)
+    assert(Explain.report(asofB).shuffleExchanges === 0,
+      s"fused as-of join over the declared layout must not exchange:\n" +
+        s"${asofB.queryExecution.executedPlan}")
+    assert(asofB.collect().map(_.toSeq).toSet ==
+      asofOf(evF).collect().map(_.toSeq).toSet)
+  }
+
   test("LayoutCatalog input hardening: a key/table carrying quote or " +
       "backtick characters is refused at declare, and a corrupt sidecar " +
       "surfaces a loud error instead of a silent flat read") {
