@@ -224,6 +224,33 @@ class IncrementalCompactionSpec extends AnyFunSuite {
     }
   }
 
+  test("schema evolution across levels: a numeric widening after the " +
+      "base compaction serves wide over narrow base files, folds stay " +
+      "zero-exchange, and a union-type flip still full-rewrites " +
+      "through base+levels+backlog") {
+    import spark.implicits._
+    val db = newDb("inc-schema")
+    // base: v is INT
+    db.putDocs("s", Seq(("a", 1), ("b", 2)).toDF("_id", "v"))
+    db.compact("s")
+    // widening append: v becomes LONG in the registry; base files stay int
+    db.putDocs("s", Seq(("c", 30000000000L)).toDF("_id", "v"))
+    assert(db.compactIncremental("s"))
+    val served = db.asOf("s")
+    assert(served.schema("v").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(Explain.report(served).shuffleExchanges === 0,
+      "widened read over narrow base + wide level must stay bucketed")
+    assert(served.select("_id", "v").as[(String, Long)].collect().toSet ==
+      Set(("a", 1L), ("b", 2L), ("c", 30000000000L)))
+    // union-type flip (long -> tagged union with string): read-side
+    // promotion cannot conjure it, so the write path full-rewrites —
+    // through the MANIFEST-aware input (base + levels + backlog)
+    db.putDocs("s", Seq(("d", "str")).toDF("_id", "v"))
+    val cur = db.asOf("s").select("_id").as[String].collect().toSet
+    assert(cur == Set("a", "b", "c", "d"))
+  }
+
   test("xt.txs log folds its small files behind a generation pointer; " +
       "rows and order are preserved") {
     import spark.implicits._
