@@ -122,8 +122,14 @@ def main(sfdir, outdir):
                     if near_abs > 0 and not close.all():
                         def two_dec(x):
                             fin = x[np.isfinite(x)]
-                            return np.all(
-                                np.abs(np.round(fin * 100) - fin * 100) < 1e-6)
+                            c = fin * 100
+                            # ulp-relative epsilon: at 1e10+ magnitudes
+                            # v*100 cannot round-trip to 1e-6 absolute —
+                            # a genuinely-2-decimal value still lands
+                            # within a few ulps of an integer, while a
+                            # 3rd decimal digit is >= 0.1 away
+                            tol = np.maximum(1e-6, np.abs(c) * 4e-15)
+                            return np.all(np.abs(np.round(c) - c) <= tol)
                         nansafe = np.where(np.isnan(af) & np.isnan(bf), 0.0,
                                            af - bf)
                         if (two_dec(af) and two_dec(bf) and

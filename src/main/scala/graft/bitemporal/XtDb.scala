@@ -158,10 +158,19 @@ class XtDb(spark: SparkSession, val root: String) {
       val bucketed = s.base ++ s.levelFiles
       if (s.backlog.isEmpty && bucketed.nonEmpty)
         bucketedRelation(table, bucketed, s.meta.buckets)
+      else if (bucketed.nonEmpty && loadSchema(table).isDefined)
+        // backlog pending: serve bucketed(base+levels) ∪ flat backlog.
+        // The union's output partitioning is unknown (windows pay their
+        // exchange until the next fold — correct either way), but an
+        // `_iid = k` point lookup still prunes the BIG side to one hash
+        // bucket; only the small backlog is scanned in full.
+        bucketedRelation(table, bucketed, s.meta.buckets)
+          .unionByName(explicitRead(table, s.backlog))
       else if (s.meta.levels.isEmpty && s.meta.consumed.isEmpty)
-        // pure post-full-compaction state with appends: the directory
-        // listing IS the live set — the plain flat read (keeps the
-        // pre-manifest behavior exactly, incl. the empty-table case)
+        // pure post-full-compaction state (no registry, or no bucketed
+        // files at all): the directory listing IS the live set — the
+        // plain flat read (keeps the pre-manifest behavior exactly,
+        // incl. the empty-table case)
         flatEvents(table)
       else explicitRead(table, bucketed ++ s.backlog)
   }
@@ -478,7 +487,15 @@ class XtDb(spark: SparkSession, val root: String) {
   private def explicitRead(table: String,
       files: Seq[org.apache.hadoop.fs.FileStatus]): DataFrame = {
     val paths = files.map(_.getPath.toString)
-    if (paths.isEmpty) flatEvents(table)
+    if (paths.isEmpty)
+      // empty live set: never fall back to a directory listing when the
+      // registry can produce the correctly-typed empty relation (a
+      // listing could resurrect consumed files)
+      loadSchema(table) match {
+        case Some(st) => spark.createDataFrame(
+          new java.util.ArrayList[org.apache.spark.sql.Row](), st)
+        case None => flatEvents(table)
+      }
     else loadSchema(table) match {
       case Some(st) => spark.read.schema(st).parquet(paths: _*)
       case None =>

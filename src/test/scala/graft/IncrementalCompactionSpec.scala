@@ -78,6 +78,29 @@ class IncrementalCompactionSpec extends AnyFunSuite {
     // point lookup still prunes to one bucket over the leveled set
     val hit = db.pointLookup("t", 42L)
     assert(hit.select("v").as[Long].collect().toSeq == Seq(210L))
+
+    // UNDER A PENDING BACKLOG the read serves bucketed∪backlog: the big
+    // side keeps one-bucket pruning (never a full-table scan for a point
+    // lookup just because an append landed)
+    db.putDocs("t", spark.range(2001, 2011).selectExpr("id AS _id", "id AS v"))
+    val hit2 = db.pointLookup("t", 42L)
+    assert(hit2.select(col("v")).as[Long].collect().toSeq == Seq(210L))
+    hit2.collect() // finalize the adaptive plan before inspecting it
+    def scans(p: org.apache.spark.sql.execution.SparkPlan)
+        : Seq[org.apache.spark.sql.execution.FileSourceScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scans(a.executedPlan)
+      case qs: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scans(qs.plan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    val pruned = scans(hit2.queryExecution.executedPlan)
+      .filter(_.optionalBucketSet.exists(_.cardinality() == 1))
+    assert(pruned.nonEmpty,
+      s"big side must stay bucket-pruned under backlog:\n" +
+        s"${hit2.queryExecution.executedPlan}")
+    assert(db.asOf("t").count() === 1110L)
   }
 
   test("erase in a LEVEL masks base history at read; the full compact " +
