@@ -118,8 +118,7 @@ def main(sfdir, outdir):
                 bf = b.astype(float).to_numpy()
                 eq = (af == bf) | (np.isnan(af) & np.isnan(bf))
                 if not eq.all():
-                    close = np.isclose(af, bf, rtol=1e-9, equal_nan=True)
-                    if near_abs > 0 and not close.all():
+                    if near_abs > 0:
                         def two_dec(x):
                             fin = x[np.isfinite(x)]
                             c = fin * 100
@@ -132,13 +131,21 @@ def main(sfdir, outdir):
                             return np.all(np.abs(np.round(c) - c) <= tol)
                         nansafe = np.where(np.isnan(af) & np.isnan(bf), 0.0,
                                            af - bf)
+                        # the bound itself needs ulp slack: a one-cent
+                        # difference between doubles at 1e10 magnitude
+                        # materializes as 0.01 +/- ~1e-5
+                        fin_b = bf[np.isfinite(bf)]
+                        ulp_slack = (np.abs(fin_b).max() * 4e-15
+                                     if fin_b.size else 0.0)
                         if (two_dec(af) and two_dec(bf) and
                                 not np.isnan(nansafe).any() and
-                                np.abs(nansafe).max() <= near_abs + 1e-12):
+                                np.abs(nansafe).max()
+                                <= near_abs + ulp_slack + 1e-12):
                             near_notes.append(
                                 f"{c} |Δ|max={np.abs(nansafe).max():.4f}"
                                 f" ({(~eq).sum()}/{len(eq)} rows)")
                             continue
+                    close = np.isclose(af, bf, rtol=1e-9, equal_nan=True)
                     tag = "NEAR" if close.all() else "DIFF"
                     i = int(np.argmin(eq))
                     diffs.append(f"{c}[{tag}] e.g. row{i}: {af[i]!r} vs {bf[i]!r} "
