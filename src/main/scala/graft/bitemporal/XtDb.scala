@@ -651,7 +651,13 @@ class XtDb(spark: SparkSession, val root: String) {
     * amplification is opt-in. */
   private def maybeAutoCompact(table: String): Unit = {
     val maxLag = spark.conf.get("spark.graft.autoCompact.maxLag", "8").toInt
-    if (maxLag >= 0 && layoutOf(table).isDefined)
+    // opted-in = a declared layout, OR a bucketed base already exists
+    // (the user compacted once — the reference's compactor likewise
+    // services every trie-organized table continuously). A table never
+    // compacted and never declared is NEVER auto-rewritten (pinned).
+    def optedIn = layoutOf(table).isDefined ||
+      cachedEvMeta(table).exists(_.gen == currentGen(table).getOrElse(0))
+    if (maxLag >= 0 && optedIn)
       // the append already COMMITTED (and logged) — a maintenance failure
       // here must not make the put look failed, or a retrying caller
       // would double-insert. Surface it loudly and leave the backlog for

@@ -46,6 +46,7 @@ class IncrementalCompactionSpec extends AnyFunSuite {
   test("fold touches ONLY the backlog: base bucket files untouched, " +
       "level dir appears, reads stay correct and ZERO-exchange, lag 0") {
     import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
     val db = newDb("inc-fold")
     db.putDocs("t", spark.range(1, 1001).selectExpr("id AS _id", "id*3 AS v"))
     db.compact("t")
@@ -106,6 +107,7 @@ class IncrementalCompactionSpec extends AnyFunSuite {
   test("erase in a LEVEL masks base history at read; the full compact " +
       "purges it physically (GDPR happens at the full merge)") {
     import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
     val db = newDb("inc-erase")
     db.putDocs("p", Seq((1L, "secret"), (2L, "keep")).toDF("_id", "data"))
     db.compact("p")
@@ -131,6 +133,7 @@ class IncrementalCompactionSpec extends AnyFunSuite {
       "cycle") {
     import spark.implicits._
     spark.conf.set("spark.graft.maxLevels", "2")
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
     try {
       val db = newDb("inc-merge")
       db.putDocs("m", spark.range(1, 201).selectExpr("id AS _id", "id AS v"))
@@ -162,6 +165,7 @@ class IncrementalCompactionSpec extends AnyFunSuite {
   test("consumed backlog files are excluded immediately and deleted one " +
       "cycle later") {
     import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
     val db = newDb("inc-gc")
     db.putDocs("g", spark.range(1, 101).selectExpr("id AS _id", "id AS v"))
     db.compact("g")
@@ -218,6 +222,7 @@ class IncrementalCompactionSpec extends AnyFunSuite {
     import spark.implicits._
     spark.conf.set("spark.graft.fullCompact.smallBytes", "0")
     spark.conf.set("spark.graft.fullCompact.ratio", "1000.0")
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
     try {
       val db = newDb("inc-tier")
       db.putDocs("t", spark.range(1, 501).selectExpr("id AS _id", "id AS v"))
@@ -252,6 +257,7 @@ class IncrementalCompactionSpec extends AnyFunSuite {
       "zero-exchange, and a union-type flip still full-rewrites " +
       "through base+levels+backlog") {
     import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
     val db = newDb("inc-schema")
     // base: v is INT
     db.putDocs("s", Seq(("a", 1), ("b", 2)).toDF("_id", "v"))
@@ -272,6 +278,28 @@ class IncrementalCompactionSpec extends AnyFunSuite {
     db.putDocs("s", Seq(("d", "str")).toDF("_id", "v"))
     val cur = db.asOf("s").select("_id").as[String].collect().toSet
     assert(cur == Set("a", "b", "c", "d"))
+  }
+
+  test("auto-maintenance covers ONCE-COMPACTED tables without a declared " +
+      "layout (opted-in by compacting); never-compacted undeclared " +
+      "tables keep their backlog untouched") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "2")
+    try {
+      val db = newDb("inc-auto")
+      db.putDocs("oc", spark.range(1, 101).selectExpr("id AS _id", "id AS v"))
+      db.compact("oc") // the opt-in
+      (1 to 4).foreach(i => db.putDocs("oc",
+        Seq((100L + i, i.toLong)).toDF("_id", "v")))
+      assert(db.blockLag("oc") <= 2,
+        "once-compacted table must self-fold past maxLag")
+      assert(db.asOf("oc").count() === 104L)
+      // never compacted + never declared: untouched (the r12 pin)
+      (1 to 6).foreach(i => db.putDocs("nc",
+        Seq((i.toLong, i.toLong)).toDF("_id", "v")))
+      assert(db.blockLag("nc") === 5L,
+        "never-opted-in table must keep its backlog")
+    } finally spark.conf.unset("spark.graft.autoCompact.maxLag")
   }
 
   test("xt.txs log folds its small files behind a generation pointer; " +
