@@ -1141,6 +1141,19 @@ class XtDb(spark: SparkSession, val root: String) {
     }
   }
 
+  /** Storage-maintenance observability for the healthz/metrics plane:
+    * (backlog files, live level dirs, generation, bucket fanout). All
+    * metadata-only listings — the same measures the maintenance policy
+    * itself reads. */
+  def storageStats(table: String): (Long, Int, Int, Int) = {
+    val lag = blockLag(table)
+    cachedEvMeta(table)
+      .filter(_.gen == currentGen(table).getOrElse(0)) match {
+      case Some(m) => (lag, m.levels.size, m.gen, m.buckets)
+      case None => (lag, 0, currentGen(table).getOrElse(0), 0)
+    }
+  }
+
   /** The reference compactor's TRIGGER + LEVEL policy (Compactor.kt wakes
     * as level-0 files accumulate; SegmentMerge merges only tries touched
     * by new level-0 files) as one engine call. When the backlog exceeds

@@ -63,8 +63,22 @@ object EngineMetrics {
             .map(_.getLong(1)).getOrElse(0L)
           (n(true), n(false))
         } catch { case _: Exception => (0L, 0L) } // no tx yet
+      // storage-maintenance gauges (round 13): uncompacted backlog files,
+      // live level dirs and bucketed-base tables across the store — the
+      // operator-facing face of the incremental-compaction machinery
+      // (metadata-only listings, same measures the policy itself reads)
+      val (backlog, levels, bucketedTables) =
+        try {
+          d.tables.map(d.storageStats).foldLeft((0L, 0L, 0L)) {
+            case ((b, l, n), (lag, lv, _, buckets)) =>
+              (b + lag, l + lv, n + (if (buckets > 0) 1L else 0L))
+          }
+        } catch { case _: Exception => (0L, 0L, 0L) }
       Seq("txs_committed" -> committed, "txs_aborted" -> aborted,
-        "tables" -> d.tables.length.toLong)
+        "tables" -> d.tables.length.toLong,
+        "event_backlog_files" -> backlog,
+        "event_level_dirs" -> levels,
+        "tables_bucketed" -> bucketedTables)
     }.getOrElse(Seq.empty)
     (Seq(
       "jobs" -> c.jobs.get, "tasks" -> c.tasks.get,

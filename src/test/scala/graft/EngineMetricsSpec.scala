@@ -35,6 +35,15 @@ class EngineMetricsSpec extends AnyFunSuite {
     val jobsBefore = metric("jobs")
     eng.sql("SELECT count(*) AS n FROM mt").collect()
     assert(metric("jobs") >= jobsBefore)
+    // round-13 storage-maintenance gauges: backlog files while the log is
+    // flat; a compaction zeroes the backlog and registers the bucketed base
+    assert(metric("event_backlog_files") >= 1L)
+    assert(metric("tables_bucketed") == 0L)
+    db.compact("mt")
+    assert(metric("event_backlog_files") == 0L)
+    assert(metric("tables_bucketed") == 1L)
+    db.compactIncremental("mt") // no backlog: a no-op, gauges unchanged
+    assert(metric("event_level_dirs") == 0L)
   }
 
   test("/metrics scrape endpoint serves Prometheus text format") {
