@@ -97,6 +97,42 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(Bitemporal.current(db.events("docs")).count() == 51)
   }
 
+  test("incremental fold + txs fold are rename-free: levels, manifest " +
+      "PUT, consumed GC and the tx-log generation flip all run on " +
+      "objstore://") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    spark.conf.set("spark.graft.txsFoldThreshold", "2")
+    try {
+      val (root, fs) = freshRoot()
+      val db = new XtDb(spark, root)
+      db.putDocs("lv", spark.range(1, 101)
+        .select(col("id").as("_id"), (col("id") * 2).as("v")))
+      db.compact("lv")
+      db.putDocs("lv", spark.range(101, 111)
+        .select(col("id").as("_id"), (col("id") * 2).as("v")))
+      assert(db.compactIncremental("lv"), "fold must run on objstore://")
+      assert(db.blockLag("lv") === 0L)
+      assert(db.bucketedEventsIfValid("lv").isDefined,
+        "bucketed serving over base+levels must work on objstore://")
+      assert(Bitemporal.current(db.events("lv")).count() === 110L)
+      assert(ls(fs, db.dataDir("lv")).exists(_.startsWith("_lv")),
+        "fold must write a level dir")
+      // second fold GCs the consumed files — still rename-free
+      db.putDocs("lv", spark.range(111, 121)
+        .select(col("id").as("_id"), (col("id") * 2).as("v")))
+      assert(db.compactIncremental("lv"))
+      assert(Bitemporal.current(db.events("lv")).count() === 120L)
+      // tx-log folded behind its generation pointer (threshold 2)
+      assert(ls(fs, s"$root/_txs").contains("_gen"),
+        "txs fold must commit its pointer on objstore://")
+      assert(db.txs.count() >= 3L)
+    } finally {
+      spark.conf.unset("spark.graft.autoCompact.maxLag")
+      spark.conf.unset("spark.graft.txsFoldThreshold")
+    }
+  }
+
   test("multi-op atomic tx stages and commits on the object store") {
     import spark.implicits._
     val (root, _) = freshRoot()
