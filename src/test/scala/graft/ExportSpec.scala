@@ -58,6 +58,37 @@ class ExportSpec extends AnyFunSuite {
     assert(db.asOf("foo").count() == 3) // original untouched
   }
 
+  test("exportSnapshot carries LEVELED storage: hidden _lv dirs + the " +
+      "manifest travel, and the clone serves bucketed with no recompact") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    try {
+      val (db, _, _) = fresh()
+      db.putDocs("lv", spark.range(1, 201)
+        .selectExpr("id AS _id", "id * 2 AS v"))
+      db.compact("lv")
+      db.putDocs("lv", spark.range(201, 221)
+        .selectExpr("id AS _id", "id * 2 AS v"))
+      assert(db.compactIncremental("lv"), "fixture needs a live level")
+
+      val dest = java.nio.file.Files
+        .createTempDirectory("graft_export_lv").toString + "/snap"
+      db.exportSnapshot(dest)
+      val db2 = new XtDb(spark, dest)
+      assert(db2.bucketedEventsIfValid("lv").isDefined,
+        "the clone must serve the bucketed base+levels from its own " +
+          "manifest without recompacting")
+      assert(db2.asOf("lv").count() === 220L)
+      assert(graft.plans.Explain.report(db2.asOf("lv"))
+        .shuffleExchanges === 0)
+      // the clone's maintenance is independent of the source
+      db2.putDocs("lv", Seq((500L, 1L)).toDF("_id", "v"))
+      assert(db2.compactIncremental("lv"))
+      assert(db2.asOf("lv").count() === 221L)
+      assert(db.asOf("lv").count() === 220L)
+    } finally spark.conf.unset("spark.graft.autoCompact.maxLag")
+  }
+
   test("COPY TO exports the current snapshot, COPY FROM round-trips it") {
     import spark.implicits._
     val (_, eng, _) = fresh()
