@@ -1,0 +1,120 @@
+package graft
+
+import graft.bitemporal.XtDb
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Differential stress for the round-13 leveled-compaction machinery: a
+  * seeded random interleaving of puts / deletes / erases runs against TWO
+  * stores — one with aggressive maintenance knobs (tiny maxLag so auto
+  * folds fire constantly, maxLevels=2 forcing level merges, ratio=0.5
+  * forcing periodic full-rewrite escalations with erase purges) and a
+  * SHADOW store that never compacts (the flat log is the semantics
+  * oracle). After every batch the resolved current state must be
+  * row-identical, and per-id point lookups must agree — across every
+  * storage posture the maintained store passes through (flat → base →
+  * base+levels → merged levels → escalated fresh base). */
+class CompactionFuzzSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  test("seeded op fuzz: maintained store ≡ never-compacted shadow at " +
+      "every batch, through folds, level merges and escalations") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1307L)
+    val rootA = java.nio.file.Files
+      .createTempDirectory("fuzz-maintained").toString
+    val rootB = java.nio.file.Files
+      .createTempDirectory("fuzz-shadow").toString
+    val a = new XtDb(spark, rootA)
+    val b = new XtDb(spark, rootB)
+    val T = "fz"
+
+    def setKnobs(): Unit = {
+      spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+      spark.conf.set("spark.graft.fullCompact.smallBytes", "0")
+      spark.conf.set("spark.graft.fullCompact.ratio", "0.5")
+      spark.conf.set("spark.graft.maxLevels", "2")
+    }
+    def unsetKnobs(): Unit = Seq("spark.graft.autoCompact.maxLag",
+      "spark.graft.fullCompact.smallBytes", "spark.graft.fullCompact.ratio",
+      "spark.graft.maxLevels").foreach(spark.conf.unset)
+
+    setKnobs()
+    try {
+      var maxId = 0L
+      def someIds(n: Int): Seq[Long] =
+        if (maxId == 0) Nil
+        else Seq.fill(n)(1L + rnd.nextInt(maxId.toInt).toLong).distinct
+
+      def applyBoth(op: (XtDb) => Unit): Unit = { op(a); op(b) }
+
+      def randomOp(i: Int): String = rnd.nextInt(10) match {
+        case x if x <= 5 || maxId == 0 => // put: mix of new + updated ids
+          val fresh = (maxId + 1) to (maxId + 3 + rnd.nextInt(5))
+          val upd = someIds(2)
+          maxId = fresh.last
+          val rows = (fresh ++ upd).map(id => (id, id * 100 + i))
+          applyBoth(_.putDocs(T, rows.toDF("_id", "v")))
+          s"put(${rows.size})"
+        case 6 | 7 =>
+          val ids = someIds(1 + rnd.nextInt(3))
+          if (ids.nonEmpty)
+            applyBoth(_.deleteDocs(T, ids.map(Tuple1(_)).toDF("_id")))
+          s"delete(${ids.size})"
+        case _ =>
+          val ids = someIds(1 + rnd.nextInt(2))
+          if (ids.nonEmpty)
+            applyBoth(_.eraseDocs(T, ids.map(Tuple1(_)).toDF("_id")))
+          s"erase(${ids.size})"
+      }
+
+      def maintain(i: Int): String = rnd.nextInt(4) match {
+        case 0 => a.compactIncremental(T); "fold"
+        case 1 => a.compactIfLagged(T, maxLag = 1); "tiered"
+        case 2 if i % 3 == 0 => a.compact(T); "full"
+        case _ => "none"
+      }
+
+      def currentSet(db: XtDb): Set[(Long, Long)] =
+        db.asOf(T).select(col("_id"), col("v"))
+          .as[(Long, Long)].collect().toSet
+
+      var batches = 0
+      (1 to 36).foreach { i =>
+        val op = randomOp(i)
+        val m = maintain(i)
+        if (i % 4 == 0) {
+          batches += 1
+          val ca = currentSet(a)
+          val cb = currentSet(b)
+          assert(ca == cb,
+            s"batch $i (after $op/$m): maintained ${ca.size} rows vs " +
+              s"shadow ${cb.size}; only-maintained=${(ca -- cb).take(3)} " +
+              s"only-shadow=${(cb -- ca).take(3)}")
+          // point lookups agree on a sample of ids (hits AND misses)
+          someIds(3).foreach { id =>
+            val ha = a.pointLookup(T, id).select(col("v"))
+              .as[Long].collect().toSet
+            val hb = b.pointLookup(T, id).select(col("v"))
+              .as[Long].collect().toSet
+            assert(ha == hb, s"pointLookup($id) diverged: $ha vs $hb")
+          }
+        }
+      }
+      assert(batches == 9)
+      // final posture sanity: the maintained store ends bucketed-servable
+      // after one last fold, and equality still holds
+      a.compactIncremental(T)
+      assert(a.bucketedEventsIfValid(T).isDefined ||
+        a.blockLag(T) > 0) // an op may have landed post-fold; either is fine
+      assert(currentSet(a) == currentSet(b))
+    } finally unsetKnobs()
+  }
+}
