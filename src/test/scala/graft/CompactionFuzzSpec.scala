@@ -27,7 +27,11 @@ class CompactionFuzzSpec extends AnyFunSuite {
   test("seeded op fuzz: maintained store ≡ never-compacted shadow at " +
       "every batch, through folds, level merges and escalations") {
     import spark.implicits._
-    val rnd = new scala.util.Random(1307L)
+    // deterministic default; GRAFT_FUZZ_SEED overrides for deeper local
+    // sweeps (any failure message should quote the seed)
+    val seed = sys.env.get("GRAFT_FUZZ_SEED").map(_.toLong).getOrElse(1307L)
+    info(s"fuzz seed = $seed")
+    val rnd = new scala.util.Random(seed)
     val rootA = java.nio.file.Files
       .createTempDirectory("fuzz-maintained").toString
     val rootB = java.nio.file.Files
