@@ -129,8 +129,10 @@ def main(sfdir, outdir):
                             # 3rd decimal digit is >= 0.1 away
                             tol = np.maximum(1e-6, np.abs(c) * 4e-15)
                             return np.all(np.abs(np.round(c) - c) <= tol)
-                        nansafe = np.where(np.isnan(af) & np.isnan(bf), 0.0,
-                                           af - bf)
+                        # rows already equal (incl. inf==inf, NaN~NaN)
+                        # contribute zero — inf - inf would be NaN and
+                        # falsely disqualify the column
+                        nansafe = np.where(eq, 0.0, af - bf)
                         # the bound itself needs ulp slack: a one-cent
                         # difference between doubles at 1e10 magnitude
                         # materializes as 0.01 +/- ~1e-5

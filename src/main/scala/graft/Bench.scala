@@ -292,18 +292,22 @@ object Bench {
           .head()
         (r.getLong(0), if (r.isNullAt(1)) "0" else r.getDecimal(1).toString)
       }
-      val verified = bdefs.forall { case (n, f) =>
-        val ok = sig(f()) == sig(byName(n).fn(spark, dataDir))
-        if (!ok) System.err.println(s"[bench] bucketed posture MISMATCH: $n")
-        ok
-      }
       val prepSec = (System.nanoTime() - prep0) / 1e9
+      // timings FIRST (cold = genuinely first execution of each posture
+      // query), equality verification after — running sig() first would
+      // warm page cache/file indexes/JIT and make bucketed_cold_queries
+      // incomparable with the headline cold numbers
       val bres = bdefs.map { case (n, f) =>
         val cold = time(f().collect())
         def hotDf() =
           if (prepared) PlanCache.prepared(spark, (dstB, n))(f()) else f()
         val hot = (1 to hotRuns).map(_ => time(hotDf().collect())).min
         (n, cold, hot)
+      }
+      val verified = bdefs.forall { case (n, f) =>
+        val ok = sig(f()) == sig(byName(n).fn(spark, dataDir))
+        if (!ok) System.err.println(s"[bench] bucketed posture MISMATCH: $n")
+        ok
       }
       val bq = bres.map { case (k, _, h) => s""""$k":${fmt2(h)}""" }
         .mkString("{", ",", "}")

@@ -156,16 +156,24 @@ class XtDb(spark: SparkSession, val root: String) {
     case None => flatEvents(table)
     case Some(s) =>
       val bucketed = s.base ++ s.levelFiles
+      // the bucketed relation is strictly an optimization over the same
+      // rows — ANY construction failure (the documented remote-writer
+      // race, schema inference with no registry) degrades to the
+      // manifest-aware plain read, never to an error and never to a raw
+      // directory listing (which could resurrect consumed files)
+      def tryBucketed(): Option[DataFrame] =
+        try Some(bucketedRelation(table, bucketed, s.meta.buckets))
+        catch { case scala.util.control.NonFatal(_) => None }
       if (s.backlog.isEmpty && bucketed.nonEmpty)
-        bucketedRelation(table, bucketed, s.meta.buckets)
+        tryBucketed().getOrElse(explicitRead(table, bucketed))
       else if (bucketed.nonEmpty && loadSchema(table).isDefined)
         // backlog pending: serve bucketed(base+levels) ∪ flat backlog.
         // The union's output partitioning is unknown (windows pay their
         // exchange until the next fold — correct either way), but an
         // `_iid = k` point lookup still prunes the BIG side to one hash
         // bucket; only the small backlog is scanned in full.
-        bucketedRelation(table, bucketed, s.meta.buckets)
-          .unionByName(explicitRead(table, s.backlog))
+        tryBucketed().map(_.unionByName(explicitRead(table, s.backlog)))
+          .getOrElse(explicitRead(table, bucketed ++ s.backlog))
       else if (s.meta.levels.isEmpty && s.meta.consumed.isEmpty)
         // pure post-full-compaction state (no registry, or no bucketed
         // files at all): the directory listing IS the live set — the
@@ -291,7 +299,6 @@ class XtDb(spark: SparkSession, val root: String) {
     val out = fs.create(genPath(table), true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
     writeEvMeta(table, EvMeta(next, nb, Nil, Set.empty, Nil, 0))
-    noEvMeta.remove(table)
     // keep the superseded generation for in-flight readers; drop older.
     // Root-layout legacy data (loose appended parts) is "generation 0":
     // kept on the g1 flip, swept on the g2 flip.
@@ -390,16 +397,16 @@ class XtDb(spark: SparkSession, val root: String) {
     }
   }
 
-  /** Manifest read behind the short-TTL negative cache (skips the
-    * per-query meta stat on never-compacted tables; see [[noEvMeta]]). */
-  private def cachedEvMeta(table: String): Option[EvMeta] = {
-    val neg = noEvMeta.getOrDefault(table, -1L)
-    if (neg >= 0L && System.currentTimeMillis() < neg + NoEvMetaTtlMs)
-      return None
-    val m = readEvMeta(table)
-    if (m.isEmpty) noEvMeta.put(table, System.currentTimeMillis())
-    m
-  }
+  /** Manifest read — ALWAYS from storage, one small exists+read per
+    * query. Round 13 REMOVED the pre-existing negative TTL cache here:
+    * its safety premise ("the flat path is always correct") died with
+    * the v2 manifest — once a REMOTE instance compacts, folds, and GCs
+    * consumed backlog within the TTL window, a cached-negative flat
+    * directory read would silently miss every row living only in hidden
+    * `_lv` level dirs. A metadata stat per query is the honest price of
+    * never serving an incomplete table. */
+  private def cachedEvMeta(table: String): Option[EvMeta] =
+    readEvMeta(table)
 
   // Spark's bucketed writers stamp the bucket id into the file name
   // (`…_00003.c000.snappy.parquet`); plain append parts carry no
@@ -535,19 +542,6 @@ class XtDb(spark: SparkSession, val root: String) {
     }
     spark.table(name)
   }
-
-  // negative cache with a short TTL: tables never compacted skip the
-  // per-query _evmeta stat for a bounded window (the event-log twin of
-  // `noSnapshot`). TTL rather than permanent: a REMOTE instance's
-  // compaction writes the meta file without touching this instance, and
-  // a permanent negative would pin this reader to the flat path forever;
-  // with the TTL it picks the bucketed serving up within `NoEvMetaTtlMs`
-  // (an optimization-latency bound, never a correctness one — the flat
-  // path is always correct). A LOCAL compaction clears its entry
-  // immediately in rewriteCommit.
-  private val NoEvMetaTtlMs = 30000L
-  private val noEvMeta =
-    new java.util.concurrent.ConcurrentHashMap[String, Long]()
 
   /** The iid-bucketed event log, iff the manifest's live set has NO
     * pending flat backlog: any append from any instance shows up in the
@@ -1259,7 +1253,6 @@ class XtDb(spark: SparkSession, val root: String) {
       consumed = consumedCarry ++ backlog.map(_.getPath.getName),
       retired = retiredCarry ++ (if (mergeLevels) m.levels else Nil),
       lvseq = m.lvseq + 1))
-    noEvMeta.remove(table)
     true
   }
 
@@ -1272,11 +1265,15 @@ class XtDb(spark: SparkSession, val root: String) {
   private def writeBucketedFiles(df: DataFrame, dir: String,
       buckets: Int): Unit = {
     val tmp = s"graft_bkw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    df.repartition(buckets, col(IID))
-      .write.mode("overwrite").option("path", dir)
-      .bucketBy(buckets, IID).sortBy(IID)
-      .saveAsTable(tmp)
-    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    try
+      df.repartition(buckets, col(IID))
+        .write.mode("overwrite").option("path", dir)
+        .bucketBy(buckets, IID).sortBy(IID)
+        .saveAsTable(tmp)
+    finally
+      // drop even on a failed write — a half-registered throwaway name
+      // must not accumulate in the session catalog (or a metastore)
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
     ()
   }
 
@@ -1342,7 +1339,10 @@ class XtDb(spark: SparkSession, val root: String) {
     if (next >= 3)
       fs.delete(new org.apache.hadoop.fs.Path(s"$root/_txs/_g${next - 2}"),
         true)
-    if (next == 2)
+    if (next >= 2)
+      // idempotent legacy-root sweep (not just at next==2): a crash
+      // between the g2 pointer PUT and the sweep must not leak the loose
+      // pre-fold parts forever — the listing is cheap and usually empty
       fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/_txs"))
         .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
         .foreach(st => fs.delete(st.getPath, false))
