@@ -173,8 +173,17 @@ def main(sfdir, outdir):
             note = f"  [dtype drift: {dt}]" if dt else ""
             print(f"ok   {name} ({len(g)} rows){note}")
             n_ok += 1
-    near = f", {n_near} near" if n_near else ""
+    near_abs_env = float(os.environ.get("NEAR_ABS", "0"))
+    # NEAR_ABS loosens the float oracle — if the env var is set AT ALL
+    # (even with zero nears) it must be visible in the summary and the
+    # machine-readable line, so a gate that accidentally inherits it is
+    # detectable from the artifact alone, not just per-query stdout.
+    near = (f", {n_near} near [NEAR_ABS={near_abs_env}]" if near_abs_env > 0
+            else (f", {n_near} near" if n_near else ""))
     print(f"== {n_ok} ok{near}, {n_bad} fail ==")
+    print("SUMMARY " + json.dumps({"ok": n_ok, "near": n_near,
+                                   "fail": n_bad,
+                                   "near_abs": near_abs_env}))
     return 1 if n_bad else 0
 
 if __name__ == "__main__":

@@ -270,17 +270,18 @@ class XtDb(spark: SparkSession, val root: String) {
         (liveBytes + target - 1) / math.max(1L, target))).toInt
   }
 
-  /** Bytes of the table's live event files (base + levels + backlog) —
-    * metadata-only listing. */
-  private def liveEventBytes(table: String): Long = {
-    val root = listRootParquet(table).map(_.getLen).sum
-    val lv = cachedEvMeta(table) match {
-      case Some(m) if currentGen(table).getOrElse(0) == m.gen =>
-        m.levels.flatMap(levelParquet(table, _)).map(_.getLen).sum
-      case _ => 0L
+  /** Bytes of the table's LIVE event files (base + levels + backlog) —
+    * metadata-only listing. Consumed root files (rows already folded into
+    * a level, on disk only for the read lease) are EXCLUDED — the same
+    * filter [[liveFileSets]] applies — so the tiered small/large decision
+    * and the derived bucket fanout track actual live data, not lease
+    * debt. */
+  private def liveEventBytes(table: String): Long =
+    liveFileSets(table) match {
+      case Some(s) =>
+        (s.base ++ s.backlog ++ s.levelFiles).map(_.getLen).sum
+      case None => listRootParquet(table).map(_.getLen).sum
     }
-    root + lv
-  }
 
   /** Object-store-safe whole-table replace: the new generation is written
     * as an iid-BUCKETED file set (one hash-bucket file per `_iid` bucket),
@@ -409,13 +410,21 @@ class XtDb(spark: SparkSession, val root: String) {
     readEvMeta(table)
 
   // Spark's bucketed writers stamp the bucket id into the file name
-  // (`…_00003.c000.snappy.parquet`); plain append parts carry no
-  // underscore-digit suffix at all. This mirrors the reader-side rule
-  // Spark itself applies (BucketingUtils.getBucketId), so base/level
-  // files and flat appends are distinguishable from the listing alone.
-  private val bucketFilePattern = """.*_(\d+)(?:\..*)?$""".r
+  // (`part-00000-<uuid>_00003.c000.snappy.parquet`); plain append parts
+  // carry no underscore-digit suffix at all. This mirrors the reader-side
+  // rule Spark itself applies (BucketingUtils.getBucketId) PLUS the
+  // writer's `part-` prefix, so base/level files and flat appends are
+  // distinguishable from the listing alone — and a user-dropped
+  // `backup_1.parquet` can never be mistaken for a bucket file and
+  // silently pruned out of an `_iid = k` lookup (it reads as backlog).
+  private val bucketFilePattern = """part-.*_(\d+)(?:\..*)?$""".r
   private def isBucketFile(name: String): Boolean =
     bucketFilePattern.pattern.matcher(name).matches()
+
+  /** Bucket id stamped in a bucket file's name (callers must have checked
+    * [[isBucketFile]]). */
+  private def bucketIdOf(name: String): Int =
+    bucketFilePattern.findFirstMatchIn(name).get.group(1).toInt
 
   /** Visible `.parquet` files under the live data dir (recursive, skipping
     * `_`-prefixed metadata that is not a partition dir — Spark's own
@@ -459,9 +468,14 @@ class XtDb(spark: SparkSession, val root: String) {
     cachedEvMeta(table) match {
       case Some(m) if currentGen(table).getOrElse(0) == m.gen =>
         val rootFiles = listRootParquet(table)
-        val base = rootFiles.filter(f => isBucketFile(f.getPath.getName))
+        // a "bucket" file whose stamped id is outside the manifest fanout
+        // cannot belong to the base set (the writer never produced it) —
+        // it reads as flat backlog instead of being wrongly prunable
+        def isBase(name: String) =
+          isBucketFile(name) && bucketIdOf(name) < m.buckets
+        val base = rootFiles.filter(f => isBase(f.getPath.getName))
         val backlog = rootFiles.filterNot(f =>
-          isBucketFile(f.getPath.getName) ||
+          isBase(f.getPath.getName) ||
             m.consumed.contains(f.getPath.getName))
         Some(LiveSets(m, base, backlog,
           m.levels.flatMap(levelParquet(table, _))))
@@ -477,8 +491,13 @@ class XtDb(spark: SparkSession, val root: String) {
   private def bucketedRelation(table: String,
       files: Seq[org.apache.hadoop.fs.FileStatus], buckets: Int): DataFrame = {
     import org.apache.spark.sql.execution.datasources._
+    // registry-less fallback must MERGE footers like flatEvents does:
+    // base and level files can be heterogeneous (columns added after the
+    // base was written, then folded into a level), and a single-footer
+    // inference would silently drop the later-added columns
     val schema = loadSchema(table).getOrElse(
-      spark.read.parquet(files.map(_.getPath.toString): _*).schema)
+      spark.read.option("mergeSchema", "true")
+        .parquet(files.map(_.getPath.toString): _*).schema)
     val index = new InMemoryFileIndex(spark, files.map(_.getPath),
       Map.empty, Some(schema))
     val rel = HadoopFsRelation(index, new StructType(), schema,
@@ -645,12 +664,16 @@ class XtDb(spark: SparkSession, val root: String) {
     * amplification is opt-in. */
   private def maybeAutoCompact(table: String): Unit = {
     val maxLag = spark.conf.get("spark.graft.autoCompact.maxLag", "8").toInt
-    // opted-in = a declared layout, OR a bucketed base already exists
-    // (the user compacted once — the reference's compactor likewise
-    // services every trie-organized table continuously). A table never
-    // compacted and never declared is NEVER auto-rewritten (pinned).
+    // opted-in = a declared layout, OR ANY manifest exists (the user
+    // compacted once — the reference's compactor likewise services every
+    // trie-organized table continuously). A gen-STALE manifest still
+    // counts: a crash between the generation-pointer PUT and the meta
+    // write would otherwise silently stop auto-compaction and let the
+    // backlog grow unboundedly; the next trigger's full compact re-stamps
+    // it. A table never compacted and never declared is NEVER
+    // auto-rewritten (pinned).
     def optedIn = layoutOf(table).isDefined ||
-      cachedEvMeta(table).exists(_.gen == currentGen(table).getOrElse(0))
+      cachedEvMeta(table).isDefined
     if (maxLag >= 0 && optedIn)
       // the append already COMMITTED (and logged) — a maintenance failure
       // here must not make the put look failed, or a retrying caller
