@@ -118,10 +118,29 @@ class XtDb(spark: SparkSession, val root: String) {
   private def schemaPath(table: String) =
     new org.apache.hadoop.fs.Path(s"$root/_schemas/$table.json")
 
+  /** Event-log schemas are ALWAYS fully nullable: delete/erase events
+    * carry null payload columns by construction, so a registered schema
+    * inheriting non-nullability from a first put (literals, ranges) would
+    * lie to codegen and NPE the first window/sort over a mixed log.
+    * Normalized at save AND load so pre-round-14 sidecars heal. */
+  private def nullableize(
+      dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case st: StructType => StructType(st.fields.map(f =>
+      f.copy(dataType = nullableize(f.dataType), nullable = true)))
+    case at: org.apache.spark.sql.types.ArrayType =>
+      at.copy(elementType = nullableize(at.elementType), containsNull = true)
+    case mt: org.apache.spark.sql.types.MapType =>
+      mt.copy(keyType = nullableize(mt.keyType),
+        valueType = nullableize(mt.valueType), valueContainsNull = true)
+    case other => other
+  }
+
   private def saveSchema(table: String, st: StructType): Unit = {
     val fs = hadoopFs
     val out = fs.create(schemaPath(table), true)
-    try out.write(st.json.getBytes("UTF-8")) finally out.close()
+    try out.write(nullableize(st).asInstanceOf[StructType]
+      .json.getBytes("UTF-8")) finally out.close()
   }
 
   private def loadSchema(table: String): Option[StructType] = {
@@ -133,8 +152,9 @@ class XtDb(spark: SparkSession, val root: String) {
       try {
         val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
         in.readFully(bytes)
-        Some(org.apache.spark.sql.types.DataType
+        Some(nullableize(org.apache.spark.sql.types.DataType
           .fromJson(new String(bytes, "UTF-8")).asInstanceOf[StructType])
+          .asInstanceOf[StructType])
       } finally in.close()
     }
   }
@@ -290,16 +310,26 @@ class XtDb(spark: SparkSession, val root: String) {
     * enforces this). A crash between the pointer PUT and the meta write
     * only costs the optimization: the flipped generation reads flat until
     * the next compaction re-stamps it. */
-  private def rewriteCommit(table: String, df: DataFrame): Unit = {
+  private def rewriteCommit(table: String, df: DataFrame,
+      pendingEraseCycles: Int = 0, sweepOldGen: Boolean = false): Unit = {
     val fs = hadoopFs
     val cur = currentGen(table)
     val next = cur.getOrElse(0) + 1
     val gdir = s"${tableDir(table)}/g$next"
     val nb = deriveEventBuckets(liveEventBytes(table))
+    // the files the generation lease would keep until the NEXT flip: if
+    // they hold erased payload, schedule the bounded sweep instead
+    val sweepDirs =
+      if (!sweepOldGen) Nil
+      else cur match {
+        case Some(c) => Seq(s"g$c")
+        case None => listRootParquet(table).map(_.getPath.getName)
+      }
     writeBucketedFiles(df, gdir, nb)
     val out = fs.create(genPath(table), true)
     try out.write(next.toString.getBytes("UTF-8")) finally out.close()
-    writeEvMeta(table, EvMeta(next, nb, Nil, Set.empty, Nil, 0))
+    writeEvMeta(table, EvMeta(next, nb, Nil, Set.empty, Nil, 0,
+      eraseCycles = pendingEraseCycles, sweepDirs = sweepDirs))
     // keep the superseded generation for in-flight readers; drop older.
     // Root-layout legacy data (loose appended parts) is "generation 0":
     // kept on the g1 flip, swept on the g2 flip.
@@ -338,10 +368,29 @@ class XtDb(spark: SparkSession, val root: String) {
     *  - `consumed`: root append files whose rows live in a level — still
     *    on disk for one cycle, excluded from reads;
     *  - `retired`: level dirs superseded by a level merge — same lease;
-    *  - `lvseq`: monotone level-name counter. */
+    *  - `lvseq`: monotone level-name counter;
+    *  - `eraseCycles`: maintenance cycles elapsed since the oldest
+    *    UNPURGED erase entered the log (0 = none pending). Bounds the
+    *    GDPR purge latency: once it reaches
+    *    `spark.graft.erasePurge.maxCycles`, [[compactIfLagged]] runs the
+    *    BUCKET-LOCAL purge ([[purgeErasedBuckets]]) regardless of the
+    *    level-bytes ratio — a slow-growing table can no longer hold
+    *    erased payload on disk indefinitely waiting for a geometric
+    *    escalation that never comes;
+    *  - `excluded`: RELATIVE paths (base file name, or `level/name`) of
+    *    bucket files superseded by a bucket-local purge — still on disk
+    *    for one cycle (read lease), excluded from every read, deleted at
+    *    the next fold;
+    *  - `sweepDirs`: TABLE-DIR-relative entries (a superseded generation
+    *    dir, or legacy gen-0 loose parts) that held erased payload when a
+    *    full compaction purged it — the usual lazy generation GC waits
+    *    for the NEXT flip, which an idle table may never reach, so these
+    *    are swept at the next maintenance cycle instead. */
   private[graft] final case class EvMeta(gen: Int, buckets: Int,
       levels: Seq[String], consumed: Set[String], retired: Seq[String],
-      lvseq: Int)
+      lvseq: Int, eraseCycles: Int = 0,
+      excluded: Set[String] = Set.empty,
+      sweepDirs: Seq[String] = Nil)
 
   private def evMetaPath(table: String) =
     new org.apache.hadoop.fs.Path(s"${tableDir(table)}/_evmeta.json")
@@ -350,14 +399,17 @@ class XtDb(spark: SparkSession, val root: String) {
     xs.map(x => s""""$x"""").mkString("[", ",", "]")
 
   private def writeEvMeta(table: String, m: EvMeta): Unit = {
-    require((m.levels ++ m.consumed ++ m.retired)
+    require((m.levels ++ m.consumed ++ m.retired ++ m.excluded ++
+        m.sweepDirs)
         .forall(n => !n.exists(c => c == '"' || c == '\\' || c == '\n')),
       "manifest entries must be plain file/dir names")
     val (fc, fm) = eventFingerprint(table)
     val json = s"""{"v":2,"gen":${m.gen},"files":$fc,"mtime":$fm,""" +
       s""""buckets":${m.buckets},"levels":${jsonArr(m.levels)},""" +
       s""""consumed":${jsonArr(m.consumed)},""" +
-      s""""retired":${jsonArr(m.retired)},"lvseq":${m.lvseq}}"""
+      s""""retired":${jsonArr(m.retired)},"lvseq":${m.lvseq},""" +
+      s""""ecyc":${m.eraseCycles},"excl":${jsonArr(m.excluded)},""" +
+      s""""sweep":${jsonArr(m.sweepDirs)}}"""
     val out = hadoopFs.create(evMetaPath(table), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -388,7 +440,11 @@ class XtDb(spark: SparkSession, val root: String) {
           val parsed = for {
             g <- num("gen"); b <- num("buckets"); q <- num("lvseq")
             lv <- arr("levels"); cn <- arr("consumed"); rt <- arr("retired")
-          } yield EvMeta(g.toInt, b.toInt, lv, cn.toSet, rt, q.toInt)
+          } yield EvMeta(g.toInt, b.toInt, lv, cn.toSet, rt, q.toInt,
+            // absent in pre-round-14 manifests: no erase pending/exclusions
+            num("ecyc").map(_.toInt).getOrElse(0),
+            arr("excl").map(_.toSet).getOrElse(Set.empty),
+            arr("sweep").getOrElse(Nil))
           Some(parsed.getOrElse(throw new IllegalStateException(
             s"corrupt event manifest for '$table' at $p: $s")))
         } else
@@ -461,9 +517,22 @@ class XtDb(spark: SparkSession, val root: String) {
       backlog: Seq[org.apache.hadoop.fs.FileStatus],
       levelFiles: Seq[org.apache.hadoop.fs.FileStatus])
 
+  /** Relative path of a live file under the data dir — the key the
+    * manifest's `excluded` list uses (base file = its name; level file =
+    * `level/name`). */
+  private def relUnderData(table: String,
+      f: org.apache.hadoop.fs.FileStatus): String = {
+    val dd = hadoopFs.makeQualified(
+      new org.apache.hadoop.fs.Path(dataDir(table))).toString
+    val full = f.getPath.toString
+    if (full.startsWith(dd + "/")) full.substring(dd.length + 1)
+    else f.getPath.getName
+  }
+
   /** Resolve the manifest against the live listing: base bucket files,
-    * un-consumed flat backlog, level files. None = no (gen-matching)
-    * manifest — the table reads flat. */
+    * un-consumed flat backlog, level files — minus purge-superseded
+    * `excluded` files. None = no (gen-matching) manifest — the table
+    * reads flat. */
   private def liveFileSets(table: String): Option[LiveSets] =
     cachedEvMeta(table) match {
       case Some(m) if currentGen(table).getOrElse(0) == m.gen =>
@@ -473,12 +542,18 @@ class XtDb(spark: SparkSession, val root: String) {
         // it reads as flat backlog instead of being wrongly prunable
         def isBase(name: String) =
           isBucketFile(name) && bucketIdOf(name) < m.buckets
-        val base = rootFiles.filter(f => isBase(f.getPath.getName))
+        // exclusion matches on the DATA-DIR-RELATIVE path: base files of
+        // an aligned generation live under chunk subdirs (`c0/part-…`),
+        // so a name-only match would silently keep serving a
+        // purge-superseded file
+        val base = rootFiles.filter(f => isBase(f.getPath.getName) &&
+          !m.excluded.contains(relUnderData(table, f)))
         val backlog = rootFiles.filterNot(f =>
           isBase(f.getPath.getName) ||
             m.consumed.contains(f.getPath.getName))
-        Some(LiveSets(m, base, backlog,
-          m.levels.flatMap(levelParquet(table, _))))
+        val lv = m.levels.flatMap(levelParquet(table, _)).filterNot(f =>
+          m.excluded.contains(relUnderData(table, f)))
+        Some(LiveSets(m, base, backlog, lv))
       case _ => None
     }
 
@@ -643,9 +718,27 @@ class XtDb(spark: SparkSession, val root: String) {
     val conformed = evolveSchema(table, withMeta)
     conformed.write.mode("append").parquet(dataDir(table))
     logTx(sysTime, table, op, committed = true, error = None)
+    if (op == "erase") markErasePending(table)
     maybeAutoCompact(table)
     sysTime
   }
+
+  /** Start the erase-purge clock at the erase APPEND itself (one tiny
+    * manifest PUT), so the latency bound counts from the user's erase,
+    * not from whenever the first fold happens to notice it. Maintenance
+    * metadata — must never fail the committed append. */
+  private def markErasePending(table: String): Unit =
+    try
+      cachedEvMeta(table)
+        .filter(m => m.gen == currentGen(table).getOrElse(0) &&
+          m.eraseCycles == 0)
+        .foreach(m => writeEvMeta(table, m.copy(eraseCycles = 1)))
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[xtdb] erase-pending mark on '$table' " +
+          s"failed (erase is committed; the fold will re-detect it): " +
+          s"${e.getMessage}")
+    }
 
   /** Post-write compaction trigger — the reference compactor's wakeup
     * (Compactor.kt wakes as level-0 files accumulate) wired into the
@@ -801,6 +894,10 @@ class XtDb(spark: SparkSession, val root: String) {
       lastTxAffectedRows = affected
       logTx(sysTime, staged.keys.mkString(","), s"tx[${ops.length}]",
         committed = true, error = None)
+      ops.collect {
+        case TxOp.Erase(t, _) => t
+        case TxOp.EraseWhere(t, _) => t
+      }.distinct.foreach(markErasePending)
       staged.keys.foreach(maybeAutoCompact)
       sysTime
     } catch {
@@ -853,8 +950,16 @@ class XtDb(spark: SparkSession, val root: String) {
     }
   }
 
-  private def rewriteTable(table: String, df: DataFrame): Unit =
-    rewriteCommit(table, df)
+  /** Schema-flip rewrite: NOT a compaction — erase events (and their
+    * pending-purge clock) ride into the new generation unpurged, and an
+    * erase-tainted superseded generation still gets the bounded sweep. */
+  private def rewriteTable(table: String, df: DataFrame): Unit = {
+    val pending = cachedEvMeta(table)
+      .filter(_.gen == currentGen(table).getOrElse(0))
+      .map(_.eraseCycles).getOrElse(0)
+    rewriteCommit(table, df, pendingEraseCycles = pending,
+      sweepOldGen = pending > 0)
+  }
 
   /** Point lookup by `_id`: over a compacted log the `_iid` equality
     * prunes the bucketed scan to ONE of the hash buckets before any file
@@ -890,21 +995,212 @@ class XtDb(spark: SparkSession, val root: String) {
   def compact(table: String): Unit = {
     // a layout may be declared before the first write — nothing to fold
     if (!tableExists(table)) return
-    val ev = liveFileSets(table) match {
-      // manifest-aware full input (base + levels + backlog as one plain
-      // read) — NEVER the directory listing once levels/consumed exist
-      case Some(s) => explicitRead(table, s.base ++ s.levelFiles ++ s.backlog)
-      case None => flatEvents(table)
+    if (!tryAlignedCompact(table)) {
+      val sets = liveFileSets(table)
+      val ev = sets match {
+        // manifest-aware full input (base + levels + backlog as one plain
+        // read) — NEVER the directory listing once levels/consumed exist
+        case Some(s) =>
+          explicitRead(table, s.base ++ s.levelFiles ++ s.backlog)
+        case None => flatEvents(table)
+      }
+      // erased payload is being purged from the NEW generation — the old
+      // one (lease) must not outlive the bound either. The manifest's
+      // pending-erase clock knows; a manifest-less first compact pays one
+      // pushed-predicate probe.
+      val hadErase = sets.map(_.meta.eraseCycles > 0)
+        .getOrElse(!ev.where(col(OP) === "erase").isEmpty)
+      rewriteCommit(table, purgeErased(ev), sweepOldGen = hadErase)
     }
+    layoutOf(table).foreach(l => materializeCurrentSnapshot(table, l))
+  }
+
+  /** Drop every event at or before an iid's latest erase, plus the erase
+    * markers themselves (the GDPR purge — reference PolygonCalculator
+    * .kt:43-46 + SegmentMerge: post-erase events don't survive
+    * compaction; a re-insert after the erase does). All events of an iid
+    * share its hash bucket, so over a bucketed input the window plans
+    * with zero exchange. */
+  private def purgeErased(ev: DataFrame): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window.partitionBy(IID)
-    val purged = ev
-      .withColumn("__erase_sf",
+    ev.withColumn("__erase_sf",
         max(when(col(OP) === "erase", col(SF))).over(w))
       .filter(col(OP) =!= "erase" &&
         (col("__erase_sf").isNull || col(SF) > col("__erase_sf")))
       .drop("__erase_sf")
-    rewriteCommit(table, purged)
-    layoutOf(table).foreach(l => materializeCurrentSnapshot(table, l))
+  }
+
+  // ---- bucket-aligned full compaction (round 14) --------------------------
+  //
+  // When a bucketed base exists and the re-derived fanout is UNCHANGED,
+  // the escalated full compaction does not need the whole-table shuffle:
+  // base and level files are already hashed on `_iid` at the same fanout,
+  // so the fold into the new generation is a per-bucket merge — read
+  // bucket i of base+levels, purge, write bucket i — with ZERO exchange
+  // (the reference merges per trie partition independently,
+  // compactor/Compactor.kt / SegmentMerge.kt: segment merges are per-path
+  // subtree). Buckets are processed in CHUNKS, each committed to a
+  // progress sidecar after it lands, so at 100 TB the rewrite is N
+  // restartable bucket merges instead of one monolithic all-or-nothing
+  // shuffle job: a crash resumes from the last completed chunk, verified
+  // against an input fingerprint (any fold landing in between restarts
+  // the merge — the inputs changed). Only a fanout CHANGE keeps the
+  // genuine shuffle path.
+
+  private final case class CompactProgress(gen: Int, buckets: Int,
+      fp: String, done: Set[Int])
+
+  private def compactProgressPath(table: String) =
+    new org.apache.hadoop.fs.Path(
+      s"${tableDir(table)}/_compact_progress.json")
+
+  private def readCompactProgress(table: String): Option[CompactProgress] = {
+    val fs = hadoopFs
+    val p = compactProgressPath(table)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val s = new String({
+          val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
+          in.readFully(bytes); bytes
+        }, "UTF-8")
+        def num(k: String) = (s""""$k"\\s*:\\s*(-?\\d+)""").r
+          .findFirstMatchIn(s).map(_.group(1).toInt)
+        for {
+          g <- num("gen"); b <- num("buckets")
+          f <- (s""""fp"\\s*:\\s*"([^"]*)"""").r.findFirstMatchIn(s)
+            .map(_.group(1))
+          d <- (s""""done"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
+            .map(m => m.group(1).split(",").filter(_.trim.nonEmpty)
+              .map(_.trim.toInt).toSet)
+        } yield CompactProgress(g, b, f, d)
+      } finally in.close()
+    }
+  }
+
+  private def writeCompactProgress(table: String,
+      p: CompactProgress): Unit = {
+    val json = s"""{"gen":${p.gen},"buckets":${p.buckets},""" +
+      s""""fp":"${p.fp}","done":[${p.done.toSeq.sorted.mkString(",")}]}"""
+    val out = hadoopFs.create(compactProgressPath(table), true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The aligned full compaction, if its preconditions hold: a
+    * gen-matching manifest with a bucketed base, and a re-derived fanout
+    * equal to the current one. Any pending backlog is first folded
+    * (O(backlog)) so every live row is bucketed. Returns false ⇒ the
+    * caller takes the shuffle path. */
+  private def tryAlignedCompact(table: String): Boolean = {
+    val have = liveFileSets(table).exists(s =>
+      (s.base ++ s.levelFiles).nonEmpty)
+    if (!have) return false
+    liveFileSets(table).foreach(s =>
+      if (s.backlog.nonEmpty) compactIncremental(table))
+    liveFileSets(table) match {
+      case Some(s) if s.backlog.isEmpty &&
+          (s.base ++ s.levelFiles).nonEmpty &&
+          deriveEventBuckets(liveEventBytes(table)) == s.meta.buckets =>
+        alignedRewrite(table, s)
+        true
+      case _ => false
+    }
+  }
+
+  /** Chunked per-bucket merge of base+levels into generation N+1 with no
+    * repartition (see section comment). Commit order is meta-THEN-pointer:
+    * the new generation's data dir holds chunk SUBDIRS, which only the
+    * manifest-driven explicit-file read can serve — so the manifest must
+    * vouch for the new generation before any reader can resolve it. A
+    * crash between the two leaves readers on the old generation (correct)
+    * and the next compaction re-runs against the old generation's live
+    * set (gen-stale manifest ⇒ flat input), overwriting the partial
+    * directory. */
+  private def alignedRewrite(table: String, s: LiveSets): Unit = {
+    val fs = hadoopFs
+    val cur = currentGen(table)
+    val next = cur.getOrElse(0) + 1
+    val gdir = s"${tableDir(table)}/g$next"
+    val nb = s.meta.buckets
+    val chunkSz = math.max(1, spark.conf
+      .get("spark.graft.fullCompact.chunkBuckets", "256").toInt)
+    val inputs = s.base ++ s.levelFiles
+    val byBucket = inputs.groupBy(f => bucketIdOf(f.getPath.getName))
+    val fingerprint = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      inputs.map(f => s"${f.getPath.getName}:${f.getLen}").sorted
+        .foreach(x => md.update(x.getBytes("UTF-8")))
+      md.digest().map("%02x".format(_)).mkString
+    }
+    var done: Set[Int] = readCompactProgress(table) match {
+      case Some(p) if p.gen == next && p.buckets == nb &&
+          p.fp == fingerprint => p.done
+      case _ =>
+        // no progress, or the inputs changed since the crash — restart
+        val gp = new org.apache.hadoop.fs.Path(gdir)
+        if (fs.exists(gp)) fs.delete(gp, true)
+        Set.empty
+    }
+    // fault injection for the kill-and-resume spec: fail loudly after K
+    // chunks have landed this invocation (-1 = never; never set in prod)
+    val failAfter = spark.conf
+      .get("spark.graft.test.failAfterChunks", "-1").toInt
+    var landed = 0
+    (0 until nb by chunkSz).foreach { lo =>
+      val hi = math.min(nb, lo + chunkSz)
+      if (!done.contains(lo)) {
+        val files = (lo until hi).flatMap(byBucket.getOrElse(_, Nil))
+        if (files.nonEmpty)
+          writeBucketedAligned(
+            purgeErased(bucketedRelation(table, files, nb)),
+            s"$gdir/c$lo", nb)
+        done += lo
+        writeCompactProgress(table, CompactProgress(next, nb, fingerprint,
+          done))
+        landed += 1
+        if (failAfter >= 0 && landed >= failAfter)
+          throw new IllegalStateException(
+            s"injected compaction crash after $landed chunks (test knob)")
+      }
+    }
+    // every chunk durable: manifest first (vouches for the subdir layout),
+    // then the atomic pointer flip, then lazy GC + progress cleanup.
+    // A pending erase was purged by the per-chunk merges — the superseded
+    // generation holding the payload gets the bounded sweep.
+    writeEvMeta(table, EvMeta(next, nb, Nil, Set.empty, Nil, 0,
+      sweepDirs = if (s.meta.eraseCycles > 0)
+        cur.map(c => s"g$c").toSeq else Nil))
+    val out = fs.create(genPath(table), true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+    fs.delete(compactProgressPath(table), false)
+    val keep = Set(s"g$next") ++ cur.map(c => s"g$c")
+    if (cur.isDefined)
+      fs.listStatus(new org.apache.hadoop.fs.Path(tableDir(table)))
+        .filterNot { st =>
+          val n = st.getPath.getName
+          n == "_gen" || n == "_layout.json" || n == "_evmeta.json" ||
+            n == "_snapmeta.json" || keep.contains(n)
+        }
+        .foreach(st => fs.delete(st.getPath, true))
+  }
+
+  /** Bucketed write WITHOUT the repartition: the input is already hashed
+    * on `_iid` at this fanout (a bucketed relation over base+level
+    * files), so the writer only adds a local sort — zero exchange. One
+    * output file per non-empty bucket per input partition; a bucketed
+    * input yields one partition per bucket, hence one file per bucket. */
+  private def writeBucketedAligned(df: DataFrame, dir: String,
+      buckets: Int): Unit = {
+    val tmp =
+      s"graft_bkw_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    try
+      df.write.mode("overwrite").option("path", dir)
+        .bucketBy(buckets, IID).sortBy(IID)
+        .saveAsTable(tmp)
+    finally
+      spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    ()
   }
 
   // ---- declared layout (bucket key + count) ------------------------------
@@ -1189,22 +1485,49 @@ class XtDb(spark: SparkSession, val root: String) {
     * Returns whether any compaction ran — a freshly-folded table has lag
     * 0, so callers get idempotence for free. */
   def compactIfLagged(table: String, maxLag: Int = 5): Boolean = {
+    val maxEraseCycles = spark.conf
+      .get("spark.graft.erasePurge.maxCycles", "8").toInt
+    def genMeta = cachedEvMeta(table)
+      .filter(_.gen == currentGen(table).getOrElse(0))
+    def eraseOverdue = maxEraseCycles > 0 &&
+      genMeta.exists(_.eraseCycles >= maxEraseCycles)
     val lagged = blockLag(table) > maxLag
-    if (!lagged) return false
+    if (!lagged && !eraseOverdue) {
+      // a maintenance heartbeat with nothing to fold is still a CYCLE:
+      // the erase clock ticks (the purge-latency bound holds on tables
+      // whose ingest stops right after the erase) and expired leases are
+      // swept (a purge's superseded payload files must not outlive their
+      // one-cycle lease on an idle table). One tiny manifest PUT.
+      genMeta.filter(m => m.eraseCycles > 0 || m.consumed.nonEmpty ||
+          m.retired.nonEmpty || m.excluded.nonEmpty || m.sweepDirs.nonEmpty)
+        .foreach { m =>
+          val swept = sweepLeases(table, m)
+          writeEvMeta(table, swept.copy(eraseCycles =
+            if (m.eraseCycles > 0) m.eraseCycles + 1 else 0))
+        }
+      return false
+    }
     val smallBytes = spark.conf
       .get("spark.graft.fullCompact.smallBytes",
         (256L * 1024 * 1024).toString).toLong
-    val hasBase = cachedEvMeta(table)
-      .exists(_.gen == currentGen(table).getOrElse(0))
+    val hasBase = genMeta.isDefined
     if (!hasBase || liveEventBytes(table) <= smallBytes) compact(table)
     else {
-      compactIncremental(table)
+      if (lagged) compactIncremental(table)
       val ratio = spark.conf
         .get("spark.graft.fullCompact.ratio", "0.2").toDouble
-      liveFileSets(table).foreach { s =>
+      val escalate = liveFileSets(table).exists { s =>
         val baseBytes = math.max(1L, s.base.map(_.getLen).sum)
-        val lvBytes = s.levelFiles.map(_.getLen).sum
-        if (lvBytes >= ratio * baseBytes) compact(table)
+        s.levelFiles.map(_.getLen).sum >= ratio * baseBytes
+      }
+      if (escalate) compact(table)
+      else if (eraseOverdue) {
+        // the purge clock ran out without a geometric escalation: run
+        // the bucket-local purge (fold any stray backlog first so every
+        // erase is bucket-addressed)
+        if (blockLag(table) > 0) compactIncremental(table)
+        purgeErasedBuckets(table)
+        ()
       }
     }
     true
@@ -1237,45 +1560,144 @@ class XtDb(spark: SparkSession, val root: String) {
       case Some(mm) if currentGen(table).getOrElse(0) == mm.gen => mm
       case _ => compact(table); return true
     }
-    val fs = hadoopFs
-    val dd = dataDir(table)
-    // lazy-by-one GC: the PREVIOUS cycle's consumed/retired entries have
-    // been excluded from every manifest since — delete them now; anything
-    // that refuses to die stays excluded (never re-read as backlog)
-    val consumedCarry = m.consumed.filter { name =>
-      val p = new org.apache.hadoop.fs.Path(s"$dd/$name")
-      (try { fs.delete(p, false); fs.exists(p) }
-       catch { case scala.util.control.NonFatal(_) => fs.exists(p) })
-    }
-    val retiredCarry = m.retired.filter { d =>
-      val p = new org.apache.hadoop.fs.Path(s"$dd/$d")
-      (try { fs.delete(p, true); fs.exists(p) }
-       catch { case scala.util.control.NonFatal(_) => fs.exists(p) })
-    }
+    val swept = sweepLeases(table, m)
+    val consumedCarry = swept.consumed
+    val retiredCarry = swept.retired
+    val excludedCarry = swept.excluded
     val backlog = listRootParquet(table).filterNot(f =>
       isBucketFile(f.getPath.getName) ||
         consumedCarry.contains(f.getPath.getName))
     val maxLevels = spark.conf.get("spark.graft.maxLevels", "8").toInt
     val mergeLevels = m.levels.size >= maxLevels
+    // every invocation is a maintenance cycle: a pending erase clock ticks
+    def tick(e: Int): Int = if (e > 0) e + 1 else 0
     if (backlog.isEmpty && !mergeLevels) {
       writeEvMeta(table, m.copy(consumed = consumedCarry,
-        retired = retiredCarry))
+        retired = retiredCarry, eraseCycles = tick(m.eraseCycles),
+        excluded = excludedCarry))
       return false
     }
     val input = backlog ++
-      (if (mergeLevels) m.levels.flatMap(levelParquet(table, _)) else Nil)
+      (if (mergeLevels)
+        m.levels.flatMap(levelParquet(table, _)).filterNot(f =>
+          excludedCarry.contains(relUnderData(table, f)))
+       else Nil)
     if (input.isEmpty) {
       writeEvMeta(table, m.copy(consumed = consumedCarry,
-        retired = retiredCarry))
+        retired = retiredCarry, eraseCycles = tick(m.eraseCycles),
+        excluded = excludedCarry))
       return false
     }
+    // start (or advance) the purge clock: an erase folding INTO the
+    // levels right now is physically on disk until a purge runs — one
+    // pushed-predicate existence probe over the O(backlog) input
+    val folding = explicitRead(table, input)
+    val pending =
+      if (m.eraseCycles > 0) m.eraseCycles + 1
+      else if (!folding.where(col(OP) === "erase").isEmpty) 1
+      else 0
     val lvName = s"_lv${m.lvseq}"
-    writeBucketedFiles(explicitRead(table, input), s"$dd/$lvName", m.buckets)
+    writeBucketedFiles(folding, s"${dataDir(table)}/$lvName", m.buckets)
     writeEvMeta(table, m.copy(
       levels = (if (mergeLevels) Nil else m.levels) :+ lvName,
       consumed = consumedCarry ++ backlog.map(_.getPath.getName),
       retired = retiredCarry ++ (if (mergeLevels) m.levels else Nil),
-      lvseq = m.lvseq + 1))
+      lvseq = m.lvseq + 1, eraseCycles = pending,
+      excluded = excludedCarry))
+    true
+  }
+
+  /** Lazy-by-one lease GC: the manifest's consumed/retired/excluded
+    * entries were written a full maintenance cycle ago and have been out
+    * of every manifest-resolved read since — delete them now; anything
+    * that refuses to die stays listed (never re-read). Returns `m` with
+    * only the survivors carried. Pure FS metadata work, no data scan. */
+  private def sweepLeases(table: String, m: EvMeta): EvMeta = {
+    val fs = hadoopFs
+    val dd = dataDir(table)
+    def sweep(entries: Set[String], recursive: Boolean): Set[String] =
+      entries.filter { name =>
+        val p = new org.apache.hadoop.fs.Path(s"$dd/$name")
+        (try { fs.delete(p, recursive); fs.exists(p) }
+         catch { case scala.util.control.NonFatal(_) => fs.exists(p) })
+      }
+    // erase-tainted superseded generations / legacy loose parts: swept at
+    // the next cycle instead of the next generation flip (table-dir
+    // relative; the live generation is never listed here by construction)
+    val sweepCarry = m.sweepDirs.filter { name =>
+      val p = new org.apache.hadoop.fs.Path(s"${tableDir(table)}/$name")
+      name != s"g${m.gen}" &&
+        (try { fs.delete(p, true); fs.exists(p) }
+         catch { case scala.util.control.NonFatal(_) => fs.exists(p) })
+    }
+    m.copy(consumed = sweep(m.consumed, recursive = false),
+      retired = sweep(m.retired.toSet, recursive = true).toSeq,
+      excluded = sweep(m.excluded, recursive = false),
+      sweepDirs = sweepCarry)
+  }
+
+  /** BUCKET-LOCAL physical purge of erased history — the GDPR guarantee
+    * with BOUNDED latency and bounded cost (the reference merges per trie
+    * partition, so its erase purge is likewise per-subtree —
+    * compactor/Compactor.kt, PolygonCalculator.kt:43-46). Erased iids
+    * hash to known buckets: merge ONLY those buckets' base+level files
+    * (purged, zero exchange — [[writeBucketedAligned]]) into a new
+    * purge-level dir, and supersede the replaced files via the
+    * manifest's `excluded` list (deleted after the one-cycle lease).
+    * Cost is O(affected buckets), not O(table); the table's generation,
+    * untouched buckets, and serving posture are unchanged. Requires an
+    * empty backlog (erases still in flat appends aren't bucket-addressed
+    * yet) — [[compactIfLagged]] folds first. Returns true if a purge
+    * ran. */
+  def purgeErasedBuckets(table: String): Boolean = {
+    val s = liveFileSets(table) match {
+      case Some(s0) if s0.backlog.isEmpty => s0
+      case _ => return false
+    }
+    val m = s.meta
+    val live = s.base ++ s.levelFiles
+    if (live.isEmpty) {
+      if (m.eraseCycles > 0) writeEvMeta(table, m.copy(eraseCycles = 0))
+      return false
+    }
+    // the erased iids' bucket ids — Spark's own bucket function
+    // (murmur3 pmod), so the ids match the file-name stamps exactly
+    val erased = explicitRead(table, live)
+      .where(col(OP) === "erase")
+      .select(pmod(hash(col(IID)), lit(m.buckets)).cast("int").as("b"))
+      .distinct().collect().map(_.getInt(0)).toSet
+    if (erased.isEmpty) {
+      if (m.eraseCycles > 0) writeEvMeta(table, m.copy(eraseCycles = 0))
+      return false
+    }
+    val affected = live.filter(f =>
+      erased.contains(bucketIdOf(f.getPath.getName)))
+    val pgName = s"_lv${m.lvseq}"
+    writeBucketedAligned(
+      purgeErased(bucketedRelation(table, affected, m.buckets)),
+      s"${dataDir(table)}/$pgName", m.buckets)
+    // SUPERSEDED storage (older generations, legacy gen-0 loose parts)
+    // may hold the erased payload from before earlier flips — it has
+    // been out of live reads for at least one full cycle already, so it
+    // joins the bounded sweep instead of waiting for a flip that an
+    // idle table never reaches
+    val fs = hadoopFs
+    val superseded = fs
+      .listStatus(new org.apache.hadoop.fs.Path(tableDir(table)))
+      .collect {
+        case st if st.isDirectory &&
+            st.getPath.getName.matches("g\\d+") &&
+            st.getPath.getName.drop(1).toInt < m.gen =>
+          st.getPath.getName
+        case st if st.isFile &&
+            st.getPath.getName.endsWith(".parquet") && m.gen >= 1 =>
+          st.getPath.getName
+      }.toSeq
+    writeEvMeta(table, m.copy(
+      levels = m.levels :+ pgName,
+      excluded = m.excluded ++ affected.map(relUnderData(table, _)),
+      lvseq = m.lvseq + 1, eraseCycles = 0,
+      sweepDirs = (m.sweepDirs ++ superseded).distinct))
     true
   }
 

@@ -33,6 +33,10 @@ object CompactionProbe {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // measurement isolation: auto-maintenance would fold the backlog
+    // INSIDE putDocs (the production behavior — the put pays the 0.4 s
+    // fold inline), leaving the explicitly-timed fold a no-op
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val a = f
@@ -65,6 +69,15 @@ object CompactionProbe {
       val (_, asofFlatSec) = bestOf(() => asofAgg())
       val (folded, foldSec) = time(db.compactIncremental("ev"))
       val (rows1, asofAfterSec) = bestOf(() => asofAgg())
+      // round-14: the ESCALATED full compact at unchanged fanout is a
+      // bucket-aligned per-chunk merge — time it and prove zero shuffle
+      val counters = EngineMetrics.install(spark)
+      Thread.sleep(500) // drain in-flight listener events
+      val shuffleBefore = counters.shuffleWriteBytes.get
+      val (_, alignedFullSec) = time(db.compact("ev"))
+      Thread.sleep(800) // listener bus is async
+      val alignedShuffleBytes = counters.shuffleWriteBytes.get - shuffleBefore
+      val (rows2, asofAlignedSec) = bestOf(() => asofAgg())
       val exchanges = graft.plans.Explain
         .report(db.asOf("ev")).shuffleExchanges
       val buckets = """"buckets":(\d+)""".r.findFirstMatchIn(
@@ -82,7 +95,11 @@ object CompactionProbe {
         s""""asof_flat_backlog_sec":${f"$asofFlatSec%.3f"},""" +
         s""""asof_after_fold_sec":${f"$asofAfterSec%.3f"},""" +
         s""""asof_exchanges_after_fold":$exchanges,""" +
-        s""""rows_before":$rows0,"rows_after":$rows1}""")
+        s""""aligned_full_sec":${f"$alignedFullSec%.3f"},""" +
+        s""""aligned_shuffle_bytes":$alignedShuffleBytes,""" +
+        s""""asof_after_aligned_sec":${f"$asofAlignedSec%.3f"},""" +
+        s""""rows_before":$rows0,"rows_after":$rows1,""" +
+        s""""rows_after_aligned":$rows2}""")
       // clean up the multi-GB store before the next scale point
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()

@@ -45,10 +45,14 @@ class CompactionFuzzSpec extends AnyFunSuite {
       spark.conf.set("spark.graft.fullCompact.smallBytes", "0")
       spark.conf.set("spark.graft.fullCompact.ratio", "0.5")
       spark.conf.set("spark.graft.maxLevels", "2")
+      // round-14: let the bounded erase purge fire mid-fuzz (bucket-local
+      // rewrites + excluded-file leases must stay invisible to semantics)
+      spark.conf.set("spark.graft.erasePurge.maxCycles", "2")
     }
     def unsetKnobs(): Unit = Seq("spark.graft.autoCompact.maxLag",
       "spark.graft.fullCompact.smallBytes", "spark.graft.fullCompact.ratio",
-      "spark.graft.maxLevels").foreach(spark.conf.unset)
+      "spark.graft.maxLevels", "spark.graft.erasePurge.maxCycles")
+      .foreach(spark.conf.unset)
 
     setKnobs()
     try {
@@ -79,10 +83,11 @@ class CompactionFuzzSpec extends AnyFunSuite {
           s"erase(${ids.size})"
       }
 
-      def maintain(i: Int): String = rnd.nextInt(4) match {
+      def maintain(i: Int): String = rnd.nextInt(5) match {
         case 0 => a.compactIncremental(T); "fold"
         case 1 => a.compactIfLagged(T, maxLag = 1); "tiered"
         case 2 if i % 3 == 0 => a.compact(T); "full"
+        case 3 => a.purgeErasedBuckets(T); "purge"
         case _ => "none"
       }
 
@@ -94,6 +99,16 @@ class CompactionFuzzSpec extends AnyFunSuite {
       (1 to 36).foreach { i =>
         val op = randomOp(i)
         val m = maintain(i)
+        if (sys.env.contains("GRAFT_FUZZ_TRACE")) {
+          val meta = try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$rootA/$T/_evmeta.json")), "UTF-8")
+          catch { case _: Exception => "<none>" }
+          val gen = try new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(s"$rootA/$T/_gen")), "UTF-8").trim
+          catch { case _: Exception => "-" }
+          println(s"[fuzz-trace] i=$i op=$op maintain=$m gen=$gen " +
+            s"lag=${a.blockLag(T)} meta=$meta")
+        }
         if (i % 4 == 0) {
           batches += 1
           val ca = currentSet(a)
