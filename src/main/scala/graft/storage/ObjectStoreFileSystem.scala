@@ -27,7 +27,8 @@ import org.apache.hadoop.util.Progressable
   * committer usable under test while still failing hard if the ENGINE
   * itself ever renames: engine paths never contain `_temporary`.
   */
-class ObjectStoreFileSystem extends RawLocalFileSystem {
+class ObjectStoreFileSystem extends RawLocalFileSystem
+    with VersionedPut {
 
   override def getScheme: String = "objstore"
 
@@ -51,8 +52,67 @@ class ObjectStoreFileSystem extends RawLocalFileSystem {
     throw new UnsupportedOperationException(
       s"object-store semantics: append is not available ($f); " +
         "objects are immutable — write a new object")
+
+  private def key(p: Path): String = p.toUri.getPath
+
+  override def versionOf(p: Path): Long =
+    ObjectStoreFileSystem.lock.synchronized {
+      if (!exists(p)) 0L
+      else ObjectStoreFileSystem.versions.getOrElse(key(p), 1L)
+    }
+
+  override def putIfVersion(p: Path, bytes: Array[Byte],
+      expectedVersion: Long): Boolean =
+    ObjectStoreFileSystem.lock.synchronized {
+      val cur =
+        if (!exists(p)) 0L
+        else ObjectStoreFileSystem.versions.getOrElse(key(p), 1L)
+      if (cur != expectedVersion) false
+      else {
+        val out = create(p, true)
+        try out.write(bytes) finally out.close()
+        ObjectStoreFileSystem.versions.put(key(p), cur + 1L)
+        true
+      }
+    }
+
+  // keep the version counter honest for UNCONDITIONAL overwrites too —
+  // a plain PUT on a real store also changes the etag/generation
+  override def create(p: Path, overwrite: Boolean, bufferSize: Int,
+      replication: Short, blockSize: Long, progress: Progressable)
+      : org.apache.hadoop.fs.FSDataOutputStream = {
+    ObjectStoreFileSystem.lock.synchronized {
+      val k = key(p)
+      ObjectStoreFileSystem.versions.put(k,
+        ObjectStoreFileSystem.versions.getOrElse(k, if (exists(p)) 1L else 0L)
+          + 1L)
+    }
+    super.create(p, overwrite, bufferSize, replication, blockSize, progress)
+  }
 }
 
 object ObjectStoreFileSystem {
   val SchemeUri: URI = URI.create("objstore:///")
+  // JVM-global (one "store" regardless of FS instance count — the specs
+  // disable the Hadoop FS cache so every client gets a fresh instance)
+  private[storage] val lock = new Object
+  private[storage] val versions =
+    scala.collection.concurrent.TrieMap.empty[String, Long]
+}
+
+/** Conditional-PUT + object-version surface a real object store offers
+  * (S3 If-Match/If-None-Match etags, GCS generation preconditions, Azure
+  * ETag conditions — all public APIs). The engine's commit points use it
+  * when the FileSystem provides it: read the version, decide, PUT
+  * expecting that version — a lost race fails LOUDLY instead of
+  * last-write-wins corrupting the manifest chain. Plain filesystems
+  * (local, HDFS) don't implement it; there the single-writer discipline
+  * is the documented contract. */
+trait VersionedPut {
+  /** Current version of the object (0 = absent; monotone per PUT). */
+  def versionOf(p: Path): Long
+  /** Atomic compare-and-PUT: writes iff the current version equals
+    * `expectedVersion` (pass 0 to require absence). */
+  def putIfVersion(p: Path, bytes: Array[Byte],
+      expectedVersion: Long): Boolean
 }

@@ -37,6 +37,12 @@ object EngineMetrics {
     }
   }
 
+  /** Manifest-metadata RPC accounting (round 14): total manifest reads
+    * vs reads served by the version-revalidated cache — the
+    * before/after measure for the object-store metadata saving. */
+  val manifestReads = new java.util.concurrent.atomic.AtomicLong
+  val manifestCacheHits = new java.util.concurrent.atomic.AtomicLong
+
   private val installed =
     scala.collection.concurrent.TrieMap.empty[org.apache.spark.SparkContext, Counters]
 
@@ -85,7 +91,9 @@ object EngineMetrics {
       "shuffle_read_bytes" -> c.shuffleReadBytes.get,
       "shuffle_write_bytes" -> c.shuffleWriteBytes.get,
       "input_records" -> c.inputRecords.get,
-      "executor_run_ms" -> c.executorRunMs.get) ++ txRows)
+      "executor_run_ms" -> c.executorRunMs.get,
+      "manifest_reads" -> manifestReads.get,
+      "manifest_cache_hits" -> manifestCacheHits.get) ++ txRows)
       .toDF("metric", "value")
   }
 

@@ -1,0 +1,105 @@
+package graft.tools
+
+import graft.bitemporal.XtDb
+import graft.plans.Explain
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Round-14 scaling probe for INCREMENTAL snapshot maintenance (verdict
+  * r13 Next #1's "Done" gate): on a declared-layout table, append a
+  * CONSTANT-size backlog and fold it; the fold (event fold + snapshot
+  * fold) must stay flat across a 25× table-size range, the snapshot must
+  * serve immediately after every fold, and the declared-key join time
+  * over the folded snapshot must stay flat across fold cycles — the
+  * verdict-13 "known trade" (snapshot refreshed only at geometric full
+  * compactions) measured closed. The full compact at the end is the cost
+  * the fold path REPLACES per cycle.
+  *
+  * Cost model being demonstrated: the snapshot fold is O(delta + touched
+  * buckets) — the delta's key locality decides how many buckets rewrite.
+  * The probe uses a 2%-of-keyspace delta (the layout's use case: hot keys
+  * cluster); a uniformly-spread delta degrades to O(snapshot) read+write
+  * but still never shuffles untouched rows' join serving.
+  *
+  * Usage: SnapshotFoldProbe [nIdsCommaList] [folds] [backlogRows]
+  * Prints one JSON line per scale point.
+  */
+object SnapshotFoldProbe {
+  def main(args: Array[String]): Unit = {
+    val nIdsList = args.lift(0).getOrElse("150000,750000,3750000")
+      .split(",").map(_.trim.toLong).toSeq
+    val folds = args.lift(1).map(_.toInt).getOrElse(3)
+    val backlogRows = args.lift(2).map(_.toLong).getOrElse(20000L)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    def time[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime()
+      val a = f
+      (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val keySpace = 20000L
+    nIdsList.foreach { nIds =>
+      val root = java.nio.file.Files
+        .createTempDirectory(s"graft_sprobe_$nIds").toString
+      val db = new XtDb(spark, root)
+      db.declareLayout("ft", "k", 32)
+      db.putDocs("ft", spark.range(1, nIds + 1)
+        .selectExpr("id AS _id", s"CAST(id % $keySpace AS INT) AS k",
+          "id * 3 AS v"))
+      val (_, fullSec) = time(db.compact("ft"))
+      val dim = spark.range(0, 400)
+        .selectExpr("CAST(id AS INT) AS k", "id * 11 AS w")
+        .repartition(32, col("k")).cache()
+      dim.count()
+      def joinAgg(): (Long, Int) = db.currentSnapshotIfValid("ft") match {
+        case Some(snap) =>
+          val j = snap.join(dim, Seq("k")).agg(count(lit(1))).cache()
+          val n = j.head().getLong(0)
+          val ex = Explain.report(
+            db.currentSnapshotIfValid("ft").get.join(dim, Seq("k"))
+              .agg(count(lit(1)))).shuffleExchanges
+          j.unpersist()
+          (n, ex)
+        case None => (-1L, -1)
+      }
+      joinAgg() // warm
+      var next = nIds + 1
+      val cycles = (1 to folds).map { _ =>
+        // constant backlog, keys confined to 2% of the key space
+        db.putDocs("ft", spark.range(next, next + backlogRows)
+          .selectExpr("id AS _id", "CAST(id % 400 AS INT) AS k",
+            "id AS v"))
+        next += backlogRows
+        val (_, foldSec) = time(db.compactIncremental("ft"))
+        val valid = db.currentSnapshotIfValid("ft").isDefined
+        val ((rows, exchanges), joinSec) = time(joinAgg())
+        (foldSec, joinSec, valid, rows, exchanges)
+      }
+      val (_, reFullSec) = time(db.compact("ft"))
+      def fmt(xs: Seq[Double]) =
+        xs.map(x => f"$x%.3f").mkString("[", ",", "]")
+      println(
+        s"""{"probe":"snapshot_fold","n_ids":$nIds,""" +
+        s""""backlog_rows":$backlogRows,"buckets":32,""" +
+        s""""full_compact_sec":${f"$fullSec%.3f"},""" +
+        s""""fold_secs":${fmt(cycles.map(_._1))},""" +
+        s""""join_secs":${fmt(cycles.map(_._2))},""" +
+        s""""snapshot_valid_after_each_fold":${cycles.forall(_._3)},""" +
+        s""""join_exchanges":${cycles.map(_._5).max},""" +
+        s""""rows_last":${cycles.last._4},""" +
+        s""""refull_compact_sec":${f"$reFullSec%.3f"}}""")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(new java.io.File(root))
+    }
+    spark.stop()
+  }
+}

@@ -439,4 +439,131 @@ class BucketingSpec extends AnyFunSuite {
       pmod(xxhash64(l.columns.map(col): _*), lit(4)).cast("int"))
     assert(scattered.select("__salt").distinct().count() > 1)
   }
+
+  test("INCREMENTAL snapshot maintenance (round 14): after a large-table " +
+      "FOLD the declared-key join serves zero-exchange from the folded " +
+      "snapshot — updates, inserts, deletes, erases and key moves all " +
+      "land; untouched snapshot buckets are copy-on-write-preserved") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    spark.conf.set("spark.graft.fullCompact.smallBytes", "0") // large path
+    spark.conf.set("spark.graft.fullCompact.ratio", "1000.0") // never escalate
+    try {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-snapfold").toString
+      val db = new graft.bitemporal.XtDb(spark, root)
+      db.declareLayout("ft", "k", 4)
+      db.putDocs("ft", spark.range(1, 1001)
+        .selectExpr("id AS _id", "CAST(id % 40 AS INT) AS k", "id * 3 AS v"))
+      db.compact("ft")
+      assert(db.currentSnapshotIfValid("ft").isDefined)
+      val gen1 = db.dataDir("ft")
+      def snapFiles(): Map[String, Long] = {
+        def walk(f: java.io.File): Seq[java.io.File] =
+          if (f.isDirectory) Option(f.listFiles).toSeq.flatten.flatMap(walk)
+          else Seq(f)
+        walk(new java.io.File(db.dataDir("ft")))
+          .filter(f => f.getPath.contains("_cs") &&
+            f.getName.endsWith(".parquet"))
+          .map(f => f.getAbsolutePath -> f.lastModified()).toMap
+      }
+      val files0 = snapFiles()
+      assert(files0.nonEmpty)
+
+      // delta confined to keys 0 and 1: update, insert, delete, erase,
+      // and a key MOVE (id 40: k 0 -> 1) — at most two buckets touched
+      db.putDocs("ft", Seq((80L, 0, 999L), (2001L, 0, 111L))
+        .toDF("_id", "k", "v"))                        // update + insert
+      db.putDocs("ft", Seq((40L, 1, 120L)).toDF("_id", "k", "v")) // key move
+      db.deleteDocs("ft", Seq(Tuple1(120L)).toDF("_id"))          // delete
+      db.eraseDocs("ft", Seq(Tuple1(160L)).toDF("_id"))           // erase
+      assert(db.currentSnapshotIfValid("ft").isEmpty,
+        "backlog must refuse the snapshot")
+
+      assert(db.compactIncremental("ft"), "the fold must run")
+      assert(db.dataDir("ft") === gen1,
+        "fold path: no generation flip (this is NOT a full compact)")
+      val snap = db.currentSnapshotIfValid("ft")
+      assert(snap.isDefined,
+        "the snapshot must serve again right after the FOLD")
+      // content equals live resolution exactly
+      val live = graft.bitemporal.Bitemporal.current(db.events("ft"))
+        .select("_id", "k", "v").as[(Long, Int, Long)].collect().toSet
+      val got = snap.get.select("_id", "k", "v")
+        .as[(Long, Int, Long)].collect().toSet
+      assert(got === live)
+      assert(got.contains((80L, 0, 999L)) && got.contains((2001L, 0, 111L)))
+      assert(got.contains((40L, 1, 120L)))
+      assert(!got.exists(_._1 == 120L) && !got.exists(_._1 == 160L))
+      // declared-key join: zero exchange on the snapshot side
+      val dim = Seq((0, "a"), (1, "b"), (2, "c")).toDF("k", "tag")
+        .repartition(4, col("k"))
+      val j = snap.get.join(dim, Seq("k")).select("k", "v", "tag")
+      assert(Explain.report(j).shuffleExchanges <= 1, // dim side only
+        s"folded snapshot join must not shuffle the fact side:\n" +
+          s"${j.queryExecution.executedPlan}")
+      // copy-on-write: untouched buckets' files survive byte-identical
+      val files1 = snapFiles()
+      val survivors = files0.keySet.intersect(files1.keySet)
+      assert(survivors.nonEmpty, "untouched snapshot buckets must survive")
+      assert(survivors.forall(f => files0(f) == files1(f)))
+      assert(files0.keySet.diff(files1.keySet).isEmpty ||
+        files1.keySet.diff(files0.keySet).nonEmpty,
+        "touched buckets must have replacement files")
+
+      // second fold cycle: still valid, still correct
+      db.putDocs("ft", Seq((2002L, 5, 222L)).toDF("_id", "k", "v"))
+      assert(db.compactIncremental("ft"))
+      val snap2 = db.currentSnapshotIfValid("ft")
+      assert(snap2.isDefined)
+      assert(snap2.get.count() === live.size + 1)
+      // SQL front door serves the folded snapshot and matches live
+      val eng = new graft.sql.XtSqlEngine(spark, db)
+      val viaSql = eng.sql(
+        "SELECT k, count(*) AS n FROM ft GROUP BY k ORDER BY k")
+        .collect().map(_.toSeq).toSeq
+      val liveAgg = graft.bitemporal.Bitemporal.current(db.events("ft"))
+        .groupBy("k").agg(count(lit(1)).as("n")).orderBy("k")
+        .collect().map(_.toSeq).toSeq
+      assert(viaSql == liveAgg)
+    } finally {
+      spark.conf.unset("spark.graft.autoCompact.maxLag")
+      spark.conf.unset("spark.graft.fullCompact.smallBytes")
+      spark.conf.unset("spark.graft.fullCompact.ratio")
+    }
+  }
+
+  test("fold-maintained snapshot records a FUTURE valid-time boundary " +
+      "arriving in the delta: serves before it, refuses after it") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    spark.conf.set("spark.graft.fullCompact.smallBytes", "0")
+    spark.conf.set("spark.graft.fullCompact.ratio", "1000.0")
+    try {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-snapfold-vt").toString
+      val db = new graft.bitemporal.XtDb(spark, root)
+      db.declareLayout("fv", "k", 2)
+      db.putDocs("fv", Seq(("1", 1, "now")).toDF("_id", "k", "v"))
+      db.compact("fv")
+      // the future-valid put arrives via a FOLD, not a full compact
+      val soon = java.sql.Timestamp.from(
+        java.time.Instant.now().plusSeconds(2))
+      db.putDocs("fv", Seq(("2", 2, "soon")).toDF("_id", "k", "v"),
+        validFrom = Some(lit(soon)))
+      assert(db.compactIncremental("fv"))
+      val snap = db.currentSnapshotIfValid("fv")
+      assert(snap.isDefined, "snapshot valid before the folded boundary")
+      assert(snap.get.count() === 1L, "future-valid row not yet current")
+      Thread.sleep(2500)
+      assert(db.currentSnapshotIfValid("fv").isEmpty,
+        "the folded delta's boundary must expire the snapshot")
+      assert(graft.bitemporal.Bitemporal
+        .current(db.events("fv")).count() === 2L)
+    } finally {
+      spark.conf.unset("spark.graft.autoCompact.maxLag")
+      spark.conf.unset("spark.graft.fullCompact.smallBytes")
+      spark.conf.unset("spark.graft.fullCompact.ratio")
+    }
+  }
 }

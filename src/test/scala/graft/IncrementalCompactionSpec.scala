@@ -147,13 +147,20 @@ class IncrementalCompactionSpec extends AnyFunSuite {
       appendAndFold(251) // levels = [_lv0, _lv1]
       val twoLevels = levelDirs(db, "m")
       assert(twoLevels.size == 2, s"expected 2 levels, got $twoLevels")
-      appendAndFold(301) // merge: levels = [_lv2], _lv0/_lv1 retired
-      assert(metaJson(db, "m").contains("\"levels\":[\"_lv2\"]"),
+      appendAndFold(301) // merge: levels = [_lv2*], _lv0/_lv1 retired
+      // level names carry a uniqueness suffix (round-14 CAS: racing
+      // folds must never share an output dir) — pin by lvseq prefix
+      def prefixes(names: Seq[String]): Set[String] =
+        names.map(_.split('_').take(2).mkString("_")).toSet
+      val merged = """"levels":\[([^\]]*)\]""".r
+        .findFirstMatchIn(metaJson(db, "m")).get.group(1)
+        .split(",").filter(_.nonEmpty).toSeq
+      assert(merged.size == 1 && merged.head.startsWith("\"_lv2"),
         s"manifest must hold the single merged level: ${metaJson(db, "m")}")
       // retired dirs still on disk for one cycle (in-flight readers)…
-      assert(levelDirs(db, "m").toSet == Set("_lv0", "_lv1", "_lv2"))
+      assert(prefixes(levelDirs(db, "m")) == Set("_lv0", "_lv1", "_lv2"))
       appendAndFold(351) // next cycle GCs them
-      assert(levelDirs(db, "m").toSet == Set("_lv2", "_lv3"),
+      assert(prefixes(levelDirs(db, "m")) == Set("_lv2", "_lv3"),
         s"retired levels must be GC'd on the next fold: ${levelDirs(db, "m")}")
       // rows all present, zero-exchange serving intact
       val rows = db.asOf("m").count()

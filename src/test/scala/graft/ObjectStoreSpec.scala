@@ -205,4 +205,83 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(db.currentSnapshotIfValid("ldocs").isEmpty,
       "fingerprint over the object store must catch the append")
   }
+
+  test("CONDITIONAL COMMIT (round 14): two XtDb instances racing a fold " +
+      "on one objstore root — exactly one manifest commit wins, the " +
+      "loser fails LOUDLY (never last-write-wins), and the table reads " +
+      "complete and duplicate-free afterwards") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    try {
+      val (root, _) = freshRoot()
+      val a = new XtDb(spark, root)
+      val b = new XtDb(spark, root)
+      a.putDocs("r", spark.range(1, 501).selectExpr("id AS _id", "id AS v"))
+      a.compact("r")
+      a.putDocs("r", spark.range(501, 551).selectExpr("id AS _id", "id AS v"))
+
+      // both writers enter the fold with the same manifest version; the
+      // fold spans Spark jobs, so both are mid-flight when the first CAS
+      // lands — the second MUST fail with the loud race error
+      val gate = new java.util.concurrent.CountDownLatch(1)
+      val outcomes = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      def racer(db: XtDb, tag: String): Thread = {
+        val t = new Thread(() => {
+          gate.await()
+          try { db.compactIncremental("r"); outcomes.add(s"$tag:ok") }
+          catch {
+            case _: java.util.ConcurrentModificationException =>
+              outcomes.add(s"$tag:lost")
+            case e: Throwable => outcomes.add(s"$tag:err:${e.getClass}")
+          }
+        })
+        t.start(); t
+      }
+      val t1 = racer(a, "a")
+      val t2 = racer(b, "b")
+      gate.countDown()
+      t1.join(120000); t2.join(120000)
+      val res = outcomes.toArray.map(_.toString).toSet
+      assert(res.exists(_.endsWith(":ok")),
+        s"one writer must win the commit: $res")
+      assert(res.count(_.endsWith(":ok")) == 1 &&
+        res.exists(_.endsWith(":lost")),
+        s"the other must lose LOUDLY via the conditional PUT: $res")
+      // the winner's commit is intact: all rows once, no duplicates
+      val rows = a.asOf("r").select("_id").as[Long].collect()
+      assert(rows.length === 550 && rows.toSet.size === 550,
+        s"store must be complete and duplicate-free: ${rows.length}")
+      assert(a.blockLag("r") === 0L)
+    } finally spark.conf.unset("spark.graft.autoCompact.maxLag")
+  }
+
+  test("VERSIONED manifest cache (round 14): repeat reads revalidate " +
+      "with one stat (cache hits), a remote writer's fold bumps the " +
+      "version and misses the cache — never a stale serve") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    try {
+      val (root, _) = freshRoot()
+      val a = new XtDb(spark, root)
+      val b = new XtDb(spark, root)
+      a.putDocs("c", spark.range(1, 101).selectExpr("id AS _id", "id AS v"))
+      a.compact("c")
+      a.asOf("c").count() // prime the cache
+      val reads0 = graft.tools.EngineMetrics.manifestReads.get
+      val hits0 = graft.tools.EngineMetrics.manifestCacheHits.get
+      (1 to 5).foreach(_ => a.asOf("c").count())
+      val hitsDelta = graft.tools.EngineMetrics.manifestCacheHits.get - hits0
+      val readsDelta = graft.tools.EngineMetrics.manifestReads.get - reads0
+      assert(hitsDelta > 0,
+        s"repeat reads must hit the versioned cache ($hitsDelta/$readsDelta)")
+      // remote writer folds: version bumps, instance A revalidates and
+      // serves the NEW live set (the hidden level dir) — no staleness
+      b.putDocs("c", spark.range(101, 131).selectExpr("id AS _id", "id AS v"))
+      assert(b.compactIncremental("c"))
+      assert(a.asOf("c").count() === 130L,
+        "instance A must see the remote fold through the cache")
+      assert(a.bucketedEventsIfValid("c").isDefined,
+        "A must serve the remote fold's bucketed set (fresh manifest)")
+    } finally spark.conf.unset("spark.graft.autoCompact.maxLag")
+  }
 }
