@@ -1916,10 +1916,19 @@ class XtDb(spark: SparkSession, val root: String) {
         excluded = excludedCarry), mver)
       return false
     }
+    // a PURE level merge (no backlog) reads only bucketed inputs — the
+    // aligned writer skips the repartition entirely (zero exchange; at
+    // scale the level merge is otherwise a shuffle of all level bytes)
+    val alignedMerge = backlog.isEmpty
     // start (or advance) the purge clock: an erase folding INTO the
     // levels right now is physically on disk until a purge runs — one
     // pushed-predicate existence probe over the O(backlog) input
-    val folding = explicitRead(table, input)
+    val folding =
+      if (alignedMerge)
+        try bucketedRelation(table, input, m.buckets)
+        catch { case scala.util.control.NonFatal(_) =>
+          explicitRead(table, input) }
+      else explicitRead(table, input)
     val pending =
       if (m.eraseCycles > 0) m.eraseCycles + 1
       else if (!folding.where(col(OP) === "erase").isEmpty) 1
@@ -1929,7 +1938,10 @@ class XtDb(spark: SparkSession, val root: String) {
     // loser's orphan dir stays hidden (underscore) until the next flip
     val lvName = s"_lv${m.lvseq}_" +
       java.util.UUID.randomUUID().toString.take(8)
-    writeBucketedFiles(folding, s"${dataDir(table)}/$lvName", m.buckets)
+    if (alignedMerge)
+      writeBucketedAligned(folding, s"${dataDir(table)}/$lvName", m.buckets)
+    else
+      writeBucketedFiles(folding, s"${dataDir(table)}/$lvName", m.buckets)
     writeEvMeta(table, m.copy(
       levels = (if (mergeLevels) Nil else m.levels) :+ lvName,
       consumed = consumedCarry ++ backlog.map(_.getPath.getName),

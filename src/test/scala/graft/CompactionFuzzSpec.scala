@@ -96,7 +96,9 @@ class CompactionFuzzSpec extends AnyFunSuite {
           .as[(Long, Long)].collect().toSet
 
       var batches = 0
-      (1 to 36).foreach { i =>
+      // GRAFT_FUZZ_OPS overrides for deeper local sweeps
+      val nOps = sys.env.get("GRAFT_FUZZ_OPS").map(_.toInt).getOrElse(36)
+      (1 to nOps).foreach { i =>
         val op = randomOp(i)
         val m = maintain(i)
         if (sys.env.contains("GRAFT_FUZZ_TRACE")) {
@@ -127,7 +129,7 @@ class CompactionFuzzSpec extends AnyFunSuite {
           }
         }
       }
-      assert(batches == 9)
+      assert(batches == nOps / 4)
       // final posture sanity: the maintained store ends bucketed-servable
       // after one last fold, and equality still holds
       a.compactIncremental(T)

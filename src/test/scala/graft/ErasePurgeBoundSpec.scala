@@ -138,6 +138,46 @@ class ErasePurgeBoundSpec extends AnyFunSuite {
     }
   }
 
+  test("DECLARED-LAYOUT table: the erased payload also leaves the " +
+      "snapshot's bucket files (fold rewrite + retired-lease sweep) " +
+      "within the bound — end to end, every file under the table root") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    spark.conf.set("spark.graft.fullCompact.smallBytes", "0")
+    spark.conf.set("spark.graft.fullCompact.ratio", "1000.0")
+    spark.conf.set("spark.graft.erasePurge.maxCycles", "3")
+    try {
+      val db = newDb("purge-declared")
+      val secret = "TOPSECRET_DECL_4c"
+      db.declareLayout("d", "k", 4)
+      db.putDocs("d", spark.range(1, 1001)
+        .selectExpr("id AS _id", "CAST(id % 16 AS INT) AS k",
+          s"CASE WHEN id = 11 THEN '$secret' ELSE concat('r', id) END AS data"))
+      db.compact("d")
+      assert(db.currentSnapshotIfValid("d").isDefined)
+      assert(payloadFiles(db, "d", secret).nonEmpty)
+      db.eraseDocs("d", Seq(Tuple1(11L)).toDF("_id"))
+      var gone = -1
+      (1 to 8).foreach { i =>
+        db.compactIfLagged("d", maxLag = 0)
+        if (gone < 0 && payloadFiles(db, "d", secret).isEmpty) gone = i
+      }
+      assert(gone >= 0,
+        s"declared-table purge must clear snapshot + log files: ${
+          payloadFiles(db, "d", secret).mkString(", ")}")
+      // the snapshot keeps serving (folds re-stamped it) and is correct
+      val snap = db.currentSnapshotIfValid("d")
+      assert(snap.isDefined, "snapshot must keep serving through purges")
+      assert(snap.get.count() === 999L)
+      assert(snap.get.filter(col("data") === secret).isEmpty)
+    } finally {
+      spark.conf.unset("spark.graft.autoCompact.maxLag")
+      spark.conf.unset("spark.graft.fullCompact.smallBytes")
+      spark.conf.unset("spark.graft.fullCompact.ratio")
+      spark.conf.unset("spark.graft.erasePurge.maxCycles")
+    }
+  }
+
   test("a small table's overdue erase just takes the full compact (the " +
       "cheap path already purges); re-insert after erase survives purge") {
     import spark.implicits._
