@@ -666,8 +666,11 @@ class XtDb(spark: SparkSession, val root: String) {
       key: String, schema: StructType,
       sortCols: Seq[String]): DataFrame = {
     import org.apache.spark.sql.execution.datasources._
-    val index = new InMemoryFileIndex(spark, files.map(_.getPath),
-      Map.empty, Some(schema))
+    // the manifest already vouches for these statuses — a StaticFileIndex
+    // plans with ZERO further filesystem calls (InMemoryFileIndex would
+    // re-stat every leaf file per query: N metadata RPCs per serve on an
+    // object store)
+    val index = new graft.storage.StaticFileIndex(files)
     val rel = HadoopFsRelation(index, new StructType(), schema,
       Some(org.apache.spark.sql.catalyst.catalog.BucketSpec(
         buckets, Seq(key), sortCols)),
@@ -1443,6 +1446,21 @@ class XtDb(spark: SparkSession, val root: String) {
       expires: Long, key: String, buckets: Int, seq: Int,
       files: Seq[String], retired: Seq[String])
 
+  // snapshot manifest file entries are "relpath|length": the recorded
+  // length lets the serve construct FileStatus objects with ZERO
+  // filesystem calls (split planning and the parquet footer reader need
+  // the length; the files are immutable once listed)
+  private def snapEntry(relPath: String, len: Long): String =
+    s"$relPath|$len"
+  private def snapEntryPath(e: String): String = {
+    val i = e.lastIndexOf('|')
+    if (i < 0) e else e.substring(0, i)
+  }
+  private def snapEntryLen(e: String): Long = {
+    val i = e.lastIndexOf('|')
+    if (i < 0) -1L else e.substring(i + 1).toLong
+  }
+
   private def snapMetaPath(table: String) =
     new org.apache.hadoop.fs.Path(s"${tableDir(table)}/_snapmeta.json")
 
@@ -1574,7 +1592,7 @@ class XtDb(spark: SparkSession, val root: String) {
     val fs = hadoopFs
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(f => s"_cs0/${f.getPath.getName}").toSeq
+      .map(f => snapEntry(s"_cs0/${f.getPath.getName}", f.getLen)).toSeq
     val lvseq = cachedEvMeta(table)
       .filter(_.gen == currentGen(table).getOrElse(0))
       .map(_.lvseq).getOrElse(0)
@@ -1681,7 +1699,7 @@ class XtDb(spark: SparkSession, val root: String) {
           .select(pmod(hash(col(l.key)), lit(l.buckets)).cast("int").as("b"))
           .distinct().collect().map(_.getInt(0)).toSet
         val (oldTouched, untouched) = sm.files.partition(n =>
-          touched.contains(bucketIdOf(n.split('/').last)))
+          touched.contains(bucketIdOf(snapEntryPath(n).split('/').last)))
         val snapSchema = loadSnapSchema(table).getOrElse(newCur.schema)
         val keep =
           if (oldTouched.isEmpty)
@@ -1689,7 +1707,7 @@ class XtDb(spark: SparkSession, val root: String) {
               new java.util.ArrayList[org.apache.spark.sql.Row](),
               snapSchema)
           else spark.read.schema(snapSchema)
-            .parquet(oldTouched.map(n => s"$dd/$n"): _*)
+            .parquet(oldTouched.map(n => s"$dd/${snapEntryPath(n)}"): _*)
             .join(broadcast(changed), Seq(IID), "left_anti")
         val lub = DynamicSchema.mergeSchemas(snapSchema, newCur.schema)
         val merged = DynamicSchema.conform(keep, lub)
@@ -1700,11 +1718,13 @@ class XtDb(spark: SparkSession, val root: String) {
         val newFiles = fs
           .listStatus(new org.apache.hadoop.fs.Path(s"$dd/$outDir"))
           .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => s"$outDir/${f.getPath.getName}").toSeq
+          .map(f => snapEntry(s"$outDir/${f.getPath.getName}", f.getLen))
+          .toSeq
         writeSnapSchema(table, lub)
         writeSnapMeta2(table, SnapMeta2(sm.gen, s.meta.lvseq, newWm,
           newExpires, l.key, l.buckets, sm.seq + 1,
-          untouched ++ newFiles, retiredCarry ++ oldTouched))
+          untouched ++ newFiles,
+          retiredCarry ++ oldTouched.map(snapEntryPath)))
         noSnapshot.remove(table)
     }
   }
@@ -1735,8 +1755,17 @@ class XtDb(spark: SparkSession, val root: String) {
             try {
               val fs = hadoopFs
               val dd = dataDir(table)
-              val files = m.files.map(n => fs.getFileStatus(
-                new org.apache.hadoop.fs.Path(s"$dd/$n")))
+              val files = m.files.map { n =>
+                val p = new org.apache.hadoop.fs.Path(
+                  s"$dd/${snapEntryPath(n)}")
+                val len = snapEntryLen(n)
+                if (len >= 0L)
+                  // zero-RPC serve: length from the manifest (immutable
+                  // files), mtime immaterial to split/footer reading
+                  new org.apache.hadoop.fs.FileStatus(len, false, 1,
+                    128L * 1024 * 1024, 0L, p)
+                else fs.getFileStatus(p)
+              }
               loadSnapSchema(table).map(st =>
                 bucketedRelationFor(files, m.buckets, m.key, st,
                   sortCols = Seq(m.key)))
@@ -1777,6 +1806,14 @@ class XtDb(spark: SparkSession, val root: String) {
           .count(f => !isBucketFile(f.getPath.getName)).toLong - 1L)
     }
   }
+
+  /** Maintenance cycles since the oldest UNPURGED erase entered this
+    * table's log (0 = none pending) — the operator-visible GDPR clock;
+    * the purge fires when it reaches `spark.graft.erasePurge.maxCycles`.
+    * Metadata-only (one manifest read). */
+  def erasePendingCycles(table: String): Int =
+    cachedEvMeta(table).filter(_.gen == currentGen(table).getOrElse(0))
+      .map(_.eraseCycles).getOrElse(0)
 
   /** Storage-maintenance observability for the healthz/metrics plane:
     * (backlog files, live level dirs, generation, bucket fanout). All

@@ -55,6 +55,24 @@ class ObjectStoreFileSystem extends RawLocalFileSystem
 
   private def key(p: Path): String = p.toUri.getPath
 
+  // metadata-RPC accounting for specs: per-object HEAD calls on DATA
+  // files (`part-…`) — the serve paths must not pay one per bucket file.
+  // RawLocalFileSystem implements listStatus as getFileStatus-per-child;
+  // a real store's LIST returns metadata inline (one RPC per page), so
+  // listing-internal stats are NOT counted as HEADs.
+  override def getFileStatus(p: Path): org.apache.hadoop.fs.FileStatus = {
+    if (p.getName.startsWith("part-") &&
+        !ObjectStoreFileSystem.inListing.get())
+      ObjectStoreFileSystem.dataFileStats.incrementAndGet()
+    super.getFileStatus(p)
+  }
+
+  override def listStatus(p: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    ObjectStoreFileSystem.inListing.set(true)
+    try super.listStatus(p)
+    finally ObjectStoreFileSystem.inListing.set(false)
+  }
+
   override def versionOf(p: Path): Long =
     ObjectStoreFileSystem.lock.synchronized {
       if (!exists(p)) 0L
@@ -98,6 +116,12 @@ object ObjectStoreFileSystem {
   private[storage] val lock = new Object
   private[storage] val versions =
     scala.collection.concurrent.TrieMap.empty[String, Long]
+  /** HEAD calls on data files (see getFileStatus) — spec-visible. */
+  val dataFileStats = new java.util.concurrent.atomic.AtomicLong
+  private[storage] val inListing =
+    new ThreadLocal[java.lang.Boolean] {
+      override def initialValue(): java.lang.Boolean = false
+    }
 }
 
 /** Conditional-PUT + object-version surface a real object store offers

@@ -80,11 +80,19 @@ object EngineMetrics {
               (b + lag, l + lv, n + (if (buckets > 0) 1L else 0L))
           }
         } catch { case _: Exception => (0L, 0L, 0L) }
+      // the GDPR clock: tables carrying an unpurged erase (the purge
+      // fires at spark.graft.erasePurge.maxCycles — this should read 0
+      // in steady state; a stuck nonzero means maintenance is not
+      // running)
+      val erasePending =
+        try d.tables.count(t => d.erasePendingCycles(t) > 0).toLong
+        catch { case _: Exception => 0L }
       Seq("txs_committed" -> committed, "txs_aborted" -> aborted,
         "tables" -> d.tables.length.toLong,
         "event_backlog_files" -> backlog,
         "event_level_dirs" -> levels,
-        "tables_bucketed" -> bucketedTables)
+        "tables_bucketed" -> bucketedTables,
+        "tables_erase_pending" -> erasePending)
     }.getOrElse(Seq.empty)
     (Seq(
       "jobs" -> c.jobs.get, "tasks" -> c.tasks.get,

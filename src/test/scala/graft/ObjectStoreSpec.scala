@@ -284,4 +284,30 @@ class ObjectStoreSpec extends AnyFunSuite {
         "A must serve the remote fold's bucketed set (fresh manifest)")
     } finally spark.conf.unset("spark.graft.autoCompact.maxLag")
   }
+
+  test("ZERO-RPC snapshot serve (round 14): the declared-layout serve " +
+      "constructs its file statuses from manifest-recorded lengths — " +
+      "no per-bucket-file HEAD calls at plan time") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    try {
+      val (root, _) = freshRoot()
+      val db = new XtDb(spark, root)
+      db.declareLayout("z", "k", 8)
+      db.putDocs("z", spark.range(1, 201)
+        .selectExpr("id AS _id", "CAST(id % 8 AS INT) AS k", "id AS v"))
+      db.compact("z")
+      assert(db.currentSnapshotIfValid("z").isDefined)
+      val before = graft.storage.ObjectStoreFileSystem.dataFileStats.get
+      val snap = db.currentSnapshotIfValid("z")
+      assert(snap.isDefined)
+      snap.get.queryExecution.executedPlan // plan it
+      val delta =
+        graft.storage.ObjectStoreFileSystem.dataFileStats.get - before
+      assert(delta === 0L,
+        s"snapshot serve must not HEAD data files at plan time ($delta)")
+      // and the zero-RPC statuses still READ correctly (lengths right)
+      assert(snap.get.count() === 200L)
+    } finally spark.conf.unset("spark.graft.autoCompact.maxLag")
+  }
 }
