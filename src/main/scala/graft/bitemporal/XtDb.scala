@@ -1645,10 +1645,7 @@ class XtDb(spark: SparkSession, val root: String) {
           val i = java.time.Instant.now()
           i.getEpochSecond * 1000000L + i.getNano / 1000L
         }
-        // a crossed valid-time boundary means ids changed WITHOUT events
-        // above the watermark — not incrementally foldable; the snapshot
-        // stays refused until the next full compaction rebuilds it
-        if (nowMicros >= sm0.expires) return
+        val expired = nowMicros >= sm0.expires
         // one-cycle lease sweep of previously retired snapshot files
         val fs = hadoopFs
         val dd = dataDir(table)
@@ -1659,35 +1656,79 @@ class XtDb(spark: SparkSession, val root: String) {
         }
         val sm = sm0.copy(retired = retiredCarry)
         val wmTs = microsToTs(sm.watermark)
+        val nowTs = java.sql.Timestamp.from(java.time.Instant.now())
+        def micros(t: java.sql.Timestamp): Long = {
+          val i = t.toInstant
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
+        val ev = (try bucketedRelation(table, s.base ++ s.levelFiles,
+            s.meta.buckets)
+          catch { case scala.util.control.NonFatal(_) =>
+            explicitRead(table, s.base ++ s.levelFiles) })
         val delta = if (s.levelFiles.isEmpty) None
           else Some(explicitRead(table, s.levelFiles)
             .filter(col(SF) > lit(wmTs)))
-        if (delta.forall(_.isEmpty)) {
+        // a CROSSED valid-time boundary changed ids with no event above
+        // the watermark — but the activation IS event-addressed: every
+        // event whose _valid_from/_valid_to lies in [expires, now]
+        // flipped current-ness. One pushed-range scan (column-pruned,
+        // row-group stats) names those ids; runs only when a boundary
+        // actually passed (expires = the MIN future boundary, so nothing
+        // activates before it by construction).
+        val boundaryIds: Option[DataFrame] =
+          if (!expired) None
+          else {
+            val lo = microsToTs(sm.expires)
+            Some(ev.filter(
+                (col(VF) >= lit(lo) && col(VF) <= lit(nowTs)) ||
+                (col(VT) >= lit(lo) && col(VT) <= lit(nowTs)))
+              .select(col(IID)))
+          }
+        val deltaEmpty = delta.forall(_.isEmpty)
+        if (deltaEmpty && !expired) {
           // nothing new (e.g. a purge bumped lvseq): re-stamp validity
           writeSnapMeta2(table, sm.copy(lvseq = s.meta.lvseq))
           noSnapshot.remove(table)
           return
         }
-        val d = delta.get
-        val nowTs = java.sql.Timestamp.from(java.time.Instant.now())
-        val aggRow = d.agg(
+        val deltaAgg = delta.filterNot(_ => deltaEmpty).map(_.agg(
           max(col(SF)).as("wm"),
           least(min(when(col(VF) > lit(nowTs), col(VF))),
-            min(when(col(VT) > lit(nowTs), col(VT)))).as("b")).head()
-        def micros(t: java.sql.Timestamp): Long = {
-          val i = t.toInstant
-          i.getEpochSecond * 1000000L + i.getNano / 1000L
+            min(when(col(VT) > lit(nowTs), col(VT)))).as("b")).head())
+        val newWm = math.max(sm.watermark, deltaAgg
+          .filterNot(_.isNullAt(0))
+          .map(r => micros(r.getTimestamp(0))).getOrElse(0L))
+        // after a crossing, the remaining-future minimum must be
+        // recomputed over ALL live events (the old value is in the past);
+        // otherwise the delta's boundaries tighten the carried one
+        val newExpires =
+          if (expired) {
+            val b = ev.select(least(
+              min(when(col(VF) > lit(nowTs), col(VF))),
+              min(when(col(VT) > lit(nowTs), col(VT)))).as("b")).head()
+            if (b.isNullAt(0)) Long.MaxValue else micros(b.getTimestamp(0))
+          } else math.min(sm.expires, deltaAgg
+            .filterNot(_.isNullAt(1))
+            .map(r => micros(r.getTimestamp(1))).getOrElse(Long.MaxValue))
+        val changed = (delta.filterNot(_ => deltaEmpty).toSeq ++
+            boundaryIds.toSeq.map(identity))
+          .map(_.select(col(IID)))
+          .reduceOption(_.unionByName(_))
+          .map(_.distinct())
+          .getOrElse {
+            // expired but the boundary event is gone (purged/erased):
+            // just re-stamp with the recomputed expiry
+            writeSnapMeta2(table, sm.copy(lvseq = s.meta.lvseq,
+              expires = newExpires))
+            noSnapshot.remove(table)
+            return
+          }
+        if (changed.isEmpty) {
+          writeSnapMeta2(table, sm.copy(lvseq = s.meta.lvseq,
+            watermark = newWm, expires = newExpires))
+          noSnapshot.remove(table)
+          return
         }
-        val newWm = math.max(sm.watermark,
-          if (aggRow.isNullAt(0)) 0L else micros(aggRow.getTimestamp(0)))
-        val newExpires = math.min(sm.expires,
-          if (aggRow.isNullAt(1)) Long.MaxValue
-          else micros(aggRow.getTimestamp(1)))
-        val changed = d.select(col(IID)).distinct()
-        val ev = (try bucketedRelation(table, s.base ++ s.levelFiles,
-            s.meta.buckets)
-          catch { case scala.util.control.NonFatal(_) =>
-            explicitRead(table, s.base ++ s.levelFiles) })
         val evChanged = ev.join(broadcast(changed), Seq(IID), "left_semi")
         val newCur = Bitemporal.resolve(evChanged,
           Bitemporal.TemporalSpec.Current, Bitemporal.TemporalSpec.Current)
@@ -1869,6 +1910,22 @@ class XtDb(spark: SparkSession, val root: String) {
             if (m.eraseCycles > 0) m.eraseCycles + 1 else 0), hbVer)
         }
       sweepSnapRetired(table)
+      // an EXPIRED declared-layout snapshot revives on the heartbeat:
+      // the boundary activation is event-addressed (see foldSnapshot),
+      // so idle tables don't wait for the next write or full compact
+      if (layoutOf(table).isDefined)
+        readSnapMeta2(table).foreach { sm =>
+          val now = {
+            val i = java.time.Instant.now()
+            i.getEpochSecond * 1000000L + i.getNano / 1000L
+          }
+          if (now >= sm.expires)
+            try {
+              if (blockLag(table) > 0) compactIncremental(table)
+              else foldSnapshot(table)
+              ()
+            } catch { case scala.util.control.NonFatal(_) => () }
+        }
       return false
     }
     val smallBytes = spark.conf

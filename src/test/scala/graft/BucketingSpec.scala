@@ -560,6 +560,17 @@ class BucketingSpec extends AnyFunSuite {
         "the folded delta's boundary must expire the snapshot")
       assert(graft.bitemporal.Bitemporal
         .current(db.events("fv")).count() === 2L)
+      // round-14: the BOUNDARY fold revives the expired snapshot on the
+      // next maintenance heartbeat — the activation is event-addressed
+      // (VF/VT range scan names the flipped ids), no full compact needed
+      assert(db.compactIfLagged("fv", maxLag = 50) === false)
+      val revived = db.currentSnapshotIfValid("fv")
+      assert(revived.isDefined,
+        "the heartbeat's boundary fold must revive the expired snapshot")
+      assert(revived.get.count() === 2L,
+        "the activated row must be IN the revived snapshot")
+      assert(revived.get.select("_id").as[String].collect().toSet ==
+        Set("1", "2"))
     } finally {
       spark.conf.unset("spark.graft.autoCompact.maxLag")
       spark.conf.unset("spark.graft.fullCompact.smallBytes")
