@@ -21,7 +21,10 @@ import org.apache.spark.sql.functions._
   * cluster); a uniformly-spread delta degrades to O(snapshot) read+write
   * but still never shuffles untouched rows' join serving.
   *
-  * Usage: SnapshotFoldProbe [nIdsCommaList] [folds] [backlogRows]
+  * Usage: SnapshotFoldProbe [nIdsCommaList] [folds] [backlogRows] [spread]
+  * `spread` = confined (default: delta keys in 2% of the key space — the
+  * layout's use case) | uniform (worst case: every bucket touched, the
+  * fold degrades to an O(snapshot) read+write, measured honestly).
   * Prints one JSON line per scale point.
   */
 object SnapshotFoldProbe {
@@ -30,6 +33,7 @@ object SnapshotFoldProbe {
       .split(",").map(_.trim.toLong).toSeq
     val folds = args.lift(1).map(_.toInt).getOrElse(3)
     val backlogRows = args.lift(2).map(_.toLong).getOrElse(20000L)
+    val spread = args.lift(3).getOrElse("confined")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,9 +76,9 @@ object SnapshotFoldProbe {
       joinAgg() // warm
       var next = nIds + 1
       val cycles = (1 to folds).map { _ =>
-        // constant backlog, keys confined to 2% of the key space
+        val kmod = if (spread == "uniform") keySpace else 400L
         db.putDocs("ft", spark.range(next, next + backlogRows)
-          .selectExpr("id AS _id", "CAST(id % 400 AS INT) AS k",
+          .selectExpr("id AS _id", s"CAST(id % $kmod AS INT) AS k",
             "id AS v"))
         next += backlogRows
         val (_, foldSec) = time(db.compactIncremental("ft"))
@@ -86,7 +90,7 @@ object SnapshotFoldProbe {
       def fmt(xs: Seq[Double]) =
         xs.map(x => f"$x%.3f").mkString("[", ",", "]")
       println(
-        s"""{"probe":"snapshot_fold","n_ids":$nIds,""" +
+        s"""{"probe":"snapshot_fold","n_ids":$nIds,"spread":"$spread",""" +
         s""""backlog_rows":$backlogRows,"buckets":32,""" +
         s""""full_compact_sec":${f"$fullSec%.3f"},""" +
         s""""fold_secs":${fmt(cycles.map(_._1))},""" +
