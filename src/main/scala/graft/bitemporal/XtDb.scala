@@ -263,8 +263,13 @@ class XtDb(spark: SparkSession, val root: String) {
   private def genPath(table: String) =
     new org.apache.hadoop.fs.Path(s"${tableDir(table)}/_gen")
 
-  /** Current generation number; None = pre-rewrite root layout. */
-  private def currentGen(table: String): Option[Int] = {
+  /** Pointer content: `<n>` (legacy — resolves to dir `g<n>`) or
+    * `<n>:<dirname>` (round 15 — the generation DIR NAME rides in the
+    * pointer, so every rewrite writes into a fresh uniquely-suffixed dir
+    * `g<n>_<suffix>`: two RACING full compactions can never interleave
+    * files in a shared directory; the CAS on the pointer picks the
+    * winner and the loser's whole dir is an inert orphan). */
+  private def currentGenInfo(table: String): Option[(Int, String)] = {
     val fs = hadoopFs
     val p = genPath(table)
     if (!fs.exists(p)) None
@@ -273,17 +278,29 @@ class XtDb(spark: SparkSession, val root: String) {
       try {
         val bytes = new Array[Byte](fs.getFileStatus(p).getLen.toInt)
         in.readFully(bytes)
-        Some(new String(bytes, "UTF-8").trim.toInt)
+        val s = new String(bytes, "UTF-8").trim
+        val i = s.indexOf(':')
+        if (i < 0) Some((s.toInt, s"g$s"))
+        else Some((s.substring(0, i).toInt, s.substring(i + 1)))
       } finally in.close()
     }
   }
+
+  /** Current generation number; None = pre-rewrite root layout. */
+  private def currentGen(table: String): Option[Int] =
+    currentGenInfo(table).map(_._1)
+
+  /** Name of the live generation dir under the table dir (`g<n>` or
+    * `g<n>_<suffix>`); None = pre-rewrite root layout. */
+  private def currentGenDirName(table: String): Option[String] =
+    currentGenInfo(table).map(_._2)
 
   /** Directory holding the table's live data files (the current
     * generation after any rewrite; the table root before one). Public so
     * tooling/tests can inspect the live file set without re-deriving the
     * generation-pointer resolution. */
-  def dataDir(table: String): String = currentGen(table) match {
-    case Some(n) => s"${tableDir(table)}/g$n"
+  def dataDir(table: String): String = currentGenInfo(table) match {
+    case Some((_, d)) => s"${tableDir(table)}/$d"
     case None => tableDir(table)
   }
 
@@ -338,20 +355,25 @@ class XtDb(spark: SparkSession, val root: String) {
       case c: graft.storage.VersionedPut => c.versionOf(genPath(table))
       case _ => -1L
     }
-    val cur = currentGen(table)
+    val curInfo = currentGenInfo(table)
+    val cur = curInfo.map(_._1)
     val next = cur.getOrElse(0) + 1
-    val gdir = s"${tableDir(table)}/g$next"
+    // unique per-attempt dir (suffix carried IN the pointer): two racing
+    // rewrites never interleave files — the CAS picks the winner, the
+    // loser's dir is a whole orphan collected by the next commit's GC
+    val gname = s"g${next}_" + java.util.UUID.randomUUID().toString.take(8)
+    val gdir = s"${tableDir(table)}/$gname"
     val nb = deriveEventBuckets(liveEventBytes(table))
     // the files the generation lease would keep until the NEXT flip: if
     // they hold erased payload, schedule the bounded sweep instead
     val sweepDirs =
       if (!sweepOldGen) Nil
-      else cur match {
-        case Some(c) => Seq(s"g$c")
+      else curInfo match {
+        case Some((_, d)) => Seq(d)
         case None => listRootParquet(table).map(_.getPath.getName)
       }
     writeBucketedFiles(df, gdir, nb)
-    conditionalPut(genPath(table), next.toString.getBytes("UTF-8"), genV,
+    conditionalPut(genPath(table), s"$next:$gname".getBytes("UTF-8"), genV,
       s"generation pointer of '$table'")
     // the manifest write is a SUPERSEDE for the new generation, not a
     // read-modify-write of the old one — unconditional by design
@@ -359,14 +381,15 @@ class XtDb(spark: SparkSession, val root: String) {
       eraseCycles = pendingEraseCycles, sweepDirs = sweepDirs))
     // keep the superseded generation for in-flight readers; drop older.
     // Root-layout legacy data (loose appended parts) is "generation 0":
-    // kept on the g1 flip, swept on the g2 flip.
-    val keep = Set(s"g$next") ++ cur.map(c => s"g$c")
+    // kept on the g1 flip, swept on the g2 flip. Every `_`-prefixed
+    // sidecar (_gen/_layout/_evmeta*/_snapmeta/_snapschema/
+    // _compact_progress/_staging) is metadata, never GC'd here.
+    val keep = Set(gname) ++ curInfo.map(_._2)
     if (cur.isDefined)
       fs.listStatus(new org.apache.hadoop.fs.Path(tableDir(table)))
         .filterNot { st =>
           val n = st.getPath.getName
-          n == "_gen" || n == "_layout.json" || n == "_evmeta.json" ||
-            keep.contains(n)
+          n.startsWith("_") || keep.contains(n)
         }
         .foreach(st => fs.delete(st.getPath, true))
   }
@@ -417,7 +440,20 @@ class XtDb(spark: SparkSession, val root: String) {
       levels: Seq[String], consumed: Set[String], retired: Seq[String],
       lvseq: Int, eraseCycles: Int = 0,
       excluded: Set[String] = Set.empty,
-      sweepDirs: Seq[String] = Nil)
+      sweepDirs: Seq[String] = Nil,
+      // round 15: pending-erase ADDRESSING, recorded at the erase append
+      // and (authoritatively) at every fold that carries an erase event
+      // into a level — the purge then reads ONLY the affected buckets,
+      // end-to-end, instead of re-scanning the live set to discover them.
+      //  - `eraseBuckets`: iid-bucket ids (at this manifest's fanout) of
+      //    every UNPURGED erased id; bounded by the 4096 fanout cap.
+      //  - `eraseMaxSf`: max `_system_from` (micros) of the unpurged
+      //    erase events — compared against the snapshot watermark at
+      //    purge time so a snapshot that never folded the erase (a
+      //    swallowed fold failure) is repaired BEFORE the markers are
+      //    physically deleted (GDPR bound, ADVICE r14 #3).
+      eraseBuckets: Set[Int] = Set.empty,
+      eraseMaxSf: Long = 0L)
 
   private def evMetaPath(table: String) =
     new org.apache.hadoop.fs.Path(s"${tableDir(table)}/_evmeta.json")
@@ -439,18 +475,24 @@ class XtDb(spark: SparkSession, val root: String) {
         m.sweepDirs)
         .forall(n => !n.exists(c => c == '"' || c == '\\' || c == '\n')),
       "manifest entries must be plain file/dir names")
-    val (fc, fm) = eventFingerprint(table)
-    val json = s"""{"v":2,"gen":${m.gen},"files":$fc,"mtime":$fm,""" +
-      s""""buckets":${m.buckets},"levels":${jsonArr(m.levels)},""" +
-      s""""consumed":${jsonArr(m.consumed)},""" +
-      s""""retired":${jsonArr(m.retired)},"lvseq":${m.lvseq},""" +
-      s""""ecyc":${m.eraseCycles},"excl":${jsonArr(m.excluded)},""" +
-      s""""sweep":${jsonArr(m.sweepDirs)}}"""
+    val json = evMetaJson(table, m)
     val p = evMetaPath(table)
     conditionalPut(p, json.getBytes("UTF-8"), expectVersion,
       s"event manifest of '$table'")
     evMetaCache.remove(table)
     ()
+  }
+
+  private def evMetaJson(table: String, m: EvMeta): String = {
+    val (fc, fm) = eventFingerprint(table)
+    s"""{"v":2,"gen":${m.gen},"files":$fc,"mtime":$fm,""" +
+      s""""buckets":${m.buckets},"levels":${jsonArr(m.levels)},""" +
+      s""""consumed":${jsonArr(m.consumed)},""" +
+      s""""retired":${jsonArr(m.retired)},"lvseq":${m.lvseq},""" +
+      s""""ecyc":${m.eraseCycles},"excl":${jsonArr(m.excluded)},""" +
+      s""""sweep":${jsonArr(m.sweepDirs)},""" +
+      s""""ebk":[${m.eraseBuckets.toSeq.sorted.mkString(",")}],""" +
+      s""""emsf":${m.eraseMaxSf}}"""
   }
 
   /** CAS-if-available PUT (see [[writeEvMeta]]). */
@@ -474,9 +516,12 @@ class XtDb(spark: SparkSession, val root: String) {
     * dirs), so a silent flat fallback would serve wrong rows — contrast
     * the pre-round-13 meta, which was optimization-only. A LEGACY meta
     * (no "v" key) still fails soft to the flat path. */
-  private def readEvMeta(table: String): Option[EvMeta] = {
+  private def readEvMeta(table: String): Option[EvMeta] =
+    readEvMetaAt(table, evMetaPath(table))
+
+  private def readEvMetaAt(table: String,
+      p: org.apache.hadoop.fs.Path): Option[EvMeta] = {
     val fs = hadoopFs
-    val p = evMetaPath(table)
     if (!fs.exists(p)) None
     else {
       val in = fs.open(p)
@@ -490,6 +535,10 @@ class XtDb(spark: SparkSession, val root: String) {
           (s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
             .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1))
               .map(_.group(1)).toSeq)
+        def intArr(k: String): Option[Set[Int]] =
+          (s""""$k"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
+            .map(m => m.group(1).split(",").filter(_.trim.nonEmpty)
+              .map(_.trim.toInt).toSet)
         if (num("v").contains(2L)) {
           val parsed = for {
             g <- num("gen"); b <- num("buckets"); q <- num("lvseq")
@@ -498,7 +547,10 @@ class XtDb(spark: SparkSession, val root: String) {
             // absent in pre-round-14 manifests: no erase pending/exclusions
             num("ecyc").map(_.toInt).getOrElse(0),
             arr("excl").map(_.toSet).getOrElse(Set.empty),
-            arr("sweep").getOrElse(Nil))
+            arr("sweep").getOrElse(Nil),
+            // absent pre-round-15: erase discovery falls back to the scan
+            intArr("ebk").getOrElse(Set.empty),
+            num("emsf").getOrElse(0L))
           Some(parsed.getOrElse(throw new IllegalStateException(
             s"corrupt event manifest for '$table' at $p: $s")))
         } else
@@ -507,6 +559,68 @@ class XtDb(spark: SparkSession, val root: String) {
       } finally in.close()
     }
   }
+
+  // ---- staged (gen-qualified) manifest — the aligned-commit fix ---------
+  //
+  // The aligned full compaction's new generation holds chunk SUBDIRS that
+  // only a manifest-driven read can serve, so its manifest must be
+  // durable BEFORE the pointer flips — but overwriting `_evmeta.json`
+  // before the flip would destroy the OLD generation's manifest (the only
+  // record of its levels/consumed set): a crash in that window would
+  // leave readers on a flat fallback that hides level dirs and
+  // resurrects consumed duplicates, and the next compaction would
+  // full-compact from that lossy read (ADVICE r14 #1 — silent permanent
+  // data loss). Instead the new manifest is STAGED under a name
+  // qualified by the new generation's unique dir (`_evmeta.<gdir>.json`),
+  // the pointer flips, and only then is `_evmeta.json` superseded. A
+  // crash before the flip leaves the old manifest fully intact; a crash
+  // after it is healed by the resolution below (any reader/writer finds
+  // the staged manifest through the pointer) and the next manifest write
+  // promotes it.
+
+  private def stagedEvMetaPath(table: String, genDir: String) =
+    new org.apache.hadoop.fs.Path(s"${tableDir(table)}/_evmeta.$genDir.json")
+
+  /** Manifest resolution honoring a staged gen-qualified manifest: if
+    * `_evmeta.json` does not vouch for the CURRENT generation but a
+    * staged manifest written for the pointer's dir does, the staged one
+    * is authoritative (the returned version is still `_evmeta.json`'s —
+    * a CAS write of the promoted content races correctly). A manifest
+    * that claims a FUTURE generation while carrying levels/consumed is
+    * the pre-round-15 crash artifact: serving or compacting from the
+    * flat fallback would lose data, so it fails loudly. */
+  private def resolvedEvMetaV(table: String): (Option[EvMeta], Long) = {
+    val (m, ver) = readEvMetaV(table)
+    val curGen = currentGen(table).getOrElse(0)
+    m match {
+      case Some(mm) if mm.gen == curGen => (m, ver)
+      case other =>
+        val staged = currentGenDirName(table)
+          .flatMap(d => try readEvMetaAt(table, stagedEvMetaPath(table, d))
+            catch { case scala.util.control.NonFatal(_) => None })
+          .filter(_.gen == curGen)
+        staged match {
+          case Some(s) => (Some(s), ver)
+          case None =>
+            other.filter(mm => mm.gen > curGen &&
+                (mm.levels.nonEmpty || mm.consumed.nonEmpty ||
+                  mm.excluded.nonEmpty))
+              .foreach { mm =>
+                throw new IllegalStateException(
+                  s"event manifest of '$table' claims generation " +
+                    s"${mm.gen} but the pointer is at $curGen and no " +
+                    s"staged manifest exists: a flat fallback would hide " +
+                    s"level dirs and resurrect consumed duplicates. " +
+                    s"Restore _gen or _evmeta.json from the store's " +
+                    s"object history before reading or compacting.")
+              }
+            (other, ver)
+        }
+    }
+  }
+
+  private def cachedResolvedEvMeta(table: String): Option[EvMeta] =
+    resolvedEvMetaV(table)._1
 
   /** Manifest read. Round 13 removed the unsafe negative TTL cache
     * (staleness could hide hidden `_lv` dirs). Round 14 restores the
@@ -615,7 +729,7 @@ class XtDb(spark: SparkSession, val root: String) {
     * `excluded` files. None = no (gen-matching) manifest — the table
     * reads flat. */
   private def liveFileSets(table: String): Option[LiveSets] =
-    cachedEvMeta(table) match {
+    cachedResolvedEvMeta(table) match {
       case Some(m) if currentGen(table).getOrElse(0) == m.gen =>
         val rootFiles = listRootParquet(table)
         // a "bucket" file whose stamped id is outside the manifest fanout
@@ -814,21 +928,37 @@ class XtDb(spark: SparkSession, val root: String) {
     val conformed = evolveSchema(table, withMeta)
     conformed.write.mode("append").parquet(dataDir(table))
     logTx(sysTime, table, op, committed = true, error = None)
-    if (op == "erase") markErasePending(table)
+    if (op == "erase") markErasePending(table, withMeta, sysTime)
     maybeAutoCompact(table)
     sysTime
   }
 
   /** Start the erase-purge clock at the erase APPEND itself (one tiny
     * manifest PUT), so the latency bound counts from the user's erase,
-    * not from whenever the first fold happens to notice it. Maintenance
-    * metadata — must never fail the committed append. */
-  private def markErasePending(table: String): Unit =
+    * not from whenever the first fold happens to notice it — and record
+    * the erased ids' iid-bucket ids + the erase system-time (round 15):
+    * the purge then reads only the affected buckets and can compare the
+    * erase against the snapshot watermark without any discovery scan.
+    * Maintenance metadata — must never fail the committed append; every
+    * fold re-records the addressing authoritatively from its own input
+    * ([[compactIncremental]]), so a lost mark costs latency, never the
+    * bound. */
+  private def markErasePending(table: String, erasedDocs: DataFrame,
+      sysTime: java.sql.Timestamp): Unit =
     try {
-      val (m0, ver) = readEvMetaV(table)
-      m0.filter(m => m.gen == currentGen(table).getOrElse(0) &&
-          m.eraseCycles == 0)
-        .foreach(m => writeEvMeta(table, m.copy(eraseCycles = 1), ver))
+      val (m0, ver) = resolvedEvMetaV(table)
+      m0.filter(_.gen == currentGen(table).getOrElse(0))
+        .foreach { m =>
+          val bks = erasedDocs
+            .select(pmod(hash(col(IID)), lit(m.buckets)).cast("int").as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          val us = sysTime.toInstant.getEpochSecond * 1000000L +
+            sysTime.toInstant.getNano / 1000L
+          writeEvMeta(table, m.copy(
+            eraseCycles = math.max(1, m.eraseCycles),
+            eraseBuckets = m.eraseBuckets ++ bks,
+            eraseMaxSf = math.max(m.eraseMaxSf, us)), ver)
+        }
     }
     catch {
       case scala.util.control.NonFatal(e) =>
@@ -974,6 +1104,8 @@ class XtDb(spark: SparkSession, val root: String) {
           if (!ok) throw TxAbortedException(s"$label failed")
       }
       var affected = 0L
+      val committedByTable =
+        scala.collection.mutable.Map[String, DataFrame]()
       staged.foreach { case (table, dirs) =>
         val parts = dirs.map(spark.read.parquet(_)).toSeq
         val lubbed = parts.map(_.schema).reduce(DynamicSchema.mergeSchemas)
@@ -982,6 +1114,7 @@ class XtDb(spark: SparkSession, val root: String) {
         migrateLegacyLayoutIfAny(table)
         val conformed = evolveSchema(table, df)
         conformed.write.mode("append").parquet(dataDir(table))
+        committedByTable(table) = conformed
         // affected-row count from the committed delta itself (parquet
         // footer counts over the staged files — NOT a re-run of the
         // user's DML plan); surfaced through `lastAffectedRows` for the
@@ -994,7 +1127,8 @@ class XtDb(spark: SparkSession, val root: String) {
       ops.collect {
         case TxOp.Erase(t, _) => t
         case TxOp.EraseWhere(t, _) => t
-      }.distinct.foreach(markErasePending)
+      }.distinct.foreach(t => committedByTable.get(t).foreach(df =>
+        markErasePending(t, df.where(col(OP) === "erase"), sysTime)))
       staged.keys.foreach(maybeAutoCompact)
       sysTime
     } catch {
@@ -1051,7 +1185,7 @@ class XtDb(spark: SparkSession, val root: String) {
     * pending-purge clock) ride into the new generation unpurged, and an
     * erase-tainted superseded generation still gets the bounded sweep. */
   private def rewriteTable(table: String, df: DataFrame): Unit = {
-    val pending = cachedEvMeta(table)
+    val pending = cachedResolvedEvMeta(table)
       .filter(_.gen == currentGen(table).getOrElse(0))
       .map(_.eraseCycles).getOrElse(0)
     rewriteCommit(table, df, pendingEraseCycles = pending,
@@ -1145,7 +1279,7 @@ class XtDb(spark: SparkSession, val root: String) {
   // genuine shuffle path.
 
   private final case class CompactProgress(gen: Int, buckets: Int,
-      fp: String, done: Set[Int])
+      fp: String, done: Set[Int], chunk: Int, dir: String)
 
   private def compactProgressPath(table: String) =
     new org.apache.hadoop.fs.Path(
@@ -1171,7 +1305,14 @@ class XtDb(spark: SparkSession, val root: String) {
           d <- (s""""done"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
             .map(m => m.group(1).split(",").filter(_.trim.nonEmpty)
               .map(_.trim.toInt).toSet)
-        } yield CompactProgress(g, b, f, d)
+          // chunk stride + output dir persisted with the progress: `done`
+          // keys chunk-START bucket ids, so a resume under a DIFFERENT
+          // stride would skip/rewrite overlapping bucket ranges and serve
+          // rows twice (ADVICE r14 #2) — absent or different ⇒ restart
+          c <- num("chunk")
+          dir <- (s""""dir"\\s*:\\s*"([^"]*)"""").r.findFirstMatchIn(s)
+            .map(_.group(1))
+        } yield CompactProgress(g, b, f, d, c, dir)
       } finally in.close()
     }
   }
@@ -1179,7 +1320,8 @@ class XtDb(spark: SparkSession, val root: String) {
   private def writeCompactProgress(table: String,
       p: CompactProgress): Unit = {
     val json = s"""{"gen":${p.gen},"buckets":${p.buckets},""" +
-      s""""fp":"${p.fp}","done":[${p.done.toSeq.sorted.mkString(",")}]}"""
+      s""""fp":"${p.fp}","chunk":${p.chunk},"dir":"${p.dir}",""" +
+      s""""done":[${p.done.toSeq.sorted.mkString(",")}]}"""
     val out = hadoopFs.create(compactProgressPath(table), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -1206,14 +1348,20 @@ class XtDb(spark: SparkSession, val root: String) {
   }
 
   /** Chunked per-bucket merge of base+levels into generation N+1 with no
-    * repartition (see section comment). Commit order is meta-THEN-pointer:
-    * the new generation's data dir holds chunk SUBDIRS, which only the
-    * manifest-driven explicit-file read can serve — so the manifest must
-    * vouch for the new generation before any reader can resolve it. A
-    * crash between the two leaves readers on the old generation (correct)
-    * and the next compaction re-runs against the old generation's live
-    * set (gen-stale manifest ⇒ flat input), overwriting the partial
-    * directory. */
+    * repartition (see section comment). Commit order (round 15, ADVICE
+    * r14 #1): the new generation's data dir holds chunk SUBDIRS, which
+    * only the manifest-driven explicit-file read can serve — so its
+    * manifest is made durable FIRST, but STAGED under a gen-qualified
+    * name (`_evmeta.<gdir>.json`) so the OLD generation's `_evmeta.json`
+    * (the only record of its levels/consumed live set) survives intact
+    * until the pointer has actually flipped. Crash windows:
+    *  - before the pointer flip: readers keep the old manifest and serve
+    *    the old generation EXACTLY (levels included, consumed excluded);
+    *    the next compact resumes the chunk loop from the progress
+    *    sidecar.
+    *  - between flip and promote: readers resolve the staged manifest
+    *    through the pointer ([[resolvedEvMetaV]]); the next manifest
+    *    write promotes it into `_evmeta.json`. */
   private def alignedRewrite(table: String, s: LiveSets): Unit = {
     val fs = hadoopFs
     val mver = readEvMetaV(table)._2
@@ -1221,9 +1369,9 @@ class XtDb(spark: SparkSession, val root: String) {
       case c: graft.storage.VersionedPut => c.versionOf(genPath(table))
       case _ => -1L
     }
-    val cur = currentGen(table)
+    val curInfo = currentGenInfo(table)
+    val cur = curInfo.map(_._1)
     val next = cur.getOrElse(0) + 1
-    val gdir = s"${tableDir(table)}/g$next"
     val nb = s.meta.buckets
     val chunkSz = math.max(1, spark.conf
       .get("spark.graft.fullCompact.chunkBuckets", "256").toInt)
@@ -1235,15 +1383,28 @@ class XtDb(spark: SparkSession, val root: String) {
         .foreach(x => md.update(x.getBytes("UTF-8")))
       md.digest().map("%02x".format(_)).mkString
     }
-    var done: Set[Int] = readCompactProgress(table) match {
+    // resume ONLY under the same gen + fanout + input set + chunk stride
+    // (a stride change re-partitions the chunk ranges — `done` entries
+    // would cover different bucket spans, ADVICE r14 #2) — and into the
+    // SAME unique output dir the crashed attempt was writing
+    val (gname, done0) = readCompactProgress(table) match {
       case Some(p) if p.gen == next && p.buckets == nb &&
-          p.fp == fingerprint => p.done
-      case _ =>
-        // no progress, or the inputs changed since the crash — restart
-        val gp = new org.apache.hadoop.fs.Path(gdir)
-        if (fs.exists(gp)) fs.delete(gp, true)
-        Set.empty
+          p.fp == fingerprint && p.chunk == chunkSz &&
+          p.dir.nonEmpty => (p.dir, p.done)
+      case prior =>
+        // no progress, or the inputs/stride changed since the crash —
+        // restart into a fresh uniquely-suffixed dir (racing compactors
+        // can never interleave files; the loser's dir stays orphaned
+        // until the winner's GC)
+        prior.filter(_.dir.nonEmpty).foreach { p =>
+          val gp = new org.apache.hadoop.fs.Path(s"${tableDir(table)}/${p.dir}")
+          if (fs.exists(gp)) fs.delete(gp, true)
+        }
+        (s"g${next}_" + java.util.UUID.randomUUID().toString.take(8),
+          Set.empty[Int])
     }
+    val gdir = s"${tableDir(table)}/$gname"
+    var done = done0
     // fault injection for the kill-and-resume spec: fail loudly after K
     // chunks have landed this invocation (-1 = never; never set in prod)
     val failAfter = spark.conf
@@ -1259,30 +1420,52 @@ class XtDb(spark: SparkSession, val root: String) {
             s"$gdir/c$lo", nb)
         done += lo
         writeCompactProgress(table, CompactProgress(next, nb, fingerprint,
-          done))
+          done, chunkSz, gname))
         landed += 1
         if (failAfter >= 0 && landed >= failAfter)
           throw new IllegalStateException(
             s"injected compaction crash after $landed chunks (test knob)")
       }
     }
-    // every chunk durable: manifest first (vouches for the subdir layout),
-    // then the atomic pointer flip, then lazy GC + progress cleanup.
+    // every chunk durable. Commit: stage the new generation's manifest
+    // under its gen-qualified name (the old `_evmeta.json` stays intact),
+    // CAS the pointer flip, THEN supersede `_evmeta.json` and clean up.
     // A pending erase was purged by the per-chunk merges — the superseded
     // generation holding the payload gets the bounded sweep.
-    writeEvMeta(table, EvMeta(next, nb, Nil, Set.empty, Nil, 0,
+    val newMeta = EvMeta(next, nb, Nil, Set.empty, Nil, 0,
       sweepDirs = if (s.meta.eraseCycles > 0)
-        cur.map(c => s"g$c").toSeq else Nil), mver)
-    conditionalPut(genPath(table), next.toString.getBytes("UTF-8"), genV,
+        curInfo.map(_._2).toSeq else Nil)
+    val stagedP = stagedEvMetaPath(table, gname)
+    val outS = fs.create(stagedP, true)
+    try outS.write(evMetaJson(table, newMeta).getBytes("UTF-8"))
+    finally outS.close()
+    // test knob: crash between the staged manifest and the pointer flip —
+    // the window the pre-round-15 order corrupted (never set in prod)
+    if (spark.conf.get("spark.graft.test.failBeforePointerFlip", "false")
+        .toBoolean)
+      throw new IllegalStateException(
+        "injected compaction crash before the pointer flip (test knob)")
+    conditionalPut(genPath(table), s"$next:$gname".getBytes("UTF-8"), genV,
       s"generation pointer of '$table'")
+    // test knob: crash between the flip and the promote — readers must
+    // resolve the staged manifest through the pointer
+    if (spark.conf.get("spark.graft.test.failBeforePromote", "false")
+        .toBoolean)
+      throw new IllegalStateException(
+        "injected compaction crash before the manifest promote (test knob)")
+    // promote: supersede `_evmeta.json` for the new generation. Armed
+    // with the version read at entry so a racing fold's manifest write
+    // (a single-writer-discipline violation) still fails LOUDLY — the
+    // staged manifest keeps readers correct either way.
+    writeEvMeta(table, newMeta, mver)
+    fs.delete(stagedP, false)
     fs.delete(compactProgressPath(table), false)
-    val keep = Set(s"g$next") ++ cur.map(c => s"g$c")
+    val keep = Set(gname) ++ curInfo.map(_._2)
     if (cur.isDefined)
       fs.listStatus(new org.apache.hadoop.fs.Path(tableDir(table)))
         .filterNot { st =>
           val n = st.getPath.getName
-          n == "_gen" || n == "_layout.json" || n == "_evmeta.json" ||
-            n == "_snapmeta.json" || keep.contains(n)
+          n.startsWith("_") || keep.contains(n)
         }
         .foreach(st => fs.delete(st.getPath, true))
   }
@@ -1442,9 +1625,18 @@ class XtDb(spark: SparkSession, val root: String) {
   private final case class SnapMeta(gen: Int, files: Long, mtime: Long,
       expires: Long, key: String, buckets: Int, dir: String)
 
+  /** v2 snapshot manifest. Round 15 adds the per-iid-bucket FUTURE
+    * valid-time boundary minimum (`bmins`, keyed at the EVENT log's
+    * fanout `bfan`): the global expiry is `min(bmins)`, and after a
+    * boundary crossing only the buckets whose stored min actually
+    * passed need re-scanning — the expiry recompute is metadata-driven
+    * instead of an O(event-log) scan. `bfan` = 0 marks a legacy meta
+    * (pre-round-15, or written under a different fanout): the fold then
+    * falls back to the full-scan recompute once and upgrades. */
   private final case class SnapMeta2(gen: Int, lvseq: Int, watermark: Long,
       expires: Long, key: String, buckets: Int, seq: Int,
-      files: Seq[String], retired: Seq[String])
+      files: Seq[String], retired: Seq[String],
+      bfan: Int = 0, bmins: Map[Int, Long] = Map.empty)
 
   // snapshot manifest file entries are "relpath|length": the recorded
   // length lets the serve construct FileStatus objects with ZERO
@@ -1512,7 +1704,13 @@ class XtDb(spark: SparkSession, val root: String) {
           e <- num("expires"); k <- str("key"); b <- num("buckets")
           sq <- num("seq"); fl <- arr("files"); rt <- arr("retired")
         } yield SnapMeta2(g.toInt, q.toInt, w, e, k, b.toInt, sq.toInt,
-          fl, rt)
+          fl, rt,
+          // absent pre-round-15: bfan 0 ⇒ full-scan expiry fallback
+          num("bfan").map(_.toInt).getOrElse(0),
+          arr("bmins").map(_.map { kv =>
+            val i = kv.indexOf(':')
+            kv.substring(0, i).toInt -> kv.substring(i + 1).toLong
+          }.toMap).getOrElse(Map.empty))
         Some(parsed.getOrElse(throw new IllegalStateException(
           s"corrupt snapshot manifest for '$table': $s")))
       }
@@ -1526,7 +1724,9 @@ class XtDb(spark: SparkSession, val root: String) {
     val json = s"""{"v":2,"gen":${m.gen},"lvseq":${m.lvseq},""" +
       s""""wm":${m.watermark},"expires":${m.expires},""" +
       s""""key":"${m.key}","buckets":${m.buckets},"seq":${m.seq},""" +
-      s""""files":${jsonArr(m.files)},"retired":${jsonArr(m.retired)}}"""
+      s""""files":${jsonArr(m.files)},"retired":${jsonArr(m.retired)},""" +
+      s""""bfan":${m.bfan},"bmins":${jsonArr(
+        m.bmins.toSeq.sortBy(_._1).map { case (b, v) => s"$b:$v" })}}"""
     val out = hadoopFs.create(snapMetaPath(table), true)
     try out.write(json.getBytes("UTF-8")) finally out.close()
   }
@@ -1571,34 +1771,66 @@ class XtDb(spark: SparkSession, val root: String) {
     // expiry, so the snapshot conservatively refuses itself rather than
     // race the clock
     val nowTs = java.sql.Timestamp.from(java.time.Instant.now())
+    // a PRIOR snapshot's files (a mid-generation rebuild — e.g. the
+    // purge's watermark repair) may hold payload the new one supersedes,
+    // possibly erased payload: retire them into the one-cycle lease
+    // sweep instead of orphaning them
+    val prior = readSnapMeta2(table).toSeq.flatMap(sm =>
+      (sm.files.map(snapEntryPath) ++ sm.retired)
+        .filterNot(_.startsWith("_cs0/")))
     writeBucketedFiles(cur, dir, l.buckets, l.key)
     // earliest FUTURE valid-time boundary across live events: once the
     // clock passes it, the current state changes without a write and the
     // snapshot must stop serving (the q-fixture: a put valid-from
-    // tomorrow). Computed on the just-compacted generation — small.
-    val agg = events(table)
-      .select(least(
-        min(when(col(VF) > lit(nowTs), col(VF))),
-        min(when(col(VT) > lit(nowTs), col(VT)))).as("b"),
-        max(col(SF)).as("wm"))
-      .head()
+    // tomorrow). Kept PER IID-BUCKET (round 15) so a later crossing
+    // re-scans only the buckets whose boundary actually passed.
     def micros(i: java.time.Instant): Long =
       i.getEpochSecond * 1000000L + i.getNano / 1000L
-    val expires =
-      if (agg.isNullAt(0)) Long.MaxValue
-      else micros(agg.getTimestamp(0).toInstant)
-    val watermark =
-      if (agg.isNullAt(1)) 0L else micros(agg.getTimestamp(1).toInstant)
+    val evFan = cachedResolvedEvMeta(table)
+      .filter(_.gen == currentGen(table).getOrElse(0))
+      .map(_.buckets).getOrElse(0)
+    val (watermark, expires, bfan, bmins) =
+      if (evFan > 0) {
+        val rows = events(table)
+          .groupBy(pmod(hash(col(IID)), lit(evFan)).cast("int").as("bk"))
+          .agg(least(
+            min(when(col(VF) > lit(nowTs), col(VF))),
+            min(when(col(VT) > lit(nowTs), col(VT)))).as("b"),
+            max(col(SF)).as("wm"))
+          .collect()
+        val mins = rows.flatMap(r =>
+          if (r.isNullAt(1)) None
+          else Some(r.getInt(0) -> micros(r.getTimestamp(1).toInstant)))
+          .toMap
+        val wm = rows.flatMap(r =>
+          if (r.isNullAt(2)) None
+          else Some(micros(r.getTimestamp(2).toInstant)))
+          .foldLeft(0L)(math.max)
+        (wm, if (mins.isEmpty) Long.MaxValue else mins.values.min,
+          evFan, mins)
+      } else {
+        val agg = events(table)
+          .select(least(
+            min(when(col(VF) > lit(nowTs), col(VF))),
+            min(when(col(VT) > lit(nowTs), col(VT)))).as("b"),
+            max(col(SF)).as("wm"))
+          .head()
+        (if (agg.isNullAt(1)) 0L else micros(agg.getTimestamp(1).toInstant),
+          if (agg.isNullAt(0)) Long.MaxValue
+          else micros(agg.getTimestamp(0).toInstant),
+          0, Map.empty[Int, Long])
+      }
     val fs = hadoopFs
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(f => snapEntry(s"_cs0/${f.getPath.getName}", f.getLen)).toSeq
-    val lvseq = cachedEvMeta(table)
+    val lvseq = cachedResolvedEvMeta(table)
       .filter(_.gen == currentGen(table).getOrElse(0))
       .map(_.lvseq).getOrElse(0)
     writeSnapSchema(table, cur.schema)
     writeSnapMeta2(table, SnapMeta2(currentGen(table).getOrElse(0), lvseq,
-      watermark, expires, l.key, l.buckets, 0, files, Nil))
+      watermark, expires, l.key, l.buckets, 0, files, prior.distinct,
+      bfan, bmins))
     noSnapshot.remove(table)
   }
 
@@ -1635,6 +1867,12 @@ class XtDb(spark: SparkSession, val root: String) {
     * not only at geometric full compactions. */
   private def foldSnapshot(table: String): Unit = layoutOf(table) match {
     case None => ()
+    case Some(_) if spark.conf
+        .get("spark.graft.test.failSnapshotFold", "false").toBoolean =>
+      // test knob: simulate the swallowed fold failure the purge's
+      // watermark check must repair (ADVICE r14 #3); never set in prod
+      throw new IllegalStateException(
+        "injected snapshot-fold failure (test knob)")
     case Some(l) => readSnapMeta2(table) match {
       case None => () // no v2 snapshot yet: the next full compact builds it
       case Some(sm0) =>
@@ -1661,25 +1899,38 @@ class XtDb(spark: SparkSession, val root: String) {
           val i = t.toInstant
           i.getEpochSecond * 1000000L + i.getNano / 1000L
         }
-        val ev = (try bucketedRelation(table, s.base ++ s.levelFiles,
-            s.meta.buckets)
-          catch { case scala.util.control.NonFatal(_) =>
-            explicitRead(table, s.base ++ s.levelFiles) })
+        val live = s.base ++ s.levelFiles
+        val evFan = s.meta.buckets
+        // per-bucket boundary mins valid only when kept at THIS fanout
+        val bminsOk = sm.bfan == evFan && sm.bfan > 0
+        def relOver(files: Seq[org.apache.hadoop.fs.FileStatus]) =
+          (try bucketedRelation(table, files, evFan)
+           catch { case scala.util.control.NonFatal(_) =>
+             explicitRead(table, files) })
+        def filesOfBuckets(bks: Set[Int]) =
+          live.filter(f => bks.contains(bucketIdOf(f.getPath.getName)))
         val delta = if (s.levelFiles.isEmpty) None
           else Some(explicitRead(table, s.levelFiles)
             .filter(col(SF) > lit(wmTs)))
         // a CROSSED valid-time boundary changed ids with no event above
         // the watermark — but the activation IS event-addressed: every
         // event whose _valid_from/_valid_to lies in [expires, now]
-        // flipped current-ness. One pushed-range scan (column-pruned,
-        // row-group stats) names those ids; runs only when a boundary
-        // actually passed (expires = the MIN future boundary, so nothing
-        // activates before it by construction).
+        // flipped current-ness, and (round 15) it lives in a bucket
+        // whose stored per-bucket boundary minimum has passed. One
+        // pushed-range scan over ONLY those buckets' files names the
+        // ids; the full-file scan remains as the legacy-meta fallback.
+        val crossedBuckets: Set[Int] =
+          if (!expired) Set.empty
+          else if (bminsOk)
+            sm.bmins.filter(_._2 <= nowMicros).keySet
+          else live.map(f => bucketIdOf(f.getPath.getName)).toSet
         val boundaryIds: Option[DataFrame] =
           if (!expired) None
           else {
             val lo = microsToTs(sm.expires)
-            Some(ev.filter(
+            val bFiles = filesOfBuckets(crossedBuckets)
+            if (bFiles.isEmpty) None
+            else Some(relOver(bFiles).filter(
                 (col(VF) >= lit(lo) && col(VF) <= lit(nowTs)) ||
                 (col(VT) >= lit(lo) && col(VT) <= lit(nowTs)))
               .select(col(IID)))
@@ -1698,19 +1949,32 @@ class XtDb(spark: SparkSession, val root: String) {
         val newWm = math.max(sm.watermark, deltaAgg
           .filterNot(_.isNullAt(0))
           .map(r => micros(r.getTimestamp(0))).getOrElse(0L))
-        // after a crossing, the remaining-future minimum must be
-        // recomputed over ALL live events (the old value is in the past);
-        // otherwise the delta's boundaries tighten the carried one
-        val newExpires =
-          if (expired) {
-            val b = ev.select(least(
-              min(when(col(VF) > lit(nowTs), col(VF))),
-              min(when(col(VT) > lit(nowTs), col(VT)))).as("b")).head()
-            if (b.isNullAt(0)) Long.MaxValue else micros(b.getTimestamp(0))
-          } else math.min(sm.expires, deltaAgg
-            .filterNot(_.isNullAt(1))
-            .map(r => micros(r.getTimestamp(1))).getOrElse(Long.MaxValue))
-        val changed = (delta.filterNot(_ => deltaEmpty).toSeq ++
+        // per-bucket boundary-min maintenance: re-derive the mins of
+        // `bks` from their live files, keep every other bucket's carried
+        // min — the global expiry is the min over the merged map
+        def rebucketedMins(bks: Set[Int]): (Long, Int, Map[Int, Long]) = {
+          val (baseMins, recompute) =
+            if (bminsOk) (sm.bmins -- bks, bks)
+            else (Map.empty[Int, Long],
+              live.map(f => bucketIdOf(f.getPath.getName)).toSet)
+          val files = filesOfBuckets(recompute)
+          val fresh =
+            if (files.isEmpty) Map.empty[Int, Long]
+            else relOver(files)
+              .groupBy(pmod(hash(col(IID)), lit(evFan)).cast("int")
+                .as("bk"))
+              .agg(least(
+                min(when(col(VF) > lit(nowTs), col(VF))),
+                min(when(col(VT) > lit(nowTs), col(VT)))).as("b"))
+              .collect()
+              .flatMap(r => if (r.isNullAt(1)) None
+                else Some(r.getInt(0) -> micros(r.getTimestamp(1))))
+              .toMap
+          val merged = baseMins ++ fresh
+          (if (merged.isEmpty) Long.MaxValue else merged.values.min,
+            evFan, merged)
+        }
+        val changed0 = (delta.filterNot(_ => deltaEmpty).toSeq ++
             boundaryIds.toSeq.map(identity))
           .map(_.select(col(IID)))
           .reduceOption(_.unionByName(_))
@@ -1718,55 +1982,90 @@ class XtDb(spark: SparkSession, val root: String) {
           .getOrElse {
             // expired but the boundary event is gone (purged/erased):
             // just re-stamp with the recomputed expiry
+            val (e2, f2, m2) = rebucketedMins(crossedBuckets)
             writeSnapMeta2(table, sm.copy(lvseq = s.meta.lvseq,
-              expires = newExpires))
+              expires = e2, bfan = f2, bmins = m2))
             noSnapshot.remove(table)
             return
           }
-        if (changed.isEmpty) {
-          writeSnapMeta2(table, sm.copy(lvseq = s.meta.lvseq,
-            watermark = newWm, expires = newExpires))
+        val changed = changed0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val changedCount = changed.count()
+          if (changedCount == 0) {
+            val (e2, f2, m2) = rebucketedMins(crossedBuckets)
+            writeSnapMeta2(table, sm.copy(lvseq = s.meta.lvseq,
+              watermark = newWm, expires = e2, bfan = f2, bmins = m2))
+            noSnapshot.remove(table)
+            return
+          }
+          // the changed ids hash to KNOWN iid-buckets: the resolve input
+          // is pruned to exactly those buckets' files BEFORE the relation
+          // is built — the common-path fold reads O(changed buckets),
+          // never O(event log) (VERDICT r14 top_next). A uniform delta
+          // touches every bucket and degrades to the documented
+          // O(snapshot) read, with no broadcast cliff (gate below).
+          val changedIidBuckets = changed
+            .select(pmod(hash(col(IID)), lit(evFan)).cast("int").as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          val resolveFiles = filesOfBuckets(changedIidBuckets)
+          graft.tools.EngineMetrics.lastFoldResolveFiles =
+            resolveFiles.map(_.getPath.getName)
+          graft.tools.EngineMetrics.lastFoldLiveFileCount = live.size
+          // size-gate the changed-set broadcast (ADVICE-pair of the
+          // prune): a huge delta must degrade to a shuffle semi-join —
+          // the documented O(snapshot) path — never to a failed/OOM
+          // broadcast that silently stalls snapshot freshness
+          val gate = spark.conf
+            .get("spark.graft.snapshotFold.broadcastMaxIds", "500000")
+            .toLong
+          def changedSide: DataFrame =
+            if (changedCount <= gate) broadcast(changed) else changed
+          val evChanged = relOver(resolveFiles)
+            .join(changedSide, Seq(IID), "left_semi")
+          val newCur = Bitemporal.resolve(evChanged,
+            Bitemporal.TemporalSpec.Current,
+            Bitemporal.TemporalSpec.Current)
+          // every bucket ANY version of a changed id's key hashes into —
+          // superset of {old bucket, new bucket}, so key-value moves and
+          // deletions both land; Spark's own bucket function, matching
+          // the writer's file stamps
+          val touched = evChanged
+            .select(pmod(hash(col(l.key)), lit(l.buckets)).cast("int")
+              .as("b"))
+            .distinct().collect().map(_.getInt(0)).toSet
+          val (oldTouched, untouched) = sm.files.partition(n =>
+            touched.contains(bucketIdOf(snapEntryPath(n).split('/').last)))
+          val snapSchema = loadSnapSchema(table).getOrElse(newCur.schema)
+          val keep =
+            if (oldTouched.isEmpty)
+              spark.createDataFrame(
+                new java.util.ArrayList[org.apache.spark.sql.Row](),
+                snapSchema)
+            else spark.read.schema(snapSchema)
+              .parquet(oldTouched.map(n => s"$dd/${snapEntryPath(n)}"): _*)
+              .join(changedSide, Seq(IID), "left_anti")
+          val lub = DynamicSchema.mergeSchemas(snapSchema, newCur.schema)
+          val merged = DynamicSchema.conform(keep, lub)
+            .unionByName(DynamicSchema.conform(newCur, lub),
+              allowMissingColumns = true)
+          val outDir = s"_cs${sm.seq + 1}"
+          writeBucketedFiles(merged, s"$dd/$outDir", l.buckets, l.key)
+          val newFiles = fs
+            .listStatus(new org.apache.hadoop.fs.Path(s"$dd/$outDir"))
+            .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+            .map(f => snapEntry(s"$outDir/${f.getPath.getName}", f.getLen))
+            .toSeq
+          val (newExpires, nbfan, nbmins) =
+            rebucketedMins(changedIidBuckets ++ crossedBuckets)
+          writeSnapSchema(table, lub)
+          writeSnapMeta2(table, SnapMeta2(sm.gen, s.meta.lvseq, newWm,
+            newExpires, l.key, l.buckets, sm.seq + 1,
+            untouched ++ newFiles,
+            retiredCarry ++ oldTouched.map(snapEntryPath),
+            nbfan, nbmins))
           noSnapshot.remove(table)
-          return
-        }
-        val evChanged = ev.join(broadcast(changed), Seq(IID), "left_semi")
-        val newCur = Bitemporal.resolve(evChanged,
-          Bitemporal.TemporalSpec.Current, Bitemporal.TemporalSpec.Current)
-        // every bucket ANY version of a changed id's key hashes into —
-        // superset of {old bucket, new bucket}, so key-value moves and
-        // deletions both land; Spark's own bucket function, matching the
-        // writer's file stamps
-        val touched = evChanged
-          .select(pmod(hash(col(l.key)), lit(l.buckets)).cast("int").as("b"))
-          .distinct().collect().map(_.getInt(0)).toSet
-        val (oldTouched, untouched) = sm.files.partition(n =>
-          touched.contains(bucketIdOf(snapEntryPath(n).split('/').last)))
-        val snapSchema = loadSnapSchema(table).getOrElse(newCur.schema)
-        val keep =
-          if (oldTouched.isEmpty)
-            spark.createDataFrame(
-              new java.util.ArrayList[org.apache.spark.sql.Row](),
-              snapSchema)
-          else spark.read.schema(snapSchema)
-            .parquet(oldTouched.map(n => s"$dd/${snapEntryPath(n)}"): _*)
-            .join(broadcast(changed), Seq(IID), "left_anti")
-        val lub = DynamicSchema.mergeSchemas(snapSchema, newCur.schema)
-        val merged = DynamicSchema.conform(keep, lub)
-          .unionByName(DynamicSchema.conform(newCur, lub),
-            allowMissingColumns = true)
-        val outDir = s"_cs${sm.seq + 1}"
-        writeBucketedFiles(merged, s"$dd/$outDir", l.buckets, l.key)
-        val newFiles = fs
-          .listStatus(new org.apache.hadoop.fs.Path(s"$dd/$outDir"))
-          .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-          .map(f => snapEntry(s"$outDir/${f.getPath.getName}", f.getLen))
-          .toSeq
-        writeSnapSchema(table, lub)
-        writeSnapMeta2(table, SnapMeta2(sm.gen, s.meta.lvseq, newWm,
-          newExpires, l.key, l.buckets, sm.seq + 1,
-          untouched ++ newFiles,
-          retiredCarry ++ oldTouched.map(snapEntryPath)))
-        noSnapshot.remove(table)
+        } finally changed.unpersist()
     }
   }
 
@@ -1853,7 +2152,7 @@ class XtDb(spark: SparkSession, val root: String) {
     * the purge fires when it reaches `spark.graft.erasePurge.maxCycles`.
     * Metadata-only (one manifest read). */
   def erasePendingCycles(table: String): Int =
-    cachedEvMeta(table).filter(_.gen == currentGen(table).getOrElse(0))
+    cachedResolvedEvMeta(table).filter(_.gen == currentGen(table).getOrElse(0))
       .map(_.eraseCycles).getOrElse(0)
 
   /** Storage-maintenance observability for the healthz/metrics plane:
@@ -1862,7 +2161,7 @@ class XtDb(spark: SparkSession, val root: String) {
     * itself reads. */
   def storageStats(table: String): (Long, Int, Int, Int) = {
     val lag = blockLag(table)
-    cachedEvMeta(table)
+    cachedResolvedEvMeta(table)
       .filter(_.gen == currentGen(table).getOrElse(0)) match {
       case Some(m) => (lag, m.levels.size, m.gen, m.buckets)
       case None => (lag, 0, currentGen(table).getOrElse(0), 0)
@@ -1889,7 +2188,7 @@ class XtDb(spark: SparkSession, val root: String) {
   def compactIfLagged(table: String, maxLag: Int = 5): Boolean = {
     val maxEraseCycles = spark.conf
       .get("spark.graft.erasePurge.maxCycles", "8").toInt
-    def genMeta = cachedEvMeta(table)
+    def genMeta = cachedResolvedEvMeta(table)
       .filter(_.gen == currentGen(table).getOrElse(0))
     def eraseOverdue = maxEraseCycles > 0 &&
       genMeta.exists(_.eraseCycles >= maxEraseCycles)
@@ -1900,7 +2199,7 @@ class XtDb(spark: SparkSession, val root: String) {
       // whose ingest stops right after the erase) and expired leases are
       // swept (a purge's superseded payload files must not outlive their
       // one-cycle lease on an idle table). One tiny manifest PUT.
-      val (hb, hbVer) = readEvMetaV(table)
+      val (hb, hbVer) = resolvedEvMetaV(table)
       hb.filter(_.gen == currentGen(table).getOrElse(0))
         .filter(m => m.eraseCycles > 0 || m.consumed.nonEmpty ||
           m.retired.nonEmpty || m.excluded.nonEmpty || m.sweepDirs.nonEmpty)
@@ -1977,7 +2276,7 @@ class XtDb(spark: SparkSession, val root: String) {
     * no bucketed base exists yet. */
   def compactIncremental(table: String): Boolean = {
     if (!tableExists(table)) return false
-    val (m0, mver) = readEvMetaV(table)
+    val (m0, mver) = resolvedEvMetaV(table)
     val m = m0 match {
       case Some(mm) if currentGen(table).getOrElse(0) == mm.gen => mm
       case _ => compact(table); return true
@@ -2023,9 +2322,31 @@ class XtDb(spark: SparkSession, val root: String) {
         catch { case scala.util.control.NonFatal(_) =>
           explicitRead(table, input) }
       else explicitRead(table, input)
+    // erase addressing (round 15): any erase event entering a level is
+    // recorded in the manifest by BUCKET id + max system-time, so the
+    // purge reads only affected buckets and can check the snapshot
+    // watermark without a discovery scan. The existence probe is a
+    // pushed-predicate limit-1 over the O(backlog) input (near-free when
+    // no erase is pending — the common case); the full agg runs only
+    // when one exists.
+    val hasErase = !folding.where(col(OP) === "erase").isEmpty
+    val (foldEraseBks, foldEraseSf) =
+      if (!hasErase) (Set.empty[Int], 0L)
+      else {
+        val r = folding.where(col(OP) === "erase")
+          .agg(collect_set(
+            pmod(hash(col(IID)), lit(m.buckets)).cast("int")).as("bk"),
+            max(col(SF)).as("sf")).head()
+        val bks = r.getSeq[Int](0).toSet
+        val sf = if (r.isNullAt(1)) 0L else {
+          val i = r.getTimestamp(1).toInstant
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
+        (bks, sf)
+      }
     val pending =
       if (m.eraseCycles > 0) m.eraseCycles + 1
-      else if (!folding.where(col(OP) === "erase").isEmpty) 1
+      else if (hasErase) 1
       else 0
     // uniqueness suffix: two RACING folds (cross-instance) must never
     // share an output dir — the CAS commit picks one winner, and the
@@ -2041,7 +2362,9 @@ class XtDb(spark: SparkSession, val root: String) {
       consumed = consumedCarry ++ backlog.map(_.getPath.getName),
       retired = retiredCarry ++ (if (mergeLevels) m.levels else Nil),
       lvseq = m.lvseq + 1, eraseCycles = pending,
-      excluded = excludedCarry), mver)
+      excluded = excludedCarry,
+      eraseBuckets = m.eraseBuckets ++ foldEraseBks,
+      eraseMaxSf = math.max(m.eraseMaxSf, foldEraseSf)), mver)
     // the declared-layout snapshot folds at the SAME cadence as the event
     // log (O(delta + touched buckets)); a failure here leaves the
     // snapshot refused (correct — live resolution serves), never fails
@@ -2073,12 +2396,28 @@ class XtDb(spark: SparkSession, val root: String) {
     // erase-tainted superseded generations / legacy loose parts: swept at
     // the next cycle instead of the next generation flip (table-dir
     // relative; the live generation is never listed here by construction)
+    val liveDir = currentGenDirName(table).getOrElse(s"g${m.gen}")
     val sweepCarry = m.sweepDirs.filter { name =>
       val p = new org.apache.hadoop.fs.Path(s"${tableDir(table)}/$name")
-      name != s"g${m.gen}" &&
+      name != liveDir &&
         (try { fs.delete(p, true); fs.exists(p) }
          catch { case scala.util.control.NonFatal(_) => fs.exists(p) })
     }
+    // staged gen-qualified manifests are redundant once `_evmeta.json`
+    // itself vouches for a generation at least as new (crash-healed or
+    // promoted); a staged manifest for a FUTURE generation belongs to an
+    // in-flight commit and is never touched
+    try {
+      if (readEvMeta(table).exists(_.gen >= m.gen))
+        fs.listStatus(new org.apache.hadoop.fs.Path(tableDir(table)))
+          .filter { st =>
+            val n = st.getPath.getName
+            st.isFile && n.startsWith("_evmeta.") && n != "_evmeta.json" &&
+              (try readEvMetaAt(table, st.getPath).forall(_.gen <= m.gen)
+               catch { case scala.util.control.NonFatal(_) => true })
+          }
+          .foreach(st => fs.delete(st.getPath, false))
+    } catch { case scala.util.control.NonFatal(_) => () }
     m.copy(consumed = sweep(m.consumed, recursive = false),
       retired = sweep(m.retired.toSet, recursive = true).toSeq,
       excluded = sweep(m.excluded, recursive = false),
@@ -2108,22 +2447,64 @@ class XtDb(spark: SparkSession, val root: String) {
     val live = s.base ++ s.levelFiles
     if (live.isEmpty) {
       if (m.eraseCycles > 0)
-        writeEvMeta(table, m.copy(eraseCycles = 0), mver)
+        writeEvMeta(table, m.copy(eraseCycles = 0,
+          eraseBuckets = Set.empty, eraseMaxSf = 0L), mver)
       return false
     }
-    // the erased iids' bucket ids — Spark's own bucket function
-    // (murmur3 pmod), so the ids match the file-name stamps exactly
-    val erased = explicitRead(table, live)
-      .where(col(OP) === "erase")
-      .select(pmod(hash(col(IID)), lit(m.buckets)).cast("int").as("b"))
-      .distinct().collect().map(_.getInt(0)).toSet
+    // the erased iids' bucket ids + the newest erase's system-time. The
+    // manifest already knows both (recorded at the erase append and at
+    // every fold — round 15), so the common path runs NO discovery job;
+    // the scan remains only for manifests written before the addressing
+    // existed (ebk empty with a pending clock).
+    val (erased, maxEraseSf) =
+      if (m.eraseBuckets.nonEmpty) {
+        graft.tools.EngineMetrics.lastPurgeUsedManifest = true
+        (m.eraseBuckets, m.eraseMaxSf)
+      } else {
+        graft.tools.EngineMetrics.lastPurgeUsedManifest = false
+        val r = explicitRead(table, live)
+          .where(col(OP) === "erase")
+          .agg(collect_set(
+            pmod(hash(col(IID)), lit(m.buckets)).cast("int")).as("b"),
+            max(col(SF)).as("sf")).head()
+        val bks = r.getSeq[Int](0).toSet
+        val sf = if (r.isNullAt(1)) 0L else {
+          val i = r.getTimestamp(1).toInstant
+          i.getEpochSecond * 1000000L + i.getNano / 1000L
+        }
+        (bks, sf)
+      }
     if (erased.isEmpty) {
       if (m.eraseCycles > 0)
-        writeEvMeta(table, m.copy(eraseCycles = 0), mver)
+        writeEvMeta(table, m.copy(eraseCycles = 0,
+          eraseBuckets = Set.empty, eraseMaxSf = 0L), mver)
       return false
     }
+    // ADVICE r14 #3: the purge is about to physically delete the erase
+    // markers — if the declared-layout snapshot never folded them (an
+    // earlier fold failure was swallowed), its watermark predates the
+    // erase and the post-purge re-stamp would retain the erased payload
+    // in the snapshot FOREVER. Repair while the markers are still
+    // event-addressable: fold first; if the watermark still lags,
+    // rebuild the snapshot outright; if even that fails, invalidate it
+    // (live resolution serves — safe) rather than re-stamp a lie.
+    if (maxEraseSf > 0L) readSnapMeta2(table)
+      .filter(_.watermark < maxEraseSf).foreach { _ =>
+        try foldSnapshot(table)
+        catch { case scala.util.control.NonFatal(_) => () }
+        if (readSnapMeta2(table).exists(_.watermark < maxEraseSf))
+          layoutOf(table) match {
+            case Some(l) =>
+              try materializeCurrentSnapshot(table, l)
+              catch { case scala.util.control.NonFatal(_) =>
+                invalidateSnapshot(table) }
+            case None => invalidateSnapshot(table)
+          }
+      }
     val affected = live.filter(f =>
       erased.contains(bucketIdOf(f.getPath.getName)))
+    graft.tools.EngineMetrics.lastPurgeScannedFiles =
+      affected.map(_.getPath.getName)
     val pgName = s"_lv${m.lvseq}_" +
       java.util.UUID.randomUUID().toString.take(8)
     writeBucketedAligned(
@@ -2135,12 +2516,16 @@ class XtDb(spark: SparkSession, val root: String) {
     // joins the bounded sweep instead of waiting for a flip that an
     // idle table never reaches
     val fs = hadoopFs
+    val liveDir = currentGenDirName(table).getOrElse("")
+    val genName = """g(\d+)(?:_[0-9a-f]+)?""".r
     val superseded = fs
       .listStatus(new org.apache.hadoop.fs.Path(tableDir(table)))
       .collect {
-        case st if st.isDirectory &&
-            st.getPath.getName.matches("g\\d+") &&
-            st.getPath.getName.drop(1).toInt < m.gen =>
+        case st if st.isDirectory && st.getPath.getName != liveDir &&
+            (st.getPath.getName match {
+              case genName(n) => n.toInt <= m.gen
+              case _ => false
+            }) =>
           st.getPath.getName
         case st if st.isFile &&
             st.getPath.getName.endsWith(".parquet") && m.gen >= 1 =>
@@ -2150,7 +2535,8 @@ class XtDb(spark: SparkSession, val root: String) {
       levels = m.levels :+ pgName,
       excluded = m.excluded ++ affected.map(relUnderData(table, _)),
       lvseq = m.lvseq + 1, eraseCycles = 0,
-      sweepDirs = (m.sweepDirs ++ superseded).distinct), mver)
+      sweepDirs = (m.sweepDirs ++ superseded).distinct,
+      eraseBuckets = Set.empty, eraseMaxSf = 0L), mver)
     // the purge bumped lvseq without changing logical state — re-stamp
     // the snapshot's validity (and fold any straggler delta) so a big
     // declared table does not fall back to live joins over a purge
@@ -2158,6 +2544,24 @@ class XtDb(spark: SparkSession, val root: String) {
     catch { case scala.util.control.NonFatal(_) => () }
     true
   }
+
+  /** Drop the v2 snapshot meta AND its data files (they may hold erased
+    * payload — an invalidated snapshot must not leave orphans nothing
+    * will ever sweep). Serving falls back to live resolution; the next
+    * full compaction rebuilds. Last-resort path — see the purge. */
+  private def invalidateSnapshot(table: String): Unit =
+    try {
+      val fs = hadoopFs
+      val dd = dataDir(table)
+      readSnapMeta2(table).foreach { sm =>
+        (sm.files.map(snapEntryPath) ++ sm.retired).foreach { n =>
+          try { fs.delete(new org.apache.hadoop.fs.Path(s"$dd/$n"), false); () }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+      }
+      fs.delete(snapMetaPath(table), false)
+      ()
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Write `df` as a bucketed file set (one file per non-empty `_iid`
     * hash bucket, Spark bucket ids in the file names) into `dir`. Goes

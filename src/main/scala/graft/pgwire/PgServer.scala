@@ -461,9 +461,17 @@ final class PgServer(spark: SparkSession, db: XtDb, port: Int = 0,
     val df = eng.sql(stmt)
     if (isResultSet(stmt)) {
       if (describe) rowDescription(out, df.schema)
-      val rows = df.collect()
-      rows.foreach(row => dataRow(out, row, df.schema))
-      msg(out, 'C')(w => cstr(w, s"SELECT ${rows.length}"))
+      // partition-at-a-time streaming (same shape as the extended
+      // protocol's portal path): `psql -c "SELECT * FROM big"` must not
+      // materialize the whole result on the driver — Spark pulls one
+      // partition per fetch round and rows go straight to the socket
+      val it = df.toLocalIterator()
+      var n = 0L
+      while (it.hasNext) {
+        dataRow(out, it.next(), df.schema)
+        n += 1
+      }
+      msg(out, 'C')(w => cstr(w, s"SELECT $n"))
     } else {
       // DML/session statements: the engine already executed them eagerly;
       // emit only the command tag (pg clients expect no result set)

@@ -43,6 +43,20 @@ object EngineMetrics {
   val manifestReads = new java.util.concurrent.atomic.AtomicLong
   val manifestCacheHits = new java.util.concurrent.atomic.AtomicLong
 
+  /** Snapshot-fold input accounting (round 15): the file names the last
+    * fold handed to its RESOLVE relation after the changed-iid bucket
+    * prune, and the live file count it pruned from — the spec pin that
+    * the fold's scanned files stay a subset of the changed buckets
+    * (fold input O(delta buckets), never O(event log)). */
+  @volatile var lastFoldResolveFiles: Seq[String] = Nil
+  @volatile var lastFoldLiveFileCount: Int = 0
+
+  /** Erase-purge addressing accounting (round 15): whether the last
+    * purge took the manifest-recorded bucket path (no discovery scan),
+    * and the bucket files it actually merged. */
+  @volatile var lastPurgeUsedManifest: Boolean = false
+  @volatile var lastPurgeScannedFiles: Seq[String] = Nil
+
   private val installed =
     scala.collection.concurrent.TrieMap.empty[org.apache.spark.SparkContext, Counters]
 

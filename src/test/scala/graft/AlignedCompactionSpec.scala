@@ -103,8 +103,13 @@ class AlignedCompactionSpec extends AnyFunSuite {
       assert(db.asOf("r").count() === expect)
       val prog = new java.io.File(s"${db.root}/r/_compact_progress.json")
       assert(prog.exists, "progress sidecar must survive the crash")
-      // the two completed chunks are on disk under the next generation
-      val g2 = new java.io.File(s"${db.root}/r/g2")
+      // the two completed chunks are on disk under the next generation's
+      // unique dir, recorded in the progress sidecar (round 15)
+      val progJson = new String(
+        java.nio.file.Files.readAllBytes(prog.toPath), "UTF-8")
+      val gdirName = """"dir"\s*:\s*"([^"]+)"""".r
+        .findFirstMatchIn(progJson).get.group(1)
+      val g2 = new java.io.File(s"${db.root}/r/$gdirName")
       val landed = Option(g2.listFiles).toSeq.flatten
         .filter(_.getName.matches("c\\d+"))
       assert(landed.size === 2, s"2 chunks must have landed: $landed")

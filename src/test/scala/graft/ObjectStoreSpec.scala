@@ -63,7 +63,9 @@ class ObjectStoreSpec extends AnyFunSuite {
     // kept for in-flight readers (lazy GC)
     db.putDocs("docs", Seq((100L, "tagged")).toDF("_id", "v"))
     val g1 = ls(fs, s"$root/docs")
-    assert(g1.contains("g1") && g1.contains("_gen"), s"after migration: $g1")
+    def hasGen(listing: Iterable[String], n: Int) =
+      listing.exists(_.matches(s"g$n(_[0-9a-f]+)?"))
+    assert(hasGen(g1, 1) && g1.contains("_gen"), s"after migration: $g1")
     assert(g1.exists(_.endsWith(".parquet")),
       s"legacy gen-0 data (loose appended parts) should survive until g2: $g1")
     val cur = Bitemporal.current(db.events("docs"))
@@ -77,7 +79,7 @@ class ObjectStoreSpec extends AnyFunSuite {
     db.eraseDocs("docs", Seq(7L).toDF("_id"))
     db.compact("docs")
     val g2 = ls(fs, s"$root/docs")
-    assert(g2.contains("g2") && g2.contains("g1"), s"after compact: $g2")
+    assert(hasGen(g2, 2) && hasGen(g2, 1), s"after compact: $g2")
     assert(!g2.exists(_.endsWith(".parquet")),
       s"gen-0 legacy data should be swept at g2: $g2")
     val afterCompact = Bitemporal.current(db.events("docs"))
@@ -92,7 +94,7 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(Bitemporal.current(db.events("docs")).count() == 51)
     db.compact("docs")
     val g3 = ls(fs, s"$root/docs")
-    assert(g3.contains("g3") && g3.contains("g2") && !g3.contains("g1"),
+    assert(hasGen(g3, 3) && hasGen(g3, 2) && !hasGen(g3, 1),
       s"after second compact: $g3")
     assert(Bitemporal.current(db.events("docs")).count() == 51)
   }
@@ -157,14 +159,17 @@ class ObjectStoreSpec extends AnyFunSuite {
     db.putDocs("docs", spark.range(1, 21)
       .select(col("id").as("_id"), (col("id") * 3).as("v")))
     db.compact("docs") // commit g1
-    assert(ls(fs, s"$root/docs").contains("g1"))
+    assert(ls(fs, s"$root/docs").exists(_.matches("g1(_[0-9a-f]+)?")))
     val before = Bitemporal.current(db.events("docs"))
       .select("_id", "v").as[(Long, Long)].collect().sorted.toSeq
 
     // simulate a crash BETWEEN writing the next generation's files and
-    // the pointer PUT: an orphan g2 full of garbage exists, _gen still
-    // says g1 — the atomic-commit contract's whole point
-    val orphan = new org.apache.hadoop.fs.Path(s"$root/docs/g2/junk.parquet")
+    // the pointer PUT: an orphan next-gen dir full of garbage exists,
+    // _gen still resolves the committed generation — the atomic-commit
+    // contract's whole point (round 15: each attempt writes a UNIQUE
+    // suffixed dir, so the orphan can never even share the winner's dir)
+    val orphan =
+      new org.apache.hadoop.fs.Path(s"$root/docs/g2_deadbeef/junk.parquet")
     val o = fs.create(orphan, true)
     o.write("not parquet at all".getBytes("UTF-8")); o.close()
 
@@ -174,12 +179,13 @@ class ObjectStoreSpec extends AnyFunSuite {
     assert(db.blockLag("docs") == 0,
       "lag reads the LIVE generation only, not orphan debris")
 
-    // the next rewrite takes the g2 slot with fresh content (overwrite)
-    // and commits the pointer; results unchanged, junk gone
+    // the next rewrite commits gen 2 under its own fresh dir and its GC
+    // collects the orphan; results unchanged, junk gone
     db.compact("docs")
-    assert(ls(fs, s"$root/docs").contains("g2"))
-    assert(!ls(fs, s"$root/docs/g2").contains("junk.parquet"),
-      "recovery must replace the orphan generation's content")
+    val after = ls(fs, s"$root/docs")
+    assert(after.exists(_.matches("g2(_[0-9a-f]+)?")), s"$after")
+    assert(!after.contains("g2_deadbeef"),
+      "recovery must collect the orphan generation dir")
     assert(Bitemporal.current(db.events("docs"))
       .select("_id", "v").as[(Long, Long)].collect().sorted.toSeq == before)
   }
