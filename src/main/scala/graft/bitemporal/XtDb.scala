@@ -373,6 +373,7 @@ class XtDb(spark: SparkSession, val root: String) {
         case None => listRootParquet(table).map(_.getPath.getName)
       }
     writeBucketedFiles(df, gdir, nb)
+    XtDb.testBeforeFlipHook()
     conditionalPut(genPath(table), s"$next:$gname".getBytes("UTF-8"), genV,
       s"generation pointer of '$table'")
     // the manifest write is a SUPERSEDE for the new generation, not a
@@ -1445,6 +1446,7 @@ class XtDb(spark: SparkSession, val root: String) {
         .toBoolean)
       throw new IllegalStateException(
         "injected compaction crash before the pointer flip (test knob)")
+    XtDb.testBeforeFlipHook()
     conditionalPut(genPath(table), s"$next:$gname".getBytes("UTF-8"), genV,
       s"generation pointer of '$table'")
     // test knob: crash between the flip and the promote — readers must
@@ -2488,6 +2490,7 @@ class XtDb(spark: SparkSession, val root: String) {
     // event-addressable: fold first; if the watermark still lags,
     // rebuild the snapshot outright; if even that fails, invalidate it
     // (live resolution serves — safe) rather than re-stamp a lie.
+    var rebuiltNow = false
     if (maxEraseSf > 0L) readSnapMeta2(table)
       .filter(_.watermark < maxEraseSf).foreach { _ =>
         try foldSnapshot(table)
@@ -2495,7 +2498,7 @@ class XtDb(spark: SparkSession, val root: String) {
         if (readSnapMeta2(table).exists(_.watermark < maxEraseSf))
           layoutOf(table) match {
             case Some(l) =>
-              try materializeCurrentSnapshot(table, l)
+              try { materializeCurrentSnapshot(table, l); rebuiltNow = true }
               catch { case scala.util.control.NonFatal(_) =>
                 invalidateSnapshot(table) }
             case None => invalidateSnapshot(table)
@@ -2541,7 +2544,16 @@ class XtDb(spark: SparkSession, val root: String) {
     // the snapshot's validity (and fold any straggler delta) so a big
     // declared table does not fall back to live joins over a purge
     try foldSnapshot(table)
-    catch { case scala.util.control.NonFatal(_) => () }
+    catch { case scala.util.control.NonFatal(_) =>
+      // a snapshot REBUILT inside this purge has a current watermark and
+      // no pending delta by construction — re-stamping its lvseq to the
+      // purge's manifest is safe even when the fold itself is failing
+      // (without it, the just-rebuilt snapshot would refuse to serve)
+      if (rebuiltNow)
+        readSnapMeta2(table).filter(_.gen == m.gen)
+          .foreach(sm => writeSnapMeta2(table,
+            sm.copy(lvseq = m.lvseq + 1)))
+    }
     true
   }
 
@@ -3048,4 +3060,12 @@ class XtDb(spark: SparkSession, val root: String) {
   def atSnapshot(table: String,
       token: java.sql.Timestamp): DataFrame =
     Bitemporal.asOf(events(table), current_timestamp(), lit(token))
+}
+
+object XtDb {
+  /** Test-only hook invoked immediately before a generation-pointer CAS
+    * (both rewrite paths) — lets a spec interleave a competing flip
+    * deterministically and pin that the loser fails LOUDLY at the CAS.
+    * A no-op in production. */
+  @volatile private[graft] var testBeforeFlipHook: () => Unit = () => ()
 }

@@ -83,8 +83,12 @@ object SnapshotFoldProbe {
         next += backlogRows
         val (_, foldSec) = time(db.compactIncremental("ft"))
         val valid = db.currentSnapshotIfValid("ft").isDefined
+        // round 15: the fold's RESOLVE input after the changed-iid bucket
+        // prune — must stay flat as nIds grows while the delta is constant
+        val resolveFiles = EngineMetrics.lastFoldResolveFiles.size
+        val liveFiles = EngineMetrics.lastFoldLiveFileCount
         val ((rows, exchanges), joinSec) = time(joinAgg())
-        (foldSec, joinSec, valid, rows, exchanges)
+        (foldSec, joinSec, valid, rows, exchanges, resolveFiles, liveFiles)
       }
       val (_, reFullSec) = time(db.compact("ft"))
       def fmt(xs: Seq[Double]) =
@@ -96,6 +100,8 @@ object SnapshotFoldProbe {
         s""""fold_secs":${fmt(cycles.map(_._1))},""" +
         s""""join_secs":${fmt(cycles.map(_._2))},""" +
         s""""snapshot_valid_after_each_fold":${cycles.forall(_._3)},""" +
+        s""""fold_resolve_files":${cycles.map(_._6).mkString("[", ",", "]")},""" +
+        s""""fold_live_files":${cycles.map(_._7).mkString("[", ",", "]")},""" +
         s""""join_exchanges":${cycles.map(_._5).max},""" +
         s""""rows_last":${cycles.last._4},""" +
         s""""refull_compact_sec":${f"$reFullSec%.3f"}}""")

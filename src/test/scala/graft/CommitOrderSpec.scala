@@ -1,0 +1,177 @@
+package graft
+
+import graft.bitemporal.XtDb
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-15 storage: the aligned full compaction's commit order. The new
+  * generation's manifest is STAGED under a gen-qualified name and
+  * `_evmeta.json` is only superseded AFTER the pointer flip — so a crash
+  * anywhere in the commit window can never destroy the old generation's
+  * manifest (the only record of its levels/consumed live set) and can
+  * never leave readers on a lossy flat fallback (ADVICE r14 #1, the
+  * silent-data-loss window of the round-14 meta-then-pointer order).
+  * Also pins the chunk-stride resume guard (ADVICE r14 #2) and the loud
+  * refusal of a gen-ahead manifest artifact. */
+class CommitOrderSpec extends AnyFunSuite {
+
+  lazy val spark: SparkSession = SparkSession.builder()
+    .master("local[4]")
+    .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.ui.enabled", "false")
+    .getOrCreate()
+
+  private def newDb(tag: String): XtDb = new XtDb(spark,
+    java.nio.file.Files.createTempDirectory(tag).toString)
+
+  /** A table in the state the round-14 order corrupted: bucketed base
+    * (g1) + a LEVEL fold + its consumed backlog files still on disk
+    * under the read lease. A flat directory read here is WRONG twice
+    * over: it misses the hidden `_lv` level rows and double-counts the
+    * consumed files. */
+  private def levelsAndLeases(db: XtDb, t: String): Long = {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    db.putDocs(t, spark.range(1, 501).selectExpr("id AS _id", "id*7 AS v"))
+    db.compact(t)
+    db.putDocs(t, spark.range(501, 551).selectExpr("id AS _id", "id*7 AS v"))
+    assert(db.compactIncremental(t), "fold the backlog into a level")
+    val n = db.asOf(t).count()
+    assert(n === 550L)
+    n
+  }
+
+  test("crash BEFORE the pointer flip: the old generation's manifest " +
+      "survives intact — levels still served, consumed still excluded — " +
+      "and the next compact completes with no data loss") {
+    val db = newDb("commit-preflip")
+    val expect = levelsAndLeases(db, "t")
+    val gen1 = db.dataDir("t")
+    val metaBefore = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${db.root}/t/_evmeta.json")), "UTF-8")
+
+    spark.conf.set("spark.graft.test.failBeforePointerFlip", "true")
+    try intercept[IllegalStateException] { db.compact("t") }
+    finally spark.conf.unset("spark.graft.test.failBeforePointerFlip")
+
+    // the pointer never flipped and `_evmeta.json` is BYTE-IDENTICAL:
+    // the old generation's live set (levels + consumed exclusions) is
+    // fully intact — the exact invariant the round-14 order broke
+    assert(db.dataDir("t") === gen1, "pointer must not flip")
+    val metaAfter = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${db.root}/t/_evmeta.json")), "UTF-8")
+    assert(metaAfter === metaBefore,
+      "the old generation's manifest must survive the crash untouched")
+    assert(db.asOf("t").count() === expect,
+      "reads after the crash serve the old generation exactly")
+    assert(db.events("t").count() === db.asOf("t").count(),
+      "no consumed duplicates, no hidden level rows")
+
+    // recovery: the next compact completes the flip with every row
+    db.compact("t")
+    assert(db.dataDir("t") !== gen1, "recovery must complete the flip")
+    assert(db.asOf("t").count() === expect)
+    import spark.implicits._
+    assert(db.asOf("t").select(max(col("_id"))).as[Long].head() === 550L)
+  }
+
+  test("crash BETWEEN the flip and the promote: readers resolve the " +
+      "staged gen-qualified manifest through the pointer; the next fold " +
+      "promotes it and maintenance sweeps the staged file") {
+    val db = newDb("commit-prepromote")
+    val expect = levelsAndLeases(db, "t")
+    val gen1 = db.dataDir("t")
+
+    spark.conf.set("spark.graft.test.failBeforePromote", "true")
+    try intercept[IllegalStateException] { db.compact("t") }
+    finally spark.conf.unset("spark.graft.test.failBeforePromote")
+
+    // pointer flipped; _evmeta.json still describes the OLD generation;
+    // the staged manifest must carry the reads
+    assert(db.dataDir("t") !== gen1, "pointer must have flipped")
+    val tdir = new java.io.File(s"${db.root}/t")
+    val staged = tdir.listFiles.map(_.getName)
+      .filter(n => n.startsWith("_evmeta.") && n != "_evmeta.json")
+    assert(staged.length === 1,
+      s"staged gen-qualified manifest must exist: ${staged.toSeq}")
+    assert(db.asOf("t").count() === expect,
+      "reads in the window serve the NEW generation via the staged manifest")
+
+    // the next maintenance write promotes the staged manifest; one more
+    // cycle sweeps the now-redundant staged file
+    db.compactIncremental("t")
+    val rawGen = """"gen"\s*:\s*(\d+)""".r.findFirstMatchIn(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"${db.root}/t/_evmeta.json")), "UTF-8"))
+      .get.group(1).toInt
+    assert(rawGen === 2, s"_evmeta.json must be promoted to gen 2: $rawGen")
+    db.compactIncremental("t")
+    val stagedAfter = tdir.listFiles.map(_.getName)
+      .filter(n => n.startsWith("_evmeta.") && n != "_evmeta.json")
+    assert(stagedAfter.isEmpty,
+      s"staged manifest must be swept after promotion: ${stagedAfter.toSeq}")
+    assert(db.asOf("t").count() === expect)
+  }
+
+  test("chunk-stride change between crash and resume RESTARTS the merge " +
+      "(ADVICE r14 #2): no bucket range is ever served twice") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    spark.conf.set("spark.graft.fullCompact.chunkBuckets", "8")
+    try {
+      val db = newDb("commit-stride")
+      db.putDocs("s", spark.range(1, 1001).selectExpr("id AS _id", "id AS v"))
+      db.compact("s") // 16-bucket base ⇒ 2 chunks of 8
+      db.putDocs("s", spark.range(1001, 1051)
+        .selectExpr("id AS _id", "id AS v"))
+      assert(db.compactIncremental("s"))
+      spark.conf.set("spark.graft.test.failAfterChunks", "1")
+      intercept[IllegalStateException] { db.compact("s") }
+      spark.conf.unset("spark.graft.test.failAfterChunks")
+      // ops lowers the chunk size before retrying — the wide chunk c0
+      // (buckets 0-7) is already on disk; a naive resume at stride 4
+      // would skip lo=0 but rewrite buckets 4-7 again under c4
+      spark.conf.set("spark.graft.fullCompact.chunkBuckets", "4")
+      db.compact("s")
+      assert(db.asOf("s").count() === 1050L,
+        "post-resume row count must be exact (no duplicated bucket range)")
+      assert(db.events("s").groupBy(col("_id")).count()
+        .filter(col("count") > 1).count() === 0L,
+        "no event may be served twice after the stride change")
+      assert(db.asOf("s").select(max(col("_id"))).as[Long].head() === 1050L)
+    } finally {
+      spark.conf.unset("spark.graft.fullCompact.chunkBuckets")
+      spark.conf.unset("spark.graft.test.failAfterChunks")
+    }
+  }
+
+  test("a gen-AHEAD manifest with levels/consumed (the pre-round-15 crash " +
+      "artifact) fails LOUDLY instead of silently serving or compacting " +
+      "from a lossy flat read") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    val db = newDb("commit-genahead")
+    db.putDocs("a", spark.range(1, 101).selectExpr("id AS _id", "id AS v"))
+    db.compact("a")
+    db.putDocs("a", spark.range(101, 111).selectExpr("id AS _id", "id AS v"))
+    assert(db.compactIncremental("a"))
+    // simulate the old bug: bump the manifest's gen PAST the pointer
+    // while it still carries levels/consumed
+    val p = java.nio.file.Paths.get(s"${db.root}/a/_evmeta.json")
+    val js = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val ahead = js.replaceFirst(""""gen":\d+""", "\"gen\":99")
+    // drop the local-FS checksum sidecar — this simulated corruption is
+    // written behind Hadoop's back
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"${db.root}/a/._evmeta.json.crc"))
+    java.nio.file.Files.write(p, ahead.getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { db.asOf("a").count() }
+    assert(e.getMessage.contains("claims generation"),
+      s"unexpected error: ${e.getMessage}")
+    // restore and confirm the table serves again
+    java.nio.file.Files.write(p, js.getBytes("UTF-8"))
+    assert(db.asOf("a").count() === 110L)
+  }
+}

@@ -316,4 +316,59 @@ class ObjectStoreSpec extends AnyFunSuite {
       assert(snap.get.count() === 200L)
     } finally spark.conf.unset("spark.graft.autoCompact.maxLag")
   }
+
+  test("RACING full compacts (round 15): unique suffixed generation dirs " +
+      "+ the pointer CAS — exactly one winner commits its own complete " +
+      "dir, the loser fails LOUDLY at the CAS, and the orphan dir is " +
+      "collected by lazy GC") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    val (root, fs) = freshRoot()
+    val a = new XtDb(spark, root)
+    val b = new XtDb(spark, root)
+    a.putDocs("docs", spark.range(1, 501)
+      .select(col("id").as("_id"), (col("id") * 2).as("v")))
+    a.compact("docs") // g1
+    a.putDocs("docs", spark.range(501, 521)
+      .select(col("id").as("_id"), (col("id") * 2).as("v")))
+    assert(a.compactIncremental("docs"))
+
+    // interleave: at the instant A is about to flip the pointer, B lands
+    // a write, folds it, and commits ITS OWN full compaction — B's
+    // attempt runs under a different unique dir (A's in-flight inputs no
+    // longer match), so no file of A's attempt is ever mixed into B's
+    var fired = false
+    XtDb.testBeforeFlipHook = () => {
+      if (!fired) {
+        fired = true
+        XtDb.testBeforeFlipHook = () => ()
+        b.putDocs("docs", Seq((999L, 1998L)).toDF("_id", "v"))
+        assert(b.compactIncremental("docs"))
+        b.compact("docs")
+      }
+    }
+    try {
+      val e = intercept[java.util.ConcurrentModificationException] {
+        a.compact("docs")
+      }
+      assert(e.getMessage.contains("lost commit race"),
+        s"loser must fail loudly at the CAS: ${e.getMessage}")
+    } finally XtDb.testBeforeFlipHook = () => ()
+
+    // B won: the live generation is B's unique dir, complete and correct
+    // (including B's row); A's mutation is fully abandoned
+    val cur = Bitemporal.current(a.events("docs"))
+    assert(cur.count() === 521L)
+    assert(cur.filter(col("_id") === 999L).count() === 1L)
+    // exactly one LIVE gen-2 dir; any orphan from A is inert and dies at
+    // the next commit's GC
+    val gen2Dirs = ls(fs, s"$root/docs").filter(_.matches("g2(_[0-9a-f]+)?"))
+    assert(gen2Dirs.nonEmpty)
+    a.compact("docs") // next commit (gen 3) — GC collects orphan dirs
+    val afterDirs = ls(fs, s"$root/docs")
+    assert(afterDirs.exists(_.matches("g3(_[0-9a-f]+)?")))
+    assert(afterDirs.filter(_.matches("g2(_[0-9a-f]+)?")).size <= 1,
+      s"orphan gen-2 dirs must be collected: $afterDirs")
+    assert(Bitemporal.current(a.events("docs")).count() === 521L)
+  }
 }

@@ -162,6 +162,23 @@ class PgWireSpec extends AnyFunSuite with BeforeAndAfterAll {
     c.close()
   }
 
+  test("simple protocol STREAMS a multi-partition result (round 15): " +
+      "every row and the exact tag arrive without a driver-side collect") {
+    val c = new Client(server.boundPort)
+    c.startup(); c.untilReady()
+    // a result spanning several partitions — the partition-at-a-time
+    // iterator must deliver them all, in order, with the right count
+    val n = 5000
+    val msgs = c.query(
+      s"SELECT id, id * 2 AS v FROM range(1, ${n + 1}) ORDER BY id")
+    val rows = dataRows(msgs).map(c.row)
+    assert(rows.length == n, s"expected $n rows, got ${rows.length}")
+    assert(rows.head == Seq("1", "2") && rows.last ==
+      Seq(n.toString, (2 * n).toString))
+    assert(tag(msgs) == Seq(s"SELECT $n"))
+    c.close()
+  }
+
   test("DML + read-back through the wire, multi-statement script") {
     val c = new Client(server.boundPort)
     c.startup(); c.untilReady()
