@@ -34,6 +34,9 @@ object SnapshotFoldProbe {
     val folds = args.lift(1).map(_.toInt).getOrElse(3)
     val backlogRows = args.lift(2).map(_.toLong).getOrElse(20000L)
     val spread = args.lift(3).getOrElse("confined")
+    // optional 5th arg: snapshotFold.broadcastMaxIds override, to measure
+    // the shuffle semi-join degradation on both sides of the gate
+    val bcastGate = args.lift(4)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -43,6 +46,8 @@ object SnapshotFoldProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    bcastGate.foreach(g =>
+      spark.conf.set("spark.graft.snapshotFold.broadcastMaxIds", g))
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val a = f
@@ -95,6 +100,7 @@ object SnapshotFoldProbe {
         xs.map(x => f"$x%.3f").mkString("[", ",", "]")
       println(
         s"""{"probe":"snapshot_fold","n_ids":$nIds,"spread":"$spread",""" +
+        s""""bcast_gate":${bcastGate.getOrElse("500000")},""" +
         s""""backlog_rows":$backlogRows,"buckets":32,""" +
         s""""full_compact_sec":${f"$fullSec%.3f"},""" +
         s""""fold_secs":${fmt(cycles.map(_._1))},""" +

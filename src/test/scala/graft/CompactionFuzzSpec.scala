@@ -39,9 +39,18 @@ class CompactionFuzzSpec extends AnyFunSuite {
     val a = new XtDb(spark, rootA)
     val b = new XtDb(spark, rootB)
     val T = "fz"
+    // round 15: the maintained store runs under a DECLARED layout, so
+    // every fold also exercises the incremental snapshot maintenance
+    // (bucket-pruned resolve, boundary mins, purge watermark repair) and
+    // the snapshot itself joins the differential oracle below
+    a.declareLayout(T, "v", 4)
 
     def setKnobs(): Unit = {
       spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+      // force the changed-set broadcast gate low when asked (the shuffle
+      // semi-join degradation path runs under the same oracle)
+      sys.env.get("GRAFT_FUZZ_BCAST_GATE").foreach(g =>
+        spark.conf.set("spark.graft.snapshotFold.broadcastMaxIds", g))
       spark.conf.set("spark.graft.fullCompact.smallBytes", "0")
       spark.conf.set("spark.graft.fullCompact.ratio", "0.5")
       spark.conf.set("spark.graft.maxLevels", "2")
@@ -49,9 +58,11 @@ class CompactionFuzzSpec extends AnyFunSuite {
       // rewrites + excluded-file leases must stay invisible to semantics)
       spark.conf.set("spark.graft.erasePurge.maxCycles", "2")
     }
-    def unsetKnobs(): Unit = Seq("spark.graft.autoCompact.maxLag",
+    def unsetKnobs(): Unit = (Seq("spark.graft.autoCompact.maxLag",
       "spark.graft.fullCompact.smallBytes", "spark.graft.fullCompact.ratio",
-      "spark.graft.maxLevels", "spark.graft.erasePurge.maxCycles")
+      "spark.graft.maxLevels", "spark.graft.erasePurge.maxCycles") ++
+      sys.env.get("GRAFT_FUZZ_BCAST_GATE").map(_ =>
+        "spark.graft.snapshotFold.broadcastMaxIds").toSeq)
       .foreach(spark.conf.unset)
 
     setKnobs()
@@ -119,6 +130,17 @@ class CompactionFuzzSpec extends AnyFunSuite {
             s"batch $i (after $op/$m): maintained ${ca.size} rows vs " +
               s"shadow ${cb.size}; only-maintained=${(ca -- cb).take(3)} " +
               s"only-shadow=${(cb -- ca).take(3)}")
+          // the maintained SNAPSHOT (when storage vouches for it) must
+          // equal the shadow's live resolution too — folds, purges and
+          // boundary re-stamps all under the same oracle
+          a.currentSnapshotIfValid(T).foreach { snap =>
+            val cs = snap.select(col("_id"), col("v"))
+              .as[(Long, Long)].collect().toSet
+            assert(cs == cb,
+              s"batch $i (after $op/$m): snapshot ${cs.size} rows vs " +
+                s"shadow ${cb.size}; only-snap=${(cs -- cb).take(3)} " +
+                s"only-shadow=${(cb -- cs).take(3)}")
+          }
           // point lookups agree on a sample of ids (hits AND misses)
           someIds(3).foreach { id =>
             val ha = a.pointLookup(T, id).select(col("v"))
