@@ -1951,28 +1951,48 @@ class XtDb(spark: SparkSession, val root: String) {
         val newWm = math.max(sm.watermark, deltaAgg
           .filterNot(_.isNullAt(0))
           .map(r => micros(r.getTimestamp(0))).getOrElse(0L))
-        // per-bucket boundary-min maintenance: re-derive the mins of
-        // `bks` from their live files, keep every other bucket's carried
-        // min — the global expiry is the min over the merged map
+        // per-bucket boundary-min maintenance, O(delta) in the common
+        // path: an existing event's boundary only leaves the future set
+        // at a CROSSING (handled by the crossed-bucket recompute) or a
+        // purge (leaves a stale-early min, which at worst expires the
+        // snapshot early and the crossing recompute heals it — safe), so
+        // a fold only needs to MERGE the delta's own per-bucket mins
+        // into the carried map — never re-scan whole buckets.
+        def perBucketMins(df: DataFrame): Map[Int, Long] = df
+          .groupBy(pmod(hash(col(IID)), lit(evFan)).cast("int").as("bk"))
+          .agg(least(
+            min(when(col(VF) > lit(nowTs), col(VF))),
+            min(when(col(VT) > lit(nowTs), col(VT)))).as("b"))
+          .collect()
+          .flatMap(r => if (r.isNullAt(1)) None
+            else Some(r.getInt(0) -> micros(r.getTimestamp(1))))
+          .toMap
+        lazy val deltaMins: Map[Int, Long] = delta
+          .filterNot(_ => deltaEmpty).map(perBucketMins).getOrElse(Map.empty)
+        // `bks` = buckets whose carried min must be re-derived from their
+        // FILES (a crossing consumed it); everything else carries, with
+        // the delta's mins folded in bucket-wise
         def rebucketedMins(bks: Set[Int]): (Long, Int, Map[Int, Long]) = {
-          val (baseMins, recompute) =
-            if (bminsOk) (sm.bmins -- bks, bks)
-            else (Map.empty[Int, Long],
-              live.map(f => bucketIdOf(f.getPath.getName)).toSet)
-          val files = filesOfBuckets(recompute)
-          val fresh =
-            if (files.isEmpty) Map.empty[Int, Long]
-            else relOver(files)
-              .groupBy(pmod(hash(col(IID)), lit(evFan)).cast("int")
-                .as("bk"))
-              .agg(least(
-                min(when(col(VF) > lit(nowTs), col(VF))),
-                min(when(col(VT) > lit(nowTs), col(VT)))).as("b"))
-              .collect()
-              .flatMap(r => if (r.isNullAt(1)) None
-                else Some(r.getInt(0) -> micros(r.getTimestamp(1))))
-              .toMap
-          val merged = baseMins ++ fresh
+          val merged =
+            if (!bminsOk) {
+              // legacy meta / fanout change: one full upgrade recompute
+              if (live.isEmpty) Map.empty[Int, Long]
+              else perBucketMins(relOver(live))
+            } else {
+              val fresh =
+                if (bks.isEmpty) Map.empty[Int, Long]
+                else {
+                  val files = filesOfBuckets(bks)
+                  if (files.isEmpty) Map.empty[Int, Long]
+                  else perBucketMins(relOver(files))
+                }
+              val base = (sm.bmins -- bks) ++ fresh
+              deltaMins.foldLeft(base) { case (m, (b, v)) =>
+                // recomputed buckets' files already include the delta
+                if (bks.contains(b)) m
+                else m.updated(b, math.min(m.getOrElse(b, Long.MaxValue), v))
+              }
+            }
           (if (merged.isEmpty) Long.MaxValue else merged.values.min,
             evFan, merged)
         }
@@ -2058,8 +2078,7 @@ class XtDb(spark: SparkSession, val root: String) {
             .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
             .map(f => snapEntry(s"$outDir/${f.getPath.getName}", f.getLen))
             .toSeq
-          val (newExpires, nbfan, nbmins) =
-            rebucketedMins(changedIidBuckets ++ crossedBuckets)
+          val (newExpires, nbfan, nbmins) = rebucketedMins(crossedBuckets)
           writeSnapSchema(table, lub)
           writeSnapMeta2(table, SnapMeta2(sm.gen, s.meta.lvseq, newWm,
             newExpires, l.key, l.buckets, sm.seq + 1,

@@ -24,7 +24,12 @@ import org.apache.spark.sql.functions._
   * Usage: SnapshotFoldProbe [nIdsCommaList] [folds] [backlogRows] [spread]
   * `spread` = confined (default: delta keys in 2% of the key space — the
   * layout's use case) | uniform (worst case: every bucket touched, the
-  * fold degrades to an O(snapshot) read+write, measured honestly).
+  * fold degrades to an O(snapshot) read+write, measured honestly) |
+  * point (round 15: the CDC/point-update regime — the delta updates 8
+  * hot ids, the event fanout is byte-derived so bucket size is capped,
+  * and the fold's RESOLVE input must stay flat in files AND records as
+  * the table grows: the bucket-pruned read is O(changed buckets ×
+  * capped bucket bytes), never O(event log)).
   * Prints one JSON line per scale point.
   */
 object SnapshotFoldProbe {
@@ -46,6 +51,11 @@ object SnapshotFoldProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    // point regime: cap bucket bytes so the event fanout SCALES with the
+    // table (the production cost model) instead of sitting at the floor
+    if (spread == "point")
+      spark.conf.set("spark.graft.eventBucketBytes", (256L * 1024).toString)
+    val counters = EngineMetrics.install(spark)
     bcastGate.foreach(g =>
       spark.conf.set("spark.graft.snapshotFold.broadcastMaxIds", g))
     def time[A](f: => A): (A, Double) = {
@@ -58,7 +68,11 @@ object SnapshotFoldProbe {
       val root = java.nio.file.Files
         .createTempDirectory(s"graft_sprobe_$nIds").toString
       val db = new XtDb(spark, root)
-      db.declareLayout("ft", "k", 32)
+      // point regime: size the DECLARED fanout by rows too (a deployment
+      // sizes buckets by bytes) — touched-key-bucket cost is then capped
+      val snapBuckets =
+        if (spread == "point") math.max(32, (nIds / 25000).toInt) else 32
+      db.declareLayout("ft", "k", snapBuckets)
       db.putDocs("ft", spark.range(1, nIds + 1)
         .selectExpr("id AS _id", s"CAST(id % $keySpace AS INT) AS k",
           "id * 3 AS v"))
@@ -71,9 +85,12 @@ object SnapshotFoldProbe {
         case Some(snap) =>
           val j = snap.join(dim, Seq("k")).agg(count(lit(1))).cache()
           val n = j.head().getLong(0)
+          // exchanges of the JOIN itself (the serving-relevant measure —
+          // the global count() above it always adds its own
+          // single-partition gather, which is not a serving cost)
           val ex = Explain.report(
-            db.currentSnapshotIfValid("ft").get.join(dim, Seq("k"))
-              .agg(count(lit(1)))).shuffleExchanges
+            db.currentSnapshotIfValid("ft").get.join(dim, Seq("k")))
+            .shuffleExchanges
           j.unpersist()
           (n, ex)
         case None => (-1L, -1)
@@ -82,18 +99,31 @@ object SnapshotFoldProbe {
       var next = nIds + 1
       val cycles = (1 to folds).map { _ =>
         val kmod = if (spread == "uniform") keySpace else 400L
-        db.putDocs("ft", spark.range(next, next + backlogRows)
-          .selectExpr("id AS _id", s"CAST(id % $kmod AS INT) AS k",
-            "id AS v"))
+        if (spread == "point")
+          // updates to 8 hot ids, key stable per id — the changed-iid
+          // set prunes the EVENT read to ≤8 buckets and the snapshot
+          // rewrite to ≤8 key-buckets
+          db.putDocs("ft", spark.range(next, next + backlogRows)
+            .selectExpr("CAST(1 + id % 8 AS BIGINT) AS _id",
+              "CAST(1 + id % 8 AS INT) AS k", "id AS v"))
+        else
+          db.putDocs("ft", spark.range(next, next + backlogRows)
+            .selectExpr("id AS _id", s"CAST(id % $kmod AS INT) AS k",
+              "id AS v"))
         next += backlogRows
+        Thread.sleep(300) // drain listener events from the put
+        val recs0 = counters.inputRecords.get
         val (_, foldSec) = time(db.compactIncremental("ft"))
+        Thread.sleep(300) // listener bus is async
+        val foldRecords = counters.inputRecords.get - recs0
         val valid = db.currentSnapshotIfValid("ft").isDefined
         // round 15: the fold's RESOLVE input after the changed-iid bucket
         // prune — must stay flat as nIds grows while the delta is constant
         val resolveFiles = EngineMetrics.lastFoldResolveFiles.size
         val liveFiles = EngineMetrics.lastFoldLiveFileCount
         val ((rows, exchanges), joinSec) = time(joinAgg())
-        (foldSec, joinSec, valid, rows, exchanges, resolveFiles, liveFiles)
+        (foldSec, joinSec, valid, rows, exchanges, resolveFiles, liveFiles,
+          foldRecords)
       }
       val (_, reFullSec) = time(db.compact("ft"))
       def fmt(xs: Seq[Double]) =
@@ -108,6 +138,7 @@ object SnapshotFoldProbe {
         s""""snapshot_valid_after_each_fold":${cycles.forall(_._3)},""" +
         s""""fold_resolve_files":${cycles.map(_._6).mkString("[", ",", "]")},""" +
         s""""fold_live_files":${cycles.map(_._7).mkString("[", ",", "]")},""" +
+        s""""fold_input_records":${cycles.map(_._8).mkString("[", ",", "]")},""" +
         s""""join_exchanges":${cycles.map(_._5).max},""" +
         s""""rows_last":${cycles.last._4},""" +
         s""""refull_compact_sec":${f"$reFullSec%.3f"}}""")
