@@ -1937,20 +1937,28 @@ class XtDb(spark: SparkSession, val root: String) {
                 (col(VT) >= lit(lo) && col(VT) <= lit(nowTs)))
               .select(col(IID)))
           }
-        val deltaEmpty = delta.forall(_.isEmpty)
+        // ONE job over the delta yields emptiness, the new watermark AND
+        // the per-bucket boundary mins (the fold's constant is driver
+        // job count at small deltas — keep it minimal)
+        val deltaRows: Array[org.apache.spark.sql.Row] = delta
+          .map(_.groupBy(pmod(hash(col(IID)), lit(evFan)).cast("int")
+              .as("bk"))
+            .agg(max(col(SF)).as("wm"),
+              least(min(when(col(VF) > lit(nowTs), col(VF))),
+                min(when(col(VT) > lit(nowTs), col(VT)))).as("b"))
+            .collect())
+          .getOrElse(Array.empty)
+        val deltaEmpty = deltaRows.isEmpty
         if (deltaEmpty && !expired) {
           // nothing new (e.g. a purge bumped lvseq): re-stamp validity
           writeSnapMeta2(table, sm.copy(lvseq = s.meta.lvseq))
           noSnapshot.remove(table)
           return
         }
-        val deltaAgg = delta.filterNot(_ => deltaEmpty).map(_.agg(
-          max(col(SF)).as("wm"),
-          least(min(when(col(VF) > lit(nowTs), col(VF))),
-            min(when(col(VT) > lit(nowTs), col(VT)))).as("b")).head())
-        val newWm = math.max(sm.watermark, deltaAgg
-          .filterNot(_.isNullAt(0))
-          .map(r => micros(r.getTimestamp(0))).getOrElse(0L))
+        val newWm = math.max(sm.watermark, deltaRows
+          .flatMap(r => if (r.isNullAt(1)) None
+            else Some(micros(r.getTimestamp(1))))
+          .foldLeft(0L)(math.max))
         // per-bucket boundary-min maintenance, O(delta) in the common
         // path: an existing event's boundary only leaves the future set
         // at a CROSSING (handled by the crossed-bucket recompute) or a
@@ -1967,8 +1975,10 @@ class XtDb(spark: SparkSession, val root: String) {
           .flatMap(r => if (r.isNullAt(1)) None
             else Some(r.getInt(0) -> micros(r.getTimestamp(1))))
           .toMap
-        lazy val deltaMins: Map[Int, Long] = delta
-          .filterNot(_ => deltaEmpty).map(perBucketMins).getOrElse(Map.empty)
+        lazy val deltaMins: Map[Int, Long] = deltaRows
+          .flatMap(r => if (r.isNullAt(2)) None
+            else Some(r.getInt(0) -> micros(r.getTimestamp(2))))
+          .toMap
         // `bks` = buckets whose carried min must be re-derived from their
         // FILES (a crossing consumed it); everything else carries, with
         // the delta's mins folded in bucket-wise
@@ -2013,7 +2023,12 @@ class XtDb(spark: SparkSession, val root: String) {
         val changed = changed0
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val changedCount = changed.count()
+          // one job: per-bucket changed-id counts give the bucket set
+          // AND the total for the broadcast gate
+          val changedByBucket = changed
+            .groupBy(pmod(hash(col(IID)), lit(evFan)).cast("int").as("b"))
+            .count().collect()
+          val changedCount = changedByBucket.map(_.getLong(1)).sum
           if (changedCount == 0) {
             val (e2, f2, m2) = rebucketedMins(crossedBuckets)
             writeSnapMeta2(table, sm.copy(lvseq = s.meta.lvseq,
@@ -2027,9 +2042,8 @@ class XtDb(spark: SparkSession, val root: String) {
           // never O(event log) (VERDICT r14 top_next). A uniform delta
           // touches every bucket and degrades to the documented
           // O(snapshot) read, with no broadcast cliff (gate below).
-          val changedIidBuckets = changed
-            .select(pmod(hash(col(IID)), lit(evFan)).cast("int").as("b"))
-            .distinct().collect().map(_.getInt(0)).toSet
+          val changedIidBuckets =
+            changedByBucket.map(_.getInt(0)).toSet
           val resolveFiles = filesOfBuckets(changedIidBuckets)
           graft.tools.EngineMetrics.lastFoldResolveFiles =
             resolveFiles.map(_.getPath.getName)

@@ -548,14 +548,15 @@ class BucketingSpec extends AnyFunSuite {
       db.compact("fv")
       // the future-valid put arrives via a FOLD, not a full compact
       val soon = java.sql.Timestamp.from(
-        java.time.Instant.now().plusSeconds(2))
+        java.time.Instant.now().plusSeconds(6))
       db.putDocs("fv", Seq(("2", 2, "soon")).toDF("_id", "k", "v"),
         validFrom = Some(lit(soon)))
       assert(db.compactIncremental("fv"))
       val snap = db.currentSnapshotIfValid("fv")
       assert(snap.isDefined, "snapshot valid before the folded boundary")
       assert(snap.get.count() === 1L, "future-valid row not yet current")
-      Thread.sleep(2500)
+      val remain = soon.getTime - System.currentTimeMillis()
+      Thread.sleep(math.max(500L, remain + 500L))
       assert(db.currentSnapshotIfValid("fv").isEmpty,
         "the folded delta's boundary must expire the snapshot")
       assert(graft.bitemporal.Bitemporal
