@@ -586,10 +586,17 @@ class XtDb(spark: SparkSession, val root: String) {
     * `_evmeta.json` does not vouch for the CURRENT generation but a
     * staged manifest written for the pointer's dir does, the staged one
     * is authoritative (the returned version is still `_evmeta.json`'s —
-    * a CAS write of the promoted content races correctly). A manifest
-    * that claims a FUTURE generation while carrying levels/consumed is
-    * the pre-round-15 crash artifact: serving or compacting from the
-    * flat fallback would lose data, so it fails loudly. */
+    * a CAS write of the promoted content races correctly). ANY manifest
+    * that claims a FUTURE generation (with no staged manifest covering
+    * the pointer) is the pre-round-15 crash artifact: no current writer
+    * produces one — both commit paths flip the pointer before touching
+    * `_evmeta.json` — so the only source is an aligned rewrite that
+    * overwrote the OLD generation's manifest and crashed before the
+    * flip. Whether the destroyed manifest had levels/consumed is
+    * unknowable from the new one (the common artifact carries
+    * levels=Nil), so serving or compacting from the flat fallback
+    * would silently lose data; it fails loudly regardless of the
+    * artifact's contents. */
   private def resolvedEvMetaV(table: String): (Option[EvMeta], Long) = {
     val (m, ver) = readEvMetaV(table)
     val curGen = currentGen(table).getOrElse(0)
@@ -603,9 +610,7 @@ class XtDb(spark: SparkSession, val root: String) {
         staged match {
           case Some(s) => (Some(s), ver)
           case None =>
-            other.filter(mm => mm.gen > curGen &&
-                (mm.levels.nonEmpty || mm.consumed.nonEmpty ||
-                  mm.excluded.nonEmpty))
+            other.filter(_.gen > curGen)
               .foreach { mm =>
                 throw new IllegalStateException(
                   s"event manifest of '$table' claims generation " +
@@ -927,12 +932,44 @@ class XtDb(spark: SparkSession, val root: String) {
       monotonically_increasing_id())
     migrateLegacyLayoutIfAny(table)
     val conformed = evolveSchema(table, withMeta)
-    conformed.write.mode("append").parquet(dataDir(table))
+    val obs = if (op == "erase") eraseObservation(table) else None
+    obs.map { case (o, nb) => conformed.observe(o, eraseBucketAgg(nb)) }
+      .getOrElse(conformed)
+      .write.mode("append").parquet(dataDir(table))
     logTx(sysTime, table, op, committed = true, error = None)
-    if (op == "erase") markErasePending(table, withMeta, sysTime)
+    if (op == "erase")
+      markErasePending(table, withMeta, sysTime, observedBuckets(obs))
     maybeAutoCompact(table)
     sysTime
   }
+
+  /** Erase-mark bucket addressing riding the append write itself
+    * (`Dataset.observe` — the aggregation is computed by the SAME job
+    * that writes the erase, so the commit path runs ZERO extra driver
+    * jobs; ADVICE r15 #4). Returns the observation handle plus the
+    * bucket count it was addressed against; None when the table has no
+    * current bucketed manifest (nothing to mark — the first fold
+    * records addressing authoritatively from its own input). */
+  private def eraseObservation(
+      table: String): Option[(org.apache.spark.sql.Observation, Int)] =
+    try cachedResolvedEvMeta(table)
+      .filter(_.gen == currentGen(table).getOrElse(0))
+      .map(m => (org.apache.spark.sql.Observation(
+        s"erase-mark-${System.nanoTime()}"), m.buckets))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  private def eraseBucketAgg(nBuckets: Int): Column =
+    collect_set(when(col(OP) === "erase",
+      pmod(hash(col(IID)), lit(nBuckets)).cast("int"))).as("ebks")
+
+  private def observedBuckets(
+      obs: Option[(org.apache.spark.sql.Observation, Int)])
+      : Option[(Set[Int], Int)] =
+    obs.flatMap { case (o, nb) =>
+      try Some((o.get("ebks").asInstanceOf[scala.collection.Seq[Any]]
+        .map(_.asInstanceOf[Number].intValue).toSet, nb))
+      catch { case scala.util.control.NonFatal(_) => None }
+    }
 
   /** Start the erase-purge clock at the erase APPEND itself (one tiny
     * manifest PUT), so the latency bound counts from the user's erase,
@@ -943,22 +980,37 @@ class XtDb(spark: SparkSession, val root: String) {
     * Maintenance metadata — must never fail the committed append; every
     * fold re-records the addressing authoritatively from its own input
     * ([[compactIncremental]]), so a lost mark costs latency, never the
-    * bound. */
+    * bound.
+    *
+    * The bucket set normally arrives pre-computed by the append write's
+    * own job (`observed` — [[eraseObservation]]); the single-agg
+    * recompute below runs only when the manifest's bucket count changed
+    * between the append and this CAS (a racing full compact — rare),
+    * and the manifest PUT is skipped when it would change nothing. */
   private def markErasePending(table: String, erasedDocs: DataFrame,
-      sysTime: java.sql.Timestamp): Unit =
+      sysTime: java.sql.Timestamp,
+      observed: Option[(Set[Int], Int)] = None): Unit =
     try {
       val (m0, ver) = resolvedEvMetaV(table)
       m0.filter(_.gen == currentGen(table).getOrElse(0))
         .foreach { m =>
-          val bks = erasedDocs
-            .select(pmod(hash(col(IID)), lit(m.buckets)).cast("int").as("b"))
-            .distinct().collect().map(_.getInt(0)).toSet
+          val bks = observed match {
+            case Some((bs, nb)) if nb == m.buckets =>
+              graft.tools.EngineMetrics.eraseMarkObserved.incrementAndGet()
+              bs
+            case _ =>
+              graft.tools.EngineMetrics.eraseMarkRecomputes.incrementAndGet()
+              erasedDocs.agg(eraseBucketAgg(m.buckets)).head
+                .getSeq[Any](0).map(_.asInstanceOf[Number].intValue).toSet
+          }
           val us = sysTime.toInstant.getEpochSecond * 1000000L +
             sysTime.toInstant.getNano / 1000L
-          writeEvMeta(table, m.copy(
-            eraseCycles = math.max(1, m.eraseCycles),
-            eraseBuckets = m.eraseBuckets ++ bks,
-            eraseMaxSf = math.max(m.eraseMaxSf, us)), ver)
+          if (m.eraseCycles < 1 || !bks.subsetOf(m.eraseBuckets) ||
+              us > m.eraseMaxSf)
+            writeEvMeta(table, m.copy(
+              eraseCycles = math.max(1, m.eraseCycles),
+              eraseBuckets = m.eraseBuckets ++ bks,
+              eraseMaxSf = math.max(m.eraseMaxSf, us)), ver)
         }
     }
     catch {
@@ -1107,6 +1159,12 @@ class XtDb(spark: SparkSession, val root: String) {
       var affected = 0L
       val committedByTable =
         scala.collection.mutable.Map[String, DataFrame]()
+      val eraseTables = ops.collect {
+        case TxOp.Erase(t, _) => t
+        case TxOp.EraseWhere(t, _) => t
+      }.toSet
+      val eraseObs = scala.collection.mutable
+        .Map[String, (org.apache.spark.sql.Observation, Int)]()
       staged.foreach { case (table, dirs) =>
         val parts = dirs.map(spark.read.parquet(_)).toSeq
         val lubbed = parts.map(_.schema).reduce(DynamicSchema.mergeSchemas)
@@ -1114,7 +1172,12 @@ class XtDb(spark: SparkSession, val root: String) {
           .reduce(_.unionByName(_, allowMissingColumns = true))
         migrateLegacyLayoutIfAny(table)
         val conformed = evolveSchema(table, df)
-        conformed.write.mode("append").parquet(dataDir(table))
+        val obs =
+          if (eraseTables.contains(table)) eraseObservation(table) else None
+        obs.foreach(eraseObs(table) = _)
+        obs.map { case (o, nb) => conformed.observe(o, eraseBucketAgg(nb)) }
+          .getOrElse(conformed)
+          .write.mode("append").parquet(dataDir(table))
         committedByTable(table) = conformed
         // affected-row count from the committed delta itself (parquet
         // footer counts over the staged files — NOT a re-run of the
@@ -1125,11 +1188,9 @@ class XtDb(spark: SparkSession, val root: String) {
       lastTxAffectedRows = affected
       logTx(sysTime, staged.keys.mkString(","), s"tx[${ops.length}]",
         committed = true, error = None)
-      ops.collect {
-        case TxOp.Erase(t, _) => t
-        case TxOp.EraseWhere(t, _) => t
-      }.distinct.foreach(t => committedByTable.get(t).foreach(df =>
-        markErasePending(t, df.where(col(OP) === "erase"), sysTime)))
+      eraseTables.foreach(t => committedByTable.get(t).foreach(df =>
+        markErasePending(t, df.where(col(OP) === "erase"), sysTime,
+          observedBuckets(eraseObs.get(t)))))
       staged.keys.foreach(maybeAutoCompact)
       sysTime
     } catch {
@@ -1766,7 +1827,16 @@ class XtDb(spark: SparkSession, val root: String) {
     require(cur.columns.contains(l.key),
       s"declared layout key '${l.key}' is not a column of $table " +
         s"(${cur.columns.mkString(", ")})")
-    val dir = s"${dataDir(table)}/_cs0"
+    // NEVER overwrite a live snapshot dir in place (ADVICE r15 #2): a
+    // prior SnapMeta2 may still list its files as live, and
+    // StaticFileIndex serves from the manifest with zero existence
+    // checks — a crash between an in-place overwrite and the meta
+    // write (or a concurrent reader on another instance) would hit
+    // deleted file names. A rebuild gets a FRESH seq-qualified dir,
+    // exactly like folds; the old files die via the one-cycle lease.
+    val seq = readSnapMeta2(table).map(_.seq + 1).getOrElse(0)
+    val relDir = s"_cs$seq"
+    val dir = s"${dataDir(table)}/$relDir"
     // the boundary reference point is taken BEFORE the snapshot write:
     // an event activating between this stamp and the write's own
     // `current_timestamp()` is then counted as an (already-passed)
@@ -1779,7 +1849,7 @@ class XtDb(spark: SparkSession, val root: String) {
     // sweep instead of orphaning them
     val prior = readSnapMeta2(table).toSeq.flatMap(sm =>
       (sm.files.map(snapEntryPath) ++ sm.retired)
-        .filterNot(_.startsWith("_cs0/")))
+        .filterNot(_.startsWith(s"$relDir/")))
     writeBucketedFiles(cur, dir, l.buckets, l.key)
     // earliest FUTURE valid-time boundary across live events: once the
     // clock passes it, the current state changes without a write and the
@@ -1825,13 +1895,13 @@ class XtDb(spark: SparkSession, val root: String) {
     val fs = hadoopFs
     val files = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
-      .map(f => snapEntry(s"_cs0/${f.getPath.getName}", f.getLen)).toSeq
+      .map(f => snapEntry(s"$relDir/${f.getPath.getName}", f.getLen)).toSeq
     val lvseq = cachedResolvedEvMeta(table)
       .filter(_.gen == currentGen(table).getOrElse(0))
       .map(_.lvseq).getOrElse(0)
     writeSnapSchema(table, cur.schema)
     writeSnapMeta2(table, SnapMeta2(currentGen(table).getOrElse(0), lvseq,
-      watermark, expires, l.key, l.buckets, 0, files, prior.distinct,
+      watermark, expires, l.key, l.buckets, seq, files, prior.distinct,
       bfan, bmins))
     noSnapshot.remove(table)
   }
@@ -2441,15 +2511,21 @@ class XtDb(spark: SparkSession, val root: String) {
     // staged gen-qualified manifests are redundant once `_evmeta.json`
     // itself vouches for a generation at least as new (crash-healed or
     // promoted); a staged manifest for a FUTURE generation belongs to an
-    // in-flight commit and is never touched
+    // in-flight commit and is never touched. An UNPARSEABLE staged
+    // manifest is kept too: it may be a racing instance's stage read
+    // mid-write — deleting it inside that instance's stage→flip window
+    // would destroy the healing manifest if that instance then crashed
+    // between flip and promote (reads would fail loudly, manual-restore
+    // territory). Staged files are tiny; a later sweep collects them
+    // once readable-and-superseded.
     try {
       if (readEvMeta(table).exists(_.gen >= m.gen))
         fs.listStatus(new org.apache.hadoop.fs.Path(tableDir(table)))
           .filter { st =>
             val n = st.getPath.getName
             st.isFile && n.startsWith("_evmeta.") && n != "_evmeta.json" &&
-              (try readEvMetaAt(table, st.getPath).forall(_.gen <= m.gen)
-               catch { case scala.util.control.NonFatal(_) => true })
+              (try readEvMetaAt(table, st.getPath).exists(_.gen <= m.gen)
+               catch { case scala.util.control.NonFatal(_) => false })
           }
           .foreach(st => fs.delete(st.getPath, false))
     } catch { case scala.util.control.NonFatal(_) => () }

@@ -57,6 +57,14 @@ object EngineMetrics {
   @volatile var lastPurgeUsedManifest: Boolean = false
   @volatile var lastPurgeScannedFiles: Seq[String] = Nil
 
+  /** Erase-mark commit-path accounting (round 16, ADVICE r15 #4): marks
+    * whose bucket set rode the append write's own job (`Dataset.observe`
+    * — zero extra commit-path jobs) vs marks that had to run the
+    * fallback recompute agg (manifest bucket count changed between the
+    * append and the CAS — a racing full compact, rare). */
+  val eraseMarkObserved = new java.util.concurrent.atomic.AtomicLong
+  val eraseMarkRecomputes = new java.util.concurrent.atomic.AtomicLong
+
   private val installed =
     scala.collection.concurrent.TrieMap.empty[org.apache.spark.SparkContext, Counters]
 

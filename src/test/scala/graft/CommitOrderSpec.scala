@@ -174,4 +174,73 @@ class CommitOrderSpec extends AnyFunSuite {
     java.nio.file.Files.write(p, js.getBytes("UTF-8"))
     assert(db.asOf("a").count() === 110L)
   }
+
+  test("a gen-AHEAD manifest with EMPTY levels/consumed — the actual " +
+      "pre-round-15 crash artifact (alignedRewrite wrote the fresh NEW " +
+      "manifest, then crashed before the flip) — also fails LOUDLY " +
+      "(ADVICE r15 #1): whether the destroyed OLD manifest had levels " +
+      "is unknowable from the new one") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    val db = newDb("commit-genahead-empty")
+    db.putDocs("a", spark.range(1, 101).selectExpr("id AS _id", "id AS v"))
+    db.compact("a")
+    db.putDocs("a", spark.range(101, 111).selectExpr("id AS _id", "id AS v"))
+    assert(db.compactIncremental("a"))
+    // the real artifact: a FRESH gen-ahead manifest — levels/consumed/
+    // excluded all empty (exactly what the pre-fix aligned rewrite wrote
+    // over the old manifest before flipping the pointer)
+    val p = java.nio.file.Paths.get(s"${db.root}/a/_evmeta.json")
+    val js = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+    val ahead = js.replaceFirst(""""gen":\d+""", "\"gen\":99")
+      .replaceFirst(""""levels":\[[^\]]*\]""", "\"levels\":[]")
+      .replaceFirst(""""consumed":\[[^\]]*\]""", "\"consumed\":[]")
+      .replaceFirst(""""excl":\[[^\]]*\]""", "\"excl\":[]")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(s"${db.root}/a/._evmeta.json.crc"))
+    java.nio.file.Files.write(p, ahead.getBytes("UTF-8"))
+    val e = intercept[IllegalStateException] { db.asOf("a").count() }
+    assert(e.getMessage.contains("claims generation"),
+      s"unexpected error: ${e.getMessage}")
+    // a flat fallback here would have served silently — and the next
+    // compaction would have baked the loss in; compact must refuse too
+    val e2 = intercept[IllegalStateException] { db.compactIncremental("a") }
+    assert(e2.getMessage.contains("claims generation"))
+    java.nio.file.Files.write(p, js.getBytes("UTF-8"))
+    assert(db.asOf("a").count() === 110L)
+  }
+
+  test("maintenance NEVER deletes an unparseable staged manifest " +
+      "(ADVICE r15 #3): a racing instance's stage read mid-write must " +
+      "survive the sweep; a parseable superseded stage is collected") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    val db = newDb("commit-sweepstage")
+    db.putDocs("w", spark.range(1, 201).selectExpr("id AS _id", "id AS v"))
+    db.compact("w")
+    db.putDocs("w", spark.range(201, 221).selectExpr("id AS _id", "id AS v"))
+    assert(db.compactIncremental("w"))
+    // a half-written stage from a racing instance: unparseable bytes
+    val tdir = s"${db.root}/w"
+    val halfWritten = java.nio.file.Paths.get(s"$tdir/_evmeta.g7xyz.json")
+    java.nio.file.Files.write(halfWritten,
+      """{"v":2,"gen":7,"buck""".getBytes("UTF-8"))
+    // a parseable stage the promoted manifest already supersedes
+    val superseded = java.nio.file.Paths.get(s"$tdir/_evmeta.g0old.json")
+    val cur = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tdir/_evmeta.json")), "UTF-8")
+    java.nio.file.Files.write(superseded,
+      cur.replaceFirst(""""gen":\d+""", "\"gen\":0").getBytes("UTF-8"))
+    // two maintenance cycles (the sweep runs on manifest writes)
+    db.putDocs("w", spark.range(221, 231).selectExpr("id AS _id", "id AS v"))
+    assert(db.compactIncremental("w"))
+    db.putDocs("w", spark.range(231, 241).selectExpr("id AS _id", "id AS v"))
+    assert(db.compactIncremental("w"))
+    assert(java.nio.file.Files.exists(halfWritten),
+      "an unreadable staged manifest must survive the sweep — it may be " +
+        "a live commit's healing manifest read mid-write")
+    assert(!java.nio.file.Files.exists(superseded),
+      "a parseable superseded staged manifest must be collected")
+    assert(db.asOf("w").count() === 240L)
+  }
 }

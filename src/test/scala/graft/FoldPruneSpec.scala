@@ -205,4 +205,91 @@ class FoldPruneSpec extends AnyFunSuite {
     assert(payloadFiles(db, "x", secret).isEmpty,
       s"erased payload files: ${payloadFiles(db, "x", secret)}")
   }
+
+  test("ADVICE r15 #4 — the erase-mark bucket set rides the append " +
+      "write's own job (observe): zero extra commit-path driver jobs, " +
+      "and the recorded buckets are exact") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    val db = newDb("erase-observe")
+    db.putDocs("o", spark.range(1, 501)
+      .selectExpr("id AS _id", "concat('r', id) AS data"))
+    db.compact("o") // manifest exists → marks are addressed
+    val obs0 = EngineMetrics.eraseMarkObserved.get()
+    val rec0 = EngineMetrics.eraseMarkRecomputes.get()
+    db.eraseDocs("o", Seq(Tuple1(13L), Tuple1(250L)).toDF("_id"))
+    assert(EngineMetrics.eraseMarkObserved.get() === obs0 + 1,
+      "the mark must consume the write job's observation")
+    assert(EngineMetrics.eraseMarkRecomputes.get() === rec0,
+      "no fallback recompute job may run in the common path")
+    // the observed addressing is exact: the manifest's erase buckets
+    // are the erased iids' buckets
+    val expected = Seq("13", "250").map(s =>
+      spark.range(1).select(pmod(hash(md5(lit(s))), lit(16)).cast("int"))
+        .as[Int].head()).toSet
+    val js = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"${db.root}/o/_evmeta.json")), "UTF-8")
+    val ebk = """"ebk":\[([^\]]*)\]""".r.findFirstMatchIn(js).get.group(1)
+      .split(",").filter(_.nonEmpty).map(_.trim.toInt).toSet
+    assert(expected.subsetOf(ebk),
+      s"manifest erase buckets $ebk must contain $expected")
+    // and the purge still takes the manifest-addressed path end to end
+    assert(db.compactIncremental("o"), "fold the erase into a level")
+    assert(db.purgeErasedBuckets("o"))
+    assert(EngineMetrics.lastPurgeUsedManifest)
+    assert(db.asOf("o").count() === 498L)
+  }
+
+  test("ADVICE r15 #2 — a mid-generation snapshot rebuild writes a FRESH " +
+      "seq-qualified dir, never overwriting the live one: the manifest " +
+      "always references files that exist, and the old files die via " +
+      "the one-cycle lease") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    val db = newDb("rebuild-fresh")
+    db.declareLayout("f", "k", 4)
+    db.putDocs("f", spark.range(1, 1001)
+      .selectExpr("id AS _id", "CAST(id % 10 AS INT) AS k",
+        "concat('r', id) AS data"))
+    db.compact("f")
+    def metaFiles(): Seq[String] =
+      """"files":\[([^\]]*)\]""".r.findFirstMatchIn(
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+          .get(s"${db.root}/f/_snapmeta.json")), "UTF-8")).get.group(1)
+        .split(",").filter(_.nonEmpty).toSeq
+        .map(_.trim.stripPrefix("\"").stripSuffix("\"").takeWhile(_ != '|'))
+    val before = metaFiles()
+    assert(before.nonEmpty)
+    val dd = db.dataDir("f")
+    def allExist(fs: Seq[String]): Boolean =
+      fs.forall(n => java.nio.file.Files.exists(
+        java.nio.file.Paths.get(s"$dd/$n")))
+    assert(allExist(before))
+    // force the purge's mid-generation REBUILD path (fold kept failing)
+    spark.conf.set("spark.graft.test.failSnapshotFold", "true")
+    try {
+      db.eraseDocs("f", Seq(Tuple1(7L)).toDF("_id"))
+      assert(db.compactIncremental("f"))
+      assert(db.purgeErasedBuckets("f"))
+    } finally spark.conf.unset("spark.graft.test.failSnapshotFold")
+    val after = metaFiles()
+    assert(after.nonEmpty && allExist(after),
+      s"rebuilt manifest must reference only existing files: $after")
+    val beforeDirs = before.map(_.takeWhile(_ != '/')).toSet
+    val afterDirs = after.map(_.takeWhile(_ != '/')).toSet
+    assert(beforeDirs.intersect(afterDirs).isEmpty,
+      s"the rebuild must land in a FRESH dir: $beforeDirs vs $afterDirs")
+    // the prior snapshot files survive the rebuild itself (a concurrent
+    // reader holding the old manifest can still serve) …
+    assert(allExist(before),
+      "prior snapshot files must outlive the rebuild (one-cycle lease)")
+    // … and die within the lease bound
+    db.compactIfLagged("f", 5); db.compactIfLagged("f", 5)
+    db.compactIfLagged("f", 5)
+    assert(!allExist(before) || before.forall(n =>
+        metaFiles().contains(n)),
+      "retired snapshot files must be swept within the lease bound")
+    val snap = db.currentSnapshotIfValid("f")
+    assert(snap.isDefined && snap.get.count() === 999L)
+  }
 }
