@@ -51,6 +51,12 @@ object EngineMetrics {
   @volatile var lastFoldResolveFiles: Seq[String] = Nil
   @volatile var lastFoldLiveFileCount: Int = 0
 
+  /** Which resolve path the last snapshot fold took (round 16):
+    * "event-log" (bucket-pruned event resolve — the point/CDC regime)
+    * or "snapshot+delta" (bulk regime: one snapshot scan ∪ delta, the
+    * event log not read at all — VERDICT r15 top_next). */
+  @volatile var lastFoldResolveMode: String = ""
+
   /** Erase-purge addressing accounting (round 15): whether the last
     * purge took the manifest-recorded bucket path (no discovery scan),
     * and the bucket files it actually merged. */

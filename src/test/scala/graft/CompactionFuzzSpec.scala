@@ -51,6 +51,10 @@ class CompactionFuzzSpec extends AnyFunSuite {
       // semi-join degradation path runs under the same oracle)
       sys.env.get("GRAFT_FUZZ_BCAST_GATE").foreach(g =>
         spark.conf.set("spark.graft.snapshotFold.broadcastMaxIds", g))
+      // round 16: force the fold's resolve path (snapshot+delta vs
+      // event-log) so both run under the same differential oracle
+      sys.env.get("GRAFT_FUZZ_RESOLVE_MODE").foreach(m =>
+        spark.conf.set("spark.graft.snapshotFold.resolveMode", m))
       spark.conf.set("spark.graft.fullCompact.smallBytes", "0")
       spark.conf.set("spark.graft.fullCompact.ratio", "0.5")
       spark.conf.set("spark.graft.maxLevels", "2")
@@ -62,7 +66,9 @@ class CompactionFuzzSpec extends AnyFunSuite {
       "spark.graft.fullCompact.smallBytes", "spark.graft.fullCompact.ratio",
       "spark.graft.maxLevels", "spark.graft.erasePurge.maxCycles") ++
       sys.env.get("GRAFT_FUZZ_BCAST_GATE").map(_ =>
-        "spark.graft.snapshotFold.broadcastMaxIds").toSeq)
+        "spark.graft.snapshotFold.broadcastMaxIds").toSeq ++
+      sys.env.get("GRAFT_FUZZ_RESOLVE_MODE").map(_ =>
+        "spark.graft.snapshotFold.resolveMode").toSeq)
       .foreach(spark.conf.unset)
 
     setKnobs()

@@ -206,6 +206,83 @@ class FoldPruneSpec extends AnyFunSuite {
       s"erased payload files: ${payloadFiles(db, "x", secret)}")
   }
 
+  test("VERDICT r15 top_next — a BULK fresh-id delta folds from " +
+      "snapshot+delta: the event log is NOT read (resolve input is " +
+      "O(delta + changed snapshot rows), not O(event log)) and the " +
+      "snapshot is exact") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    val db = newDb("fold-bulk")
+    db.declareLayout("b", "k", 4)
+    // two versions per id: the event log is ~2x the snapshot, so the
+    // auto heuristic must pick the snapshot-scan path for a bulk delta
+    db.putDocs("b", spark.range(1, 2001)
+      .selectExpr("id AS _id", "CAST(id % 20 AS INT) AS k", "id AS v"))
+    db.putDocs("b", spark.range(1, 2001)
+      .selectExpr("id AS _id", "CAST(id % 20 AS INT) AS k", "id*2 AS v"))
+    db.compact("b")
+    assert(db.currentSnapshotIfValid("b").isDefined)
+    // a bulk FRESH-id delta: 500 new ids hash into (essentially) every
+    // iid-bucket — the pruned event read would degrade to O(event log)
+    db.putDocs("b", spark.range(10001, 10501)
+      .selectExpr("id AS _id", "CAST(id % 20 AS INT) AS k", "id*3 AS v"))
+    assert(db.compactIncremental("b"), "fold the bulk delta")
+    assert(EngineMetrics.lastFoldResolveMode === "snapshot+delta",
+      "a bulk delta must resolve from snapshot+delta, not the event log")
+    assert(EngineMetrics.lastFoldResolveFiles.isEmpty,
+      "no event-log file may enter the bulk fold's resolve")
+    val snap = db.currentSnapshotIfValid("b")
+    assert(snap.isDefined, "snapshot must be valid after the bulk fold")
+    assert(snap.get.count() === 2500L)
+    assert(snap.get.filter(col("_id") === 10100L).select("v")
+      .as[Long].head() === 30300L)
+    assert(snap.get.filter(col("_id") === 500L).select("v")
+      .as[Long].head() === 1000L, "pre-delta rows keep their current value")
+    // and the folded snapshot ≡ a from-scratch resolve of the full log
+    val oracle = db.asOf("b").select(col("_id"), col("v"))
+    val got = snap.get.select(col("_id"), col("v"))
+    assert(got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty,
+      "bulk-folded snapshot must equal the full resolve")
+  }
+
+  test("snapshot+delta parity across UPDATE / DELETE / ERASE / key-move " +
+      "/ future-put in ONE bulk delta (resolveMode forced): byte-equal " +
+      "to the event-log resolve of the same log") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    spark.conf.set("spark.graft.snapshotFold.resolveMode", "snapshot")
+    try {
+      val db = newDb("fold-parity")
+      db.declareLayout("p", "k", 4)
+      db.putDocs("p", spark.range(1, 501)
+        .selectExpr("id AS _id", "CAST(id % 10 AS INT) AS k", "id AS v"))
+      db.compact("p")
+      // one delta carrying every mutation class
+      db.putDocs("p", Seq((7L, 7, 7000L)).toDF("_id", "k", "v")) // update
+      db.putDocs("p", Seq((8L, 99, 8000L)).toDF("_id", "k", "v")) // key move
+      db.deleteDocs("p", Seq(Tuple1(9L)).toDF("_id"))
+      db.eraseDocs("p", Seq(Tuple1(10L)).toDF("_id"))
+      db.putDocs("p", spark.range(601, 651)
+        .selectExpr("id AS _id", "CAST(id % 10 AS INT) AS k",
+          "id*5 AS v")) // fresh ids
+      assert(db.compactIncremental("p"))
+      assert(EngineMetrics.lastFoldResolveMode === "snapshot+delta")
+      val snap = db.currentSnapshotIfValid("p")
+      assert(snap.isDefined)
+      val got = snap.get.select(col("_id"), col("k"), col("v"))
+      val oracle = db.asOf("p").select(col("_id"), col("k"), col("v"))
+      assert(got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty,
+        "forced snapshot+delta fold must equal the event-log resolve")
+      assert(got.filter(col("_id") === 7L).select("v").as[Long].head()
+        === 7000L)
+      assert(got.filter(col("_id") === 8L).select("k").as[Int].head()
+        === 99, "key move must land in the new bucket")
+      assert(got.filter(col("_id").isin(9L, 10L)).isEmpty,
+        "delete and erase must leave the snapshot")
+      assert(got.count() === 548L)
+    } finally spark.conf.unset("spark.graft.snapshotFold.resolveMode")
+  }
+
   test("ADVICE r15 #4 — the erase-mark bucket set rides the append " +
       "write's own job (observe): zero extra commit-path driver jobs, " +
       "and the recorded buckets are exact") {
