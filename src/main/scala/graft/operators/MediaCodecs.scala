@@ -2,14 +2,22 @@ package graft.operators
 
 import java.nio.{ByteBuffer, ByteOrder}
 
-/** Real, pure-JVM media codecs for the container formats that need no
-  * external library: RIFF/WAVE PCM-16 audio, 24-bit uncompressed BMP and
-  * 8-bit RGB PNG images (hand-rolled), plus baseline JPEG through the
-  * JDK's own `javax.imageio` codec (shipped in every JRE — the one image
-  * format where a from-first-principles entropy decoder is out of
-  * scope). These upgrade [[Multimodal]]'s honest FAKE decode to actual
-  * byte-level parsing — mp3/mp4 remain behind the labeled stub until
-  * codec libs exist in the runtime.
+/** Real, pure-JVM media codecs — no external library: RIFF/WAVE PCM-16
+  * audio, 24-bit uncompressed BMP, 8-bit RGB PNG and GIF87a images
+  * (hand-rolled), baseline JPEG through the JDK's own `javax.imageio`,
+  * ID3v2 tags, MPEG-1 Layer III (MP3) header/side-info/scalefactor and
+  * big_values huffman decode (tables 0-9 and 13 tabulated from the spec
+  * layout — see [[decodeMp3HuffPair]]), MP4/fMP4 box walking with
+  * avcC/esds codec-config extraction, ADTS and H.264 Annex-B
+  * elementary-stream framing, and the AAC-LC filterbank (KBD/sine
+  * windows + IMDCT) behind a validator gate.
+  *
+  * Scoped out LOUDLY, by name, at the exact layer the runtime lacks the
+  * tabulated spec data for (each decoder throws there rather than fake
+  * output): MP3 big_values huffman tables 10-12, 15 and the 16-23 /
+  * 24-31 linbits families; AAC spectral huffman codebooks; H.264 sample
+  * (CABAC/CAVLC) decode. Container, framing, header and filterbank
+  * layers around them are real and spec-tested.
   *
   * Everything here is per-row executor code: encode for fixtures, decode
   * in `mapPartitions` batches. No Spark imports — the operator layer owns

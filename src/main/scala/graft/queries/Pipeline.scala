@@ -7,10 +7,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Training-data pipeline operators over `documents` / `embeddings`:
-  * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard), similarity search
-  * (brute-force + LSH ANN), text analysis, multimodal feature plumbing.
-  * Every query has a DuckDB oracle (md5-based hashing keeps all signature
-  * math engine-portable).
+  * dedup (exact, MinHash+LSH, SimHash, n-gram Jaccard, exact-substring,
+  * semantic/SemDeDup, connected-component cluster assignment,
+  * decontamination), similarity search (brute-force, LSH, IVF, PQ,
+  * IVF-PQ, SQ8 + the recall frontier), text analysis (language-ID,
+  * quality scoring, Gopher rules, PII, boilerplate, surprisal, BM25/
+  * KWIC/hybrid retrieval), BPE train/apply, sampling/packing/mixing,
+  * multimodal codec pipelines, curation provenance. Every query has a
+  * DuckDB oracle (md5-based hashing keeps all signature math
+  * engine-portable).
   */
 object Pipeline {
 

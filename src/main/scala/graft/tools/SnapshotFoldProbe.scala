@@ -121,9 +121,12 @@ object SnapshotFoldProbe {
         // prune — must stay flat as nIds grows while the delta is constant
         val resolveFiles = EngineMetrics.lastFoldResolveFiles.size
         val liveFiles = EngineMetrics.lastFoldLiveFileCount
+        // round 16: which resolve path the fold took (the bulk regime
+        // must go snapshot+delta — the event log not read at all)
+        val resolveMode = EngineMetrics.lastFoldResolveMode
         val ((rows, exchanges), joinSec) = time(joinAgg())
         (foldSec, joinSec, valid, rows, exchanges, resolveFiles, liveFiles,
-          foldRecords)
+          foldRecords, resolveMode)
       }
       val (_, reFullSec) = time(db.compact("ft"))
       def fmt(xs: Seq[Double]) =
@@ -139,6 +142,8 @@ object SnapshotFoldProbe {
         s""""fold_resolve_files":${cycles.map(_._6).mkString("[", ",", "]")},""" +
         s""""fold_live_files":${cycles.map(_._7).mkString("[", ",", "]")},""" +
         s""""fold_input_records":${cycles.map(_._8).mkString("[", ",", "]")},""" +
+        s""""fold_resolve_modes":${cycles.map(c => "\"" + c._9 + "\"")
+          .mkString("[", ",", "]")},""" +
         s""""join_exchanges":${cycles.map(_._5).max},""" +
         s""""rows_last":${cycles.last._4},""" +
         s""""refull_compact_sec":${f"$reFullSec%.3f"}}""")

@@ -243,4 +243,113 @@ class CommitOrderSpec extends AnyFunSuite {
       "a parseable superseded staged manifest must be collected")
     assert(db.asOf("w").count() === 240L)
   }
+
+  test("VERDICT r15 #2 — sidecar ownership: a resume within a LIVE " +
+      "attempt's lease never collaborates on its sidecar or dir (fresh " +
+      "suffixed attempt, sidecar-silent); an EXPIRED lease is taken " +
+      "over, resuming the dead attempt's dir and done chunks") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    spark.conf.set("spark.graft.fullCompact.chunkBuckets", "8")
+    try {
+      val db = newDb("commit-owner")
+      db.putDocs("r", spark.range(1, 1001).selectExpr("id AS _id", "id AS v"))
+      db.compact("r") // 16-bucket base ⇒ 2 chunks of 8
+      db.putDocs("r", spark.range(1001, 1051)
+        .selectExpr("id AS _id", "id AS v"))
+      assert(db.compactIncremental("r"))
+      // crash after chunk 1: a GRACEFUL failure releases the attempt
+      // lease on the way out (quick restarts resume immediately; only a
+      // hard kill leaves the lease to age)
+      spark.conf.set("spark.graft.test.failAfterChunks", "1")
+      intercept[IllegalStateException] { db.compact("r") }
+      spark.conf.unset("spark.graft.test.failAfterChunks")
+      val scPath = java.nio.file.Paths.get(
+        s"${db.root}/r/_compact_progress.json")
+      val sc0 = new String(java.nio.file.Files.readAllBytes(scPath), "UTF-8")
+      val dir1 = """"dir"\s*:\s*"([^"]*)"""".r
+        .findFirstMatchIn(sc0).get.group(1)
+      assert(""""owner"\s*:\s*"([^"]*)"""".r
+        .findFirstMatchIn(sc0).get.group(1).isEmpty,
+        "a graceful crash must release the attempt lease")
+      // now simulate a LIVE foreign compactor owning this attempt: a
+      // foreign token with a fresh heartbeat
+      def rewriteSidecar(owner: String, hb: Long): String = {
+        val cur = new String(
+          java.nio.file.Files.readAllBytes(scPath), "UTF-8")
+        val next = cur
+          .replaceFirst(""""owner":"[^"]*"""", s""""owner":"$owner"""")
+          .replaceFirst(""""hb":-?\d+""", s""""hb":$hb""")
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(
+          s"${db.root}/r/._compact_progress.json.crc"))
+        java.nio.file.Files.write(scPath, next.getBytes("UTF-8"))
+        next
+      }
+      val sc1 = rewriteSidecar("foreign-live-attempt",
+        System.currentTimeMillis())
+      val c0 = java.nio.file.Paths.get(s"${db.root}/r/$dir1/c0")
+      assert(java.nio.file.Files.exists(c0), "chunk c0 landed")
+      val c0Before = java.nio.file.Files.list(c0).count()
+
+      // LIVE lease (heartbeat is seconds old): the retry must not
+      // resume dir1 — it completes in a fresh suffixed dir, and right
+      // up to its commit point the "live" attempt's sidecar and chunk
+      // files are untouched (after the commit, the orphan dir is the
+      // winner's lazy GC's to collect — the doomed attempt fails
+      // loudly at its own CAS either way)
+      @volatile var atFlip: Option[(Boolean, Long, String)] = None
+      graft.bitemporal.XtDb.testBeforeFlipHook = () => {
+        val sc = new String(
+          java.nio.file.Files.readAllBytes(scPath), "UTF-8")
+        atFlip = Some((java.nio.file.Files.exists(c0),
+          if (java.nio.file.Files.exists(c0))
+            java.nio.file.Files.list(c0).count() else -1L,
+          sc))
+      }
+      try db.compact("r")
+      finally graft.bitemporal.XtDb.testBeforeFlipHook = () => ()
+      assert(db.asOf("r").count() === 1050L)
+      val committedDir = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"${db.root}/r/_gen")), "UTF-8")
+        .trim.split(':').last
+      assert(committedDir !== dir1,
+        "a live foreign attempt's dir must never be resumed")
+      val (c0There, c0Count, scAtFlip) = atFlip.get
+      assert(c0There && c0Count === c0Before,
+        "the live attempt's chunk files must be untouched at commit time")
+      assert(scAtFlip === sc1,
+        "a sidecar-silent loser must never rewrite the live sidecar")
+
+      // EXPIRED foreign lease: crash again, stamp a foreign owner with
+      // an ancient heartbeat — the takeover must resume the SAME dir
+      // with the done chunk intact
+      db.putDocs("r", spark.range(1051, 1101)
+        .selectExpr("id AS _id", "id AS v"))
+      assert(db.compactIncremental("r"))
+      spark.conf.set("spark.graft.test.failAfterChunks", "1")
+      intercept[IllegalStateException] { db.compact("r") }
+      spark.conf.unset("spark.graft.test.failAfterChunks")
+      rewriteSidecar("foreign-dead-attempt", 1L)
+      val dir2 = """"dir"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(
+        new String(java.nio.file.Files.readAllBytes(scPath), "UTF-8"))
+        .get.group(1)
+      val c0b = java.nio.file.Paths.get(s"${db.root}/r/$dir2/c0")
+      val c0Mtime = java.nio.file.Files.getLastModifiedTime(c0b)
+      db.compact("r")
+      val committed2 = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"${db.root}/r/_gen")), "UTF-8")
+        .trim.split(':').last
+      assert(committed2 === dir2,
+        "an expired attempt must be taken over into the SAME dir")
+      assert(java.nio.file.Files.getLastModifiedTime(c0b) === c0Mtime,
+        "the dead attempt's completed chunk must not be rewritten")
+      assert(db.asOf("r").count() === 1100L,
+        "no chunk served twice, none lost")
+      assert(db.events("r").groupBy(col("_id")).count()
+        .filter(col("count") > 1).count() === 0L)
+    } finally {
+      spark.conf.unset("spark.graft.fullCompact.chunkBuckets")
+      spark.conf.unset("spark.graft.test.failAfterChunks")
+    }
+  }
 }

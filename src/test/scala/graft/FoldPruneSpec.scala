@@ -206,6 +206,42 @@ class FoldPruneSpec extends AnyFunSuite {
       s"erased payload files: ${payloadFiles(db, "x", secret)}")
   }
 
+  test("VERDICT r15 #3 — purging a future-boundary event rewrites the " +
+      "affected buckets' boundary mins: no spurious early snapshot " +
+      "expiry survives the purge") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    val db = newDb("purge-bmins")
+    db.declareLayout("m", "k", 4)
+    db.putDocs("m", spark.range(1, 501)
+      .selectExpr("id AS _id", "CAST(id % 10 AS INT) AS k",
+        "concat('r', id) AS data"))
+    // one FUTURE activation (+1h): the snapshot expiry pins to it
+    db.putDocs("m", Seq((7777L, 7, "future")).toDF("_id", "k", "data"),
+      validFrom = Some(lit(java.sql.Timestamp.from(
+        java.time.Instant.now().plusSeconds(3600)))))
+    db.compact("m")
+    def snapNum(k: String): Long =
+      (s""""$k"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(
+        new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths
+          .get(s"${db.root}/m/_snapmeta.json")), "UTF-8")).get.group(1).toLong
+    val e1 = snapNum("expires")
+    assert(e1 != Long.MaxValue,
+      "snapshot expiry must be pinned to the future boundary")
+    // erase the future event's id, fold (O(delta) min maintenance keeps
+    // the now-stale boundary), then purge — the purge must rewrite the
+    // affected buckets' mins from the data it just merged
+    db.eraseDocs("m", Seq(Tuple1(7777L)).toDF("_id"))
+    assert(db.compactIncremental("m"))
+    assert(db.purgeErasedBuckets("m"))
+    val e2 = snapNum("expires")
+    assert(e2 === Long.MaxValue,
+      s"the purged boundary must leave the expiry ($e1 -> $e2): a stale " +
+        "min would expire the snapshot early for no reason")
+    val snap = db.currentSnapshotIfValid("m")
+    assert(snap.isDefined && snap.get.count() === 500L)
+  }
+
   test("VERDICT r15 top_next — a BULK fresh-id delta folds from " +
       "snapshot+delta: the event log is NOT read (resolve input is " +
       "O(delta + changed snapshot rows), not O(event log)) and the " +
