@@ -301,14 +301,24 @@ class FoldPruneSpec extends AnyFunSuite {
       db.putDocs("p", spark.range(601, 651)
         .selectExpr("id AS _id", "CAST(id % 10 AS INT) AS k",
           "id*5 AS v")) // fresh ids
+      // schema evolution inside the delta: the union of (old snapshot
+      // rows ∪ delta) must LUB the new column, old rows reading null
+      db.putDocs("p", Seq((11L, 1, 1100L, "tagged"))
+        .toDF("_id", "k", "v", "extra"))
       assert(db.compactIncremental("p"))
       assert(EngineMetrics.lastFoldResolveMode === "snapshot+delta")
       val snap = db.currentSnapshotIfValid("p")
       assert(snap.isDefined)
-      val got = snap.get.select(col("_id"), col("k"), col("v"))
-      val oracle = db.asOf("p").select(col("_id"), col("k"), col("v"))
+      val got = snap.get.select(col("_id"), col("k"), col("v"), col("extra"))
+      val oracle = db.asOf("p")
+        .select(col("_id"), col("k"), col("v"), col("extra"))
       assert(got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty,
         "forced snapshot+delta fold must equal the event-log resolve")
+      assert(got.filter(col("_id") === 11L).select("extra")
+        .as[String].head() === "tagged")
+      assert(got.filter(col("_id") === 12L).select("extra")
+        .as[String].head() === null,
+        "pre-evolution rows must read the new column as null")
       assert(got.filter(col("_id") === 7L).select("v").as[Long].head()
         === 7000L)
       assert(got.filter(col("_id") === 8L).select("k").as[Int].head()
