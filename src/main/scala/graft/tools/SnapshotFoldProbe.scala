@@ -42,6 +42,12 @@ object SnapshotFoldProbe {
     // optional 5th arg: snapshotFold.broadcastMaxIds override, to measure
     // the shuffle semi-join degradation on both sides of the gate
     val bcastGate = args.lift(4)
+    // optional 6th arg: versions per id in the base table (round 16 —
+    // the event log is versions× the snapshot, so the history-depth gap
+    // between the event-log and snapshot+delta resolve paths is
+    // measurable); optional env GRAFT_PROBE_RESOLVE_MODE forces
+    // spark.graft.snapshotFold.resolveMode for the comparison rows
+    val versions = args.lift(5).map(_.toInt).getOrElse(1)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -58,6 +64,8 @@ object SnapshotFoldProbe {
     val counters = EngineMetrics.install(spark)
     bcastGate.foreach(g =>
       spark.conf.set("spark.graft.snapshotFold.broadcastMaxIds", g))
+    sys.env.get("GRAFT_PROBE_RESOLVE_MODE").foreach(m =>
+      spark.conf.set("spark.graft.snapshotFold.resolveMode", m))
     def time[A](f: => A): (A, Double) = {
       val t0 = System.nanoTime()
       val a = f
@@ -73,9 +81,10 @@ object SnapshotFoldProbe {
       val snapBuckets =
         if (spread == "point") math.max(32, (nIds / 25000).toInt) else 32
       db.declareLayout("ft", "k", snapBuckets)
-      db.putDocs("ft", spark.range(1, nIds + 1)
-        .selectExpr("id AS _id", s"CAST(id % $keySpace AS INT) AS k",
-          "id * 3 AS v"))
+      (1 to versions).foreach(vr =>
+        db.putDocs("ft", spark.range(1, nIds + 1)
+          .selectExpr("id AS _id", s"CAST(id % $keySpace AS INT) AS k",
+            s"id * 3 + $vr AS v")))
       val (_, fullSec) = time(db.compact("ft"))
       val dim = spark.range(0, 400)
         .selectExpr("CAST(id AS INT) AS k", "id * 11 AS w")
@@ -133,6 +142,8 @@ object SnapshotFoldProbe {
         xs.map(x => f"$x%.3f").mkString("[", ",", "]")
       println(
         s"""{"probe":"snapshot_fold","n_ids":$nIds,"spread":"$spread",""" +
+        s""""versions":$versions,"forced_mode":"${sys.env
+          .getOrElse("GRAFT_PROBE_RESOLVE_MODE", "auto")}",""" +
         s""""bcast_gate":${bcastGate.getOrElse("500000")},""" +
         s""""backlog_rows":$backlogRows,"buckets":32,""" +
         s""""full_compact_sec":${f"$fullSec%.3f"},""" +
