@@ -2210,6 +2210,10 @@ class XtDb(spark: SparkSession, val root: String) {
           val gate = spark.conf
             .get("spark.graft.snapshotFold.broadcastMaxIds", "500000")
             .toLong
+          // (a shuffle_hash hint on the past-gate changed side was tried
+          // and FALSIFIED round 16: fold times identical within noise at
+          // 3.75M ids / 100k delta / gate=1 — the bucketed write, not
+          // the probe-side sort, dominates the shuffle-path fold)
           def changedSide: DataFrame =
             if (changedCount <= gate) broadcast(changed) else changed
           // RESOLVE-PATH selection (round 16, VERDICT r15 top_next): for
