@@ -347,6 +347,37 @@ class CommitOrderSpec extends AnyFunSuite {
         "no chunk served twice, none lost")
       assert(db.events("r").groupBy(col("_id")).count()
         .filter(col("count") > 1).count() === 0L)
+
+      // MISMATCHED inputs + LIVE foreign lease: a crashed attempt whose
+      // fingerprint went stale (new data folded after the crash) but
+      // whose sidecar a live foreign compactor now owns — the stale-dir
+      // cleanup must NOT delete a live attempt's dir, and the retry
+      // must still complete correctly in its own fresh dir
+      db.putDocs("r", spark.range(1101, 1151)
+        .selectExpr("id AS _id", "id AS v"))
+      assert(db.compactIncremental("r"))
+      spark.conf.set("spark.graft.test.failAfterChunks", "1")
+      intercept[IllegalStateException] { db.compact("r") }
+      spark.conf.unset("spark.graft.test.failAfterChunks")
+      val dir3 = """"dir"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(
+        new String(java.nio.file.Files.readAllBytes(scPath), "UTF-8"))
+        .get.group(1)
+      // stale the fingerprint: land and fold MORE data
+      db.putDocs("r", spark.range(1151, 1201)
+        .selectExpr("id AS _id", "id AS v"))
+      assert(db.compactIncremental("r"))
+      rewriteSidecar("foreign-live-stale-fp", System.currentTimeMillis())
+      val d3 = java.nio.file.Paths.get(s"${db.root}/r/$dir3")
+      assert(java.nio.file.Files.exists(d3))
+      @volatile var d3AtFlip = false
+      graft.bitemporal.XtDb.testBeforeFlipHook =
+        () => d3AtFlip = java.nio.file.Files.exists(d3)
+      try db.compact("r")
+      finally graft.bitemporal.XtDb.testBeforeFlipHook = () => ()
+      assert(d3AtFlip,
+        "a LIVE foreign attempt's dir must not be deleted by the " +
+          "stale-progress cleanup, even when its fingerprint mismatches")
+      assert(db.asOf("r").count() === 1200L)
     } finally {
       spark.conf.unset("spark.graft.fullCompact.chunkBuckets")
       spark.conf.unset("spark.graft.test.failAfterChunks")
