@@ -968,13 +968,22 @@ class XtDb(spark: SparkSession, val root: String) {
     collect_set(when(col(OP) === "erase",
       pmod(hash(col(IID)), lit(nBuckets)).cast("int"))).as("ebks")
 
+  /** The observed bucket set, with a BOUNDED wait: the write action has
+    * already completed when this is called, but the QueryExecutionListener
+    * that feeds the Observation fires asynchronously — `getOrEmpty` waits
+    * briefly, and a short retry loop covers a slow listener bus. A miss
+    * returns None and the mark falls back to the single-agg recompute —
+    * the commit path can never block indefinitely on metrics plumbing. */
   private def observedBuckets(
       obs: Option[(org.apache.spark.sql.Observation, Int)])
       : Option[(Set[Int], Int)] =
     obs.flatMap { case (o, nb) =>
-      try Some((o.get("ebks").asInstanceOf[scala.collection.Seq[Any]]
-        .map(_.asInstanceOf[Number].intValue).toSet, nb))
-      catch { case scala.util.control.NonFatal(_) => None }
+      try {
+        val row = scala.concurrent.Await.result(o.future,
+          scala.concurrent.duration.Duration(10, "seconds"))
+        Some((row.getAs[scala.collection.Seq[Any]]("ebks")
+          .map(_.asInstanceOf[Number].intValue).toSet, nb))
+      } catch { case scala.util.control.NonFatal(_) => None }
     }
 
   /** Start the erase-purge clock at the erase APPEND itself (one tiny
