@@ -61,6 +61,9 @@ class FoldPruneSpec extends AnyFunSuite {
 
     val resolveFiles = EngineMetrics.lastFoldResolveFiles
     val liveCount = EngineMetrics.lastFoldLiveFileCount
+    assert(EngineMetrics.lastFoldResolveMode === "event-log",
+      "a point delta must stay on the pruned event path — the byte " +
+        "heuristic must not drag it through a full snapshot scan")
     assert(resolveFiles.nonEmpty && liveCount > 0)
     assert(resolveFiles.size < liveCount,
       s"fold must prune: resolved ${resolveFiles.size} of $liveCount files")
