@@ -1406,14 +1406,22 @@ class XtDb(spark: SparkSession, val root: String) {
     }
   }
 
+  /** `expectVersion` >= 0 routes through the store's CAS surface
+    * (putIfVersion) — used by the lease takeover so two takeovers can
+    * never both win on a real object store. */
   private def writeCompactProgress(table: String,
-      p: CompactProgress): Unit = {
+      p: CompactProgress, expectVersion: Long = -1L): Unit = {
     val json = s"""{"gen":${p.gen},"buckets":${p.buckets},""" +
       s""""fp":"${p.fp}","chunk":${p.chunk},"dir":"${p.dir}",""" +
       s""""owner":"${p.owner}","hb":${p.hb},""" +
       s""""done":[${p.done.toSeq.sorted.mkString(",")}]}"""
-    val out = hadoopFs.create(compactProgressPath(table), true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
+    if (expectVersion >= 0L)
+      conditionalPut(compactProgressPath(table), json.getBytes("UTF-8"),
+        expectVersion, s"compact-progress lease of '$table'")
+    else {
+      val out = hadoopFs.create(compactProgressPath(table), true)
+      try out.write(json.getBytes("UTF-8")) finally out.close()
+    }
   }
 
   /** The aligned full compaction, if its preconditions hold: a
@@ -1489,6 +1497,14 @@ class XtDb(spark: SparkSession, val root: String) {
         System.currentTimeMillis() - p.hb <= leaseMs
     def freshDir(): String =
       s"g${next}_" + java.util.UUID.randomUUID().toString.take(8)
+    // sidecar version captured BEFORE the content read: a write landing
+    // in between makes a later takeover CAS fail spuriously (safe) —
+    // never succeed wrongly (-1 on stores without a version surface)
+    val sidecarV = hadoopFs match {
+      case cas: graft.storage.VersionedPut =>
+        cas.versionOf(compactProgressPath(table))
+      case _ => -1L
+    }
     // (output dir, completed chunks, persist progress?) — a loser racing
     // a LIVE attempt runs sidecar-silent: it never writes the shared
     // sidecar (no thrash, no clobbered resume state for the live owner),
@@ -1501,17 +1517,30 @@ class XtDb(spark: SparkSession, val root: String) {
           // it; our fresh dir stays orphaned (lazy GC) if it wins
           (freshDir(), Set.empty[Int], false)
         else {
-          // dead (or pre-round-16 legacy) attempt: take the lease. The
-          // sidecar has no CAS surface on plain filesystems, so stamp
-          // our token and re-read — the last writer wins, the loser
-          // falls back to a sidecar-silent fresh attempt; the per-chunk
-          // ownership check below bounds any residual overlap to one
-          // chunk, and the pointer CAS still picks a single winner.
-          writeCompactProgress(table, p.copy(owner = attempt,
-            hb = System.currentTimeMillis()))
-          readCompactProgress(table) match {
-            case Some(q) if q.owner == attempt => (p.dir, p.done, true)
-            case _ => (freshDir(), Set.empty[Int], false)
+          // dead (or pre-round-16 legacy) attempt: take the lease. On
+          // stores with a CAS surface (real object stores — where
+          // multi-instance deployments actually live) the takeover is
+          // ATOMIC: putIfVersion against the version captured before
+          // the sidecar read, so two racing takeovers can never both
+          // win. Plain filesystems keep write-then-verify (last writer
+          // wins; the per-chunk ownership check below bounds any
+          // residual overlap to one chunk, and the pointer CAS still
+          // picks a single committed winner).
+          val stamped = p.copy(owner = attempt,
+            hb = System.currentTimeMillis())
+          if (sidecarV >= 0L) {
+            val won = try { writeCompactProgress(table, stamped, sidecarV)
+              true }
+              catch { case _: java.util.ConcurrentModificationException =>
+                false }
+            if (won) (p.dir, p.done, true)
+            else (freshDir(), Set.empty[Int], false)
+          } else {
+            writeCompactProgress(table, stamped)
+            readCompactProgress(table) match {
+              case Some(q) if q.owner == attempt => (p.dir, p.done, true)
+              case _ => (freshDir(), Set.empty[Int], false)
+            }
           }
         }
       case prior =>

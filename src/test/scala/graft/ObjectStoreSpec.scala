@@ -371,4 +371,62 @@ class ObjectStoreSpec extends AnyFunSuite {
       s"orphan gen-2 dirs must be collected: $afterDirs")
     assert(Bitemporal.current(a.events("docs")).count() === 521L)
   }
+
+  test("ATOMIC lease takeover on objstore:// (round 16): an expired " +
+      "attempt's sidecar is taken over via putIfVersion — the resume " +
+      "lands in the dead attempt's dir with its done chunks intact, " +
+      "rename-free end to end") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    spark.conf.set("spark.graft.fullCompact.chunkBuckets", "8")
+    try {
+      val (root, fs) = freshRoot()
+      val db = new XtDb(spark, root)
+      db.putDocs("docs", spark.range(1, 1001)
+        .select(col("id").as("_id"), (col("id") * 2).as("v")))
+      db.compact("docs") // 16-bucket base ⇒ 2 chunks of 8
+      db.putDocs("docs", spark.range(1001, 1051)
+        .select(col("id").as("_id"), (col("id") * 2).as("v")))
+      assert(db.compactIncremental("docs"))
+      spark.conf.set("spark.graft.test.failAfterChunks", "1")
+      intercept[IllegalStateException] { db.compact("docs") }
+      spark.conf.unset("spark.graft.test.failAfterChunks")
+      // stamp a FOREIGN owner with an ancient heartbeat (the graceful
+      // release left owner empty — craft the dead-foreign artifact)
+      val scP = new org.apache.hadoop.fs.Path(
+        s"$root/docs/_compact_progress.json")
+      val in = fs.open(scP)
+      val sc = try {
+        val b = new Array[Byte](fs.getFileStatus(scP).getLen.toInt)
+        in.readFully(b); new String(b, "UTF-8")
+      } finally in.close()
+      val dir1 = """"dir"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(sc)
+        .get.group(1)
+      val crafted = sc
+        .replaceFirst(""""owner":"[^"]*"""", """"owner":"dead-foreign"""")
+        .replaceFirst(""""hb":-?\d+""", """"hb":1""")
+      val out = fs.create(scP, true)
+      try out.write(crafted.getBytes("UTF-8")) finally out.close()
+      // the takeover goes through the store's CAS surface and resumes
+      // the SAME dir; commit completes with exact rows
+      db.compact("docs")
+      val gen = {
+        val gp = new org.apache.hadoop.fs.Path(s"$root/docs/_gen")
+        val gi = fs.open(gp)
+        try {
+          val b = new Array[Byte](fs.getFileStatus(gp).getLen.toInt)
+          gi.readFully(b); new String(b, "UTF-8").trim
+        } finally gi.close()
+      }
+      assert(gen.split(':').last === dir1,
+        s"expired-lease takeover must resume the dead attempt's dir: " +
+          s"$gen vs $dir1")
+      assert(Bitemporal.current(db.events("docs")).count() === 1050L)
+      assert(db.events("docs").groupBy(col("_id")).count()
+        .filter(col("count") > 1).count() === 0L)
+    } finally {
+      spark.conf.unset("spark.graft.fullCompact.chunkBuckets")
+      spark.conf.unset("spark.graft.test.failAfterChunks")
+    }
+  }
 }
