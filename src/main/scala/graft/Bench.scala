@@ -253,7 +253,13 @@ object Bench {
     // flat twin (count + order-independent xxhash64 sum) before timing.
     val posture2 = sys.env.getOrElse("SPARK_GRAFT_POSTURE2", "true").toBoolean
     def fmt2(v: Double) = f"$v%.3f"
-    val bucketedExtra = if (!posture2) "" else try {
+    // posture hot-run closures + attempt-1 hots + JSON builder, exposed
+    // for the quiet-run retry passes (VERDICT r16 #4) — set inside the
+    // posture block below
+    var postureHot: Seq[(String, () => Double)] = Nil
+    var postureHots1: Seq[(String, Double)] = Nil
+    var postureFragment: Seq[(String, Double)] => String = _ => ""
+    if (posture2) try {
       import org.apache.spark.sql.functions._
       import graft.bitemporal.Bitemporal
       val prep0 = System.nanoTime()
@@ -297,30 +303,39 @@ object Bench {
       // query), equality verification after — running sig() first would
       // warm page cache/file indexes/JIT and make bucketed_cold_queries
       // incomparable with the headline cold numbers
-      val bres = bdefs.map { case (n, f) =>
-        val cold = time(f().collect())
+      def hotOf(n: String, f: () => org.apache.spark.sql.DataFrame)
+          : Double = {
         def hotDf() =
           if (prepared) PlanCache.prepared(spark, (dstB, n))(f()) else f()
-        val hot = (1 to hotRuns).map(_ => time(hotDf().collect())).min
-        (n, cold, hot)
+        (1 to hotRuns).map(_ => time(hotDf().collect())).min
       }
+      val bres = bdefs.map { case (n, f) =>
+        val cold = time(f().collect())
+        (n, cold, hotOf(n, f))
+      }
+      postureHot = bdefs.map { case (n, f) => (n, () => hotOf(n, f)) }
+      postureHots1 = bres.map { case (n, _, h) => (n, h) }
       val verified = bdefs.forall { case (n, f) =>
         val ok = sig(f()) == sig(byName(n).fn(spark, dataDir))
         if (!ok) System.err.println(s"[bench] bucketed posture MISMATCH: $n")
         ok
       }
-      val bq = bres.map { case (k, _, h) => s""""$k":${fmt2(h)}""" }
-        .mkString("{", ",", "}")
       val bqc = bres.map { case (k, c, _) => s""""$k":${fmt2(c)}""" }
         .mkString("{", ",", "}")
-      s""","bucketed_prep":${fmt2(prepSec)},"bucketed_verified":$verified,""" +
-        s""""bucketed_value":${fmt2(bres.map(_._3).sum)},""" +
-        s""""bucketed_queries":$bq,"bucketed_cold_queries":$bqc"""
+      postureFragment = hots => {
+        val bq = hots.map { case (k, h) => s""""$k":${fmt2(h)}""" }
+          .mkString("{", ",", "}")
+        s""","bucketed_prep":${fmt2(prepSec)},""" +
+          s""""bucketed_verified":$verified,""" +
+          s""""bucketed_value":${fmt2(hots.map(_._2).sum)},""" +
+          s""""bucketed_queries":$bq,"bucketed_cold_queries":$bqc"""
+      }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] bucketed posture failed: ${e.getMessage}")
-        s""","bucketed_error":"${Option(e.getMessage).getOrElse("?")
-          .replaceAll("[\"\\\\\\n\\r]", " ").take(160)}""""
+        val msg = Option(e.getMessage).getOrElse("?")
+          .replaceAll("[\"\\\\\\n\\r]", " ").take(160)
+        postureFragment = _ => s""","bucketed_error":"$msg""""
     }
 
     val baseline: Map[String, Double] = {
@@ -335,12 +350,62 @@ object Bench {
 
     val steal1 = stealTicks()
     def fmt(v: Double) = f"$v%.3f"
-    val qs = results.map { case (k, _, hot) => s""""$k":${fmt(hot)}""" }
+
+    // ---- quiet-run protocol (VERDICT r16 #4): if attempt 1's timed
+    // section ran under hypervisor noise (steal_ticks past the
+    // documented threshold), re-run the HOT passes (headline +
+    // bucketed posture; cold numbers stay attempt 1's) with a backoff,
+    // up to N attempts, and report the quietest attempt — recording
+    // every attempt in the artifact so the selection is auditable.
+    // On a quiet machine this is a no-op: one attempt, same protocol
+    // as every prior round.
+    val stealMax = sys.env.getOrElse("SPARK_GRAFT_STEAL_MAX", "500").toLong
+    val maxAttempts =
+      math.max(1, sys.env.getOrElse("SPARK_GRAFT_QUIET_ATTEMPTS", "3").toInt)
+    val backoffSec =
+      sys.env.getOrElse("SPARK_GRAFT_QUIET_BACKOFF", "20").toInt
+    def headlineHotPass(): Seq[(String, Double)] =
+      SparkEntry.all.filter(_.bench)
+        .filter(d => only.forall(_.contains(d.name))).map { d =>
+          def hotDf() =
+            if (prepared)
+              PlanCache.prepared(spark, (dataDir, d.name))(
+                d.fn(spark, dataDir))
+            else d.fn(spark, dataDir)
+          (d.name, (1 to hotRuns).map(_ => time(hotDf().collect())).min)
+        }
+    // attempt = (headline hots, posture hots, steal over the pass)
+    var attempts: List[(Seq[(String, Double)], Seq[(String, Double)], Long)] =
+      List((results.map { case (k, _, h) => (k, h) }, postureHots1,
+        steal1 - steal0))
+    while (attempts.head._3 > stealMax && attempts.length < maxAttempts &&
+        stealTicks() >= 0L) {
+      System.err.println(s"[bench] attempt ${attempts.length} ran at " +
+        s"steal_ticks ${attempts.head._3} > $stealMax — backing off " +
+        s"${backoffSec}s and re-running the hot passes")
+      Thread.sleep(backoffSec * 1000L)
+      val s0 = stealTicks()
+      val hh = headlineHotPass()
+      val bh = postureHot.map { case (n, f) => (n, f()) }
+      attempts = (hh, bh, stealTicks() - s0) :: attempts
+    }
+    val ordered = attempts.reverse // chronological
+    val chosenIdx = ordered.zipWithIndex.minBy(_._1._3)._2
+    val (chosenHots, chosenBHots, chosenSteal) = ordered(chosenIdx)
+    val attemptsJson = ordered.map { case (hh, bh, st) =>
+      s"""{"steal_ticks":$st,"value":${fmt(hh.map(_._2).sum)}""" +
+        (if (bh.nonEmpty)
+          s""","bucketed_value":${fmt(bh.map(_._2).sum)}}"""
+        else "}")
+    }.mkString("[", ",", "]")
+
+    val qs = chosenHots.map { case (k, hot) => s""""$k":${fmt(hot)}""" }
       .mkString("{", ",", "}")
     val qsCold = results.map { case (k, cold, _) => s""""$k":${fmt(cold)}""" }
       .mkString("{", ",", "}")
-    val hotTotal = results.map(_._3).sum
+    val hotTotal = chosenHots.map(_._2).sum
     val coldTotal = results.map(_._2).sum
+    val bucketedExtra = postureFragment(chosenBHots)
     // trust guard: a hot run that is BOTH far below its cold run and
     // absurd in absolute terms (< 20 ms — no query here schedules tasks
     // and materializes rows that fast) means the "hot" number skipped
@@ -349,21 +414,25 @@ object Bench {
     // legitimate hot runs sit at 0.1-0.3× cold because cold carries the
     // Janino codegen of a sub-second query. Flagged names go in the
     // artifact so a too-good number is never silently recorded.
-    val suspects = results.collect {
-      case (k, cold, hot) if cold > 0.05 && hot < 0.2 * cold && hot < 0.02 =>
+    val coldByName = results.map { case (k, c, _) => k -> c }.toMap
+    val suspects = chosenHots.collect {
+      case (k, hot) if coldByName.getOrElse(k, 0.0) > 0.05 &&
+          hot < 0.2 * coldByName(k) && hot < 0.02 =>
         s""""$k""""
     }.mkString("[", ",", "]")
     val extra = if (baseline.nonEmpty) {
-      val baseTotal = results.flatMap(r => baseline.get(r._1)).sum
-      val ratios = results.collect { case (k, _, hot) if baseline.contains(k) =>
-        s""""$k":${fmt(hot / baseline(k))}""" }.mkString("{", ",", "}")
+      val baseTotal = chosenHots.flatMap(r => baseline.get(r._1)).sum
+      val ratios = chosenHots.collect {
+        case (k, hot) if baseline.contains(k) =>
+          s""""$k":${fmt(hot / baseline(k))}""" }.mkString("{", ",", "}")
       s""","baseline":"duckdb","baseline_total":${fmt(baseTotal)}""" +
         s""","ratio_total":${fmt(hotTotal / baseTotal)},"ratios":$ratios"""
     } else ""
     val json = s"""{"metric":"total","value":${fmt(hotTotal)},"unit":"sec",""" +
       s""""queries":$qs,"cold_value":${fmt(coldTotal)},""" +
       s""""cold_queries":$qsCold$extra,"suspect_hot":$suspects,""" +
-      s""""steal_ticks":${steal1 - steal0},"layout":"$layout"""" +
+      s""""steal_ticks":$chosenSteal,"layout":"$layout",""" +
+      s""""attempts":$attemptsJson,"attempt_chosen":${chosenIdx + 1}""" +
       s"""$bucketedExtra,"sf":"$sfDir"}"""
     // Belt and braces for the driver's extractor (BENCH_r05 recorded
     // "parsed": null because the JSON sat mid-log): persist the line to a

@@ -460,7 +460,15 @@ class XtDb(spark: SparkSession, val root: String) {
       //    swallowed fold failure) is repaired BEFORE the markers are
       //    physically deleted (GDPR bound, ADVICE r14 #3).
       eraseBuckets: Set[Int] = Set.empty,
-      eraseMaxSf: Long = 0L)
+      eraseMaxSf: Long = 0L,
+      // round 17: an aligned generation's committed chunk-dir names
+      // (gen-dir-relative, attempt-tagged `c<lo>.<tag>`). NonEmpty ⇒
+      // base-file reads are FENCED to these dirs: a paused loser
+      // attempt's late-landing part files in its own tagged dirs are
+      // never served as duplicate base rows. Empty = no fence (flat
+      // folds and shuffle-path generations write base files at the gen
+      // root).
+      chunks: Seq[String] = Nil)
 
   private def evMetaPath(table: String) =
     new org.apache.hadoop.fs.Path(s"${tableDir(table)}/_evmeta.json")
@@ -479,7 +487,7 @@ class XtDb(spark: SparkSession, val root: String) {
   private def writeEvMeta(table: String, m: EvMeta,
       expectVersion: Long = -1L): Unit = {
     require((m.levels ++ m.consumed ++ m.retired ++ m.excluded ++
-        m.sweepDirs)
+        m.sweepDirs ++ m.chunks)
         .forall(n => !n.exists(c => c == '"' || c == '\\' || c == '\n')),
       "manifest entries must be plain file/dir names")
     val json = evMetaJson(table, m)
@@ -499,7 +507,7 @@ class XtDb(spark: SparkSession, val root: String) {
       s""""ecyc":${m.eraseCycles},"excl":${jsonArr(m.excluded)},""" +
       s""""sweep":${jsonArr(m.sweepDirs)},""" +
       s""""ebk":[${m.eraseBuckets.toSeq.sorted.mkString(",")}],""" +
-      s""""emsf":${m.eraseMaxSf}}"""
+      s""""emsf":${m.eraseMaxSf},"chunks":${jsonArr(m.chunks)}}"""
   }
 
   /** CAS-if-available PUT (see [[writeEvMeta]]). */
@@ -557,7 +565,9 @@ class XtDb(spark: SparkSession, val root: String) {
             arr("sweep").getOrElse(Nil),
             // absent pre-round-15: erase discovery falls back to the scan
             intArr("ebk").getOrElse(Set.empty),
-            num("emsf").getOrElse(0L))
+            num("emsf").getOrElse(0L),
+            // absent pre-round-17: no chunk fence (chunk dirs untagged)
+            arr("chunks").getOrElse(Nil))
           Some(parsed.getOrElse(throw new IllegalStateException(
             s"corrupt event manifest for '$table' at $p: $s")))
         } else
@@ -752,9 +762,23 @@ class XtDb(spark: SparkSession, val root: String) {
         // exclusion matches on the DATA-DIR-RELATIVE path: base files of
         // an aligned generation live under chunk subdirs (`c0/part-…`),
         // so a name-only match would silently keep serving a
-        // purge-superseded file
-        val base = rootFiles.filter(f => isBase(f.getPath.getName) &&
-          !m.excluded.contains(relUnderData(table, f)))
+        // purge-superseded file. When the manifest carries a `chunks`
+        // fence (round 17), only files under the COMMITTED chunk dirs
+        // serve as base — a loser compaction attempt's late-landing
+        // part files in its own attempt-tagged dir are garbage, not
+        // duplicate rows.
+        val chunkFence: Option[Set[String]] =
+          if (m.chunks.nonEmpty) Some(m.chunks.toSet) else None
+        val base = rootFiles.filter { f =>
+          isBase(f.getPath.getName) && {
+            lazy val rel = relUnderData(table, f)
+            !m.excluded.contains(rel) &&
+              chunkFence.forall { cs =>
+                val i = rel.indexOf('/')
+                i > 0 && cs.contains(rel.substring(0, i))
+              }
+          }
+        }
         val backlog = rootFiles.filterNot(f =>
           isBase(f.getPath.getName) ||
             m.consumed.contains(f.getPath.getName))
@@ -970,10 +994,11 @@ class XtDb(spark: SparkSession, val root: String) {
 
   /** The observed bucket set, with a BOUNDED wait: the write action has
     * already completed when this is called, but the QueryExecutionListener
-    * that feeds the Observation fires asynchronously — `getOrEmpty` waits
-    * briefly, and a short retry loop covers a slow listener bus. A miss
-    * returns None and the mark falls back to the single-agg recompute —
-    * the commit path can never block indefinitely on metrics plumbing. */
+    * that feeds the Observation fires asynchronously — one bounded
+    * `Await.result` on the observation future covers the listener-bus
+    * latency. A timeout or failure returns None and the mark falls back
+    * to the single-agg recompute — the commit path can never block
+    * indefinitely on metrics plumbing. */
   private def observedBuckets(
       obs: Option[(org.apache.spark.sql.Observation, Int)])
       : Option[(Set[Int], Int)] =
@@ -1356,15 +1381,34 @@ class XtDb(spark: SparkSession, val root: String) {
   // genuine shuffle path.
 
   /** `owner`/`hb` (round 16, VERDICT r15 #2): an attempt token + a
-    * heartbeat stamped on every chunk commit. A resume finding a
-    * FOREIGN token within the lease treats the attempt as live and
-    * starts a fresh suffixed attempt instead of collaborating on (and
-    * thrashing) a live compactor's sidecar; an expired or legacy
-    * (pre-round-16, empty-owner) token is taken over with a
-    * write-then-verify, resuming the dead attempt's dir and done set. */
+    * heartbeat. A resume finding a FOREIGN token within the lease treats
+    * the attempt as live and starts a fresh suffixed attempt instead of
+    * collaborating on (and thrashing) a live compactor's sidecar; an
+    * expired or legacy (pre-round-16, empty-owner) token is taken over —
+    * atomically via the store's CAS surface where one exists, by
+    * write-then-verify on plain filesystems — resuming the dead
+    * attempt's dir, done set and chunk dirs.
+    *
+    * Round 17 (ADVICE r16 #1): the heartbeat is refreshed by a
+    * BACKGROUND daemon timer while chunks execute (a chunk may
+    * legitimately outlast the lease at scale — without the timer a
+    * second compactor takes over the same dir/done-set under a still-
+    * live owner), and on versioned stores every owner write CAS-chains
+    * on the version the owner's own previous write produced, so a
+    * foreign takeover surfaces at the owner's NEXT write as a lost
+    * lease instead of being masked by read-immediately-after-own-write.
+    *
+    * `dirs` maps each completed chunk's start bucket to its ATTEMPT-
+    * TAGGED output dir name (`c<lo>.<tag>`): attempts never share chunk
+    * dirs, and the committed manifest's `chunks` list fences reads to
+    * the winner's dirs — a paused loser's late-landing part files are
+    * never served (they previously mixed into the shared `c<lo>` dir as
+    * duplicate base rows). Absent in pre-round-17 sidecars: synthesized
+    * as the legacy untagged `c<lo>` names. */
   private final case class CompactProgress(gen: Int, buckets: Int,
       fp: String, done: Set[Int], chunk: Int, dir: String,
-      owner: String = "", hb: Long = 0L)
+      owner: String = "", hb: Long = 0L,
+      dirs: Map[Int, String] = Map.empty)
 
   private def compactProgressPath(table: String) =
     new org.apache.hadoop.fs.Path(
@@ -1401,27 +1445,37 @@ class XtDb(spark: SparkSession, val root: String) {
           (s""""owner"\\s*:\\s*"([^"]*)"""").r.findFirstMatchIn(s)
             .map(_.group(1)).getOrElse(""),
           (s""""hb"\\s*:\\s*(-?\\d+)""").r.findFirstMatchIn(s)
-            .map(_.group(1).toLong).getOrElse(0L))
+            .map(_.group(1).toLong).getOrElse(0L),
+          (s""""dirv"\\s*:\\s*\\[([^\\]]*)\\]""").r.findFirstMatchIn(s)
+            .map(m => """"([^"]*)"""".r.findAllMatchIn(m.group(1))
+              .map(_.group(1))
+              .flatMap { e =>
+                val i = e.indexOf(':')
+                if (i <= 0) None
+                else scala.util.Try(
+                  e.substring(0, i).toInt -> e.substring(i + 1)).toOption
+              }.toMap)
+            // pre-round-17 sidecar: chunks were written untagged
+            .getOrElse(d.map(lo => lo -> s"c$lo").toMap))
       } finally in.close()
     }
   }
 
-  /** `expectVersion` >= 0 routes through the store's CAS surface
-    * (putIfVersion) — used by the lease takeover so two takeovers can
-    * never both win on a real object store. */
-  private def writeCompactProgress(table: String,
-      p: CompactProgress, expectVersion: Long = -1L): Unit = {
-    val json = s"""{"gen":${p.gen},"buckets":${p.buckets},""" +
+  private def compactProgressJson(p: CompactProgress): String =
+    s"""{"gen":${p.gen},"buckets":${p.buckets},""" +
       s""""fp":"${p.fp}","chunk":${p.chunk},"dir":"${p.dir}",""" +
       s""""owner":"${p.owner}","hb":${p.hb},""" +
+      s""""dirv":${jsonArr(
+        p.dirs.toSeq.sortBy(_._1).map { case (k, v) => s"$k:$v" })},""" +
       s""""done":[${p.done.toSeq.sorted.mkString(",")}]}"""
-    if (expectVersion >= 0L)
-      conditionalPut(compactProgressPath(table), json.getBytes("UTF-8"),
-        expectVersion, s"compact-progress lease of '$table'")
-    else {
-      val out = hadoopFs.create(compactProgressPath(table), true)
-      try out.write(json.getBytes("UTF-8")) finally out.close()
-    }
+
+  /** Unconditional sidecar write (plain-FS path; versioned stores go
+    * through the owner's CAS chain in [[alignedRewrite]]). */
+  private def writeCompactProgress(table: String,
+      p: CompactProgress): Unit = {
+    val out = hadoopFs.create(compactProgressPath(table), true)
+    try out.write(compactProgressJson(p).getBytes("UTF-8"))
+    finally out.close()
   }
 
   /** The aligned full compaction, if its preconditions hold: a
@@ -1488,8 +1542,10 @@ class XtDb(spark: SparkSession, val root: String) {
     // attempt token + heartbeat lease (VERDICT r15 #2) keeps two
     // concurrent compactors from collaborating on one sidecar: a LIVE
     // foreign attempt is left alone (fresh suffixed dir, its files
-    // untouched); a dead one is taken over with a write-then-verify.
+    // untouched); a dead one is taken over — atomically on versioned
+    // stores, write-then-verify on plain FS.
     val attempt = java.util.UUID.randomUUID().toString
+    val tag = attempt.replace("-", "").take(8)
     val leaseMs = spark.conf
       .get("spark.graft.fullCompact.ownerLeaseMs", "600000").toLong
     def liveForeign(p: CompactProgress): Boolean =
@@ -1505,73 +1561,152 @@ class XtDb(spark: SparkSession, val root: String) {
         cas.versionOf(compactProgressPath(table))
       case _ => -1L
     }
-    // (output dir, completed chunks, persist progress?) — a loser racing
-    // a LIVE attempt runs sidecar-silent: it never writes the shared
-    // sidecar (no thrash, no clobbered resume state for the live owner),
-    // it just computes its fresh dir and lets the pointer CAS decide.
-    val (gname, done0, persistProgress) = readCompactProgress(table) match {
-      case Some(p) if p.gen == next && p.buckets == nb &&
-          p.fp == fingerprint && p.chunk == chunkSz && p.dir.nonEmpty =>
-        if (liveForeign(p))
-          // a live compactor owns this attempt — never interleave with
-          // it; our fresh dir stays orphaned (lazy GC) if it wins
-          (freshDir(), Set.empty[Int], false)
-        else {
-          // dead (or pre-round-16 legacy) attempt: take the lease. On
-          // stores with a CAS surface (real object stores — where
-          // multi-instance deployments actually live) the takeover is
-          // ATOMIC: putIfVersion against the version captured before
-          // the sidecar read, so two racing takeovers can never both
-          // win. Plain filesystems keep write-then-verify (last writer
-          // wins; the per-chunk ownership check below bounds any
-          // residual overlap to one chunk, and the pointer CAS still
-          // picks a single committed winner).
-          val stamped = p.copy(owner = attempt,
-            hb = System.currentTimeMillis())
-          if (sidecarV >= 0L) {
-            val won = try { writeCompactProgress(table, stamped, sidecarV)
-              true }
-              catch { case _: java.util.ConcurrentModificationException =>
-                false }
-            if (won) (p.dir, p.done, true)
-            else (freshDir(), Set.empty[Int], false)
-          } else {
-            writeCompactProgress(table, stamped)
-            readCompactProgress(table) match {
-              case Some(q) if q.owner == attempt => (p.dir, p.done, true)
-              case _ => (freshDir(), Set.empty[Int], false)
-            }
+    // ADVICE r16 #1: the owner's sidecar writes form a CAS CHAIN on
+    // versioned stores — every write (acquire, per-chunk progress, the
+    // background heartbeat, the release) expects the version the
+    // owner's OWN previous write produced (putIfVersionNext returns the
+    // new etag/generation), so a foreign takeover breaks the chain and
+    // surfaces at the owner's NEXT write as a lost lease — never masked
+    // by a read immediately after the owner's own write (which two
+    // live writers can each pass in turn, ping-ponging). chainV < 0 =
+    // plain FS: write-then-verify remains, and corruption is fenced by
+    // the attempt-tagged chunk dirs + manifest `chunks` list either way.
+    val chainV = new java.util.concurrent.atomic.AtomicLong(-1L)
+    @volatile var leaseLost = false
+    @volatile var lastProgress: Option[CompactProgress] = None
+    val sideLock = new Object
+    // one guarded owner write; false = the lease is gone (chain broken
+    // on CAS stores, foreign owner read back on plain FS)
+    def ownerPut(p: CompactProgress): Boolean = sideLock.synchronized {
+      if (leaseLost) false
+      else hadoopFs match {
+        case cas: graft.storage.VersionedPut if chainV.get >= 0L =>
+          val nv = cas.putIfVersionNext(compactProgressPath(table),
+            compactProgressJson(p).getBytes("UTF-8"), chainV.get)
+          if (nv < 0L) { leaseLost = true; false }
+          else { chainV.set(nv); lastProgress = Some(p); true }
+        case _ =>
+          writeCompactProgress(table, p)
+          val ok = readCompactProgress(table).exists(_.owner == p.owner)
+          if (!ok) leaseLost = true else lastProgress = Some(p)
+          ok
+      }
+    }
+    // initial lease write: CAS against the version captured before the
+    // sidecar read, so two racing takeovers (or two fresh starts) can
+    // never both win on a real object store
+    def acquire(p: CompactProgress): Boolean = sideLock.synchronized {
+      hadoopFs match {
+        case cas: graft.storage.VersionedPut =>
+          val nv = cas.putIfVersionNext(compactProgressPath(table),
+            compactProgressJson(p).getBytes("UTF-8"), sidecarV)
+          if (nv < 0L) false
+          else { chainV.set(nv); lastProgress = Some(p); true }
+        case _ =>
+          writeCompactProgress(table, p)
+          val ok = readCompactProgress(table).exists(_.owner == attempt)
+          if (ok) lastProgress = Some(p)
+          ok
+      }
+    }
+    // (output dir, completed chunks, their dirs, persist progress?) — a
+    // loser racing a LIVE attempt runs sidecar-silent: it never writes
+    // the shared sidecar (no thrash, no clobbered resume state for the
+    // live owner), it just computes its fresh dir and lets the pointer
+    // CAS decide.
+    val (gname, done0, dirs0, persistProgress) =
+      readCompactProgress(table) match {
+        case Some(p) if p.gen == next && p.buckets == nb &&
+            p.fp == fingerprint && p.chunk == chunkSz && p.dir.nonEmpty =>
+          if (liveForeign(p))
+            // a live compactor owns this attempt — never interleave with
+            // it; our fresh dir stays orphaned (lazy GC) if it wins
+            (freshDir(), Set.empty[Int], Map.empty[Int, String], false)
+          else {
+            // dead (or pre-round-16 legacy) attempt: take the lease,
+            // resuming its dir, done set and completed chunk dirs
+            val stamped = p.copy(owner = attempt,
+              hb = System.currentTimeMillis())
+            if (acquire(stamped)) (p.dir, p.done, p.dirs, true)
+            else (freshDir(), Set.empty[Int], Map.empty[Int, String], false)
           }
-        }
-      case prior =>
-        // no progress, or the inputs/stride changed since the crash —
-        // restart into a fresh uniquely-suffixed dir (racing compactors
-        // can never interleave files; the loser's dir stays orphaned
-        // until the winner's GC). A LIVE foreign attempt's dir and
-        // sidecar are never touched — its inputs changed, so it will
-        // fail loudly at its own commit CAS; only a dead attempt's
-        // leftovers are collected.
-        prior.filter(p => p.dir.nonEmpty && !liveForeign(p)).foreach { p =>
-          val gp = new org.apache.hadoop.fs.Path(s"${tableDir(table)}/${p.dir}")
-          if (fs.exists(gp)) fs.delete(gp, true)
-        }
-        (freshDir(), Set.empty[Int], !prior.exists(liveForeign))
+        case prior =>
+          // no progress, or the inputs/stride changed since the crash —
+          // restart into a fresh uniquely-suffixed dir (racing compactors
+          // can never interleave files; the loser's dir stays orphaned
+          // until the winner's GC). A LIVE foreign attempt's dir and
+          // sidecar are never touched — its inputs changed, so it will
+          // fail loudly at its own commit CAS; only a dead attempt's
+          // leftovers are collected.
+          prior.filter(p => p.dir.nonEmpty && !liveForeign(p)).foreach { p =>
+            val gp = new org.apache.hadoop.fs.Path(
+              s"${tableDir(table)}/${p.dir}")
+            if (fs.exists(gp)) fs.delete(gp, true)
+          }
+          val dir0 = freshDir()
+          if (prior.exists(liveForeign))
+            (dir0, Set.empty[Int], Map.empty[Int, String], false)
+          else {
+            // publish owner+hb BEFORE the first (possibly long) chunk —
+            // a second fresh compactor starting in that window sees a
+            // live owner instead of racing blind
+            val fresh = CompactProgress(next, nb, fingerprint,
+              Set.empty, chunkSz, dir0, attempt,
+              System.currentTimeMillis())
+            (dir0, Set.empty[Int], Map.empty[Int, String], acquire(fresh))
+          }
+      }
+    // heartbeat on a background daemon timer (ADVICE r16 #1): a chunk
+    // may legitimately outlast the lease at scale; refreshing only on
+    // chunk commit let a second compactor take over the same dir under
+    // a still-live owner. A failed refresh (chain broken / foreign
+    // owner) just sets leaseLost — the chunk loop stops at its next
+    // boundary.
+    val hbTimer: Option[java.util.concurrent.ScheduledExecutorService] =
+      if (!persistProgress) None
+      else {
+        val ex = java.util.concurrent.Executors
+          .newSingleThreadScheduledExecutor((r: Runnable) => {
+            val t = new Thread(r, s"graft-compact-hb-$tag")
+            t.setDaemon(true); t
+          })
+        val period = math.max(100L, leaseMs / 3)
+        ex.scheduleWithFixedDelay(() => {
+          try {
+            if (!leaseLost) lastProgress.foreach(p =>
+              ownerPut(p.copy(hb = System.currentTimeMillis())))
+          } catch { case scala.util.control.NonFatal(_) => () }
+        }, period, period, java.util.concurrent.TimeUnit.MILLISECONDS)
+        Some(ex)
+      }
+    def stopHeartbeat(): Unit = hbTimer.foreach { ex =>
+      ex.shutdownNow()
+      try ex.awaitTermination(5, java.util.concurrent.TimeUnit.SECONDS)
+      catch { case _: InterruptedException =>
+        Thread.currentThread().interrupt() }
+      ()
     }
     // a GRACEFUL failure (any exception — the injected crash knobs
     // included) releases the attempt lease on the way out, so a quick
     // restart resumes the done chunks immediately; only a hard kill
-    // (SIGKILL/power loss) leaves the lease to age out. Guarded on
-    // still-owning: a taker-over's sidecar is never clobbered.
+    // (SIGKILL/power loss) leaves the lease to age out. Routed through
+    // the CAS chain: a taker-over's sidecar is never clobbered.
     def releaseLease(): Unit =
-      if (persistProgress) try
-        readCompactProgress(table)
-          .filter(p => p.dir == gname && p.owner == attempt)
-          .foreach(p =>
-            writeCompactProgress(table, p.copy(owner = "", hb = 0L)))
+      if (persistProgress && !leaseLost) try
+        lastProgress.foreach(p => ownerPut(p.copy(owner = "", hb = 0L)))
       catch { case scala.util.control.NonFatal(_) => () }
     try {
     val gdir = s"${tableDir(table)}/$gname"
     var done = done0
+    var dirs = dirs0
+    def lostLease(after: Int): Nothing = {
+      val who = try readCompactProgress(table).map(_.owner).getOrElse("?")
+        catch { case scala.util.control.NonFatal(_) => "?" }
+      throw new IllegalStateException(
+        s"aligned compaction of '$table' lost its attempt lease " +
+          s"(now '$who') after $after chunks — another compactor took " +
+          "over the sidecar; this attempt stops")
+    }
     // fault injection for the kill-and-resume spec: fail loudly after K
     // chunks have landed this invocation (-1 = never; never set in prod)
     val failAfter = spark.conf
@@ -1580,40 +1715,61 @@ class XtDb(spark: SparkSession, val root: String) {
     (0 until nb by chunkSz).foreach { lo =>
       val hi = math.min(nb, lo + chunkSz)
       if (!done.contains(lo)) {
+        // a heartbeat refresh already saw the lease gone: stop before
+        // spending another chunk of work
+        if (persistProgress && leaseLost) lostLease(landed)
         val files = (lo until hi).flatMap(byBucket.getOrElse(_, Nil))
-        if (files.nonEmpty)
+        // each attempt writes into its OWN tagged chunk dir: a paused
+        // attempt's in-flight Spark job landing part files after a
+        // takeover can only land them in the LOSER's dir, which the
+        // committed manifest's `chunks` list fences out of every read
+        val cdir = s"c$lo.$tag"
+        if (files.nonEmpty) {
           writeBucketedAligned(
             purgeErased(bucketedRelation(table, files, nb)),
-            s"$gdir/c$lo", nb)
-        done += lo
-        if (persistProgress) {
-          writeCompactProgress(table, CompactProgress(next, nb, fingerprint,
-            done, chunkSz, gname, attempt, System.currentTimeMillis()))
-          // ownership re-verify per chunk: if another compactor took the
-          // lease (our heartbeat looked expired), stop immediately
-          // instead of interleaving further chunks with the new owner
-          readCompactProgress(table).filter(q =>
-              q.dir == gname && q.owner != attempt).foreach { q =>
-            throw new IllegalStateException(
-              s"aligned compaction of '$table' lost its attempt lease " +
-                s"to '${q.owner}' after $landed chunks — another " +
-                s"compactor took over the sidecar; this attempt stops")
-          }
+            s"$gdir/$cdir", nb)
+          dirs += (lo -> cdir)
         }
+        done += lo
+        XtDb.testAfterChunkHook(lo)
+        if (persistProgress &&
+            !ownerPut(CompactProgress(next, nb, fingerprint,
+              done, chunkSz, gname, attempt, System.currentTimeMillis(),
+              dirs)))
+          // the CAS chain broke (versioned store) or a foreign owner
+          // read back (plain FS): the lease is gone — surface at the
+          // write itself (ADVICE r16 #1)
+          lostLease(landed)
         landed += 1
         if (failAfter >= 0 && landed >= failAfter)
           throw new IllegalStateException(
             s"injected compaction crash after $landed chunks (test knob)")
       }
     }
-    // every chunk durable. Commit: stage the new generation's manifest
-    // under its gen-qualified name (the old `_evmeta.json` stays intact),
+    // every chunk durable; the commit phase is short — stop refreshing
+    // the lease (the pointer CAS below arbitrates from here on)
+    stopHeartbeat()
+    // prune chunk dirs in OUR gdir that are not part of the committed
+    // set (a dead prior attempt's incomplete chunk, or a paused loser's
+    // late landing): fenced out of reads either way, this just returns
+    // the disk
+    if (fs.exists(new org.apache.hadoop.fs.Path(gdir))) {
+      val committed = dirs.values.toSet
+      fs.listStatus(new org.apache.hadoop.fs.Path(gdir))
+        .filter(st => st.isDirectory && !committed.contains(
+          st.getPath.getName))
+        .foreach(st => fs.delete(st.getPath, true))
+    }
+    // Commit: stage the new generation's manifest under its
+    // gen-qualified name (the old `_evmeta.json` stays intact),
     // CAS the pointer flip, THEN supersede `_evmeta.json` and clean up.
     // A pending erase was purged by the per-chunk merges — the superseded
-    // generation holding the payload gets the bounded sweep.
+    // generation holding the payload gets the bounded sweep. `chunks`
+    // fences base-file reads to exactly this attempt's chunk dirs.
     val newMeta = EvMeta(next, nb, Nil, Set.empty, Nil, 0,
       sweepDirs = if (s.meta.eraseCycles > 0)
-        curInfo.map(_._2).toSeq else Nil)
+        curInfo.map(_._2).toSeq else Nil,
+      chunks = dirs.values.toSeq.sorted)
     val stagedP = stagedEvMetaPath(table, gname)
     val outS = fs.create(stagedP, true)
     try outS.write(evMetaJson(table, newMeta).getBytes("UTF-8"))
@@ -1648,7 +1804,9 @@ class XtDb(spark: SparkSession, val root: String) {
           n.startsWith("_") || keep.contains(n)
         }
         .foreach(st => fs.delete(st.getPath, true))
-    } catch { case e: Throwable => releaseLease(); throw e }
+    } catch { case e: Throwable =>
+      stopHeartbeat(); releaseLease(); throw e
+    } finally stopHeartbeat()
   }
 
   /** Bucketed write WITHOUT the repartition: the input is already hashed
@@ -2133,18 +2291,44 @@ class XtDb(spark: SparkSession, val root: String) {
                 (col(VT) >= lit(lo) && col(VT) <= lit(nowTs)))
               .select(col(IID)))
           }
-        // ONE job over the delta yields emptiness, the new watermark AND
-        // the per-bucket boundary mins (the fold's constant is driver
-        // job count at small deltas — keep it minimal)
+        // ONE job over the delta yields emptiness, the new watermark,
+        // the per-bucket boundary mins AND (round 17, VERDICT r16 #2)
+        // the per-bucket changed-id counts + the delta's declared-key
+        // bucket set — so in the common non-crossing path neither the
+        // changed-count job nor the delta half of the touched-bucket
+        // job runs separately (the fold's constant is driver job count
+        // at small deltas — keep it minimal).
+        // Key-bucket typing guard: the fold's write hashes the key at
+        // the schema-LUB type and Spark's hash() is type-sensitive
+        // (hash(1) != hash(1L)), so the delta-side key buckets computed
+        // here are only usable when the delta's key type matches the
+        // snapshot's (or the delta lacks the key — null hashes
+        // type-independently). A type-evolving delta falls back to the
+        // union-typed touched job.
+        val deltaKeyCol: Column = delta match {
+          case Some(d) if d.columns.contains(l.key) => col(l.key)
+          case _ => lit(null)
+        }
         val deltaRows: Array[org.apache.spark.sql.Row] = delta
           .map(_.groupBy(pmod(hash(col(IID)), lit(evFan)).cast("int")
               .as("bk"))
             .agg(max(col(SF)).as("wm"),
               least(min(when(col(VF) > lit(nowTs), col(VF))),
-                min(when(col(VT) > lit(nowTs), col(VT)))).as("b"))
+                min(when(col(VT) > lit(nowTs), col(VT)))).as("b"),
+              countDistinct(col(IID)).as("cnt"),
+              collect_set(pmod(hash(deltaKeyCol), lit(l.buckets))
+                .cast("int")).as("kbks"))
             .collect())
           .getOrElse(Array.empty)
         val deltaEmpty = deltaRows.isEmpty
+        val deltaKeyTypeOk = delta.exists { d =>
+          !d.columns.contains(l.key) || loadSnapSchema(table).exists(ss =>
+            ss.fields.find(_.name == l.key)
+              .exists(_.dataType == d.schema(l.key).dataType))
+        }
+        // the delta's declared-key buckets (valid under deltaKeyTypeOk)
+        lazy val deltaTouched: Set[Int] = deltaRows.iterator
+          .flatMap(_.getSeq[Int](4)).toSet
         if (deltaEmpty && !expired) {
           // nothing new (e.g. a purge bumped lvseq): re-stamp validity
           writeSnapMeta2(table, sm.copy(lvseq = s.meta.lvseq))
@@ -2221,10 +2405,27 @@ class XtDb(spark: SparkSession, val root: String) {
         try {
           // one job: per-bucket changed-id counts give the bucket set
           // AND the total for the broadcast gate
-          val changedByBucket = changed
-            .groupBy(pmod(hash(col(IID)), lit(evFan)).cast("int").as("b"))
-            .count().collect()
-          val changedCount = changedByBucket.map(_.getLong(1)).sum
+          // per-iid-bucket changed-id counts: when the changed set IS
+          // the delta's id set (no boundary crossing in play — the
+          // common path) the histogram already rode the delta-aggregate
+          // job (`cnt` per bucket, exact: buckets partition iids); only
+          // a crossing runs the separate distinct-count job over the
+          // delta ∪ boundary union (VERDICT r16 #2).
+          val changedByBucket: Array[(Int, Long)] =
+            if (boundaryIds.isEmpty && delta.isDefined) {
+              graft.tools.EngineMetrics.foldChangedFromDelta
+                .incrementAndGet()
+              deltaRows.map(r => (r.getInt(0), r.getLong(3)))
+            } else {
+              graft.tools.EngineMetrics.foldChangedRecomputes
+                .incrementAndGet()
+              changed
+                .groupBy(pmod(hash(col(IID)), lit(evFan)).cast("int")
+                  .as("b"))
+                .count().collect()
+                .map(r => (r.getInt(0), r.getLong(1)))
+            }
+          val changedCount = changedByBucket.map(_._2).sum
           if (changedCount == 0) {
             val (e2, f2, m2) = rebucketedMins(crossedBuckets)
             writeSnapMeta2(table, sm.copy(lvseq = s.meta.lvseq,
@@ -2239,7 +2440,7 @@ class XtDb(spark: SparkSession, val root: String) {
           // touches every bucket and degrades to the documented
           // O(snapshot) read, with no broadcast cliff (gate below).
           val changedIidBuckets =
-            changedByBucket.map(_.getInt(0)).toSet
+            changedByBucket.iterator.map(_._1).toSet
           val resolveFiles = filesOfBuckets(changedIidBuckets)
           // size-gate the changed-set broadcast (ADVICE-pair of the
           // prune): a huge delta must degrade to a shuffle semi-join —
@@ -2277,20 +2478,69 @@ class XtDb(spark: SparkSession, val root: String) {
           val resolveMode = spark.conf
             .get("spark.graft.snapshotFold.resolveMode", "auto")
           val snapSchemaOpt = loadSnapSchema(table)
-          val useSnapDelta = resolveMode != "event" && !expired &&
+          // total snapshot bytes for the path heuristic. Legacy manifest
+          // entries without a |len suffix fall back to one getFileStatus
+          // each (ADVICE r16 #3 — silently dropping them undercounted the
+          // snapshot and could wrongly steer a small point delta onto the
+          // full-snapshot-scan path); an unstat-able entry means the
+          // snapshot scan itself would fail, so None steers to the event
+          // path.
+          def snapBytes: Option[Long] = {
+            var total = 0L
+            val it = sm.files.iterator
+            while (it.hasNext) {
+              val n = it.next()
+              val len = snapEntryLen(n)
+              val l =
+                if (len >= 0L) len
+                else try fs.getFileStatus(new org.apache.hadoop.fs.Path(
+                  s"$dd/${snapEntryPath(n)}")).getLen
+                catch { case scala.util.control.NonFatal(_) => return None }
+              total += l
+            }
+            Some(total)
+          }
+          // MIXED-MODE crossings (round 17, VERDICT r16 #5): a crossed
+          // valid-time boundary no longer flips the whole fold to the
+          // event path — only the CROSSED buckets' ids resolve from
+          // their event files (the new winner may be pre-watermark),
+          // the rest from snapshot+delta, in one fold. The crossed
+          // bucket set is exactly what `bmins` names; the event read is
+          // pruned to (crossed ∩ changed) buckets' files.
+          val crossedResolve =
+            if (!expired) Nil
+            else filesOfBuckets(crossedBuckets.intersect(changedIidBuckets))
+          // same hash-typing guard as deltaKeyTypeOk, for the event-side
+          // resolve of crossed ids: its touched buckets hash the key at
+          // the event schema's type
+          lazy val evKeyTypeOk = loadSchema(table).forall(es =>
+            es.fields.find(_.name == l.key).forall(f =>
+              snapSchemaOpt.exists(_.fields.find(_.name == l.key)
+                .exists(_.dataType == f.dataType))))
+          val useSnapDelta = resolveMode != "event" &&
             bminsOk && !deltaEmpty && delta.isDefined &&
             snapSchemaOpt.isDefined &&
+            (!expired || evKeyTypeOk) &&
             (resolveMode == "snapshot" ||
-              resolveFiles.map(_.getLen).sum >
-                sm.files.map(snapEntryLen).filter(_ >= 0L).sum)
+              snapBytes.exists(sb =>
+                resolveFiles.map(_.getLen).sum >
+                  sb + crossedResolve.map(_.getLen).sum))
           var snapScan: Option[DataFrame] = None
           try {
           val (newCur, keep, touched, snapSchema) =
             if (useSnapDelta) {
-              graft.tools.EngineMetrics.lastFoldResolveMode = "snapshot+delta"
-              graft.tools.EngineMetrics.lastFoldResolveFiles = Nil
+              // crossed-bucket ids (if any) resolve from their event
+              // files; everything else from snapshot+delta — disjoint
+              // by construction (iid-bucket membership partitions ids,
+              // and an id's every event lives in its iid bucket's files)
+              val mixed = expired && crossedResolve.nonEmpty
+              graft.tools.EngineMetrics.lastFoldResolveMode =
+                if (mixed) "mixed" else "snapshot+delta"
+              graft.tools.EngineMetrics.lastFoldResolveFiles =
+                if (mixed) crossedResolve.map(_.getPath.getName) else Nil
               graft.tools.EngineMetrics.lastFoldLiveFileCount = live.size
               val ss = snapSchemaOpt.get
+              def iidBkt = pmod(hash(col(IID)), lit(evFan)).cast("int")
               // ONE scan of the live snapshot; the marked left join
               // splits it into the changed ids' old rows (resolve input)
               // and the keep side — persisted so both read it once
@@ -2305,8 +2555,13 @@ class XtDb(spark: SparkSession, val root: String) {
                   Seq(IID), "left_outer")
                 .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
               snapScan = Some(marked)
-              val oldRows = marked.filter(col("__chg").isNotNull).drop("__chg")
+              val oldRowsAll = marked.filter(col("__chg").isNotNull)
+                .drop("__chg")
               val keepAll = marked.filter(col("__chg").isNull).drop("__chg")
+              // the snapshot+delta half never sees crossed-bucket ids
+              val oldRows = if (!mixed) oldRowsAll
+                else oldRowsAll.filter(
+                  !iidBkt.isInCollection(crossedBuckets))
               // a snapshot row is the prior winner with its event columns
               // as stored — re-arm it as a put event (its _seq can be 0:
               // delta _system_from is strictly above the old row's, so
@@ -2314,22 +2569,59 @@ class XtDb(spark: SparkSession, val root: String) {
               val oldEv = oldRows.drop(ST)
                 .withColumn(OP, lit("put"))
                 .withColumn(SEQ, lit(0L))
-              val deltaEv = delta.get
+              val deltaEv = if (!mixed) delta.get
+                else delta.get.filter(
+                  !iidBkt.isInCollection(crossedBuckets))
               val lubEv =
                 DynamicSchema.mergeSchemas(oldEv.schema, deltaEv.schema)
               val unioned = DynamicSchema.conform(oldEv, lubEv)
                 .unionByName(DynamicSchema.conform(deltaEv, lubEv),
                   allowMissingColumns = true)
-              val newCur = Bitemporal.resolve(unioned,
+              val newCurD = Bitemporal.resolve(unioned,
                 Bitemporal.TemporalSpec.Current,
                 Bitemporal.TemporalSpec.Current)
-              // {old key bucket} ∪ {delta key buckets} — exactly the
-              // buckets a changed id can leave or enter (historic
-              // pre-watermark key versions are not in the snapshot)
-              val touched = unioned
-                .select(pmod(hash(col(l.key)), lit(l.buckets)).cast("int")
-                  .as("b"))
-                .distinct().collect().map(_.getInt(0)).toSet
+              // event-side resolve of the crossed buckets' changed ids:
+              // full history from exactly those buckets' files (the new
+              // winner may be pre-watermark — in NEITHER the snapshot
+              // row nor the delta)
+              val evChangedX =
+                if (!mixed) None
+                else Some(relOver(crossedResolve)
+                  .join(changedSide, Seq(IID), "left_semi"))
+              val newCur = evChangedX match {
+                case None => newCurD
+                case Some(evX) =>
+                  val newCurX = Bitemporal.resolve(evX,
+                    Bitemporal.TemporalSpec.Current,
+                    Bitemporal.TemporalSpec.Current)
+                  val lubX = DynamicSchema.mergeSchemas(
+                    newCurD.schema, newCurX.schema)
+                  DynamicSchema.conform(newCurD, lubX)
+                    .unionByName(DynamicSchema.conform(newCurX, lubX),
+                      allowMissingColumns = true)
+              }
+              // {old key bucket} ∪ {delta key buckets} ∪ (mixed: every
+              // bucket any crossed id's key version hashes into) —
+              // exactly the buckets a changed id can leave or enter
+              // (historic pre-watermark key versions are not in the
+              // snapshot; the crossed ids' event read covers theirs).
+              // The delta half rode the delta-aggregate job (VERDICT
+              // r16 #2) when its key typing matches the snapshot's, so
+              // this ONE job only scans the CACHED marked relation plus
+              // the crossed files; a type-evolving delta keeps the
+              // union-typed computation.
+              def kb(df: DataFrame) =
+                df.select(pmod(hash(col(l.key)), lit(l.buckets))
+                  .cast("int").as("b"))
+              val touchedBase =
+                if (deltaKeyTypeOk) kb(oldRows) else kb(unioned)
+              val touchedDf = evChangedX match {
+                case None => touchedBase
+                case Some(evX) => touchedBase.unionByName(kb(evX))
+              }
+              val touched =
+                touchedDf.distinct().collect().map(_.getInt(0)).toSet ++
+                  (if (deltaKeyTypeOk) deltaTouched else Set.empty)
               val keep = keepAll.filter(pmod(hash(col(l.key)),
                 lit(l.buckets)).cast("int").isInCollection(touched))
               (newCur, keep, touched, ss)
@@ -3436,4 +3728,10 @@ object XtDb {
     * deterministically and pin that the loser fails LOUDLY at the CAS.
     * A no-op in production. */
   @volatile private[graft] var testBeforeFlipHook: () => Unit = () => ()
+
+  /** Test-only hook invoked after each aligned-compaction chunk lands
+    * (before its progress write) — lets a spec interleave a foreign
+    * sidecar write / lease takeover mid-run and pin that the owner's
+    * next write surfaces the lost lease. A no-op in production. */
+  @volatile private[graft] var testAfterChunkHook: Int => Unit = _ => ()
 }

@@ -71,6 +71,15 @@ object EngineMetrics {
   val eraseMarkObserved = new java.util.concurrent.atomic.AtomicLong
   val eraseMarkRecomputes = new java.util.concurrent.atomic.AtomicLong
 
+  /** Snapshot-fold driver-job accounting (round 17, VERDICT r16 #2):
+    * folds whose changed-id bucket histogram (and, on the
+    * snapshot+delta path, the delta side of the touched-bucket set)
+    * RODE the fold's single delta-aggregate job vs folds that had to
+    * run the separate changed-count job (boundary-crossing ids in
+    * play, or a type-evolving delta key). */
+  val foldChangedFromDelta = new java.util.concurrent.atomic.AtomicLong
+  val foldChangedRecomputes = new java.util.concurrent.atomic.AtomicLong
+
   private val installed =
     scala.collection.concurrent.TrieMap.empty[org.apache.spark.SparkContext, Counters]
 

@@ -35,21 +35,30 @@ object IntervalProbe {
           date_trunc("second", col("ts")).as(f))
         .withColumn(t, col(f) + expr(s"INTERVAL $mins MINUTES"))
 
-    def q203() = Joins.intervalJoin(
+    // round-17 probe knobs: SPARK_GRAFT_IJ_BUCKETS overrides the inner
+    // shapes' bucketSeconds (comma list runs a width sweep);
+    // SPARK_GRAFT_IJ_EXPLAIN=true dumps q203's formatted plan (the
+    // whole-stage-codegen audit of the residual period predicate).
+    val widths: Seq[Long] = sys.env.get("SPARK_GRAFT_IJ_BUCKETS")
+      .map(_.split(",").map(_.trim.toLong).toSeq).getOrElse(Seq(300L))
+    val w211: Long = sys.env.get("SPARK_GRAFT_IJ_BUCKETS_LEFT")
+      .map(_.toLong).getOrElse(60L)
+
+    def q203(w: Long = widths.head) = Joins.intervalJoin(
         sideDf("error", "l_event_id", "lf", "lt", 2),
         sideDf("purchase", "r_event_id", "rf", "rt", 2),
         "lf", "lt", "rf", "rt",
         Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
-        bucketSeconds = 300, strategy = "bucket")
+        bucketSeconds = w, strategy = "bucket")
       .groupBy("l_event_id")
       .agg(count(lit(1)).as("n"), max("r_event_id").as("m"))
 
-    def q213() = Joins.intervalJoin(
+    def q213(w: Long = widths.head) = Joins.intervalJoin(
         sideDf("error", "l_event_id", "lf", "lt", 3),
         sideDf("purchase", "r_event_id", "rf", "rt", 3),
         "lf", "lt", "rf", "rt",
         col("lf") <= col("rt") && col("rf") <= col("lt"),
-        bucketSeconds = 300, strategy = "bucket", inclusiveBounds = true)
+        bucketSeconds = w, strategy = "bucket", inclusiveBounds = true)
       .groupBy("l_event_id")
       .agg(count(lit(1)).as("n"), max("r_event_id").as("m"))
 
@@ -76,7 +85,7 @@ object IntervalProbe {
         sideDf("purchase", "r_event_id", "rf", "rt", 1),
         "lf", "lt", "rf", "rt",
         Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
-        bucketSeconds = 60, leftId = "l_event_id", strategy = "bucket")
+        bucketSeconds = w211, leftId = "l_event_id", strategy = "bucket")
       .groupBy("l_event_id")
       .agg(count(col("r_event_id")).as("n"), max("r_event_id").as("m"))
 
@@ -88,11 +97,36 @@ object IntervalProbe {
       val t = (1 to runs).map(_ => time { rows = mk().count() }).min
       (t, rows)
     }
-    val out = Seq("q203_overlaps" -> best(q203 _),
-      "q203_sweep" -> best(q203sweep _),
-      "q213_closed" -> best(q213 _),
-      "q213_sweep" -> best(q213sweep _),
-      "q211_left" -> best(q211 _))
+    // SPARK_GRAFT_IJ_ANALYZE=true writes the stats sidecar for the
+    // events table first (untimed, the 100 TB posture — stats ride with
+    // the table): the horizon then resolves as a literal and the two
+    // broadcast max-aggregate scans per side disappear from every plan.
+    if (sys.env.get("SPARK_GRAFT_IJ_ANALYZE").contains("true")) {
+      val p = new java.io.File(s"$sfDir/events.parquet")
+      graft.plans.StatsSidecar.analyze(spark,
+        if (p.isDirectory) p.toString else p.toString)
+    }
+    if (sys.env.get("SPARK_GRAFT_IJ_EXPLAIN").contains("true")) {
+      println("==== q203 formatted plan ====")
+      println(q203().queryExecution.explainString(
+        org.apache.spark.sql.execution.FormattedMode))
+      val df = q203()
+      df.collect()
+      println("==== q203 EXECUTED plan (codegen ids) ====")
+      println(df.queryExecution.executedPlan.toString.take(12000))
+    }
+    val sweep: Seq[(String, (Double, Long))] =
+      if (widths.length <= 1) Nil
+      else widths.flatMap(w => Seq(
+        s"q203_w$w" -> best(() => q203(w)),
+        s"q213_w$w" -> best(() => q213(w))))
+    val out =
+      if (sweep.nonEmpty) sweep
+      else Seq("q203_overlaps" -> best(() => q203()),
+        "q203_sweep" -> best(q203sweep _),
+        "q213_closed" -> best(() => q213()),
+        "q213_sweep" -> best(q213sweep _),
+        "q211_left" -> best(q211 _))
     val qs = out.map { case (k, (t, n)) =>
       f""""$k":{"sec":$t%.3f,"rows":$n}""" }.mkString("{", ",", "}")
     println(s"""{"probe":"interval_join","sf":"$sfDir","queries":$qs}""")

@@ -30,9 +30,10 @@ class AlignedCompactionSpec extends AnyFunSuite {
     new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(s"${db.root}/$t/_evmeta.json")), "UTF-8")
 
+  // chunk dirs are attempt-tagged since round 17 (`c<lo>.<tag>`)
   private def chunkDirs(db: XtDb, t: String): Seq[String] =
     Option(new java.io.File(db.dataDir(t)).listFiles).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.matches("c\\d+"))
+      .filter(f => f.isDirectory && f.getName.matches("c\\d+(\\..+)?"))
       .map(_.getName).sorted
 
   test("aligned full compact at unchanged fanout: ZERO shuffle bytes, new " +
@@ -111,7 +112,7 @@ class AlignedCompactionSpec extends AnyFunSuite {
         .findFirstMatchIn(progJson).get.group(1)
       val g2 = new java.io.File(s"${db.root}/r/$gdirName")
       val landed = Option(g2.listFiles).toSeq.flatten
-        .filter(_.getName.matches("c\\d+"))
+        .filter(_.getName.matches("c\\d+(\\..+)?"))
       assert(landed.size === 2, s"2 chunks must have landed: $landed")
       val mtimes = landed.flatMap(d => d.listFiles.toSeq)
         .map(f => f.getName -> f.lastModified()).toMap

@@ -26,6 +26,24 @@ class CommitOrderSpec extends AnyFunSuite {
   private def newDb(tag: String): XtDb = new XtDb(spark,
     java.nio.file.Files.createTempDirectory(tag).toString)
 
+  /** The (attempt-tagged, round 17) chunk dir for chunk-start `lo`
+    * under a generation dir — `c<lo>.<tag>`. */
+  private def chunkDir(genDir: String, lo: Int)
+      : Option[java.nio.file.Path] = {
+    val d = java.nio.file.Paths.get(genDir)
+    if (!java.nio.file.Files.exists(d)) None
+    else {
+      val it = java.nio.file.Files.list(d).iterator()
+      var found: Option[java.nio.file.Path] = None
+      while (it.hasNext && found.isEmpty) {
+        val p = it.next()
+        val n = p.getFileName.toString
+        if (n == s"c$lo" || n.startsWith(s"c$lo.")) found = Some(p)
+      }
+      found
+    }
+  }
+
   /** A table in the state the round-14 order corrupted: bucketed base
     * (g1) + a LEVEL fold + its consumed backlog files still on disk
     * under the read lease. A flat directory read here is WRONG twice
@@ -287,8 +305,8 @@ class CommitOrderSpec extends AnyFunSuite {
       }
       val sc1 = rewriteSidecar("foreign-live-attempt",
         System.currentTimeMillis())
-      val c0 = java.nio.file.Paths.get(s"${db.root}/r/$dir1/c0")
-      assert(java.nio.file.Files.exists(c0), "chunk c0 landed")
+      val c0 = chunkDir(s"${db.root}/r/$dir1", 0)
+        .getOrElse(fail("chunk c0 landed"))
       val c0Before = java.nio.file.Files.list(c0).count()
 
       // LIVE lease (heartbeat is seconds old): the retry must not
@@ -333,7 +351,8 @@ class CommitOrderSpec extends AnyFunSuite {
       val dir2 = """"dir"\s*:\s*"([^"]*)"""".r.findFirstMatchIn(
         new String(java.nio.file.Files.readAllBytes(scPath), "UTF-8"))
         .get.group(1)
-      val c0b = java.nio.file.Paths.get(s"${db.root}/r/$dir2/c0")
+      val c0b = chunkDir(s"${db.root}/r/$dir2", 0)
+        .getOrElse(fail("chunk c0 landed before the crash"))
       val c0Mtime = java.nio.file.Files.getLastModifiedTime(c0b)
       db.compact("r")
       val committed2 = new String(java.nio.file.Files.readAllBytes(
@@ -381,6 +400,111 @@ class CommitOrderSpec extends AnyFunSuite {
     } finally {
       spark.conf.unset("spark.graft.fullCompact.chunkBuckets")
       spark.conf.unset("spark.graft.test.failAfterChunks")
+    }
+  }
+
+  test("ADVICE r16 #1 — the lease heartbeat rides a BACKGROUND timer: " +
+      "a chunk outlasting the lease keeps the heartbeat fresh (no " +
+      "second compactor can deem the owner dead mid-chunk), and the " +
+      "compaction commits normally") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    spark.conf.set("spark.graft.fullCompact.chunkBuckets", "8")
+    spark.conf.set("spark.graft.fullCompact.ownerLeaseMs", "600")
+    try {
+      val db = newDb("commit-hb")
+      db.putDocs("h", spark.range(1, 1001)
+        .selectExpr("id AS _id", "id AS v"))
+      db.compact("h") // 16-bucket base ⇒ 2 chunks of 8
+      db.putDocs("h", spark.range(1001, 1051)
+        .selectExpr("id AS _id", "id AS v"))
+      assert(db.compactIncremental("h"))
+      val scPath = java.nio.file.Paths.get(
+        s"${db.root}/h/_compact_progress.json")
+      // simulate a chunk that outlasts the 600ms lease: sleep 3 lease
+      // periods after chunk 0, then check the sidecar's heartbeat age —
+      // the background timer (period = lease/3) must have refreshed it
+      @volatile var hbAge: Long = Long.MaxValue
+      @volatile var fired = false
+      graft.bitemporal.XtDb.testAfterChunkHook = _ =>
+        if (!fired) {
+          fired = true
+          Thread.sleep(1800)
+          val sc = new String(
+            java.nio.file.Files.readAllBytes(scPath), "UTF-8")
+          val hb = """"hb"\s*:\s*(-?\d+)""".r.findFirstMatchIn(sc)
+            .get.group(1).toLong
+          hbAge = System.currentTimeMillis() - hb
+        }
+      try db.compact("h")
+      finally graft.bitemporal.XtDb.testAfterChunkHook = _ => ()
+      assert(fired)
+      // refreshed-on-chunk-commit-only would leave the heartbeat at
+      // least sleep(1800ms) + chunk-0-job-duration old here; the
+      // background timer (period 200ms) keeps it fresh. 1500ms bound =
+      // strictly inside the sleep, with slack for a loaded machine.
+      assert(hbAge <= 1500L,
+        s"the heartbeat must be refreshed DURING a long chunk (age " +
+          s"${hbAge}ms) — refreshed only on chunk commit, a live " +
+          "owner would be taken over")
+      assert(db.asOf("h").count() === 1050L)
+    } finally {
+      spark.conf.unset("spark.graft.fullCompact.chunkBuckets")
+      spark.conf.unset("spark.graft.fullCompact.ownerLeaseMs")
+      graft.bitemporal.XtDb.testAfterChunkHook = _ => ()
+    }
+  }
+
+  test("round 17 — `chunks` manifest fence: a loser attempt's " +
+      "late-landing part files in its own tagged chunk dir are never " +
+      "served as base rows (no duplicates), and the committed manifest " +
+      "names its chunk dirs") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    spark.conf.set("spark.graft.fullCompact.chunkBuckets", "8")
+    try {
+      val db = newDb("commit-fence")
+      db.putDocs("f", spark.range(1, 1001)
+        .selectExpr("id AS _id", "id AS v"))
+      db.compact("f")
+      db.putDocs("f", spark.range(1001, 1051)
+        .selectExpr("id AS _id", "id AS v"))
+      assert(db.compactIncremental("f"))
+      db.compact("f") // aligned rewrite → tagged chunk dirs + fence
+      val meta = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"${db.root}/f/_evmeta.json")), "UTF-8")
+      assert(meta.contains(""""chunks":["""),
+        s"an aligned generation's manifest must carry the chunk fence: " +
+          meta)
+      assert(""""chunks"\s*:\s*\[([^\]]*)\]""".r.findFirstMatchIn(meta)
+        .get.group(1).contains("c0."),
+        "committed chunk dirs are attempt-tagged")
+      val before = db.asOf("f").count()
+      assert(before === 1050L)
+      // a paused loser lands a COMPLETE copy of chunk 0 in its own
+      // tagged dir after the winner committed — without the fence these
+      // bucket-named files would read as duplicate base rows
+      val gname = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"${db.root}/f/_gen")), "UTF-8")
+        .trim.split(':').last
+      val gdir = java.nio.file.Paths.get(s"${db.root}/f/$gname")
+      val winner = chunkDir(gdir.toString, 0).getOrElse(fail("chunk c0"))
+      val loser = gdir.resolve("c0.deadbeef")
+      java.nio.file.Files.createDirectory(loser)
+      val it = java.nio.file.Files.list(winner).iterator()
+      while (it.hasNext) {
+        val p = it.next()
+        if (p.getFileName.toString.endsWith(".parquet"))
+          java.nio.file.Files.copy(p,
+            loser.resolve(p.getFileName.toString))
+      }
+      assert(db.asOf("f").count() === before,
+        "unmanifested chunk dirs must be fenced out of base reads")
+      assert(db.events("f").groupBy(col("_id")).count()
+        .filter(col("count") > 1).count() === 0L,
+        "a loser's late files must never serve as duplicate rows")
+    } finally {
+      spark.conf.unset("spark.graft.fullCompact.chunkBuckets")
     }
   }
 }

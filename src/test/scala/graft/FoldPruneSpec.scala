@@ -418,4 +418,94 @@ class FoldPruneSpec extends AnyFunSuite {
     val snap = db.currentSnapshotIfValid("f")
     assert(snap.isDefined && snap.get.count() === 999L)
   }
+
+  test("VERDICT r16 #2 — the changed-id bucket histogram (and the " +
+      "delta half of the touched set) ride the fold's single " +
+      "delta-aggregate job: no separate count job on the common path, " +
+      "and the fold stays exact") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    val db = newDb("fold-ride")
+    db.declareLayout("r", "k", 4)
+    db.putDocs("r", spark.range(1, 1001)
+      .selectExpr("id AS _id", "CAST(id % 10 AS INT) AS k", "id AS v"))
+    db.compact("r")
+    val ride0 = EngineMetrics.foldChangedFromDelta.get()
+    val rec0 = EngineMetrics.foldChangedRecomputes.get()
+    // point fold (event path) — the histogram rides the delta agg
+    db.putDocs("r", Seq((7L, 7, 7000L)).toDF("_id", "k", "v"))
+    assert(db.compactIncremental("r"))
+    assert(EngineMetrics.foldChangedFromDelta.get() === ride0 + 1,
+      "a non-crossing fold's changed histogram must ride the delta job")
+    assert(EngineMetrics.foldChangedRecomputes.get() === rec0,
+      "no separate changed-count job on the common path")
+    // bulk fold (snapshot+delta path) — rides as well, and the delta
+    // half of the touched set comes from the same job
+    db.putDocs("r", spark.range(5001, 5501)
+      .selectExpr("id AS _id", "CAST(id % 10 AS INT) AS k", "id*3 AS v"))
+    assert(db.compactIncremental("r"))
+    assert(EngineMetrics.foldChangedFromDelta.get() === ride0 + 2)
+    assert(EngineMetrics.foldChangedRecomputes.get() === rec0)
+    val snap = db.currentSnapshotIfValid("r")
+    assert(snap.isDefined && snap.get.count() === 1500L)
+    assert(snap.get.filter(col("_id") === 7L).select("v")
+      .as[Long].head() === 7000L)
+    val oracle = db.asOf("r").select(col("_id"), col("v"))
+    val got = snap.get.select(col("_id"), col("v"))
+    assert(got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty)
+  }
+
+  test("VERDICT r16 #5 — MIXED-mode crossing: a crossed valid-time " +
+      "boundary resolves ONLY its crossed buckets via the event path " +
+      "and the rest from snapshot+delta in one fold — the resolve " +
+      "file set stays ⊆ the crossed buckets, and the snapshot equals " +
+      "the full event resolve") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    spark.conf.set("spark.graft.snapshotFold.resolveMode", "snapshot")
+    try {
+      val db = newDb("fold-mixed")
+      db.declareLayout("x", "k", 4)
+      db.putDocs("x", spark.range(1, 501)
+        .selectExpr("id AS _id", "CAST(id % 10 AS INT) AS k", "id AS v"))
+      // a near-future activation: current value 777, future value 888
+      db.putDocs("x", Seq((7777L, 7, 777L)).toDF("_id", "k", "v"))
+      val activateAt = java.sql.Timestamp.from(
+        java.time.Instant.now().plusSeconds(3))
+      db.putDocs("x", Seq((7777L, 7, 888L)).toDF("_id", "k", "v"),
+        validFrom = Some(lit(activateAt)))
+      db.compact("x")
+      val snap0 = db.currentSnapshotIfValid("x")
+      assert(snap0.isDefined)
+      assert(snap0.get.filter(col("_id") === 7777L).select("v")
+        .as[Long].head() === 777L, "pre-crossing value serves")
+      // bulk fresh-id delta lands, then the boundary crosses
+      db.putDocs("x", spark.range(9001, 9301)
+        .selectExpr("id AS _id", "CAST(id % 10 AS INT) AS k", "id*2 AS v"))
+      Thread.sleep(3500)
+      assert(db.compactIncremental("x"), "fold across the crossing")
+      assert(EngineMetrics.lastFoldResolveMode === "mixed",
+        s"a crossing inside a bulk fold must go mixed, not " +
+          s"${EngineMetrics.lastFoldResolveMode}")
+      // the event-side read is pruned to the crossed buckets
+      val crossedBucket = db.events("x")
+        .filter(col("_id") === 7777L)
+        .select(pmod(hash(col("_iid")), lit(16)).cast("int"))
+        .distinct().as[Int].collect().toSet
+      val scanned = EngineMetrics.lastFoldResolveFiles.map(bucketIdOf).toSet
+      assert(scanned.nonEmpty && scanned.subsetOf(crossedBucket),
+        s"mixed resolve read buckets $scanned but only $crossedBucket " +
+          "crossed — the event read must not widen past the crossing")
+      val snap = db.currentSnapshotIfValid("x")
+      assert(snap.isDefined, "snapshot must re-stamp after the crossing")
+      assert(snap.get.filter(col("_id") === 7777L).select("v")
+        .as[Long].head() === 888L,
+        "the crossed id must serve its ACTIVATED (pre-watermark) value")
+      assert(snap.get.count() === 801L)
+      val oracle = db.asOf("x").select(col("_id"), col("v"))
+      val got = snap.get.select(col("_id"), col("v"))
+      assert(got.exceptAll(oracle).isEmpty && oracle.exceptAll(got).isEmpty,
+        "mixed fold must equal the full event resolve")
+    } finally spark.conf.unset("spark.graft.snapshotFold.resolveMode")
+  }
 }

@@ -310,7 +310,16 @@ class JoinsSpec extends AnyFunSuite {
       "1e5 covers does NOT serialize into one task (max task's shuffle " +
       "read stays a fraction of the matches) and the result is exact") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
-    import spark.implicits._
+    // child session WITHOUT AQE partition-coalescing: the pin targets
+    // KEY-skew (the r10 window shape forced all of one leftId's matches
+    // into one task no matter the partition count). At this fixture's
+    // tiny total (~100k records) AQE legitimately coalesces the whole
+    // bucket-spread exchange into one read — an artifact that vanishes
+    // at scale and would mask the property under test.
+    val s = spark.newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    import s.implicits._
     val w = 60L // bucketSeconds
     val base = 1700000000L
     val nR = 100000
@@ -318,14 +327,21 @@ class JoinsSpec extends AnyFunSuite {
     // one mega left period spanning `buckets` buckets + one lonely row
     def ts(sec: Long) = java.time.Instant.ofEpochSecond(sec)
       .toString.replace("T", " ").dropRight(1)
-    val l = periods(Seq(
+    // fixtures built IN the child session (periods() binds the outer
+    // session's implicits — its DFs would execute with coalescing on)
+    def childPeriods(rows: Seq[(Long, String, String)], idCol: String,
+        f: String, tc: String) =
+      rows.toDF(idCol, "__f", "__t")
+        .select(col(idCol), col("__f").cast("timestamp").as(f),
+          col("__t").cast("timestamp").as(tc))
+    val l = childPeriods(Seq(
       (1L, ts(base), ts(base + buckets * w)),
       (2L, ts(base + 10 * buckets * w), ts(base + 10 * buckets * w + 30))),
       "lid", "lf", "lt")
     // rights spread across the left's span — every one matches lid=1
-    val r = periods((0 until nR).map { i =>
-      val s = base + (i % buckets) * w + (i / buckets) % (w - 2)
-      (1000L + i, ts(s), ts(s + 1))
+    val r = childPeriods((0 until nR).map { i =>
+      val sec = base + (i % buckets) * w + (i / buckets) % (w - 2)
+      (1000L + i, ts(sec), ts(sec + 1))
     }, "rid", "rf", "rt")
     val maxTask = new java.util.concurrent.atomic.AtomicLong(0)
     val tot = new java.util.concurrent.atomic.AtomicLong(0)

@@ -429,4 +429,55 @@ class ObjectStoreSpec extends AnyFunSuite {
       spark.conf.unset("spark.graft.test.failAfterChunks")
     }
   }
+
+  test("CAS-CHAINED owner writes (round 17, ADVICE r16 #1): a foreign " +
+      "sidecar write mid-run breaks the owner's version chain — the " +
+      "lost lease surfaces AT the owner's next write (never masked by " +
+      "read-after-own-write), and a retry still commits exact rows") {
+    import spark.implicits._
+    spark.conf.set("spark.graft.autoCompact.maxLag", "-1")
+    spark.conf.set("spark.graft.fullCompact.chunkBuckets", "8")
+    try {
+      val (root, fs) = freshRoot()
+      val db = new XtDb(spark, root)
+      db.putDocs("docs", spark.range(1, 1001)
+        .select(col("id").as("_id"), (col("id") * 2).as("v")))
+      db.compact("docs") // 16-bucket base ⇒ 2 chunks of 8
+      db.putDocs("docs", spark.range(1001, 1051)
+        .select(col("id").as("_id"), (col("id") * 2).as("v")))
+      assert(db.compactIncremental("docs"))
+      val scP = new org.apache.hadoop.fs.Path(
+        s"$root/docs/_compact_progress.json")
+      // after chunk 0 lands (before the owner's progress write), a
+      // "foreign compactor" overwrites the sidecar — any PUT bumps the
+      // object version, so the owner's chained CAS must lose
+      @volatile var fired = false
+      graft.bitemporal.XtDb.testAfterChunkHook = _ =>
+        if (!fired) {
+          fired = true
+          val foreign =
+            """{"gen":99,"buckets":16,"fp":"x","chunk":8,"dir":"gX",""" +
+              """"owner":"foreign-live","hb":""" +
+              s"${System.currentTimeMillis()}," +
+              """"dirv":[],"done":[]}"""
+          val out = fs.create(scP, true)
+          try out.write(foreign.getBytes("UTF-8"))
+          finally out.close()
+        }
+      val e = try intercept[IllegalStateException] { db.compact("docs") }
+        finally graft.bitemporal.XtDb.testAfterChunkHook = _ => ()
+      assert(fired)
+      assert(e.getMessage.contains("lost its attempt lease"),
+        s"the chain break must surface as a lost lease: ${e.getMessage}")
+      // retry: the crafted 'foreign' owner looks live, so the retry runs
+      // sidecar-silent in its own fresh dir — and still commits exactly
+      db.compact("docs")
+      assert(Bitemporal.current(db.events("docs")).count() === 1050L)
+      assert(db.events("docs").groupBy(col("_id")).count()
+        .filter(col("count") > 1).count() === 0L)
+    } finally {
+      spark.conf.unset("spark.graft.fullCompact.chunkBuckets")
+      graft.bitemporal.XtDb.testAfterChunkHook = _ => ()
+    }
+  }
 }
