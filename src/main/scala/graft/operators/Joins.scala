@@ -30,11 +30,27 @@ object Joins {
     * and the shuffle plan stands untouched; the decision adapts per
     * dataset exactly like the reference's stats-greedy ordering.
     */
-  def broadcastIfBaseSmall(base: DataFrame, derived: DataFrame): DataFrame = {
+  def broadcastIfBaseSmall(base: DataFrame, derived: DataFrame): DataFrame =
+    if (baseSmall(base)) broadcast(derived) else derived
+
+  /** The [[broadcastIfBaseSmall]] decision as a predicate: does `base`'s
+    * scan fit the session broadcast threshold? Exposed so a query can pick
+    * a different JOIN SHAPE per regime, not just hint one side:
+    * in the broadcast regime a deep selective-first chain of nested
+    * broadcast builds executes as a SEQUENCE of driver jobs (each build
+    * waits for the build below it — measured round 17: q05's four-level
+    * chain telescopes to 264 ms of collect time while the independent
+    * builds overlap at ~100 ms), so the flat star with every broadcast
+    * built straight from a base scan is strictly faster; in the shuffle
+    * regime the selective-first chain is what keeps the one big fact
+    * shuffle small, so it must stand. Inner equi-joins commute, so both
+    * shapes return identical rows — and the probe (fact) stream order is
+    * unchanged, keeping double-sum accumulation order bit-stable. */
+  def baseSmall(base: DataFrame): Boolean = {
     val threshold =
       base.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     val scanBytes = base.queryExecution.optimizedPlan.stats.sizeInBytes
-    if (threshold > 0 && scanBytes <= threshold) broadcast(derived) else derived
+    threshold > 0 && scanBytes <= threshold
   }
 
   /** Mark join: every left row, plus a boolean `markName` column answering

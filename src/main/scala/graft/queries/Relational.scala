@@ -73,16 +73,28 @@ object Relational {
     // order+limit into TakeOrderedAndProject)
     QueryDef("q03_shipping_priority", (s, dir) => {
       // selective-first: the BUILDING fifth of customers broadcasts into
-      // orders before the one big lineitem⋈orders shuffle (q05's note)
+      // orders before the one big lineitem⋈orders shuffle (q05's note).
+      // Broadcast regime (Joins.baseSmall): the cust→ord nesting would
+      // serialize the two broadcast builds (ord's build job waits on
+      // cust's); joining both straight onto the fact stream keeps the
+      // builds independent so they overlap — identical rows (inner joins
+      // commute; the lineitem probe order is unchanged).
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
-      val ord = t(s, dir, "orders")
-        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-        .join(broadcast(cust.select(col("c_custkey"))),
-          col("o_custkey") === col("c_custkey"))
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
-      li.join(Joins.broadcastIfBaseSmall(t(s, dir, "orders"), ord),
-          col("l_orderkey") === col("o_orderkey"))
+      val ordD = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val joined =
+        if (Joins.baseSmall(t(s, dir, "orders")))
+          li.join(broadcast(ordD), col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(cust.select(col("c_custkey"))),
+              col("o_custkey") === col("c_custkey"))
+        else
+          li.join(
+            ordD.join(broadcast(cust.select(col("c_custkey"))),
+              col("o_custkey") === col("c_custkey")),
+            col("l_orderkey") === col("o_orderkey"))
+      joined
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
@@ -115,24 +127,46 @@ object Relational {
       val nation = t(s, dir, "nation")
       val asiaN = nation
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
-      val cust = t(s, dir, "customer")
-        .join(broadcast(asiaN.select(col("n_nationkey").as("cn"))),
-          col("c_nationkey") === col("cn"))
-      val ord = t(s, dir, "orders")
+      val ordD = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
           col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-        .join(broadcast(cust.select(col("c_custkey"), col("c_nationkey"))),
-          col("o_custkey") === col("c_custkey"))
       val li = t(s, dir, "lineitem")
       val supp = t(s, dir, "supplier")
       // stats-greedy: when the whole orders scan fits the broadcast
       // threshold the fact side never shuffles; at scale the hint is a
-      // no-op and the shuffle plan stands (Joins.broadcastIfBaseSmall)
-      li.join(Joins.broadcastIfBaseSmall(t(s, dir, "orders"), ord),
-          col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
-          col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+      // no-op and the shuffle plan stands (Joins.broadcastIfBaseSmall).
+      // Broadcast regime: the region→asiaN→cust→ord nesting executes as
+      // FOUR sequential broadcast-build jobs (each collect waits on the
+      // one below — measured round 17, collectTime 51→99→143→264 ms);
+      // joining each dimension straight onto the fact stream keeps every
+      // build independent (max depth: region→asiaN), so they overlap.
+      // Inner joins commute and the lineitem probe order is unchanged,
+      // so rows AND double-sum accumulation order are identical.
+      val joined =
+        if (Joins.baseSmall(t(s, dir, "orders")))
+          li.join(broadcast(ordD.select(col("o_orderkey"), col("o_custkey"))),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(t(s, dir, "customer")
+              .select(col("c_custkey"), col("c_nationkey"))),
+              col("o_custkey") === col("c_custkey"))
+            .join(broadcast(asiaN.select(col("n_nationkey").as("cn"))),
+              col("c_nationkey") === col("cn"))
+            .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+            .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        else {
+          val cust = t(s, dir, "customer")
+            .join(broadcast(asiaN.select(col("n_nationkey").as("cn"))),
+              col("c_nationkey") === col("cn"))
+          val ord = ordD
+            .join(broadcast(cust.select(col("c_custkey"), col("c_nationkey"))),
+              col("o_custkey") === col("c_custkey"))
+          li.join(ord, col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+              col("c_nationkey") === col("s_nationkey"))
+            .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        }
+      joined
         .groupBy("n_name")
         .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2).as("revenue"))
         .presentSortedKBy(col("revenue").desc, col("n_name"))

@@ -442,13 +442,28 @@ object Tpch {
           col("n_name").as("cust_nation"))),
           col("c_nationkey") === col("ck"))
         .select(col("c_custkey"), col("cust_nation"))
-      val ord = t(s, dir, "orders")
-        .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
-        .select(col("o_orderkey"), col("cust_nation"))
-      t(s, dir, "lineitem")
-        .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
-        .join(Joins.broadcastIfBaseSmall(t(s, dir, "orders"), ord),
-          col("l_orderkey") === col("o_orderkey"))
+      // Broadcast regime (Joins.baseSmall): joining orders and customers
+      // straight onto the fact stream keeps the three broadcast builds
+      // independent (the cus→ord nesting would serialize them — q05's
+      // round-17 note); shuffle regime keeps the selective-first chain.
+      // Inner joins commute; lineitem probe order unchanged either way.
+      val joined =
+        if (Joins.baseSmall(t(s, dir, "orders")))
+          t(s, dir, "lineitem")
+            .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+            .join(broadcast(t(s, dir, "orders")
+              .select(col("o_orderkey"), col("o_custkey"))),
+              col("l_orderkey") === col("o_orderkey"))
+            .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+        else {
+          val ord = t(s, dir, "orders")
+            .join(broadcast(cus), col("o_custkey") === col("c_custkey"))
+            .select(col("o_orderkey"), col("cust_nation"))
+          t(s, dir, "lineitem")
+            .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+            .join(ord, col("l_orderkey") === col("o_orderkey"))
+        }
+      joined
         .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
           (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
