@@ -465,7 +465,19 @@ object Joins {
       ijFdiv(greatest(ijEp(col(leftFrom)), ijEp(col(rightFrom))), w)
     val cond = (Seq(lB("__bkt_l") === rB("__bkt_r")) ++ equi ++
       Seq(condition, canonical)).reduce(_ && _)
-    lB.join(rB, cond).drop("__bkt_l", "__bkt_r")
+    // probe knob (round-17 join-strategy A/B): SPARK_GRAFT_IJ_SHJ=left|right
+    // hints a shuffled-hash build on that exploded side instead of the
+    // default sort-merge — measurement only, results identical either way.
+    // MEASURED round 17 (25×, analyzed, best-of-5, same session):
+    // build=left ties SMJ within noise (q203 1.367 vs 1.440, q213 1.564
+    // vs 1.543, q211 2.483 vs 2.443), build=right loses 25-40% (the probe
+    // side streams, so building the larger exploded side pays). The
+    // family constant is not the sort — falsification record, joins
+    // the sweep/width/codegen entries in BASELINE.md.
+    val shj = sys.env.get("SPARK_GRAFT_IJ_SHJ")
+    val lS = if (shj.contains("left")) lB.hint("shuffle_hash") else lB
+    val rS = if (shj.contains("right")) rB.hint("shuffle_hash") else rB
+    lS.join(rS, cond).drop("__bkt_l", "__bkt_r")
   }
 
   /** Plane-sweep execution of the bucketed interval join: identical

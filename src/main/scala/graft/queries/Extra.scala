@@ -31,9 +31,11 @@ object Extra {
         s, logDir, ev.schema, maxFilesPerTrigger = 2)
       val agg = _root_.graft.streaming.StreamIngest.windowedCounts(
         stream, "ts", "1 day", "1 hour", "event_type")
-      val q = agg.writeStream.outputMode("complete")
-        .format("memory").queryName("q101_mem").start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      _root_.graft.streaming.StreamIngest.withSizedState(s, dir) {
+        val q = agg.writeStream.outputMode("complete")
+          .format("memory").queryName("q101_mem").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
       s.table("q101_mem")
         .select(unix_timestamp(col("win_start")).as("ws_ep"),
           col("event_type"), col("n"), col("total"))
@@ -95,9 +97,11 @@ object Extra {
         .withColumn("ts", timestamp_seconds(col("ts_s")))
       val agg = _root_.graft.streaming.StreamIngest.sessionizedStats(
         stream, "ts", s"$gapSec seconds", "user_id", "value_c")
-      val q = agg.writeStream.outputMode("append")
-        .format("memory").queryName("q121_mem").start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      _root_.graft.streaming.StreamIngest.withSizedState(s, dir) {
+        val q = agg.writeStream.outputMode("append")
+          .format("memory").queryName("q121_mem").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
       s.table("q121_mem")
         .filter(col("user_id") < 30)
         .select(col("user_id"), unix_timestamp(col("sess_start")).as("sess_ep"),
@@ -178,9 +182,11 @@ object Extra {
         keyCol = "user_id", tsCol = "ts",
         before = "0 seconds", after = "12 hours",
         watermarkDelay = "0 seconds", joinType = "leftOuter")
-      val q = joined.writeStream.outputMode("append")
-        .format("memory").queryName("q122_mem").start()
-      try { q.processAllAvailable() } finally { q.stop() }
+      _root_.graft.streaming.StreamIngest.withSizedState(s, dir) {
+        val q = joined.writeStream.outputMode("append")
+          .format("memory").queryName("q122_mem").start()
+        try { q.processAllAvailable() } finally { q.stop() }
+      }
       s.table("q122_mem")
         .filter(col("l_key") < 20)
         .select(col("l_key").as("user_id"), col("click_id"),

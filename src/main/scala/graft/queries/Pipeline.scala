@@ -1989,14 +1989,16 @@ object Pipeline {
         s, logDir, docs.schema, maxFilesPerTrigger = 1)
       val deduped = _root_.graft.streaming.StreamIngest.streamingDedup(
         stream, keyCol = "h", hashCol = "h")
-      val q = deduped.writeStream.outputMode("append")
-        .format("memory").queryName("q107_mem").start()
-      try {
-        q.processAllAvailable()
-        docs.filter(col("doc_id") >= off).orderBy("doc_id")
-          .coalesce(1).write.mode("append").parquet(logDir)
-        q.processAllAvailable()
-      } finally { q.stop() }
+      _root_.graft.streaming.StreamIngest.withSizedState(s, dir) {
+        val q = deduped.writeStream.outputMode("append")
+          .format("memory").queryName("q107_mem").start()
+        try {
+          q.processAllAvailable()
+          docs.filter(col("doc_id") >= off).orderBy("doc_id")
+            .coalesce(1).write.mode("append").parquet(logDir)
+          q.processAllAvailable()
+        } finally { q.stop() }
+      }
       s.table("q107_mem")
         .select(col("h"),
           when(col("doc_id") >= off, col("doc_id") - off)
@@ -2027,6 +2029,7 @@ object Pipeline {
         s, logDir, docs.schema, maxFilesPerTrigger = 1)
       val out = _root_.graft.streaming.StreamIngest.streamingNearDupDedup(
         stream, "text", "doc_id", hammingK = 3)
+      _root_.graft.streaming.StreamIngest.withSizedState(s, dir) {
       val q = out.writeStream.outputMode("append")
         .format("memory").queryName("q165_mem").start()
       try {
@@ -2043,6 +2046,7 @@ object Pipeline {
         java.nio.file.Files.walk(root).sorted(
             java.util.Comparator.reverseOrder[java.nio.file.Path]())
           .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      }
       }
       s.table("q165_mem").orderBy("doc_id")
     }, Some {
@@ -2090,16 +2094,18 @@ object Pipeline {
         TextAnalysis.gopherQuality(col("text"), minWords = GopherMinWords))
       val deduped = _root_.graft.streaming.StreamIngest.streamingDedup(
         stream.filter(tier), keyCol = "h", hashCol = "h")
-      val q = deduped.writeStream.outputMode("append")
-        .format("memory").queryName("q159_mem").start()
-      try { q.processAllAvailable() } finally {
-        q.stop()
-        // the memory sink holds the results now — reclaim the temp log
-        // rather than leaking a parquet dir per gate run
-        val root = java.nio.file.Paths.get(logDir)
-        java.nio.file.Files.walk(root).sorted(
-            java.util.Comparator.reverseOrder[java.nio.file.Path]())
-          .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      _root_.graft.streaming.StreamIngest.withSizedState(s, dir) {
+        val q = deduped.writeStream.outputMode("append")
+          .format("memory").queryName("q159_mem").start()
+        try { q.processAllAvailable() } finally {
+          q.stop()
+          // the memory sink holds the results now — reclaim the temp log
+          // rather than leaking a parquet dir per gate run
+          val root = java.nio.file.Paths.get(logDir)
+          java.nio.file.Files.walk(root).sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
       }
       s.table("q159_mem")
         .select(col("h"),

@@ -188,24 +188,26 @@ object Sketch {
           hll_sketch_agg(col("user_id"), lit(12))).as("distinct_est"))
         .select(unix_timestamp(col("window.start")).as("win_start"),
           col("event_type"), col("distinct_est"))
-      val q = agg.writeStream.outputMode("append")
-        .format("memory").queryName("q218_mem").start()
-      try {
-        q.processAllAvailable()
-        ev.filter(col("ts") >= split).coalesce(1)
-          .write.mode("append").parquet(logDir)
-        q.processAllAvailable()
-        // horizon sentinel: advances the watermark past every real
-        // window's end so they all emit; its own window never closes
-        locally {
-          import s.implicits._
-          Seq(("2024-03-01 00:00:00", "sentinel", 0L))
-            .toDF("tss", "event_type", "user_id")
-        }.select(col("tss").cast("timestamp").as("ts"),
-            col("event_type"), col("user_id"))
-          .coalesce(1).write.mode("append").parquet(logDir)
-        q.processAllAvailable()
-      } finally q.stop()
+      _root_.graft.streaming.StreamIngest.withSizedState(s, dir) {
+        val q = agg.writeStream.outputMode("append")
+          .format("memory").queryName("q218_mem").start()
+        try {
+          q.processAllAvailable()
+          ev.filter(col("ts") >= split).coalesce(1)
+            .write.mode("append").parquet(logDir)
+          q.processAllAvailable()
+          // horizon sentinel: advances the watermark past every real
+          // window's end so they all emit; its own window never closes
+          locally {
+            import s.implicits._
+            Seq(("2024-03-01 00:00:00", "sentinel", 0L))
+              .toDF("tss", "event_type", "user_id")
+          }.select(col("tss").cast("timestamp").as("ts"),
+              col("event_type"), col("user_id"))
+            .coalesce(1).write.mode("append").parquet(logDir)
+          q.processAllAvailable()
+        } finally q.stop()
+      }
       val est = materializeModel(
         s.table("q218_mem").filter(col("event_type") =!= "sentinel"),
         "stream_hll")

@@ -271,4 +271,21 @@ class StreamIngestSpec extends AnyFunSuite {
       "10 minutes", "event_type").collect().toSet
     assert(streamed == batch && streamed.nonEmpty)
   }
+  test("withSizedState pins size-derived state partitions and restores") {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    // sf0.001 is far under 16 MB, so the policy floor (4) applies
+    val inside = StreamIngest.withSizedState(spark, "/root/testdata/sf0.001") {
+      spark.conf.get(key)
+    }
+    assert(inside == "4")
+    assert(spark.conf.get(key) == prev)
+    // restore also on exception
+    intercept[RuntimeException] {
+      StreamIngest.withSizedState(spark, "/root/testdata/sf0.001") {
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(spark.conf.get(key) == prev)
+  }
 }
