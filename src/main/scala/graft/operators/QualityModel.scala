@@ -55,14 +55,24 @@ object QualityModel {
       learningRate: Double = 0.05): (DataFrame, Seq[Double]) = {
     val spark = docs.sparkSession
     import spark.implicits._
+    // All three persisted relations are CLUSTERED on doc_id (one setup
+    // shuffle each, paid once): every iteration's per-doc margin
+    // aggregate, its right join with the labels, and the contrib⋈margins
+    // join then all satisfy their distributions from the cached
+    // partitioning, so the only per-iteration exchange left is the final
+    // dims-sized groupBy(idx) — guide §2.4 (operations keyed the same
+    // way share one exchange), reused 40×.
     val labeled = docs.select(col(idCol).as("doc_id"),
       labelCol.cast("double").as("__y"))
-    val feat = features(docs, textCol, idCol, dims).persist()
+      .repartition(col("doc_id")).persist()
+    val feat = features(docs, textCol, idCol, dims)
+      .repartition(col("doc_id")).persist()
     // a synthetic idx = -2 row per labeled doc rides the SAME per-idx
     // aggregate and carries the per-doc terms (loss, residual), so one
     // job per iteration returns gradW, gradB, and the loss together
     val contrib = feat.unionByName(labeled.select(col("doc_id"),
-      lit(-2L).as("idx"), lit(0L).as("cnt"))).persist()
+      lit(-2L).as("idx"), lit(0L).as("cnt")))
+      .repartition(col("doc_id")).persist()
     val nDocs = labeled.count().toDouble
     var w = Array.fill(dims)(0.0)
     var b = 0.0
@@ -109,6 +119,7 @@ object QualityModel {
     }
     contrib.unpersist(blocking = false)
     feat.unpersist(blocking = false)
+    labeled.unpersist(blocking = false)
     val model = (w.zipWithIndex.map { case (v, i) =>
       (i.toLong, math.floor(v * 1e6).toLong)
     } :+ ((-1L, math.floor(b * 1e6).toLong))).toSeq
