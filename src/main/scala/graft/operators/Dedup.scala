@@ -518,6 +518,12 @@ object Dedup {
       .select(col(id1).as("src"), col(id2).as("dst"))
       .union(pairs.select(col(id2).as("src"), col(id1).as("dst")))
       .distinct()
+      // cluster the DOMINANT side on its per-round join key before the
+      // one-time persist: distinct() leaves HashPartitioning(src, dst),
+      // which does NOT satisfy the per-round join on dst — without this
+      // every round re-shuffled the whole edge list (round-17, guide
+      // §2.4); now only the small label frame moves each round
+      .repartition(col("dst"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
