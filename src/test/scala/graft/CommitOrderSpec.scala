@@ -430,11 +430,20 @@ class CommitOrderSpec extends AnyFunSuite {
         if (!fired) {
           fired = true
           Thread.sleep(1800)
-          val sc = new String(
-            java.nio.file.Files.readAllBytes(scPath), "UTF-8")
-          val hb = """"hb"\s*:\s*(-?\d+)""".r.findFirstMatchIn(sc)
-            .get.group(1).toLong
-          hbAge = System.currentTimeMillis() - hb
+          // the background timer REWRITES the sidecar concurrently and a
+          // plain-FS write is not atomic — retry a torn/mid-write read
+          // (reading later only sees a FRESHER heartbeat, so the age
+          // bound below stays meaningful)
+          var hb: Option[Long] = None
+          val deadline = System.currentTimeMillis() + 2000
+          while (hb.isEmpty && System.currentTimeMillis() < deadline) {
+            val sc = new String(
+              java.nio.file.Files.readAllBytes(scPath), "UTF-8")
+            hb = """"hb"\s*:\s*(-?\d+)""".r.findFirstMatchIn(sc)
+              .map(_.group(1).toLong)
+            if (hb.isEmpty) Thread.sleep(20)
+          }
+          hbAge = System.currentTimeMillis() - hb.get
         }
       try db.compact("h")
       finally graft.bitemporal.XtDb.testAfterChunkHook = _ => ()
