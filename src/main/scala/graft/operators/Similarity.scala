@@ -255,6 +255,10 @@ object Similarity {
       // spherical k-means works on unit vectors
       .withColumn("__unit", transform(col("__vecd"), x => x / col("__nrm")))
       .select(col(idCol).as("__vid"), col("__unit"))
+      // one scan+normalize for the whole Lloyd loop instead of one per
+      // iteration (round 17; no join consumes p, so the cache cannot
+      // flip a join strategy — the q194 labeled.persist lesson)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cents: Array[Array[Double]] = p.orderBy("__vid").limit(nlist)
       .select("__unit").as[Seq[Double]].collect().map(_.toArray)
     val costs = scala.collection.mutable.Buffer.empty[Double]
@@ -298,6 +302,7 @@ object Similarity {
         }
       }
     }
+    p.unpersist(blocking = false)
     val centDf = cents.zipWithIndex.toSeq
       .map { case (cv, i) => (i, cv.toSeq) }
       .toDF("cent_id", "cv")
