@@ -334,7 +334,14 @@ object Similarity {
     val dsub = dims / m
     val spark = emb.sparkSession
     import spark.implicits._
-    val p = prepared(emb, vecCol).select(col(idCol).as("__vid"), col("__vecd"))
+    val p0 = prepared(emb, vecCol)
+      .select(col(idCol).as("__vid"), col("__vecd"))
+    // same one-scan-per-loop persist as trainIvfCentroids (round 17);
+    // iters = 0 (seed codebooks, the oracle-checked gate path) never
+    // iterates, so it skips the cache entirely
+    val p = if (iters > 0)
+      p0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else p0
     var books: Array[Array[Array[Double]]] = init.getOrElse {
       val seed: Array[Array[Double]] = p.orderBy("__vid").limit(ksub)
         .select("__vecd").as[Seq[Double]].collect().map(_.toArray)
@@ -374,6 +381,7 @@ object Similarity {
       books = Array.tabulate(m, books(0).length)((s, c) =>
         means.getOrElse((s, c), books(s)(c))) // empty cell keeps its centroid
     }
+    if (iters > 0) p.unpersist(blocking = false)
     (books, costs.toSeq)
   }
 
