@@ -28,3 +28,17 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// Bench contract (VERDICT r17 #2): the driver invokes the bench through
+// sbt and expects the one-line JSON as the FINAL, prefix-free stdout
+// line — BENCH_r13..r17 all recorded "parsed": null because sbt's
+// logger wrapped the forked program's stdout in "[info] " and appended
+// "[success] Total time..." after it. Forked run/runMain output now
+// passes through to stdout unmodified (tests keep the logged style
+// their summary parsing relies on), and the success trailer is off —
+// exit codes, which the driver records ("rc"), are untouched.
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+// (showSuccess is read by the command engine, runMain's strategy by the
+// in-config runner — both false-positive sbt's unused-key lint)
+Global / excludeLintKeys ++= Set(showSuccess, outputStrategy)
