@@ -74,21 +74,27 @@ object Relational {
     QueryDef("q03_shipping_priority", (s, dir) => {
       // selective-first: the BUILDING fifth of customers broadcasts into
       // orders before the one big lineitem⋈orders shuffle (q05's note).
-      // Broadcast regime (Joins.baseSmall): the cust→ord nesting would
-      // serialize the two broadcast builds (ord's build job waits on
-      // cust's); joining both straight onto the fact stream keeps the
-      // builds independent so they overlap — identical rows (inner joins
-      // commute; the lineitem probe order is unchanged).
+      // Broadcast regime (Joins.baseSmall): round 17 flattened this into
+      // li ⋈ B(ordD) ⋈ B(custkeys) so the two builds overlap, but that
+      // broadcast the FULL date-filtered orders (~92% of the table, 5×
+      // the BUILDING-filtered build) and probed lineitem twice — the
+      // driver measured it 74% slower (VERDICT r17 #1). Round 18: LEFT
+      // SEMI the custkeys into the orders BUILD (same ~18% build size as
+      // the r16 chain, and the semi drops c_custkey from the build), so
+      // the top level is ONE broadcast join and lineitem probes once.
+      // Measured A/B (sf0.1, 32 cores, interleaved, steal 203): semi
+      // median 258 ms vs flat 281 / chain 280; identical rows (c_custkey
+      // is unique, so inner ≡ semi on it; lineitem probe order unchanged).
       val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1997-01-01").cast("timestamp"))
       val ordD = t(s, dir, "orders")
         .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val ordB = ordD.join(broadcast(cust.select(col("c_custkey"))),
+        col("o_custkey") === col("c_custkey"), "left_semi")
       val joined =
         if (Joins.baseSmall(t(s, dir, "orders")))
-          li.join(broadcast(ordD), col("l_orderkey") === col("o_orderkey"))
-            .join(broadcast(cust.select(col("c_custkey"))),
-              col("o_custkey") === col("c_custkey"))
+          li.join(broadcast(ordB), col("l_orderkey") === col("o_orderkey"))
         else
           li.join(
             ordD.join(broadcast(cust.select(col("c_custkey"))),

@@ -24,11 +24,14 @@ class RegimeParitySpec extends AnyFunSuite {
     .getOrCreate()
 
   private def runWithThreshold(name: String, threshold: String) = {
+    // restore the value captured BEFORE the test, not a hardcoded one —
+    // the getOrCreate session can be shared with other suites (ADVICE r17)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
     try {
       val d = SparkEntry.all.find(_.name == name).get
       d.fn(spark, sf).collect().toSeq
-    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10MB")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
   for (q <- Seq("q03_shipping_priority", "q05_local_supplier_volume",
