@@ -55,71 +55,89 @@ object QualityModel {
       learningRate: Double = 0.05): (DataFrame, Seq[Double]) = {
     val spark = docs.sparkSession
     import spark.implicits._
-    // All three persisted relations are CLUSTERED on doc_id (one setup
-    // shuffle each, paid once): every iteration's per-doc margin
-    // aggregate, its right join with the labels, and the contrib⋈margins
-    // join then all satisfy their distributions from the cached
-    // partitioning, so the only per-iteration exchange left is the final
-    // dims-sized groupBy(idx) — guide §2.4 (operations keyed the same
-    // way share one exchange), reused 40×.
+    // Round-18 loop shape (VERDICT r17 #4; guide §1.2/§2.4/§5): round 17
+    // still ran a fresh Catalyst query per iteration (margins agg →
+    // label join → contrib join → per-idx agg; 4-5 jobs and a full
+    // re-plan + re-codegen each time, because the weight literals rotate
+    // every iteration and defeat the plan/codegen caches). The labeled
+    // set is packed ONCE into a cached per-doc frame — feature indices
+    // sorted by idx (deterministic accumulation order), counts, label —
+    // and every iteration is then ONE closure-free-of-Catalyst job over
+    // the cached partitions (the MLlib treeAggregate posture): each task
+    // folds its docs into a dense (dims+2) gradient/loss accumulator,
+    // and the driver combines the per-partition accumulators IN
+    // PARTITION-INDEX ORDER (sc.runJob returns them positionally), so
+    // training stays bit-deterministic within a session — the
+    // QualityModelSpec retrain pin. The weights broadcast per iteration
+    // (destroyed after); only the dims-sized gradient round-trips the
+    // driver, exactly as before. Scale note: the driver combine is
+    // partitions × (dims+2) doubles; beyond ~2^16 dims swap the
+    // positional fold for a pairwise tree combine in the same order.
     val labeled = docs.select(col(idCol).as("doc_id"),
       labelCol.cast("double").as("__y"))
-      .repartition(col("doc_id")).persist()
-    val feat = features(docs, textCol, idCol, dims)
-      .repartition(col("doc_id")).persist()
-    // a synthetic idx = -2 row per labeled doc rides the SAME per-idx
-    // aggregate and carries the per-doc terms (loss, residual), so one
-    // job per iteration returns gradW, gradB, and the loss together
-    val contrib = feat.unionByName(labeled.select(col("doc_id"),
-      lit(-2L).as("idx"), lit(0L).as("cnt")))
-      .repartition(col("doc_id")).persist()
-    val nDocs = labeled.count().toDouble
+    val packed = features(docs, textCol, idCol, dims)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("idx"), col("cnt"))))
+        .as("__fs"))
+      .join(labeled, Seq("doc_id"), "right")
+      .select(col("__fs"), col("__y"))
+      .rdd.map { r =>
+        val fs = if (r.isNullAt(0)) Seq.empty[org.apache.spark.sql.Row]
+          else r.getSeq[org.apache.spark.sql.Row](0)
+        val idxs = new Array[Int](fs.length)
+        val cnts = new Array[Long](fs.length)
+        var j = 0
+        fs.foreach { f => idxs(j) = f.getLong(0).toInt
+          cnts(j) = f.getLong(1); j += 1 }
+        (idxs, cnts, r.getDouble(1))
+      }
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nDocs = packed.count().toDouble
+    if (nDocs == 0) throw new IllegalStateException(
+      "quality-model training: no labeled docs")
     var w = Array.fill(dims)(0.0)
     var b = 0.0
     val losses = scala.collection.mutable.Buffer.empty[Double]
     (1 to iters).foreach { _ =>
-      // weights travel as a dims-row BROADCAST relation, not a typedLit
-      // embedded per-plan: at realistic dims (2^18 hashed features) a
-      // map literal bloats every iteration's plan and re-analysis; a
-      // broadcast join ships the bytes once per iteration
-      val wDf = w.zipWithIndex.map { case (v, i) => (i.toLong, v) }
-        .toSeq.toDF("idx", "__w")
-      val margins = feat.join(broadcast(wDf), Seq("idx"))
-        .groupBy("doc_id")
-        .agg(sum(col("cnt") * col("__w")).as("__m0"))
-        .join(labeled, Seq("doc_id"), "right")
-        .select(col("doc_id"), col("__y"),
-          (coalesce(col("__m0"), lit(0.0)) + b).as("__m"))
-        .withColumn("__p", lit(1.0) / (lit(1.0) + exp(-col("__m"))))
-        .withColumn("__r", col("__p") - col("__y"))
-      // ONE aggregation job: per-feature gradient numerators on idx >= 0
-      // rows; loss and intercept gradient on the idx = -2 rows (their
-      // cnt = 0 keeps them out of the gradient sum)
-      val stats = contrib.join(margins, Seq("doc_id"))
-        .groupBy("idx")
-        .agg(sum(col("cnt") * col("__r")).as("__sw"),
-          sum(when(col("idx") === -2L, col("__r"))).as("__sr"),
-          sum(when(col("idx") === -2L,
-            -(col("__y") * log(greatest(col("__p"), lit(1e-12))) +
-              (lit(1.0) - col("__y")) *
-                log(greatest(lit(1.0) - col("__p"), lit(1e-12)))))
-          ).as("__sl"))
-        .collect()
-      val gradW = stats.filter(_.getLong(0) >= 0)
-        .map(r => r.getLong(0) -> r.getDouble(1) / nDocs).toMap
-      val docRow = stats.find(_.getLong(0) == -2L)
-        .getOrElse(throw new IllegalStateException(
-          "quality-model training: no labeled docs"))
-      losses += docRow.getDouble(3) / nDocs
-      val gradB = docRow.getDouble(2) / nDocs
+      val wB = spark.sparkContext.broadcast(w)
+      val bLoc = b
+      val dimsLoc = dims
+      // ONE job, one stage, no shuffle: per-partition dense accumulator
+      // [0..dims) = Σ cnt·r per idx, [dims] = Σ r, [dims+1] = Σ log-loss
+      val perPart: Array[Array[Double]] = spark.sparkContext.runJob(packed,
+        (it: Iterator[(Array[Int], Array[Long], Double)]) => {
+          val wv = wB.value
+          val acc = new Array[Double](dimsLoc + 2)
+          while (it.hasNext) {
+            val (idxs, cnts, y) = it.next()
+            var m = bLoc
+            var j = 0
+            while (j < idxs.length) { m += cnts(j) * wv(idxs(j)); j += 1 }
+            val p = 1.0 / (1.0 + math.exp(-m))
+            val r = p - y
+            j = 0
+            while (j < idxs.length) { acc(idxs(j)) += cnts(j) * r; j += 1 }
+            acc(dimsLoc) += r
+            acc(dimsLoc + 1) +=
+              -(y * math.log(math.max(p, 1e-12)) +
+                (1.0 - y) * math.log(math.max(1.0 - p, 1e-12)))
+          }
+          acc
+        })
+      wB.destroy()
+      val total = new Array[Double](dims + 2)
+      perPart.foreach { a => // partition-index order: deterministic
+        var i = 0
+        while (i < total.length) { total(i) += a(i); i += 1 }
+      }
+      losses += total(dims + 1) / nDocs
+      val gradB = total(dims) / nDocs
       w = w.zipWithIndex.map { case (v, i) =>
-        v - learningRate * gradW.getOrElse(i.toLong, 0.0)
+        v - learningRate * total(i) / nDocs
       }
       b -= learningRate * gradB
     }
-    contrib.unpersist(blocking = false)
-    feat.unpersist(blocking = false)
-    labeled.unpersist(blocking = false)
+    packed.unpersist(blocking = false)
     val model = (w.zipWithIndex.map { case (v, i) =>
       (i.toLong, math.floor(v * 1e6).toLong)
     } :+ ((-1L, math.floor(b * 1e6).toLong))).toSeq
