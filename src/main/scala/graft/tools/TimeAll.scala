@@ -8,12 +8,16 @@ import org.apache.spark.sql.SparkSession
   * table — the cheap way to spot a non-bench query whose constant is
   * anomalous before it matters at scale.
   *
-  * Usage: runMain graft.tools.TimeAll [sfDir] [runs]
+  * Usage: runMain graft.tools.TimeAll [sfDir] [runs] [name1,name2,...]
+  * (the optional third arg restricts to named queries — paired A/B on a
+  * subset without paying the 20-minute full sweep)
   */
 object TimeAll {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")
     val runs = args.lift(1).map(_.toInt).getOrElse(2)
+    val only: Option[Set[String]] =
+      args.lift(2).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -26,7 +30,8 @@ object TimeAll {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
-    val rows = SparkEntry.all.map { d =>
+    val rows = SparkEntry.all
+      .filter(d => only.forall(_.contains(d.name))).map { d =>
       spark.sparkContext.setJobDescription(s"timeall: ${d.name}")
       val r =
         try {
