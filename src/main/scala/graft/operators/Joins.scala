@@ -352,6 +352,71 @@ object Joins {
     }
   }
 
+  /** Literal period length in seconds when the frame defines `to` as
+    * some start column plus a CONSTANT interval (`withColumn("lt",
+    * col("lf") + expr("INTERVAL 2 MINUTES"))` — the analyzed plan then
+    * carries `Alias(TimeAdd(_, Literal(interval)), to)`). Zero jobs,
+    * zero data reads — the same static-resolution discipline as the
+    * sidecar horizon. None when the period is not a literal width. */
+  private def literalPeriodSeconds(df: DataFrame, to: String)
+      : Option[Long] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias,
+      AttributeReference, Literal}
+    import org.apache.spark.sql.types.{CalendarIntervalType,
+      DayTimeIntervalType}
+    df.queryExecution.analyzed.collect {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList
+    }.flatten.collectFirst {
+      case a: Alias if a.name == to => a.child
+    }.flatMap { e0 =>
+      // accept any add-shaped node whose DIRECT children are the start
+      // column and one literal interval (class-name-agnostic: Spark has
+      // renamed the timestamp+interval expression across releases), with
+      // implicit Casts stripped on both the node and its children
+      def strip(x: org.apache.spark.sql.catalyst.expressions.Expression)
+          : org.apache.spark.sql.catalyst.expressions.Expression = x match {
+        case c: org.apache.spark.sql.catalyst.expressions.Cast =>
+          strip(c.child)
+        case other => other
+      }
+      val e = strip(e0)
+      val kids = e.children.map(strip)
+      val lits = kids.collect {
+        case Literal(ci: org.apache.spark.unsafe.types.CalendarInterval,
+            CalendarIntervalType) if ci.months == 0 && ci.days == 0 &&
+            ci.microseconds > 0 =>
+          ci.microseconds
+        case Literal(us: java.lang.Long, _: DayTimeIntervalType)
+            if us > 0 =>
+          us.longValue
+      }
+      val hasStartCol = kids.exists(_.isInstanceOf[AttributeReference])
+      if (lits.length == 1 && hasStartCol && kids.length <= 3)
+        Some(lits.head / 1000000L)
+      else None
+    }.filter(_ > 0)
+  }
+
+  /** Width derivation (round 18): when BOTH sides carry the SAME literal
+    * period length, bucket at 4× that length; otherwise the caller's
+    * width stands. Basis: the round-17 sweep found the optimum shallow
+    * at 2-5× the typical period length, and round-18 paired 25× probes
+    * (rows identical at every width) put the symmetric shapes' optimum
+    * at the top of that band — q203 (120 s periods) w300→w480 1.26→0.76-
+    * 1.13 s, q211 (60 s) w60→w240 2.20→1.79 s, q213 (180 s) flat within
+    * noise — so the derived width is never outside the measured-shallow
+    * region. Asymmetric or data-dependent periods (q204's 10-min/1-min,
+    * the period-table dialect queries) keep the caller's width: the
+    * sweep evidence does not cover them. */
+  private[graft] def derivedBucketSeconds(left: DataFrame, right: DataFrame,
+      leftTo: String, rightTo: String, fallback: Long): Long =
+    (literalPeriodSeconds(left, leftTo),
+      literalPeriodSeconds(right, rightTo)) match {
+      case (Some(a), Some(b)) if a == b => math.max(1L, 4L * a)
+      case _ => fallback
+    }
+
   /** Explode a period table into its bucket cover `[__lo, __hi]`,
     * horizon-clamped and LOUDLY capped at `cap` buckets per row. */
   private def ijBucketed(df: DataFrame, from: String, to: String,
@@ -439,7 +504,8 @@ object Joins {
       equiKeys: Seq[(String, String)] = Nil,
       maxBucketsPerRow: Int = 4096,
       strategy: String = "auto",
-      inclusiveBounds: Boolean = false): DataFrame = {
+      inclusiveBounds: Boolean = false,
+      deriveWidth: Boolean = true): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
@@ -455,12 +521,20 @@ object Joins {
         else (leftW, broadcast(rightW))
       return l.join(r, (condition +: equi).reduce(_ && _))
     }
-    val w = bucketSeconds * 1000000L
+    // round 18: symmetric literal-width periods derive the width (4×
+    // the period — see derivedBucketSeconds); the caller's width is the
+    // fallback. Results are width-independent (canonical-bucket proof;
+    // rows verified identical across every sweep width).
+    // deriveWidth=false pins the caller's width (the probe's sweep knob).
+    val wSec = if (deriveWidth)
+      derivedBucketSeconds(leftW, rightW, leftTo, rightTo, bucketSeconds)
+    else bucketSeconds
+    val w = wSec * 1000000L
     val horizon = ijHorizonBkt(leftW, rightW, leftFrom, rightFrom, w)
     val lB = ijBucketed(leftW, leftFrom, leftTo, "__bkt_l", w,
-      bucketSeconds, horizon, maxBucketsPerRow, inclusiveBounds)
+      wSec, horizon, maxBucketsPerRow, inclusiveBounds)
     val rB = ijBucketed(rightW, rightFrom, rightTo, "__bkt_r", w,
-      bucketSeconds, horizon, maxBucketsPerRow, inclusiveBounds)
+      wSec, horizon, maxBucketsPerRow, inclusiveBounds)
     val canonical = lB("__bkt_l") ===
       ijFdiv(greatest(ijEp(col(leftFrom)), ijEp(col(rightFrom))), w)
     val cond = (Seq(lB("__bkt_l") === rB("__bkt_r")) ++ equi ++
@@ -646,7 +720,8 @@ object Joins {
       equiKeys: Seq[(String, String)] = Nil,
       maxBucketsPerRow: Int = 4096,
       strategy: String = "auto",
-      inclusiveBounds: Boolean = false): DataFrame = {
+      inclusiveBounds: Boolean = false,
+      deriveWidth: Boolean = true): DataFrame = {
     require(bucketSeconds > 0, "bucketSeconds must be positive")
     val overlap = left.columns.toSet.intersect(right.columns.toSet)
     require(overlap.isEmpty,
@@ -660,16 +735,20 @@ object Joins {
     if (ijPick(left, right, strategy) == "broadcast")
       return leftW.join(broadcast(rightW),
         (condition +: equi).reduce(_ && _), "left")
-    val w = bucketSeconds * 1000000L
+    // round 18: same symmetric literal-width derivation as intervalJoin
+    val wSec = if (deriveWidth)
+      derivedBucketSeconds(leftW, rightW, leftTo, rightTo, bucketSeconds)
+    else bucketSeconds
+    val w = wSec * 1000000L
     val nullLeft = leftW.filter(
       col(leftFrom).isNull || col(leftTo).isNull)
     val liveLeft = leftW.filter(
       col(leftFrom).isNotNull && col(leftTo).isNotNull)
     val horizon = ijHorizonBkt(liveLeft, rightW, leftFrom, rightFrom, w)
     val lB = ijBucketed(liveLeft, leftFrom, leftTo, "__bkt_l", w,
-      bucketSeconds, horizon, maxBucketsPerRow, inclusiveBounds)
+      wSec, horizon, maxBucketsPerRow, inclusiveBounds)
     val rB = ijBucketed(rightW, rightFrom, rightTo, "__bkt_r", w,
-      bucketSeconds, horizon, maxBucketsPerRow, inclusiveBounds)
+      wSec, horizon, maxBucketsPerRow, inclusiveBounds)
     val canonical = lB("__bkt_l") ===
       ijFdiv(greatest(ijEp(col(leftFrom)), ijEp(col(rightFrom))), w)
     val cond = (Seq(lB("__bkt_l") === rB("__bkt_r")) ++ equi ++

@@ -41,15 +41,17 @@ object IntervalProbe {
     // whole-stage-codegen audit of the residual period predicate).
     val widths: Seq[Long] = sys.env.get("SPARK_GRAFT_IJ_BUCKETS")
       .map(_.split(",").map(_.trim.toLong).toSeq).getOrElse(Seq(300L))
-    val w211: Long = sys.env.get("SPARK_GRAFT_IJ_BUCKETS_LEFT")
-      .map(_.toLong).getOrElse(60L)
+    val w211s: Seq[Long] = sys.env.get("SPARK_GRAFT_IJ_BUCKETS_LEFT")
+      .map(_.split(",").map(_.trim.toLong).toSeq).getOrElse(Seq(60L))
+    val w211: Long = w211s.head
 
     def q203(w: Long = widths.head) = Joins.intervalJoin(
         sideDf("error", "l_event_id", "lf", "lt", 2),
         sideDf("purchase", "r_event_id", "rf", "rt", 2),
         "lf", "lt", "rf", "rt",
         Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
-        bucketSeconds = w, strategy = "bucket")
+        bucketSeconds = w, strategy = "bucket",
+        deriveWidth = widths.length <= 1)
       .groupBy("l_event_id")
       .agg(count(lit(1)).as("n"), max("r_event_id").as("m"))
 
@@ -58,7 +60,8 @@ object IntervalProbe {
         sideDf("purchase", "r_event_id", "rf", "rt", 3),
         "lf", "lt", "rf", "rt",
         col("lf") <= col("rt") && col("rf") <= col("lt"),
-        bucketSeconds = w, strategy = "bucket", inclusiveBounds = true)
+        bucketSeconds = w, strategy = "bucket", inclusiveBounds = true,
+        deriveWidth = widths.length <= 1)
       .groupBy("l_event_id")
       .agg(count(lit(1)).as("n"), max("r_event_id").as("m"))
 
@@ -80,12 +83,13 @@ object IntervalProbe {
       .groupBy("l_event_id")
       .agg(count(lit(1)).as("n"), max("r_event_id").as("m"))
 
-    def q211() = Joins.intervalJoinLeft(
+    def q211(w: Long = w211) = Joins.intervalJoinLeft(
         sideDf("error", "l_event_id", "lf", "lt", 1),
         sideDf("purchase", "r_event_id", "rf", "rt", 1),
         "lf", "lt", "rf", "rt",
         Joins.overlapsCond(col("lf"), col("lt"), col("rf"), col("rt")),
-        bucketSeconds = w211, leftId = "l_event_id", strategy = "bucket")
+        bucketSeconds = w, leftId = "l_event_id", strategy = "bucket",
+        deriveWidth = w211s.length <= 1)
       .groupBy("l_event_id")
       .agg(count(col("r_event_id")).as("n"), max("r_event_id").as("m"))
 
@@ -116,17 +120,19 @@ object IntervalProbe {
       println(df.queryExecution.executedPlan.toString.take(12000))
     }
     val sweep: Seq[(String, (Double, Long))] =
-      if (widths.length <= 1) Nil
-      else widths.flatMap(w => Seq(
-        s"q203_w$w" -> best(() => q203(w)),
-        s"q213_w$w" -> best(() => q213(w))))
+      (if (widths.length <= 1) Nil
+       else widths.flatMap(w => Seq(
+         s"q203_w$w" -> best(() => q203(w)),
+         s"q213_w$w" -> best(() => q213(w))))) ++
+        (if (w211s.length <= 1) Nil
+         else w211s.map(w => s"q211_w$w" -> best(() => q211(w))))
     val out =
       if (sweep.nonEmpty) sweep
       else Seq("q203_overlaps" -> best(() => q203()),
         "q203_sweep" -> best(q203sweep _),
         "q213_closed" -> best(() => q213()),
         "q213_sweep" -> best(q213sweep _),
-        "q211_left" -> best(q211 _))
+        "q211_left" -> best(() => q211()))
     val qs = out.map { case (k, (t, n)) =>
       f""""$k":{"sec":$t%.3f,"rows":$n}""" }.mkString("{", ",", "}")
     println(s"""{"probe":"interval_join","sf":"$sfDir","queries":$qs}""")
